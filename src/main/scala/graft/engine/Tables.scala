@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table access layer.
+  *
+  * The reference keeps its data in two MongoDB collections plus an in-memory
+  * category dict (`/root/reference/data_ingestion.py:29,324-325`) and fetches
+  * with `collection.find(query)` (data_ingestion.py:328-334), materializing
+  * every result client-side. Here a "collection" is a columnar Parquet table;
+  * predicates and projections are pushed into the scan by Catalyst instead of
+  * being applied client-side (SURVEY.md §3.2, §4).
+  *
+  * At 100 TB these reads become distributed columnar scans: Parquet
+  * row-group pruning + filter pushdown + column pruning all apply per file
+  * split, so the scan cost is proportional to the data actually referenced,
+  * not the table size.
+  */
+object Tables {
+  /** Read one driver-provided table (`TESTDATA.md`): region, nation,
+    * customer, supplier, part, orders, lineitem, events, documents,
+    * embeddings. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+
+  /** Engine-domain schemas (SURVEY.md §1.3 / FIXTURES.md §A). Fixed
+    * StructTypes vs the reference's schemaless lazily-added fields
+    * (data_ingestion.py:443,493): `document_status` exists from insert. */
+  val snippetStruct: StructType = StructType(Seq(
+    StructField("snippet_id", IntegerType, nullable = false),
+    StructField("snippet_text", StringType, nullable = true)))
+
+  val pageStruct: StructType = StructType(Seq(
+    StructField("page_number", IntegerType, nullable = false),
+    StructField("page_text", StringType, nullable = true),
+    StructField("page_snippets", ArrayType(snippetStruct), nullable = true),
+    StructField("page_link", StringType, nullable = true)))
+
+  val documentSchema: StructType = StructType(Seq(
+    StructField("document_id", LongType, nullable = false),
+    StructField("document_name", StringType, nullable = false),
+    StructField("category_id", IntegerType, nullable = true),
+    StructField("category_name", StringType, nullable = true),
+    StructField("document_link", StringType, nullable = true),
+    StructField("document_tags", ArrayType(StringType), nullable = true),
+    StructField("document_expiryDate", DateType, nullable = true),
+    StructField("document_metadata", MapType(StringType, StringType), nullable = true),
+    StructField("pages", ArrayType(pageStruct), nullable = true),
+    StructField("document_status", StringType, nullable = false),
+    StructField("date_uploaded", DateType, nullable = true)))
+
+  /** Flat denormalized snippet row (data_ingestion.py:211-220); natural key
+    * (document_id, page_number, snippet_id). */
+  val flatSnippetSchema: StructType = StructType(Seq(
+    StructField("document_id", LongType, nullable = false),
+    StructField("document_name", StringType, nullable = false),
+    StructField("category_id", IntegerType, nullable = true),
+    StructField("category_name", StringType, nullable = true),
+    StructField("document_tags", ArrayType(StringType), nullable = true),
+    StructField("page_number", IntegerType, nullable = false),
+    StructField("page_link", StringType, nullable = true),
+    StructField("snippet_id", IntegerType, nullable = false),
+    StructField("snippet_text", StringType, nullable = true),
+    StructField("document_status", StringType, nullable = false)))
+
+  /** Category dim (in-memory dict in the reference, data_ingestion.py:29). */
+  def seedCategories(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1, "Collective Agreements"), (2, "Benefits"))
+      .toDF("category_id", "category_name")
+  }
+}

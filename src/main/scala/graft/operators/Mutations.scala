@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutation operators M1-M8 (SURVEY.md §2.8): the reference mutates Mongo
+  * collections in place with manual compensating rollbacks
+  * (data_ingestion.py:279,359,391,445,500,522); this engine expresses each
+  * mutation as a PURE batch transformation `snapshot -> snapshot'`. Writing
+  * the next snapshot atomically (write-new-dir-then-swap) gives the
+  * all-or-nothing behavior the reference's rollback code is trying to
+  * approximate, with no rollback logic at all (SURVEY.md §7.4).
+  *
+  * All transforms are single-pass, shuffle-minimal: deletes are
+  * anti-filters (narrow once the predicate is pushed), bulk status updates
+  * are one `when()` projection over the table (no N+1 per-row round trips
+  * like data_ingestion.py:487-503), and dedup-on-insert is one left_anti
+  * join against the existing keys (broadcast when the incoming batch is
+  * small, which is the common ingest case).
+  */
+object Mutations {
+  import Tables._
+
+  // ---------------------------------------------------------------- pure transforms
+
+  /** M1 insert-with-dedup (upload_one_doc, data_ingestion.py:227-291):
+    * refuse rows whose key already exists, then append. */
+  def insertDedup(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.unionByName(
+      incoming.join(existing.select(key), Seq(key), "left_anti")
+        .dropDuplicates(key))
+
+  /** M2 conditional status update (change_document_status,
+    * data_ingestion.py:413-448): one `when()` over the whole table; covers
+    * re-activation (README.md:3). */
+  def setStatusWhere(df: DataFrame, cond: org.apache.spark.sql.Column,
+      status: String, statusCol: String = "document_status"): DataFrame =
+    df.withColumn(statusCol, when(cond, lit(status)).otherwise(col(statusCol)))
+
+  /** M3 expiry sweep (expire_doc_auto, data_ingestion.py:483-505): single
+    * job, predicate fully pushed, vs the reference's N+1 update loop with
+    * client-side string-date parsing. */
+  def expireSweep(df: DataFrame, expiryCol: String, asOf: org.apache.spark.sql.Column,
+      statusCol: String = "document_status"): DataFrame =
+    df.withColumn(statusCol,
+      when(col(statusCol) === "Active" && col(expiryCol).isNotNull && col(expiryCol) < asOf,
+        lit("Expired")).otherwise(col(statusCol)))
+
+  /** M4/M5 cascading delete (remove_one_doc / omit_category,
+    * data_ingestion.py:375-405,344-363): delete = anti-filter; cascade =
+    * the same predicate applied to the child table (or a left_anti join
+    * against the deleted keys). */
+  def deleteWhere(df: DataFrame, cond: org.apache.spark.sql.Column): DataFrame =
+    df.filter(!cond)
+
+  /** M8 batch delete (remove_multiple_documents, data_ingestion.py:407-410;
+    * intended semantics — the reference call raises TypeError, SURVEY.md
+    * §2.8 M8): one anti-join against the key list, not a per-key loop. */
+  def deleteKeys(df: DataFrame, keys: DataFrame, key: String): DataFrame =
+    df.join(broadcast(keys), Seq(key), "left_anti")
+
+  /** M6 truncate (clear_dataset, data_ingestion.py:507-525). */
+  def truncate(df: DataFrame): DataFrame = df.limit(0)
+
+  /** M7 dim insert with name uniqueness (add_main_category,
+    * data_ingestion.py:336-342). */
+  def dimInsert(dim: DataFrame, incoming: DataFrame, nameCol: String): DataFrame =
+    dim.unionByName(incoming.join(dim.select(nameCol), Seq(nameCol), "left_anti"))
+
+  // ---------------------------------------------------------------- oracle-checked demos
+
+  /** M1 demo: upload batch with two duplicate names and one new row. */
+  def qUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val existing = region(s, d).select(
+      col("r_name").as("document_name"), col("r_regionkey").cast("long").as("document_id"))
+    val incoming = Seq(("AFRICA", 100L), ("AMERICA", 101L), ("NEW_REGION", 102L))
+      .toDF("document_name", "document_id")
+    insertDedup(existing, incoming, "document_name").orderBy("document_id", "document_name")
+  }
+
+  /** M2 demo: flip status for one key, leave the rest. */
+  def qStatusUpdate(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("document_status", lit("Active"))
+      .transform(df => setStatusWhere(df, col("doc_id") === 7L, "Archived"))
+      .select("doc_id", "document_status").orderBy("doc_id")
+
+  /** M3 demo: expiry sweep over orders with a fixed as-of date. */
+  def qExpirySweep(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("document_status", lit("Active"))
+      .transform(df => expireSweep(df, "o_orderdate", lit("1996-01-01").cast("timestamp")))
+      .groupBy("document_status").agg(count(lit(1)).as("n"))
+      .orderBy("document_status")
+
+  /** M4 demo: cascading delete of one document's rows. */
+  def qDeleteDoc(s: SparkSession, d: String): DataFrame =
+    deleteWhere(documents(s, d), col("doc_id") === 3L)
+      .select("doc_id").orderBy("doc_id")
+
+  /** M5 demo: cascade-delete a category — drop one nation, cascade to its
+    * customers via anti-join on the deleted keys. */
+  def qDeleteCategory(s: SparkSession, d: String): DataFrame = {
+    val deletedKeys = nation(s, d).filter(col("n_name") === "NATION_3")
+      .select(col("n_nationkey").as("c_nationkey"))
+    deleteKeys(customer(s, d), deletedKeys, "c_nationkey")
+      .select("c_custkey", "c_nationkey").orderBy("c_custkey")
+  }
+
+  /** M8 demo: bulk delete by key list in one anti-join. */
+  def qBatchDelete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq(1L, 2L, 5L, 8L).toDF("doc_id")
+    deleteKeys(documents(s, d), keys, "doc_id")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  /** M6 demo: truncate preserves schema, yields zero rows. */
+  def qTruncate(s: SparkSession, d: String): DataFrame =
+    truncate(documents(s, d).select("doc_id", "lang"))
+
+  /** M7 demo: dim insert rejecting an existing name, accepting a new one. */
+  def qDimInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = region(s, d).select(
+      col("r_regionkey").cast("long").as("category_id"), col("r_name").as("category_name"))
+    val incoming = Seq((100L, "AFRICA"), (101L, "BRAND_NEW_CATEGORY"))
+      .toDF("category_id", "category_name")
+    dimInsert(dim, incoming, "category_name").orderBy("category_id")
+  }
+}

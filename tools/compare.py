@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, sorts columns by name, and compares values row by row.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
+        erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(grows, erows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first at {i}:")
+            print(f"  spark:  {a}")
+            print(f"  duckdb: {b}")
+            # dtype hints
+            print(f"  dtypes spark={dict(got.dtypes.astype(str))}")
+            print(f"  dtypes duck ={dict(exp.dtypes.astype(str))}")
+            n_fail += 1
+        else:
+            dt_note = ""
+            if dict(got.dtypes.astype(str)) != dict(exp.dtypes.astype(str)):
+                dt_note = f"  [dtype diff: {dict(got.dtypes.astype(str))} vs {dict(exp.dtypes.astype(str))}]"
+            print(f"PASS {name} ({len(grows)} rows){dt_note}")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
