@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Mutations._
+import org.apache.spark.sql.functions._
+
+/** M1-M8 snapshot-transform semantics (SURVEY §2.8). */
+class MutationsSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", "Active", Some("2020-01-01")),
+      (2L, "b", "Active", None),
+      (3L, "c", "Expired", Some("2020-01-01")),
+      (4L, "d", "Active", Some("2099-01-01"))
+    ).toDF("document_id", "document_name", "document_status", "document_expiryDate")
+      .withColumn("document_expiryDate", col("document_expiryDate").cast("date"))
+  }
+
+  test("M1 insertDedup refuses existing keys, appends new, dedups batch") {
+    import spark.implicits._
+    val incoming = Seq(
+      (5L, "a", "Active", None: Option[String]),  // dup of existing
+      (6L, "e", "Active", None),                  // new
+      (7L, "e", "Active", None)                   // dup within batch
+    ).toDF("document_id", "document_name", "document_status", "document_expiryDate")
+      .withColumn("document_expiryDate", col("document_expiryDate").cast("date"))
+    val out = insertDedup(docs, incoming, "document_name")
+    assert(out.count() === 5)
+    assert(out.filter(col("document_name") === "a").count() === 1)
+    assert(out.filter(col("document_name") === "e").count() === 1)
+  }
+
+  test("M2 setStatusWhere flips only matching rows; re-activation works") {
+    val out = setStatusWhere(docs, col("document_name") === "c", "Active")
+    assert(out.filter(col("document_status") === "Expired").count() === 0)
+    val untouched = setStatusWhere(docs, col("document_name") === "zzz", "X")
+    assert(untouched.filter(col("document_status") === "X").count() === 0)
+  }
+
+  test("M3 expireSweep: only Active rows with past expiry flip; idempotent") {
+    val asOf = lit("2021-06-01").cast("date")
+    val once = expireSweep(docs, "document_expiryDate", asOf)
+    val got = once.select("document_id", "document_status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "Expired", 2L -> "Active", 3L -> "Expired", 4L -> "Active"))
+    val twice = expireSweep(once, "document_expiryDate", asOf)
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+
+  test("M4 deleteWhere decreases count by matches; M6 truncate keeps schema") {
+    val out = deleteWhere(docs, col("document_id") === 2L)
+    assert(out.count() === 3)
+    val t = truncate(docs)
+    assert(t.count() === 0 && t.schema === docs.schema)
+  }
+
+  test("M8 deleteKeys removes all listed keys in one anti-join") {
+    import spark.implicits._
+    val keys = Seq(1L, 3L, 99L).toDF("document_id")
+    val out = deleteKeys(docs, keys, "document_id")
+    assert(out.select("document_id").collect().map(_.getLong(0)).sorted === Array(2L, 4L))
+  }
+
+  test("M7 dimInsert enforces name uniqueness") {
+    import spark.implicits._
+    val dim = Seq((1, "Collective Agreements"), (2, "Benefits")).toDF("category_id", "category_name")
+    val incoming = Seq((3, "Benefits"), (4, "Policies")).toDF("category_id", "category_name")
+    val out = dimInsert(dim, incoming, "category_name")
+    assert(out.count() === 3)
+    assert(out.filter(col("category_name") === "Benefits").count() === 1)
+  }
+}
