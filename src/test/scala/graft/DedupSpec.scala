@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup correctness: LSH candidate recall and precision are checked
+  * against the brute-force Jaccard ground truth on sf0.001. */
+class DedupSpec extends SparkSpec {
+
+  // NOTE deliberately NOT cached: caching a raw table read makes the cache
+  // manager substitute InMemoryTableScan into every later plan over this
+  // file, silently disabling parquet pushdown/pruning engine-wide.
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  /** Brute-force ground truth: all pairs with shingle-Jaccard >= t. */
+  private def bruteForcePairs(t: Double): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= t)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH finds every true near-dup pair (recall=1 at J>=0.5)") {
+    val truth = bruteForcePairs(0.5)
+    assert(truth.nonEmpty, "test corpus should contain planted near-dups")
+    val got = Dedup.minhashNearDups(docs, 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth) // verification step makes precision exact too
+  }
+
+  test("ngram bucket-blocking finds every true near-dup pair at J>=0.5") {
+    val truth = bruteForcePairs(0.5)
+    val got = Dedup.ngramNearDups(docs, 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+  }
+
+  test("exact dedup keeps lowest key per text") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "x"), (2L, "y")))
+  }
+
+  test("simhash: identical collide; near-dups closer than random pairs") {
+    val h1 = Dedup.simhash64(Seq("a", "b", "c", "d"))
+    val h2 = Dedup.simhash64(Seq("a", "b", "c", "d"))
+    assert(h1 === h2)
+    // planted near-dups (J>=0.9) must be much closer in hamming space than
+    // the corpus average (this synthetic corpus shares one small vocab, so
+    // absolute distances are compressed; the separation is the signal)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val hashes = texts.map { case (id, t) => id -> Dedup.simhash64(t) }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    val truth = bruteForcePairs(0.9)
+    assert(truth.nonEmpty)
+    val dupDists = truth.toSeq.map { case (a, b) => dist(a, b) }
+    val ids = hashes.keys.toSeq.sorted.take(60)
+    val randDists = for (a <- ids; b <- ids if a < b) yield dist(a, b)
+    val dupMean = dupDists.sum.toDouble / dupDists.size
+    val randMean = randDists.sum.toDouble / randDists.size
+    info(f"simhash hamming: near-dup mean=$dupMean%.1f corpus mean=$randMean%.1f")
+    assert(dupMean < randMean / 2)
+    // the tightest dups (J>=0.95) must sit very close in hamming space
+    val tight = bruteForcePairs(0.95).toSeq.map { case (a, b) => dist(a, b) }
+    assert(tight.nonEmpty && tight.max <= 8, s"tight pair too far: $tight")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.EventAnalytics
+import graft.streaming.{CommandDispatch, StreamingJobs}
+import graft.streaming.CommandDispatch.EngineState
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming surface (SURVEY §2.9): the windowed aggregate matches its
+  * batch formulation, and the foreachBatch dispatcher applies command
+  * batches in FIFO batch order with per-batch-id snapshots. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling-window counts == batch groupBy") {
+    // FileStreamSource wants a directory; stage the events file into one
+    val dir = Files.createTempDirectory("graft_events")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streaming = StreamingJobs.eventWindowCounts(spark, dir.toString)
+    val q = streaming.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("win_counts")
+      .select("hour", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val expected = EventAnalytics.qEventWindow(spark, sf0001)
+      .select("hour", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("foreachBatch dispatcher: two command batches applied in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha beta gamma", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1"), (2, "Cat2")).toDF("category_id", "category_name")
+    val snippets0 = docs0
+      .select(col("document_id"), col("document_name"), col("category_id"),
+        lit(1).as("snippet_id"), col("text").as("snippet_text"), col("document_status"))
+
+    val stream = MemoryStream[(Int, Option[Long], Option[String], Option[Int], Option[String], Option[String])]
+    val commands = stream.toDF()
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+
+    val stateDir = Files.createTempDirectory("graft_dispatch").toString
+    var states = Map.empty[Long, EngineState]
+    val query = CommandDispatch.runStream(spark, commands,
+      EngineState(docs0, snippets0, cats0), stateDir,
+      (id, st) => states = states + (id -> st))
+
+    // batch 0: upload two docs (one dup name), add a category
+    stream.addData(
+      (1, Some(2L), Some("doc_b"), Some(2), None, Some("one two three four five six")),
+      (1, Some(3L), Some("doc_a"), Some(1), None, Some("dup name rejected")),
+      (2, None, None, Some(3), Some("Cat3"), None))
+    try {
+      query.processAllAvailable()
+      // batch 1: remove doc_a, remove category 2 (cascades doc_b away)
+      stream.addData(
+        (0, None, Some("doc_a"), None, None, None),
+        (3, None, None, Some(2), None, None))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val s0 = states(0)
+    assert(s0.docs.select("document_name").as[String].collect().toSet === Set("doc_a", "doc_b"))
+    assert(s0.categories.count() === 3)
+    // doc_b (6 words) -> 2 snippets appended to the seeded 1
+    assert(s0.snippets.count() === 3)
+
+    val s1 = states(1)
+    assert(s1.docs.count() === 0) // doc_a removed by name, doc_b via category cascade
+    assert(s1.categories.select("category_name").as[String].collect().toSet === Set("Cat1", "Cat3"))
+    assert(s1.snippets.count() === 0)
+  }
+
+  test("dispatch messages report per-command outcomes") {
+    import spark.implicits._
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    val commands = Seq(
+      (1, Some(2L), Some("doc_a"), Some(1), None: Option[String], Some("x")),
+      (2, None: Option[Long], None: Option[String], Some(2), Some("Cat1"), None: Option[String]),
+      (9, None: Option[Long], None: Option[String], None: Option[Int], None: Option[String], None: Option[String]))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+    val (_, messages) = CommandDispatch.dispatch(
+      EngineState(docs0, snippets0, cats0), commands)
+    val msgs = messages.select("message").as[String].collect().toSet
+    assert(msgs === Set(
+      "Document doc_a already exists",
+      "Category Cat1 already exists",
+      "Unknown action"))
+  }
+}
