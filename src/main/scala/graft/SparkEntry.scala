@@ -79,6 +79,18 @@ object SparkEntry {
     "q_multimodal" -> (Multimodal.qMultimodalDecode _),
     // --- command dispatch (SURVEY §2.9)
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
+    // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
+    "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
+    "q_nested_project" -> (Ingest.qNestedProject _),
+    // --- advanced relational ops (SURVEY §2 "absent" rows)
+    "q_outer_join" -> (Advanced.qOuterJoin _),
+    "q_rollup" -> (Advanced.qRollup _),
+    "q_distinct_count" -> (Advanced.qDistinctCount _),
+    "q_running_sum" -> (Advanced.qRunningSum _),
+    "q_asof_join" -> (Advanced.qAsofJoin _),
+    "q_range_join" -> (Advanced.qRangeJoin _),
+    "q_shuffle_join" -> (Advanced.qShuffleJoin _),
+    "q_regex_extract" -> (Advanced.qRegexExtract _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,5 +264,61 @@ object SparkEntry {
         "SELECT doc_id AS document_id, CAST(doc_id % 5 AS INTEGER) AS category_id FROM documents " +
         "WHERE doc_id <> 3 AND doc_id % 5 <> 4 " +
         "UNION ALL SELECT CAST(9001 AS BIGINT), CAST(2 AS INTEGER)) ORDER BY document_id"),
+    "q_ingest_flatten" ->
+      ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "j AS (SELECT w.*, r_name AS category_name FROM w LEFT JOIN region ON doc_id % 5 = r_regionkey), " +
+        "pg AS (SELECT doc_id, category_name, source, words, " +
+        "unnest(generate_series(0, (len(words)-1)//40)) AS p FROM j), " +
+        "pw AS (SELECT doc_id, category_name, CAST(p+1 AS INTEGER) AS page_number, " +
+        "source || '#page=' || CAST(p+1 AS VARCHAR) AS page_link, " +
+        "words[p*40+1 : p*40+40] AS pwords FROM pg), " +
+        "sn AS (SELECT doc_id, category_name, page_number, page_link, pwords, " +
+        "unnest(generate_series(0, (len(pwords)-1)//3)) AS k FROM pw) " +
+        "SELECT doc_id AS document_id, category_name, page_number, CAST(k+1 AS INTEGER) AS snippet_id, " +
+        "array_to_string(pwords[k*3+1 : k*3+5], ' ') AS snippet_text, page_link " +
+        "FROM sn ORDER BY document_id, page_number, snippet_id"),
+    "q_nested_project" ->
+      ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents) " +
+        "SELECT doc_id AS document_id, CAST((len(words)-1)//40 + 1 AS BIGINT) AS n_pages, " +
+        "source || '#page=1' AS first_page_link, lang AS first_tag, lang AS meta_lang, " +
+        "CAST(list_sum([(len(words[p*40+1 : p*40+40]) - 1)//3 + 1 " +
+        "for p in generate_series(0, (len(words)-1)//40)]) AS BIGINT) AS n_snippets " +
+        "FROM w ORDER BY document_id"),
+    "q_outer_join" ->
+      ("SELECT n_nationkey, n_name, r_name AS region_name FROM nation " +
+        "LEFT JOIN region ON n_regionkey = r_regionkey AND r_regionkey < 3 ORDER BY n_nationkey"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_distinct_count" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+    "q_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total " +
+        "FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey"),
+    "q_asof_join" ->
+      ("SELECT event_id, user_id, ts, last_click_id FROM (" +
+        "SELECT event_id, user_id, ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id " +
+        "FROM events WHERE event_type IN ('click','error')) " +
+        "WHERE event_type = 'error' ORDER BY event_id"),
+    "q_range_join" ->
+      ("WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') " +
+        "SELECT purchase_id, count(c_ts) AS n_recent_clicks " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 5 MINUTE " +
+        "GROUP BY purchase_id ORDER BY purchase_id"),
+    "q_shuffle_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_regex_extract" ->
+      ("SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id LIMIT 2000"),
   )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators beyond the reference's surface that complete the engine for
+  * general analytics (SURVEY §2.3/§2.4/§2.7 "absent" rows): outer joins,
+  * as-of / range joins, rollup, window frames, big-big shuffle joins,
+  * regex extraction. Each is oracle-checked.
+  *
+  * Scale notes: the as-of join is the windowed union formulation — one
+  * shuffle on the partition key, no point-in-time self-join blowup; the
+  * range join keys on user equality first so Catalyst plans a hash/SMJ on
+  * user with the time predicate as a residual filter, never a cartesian. */
+object Advanced {
+  import Tables._
+
+  /** Left outer join with nulls on the probe side. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_regionkey") < 3)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+      .orderBy("n_nationkey")
+
+  /** ROLLUP aggregate (subtotals + grand total). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Exact distinct count (the approx variant is bench-only — HLL sketches
+    * are engine-specific and cannot hash-match another engine). */
+  def qDistinctCount(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** Running total per customer over order dates (window frame). */
+  def qRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** As-of join via the windowed-union formulation: for every error event,
+    * the most recent click by the same user at-or-before it. One shuffle on
+    * user_id; no range self-join. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isin("click", "error"))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_id"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: clicks within the 5 minutes preceding each purchase by the
+    * same user (equi key user_id + time-range residual). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    purchases.join(clicks,
+        purchases("user_id") === clicks("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES"), "left")
+      .groupBy("purchase_id")
+      .agg(count(col("c_ts")).as("n_recent_clicks"))
+      .orderBy("purchase_id")
+  }
+
+  /** Big-big shuffle join: orders x lineitem revenue per priority, exact
+    * decimal sums surfaced as double. */
+  def qShuffleJoin(s: SparkSession, d: String): DataFrame =
+    orders(s, d).join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Regex extraction over the events props payload. */
+  def qRegexExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .orderBy("event_id").limit(2000)
+}

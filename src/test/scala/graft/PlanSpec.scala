@@ -38,6 +38,24 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("as-of join is one window shuffle, not a self-join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("range join keeps the user_id equi key (no cartesian)") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ingest flatten plan has no join except the broadcast dim lookup") {
+    val p = plan("q_ingest_flatten")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the snippet pipeline scan+generate") {
     // AQE's pre-execution plan string hides codegen spans; inspect with AQE off
     spark.conf.set("spark.sql.adaptive.enabled", "false")
