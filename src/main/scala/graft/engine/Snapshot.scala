@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Atomic snapshot store (SURVEY §7.4): every mutation writes a NEW
+  * versioned directory and then atomically swaps a pointer file — readers
+  * always see a complete snapshot, never a partial write. This single
+  * convention replaces ALL of the reference's compensating-rollback code
+  * (data_ingestion.py:279,359,391,445,500,522): a failed job simply never
+  * publishes its version.
+  *
+  * Layout: `<root>/v_<n>/` (parquet) + `<root>/CURRENT` (text file holding
+  * the published version name). On a real cluster the pointer swap runs on
+  * an atomic-rename filesystem or a transactional catalog; the pattern is
+  * the same one table formats build on (versioned data + tiny pointer).
+  */
+class Snapshot(spark: SparkSession, root: String) {
+  private val currentPtr = Paths.get(root, "CURRENT")
+
+  /** Highest published version, or None before the first publish. */
+  def currentVersion(): Option[String] =
+    if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim) else None
+
+  /** Read the published snapshot. */
+  def read(): DataFrame = {
+    val v = currentVersion().getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    spark.read.parquet(s"$root/$v")
+  }
+
+  /** Write `df` as the next version and publish it atomically. Returns the
+    * published version name. A crash before the pointer move leaves the
+    * previous snapshot intact and the half-written version unreferenced. */
+  def publish(df: DataFrame): String = {
+    val next = "v_" + (currentVersion().map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
+    df.write.mode("overwrite").parquet(s"$root/$next")
+    val tmp = Paths.get(root, "CURRENT.tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Apply a pure transformation to the current snapshot and publish the
+    * result — the engine's whole mutation protocol (read -> transform ->
+    * publish; SURVEY §2.8 M1-M8 compose with this). */
+  def mutate(f: DataFrame => DataFrame): String = publish(f(read()))
+}

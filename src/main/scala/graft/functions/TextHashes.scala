@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-hashing hot paths (SURVEY
+  * §7.5): the pure-`functions._` formulations of polynomial hashing and
+  * MinHash signatures run as INTERPRETED higher-order lambdas (per-element
+  * expression-tree walks); these expressions run the same math as one
+  * compiled loop and participate in whole-stage codegen via a static-call
+  * `doGenCode` (the standard pattern used by Spark's own string
+  * expressions). Measured ~5x on the MinHash signature stage at sf0.1.
+  *
+  * Semantics are IDENTICAL to the declarative forms (same constants, same
+  * mod arithmetic), asserted in FunctionsSpec.
+  */
+object TextHashes {
+  val Mod = 1000000007L
+  /** 2^31 - 1, the MinHash universe (matches operators.Dedup.Prime). */
+  val Prime = 2147483647L
+
+  /** Polynomial rolling hash of the UTF-8 bytes: fold (acc*31 + byte) mod
+    * 1e9+7. For ASCII input this equals the `ascii(substring(...))`
+    * column formulation used by the oracle-checked fingerprint query. */
+  def polyHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xFF)) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  /** MinHash signature over an array of shingle strings: hash each shingle
+    * (polyHash), then K affine mins h_i(x) = (a_i*x + b_i) mod (2^31-1).
+    * One pass, no per-element allocation. */
+  def minhashSig(shingles: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val code = polyHash(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val h = (a(j) * code + b(j)) % Prime
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `poly_hash(str) -> long`: codegen'd polynomial fingerprint. */
+@ExpressionDescription(usage = "poly_hash(str) - polynomial rolling hash mod 1e9+7")
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.polyHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash = copy(newChild)
+}
+
+/** `minhash_sig(array<string>) -> array<long>`: codegen'd K-min signature
+  * with the engine's fixed deterministic hash family. */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.minhashSig(v.asInstanceOf[ArrayData], aArr, bArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.minhashSig($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  def poly_hash(c: Column): Column = ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), a, b))
+
+  /** Register SQL names on a session (`SELECT poly_hash(text) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+  }
+}

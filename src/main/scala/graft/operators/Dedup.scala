@@ -145,9 +145,10 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
-      .withColumn("codes", transform(col("sh"), s => polyHash(s)))
-      .withColumn("sig", minhashSignature(col("codes")))
-      .drop("codes")
+      // codegen'd custom expression (graft.functions.MinHashSig): one
+      // compiled loop instead of K x |sh| interpreted lambda evaluations
+      .withColumn("sig", graft.functions.GraftFunctions.minhash_sig(
+        col("sh"), hashParams.map(_._1), hashParams.map(_._2)))
       // materialized once: both join sides of the band bucketing and the
       // Jaccard verification re-read this (signature gen is the CPU cost)
       .localCheckpoint()

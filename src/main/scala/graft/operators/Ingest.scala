@@ -44,14 +44,20 @@ object Ingest {
       array(col("lang"), col("source")).as("document_tags"),
       lit(null).cast("date").as("document_expiryDate"),
       map(lit("lang"), col("lang"), lit("source"), col("source")).as("document_metadata"),
+      // two chained transforms: the first materializes each page's token
+      // sub-array ONCE as a lambda variable; the second builds the page
+      // struct from that variable. Referencing `slice(words, ...)` directly
+      // inside the snippet-window lambda would re-slice per window element
+      // (same re-evaluation trap as Dedup.shinglesFromWords; measured 3x
+      // on this query).
       transform(
-        sequence(lit(0), floor((size(col("words")) - 1) / PageTokens).cast("int")),
-        p => struct(
+        transform(
+          sequence(lit(0), floor((size(col("words")) - 1) / PageTokens).cast("int")),
+          p => slice(col("words"), p * PageTokens + 1, lit(PageTokens))),
+        (pw, p) => struct(
           (p + 1).cast("int").as("page_number"),
-          array_join(slice(col("words"), p * PageTokens + 1, lit(PageTokens)), " ")
-            .as("page_text"),
-          snippetWindows(slice(col("words"), p * PageTokens + 1, lit(PageTokens)))
-            .as("page_snippets"),
+          array_join(pw, " ").as("page_text"),
+          snippetWindows(pw).as("page_snippets"),
           concat(col("source"), lit("#page="), (p + 1).cast("string")).as("page_link")))
         .as("pages"),
       lit("Active").as("document_status"),

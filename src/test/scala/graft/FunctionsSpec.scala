@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Custom codegen expressions must be bit-identical to the declarative
+  * column formulations they accelerate. */
+class FunctionsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("PolyHash == declarative ascii-fold fingerprint on real docs") {
+    val mismatches = docs.select(
+      TextAnalysis.fingerprint(col("text")).as("slow"),
+      GraftFunctions.poly_hash(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
+  test("MinHashSig == declarative signature on real docs") {
+    val withSh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), Dedup.shinglesFromWords(col("words")).as("sh"))
+    val a = Dedup.hashParams.map(_._1)
+    val b = Dedup.hashParams.map(_._2)
+    val mismatches = withSh.select(
+      Dedup.minhashSignature(transform(col("sh"), s => Dedup.polyHash(s))).as("slow"),
+      GraftFunctions.minhash_sig(col("sh"), a, b).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
+  test("poly_hash is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+    // (( 'a'*31 + 'b' )*31 + 'c') mod 1e9+7
+    val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L
+    assert(r === expected)
+    assert(spark.sql("SELECT poly_hash(NULL)").head().isNullAt(0))
+  }
+
+  test("custom expressions run inside whole-stage codegen (no fallback)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = docs.select(GraftFunctions.poly_hash(col("text")))
+        .queryExecution.executedPlan.toString
+      assert("""\*\(\d+\)""".r.findAllIn(plan).nonEmpty, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
