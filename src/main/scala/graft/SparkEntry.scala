@@ -42,6 +42,7 @@ object SparkEntry {
     // --- generators / snippet pipeline (SURVEY §2.5)
     "q_snippets" -> ((s: SparkSession, d: String) =>
       SnippetGen.docSnippets(Tables.documents(s, d))),
+    "q_sentence_snippets" -> (SnippetGen.qSentenceSnippets _),
     // --- scalar functions (SURVEY §2.6)
     "q_page_link" -> (Relational.pageLink _),
     "q_render_info" -> (Relational.renderInfo _),
@@ -134,6 +135,15 @@ object SparkEntry {
         "unnest(generate_series(0, (len(words)-1)//3)) AS k " +
         "FROM (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS words " +
         "FROM documents)) ORDER BY doc_id, snippet_id"),
+    "q_sentence_snippets" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "s1 AS (SELECT doc_id, array_to_string([array_to_string(words[k*8+1 : k*8+8], ' ') " +
+        "for k in generate_series(0, (len(words)-1)//8)], '. ') AS sent_text FROM w), " +
+        "s2 AS (SELECT doc_id, string_split_regex(trim(sent_text), '[.!?]\\s+') AS sents FROM s1), " +
+        "sn AS (SELECT doc_id, sents, unnest(generate_series(0, (len(sents)-1)//3)) AS k FROM s2) " +
+        "SELECT doc_id, CAST(k+1 AS INTEGER) AS snippet_id, " +
+        "array_to_string(sents[k*3+1 : k*3+5], ' ') AS snippet_text " +
+        "FROM sn ORDER BY doc_id, snippet_id"),
     "q_page_link" ->
       "SELECT doc_id, source || '#page=' || CAST(doc_id AS VARCHAR) AS page_link FROM documents ORDER BY doc_id",
     "q_render_info" ->

@@ -32,11 +32,14 @@ object SnippetGen {
   /** ceil(5/2), data_ingestion.py:190 */
   val Stride = 3
 
-  /** F3: deterministic sentence split — break after `.`/`!`/`?` followed by
-    * whitespace. DuckDB-parity regex (same meaning under RE2 and Java
-    * regex): `regexp_split_to_array(text, '(?<=[.!?])\s+')`. */
+  /** F3: deterministic sentence split — break on `.`/`!`/`?` followed by
+    * whitespace; the terminator+whitespace is CONSUMED (RE2 has no
+    * lookbehind, so a terminator-retaining split is not expressible in
+    * DuckDB — the engine's documented sentence definition is therefore the
+    * consumed-terminator form, identical in Java regex and RE2:
+    * `regexp_split_to_array(text, '[.!?]\s+')`). */
   def splitSentences(text: Column): Column =
-    split(trim(text), "(?<=[.!?])\\s+")
+    split(trim(text), "[.!?]\\s+")
 
   /** Tokenize on runs of whitespace (used when windowing over words). */
   def splitWords(text: Column): Column =
@@ -84,6 +87,28 @@ object SnippetGen {
         // C1 page-link analog: file_link + "#page=" + n (DI:128)
         concat(col("source"), lit("#page="), col("s.snippet_id").cast("string"))
           .as("snippet_link"))
+      .orderBy("doc_id", "snippet_id")
+  }
+
+  /** F3+F4 composed exactly as the reference's generate_snippets
+    * (DI:170-200): sentence-split the text, then window 5 / stride 3 over
+    * SENTENCES. The corpus has no punctuation, so deterministic sentence
+    * structure is synthesized first (8-token sentences joined with ". ") —
+    * the split must then reconstruct them exactly. */
+  def qSentenceSnippets(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = graft.engine.Tables.rebalance(
+      graft.engine.Tables.documents(s, d), "doc_id")
+    docs
+      .select(col("doc_id"), splitWords(col("text")).as("words"))
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), floor((size(col("words")) - 1) / 8).cast("int")),
+            k => array_join(slice(col("words"), k * 8 + 1, lit(8)), " ")),
+          ". ").as("sent_text"))
+      .select(col("doc_id"), splitSentences(col("sent_text")).as("sents"))
+      .select(col("doc_id"), explode(snippetWindows(col("sents"))).as("sn"))
+      .select(col("doc_id"), col("sn.snippet_id").as("snippet_id"),
+        col("sn.snippet_text").as("snippet_text"))
       .orderBy("doc_id", "snippet_id")
   }
 

@@ -57,12 +57,12 @@ class SnippetGenSpec extends SparkSpec {
     docs.unpersist()
   }
 
-  test("sentence split breaks after .!? only when followed by whitespace") {
+  test("sentence split breaks on .!? + whitespace, consuming the terminator") {
     import spark.implicits._
     val got = Seq("A b. C d! E? F g.h end", "one sentence")
       .toDF("text")
       .select(splitSentences($"text").as("s")).as[Seq[String]].collect()
-    assert(got(0) === Seq("A b.", "C d!", "E?", "F g.h end"))
+    assert(got(0) === Seq("A b", "C d", "E", "F g.h end"))
     assert(got(1) === Seq("one sentence"))
   }
 
