@@ -33,6 +33,43 @@ class EngineSpec extends SparkSpec {
     assert(store.read().count() === 1)
   }
 
+  test("bucketed tables make the fact join shuffle-free (co-located join)") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket co-location: the join needs NO exchange on either side
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("partitioned writes enable partition pruning at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .write.partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    // only the en partition directory is read
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() === expected)
+  }
+
   test("JSON and CSV sinks/sources round-trip the documents table") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val expected = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq

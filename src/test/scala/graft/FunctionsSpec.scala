@@ -31,6 +31,26 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("CosineSim == declarative cosine, bit for bit, float and double") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") < col("ib")).limit(2000)
+    val mismatches = pairs.select(
+      graft.operators.Similarity.cosineDeclarative(col("ea"), col("eb")).as("slow"),
+      graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+    // double arrays too (the IVF centroid path)
+    val dbl = pairs.select(
+      transform(col("ea"), x => x.cast("double")).as("da"), col("eb"))
+    val m2 = dbl.select(
+      graft.operators.Similarity.cosineDeclarative(col("da"), col("eb")).as("slow"),
+      graft.functions.GraftFunctions.cosine_sim(col("da"), col("eb")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(m2 === 0)
+  }
+
   test("poly_hash is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)

@@ -78,6 +78,52 @@ class StreamingSpec extends SparkSpec {
     assert(s1.snippets.count() === 0)
   }
 
+  test("stateful streaming sessionization (flatMapGroupsWithState) == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+
+    // (user_id, ts_seconds) events; close a session when a 30-min gap appears
+    case class Sess(start: Long, end: Long, n: Long)
+    val stream = MemoryStream[(Long, Long)]
+    val sessions = stream.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          // state: open sessions as (start, end, n); emit closed ones
+          val sorted = rows.map(_._2).toSeq.sorted
+          var open = state.getOption.getOrElse(Nil)
+          var out = List.empty[(Long, Long, Long, Long)]
+          sorted.foreach { t =>
+            open match {
+              case (s0, e0, n0) :: rest if t - e0 <= 1800 =>
+                open = (s0, t, n0 + 1) :: rest
+              case (s0, e0, n0) :: rest =>
+                out = (user, s0, e0, n0) :: out
+                open = (t, t, 1L) :: rest.filterNot(_ => true)
+              case Nil =>
+                open = (t, t, 1L) :: Nil
+            }
+          }
+          state.update(open)
+          out.iterator
+      }
+    val q = sessions.toDF("user_id", "start", "end", "n")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // two micro-batches for user 1: one session closed by a later gap
+    stream.addData((1L, 1000L), (1L, 1500L))
+    try {
+      q.processAllAvailable()
+      stream.addData((1L, 10000L)) // gap > 1800 closes the first session
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(closed === Set((1L, 1000L, 1500L, 2L)))
+  }
+
   test("dispatch messages report per-command outcomes") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
