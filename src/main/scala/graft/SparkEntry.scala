@@ -92,6 +92,7 @@ object SparkEntry {
     "q_range_join" -> (Advanced.qRangeJoin _),
     "q_shuffle_join" -> (Advanced.qShuffleJoin _),
     "q_regex_extract" -> (Advanced.qRegexExtract _),
+    "q_sql_api" -> (Advanced.qSqlApi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,5 +331,11 @@ object SparkEntry {
     "q_regex_extract" ->
       ("SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k " +
         "FROM events ORDER BY event_id LIMIT 2000"),
+    "q_sql_api" ->
+      ("SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, count(*) AS n_items " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' " +
+        "GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 500"),
   )
 }

@@ -97,6 +97,41 @@ object Advanced {
           .cast("decimal(38,4)")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** The SQL-text API: the engine's tables registered as views and queried
+    * with `spark.sql` (TPC-H Q3 shape) — same Catalyst pipeline as the
+    * DataFrame API, proven by the same oracle gate. */
+  def qSqlApi(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("v_customer")
+    orders(s, d).createOrReplaceTempView("v_orders")
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT o_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM v_customer
+      JOIN v_orders ON c_custkey = o_custkey
+      JOIN v_lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey
+      LIMIT 500""")
+  }
+
+  /** Salted join for skewed keys: explode the build side over `salt`
+    * replicas, scatter the probe side with a deterministic salt from a
+    * non-key column, join on (key, salt). Result is identical to the plain
+    * join (spec'd); at 100 TB this caps the largest task at ~1/salt of the
+    * hot key's rows. AQE skew-join handles moderate skew automatically —
+    * salting is the explicit tool for the pathological keys. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      probeSaltSrc: String, salt: Int): DataFrame = {
+    val salted = probe.withColumn("__salt", pmod(hash(col(probeSaltSrc)), lit(salt)))
+    val replicated = build.withColumn("__salt", explode(
+      sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Regex extraction over the events props payload. */
   def qRegexExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)
