@@ -148,5 +148,26 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** SparkSessionExtensions entry point: build sessions with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or set
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) to get the
+  * engine's SQL functions injected at session construction — the
+  * extension-registration path for cluster deployments where the session
+  * is created by the platform, not by library code. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
   }
 }

@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale design (the 100 TB story):
   *  - exact dedup: one hash-partitioned groupBy on the text hash — the
   *    shuffle moves (hash, id) pairs, not the documents;
-  *  - pairwise Jaccard is O(n²) and NEVER run unblocked: candidates come
-  *    from cheap blocking keys (lang × token-count bucket, emitted twice
-  *    so near-equal sizes always collide) or from MinHash-LSH band
-  *    buckets, which is the principled sub-quadratic path;
+  *  - pairwise Jaccard is NEVER run all-pairs: the exact path goes through
+  *    an inverted shingle index (cost ~ sum of squared posting-list
+  *    lengths), and MinHash-LSH band buckets are the principled
+  *    sub-quadratic path when even the index is too hot;
   *  - MinHash signatures/band keys are narrow column computations; only
   *    (band_key -> doc_id) pairs shuffle, then only same-bucket pairs are
   *    verified with the exact Jaccard.

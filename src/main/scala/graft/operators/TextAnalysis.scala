@@ -31,7 +31,6 @@ object TextAnalysis {
   def withQuality(df: DataFrame): DataFrame = {
     val len = length(col("text")).cast("double")
     val nTok = size(words).cast("double")
-    val stop = lit(Stopwords.en.toArray)
     df.withColumn("n_tokens", size(words).cast("long"))
       .withColumn("avg_token_len",
         (len - (nTok - 1)) / nTok) // chars minus separators, per token

@@ -60,6 +60,17 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT poly_hash(NULL)").head().isNullAt(0))
   }
 
+  test("cosine_sim callable from SQL; GraftExtensions installs cleanly") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-15)
+    // the extensions entry point accepts a fresh extensions registry
+    new graft.functions.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("custom expressions run inside whole-stage codegen (no fallback)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -56,6 +56,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("plan audit: no accidental cartesian/nested-loop joins anywhere") {
+    // intentional all-pairs designs: brute-force similarity baselines
+    // (crossJoin of a broadcast query set is the point)
+    val allPairsByDesign = Set("q_topk", "q_embed_dup")
+    SparkEntry.queries.keys.filterNot(allPairsByDesign).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$p")
+    }
+  }
+
+  test("plan audit: narrow projections never scan the text column") {
+    // queries whose output does not depend on `text` must not read it
+    val noTextNeeded = Seq("q_scan_project", "q_filter_eq", "q_batch_delete",
+      "q_delete_doc", "q_status_update")
+    noTextNeeded.foreach { name =>
+      val scan = plan(name).linesIterator.filter(_.contains("FileScan")).mkString
+      assert(!scan.contains("text"), s"$name reads text at the scan:\n$scan")
+    }
+  }
+
   test("whole-stage codegen covers the snippet pipeline scan+generate") {
     // AQE's pre-execution plan string hides codegen spans; inspect with AQE off
     spark.conf.set("spark.sql.adaptive.enabled", "false")
