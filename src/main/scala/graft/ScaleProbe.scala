@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe: run the heavy operators on synthetically multiplied
+  * inputs (10x and 30x sf0.1) to measure how cost grows with data size —
+  * the local evidence behind the 100 TB design claims (results recorded in
+  * SCALE.md). Not part of the driver contract; run manually:
+  *   sbt "runMain graft.ScaleProbe [multiplier]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    spark.read.parquet(s"$d/region.parquet").count() // warmup
+
+    // docs x mult: ids offset per replica; every 5th token perturbed per
+    // replica so replicas are NOT near-dups of each other (keeps the
+    // near-dup result set realistic instead of exploding it)
+    val docs: DataFrame = spark.read.parquet(s"$d/documents.parquet")
+      .crossJoin(spark.range(mult).toDF("r"))
+      .select(
+        (col("doc_id") * mult + col("r")).as("doc_id"),
+        col("lang"), col("source"),
+        array_join(
+          transform(split(trim(col("text")), "\\s+"),
+            (w, i) => when(pmod(i + col("r").cast("int"), lit(5)) === 0,
+              concat(w, col("r").cast("string"))).otherwise(w)),
+          " ").as("text"))
+      .localCheckpoint()
+
+    val emb: DataFrame = spark.read.parquet(s"$d/embeddings.parquet")
+      .crossJoin(spark.range(mult).toDF("r"))
+      .select(
+        (col("vec_id") * mult + col("r")).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (pmod(col("r") * 31 + i, lit(17)).cast("float") - 8.0f) / 100.0f)
+          .as("embedding"),
+        col("label"))
+      .localCheckpoint()
+
+    val li: DataFrame = spark.read.parquet(s"$d/lineitem.parquet")
+      .crossJoin(spark.range(mult).toDF("r"))
+      .withColumn("l_orderkey", col("l_orderkey") * mult + col("r"))
+      .drop("r")
+      .localCheckpoint()
+
+    val nDocs = docs.count(); val nEmb = emb.count(); val nLi = li.count()
+    println(s"[scale] mult=$mult docs=$nDocs embeddings=$nEmb lineitem=$nLi")
+
+    def time(name: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-18s ${sec}%7.1f s  ${rows / sec / 1e6}%8.2f M input rows/s  ($n out)")
+    }
+
+    time("snippets", nDocs) { SnippetGen.docSnippets(docs).count() }
+    time("dedup_ngram", nDocs) { Dedup.ngramNearDups(docs, 0.5).count() }
+    time("dedup_minhash", nDocs) { Dedup.minhashNearDups(docs, 0.5).count() }
+    time("dedup_exact", nDocs) { Dedup.exact(docs, "text", "doc_id").count() }
+    time("topk_bruteforce", nEmb) {
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < mult * 5), 10).count()
+    }
+    time("lsh_topk", nEmb) {
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < mult * 5), 10).count()
+    }
+    time("agg_pricing", nLi) {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"), count(lit(1)).as("n"))
+        .count()
+    }
+    time("fingerprint", nDocs) {
+      docs.select(graft.functions.GraftFunctions.poly_hash(col("text"))).count()
+    }
+    spark.stop()
+  }
+}

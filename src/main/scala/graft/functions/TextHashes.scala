@@ -60,6 +60,33 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
+  /** All LSH table buckets of one embedding in a single pass: planes is a
+    * flattened [tables*bits][dim] row-major matrix; output[t] packs the
+    * `bits` sign bits of table t. */
+  def lshBuckets(emb: ArrayData, planes: Array[Double], tables: Int, bits: Int,
+      dim: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += emb.getFloat(i).toDouble * planes(base + i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity of two numeric arrays (float or double elements),
     * accumulated in double in index order — the exact operation sequence of
     * the declarative formulation (dot, norms, dot/(na*nb)), so results are
@@ -134,8 +161,28 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `lsh_buckets(array<float>) -> array<long>`: codegen'd multi-table
+  * sign-random-projection bucketing (all tables in one compiled pass). */
+case class LshBuckets(child: Expression, planes: Seq[Double], tables: Int,
+    bits: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val planesArr = planes.toArray
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.lshBuckets(v.asInstanceOf[ArrayData], planesArr, tables, bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.lshBuckets($c, $pRef, $tables, $bits, $dim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
+  def lsh_buckets(c: Column, planes: Seq[Double], tables: Int, bits: Int, dim: Int): Column =
+    ColumnBridge.column(LshBuckets(ColumnBridge.expression(c), planes, tables, bits, dim))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

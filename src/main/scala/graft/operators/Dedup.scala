@@ -76,30 +76,31 @@ object Dedup {
 
   // -------------------------------------------------------------- n-gram Jaccard
 
+  /** The materialized (doc_id, sh) shingle-set index shared by the exact
+    * Jaccard strategies (shingling recomputation otherwise dominates). On
+    * a cluster persist this as a table for reuse across dedup runs. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
+      .localCheckpoint()
+
   /** EXACT all-pairs n-gram Jaccard via an inverted shingle index: explode
     * (doc, shingle), self-join on shingle, count common shingles per pair,
     * Jaccard = common / (|A| + |B| - common). No per-pair array ops, no
     * blocking approximation — every pair sharing at least one shingle is
     * scored, which is complete for any threshold > 0.
     *
-    * Scale: the shuffle moves (shingle, doc_id) postings, and pair cost is
-    * proportional to Σ freq(shingle)², not n² — the standard set-similarity
-    * join. At 100 TB add a document-frequency cap on ultra-common shingles
-    * (they cannot decide J >= 0.5 anyway) before the self-join; the test
-    * corpus needs no cap. A first cut of this operator blocked on
+    * Scale: pair cost is Σ freq(shingle)². The fastest exact strategy while
+    * posting lists stay short; on corpora whose shingle vocabulary
+    * SATURATES (freq grows with n) it degrades quadratically — switch to
+    * [[ngramNearDupsPrefix]] (exact) or [[minhashNearDups]] (sublinear) —
+    * measured crossover in SCALE.md. A first cut blocked on
     * (lang, length-bucket) with per-pair array_intersect: 6x slower at
-    * sf0.1 and missed cross-lang dups — kept here as a design note. */
+    * sf0.1 AND missed cross-lang dups — kept as a design note. */
   def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    // materialize the (doc, shingle) index once: it feeds BOTH sides of the
-    // self-join plus the size lookup, and recomputing the shingling three
-    // times dominates runtime otherwise. localCheckpoint keeps it in block
-    // storage (~postings * bytes/shingle); on a cluster prefer persisting
-    // the index as a table for reuse across dedup runs.
-    val sh = Tables.rebalance(docs, "doc_id")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
-      .localCheckpoint()
+    val sh = shingleIndex(docs)
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val common = postings.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -112,6 +113,38 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sa") + col("sb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** EXACT n-gram Jaccard with PREFIX FILTERING (PPJoin family): rank each
+    * doc's shingles rarest-first by global document frequency; two docs
+    * with Jaccard >= t MUST share a shingle among their first
+    * |d| - ceil(t*|d|) + 1 ranked shingles, so only those prefix postings
+    * generate candidates; candidates are then verified with the full sets.
+    * Same results as [[ngramNearDups]] (equality spec'd in DedupSpec); the
+    * extra document-frequency ranking pays off once posting lists are long
+    * (high-scale / saturated-vocabulary corpora), and costs two extra
+    * shuffles when they are not — pick by corpus profile (SCALE.md). */
+  def ngramNearDupsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs)
+    val postings = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = postings
+      .join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -93,8 +93,12 @@ object Similarity {
     Seq.fill(LshTables, LshBits)(Seq.fill(64)(next()))
   }
 
-  /** Bucket id of `emb` in table `t` (B sign bits packed into a long). */
-  def lshBucket(emb: Column, t: Int): Column =
+  /** Bucket id of `emb` in table `t` (B sign bits packed into a long) —
+    * declarative reference form; the pipeline uses the codegen'd
+    * [[graft.functions.LshBuckets]] (equality asserted in FunctionsSpec:
+    * the interpreted per-plane dots made ANN slower than brute force at
+    * 20k vectors). */
+  def lshBucketDeclarative(emb: Column, t: Int): Column =
     planes(t).zipWithIndex.map { case (p, i) =>
       val dot = aggregate(
         zip_with(emb, lit(p.toArray), (x, w) => x.cast("double") * w),
@@ -102,11 +106,14 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  private lazy val flatPlanes: Seq[Double] = planes.flatten.flatten
+
   /** One row per (vector, table): (table, bucket) keys — what you'd persist
     * partitioned by (table, bucket) at scale. */
   def lshKeys(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until LshTables).map(t => lshBucket(col("embedding"), t)): _*)))
+      posexplode(graft.functions.GraftFunctions.lsh_buckets(
+        col("embedding"), flatPlanes, LshTables, LshBits, 64)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
 
   /** ANN top-k via multi-table LSH: union candidates over tables, dedup,

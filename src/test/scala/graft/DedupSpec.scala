@@ -33,12 +33,21 @@ class DedupSpec extends SparkSpec {
     assert(got === truth) // verification step makes precision exact too
   }
 
-  test("ngram bucket-blocking finds every true near-dup pair at J>=0.5") {
+  test("ngram inverted-index join finds every true near-dup pair at J>=0.5") {
     val truth = bruteForcePairs(0.5)
     val got = Dedup.ngramNearDups(docs, 0.5)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === truth)
+  }
+
+  test("prefix-filtered ngram == inverted-index ngram (both exact)") {
+    val a = Dedup.ngramNearDups(docs, 0.5)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.ngramNearDupsPrefix(docs, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
   }
 
   test("exact dedup keeps lowest key per text") {

@@ -51,6 +51,19 @@ class FunctionsSpec extends SparkSpec {
     assert(m2 === 0)
   }
 
+  test("LshBuckets == declarative per-table bucketing on real embeddings") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+    val declarative = array((0 until Similarity.LshTables)
+      .map(t => Similarity.lshBucketDeclarative(col("embedding"), t)): _*)
+    val fast = graft.functions.GraftFunctions.lsh_buckets(
+      col("embedding"), Similarity.planes.flatten.flatten,
+      Similarity.LshTables, Similarity.LshBits, 64)
+    val mismatches = emb.select(declarative.as("slow"), fast.as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("poly_hash is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)

@@ -78,6 +78,44 @@ class StreamingSpec extends SparkSpec {
     assert(s1.snippets.count() === 0)
   }
 
+  test("file-based command stream with maxFilesPerTrigger=1 drains FIFO (T1 backpressure)") {
+    import spark.implicits._
+    // the reference bounds its queue at 40 items (DI:37); the streaming
+    // analog is source-side backpressure: each file is one bounded batch
+    val cmdDir = Files.createTempDirectory("graft_cmds")
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha beta", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+
+    // two command files written BEFORE the stream starts; maxFilesPerTrigger=1
+    // forces them into two ordered micro-batches
+    Seq((1, Some(2L), Some("doc_b"), Some(1), None: Option[String], Some("one two three")))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+      .coalesce(1).write.parquet(cmdDir.resolve("f0").toString)
+    Seq((0, None: Option[Long], Some("doc_b"), None: Option[Int], None: Option[String], None: Option[String]))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+      .coalesce(1).write.parquet(cmdDir.resolve("f1").toString)
+
+    val commands = spark.readStream
+      .schema(CommandDispatch.commandSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(cmdDir.toString + "/*/")
+    val stateDir = Files.createTempDirectory("graft_dispatch_file").toString
+    var states = Map.empty[Long, EngineState]
+    val query = CommandDispatch.runStream(spark, commands,
+      EngineState(docs0, snippets0, cats0), stateDir,
+      (id, st) => states = states + (id -> st))
+    try query.processAllAvailable() finally query.stop()
+
+    // two batches observed; the upload landed before the remove
+    assert(states.keySet === Set(0L, 1L))
+    val afterAll = states(1L)
+    assert(afterAll.docs.select("document_name").as[String].collect().toSet === Set("doc_a"))
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState) == batch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
