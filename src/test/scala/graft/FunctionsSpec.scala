@@ -84,6 +84,29 @@ class FunctionsSpec extends SparkSpec {
       new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("WelfordVariance Aggregator matches built-in avg/var_samp per group") {
+    import graft.functions.WelfordVariance
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    import spark.implicits._
+    val typed = li.select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(WelfordVariance.toColumn)
+      .toDF("flag", "w")
+      .select(col("flag"), col("w.n").as("n"), col("w.mean").as("mean"),
+        col("w.variance").as("variance"))
+    val builtin = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(col("l_quantity")).as("n"), avg(col("l_quantity")).as("mean"),
+        var_samp(col("l_quantity")).as("variance"))
+    val j = typed.join(builtin, "flag")
+    val bad = j.filter(
+      typed("n") =!= builtin("n") ||
+        abs(typed("mean") - builtin("mean")) > 1e-9 ||
+        abs(typed("variance") - builtin("variance")) > 1e-6).count()
+    assert(bad === 0)
+    assert(typed.count() === 3)
+  }
+
   test("custom expressions run inside whole-stage codegen (no fallback)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
