@@ -93,6 +93,9 @@ object SparkEntry {
     "q_shuffle_join" -> (Advanced.qShuffleJoin _),
     "q_regex_extract" -> (Advanced.qRegexExtract _),
     "q_sql_api" -> (Advanced.qSqlApi _),
+    "q_cube" -> (Advanced.qCube _),
+    "q_window_funcs" -> (Advanced.qWindowFuncs _),
+    "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,5 +340,27 @@ object SparkEntry {
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' " +
         "GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 500"),
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "q_window_funcs" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "lag(o_orderkey) OVER w AS prev_order, lead(o_orderkey) OVER w AS next_order, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pct_rank " +
+        "FROM orders WHERE o_custkey < 30 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q_multimodal_frames" ->
+      ("WITH m AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents), " +
+        "fr AS (SELECT doc_id, text, unnest(generate_series(0, CAST((n_bytes - 1) // 64 AS BIGINT))) AS frame_no, n_bytes FROM m) " +
+        "SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, " +
+        "CAST(least(64, n_bytes - frame_no * 64) AS BIGINT) AS frame_bytes, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, CAST(least(64, n_bytes - frame_no * 64) AS BIGINT)), " +
+        "i -> CAST(ascii(text[CAST(frame_no * 64 + i AS INTEGER)]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum " +
+        "FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
   )
 }

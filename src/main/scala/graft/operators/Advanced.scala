@@ -97,6 +97,27 @@ object Advanced {
           .cast("decimal(38,4)")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** CUBE aggregate (all grouping combinations). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Analytic window family: lag/lead/ntile/percent_rank over per-customer
+    * order sequences. */
+  def qWindowFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 30)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** The SQL-text API: the engine's tables registered as views and queried
     * with `spark.sql` (TPC-H Q3 shape) — same Catalyst pipeline as the
     * DataFrame API, proven by the same oracle gate. */

@@ -69,4 +69,38 @@ object Multimodal {
     * binary round-tripping (string -> utf8 bytes -> features). */
   def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
     decodeFeatures(mediaTable(s, d)).orderBy("doc_id")
+
+  /** One "frame" per FrameBytes-sized chunk of the payload. */
+  case class Frame(doc_id: Long, frame_no: Int, frame_bytes: Long, frame_checksum: Long)
+
+  val FrameBytes = 64
+
+  /** STUB frame-sampler ("video" -> frames): chunk the payload, emit one
+    * row per sampled frame (every `stride`-th chunk) with a per-frame
+    * checksum — the real Spark shape of frame extraction: a typed
+    * flatMap-style mapPartitions generator whose output rows are small
+    * even when payloads are huge. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          r.media.grouped(FrameBytes).zipWithIndex
+            .filter { case (_, i) => i % stride == 0 }
+            .map { case (chunk, i) =>
+              var ck = 0L
+              chunk.foreach { b => ck = (ck * 31L + (b & 0xFF)) % 1000000007L }
+              Frame(r.doc_id, i, chunk.length.toLong, ck)
+            }
+        }
+      }
+      .toDF()
+  }
+
+  /** Oracle-checked: every 2nd 64-byte frame of each payload with
+    * per-frame checksums (ascii text -> bytes == char codes, so the
+    * oracle can recompute the chunking on the string side). */
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaTable(s, d), 2).orderBy("doc_id", "frame_no")
 }
