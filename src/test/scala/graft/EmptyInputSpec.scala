@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators._
+import graft.streaming.CommandDispatch
+import graft.streaming.CommandDispatch.EngineState
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robustness: every operator must handle EMPTY inputs without crashing —
+  * empty partitions are routine at scale (filtered-out splits, empty
+  * micro-batches). */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.ngramNearDups(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.ngramNearDupsPrefix(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.minhashNearDups(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.simhashNearDups(emptyDocs, 2).count() === 0)
+    assert(Dedup.exact(emptyDocs, "text", "doc_id").count() === 0)
+  }
+
+  test("snippet pipeline on an empty corpus") {
+    assert(SnippetGen.docSnippets(emptyDocs).count() === 0)
+  }
+
+  test("similarity on an empty query set") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val noQueries = emb.filter(col("vec_id") < 0)
+    assert(Similarity.bruteForceTopK(emb, noQueries, 10).count() === 0)
+    assert(Similarity.lshTopK(emb, noQueries, 10).count() === 0)
+  }
+
+  test("sessionize on empty events") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("event_id", "ts", "user_id")
+    assert(EventAnalytics.sessionize(ev, 30).count() === 0)
+  }
+
+  test("dispatch with an empty command batch is a no-op") {
+    import spark.implicits._
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    val noCommands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      CommandDispatch.commandSchema)
+    val (next, messages) = CommandDispatch.dispatch(
+      EngineState(docs0, snippets0, cats0), noCommands)
+    assert(messages.count() === 0)
+    assert(next.docs.count() === 1 && next.categories.count() === 1 && next.snippets.count() === 1)
+  }
+}
