@@ -60,6 +60,27 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word n-gram shingles in one compiled pass (the declarative
+    * transform/element_at/concat_ws chain is interpreted per element). */
+  def wordNgrams(words: ArrayData, n: Int): ArrayData = {
+    val total = words.numElements() - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = words.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = UTF8String.fromString(" ")
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** All LSH table buckets of one embedding in a single pass: planes is a
     * flattened [tables*bits][dim] row-major matrix; output[t] packs the
     * `bits` sign bits of table t. */
@@ -138,6 +159,19 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
     copy(child = newChild)
 }
 
+/** `word_ngrams(array<string>, n) -> array<string>`: codegen'd distinct
+  * word n-gram shingling (insertion-ordered, matching
+  * `array_distinct(transform(...concat_ws...))`). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.wordNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** `cosine_sim(array<float>, array<float>) -> double`: codegen'd cosine
   * similarity. Bit-identical to the declarative
   * `aggregate(zip_with(...))/sqrt(...)` form in operators.Similarity —
@@ -187,6 +221,9 @@ object GraftFunctions {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def poly_hash(c: Column): Column = ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  def word_ngrams(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
 
   def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), a, b))

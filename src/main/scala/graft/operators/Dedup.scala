@@ -32,6 +32,11 @@ object Dedup {
     * would re-tokenize the whole text for every shingle (measured 25x
     * slow-down at sf0.1). */
   def shinglesFromWords(w: Column): Column =
+    graft.functions.GraftFunctions.word_ngrams(w, 3)
+
+  /** Declarative reference form of [[shinglesFromWords]] (equality with the
+    * codegen'd WordNgrams expression asserted in FunctionsSpec). */
+  def shinglesFromWordsDeclarative(w: Column): Column =
     array_distinct(
       transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))

@@ -64,6 +64,16 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("WordNgrams == declarative shingling on real docs") {
+    val withWords = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val mismatches = withWords.select(
+      graft.operators.Dedup.shinglesFromWordsDeclarative(col("words")).as("slow"),
+      graft.functions.GraftFunctions.word_ngrams(col("words"), 3).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+  }
+
   test("poly_hash is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
