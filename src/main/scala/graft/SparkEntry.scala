@@ -87,6 +87,7 @@ object SparkEntry {
     "q_outer_join" -> (Advanced.qOuterJoin _),
     "q_rollup" -> (Advanced.qRollup _),
     "q_distinct_count" -> (Advanced.qDistinctCount _),
+    "q_approx_distinct" -> (Advanced.qApproxDistinct _),  // rows-only: HLL not SQL-portable
     "q_running_sum" -> (Advanced.qRunningSum _),
     "q_asof_join" -> (Advanced.qAsofJoin _),
     "q_range_join" -> (Advanced.qRangeJoin _),

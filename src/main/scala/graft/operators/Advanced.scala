@@ -40,6 +40,14 @@ object Advanced {
       countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps"))
 
+  /** Approximate distinct count (HLL sketch) — bench-only rows-check entry:
+    * sketches are engine-specific so no DuckDB hash oracle; accuracy vs the
+    * exact count is gated in AdvancedSpec. Deterministic for fixed input. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   /** Running total per customer over order dates (window frame). */
   def qRunningSum(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
