@@ -148,6 +148,35 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("list_id"), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
+  /** Lloyd's k-means as Spark jobs: assign each vector to its nearest
+    * centroid (broadcast centroids, codegen'd cosine), recompute centroids
+    * as per-list means (posexplode + two groupBys), iterate. Deterministic:
+    * initial centroids are the first k vectors by vec_id. Returns
+    * (vec_id, list_id) assignments; centroids via [[ivfCentroids]] on the
+    * result. This is the standard unsupervised IVF build when no natural
+    * list column exists — every step is a narrow map or a keyed
+    * aggregation, so it scales like any groupBy. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val ids = corpus.select(col("vec_id"), col("embedding"))
+    var assigned = ids.withColumn("list_id",
+      pmod(col("vec_id"), lit(k.toLong))) // deterministic seed partition
+    var i = 0
+    while (i < iters) {
+      val cents = ivfCentroids(
+        assigned.withColumnRenamed("list_id", "seed_list"), "seed_list")
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("list_id"))
+      assigned = ids.crossJoin(broadcast(cents))
+        .withColumn("cscore", cosine(col("embedding"), col("centroid")))
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+        .localCheckpoint()
+      i += 1
+    }
+    assigned
+  }
+
   /** ANN top-k probing the `nprobe` nearest lists per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, listCol: String,
       k: Int, nprobe: Int): DataFrame = {

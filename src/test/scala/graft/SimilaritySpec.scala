@@ -51,6 +51,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= scanFraction + 0.1, f"IVF recall $mean%.2f")
   }
 
+  test("k-means-trained IVF lists: deterministic, and recall beats scan fraction") {
+    val k = 8
+    val assigned = Similarity.kmeansAssign(emb, k, 2)
+    val again = Similarity.kmeansAssign(emb, k, 2)
+    assert(assigned.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
+      again.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+    val nLists = assigned.select("list_id").distinct().count()
+    assert(nLists >= 2 && nLists <= k)
+
+    val corpus = emb.drop("label")
+      .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+    val nprobe = 3
+    val truth = neighborSets(Similarity.bruteForceTopK(emb, queries, 10))
+    val queriesWithList = corpus.filter(col("vec_id") < 20)
+    val ivf = neighborSets(
+      Similarity.ivfTopK(corpus, queriesWithList, "list_id", 10, nprobe))
+    val recalls = truth.map { case (q, t) => ivf.getOrElse(q, Set.empty).intersect(t).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    info(f"trained-IVF mean recall@10 = $mean%.2f at nprobe=$nprobe/$nLists lists")
+    assert(mean > nprobe.toDouble / nLists)
+  }
+
   test("LSH: multi-table candidates give real recall at a small scan fraction") {
     val truth = neighborSets(Similarity.bruteForceTopK(emb, queries, 10))
     val lsh = neighborSets(Similarity.lshTopK(emb, queries, 10))
