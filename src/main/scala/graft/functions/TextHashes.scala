@@ -81,6 +81,29 @@ object TextHashes {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** 64-bit SimHash over an array of tokens (with multiplicity): bit j of
+    * the output is the sign of the summed (+1/-1) votes from bit j of each
+    * token's FNV-ish hash. Same math as operators.Dedup.simhash64 (spec'd
+    * equal). */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val str = tokens.getUTF8String(i).toString
+      var h = 1125899906842597L
+      var k = 0
+      while (k < str.length) { h = (h * 31L) ^ str.charAt(k).toLong; k += 1 }
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** All LSH table buckets of one embedding in a single pass: planes is a
     * flattened [tables*bits][dim] row-major matrix; output[t] packs the
     * `bits` sign bits of table t. */
@@ -159,6 +182,17 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
     copy(child = newChild)
 }
 
+/** `simhash64(array<string>) -> long`: codegen'd 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** `word_ngrams(array<string>, n) -> array<string>`: codegen'd distinct
   * word n-gram shingling (insertion-ordered, matching
   * `array_distinct(transform(...concat_ws...))`). */
@@ -224,6 +258,9 @@ object GraftFunctions {
 
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
+
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 
   def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), a, b))

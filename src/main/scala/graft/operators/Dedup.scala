@@ -243,12 +243,12 @@ object Dedup {
     * pair within distance <= 3 chunks-worth always collides on some chunk
     * if differences concentrate), then verify true Hamming distance. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    // codegen'd SimHash64 expression over the bound token array (the typed
+    // Dataset.map formulation paid full-row encoder round trips)
     val hashed = Tables.rebalance(docs, "doc_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(text.trim.split("\\s+").toSeq)) }
-      .toDF("doc_id", "simhash")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("words")).as("simhash"))
     val chunks = hashed.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

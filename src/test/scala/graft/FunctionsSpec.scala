@@ -74,6 +74,17 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("SimHash64 expression == scala simhash64 on real docs") {
+    import spark.implicits._
+    val viaExpr = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), GraftFunctions.simhash64(col("words")))
+      .as[(Long, Long)].collect().toMap
+    val viaScala = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.simhash64(t.trim.split("\\s+").toSeq) }.toMap
+    assert(viaExpr === viaScala)
+  }
+
   test("poly_hash is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)

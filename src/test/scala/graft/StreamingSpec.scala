@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     assert(s1.snippets.count() === 0)
   }
 
+  test("append-mode watermarked windows finalize once the watermark passes") {
+    import spark.implicits._
+    // batch 1: January events; batch 2: a single much-later event that
+    // advances the watermark past every January window, so append mode
+    // emits the finalized January windows
+    val dir = Files.createTempDirectory("graft_events_wm")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streaming = StreamingJobs.eventWindowCounts(spark, dir.toString)
+    val q = streaming.writeStream
+      .format("memory").queryName("wm_counts").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_wm_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the watermark trails max event time by 2h, so the windows in the
+      // final 2h of January are NOT finalized yet — emitted < total
+      val afterBatch1 = spark.table("wm_counts").count()
+      assert(afterBatch1 > 0 && afterBatch1 < 870, s"got $afterBatch1")
+      val lateNanos = java.time.Instant.parse("2024-06-01T00:00:00Z")
+        .toEpochMilli * 1000000L
+      Seq((999999L, lateNanos, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("wm_counts")
+      .filter(col("hour") < lit("2024-02-01").cast("timestamp"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val expected = EventAnalytics.qEventWindow(spark, sf0001)
+      .select("hour", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(emitted === expected)
+  }
+
   test("file-based command stream with maxFilesPerTrigger=1 drains FIFO (T1 backpressure)") {
     import spark.implicits._
     // the reference bounds its queue at 40 items (DI:37); the streaming
