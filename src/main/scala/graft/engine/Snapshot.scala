@@ -31,9 +31,17 @@ class Snapshot(spark: SparkSession, root: String) {
 
   /** Write `df` as the next version and publish it atomically. Returns the
     * published version name. A crash before the pointer move leaves the
-    * previous snapshot intact and the half-written version unreferenced. */
+    * previous snapshot intact and the half-written version unreferenced.
+    *
+    * Concurrency: the store is optimistic single-writer. The version
+    * directory is claimed with an EXCLUSIVE create before any data is
+    * written — two publishers racing from the same CURRENT both compute the
+    * same next version, and the loser fails fast here instead of silently
+    * overwriting the winner's snapshot and racing the pointer swap. */
   def publish(df: DataFrame): String = {
     val next = "v_" + (currentVersion().map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
+    Files.createDirectories(Paths.get(root))
+    Files.createDirectory(Paths.get(root, next)) // throws FileAlreadyExistsException on a lost race
     df.write.mode("overwrite").parquet(s"$root/$next")
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.writeString(tmp, next)

@@ -55,7 +55,16 @@ object Tables {
     * per-document work co-located. */
   def rebalance(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 < target)
+    // Estimate scan parallelism from the relation's FILE LIST (metadata
+    // already cached on the leaf relation) instead of df.rdd.getNumPartitions,
+    // which forces an eager physical plan per call on the driver — harmless
+    // locally, double-planning on a busy cluster. Files under-count splits
+    // for single huge files (splittable parquet), so this can only
+    // over-trigger on inputs that are small-file-bound — exactly the case
+    // the repartition is for; a well-split 100 TB table has >> target files
+    // and this is a no-op.
+    val files = df.inputFiles.length
+    if (files * 2 < target)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }

@@ -35,11 +35,16 @@ object Dedup {
     graft.functions.GraftFunctions.word_ngrams(w, 3)
 
   /** Declarative reference form of [[shinglesFromWords]] (equality with the
-    * codegen'd WordNgrams expression asserted in FunctionsSpec). */
+    * codegen'd WordNgrams expression asserted in FunctionsSpec). Guarded on
+    * size >= 3: `sequence(1, size-2)` DESCENDS when size < 3 (step defaults
+    * to -1) and the resulting `element_at(w, 0)` throws, where the codegen'd
+    * form returns an empty array. */
   def shinglesFromWordsDeclarative(w: Column): Column =
-    array_distinct(
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    when(size(w) >= 3,
+      array_distinct(
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Convenience for small inputs/tests: shingles straight from text (see
     * the re-evaluation caveat on [[shinglesFromWords]]). */

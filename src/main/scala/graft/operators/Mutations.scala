@@ -24,12 +24,18 @@ object Mutations {
 
   // ---------------------------------------------------------------- pure transforms
 
+  /** The accepted subset of an incoming batch under key-dedup: rows whose
+    * key is absent from `existing`, deduplicated within the batch itself.
+    * Shared by [[insertDedup]] and by callers that derive follow-on work
+    * (e.g. snippet generation) from exactly the inserted rows. */
+  def acceptedNew(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    incoming.join(existing.select(key), Seq(key), "left_anti")
+      .dropDuplicates(key)
+
   /** M1 insert-with-dedup (upload_one_doc, data_ingestion.py:227-291):
     * refuse rows whose key already exists, then append. */
   def insertDedup(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
-    existing.unionByName(
-      incoming.join(existing.select(key), Seq(key), "left_anti")
-        .dropDuplicates(key))
+    existing.unionByName(acceptedNew(existing, incoming, key))
 
   /** M2 conditional status update (change_document_status,
     * data_ingestion.py:413-448): one `when()` over the whole table; covers
@@ -64,9 +70,10 @@ object Mutations {
   def truncate(df: DataFrame): DataFrame = df.limit(0)
 
   /** M7 dim insert with name uniqueness (add_main_category,
-    * data_ingestion.py:336-342). */
+    * data_ingestion.py:336-342). Incoming is deduplicated within the batch
+    * too, so two new categories sharing a name in one batch insert once. */
   def dimInsert(dim: DataFrame, incoming: DataFrame, nameCol: String): DataFrame =
-    dim.unionByName(incoming.join(dim.select(nameCol), Seq(nameCol), "left_anti"))
+    dim.unionByName(acceptedNew(dim, incoming, nameCol))
 
   // ---------------------------------------------------------------- oracle-checked demos
 

@@ -60,11 +60,11 @@ object CommandDispatch {
       .withColumn("document_status", lit("Active"))
       .select("document_id", "document_name", "category_id", "category_name",
         "text", "document_status")
-    val docs1 = Mutations.insertDedup(state.docs, newDocs, "document_name")
-
-    // snippets for the accepted uploads (flat-denormalized, J2 analog)
-    val acceptedDocs = newDocs
-      .join(state.docs.select("document_name"), Seq("document_name"), "left_anti")
+    // the accepted set is computed ONCE and drives both the docs append and
+    // snippet generation — so a within-batch duplicate name contributes
+    // exactly one doc row and one snippet set (no orphan snippets)
+    val acceptedDocs = Mutations.acceptedNew(state.docs, newDocs, "document_name")
+    val docs1 = state.docs.unionByName(acceptedDocs)
     val newSnippets = acceptedDocs
       .select(col("document_id"), col("document_name"), col("category_id"),
         col("document_status"),

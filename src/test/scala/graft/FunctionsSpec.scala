@@ -74,6 +74,19 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("WordNgrams == declarative shingling on SHORT inputs (size < 3)") {
+    // the unguarded declarative form used to throw here: sequence(1, size-2)
+    // descends for size < 3 and element_at(w, 0) is an error
+    import spark.implicits._
+    val short = Seq(Seq.empty[String], Seq("one"), Seq("one", "two"), Seq("a", "b", "c"))
+      .toDF("words")
+    val rows = short.select(
+      graft.operators.Dedup.shinglesFromWordsDeclarative(col("words")).as("slow"),
+      graft.functions.GraftFunctions.word_ngrams(col("words"), 3).as("fast")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    assert(rows.last.getSeq[String](0) === Seq("a b c"))
+  }
+
   test("SimHash64 expression == scala simhash64 on real docs") {
     import spark.implicits._
     val viaExpr = docs

@@ -70,4 +70,14 @@ class MutationsSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.filter(col("category_name") === "Benefits").count() === 1)
   }
+
+  test("M7 dimInsert dedups WITHIN the incoming batch too") {
+    import spark.implicits._
+    val dim = Seq((1, "Benefits")).toDF("category_id", "category_name")
+    val incoming = Seq((2, "Policies"), (3, "Policies"), (4, "Benefits"))
+      .toDF("category_id", "category_name")
+    val out = dimInsert(dim, incoming, "category_name")
+    assert(out.count() === 2)
+    assert(out.filter(col("category_name") === "Policies").count() === 1)
+  }
 }

@@ -198,6 +198,30 @@ class StreamingSpec extends SparkSpec {
     assert(closed === Set((1L, 1000L, 1500L, 2L)))
   }
 
+  test("within-batch duplicate upload names insert once, with no orphan snippets") {
+    import spark.implicits._
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    // two uploads under the SAME new name in one batch
+    val commands = Seq(
+      (1, Some(2L), Some("doc_b"), Some(1), None: Option[String], Some("one two three four five six")),
+      (1, Some(3L), Some("doc_b"), Some(1), None: Option[String], Some("seven eight nine")))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+    val (next, _) = CommandDispatch.dispatch(
+      EngineState(docs0, snippets0, cats0), commands)
+    assert(next.docs.filter(col("document_name") === "doc_b").count() === 1)
+    // snippets exist only for the ONE accepted row, keyed by its document_id
+    val snippetDocIds = next.snippets.filter(col("document_name") === "doc_b")
+      .select("document_id").distinct().as[Long].collect().toSet
+    val acceptedId = next.docs.filter(col("document_name") === "doc_b")
+      .select("document_id").as[Long].head()
+    assert(snippetDocIds === Set(acceptedId))
+  }
+
   test("dispatch messages report per-command outcomes") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
