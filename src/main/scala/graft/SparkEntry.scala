@@ -67,7 +67,7 @@ object SparkEntry {
     // --- deduplication extensions
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
-    "q_dedup_minhash" -> (Dedup.qDedupMinhash _),   // rows-only: hash fns not SQL-portable
+    "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),   // rows-only: typed simhash map
     // --- similarity search extensions
     "q_topk" -> (Similarity.qTopK _),
@@ -99,7 +99,37 @@ object SparkEntry {
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
   )
 
+  /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
+    * engine's own [[Dedup.hashParams]]: shingle -> polyHash code (the
+    * list_reduce form already oracle-proven by q_fingerprint) -> K affine
+    * mins -> band keys -> same-band candidate pairs -> exact-Jaccard
+    * verification. Every constant (LCG-derived a_i/b_i, band count, prime)
+    * comes from the Scala source of truth, so the oracle can never drift
+    * from the engine. */
+  private lazy val minhashOracleSql: String = {
+    val sigTerms = Dedup.hashParams.map { case (a, b) =>
+      s"list_min(list_transform(cs, x -> ($a*x + $b) % ${Dedup.Prime}))"
+    }.mkString(", ")
+    val rpb = Dedup.RowsPerBand
+    "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+      "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+      "codes AS (SELECT doc_id, s, list_transform(s, sg -> list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(sg)), " +
+      "i -> CAST(ascii(sg[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)) AS cs FROM sh), " +
+      s"sigs AS (SELECT doc_id, s, [$sigTerms] AS sig FROM codes), " +
+      s"bands AS (SELECT doc_id, unnest(generate_series(0, ${Dedup.Bands - 1})) AS band, sig FROM sigs), " +
+      s"keys AS (SELECT doc_id, band, array_to_string(sig[band*$rpb+1 : band*$rpb+$rpb], ',') AS band_key FROM bands), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a " +
+      "JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+      "verified AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) " +
+      "/ (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j FROM cands " +
+      "JOIN codes sa ON cands.doc_a = sa.doc_id JOIN codes sb ON cands.doc_b = sb.doc_id) " +
+      "SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5 ORDER BY doc_a, doc_b"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracleSql,
     "q_scan_project" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q_filter_eq" ->

@@ -167,7 +167,7 @@ object Dedup {
   val MinhashK = 32        // signature length
   val Bands = 8            // 8 bands x 4 rows
   val RowsPerBand: Int = MinhashK / Bands
-  private val Prime = 2147483647L // 2^31 - 1
+  val Prime = 2147483647L // 2^31 - 1 (public: the oracle SQL generator reuses it)
 
   /** Deterministic (a_i, b_i) params from a fixed LCG (seed 42). */
   val hashParams: Seq[(Long, Long)] = {
