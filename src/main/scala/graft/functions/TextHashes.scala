@@ -131,6 +131,58 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Multi-probe LSH buckets: for each table, the main bucket PLUS every
+    * perturbation obtained by flipping a subset of the `flip` lowest-margin
+    * bits (the bits whose hyperplane dot product is closest to zero — the
+    * likeliest to disagree between true neighbors). Output length is
+    * tables * 2^flip, laid out [table][probe]; probe 0 is the unflipped
+    * bucket. Query-directed multi-probe buys recall without adding tables:
+    * the corpus keeps ONE bucket per table, only queries fan out. */
+  def lshProbes(emb: ArrayData, planes: Array[Double], tables: Int, bits: Int,
+      dim: Int, flip: Int): ArrayData = {
+    val probes = 1 << flip
+    val out = new Array[Long](tables * probes)
+    val margins = new Array[Double](bits)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += emb.getFloat(i).toDouble * planes(base + i)
+          i += 1
+        }
+        margins(b) = math.abs(dot)
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      // indices of the `flip` smallest margins (partial selection sort;
+      // strict < keeps the first minimum -> deterministic under ties)
+      val idx = Array.tabulate(bits)(identity)
+      var s = 0
+      while (s < flip) {
+        var m = s
+        var j = s + 1
+        while (j < bits) { if (margins(idx(j)) < margins(idx(m))) m = j; j += 1 }
+        val tmp = idx(s); idx(s) = idx(m); idx(m) = tmp
+        s += 1
+      }
+      var p = 0
+      while (p < probes) {
+        var mask = 0L
+        var f = 0
+        while (f < flip) { if (((p >> f) & 1) == 1) mask |= (1L << idx(f)); f += 1 }
+        out(t * probes + p) = bucket ^ mask
+        p += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity of two numeric arrays (float or double elements),
     * accumulated in double in index order — the exact operation sequence of
     * the declarative formulation (dot, norms, dot/(na*nb)), so results are
@@ -246,10 +298,32 @@ case class LshBuckets(child: Expression, planes: Seq[Double], tables: Int,
     copy(child = newChild)
 }
 
+/** `lsh_probes(array<float>) -> array<long>`: codegen'd multi-probe bucket
+  * generation — tables * 2^flip buckets per vector (see
+  * [[TextHashes.lshProbes]]). */
+case class LshProbes(child: Expression, planes: Seq[Double], tables: Int,
+    bits: Int, dim: Int, flip: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val planesArr = planes.toArray
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.lshProbes(v.asInstanceOf[ArrayData], planesArr, tables, bits, dim, flip)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.lshProbes($c, $pRef, $tables, $bits, $dim, $flip)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshProbes =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   def lsh_buckets(c: Column, planes: Seq[Double], tables: Int, bits: Int, dim: Int): Column =
     ColumnBridge.column(LshBuckets(ColumnBridge.expression(c), planes, tables, bits, dim))
+
+  def lsh_probes(c: Column, planes: Seq[Double], tables: Int, bits: Int, dim: Int,
+      flip: Int): Column =
+    ColumnBridge.column(LshProbes(ColumnBridge.expression(c), planes, tables, bits, dim, flip))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -64,6 +64,43 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("LshProbes == scala reference; probe 0 == LshBuckets") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val T = Similarity.LshTables
+    val B = Similarity.LshBits
+    val F = Similarity.LshFlipBits
+    val planes = Similarity.planes.flatten.flatten.toArray
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val got = emb.select(col("vec_id"), GraftFunctions.lsh_probes(
+      col("embedding"), planes.toSeq, T, B, 64, F))
+      .as[(Long, Seq[Long])].collect().toMap
+    val buckets = emb.select(col("vec_id"), GraftFunctions.lsh_buckets(
+      col("embedding"), planes.toSeq, T, B, 64))
+      .as[(Long, Seq[Long])].collect().toMap
+    val raw = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // independent reference: stable sortBy on |dot| picks the same flip set
+    raw.foreach { case (id, e) =>
+      val expected = (0 until T).flatMap { t =>
+        val dots = (0 until B).map { b =>
+          (0 until 64).map(i => e(i).toDouble * planes((t * B + b) * 64 + i)).sum
+        }
+        val bucket = dots.zipWithIndex.collect { case (d, b) if d >= 0 => 1L << b }
+          .foldLeft(0L)(_ | _)
+        val flipIdx = dots.map(math.abs).zipWithIndex.sortBy(_._1).take(F).map(_._2)
+        (0 until (1 << F)).map { p =>
+          val mask = (0 until F).collect { case f if ((p >> f) & 1) == 1 => 1L << flipIdx(f) }
+            .foldLeft(0L)(_ | _)
+          bucket ^ mask
+        }
+      }
+      assert(got(id) === expected, s"vec $id")
+      // probe 0 of each table is the unflipped bucket
+      assert((0 until T).map(t => got(id)(t << F)) === buckets(id), s"vec $id probe0")
+    }
+  }
+
   test("WordNgrams == declarative shingling on real docs") {
     val withWords = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
