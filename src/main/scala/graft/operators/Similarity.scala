@@ -183,14 +183,21 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("list_id"), transform(col("pc"), x => x.getField("c")).as("centroid"))
 
-  /** Lloyd's k-means as Spark jobs: assign each vector to its nearest
-    * centroid (broadcast centroids, codegen'd cosine), recompute centroids
-    * as per-list means (posexplode + two groupBys), iterate. Deterministic:
-    * initial centroids are the first k vectors by vec_id. Returns
-    * (vec_id, list_id) assignments; centroids via [[ivfCentroids]] on the
-    * result. This is the standard unsupervised IVF build when no natural
-    * list column exists — every step is a narrow map or a keyed
-    * aggregation, so it scales like any groupBy. */
+  /** Lloyd's k-means as Spark jobs: recompute centroids as per-list means
+    * (posexplode + two groupBys — a keyed aggregation that scales like any
+    * groupBy), then re-assign each vector to its nearest centroid.
+    * Deterministic: the seed partition is vec_id mod k, ties break to the
+    * smallest list_id.
+    *
+    * Centroid sync is the k tiny (list_id, centroid) rows COLLECTED to the
+    * driver and re-broadcast as expression literals (the same centroid
+    * broadcast every distributed k-means does — k*dim doubles, not data).
+    * The ASSIGN step is then a fully narrow per-row argmax over the
+    * literal centroid array: no crossJoin, no N*k row_number window, no
+    * exchange at all (asserted in SimilaritySpec), where the previous
+    * formulation shuffled N*k rows per Lloyd iteration. Lineage resets
+    * every iteration because `assigned` is rebuilt from the scan plus
+    * literals, so no checkpoint is needed. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val ids = corpus.select(col("vec_id"), col("embedding"))
     var assigned = ids.withColumn("list_id",
@@ -199,17 +206,23 @@ object Similarity {
     while (i < iters) {
       val cents = ivfCentroids(
         assigned.withColumnRenamed("list_id", "seed_list"), "seed_list")
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("list_id"))
-      assigned = ids.crossJoin(broadcast(cents))
-        .withColumn("cscore", cosine(col("embedding"), col("centroid")))
-        .withColumn("crank", row_number().over(wc))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("embedding"), col("list_id"))
-        .localCheckpoint()
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      assigned = ids.withColumn("list_id", nearestCentroid(col("embedding"), cents))
       i += 1
     }
     assigned
+  }
+
+  /** Narrow argmax over literal centroids: `max struct(score, -id)` picks
+    * the highest cosine, ties to the SMALLEST list_id — the exact
+    * semantics of the previous `row_number() over (order by cscore desc,
+    * list_id)` formulation, with zero exchanges. */
+  def nearestCentroid(emb: Column, cents: Seq[(Long, Array[Double])]): Column = {
+    val best = array_max(array(cents.map { case (id, c) =>
+      struct(cosine(emb, lit(c)).as("s"), lit(-id).as("nid")) }: _*))
+    -best.getField("nid")
   }
 
   /** ANN top-k probing the `nprobe` nearest lists per query. */

@@ -54,6 +54,10 @@ class SimilaritySpec extends SparkSpec {
   test("k-means-trained IVF lists: deterministic, and recall beats scan fraction") {
     val k = 8
     val assigned = Similarity.kmeansAssign(emb, k, 2)
+    // the assign stage is a narrow map over literal centroids: its plan
+    // must contain NO exchange (the old crossJoin+window shuffled N*k rows)
+    val assignPlan = assigned.queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), s"assign stage shuffles:\n$assignPlan")
     val again = Similarity.kmeansAssign(emb, k, 2)
     assert(assigned.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
       again.orderBy("vec_id").collect().map(_.toSeq).toSeq)
