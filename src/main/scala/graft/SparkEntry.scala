@@ -68,7 +68,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
-    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),   // rows-only: typed simhash map
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     // --- similarity search extensions
     "q_topk" -> (Similarity.qTopK _),
     "q_embed_dup" -> (Similarity.qEmbedDup _),
@@ -128,8 +128,58 @@ object SparkEntry {
       "SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5 ORDER BY doc_a, doc_b"
   }
 
+  /** DuckDB replica of the banded SimHash pipeline, generated from
+    * [[Dedup.SimhashBands]]/[[Dedup.SimhashBandBits]]/[[Dedup.SimhashBucketCap]].
+    * The 64-bit wrap-around token hash runs in HUGEINT mod 2^64 (DuckDB
+    * BIGINT arithmetic traps overflow); fingerprints stay as 64-element
+    * bit lists, so band keys and Hamming distances need no signed packing. */
+  private lazy val simhashOracleSql: String = {
+    val nb = Dedup.SimhashBands
+    val bb = Dedup.SimhashBandBits
+    val cap = Dedup.SimhashBucketCap
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+    val m32 = "CAST(4294967296 AS HUGEINT)"             // 2^32
+    // (x * c) mod 2^64 via 32-bit halves of c: the direct 64x64 product can
+    // overflow HUGEINT (2^127), the split partials cannot (max 2^96)
+    def mulmod(c: BigInt): String = {
+      val lo = c & 0xFFFFFFFFL
+      val hi = c >> 32
+      s"((x * $lo) % $m64 + (((x * $hi) % $m32) * $m32)) % $m64"
+    }
+    val fmixC1 = BigInt("ff51afd7ed558ccd", 16)
+    val fmixC2 = BigInt("c4ceb9fe1a85ec53", 16)
+    "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+      "hs0 AS (SELECT doc_id, list_transform(words, t -> list_reduce(" +
+      "list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+      "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS HUGEINT))), " +
+      s"(h, c) -> xor((h * 31) % $m64, c))) AS th FROM w), " +
+      // murmur fmix64 per token hash, one avalanche step per stage so the
+      // lambda variable (cheap) is re-referenced, never a subexpression
+      "hs1 AS (SELECT doc_id, list_transform(th, x -> xor(x, x >> 33)) AS th FROM hs0), " +
+      s"hs2 AS (SELECT doc_id, list_transform(th, x -> ${mulmod(fmixC1)}) AS th FROM hs1), " +
+      "hs3 AS (SELECT doc_id, list_transform(th, x -> xor(x, x >> 33)) AS th FROM hs2), " +
+      s"hs4 AS (SELECT doc_id, list_transform(th, x -> ${mulmod(fmixC2)}) AS th FROM hs3), " +
+      "hs AS (SELECT doc_id, list_transform(th, x -> xor(x, x >> 33)) AS th FROM hs4), " +
+      "votes AS (SELECT doc_id, list_transform(generate_series(0, 63), j -> " +
+      "CASE WHEN list_sum(list_transform(th, h -> " +
+      "CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bits FROM hs), " +
+      s"keys AS (SELECT doc_id, band, list_sum(list_transform(generate_series(0, ${bb - 1}), " +
+      s"j -> bits[band*$bb + j + 1] * (1 << j))) AS band_key " +
+      s"FROM (SELECT doc_id, bits, unnest(generate_series(0, ${nb - 1})) AS band FROM votes)), " +
+      "occ AS (SELECT band, band_key, count(*) AS n FROM keys GROUP BY 1, 2), " +
+      "small AS (SELECT k.doc_id, k.band, k.band_key FROM keys k " +
+      s"JOIN occ ON k.band = occ.band AND k.band_key = occ.band_key WHERE occ.n <= $cap), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM small a " +
+      "JOIN small b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+      "ham AS (SELECT doc_a, doc_b, CAST(len(list_filter(generate_series(1, 64), " +
+      "i -> va.bits[i] != vb.bits[i])) AS INTEGER) AS hamming FROM cands " +
+      "JOIN votes va ON cands.doc_a = va.doc_id JOIN votes vb ON cands.doc_b = vb.doc_id) " +
+      "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4 ORDER BY doc_a, doc_b"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_simhash" -> simhashOracleSql,
     "q_scan_project" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q_filter_eq" ->

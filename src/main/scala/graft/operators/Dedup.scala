@@ -226,14 +226,17 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens (with multiplicity): bit j of the
-    * fingerprint is the sign of the sum of (+1/-1) votes from bit j of each
-    * token hash. Computed as a typed map (not SQL-expressible cleanly);
-    * still a narrow, per-row operation. */
+    * fingerprint is the sign of the sum of (+1/-1) votes from bit j of
+    * each token's murmur-finalized hash. Plain-Scala reference for the
+    * codegen'd SimHash64 expression (spec'd equal); the DuckDB oracle
+    * replicates the same arithmetic in HUGEINT mod 2^64. */
   def simhash64(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
     tokens.foreach { t =>
       var h = 1125899906842597L // FNV-ish offset
       t.foreach { c => h = (h * 31L) ^ c.toLong }
+      // murmur finalizer: see TextHashes.fmix64 for why mixing matters
+      h = graft.functions.TextHashes.fmix64(h)
       var j = 0
       while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
     }
@@ -243,26 +246,48 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dups: bucket by 4 x 16-bit chunks (a pair within Hamming
-    * distance 16-ish shares at least one chunk with high probability; a
-    * pair within distance <= 3 chunks-worth always collides on some chunk
-    * if differences concentrate), then verify true Hamming distance. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+  val SimhashBands = 8     // 8 bands x 8 bits: any pair with hamming <= 7
+  val SimhashBandBits = 8  // shares at least one band key (pigeonhole)
+  /** Deterministic bucket-occupancy cap: a (band, key) bucket holding more
+    * docs than this is SKIPPED for pair generation. A saturated bucket
+    * means the band pattern is uninformative on that corpus (on the
+    * synthetic low-entropy test text, single buckets hold the WHOLE corpus
+    * — all-pairs in disguise); capping bounds per-bucket pair cost at
+    * cap^2/2 regardless of corpus size. True near-dups lose a bucket only
+    * when every one of their shared bands is saturated — on realistic
+    * vocabularies (see the DedupSpec fixture) buckets stay far below the
+    * cap and nothing is dropped. */
+  val SimhashBucketCap = 64
+
+  /** SimHash near-dups: band the 64-bit fingerprint into 8 x 8-bit keys,
+    * drop saturated buckets (see [[SimhashBucketCap]]), pair within the
+    * surviving buckets, verify true Hamming distance. Scale shape: narrow
+    * fingerprinting, one scalar-only shuffle for the occupancy window, one
+    * keyed self-join on (band, key) with bounded per-bucket cost. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int,
+      bucketCap: Int = SimhashBucketCap): DataFrame = {
     // codegen'd SimHash64 expression over the bound token array (the typed
     // Dataset.map formulation paid full-row encoder round trips)
     val hashed = Tables.rebalance(docs, "doc_id")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("words")).as("simhash"))
-    val chunks = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
-    val l = chunks.select(col("chunk"), col("chunk_key"),
+      .localCheckpoint()
+    val bands = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(i =>
+        shiftrightunsigned(col("simhash"), i * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val capped = bands
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("occ") <= bucketCap)
+      .drop("occ")
+    val l = capped.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val r = chunks.select(col("chunk"), col("chunk_key"),
+    val r = capped.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    l.join(r, Seq("chunk", "chunk_key"))
+    l.join(r, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "h_a", "h_b").distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
@@ -271,5 +296,5 @@ object Dedup {
   }
 
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhashNearDups(documents(s, d), 2).orderBy("doc_a", "doc_b")
+    simhashNearDups(documents(s, d), 4).orderBy("doc_a", "doc_b")
 }

@@ -58,6 +58,49 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, "x"), (2L, "y")))
   }
 
+  test("simhash banding on a realistic vocabulary: planted dups found, buckets bounded") {
+    import spark.implicits._
+    // deterministic corpus over a ~5000-word vocabulary (LCG seeded): the
+    // fingerprint is discriminative here, unlike on the tiny-vocab driver
+    // corpus where single band buckets swallow everything
+    var x = 12345L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    def word(i: Long): String = s"w${i}q${(i * 31) % 89}"
+    val base = (0L until 300L).map { id =>
+      id -> Seq.fill(120)(word(nxt() % 5000))
+    }
+    // planted near-dups: doc 1000+i copies doc i with two words replaced
+    val dups = (0L until 10L).map { i =>
+      val words = base(i.toInt)._2.toArray
+      words(5) = word(nxt() % 5000)
+      words(77) = word(nxt() % 5000)
+      (1000L + i) -> words.toSeq
+    }
+    val corpus = (base ++ dups).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    val got = Dedup.simhashNearDups(corpus, 6)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i, 1000L + i)).toSet
+    // separation: every planted pair survives (found well inside the
+    // hamming budget), with no random-pair flood
+    assert(planted.subsetOf(got), s"missed planted pairs: ${planted -- got}")
+    assert((got -- planted).size <= 2, s"false positives: ${got -- planted}")
+    // bounded occupancy: on a realistic vocabulary no band bucket comes
+    // near the cap, so the deterministic capping drops nothing here
+    val maxOcc = corpus
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .select(graft.functions.GraftFunctions.simhash64(col("words")).as("simhash"))
+      .select(posexplode(array((0 until Dedup.SimhashBands).map(i =>
+        shiftrightunsigned(col("simhash"), i * Dedup.SimhashBandBits)
+          .bitwiseAND(lit((1L << Dedup.SimhashBandBits) - 1))): _*)))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).head().getLong(0)
+    info(s"max band-bucket occupancy = $maxOcc (cap ${Dedup.SimhashBucketCap})")
+    assert(maxOcc <= Dedup.SimhashBucketCap)
+  }
+
   test("simhash: identical collide; near-dups closer than random pairs") {
     val h1 = Dedup.simhash64(Seq("a", "b", "c", "d"))
     val h2 = Dedup.simhash64(Seq("a", "b", "c", "d"))
