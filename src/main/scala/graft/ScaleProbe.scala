@@ -66,7 +66,13 @@ object ScaleProbe {
     }
 
     time("snippets", nDocs) { SnippetGen.docSnippets(docs).count() }
-    time("dedup_ngram", nDocs) { Dedup.ngramNearDups(docs, 0.5).count() }
+    val tS = System.nanoTime()
+    val stats = Dedup.ngramStats(docs)
+    println(f"[scale] ngram stats (${(System.nanoTime() - tS) / 1e9}%.1f s): $stats " +
+      s"pairsPerDoc=${stats.pairsPerDoc.round} -> strategy=${Dedup.chooseNgramStrategy(stats).name}")
+    time("dedup_ngram_auto", nDocs) { Dedup.ngramNearDupsAuto(docs, 0.5).count() }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_EXACT"))
+      time("dedup_ngram", nDocs) { Dedup.ngramNearDups(docs, 0.5).count() }
     time("dedup_minhash", nDocs) { Dedup.minhashNearDups(docs, 0.5).count() }
     time("dedup_exact", nDocs) { Dedup.exact(docs, "text", "doc_id").count() }
     time("topk_bruteforce", nEmb) {

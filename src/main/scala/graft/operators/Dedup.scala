@@ -106,11 +106,14 @@ object Dedup {
     * posting lists stay short; on corpora whose shingle vocabulary
     * SATURATES (freq grows with n) it degrades quadratically — switch to
     * [[ngramNearDupsPrefix]] (exact) or [[minhashNearDups]] (sublinear) —
-    * measured crossover in SCALE.md. A first cut blocked on
-    * (lang, length-bucket) with per-pair array_intersect: 6x slower at
-    * sf0.1 AND missed cross-lang dups — kept as a design note. */
-  def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleIndex(docs)
+    * measured crossover in SCALE.md, automated by [[ngramNearDupsAuto]]. A
+    * first cut blocked on (lang, length-bucket) with per-pair
+    * array_intersect: 6x slower at sf0.1 AND missed cross-lang dups — kept
+    * as a design note. */
+  def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    ngramNearDupsIdx(shingleIndex(docs), threshold)
+
+  private def ngramNearDupsIdx(sh: DataFrame, threshold: Double): DataFrame = {
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val common = postings.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -136,8 +139,10 @@ object Dedup {
     * extra document-frequency ranking pays off once posting lists are long
     * (high-scale / saturated-vocabulary corpora), and costs two extra
     * shuffles when they are not — pick by corpus profile (SCALE.md). */
-  def ngramNearDupsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleIndex(docs)
+  def ngramNearDupsPrefix(docs: DataFrame, threshold: Double): DataFrame =
+    ngramNearDupsPrefixIdx(shingleIndex(docs), threshold)
+
+  private def ngramNearDupsPrefixIdx(sh: DataFrame, threshold: Double): DataFrame = {
     val postings = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("shingle"))
     val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -159,8 +164,98 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------- strategy auto-selection
+
+  /** Posting-list statistics that drive strategy selection. `estPairs` is
+    * the EXACT candidate-pair count the inverted-index join would score
+    * (Σ df·(df-1)/2), so `pairsPerDoc` is its per-document cost;
+    * `headPairsShare` is the fraction of those pairs carried by the
+    * hottest 0.1% of shingles (a hot HEAD is what prefix filtering can
+    * prune; a broad middle is not). Two aggregations over the per-shingle
+    * df table — the same shuffle the exact strategies open with anyway, so
+    * the stats pass costs one cheap extra job (sample the corpus first if
+    * even one postings pass is too much). */
+  case class NgramStats(nDocs: Long, nShingles: Long, nPostings: Long,
+      estPairs: Double, p50Df: Double, p99Df: Double, headPairsShare: Double) {
+    def pairsPerDoc: Double = if (nDocs == 0) 0.0 else estPairs / nDocs
+  }
+
+  sealed abstract class NgramStrategy(val name: String)
+  case object NgramInverted extends NgramStrategy("inverted")
+  case object NgramPrefix extends NgramStrategy("prefix")
+  case object NgramLsh extends NgramStrategy("lsh")
+
+  /** Stats are computed on a deterministic DOC sample above this size,
+    * SAMPLED BEFORE SHINGLING so the stats pass never materializes the
+    * full index: a doc-level sample at fraction f gives df_s ~
+    * Binomial(df, f), so E[df_s(df_s-1)/2] = f^2 df(df-1)/2 — the
+    * estPairs estimate (and with it pairsPerDoc and headPairsShare, the
+    * two quantities the strategy rule uses) is unbiased after the 1/f^2
+    * correction. The percentile fields are reported from the raw sample
+    * (informational only). */
+  private val StatsSampleDocs = 20000L
+
+  def ngramStats(docs: DataFrame): NgramStats = {
+    val nDocs = docs.count()
+    val f = if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
+    val base = if (f >= 1.0) docs else docs.sample(withReplacement = false, f, seed = 42L)
+    ngramStatsIdx(shingleIndex(base), nDocs, f)
+  }
+
+  private def ngramStatsIdx(sh: DataFrame, nDocs: Long, f: Double): NgramStats = {
+    val dfreq = sh.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // read twice (main stats + head share), tiny table
+    val r = dfreq.agg(
+      count(lit(1)).as("n_shingles"),
+      sum(col("df")).as("n_postings"),
+      sum(col("df").cast("double") * (col("df") - 1) / 2).as("est_pairs"),
+      expr("approx_percentile(df, 0.5)").as("p50"),
+      expr("approx_percentile(df, 0.99)").as("p99"),
+      expr("approx_percentile(df, 0.999)").as("p999")).head()
+    val estPairs = r.getDouble(2) / (f * f)
+    val headPairs = dfreq.filter(col("df") >= r.getLong(5))
+      .agg(coalesce(sum(col("df").cast("double") * (col("df") - 1) / 2), lit(0.0)))
+      .head().getDouble(0) / (f * f)
+    NgramStats(nDocs, r.getLong(0), r.getLong(1), estPairs,
+      r.getLong(3).toDouble, r.getLong(4).toDouble,
+      if (estPairs == 0) 0.0 else headPairs / estPairs)
+  }
+
+  /** Strategy rule, calibrated against measured ScaleProbe crossovers
+    * (sf0.1 corpus multiplied 1x/10x/30x: 253 / 469 / 1363 pairs per doc
+    * -> inverted 2.3 s / 6.3 s / 122 s, vs MinHash-LSH 2-3 s / 6.2 s /
+    * 7.1 s — the crossover sits right at ~500 pairs/doc):
+    *  - within the pair budget the inverted index is the fastest exact
+    *    strategy (its cost IS estPairs);
+    *  - over budget with a hot HEAD (>= half of estPairs from the hottest
+    *    0.1% of shingles), prefix filtering prunes exactly that head —
+    *    still exact;
+    *  - over budget with the pairs spread across the vocabulary (broad
+    *    saturation), no exact strategy is sub-quadratic: MinHash-LSH with
+    *    exact Jaccard verification of band-bucket candidates. */
+  def chooseNgramStrategy(st: NgramStats,
+      pairBudgetPerDoc: Double = 512.0): NgramStrategy =
+    if (st.pairsPerDoc <= pairBudgetPerDoc) NgramInverted
+    else if (st.headPairsShare >= 0.5) NgramPrefix
+    else NgramLsh
+
+  /** N-gram near-dup detection with strategy AUTO-SELECTION from cheap
+    * corpus stats, so the declared dedup path cannot be driven quadratic
+    * by a saturated vocabulary (SCALE.md finding 4). Exact while an exact
+    * strategy fits the budget; beyond that, LSH-verified (candidates with
+    * Jaccard >= threshold whose signatures share a band — recall ~1 for
+    * strongly-similar pairs, by band collision probability). */
+  def ngramNearDupsAuto(docs: DataFrame, threshold: Double,
+      pairBudgetPerDoc: Double = 512.0): DataFrame =
+    chooseNgramStrategy(ngramStats(docs), pairBudgetPerDoc) match {
+      case NgramInverted => ngramNearDups(docs, threshold)
+      case NgramPrefix => ngramNearDupsPrefix(docs, threshold)
+      case NgramLsh => minhashNearDups(docs, threshold)
+    }
+
   def qDedupNgram(s: SparkSession, d: String): DataFrame =
-    ngramNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+    ngramNearDupsAuto(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
 
   // -------------------------------------------------------------- MinHash + LSH
 
@@ -183,11 +278,11 @@ object Dedup {
     }: _*)
 
   /** LSH candidate pairs: docs sharing any band of the signature. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = Tables.rebalance(docs, "doc_id")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesIdx(shingleIndex(docs))
+
+  private def minhashCandidatesIdx(sh: DataFrame): DataFrame = {
+    val sigs = sh
       // codegen'd custom expression (graft.functions.MinHashSig): one
       // compiled loop instead of K x |sh| interpreted lambda evaluations
       .withColumn("sig", graft.functions.GraftFunctions.minhash_sig(
@@ -215,7 +310,10 @@ object Dedup {
     * exact-Jaccard verification. Same output shape as [[qDedupNgram]] so
     * the two paths are directly comparable. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
-    minhashCandidates(docs)
+    minhashNearDupsIdx(shingleIndex(docs), threshold)
+
+  private def minhashNearDupsIdx(sh: DataFrame, threshold: Double): DataFrame =
+    minhashCandidatesIdx(sh)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -58,6 +58,38 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, "x"), (2L, "y")))
   }
 
+  test("ngram auto-selection picks the right strategy from corpus stats") {
+    import spark.implicits._
+    // real corpus: comfortably inside the pair budget -> inverted index
+    val stReal = Dedup.ngramStats(docs)
+    info(s"real corpus stats: $stReal")
+    assert(Dedup.chooseNgramStrategy(stReal).name === "inverted")
+    // saturated tiny vocabulary: even the MEDIAN shingle is hot -> LSH
+    var x = 7L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    val satVocab = (0 until 5).map(i => s"v$i")
+    val saturated = (0L until 200L).map { id =>
+      (id, Seq.fill(100)(satVocab((nxt() % 5).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val stSat = Dedup.ngramStats(saturated)
+    info(s"saturated stats: $stSat")
+    assert(Dedup.chooseNgramStrategy(stSat).name === "lsh", stSat.toString)
+    // heavy tail: a hot shared header over mostly-unique shingles (median
+    // df = 1) -> prefix filtering prunes the hot head, stays exact
+    val heavy = (0L until 200L).map { id =>
+      val unique = (0 until 50).map(k => s"u${id}w$k").mkString(" ")
+      (id, s"alpha beta gamma delta epsilon zeta eta theta $unique")
+    }.toDF("doc_id", "text")
+    val stHeavy = Dedup.ngramStats(heavy)
+    info(s"heavy-tail stats: $stHeavy")
+    assert(Dedup.chooseNgramStrategy(stHeavy, pairBudgetPerDoc = 100).name === "prefix",
+      stHeavy.toString)
+    // the auto path returns the EXACT result when an exact strategy is picked
+    val auto = Dedup.ngramNearDupsAuto(docs, 0.5).collect().map(_.toSeq).toSet
+    val exact = Dedup.ngramNearDups(docs, 0.5).collect().map(_.toSeq).toSet
+    assert(auto === exact)
+  }
+
   test("simhash banding on a realistic vocabulary: planted dups found, buckets bounded") {
     import spark.implicits._
     // deterministic corpus over a ~5000-word vocabulary (LCG seeded): the
