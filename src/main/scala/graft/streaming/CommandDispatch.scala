@@ -141,30 +141,83 @@ object CommandDispatch {
     next.docs.select("document_id", "category_id").orderBy("document_id")
   }
 
+  /** Strict cross-type FIFO dispatch (the reference's single-queue drain
+    * order, data_ingestion.py:46-72): commands are applied in `seqCol`
+    * arrival order. Implementation: split the batch into RUNS of
+    * consecutive same-type commands and fold [[dispatch]] over the runs —
+    * within a run the per-type batch semantics are already order-free, so
+    * the fold reproduces the exact one-at-a-time queue result. Only the
+    * run ids (a handful of ints per micro-batch) are collected to the
+    * driver; command data never leaves the cluster. Use this dispatcher
+    * when a batch may interleave conflicting commands on the same key
+    * (e.g. upload -> remove -> re-upload of one name); for
+    * non-conflicting batches it is equivalent to [[dispatch]]. */
+  def dispatchFifo(state: EngineState, commands: DataFrame,
+      seqCol: String = "seq"): (EngineState, DataFrame) = {
+    // a command batch is an inherently sequential queue: the unpartitioned
+    // window is over one micro-batch, not a data table
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(seqCol))
+    val runs = commands
+      .withColumn("__chg",
+        when(col("action_code") === lag(col("action_code"), 1).over(w), 0).otherwise(1))
+      .withColumn("__run", sum(col("__chg")).over(w))
+      .drop("__chg")
+      .cache()
+    val runIds = runs.select("__run").distinct().orderBy("__run")
+      .collect().map(_.getLong(0))
+    var st = state
+    val messages = runIds.map { r =>
+      val (next, msgs) = dispatch(st, runs.filter(col("__run") === r).drop("__run", seqCol))
+      st = next
+      msgs
+    }
+    (st, messages.reduceLeft(_ unionByName _))
+  }
+
   /** Streaming mode: run the dispatcher inside foreachBatch over a command
-    * stream, persisting each state snapshot under `stateDir/<batchId>/`
-    * (idempotent per batch id — re-running a batch overwrites the same
-    * snapshot, giving the reference's rollback intent via atomic dirs,
-    * SURVEY §7.4). `onBatch` receives the post-batch state for inspection.
-    */
+    * stream, persisting each state snapshot under `stateDir/<batchId>/`.
+    *
+    * Recovery contract: batch N is ALWAYS dispatched against the batch N-1
+    * snapshot read back from `stateDir` (batch 0 against `initial`), never
+    * against driver-local state — so a query restarted from its streaming
+    * checkpoint resumes correctly (the source replays from batch N, the
+    * dispatcher rebases on snapshot N-1), and a re-run of a batch
+    * overwrites the same snapshot with the same result (idempotent per
+    * batch id; the reference's rollback intent via atomic dirs, SURVEY
+    * §7.4). If intermediate snapshots were pruned, the newest one below N
+    * is used. `onBatch` receives the post-batch state for inspection. */
   def runStream(spark: SparkSession, commands: DataFrame, initial: EngineState,
-      stateDir: String, onBatch: (Long, EngineState) => Unit): StreamingQuery = {
-    var state = initial
-    commands.writeStream
-      .outputMode("append")
+      stateDir: String, onBatch: (Long, EngineState) => Unit,
+      dispatcher: (EngineState, DataFrame) => (EngineState, DataFrame) = dispatch,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    def loadState(id: Long): Option[EngineState] = {
+      val ok = new java.io.File(s"$stateDir/$id/categories/_SUCCESS").exists()
+      if (ok) Some(EngineState(
+        spark.read.parquet(s"$stateDir/$id/docs"),
+        spark.read.parquet(s"$stateDir/$id/snippets"),
+        spark.read.parquet(s"$stateDir/$id/categories")))
+      else None
+    }
+    def latestBelow(batchId: Long): Option[EngineState] = {
+      val ids = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+        .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+        .filter(_ < batchId).sorted.reverse
+      ids.view.flatMap(loadState).headOption
+    }
+    val writer = checkpoint.foldLeft(commands.writeStream.outputMode("append"))(
+      (w, c) => w.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (next, messages) = dispatch(state, batch)
+        val base = if (batchId == 0) initial else latestBelow(batchId).getOrElse(initial)
+        val (next, messages) = dispatcher(base, batch)
         // materialize snapshots so state does not re-read mutated streams
         val dir = s"$stateDir/$batchId"
         next.docs.write.mode("overwrite").parquet(s"$dir/docs")
         next.snippets.write.mode("overwrite").parquet(s"$dir/snippets")
-        next.categories.write.mode("overwrite").parquet(s"$dir/categories")
         messages.write.mode("overwrite").parquet(s"$dir/messages")
-        state = EngineState(
-          spark.read.parquet(s"$dir/docs"),
-          spark.read.parquet(s"$dir/snippets"),
-          spark.read.parquet(s"$dir/categories"))
-        onBatch(batchId, state)
+        // categories last: its _SUCCESS marks the snapshot complete for recovery
+        next.categories.write.mode("overwrite").parquet(s"$dir/categories")
+        onBatch(batchId, loadState(batchId).get)
       }
       .start()
   }

@@ -198,6 +198,76 @@ class StreamingSpec extends SparkSpec {
     assert(closed === Set((1L, 1000L, 1500L, 2L)))
   }
 
+  test("restart recovery: a resumed query rebases on the last snapshot, not `initial`") {
+    import spark.implicits._
+    val cmdDir = Files.createTempDirectory("graft_restart_cmds")
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_restart_state").toString
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha beta", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    def commands() = spark.readStream.schema(CommandDispatch.commandSchema)
+      .option("maxFilesPerTrigger", "1").parquet(cmdDir.toString + "/*/")
+
+    // phase 1: upload doc_b under a persistent streaming checkpoint, stop
+    Seq((1, Some(2L), Some("doc_b"), Some(1), None: Option[String], Some("one two three")))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+      .coalesce(1).write.parquet(cmdDir.resolve("f0").toString)
+    val q1 = CommandDispatch.runStream(spark, commands(),
+      CommandDispatch.EngineState(docs0, snippets0, cats0), stateDir, (_, _) => (),
+      checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Files.exists(java.nio.file.Paths.get(s"$stateDir/0/categories/_SUCCESS")))
+
+    // phase 2: new command file; RESTART from the same checkpoint with a
+    // deliberately WRONG initial (empty) — the source resumes at batch 1
+    // and the dispatcher must rebase on the batch-0 snapshot, not initial
+    Seq((1, Some(3L), Some("doc_c"), Some(1), None: Option[String], Some("four five six")))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+      .coalesce(1).write.parquet(cmdDir.resolve("f1").toString)
+    val wrongInitial = CommandDispatch.EngineState(
+      docs0.limit(0), snippets0.limit(0), cats0.limit(0))
+    var last: Option[CommandDispatch.EngineState] = None
+    val q2 = CommandDispatch.runStream(spark, commands(), wrongInitial, stateDir,
+      (_, st) => last = Some(st), checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    // doc_a (seed), doc_b (batch 0, recovered from snapshot), doc_c (new)
+    assert(last.get.docs.select("document_name").as[String].collect().toSet ===
+      Set("doc_a", "doc_b", "doc_c"))
+  }
+
+  test("FIFO dispatch: upload -> remove -> re-upload of one name in one batch") {
+    import spark.implicits._
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    val st0 = EngineState(docs0, snippets0, cats0)
+    val cmds = Seq(
+      (1L, 1, Some(10L), Some("doc_x"), Some(1), None: Option[String], Some("first body")),
+      (2L, 0, None: Option[Long], Some("doc_x"), None: Option[Int], None: Option[String], None: Option[String]),
+      (3L, 1, Some(11L), Some("doc_x"), Some(1), None: Option[String], Some("second body")))
+      .toDF("seq", "action_code", "document_id", "document_name", "category_id", "category_name", "text")
+
+    // strict FIFO: the re-upload lands AFTER the remove -> doc_x survives
+    // with the second body's id
+    val (fifoState, fifoMsgs) = CommandDispatch.dispatchFifo(st0, cmds)
+    val fifoDocs = fifoState.docs.filter(col("document_name") === "doc_x")
+      .select("document_id").as[Long].collect().toSeq
+    assert(fifoDocs === Seq(11L))
+    assert(fifoMsgs.count() === 3)
+
+    // the per-type dispatcher reorders (uploads before removes) and
+    // documents this divergence for conflicting batches: doc_x is removed
+    val (typedState, _) = CommandDispatch.dispatch(st0, cmds.drop("seq"))
+    assert(typedState.docs.filter(col("document_name") === "doc_x").count() === 0)
+  }
+
   test("within-batch duplicate upload names insert once, with no orphan snippets") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
