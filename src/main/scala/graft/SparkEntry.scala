@@ -81,6 +81,7 @@ object SparkEntry {
     // --- command dispatch (SURVEY §2.9)
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
+    "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
     // --- advanced relational ops (SURVEY §2 "absent" rows)
@@ -372,6 +373,15 @@ object SparkEntry {
         "SELECT doc_id AS document_id, category_name, page_number, CAST(k+1 AS INTEGER) AS snippet_id, " +
         "array_to_string(pwords[k*3+1 : k*3+5], ' ') AS snippet_text, page_link " +
         "FROM sn ORDER BY document_id, page_number, snippet_id"),
+    "q_binary_ingest" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id AS document_id, r_name AS category_name, " +
+        "CAST((len(words)-1)//40 + 1 AS BIGINT) AS n_pages, " +
+        "CAST(list_sum([(len(words[p*40+1 : p*40+40]) - 1)//3 + 1 " +
+        "for p in generate_series(0, (len(words)-1)//40)]) AS BIGINT) AS n_snippets, " +
+        "array_to_string(words[1:5], ' ') AS first_snippet " +
+        "FROM w LEFT JOIN region ON doc_id % 5 = r_regionkey ORDER BY document_id"),
     "q_nested_project" ->
       ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents) " +
         "SELECT doc_id AS document_id, CAST((len(words)-1)//40 + 1 AS BIGINT) AS n_pages, " +

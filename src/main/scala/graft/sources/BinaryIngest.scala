@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.engine.Tables
+import graft.operators.Ingest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1: the reference's binary upload source (data_ingestion.py:110-134
+  * reads the uploaded PDF's bytes and extracts per-page text via fitz).
+  *
+  * Engine form: `spark.read.format("binaryFile")` scans an upload
+  * directory into (path, modificationTime, length, content binary) rows —
+  * a distributed, split-per-file scan — and a PLUGGABLE extractor column
+  * turns the bytes into text. PDF/OCR codecs are not available in this
+  * container (SURVEY §2.1), so the default extractor is a UTF-8 decode
+  * (pre-extracted text files); a real deployment drops in a JVM PDF
+  * extractor either as a Column function or, when the library needs
+  * per-partition init, as a mapPartitions batch (the Multimodal operator
+  * shows that shape). Everything downstream of extraction — document
+  * assembly, pagination, snippet windows — is the ordinary ingest
+  * pipeline ([[graft.operators.Ingest.buildDocuments]]).
+  */
+object BinaryIngest {
+
+  /** Scan a directory of binary uploads. `extractor` maps the raw bytes
+    * column to text; the caller derives ids/attrs from `path`. */
+  def readBinaryDocs(spark: SparkSession, dir: String,
+      extractor: Column => Column = c => decode(c, "UTF-8")): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("length").as("n_bytes"),
+        extractor(col("content")).as("text"))
+
+  /** Stage the pre-extracted fixture: one text FILE per document (the
+    * per-upload unit the reference receives, DI:110), written DISTRIBUTED
+    * through a partitioned text sink — document bytes never pass through
+    * the driver. Deterministic location per sf dir; idempotent overwrite.
+    * Capped at 200 docs: the point is the source plumbing, not volume. */
+  def stageFixture(s: SparkSession, d: String): String = {
+    val fix = "/tmp/graft_s1_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("text"), col("doc_id"))
+      .write.partitionBy("doc_id").mode("overwrite").text(fix)
+    fix
+  }
+
+  /** Oracle-checked S1 round trip: stage files -> binaryFile scan ->
+    * UTF-8 extraction -> nested document build (broadcast dim lookup,
+    * pagination, snippet windows) -> per-document rollup. Output carries
+    * no path-dependent fields so DuckDB can recompute it from the
+    * documents table alone. */
+  def qBinaryIngest(s: SparkSession, d: String): DataFrame = {
+    val fix = stageFixture(s, d)
+    val bin = readBinaryDocs(s, fix)
+      // the text sink terminates the file with '\n', and Spark's trim()
+      // strips SPACES only — without this, split("\\s+") yields a trailing
+      // empty token that inflates the window count by one
+      .withColumn("text", regexp_replace(col("text"), "\\s+$", ""))
+      .withColumn("doc_id", regexp_extract(col("path"), "doc_id=(\\d+)/", 1).cast("long"))
+      .withColumn("lang", lit("und")) // unknown at upload time, like the reference
+      .withColumn("source", col("path"))
+      .select("doc_id", "lang", "source", "text")
+    val cats = Tables.region(s, d).select(
+      col("r_regionkey").cast("int").as("category_id"), col("r_name").as("category_name"))
+    Ingest.buildDocuments(bin, cats)
+      .select(
+        col("document_id"),
+        col("category_name"),
+        size(col("pages")).cast("long").as("n_pages"),
+        aggregate(col("pages"), lit(0L),
+          (acc, p) => acc + size(p.getField("page_snippets"))).as("n_snippets"),
+        element_at(element_at(col("pages"), 1).getField("page_snippets"), 1)
+          .getField("snippet_text").as("first_snippet"))
+      .orderBy("document_id")
+  }
+}

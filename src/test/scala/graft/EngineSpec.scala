@@ -84,4 +84,19 @@ class EngineSpec extends SparkSpec {
     val fromCsv = spark.read.schema(docs.schema).option("header", "true").csv(csvDir)
     assert(fromCsv.orderBy("doc_id").collect().map(_.toSeq).toSeq === expected)
   }
+
+  test("binaryFile source: pluggable extractor transforms the upload bytes") {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.stageFixture(spark, sf0001)
+    val plain = BinaryIngest.readBinaryDocs(spark, fix)
+    // 200 uploads staged, bytes decoded to the original text
+    assert(plain.count() === 200)
+    val one = plain.orderBy("path").select("text").head().getString(0)
+    assert(one.trim.nonEmpty)
+    // plug a different extractor: uppercase "OCR" stand-in
+    val upperExtract = BinaryIngest.readBinaryDocs(spark, fix,
+      c => upper(decode(c, "UTF-8")))
+    val oneUpper = upperExtract.orderBy("path").select("text").head().getString(0)
+    assert(oneUpper === one.toUpperCase)
+  }
 }
