@@ -40,9 +40,12 @@ object BinaryIngest {
     * Capped at 200 docs: the point is the source plumbing, not volume. */
   def stageFixture(s: SparkSession, d: String): String = {
     val fix = "/tmp/graft_s1_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    Tables.documents(s, d).filter(col("doc_id") < 200)
-      .select(col("text"), col("doc_id"))
-      .write.partitionBy("doc_id").mode("overwrite").text(fix)
+    // content is a deterministic function of the sf dir: stage once, reuse
+    if (!new java.io.File(fix, "_SUCCESS").exists()) {
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("text"), col("doc_id"))
+        .write.partitionBy("doc_id").mode("overwrite").text(fix)
+    }
     fix
   }
 
