@@ -69,6 +69,10 @@ object SparkEntry {
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
+    "q_dedup_clusters" -> (Dedup.qDedupClusters _),
+    // --- corpus curation extensions
+    "q_sample_stratified" -> (Curation.qSampleStratified _),
+    "q_pack_sequences" -> (Curation.qPackSequences _),
     // --- similarity search extensions
     "q_topk" -> (Similarity.qTopK _),
     "q_embed_dup" -> (Similarity.qEmbedDup _),
@@ -177,6 +181,24 @@ object SparkEntry {
       "JOIN votes va ON cands.doc_a = va.doc_id JOIN votes vb ON cands.doc_b = vb.doc_id) " +
       "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4 ORDER BY doc_a, doc_b"
   }
+
+  /** Shared CTE chain of the exact n-gram pair oracle, reused by the
+    * connected-components clustering oracle (which wraps the same pairs in
+    * a recursive reachability CTE). */
+  private val ngramOracleCtes: String =
+    "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+      "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+      "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
+      "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+      "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
+      "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2)"
+
+  private val ngramOraclePairs: String =
+    "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard " +
+      "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
+      "WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5"
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
@@ -304,19 +326,26 @@ object SparkEntry {
       ("WITH allc AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, text FROM documents) " +
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM allc GROUP BY text ORDER BY doc_id"),
-    "q_dedup_ngram" ->
-      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
-        "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
-        "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
-        "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
-        "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
-        "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard " +
-        "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
-        "WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5 " +
-        "ORDER BY doc_a, doc_b"),
+    "q_dedup_ngram" -> s"WITH $ngramOracleCtes $ngramOraclePairs ORDER BY doc_a, doc_b",
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $ngramOracleCtes, " +
+        s"pairs AS ($ngramOraclePairs), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src) " +
+        "SELECT src AS doc_id, min(lbl) AS cluster_id, min(lbl) = src AS survivor " +
+        "FROM reach GROUP BY src ORDER BY doc_id"),
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang FROM documents WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % 8 = 0 ORDER BY doc_id"),
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT lang, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "s AS (SELECT lang, doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token FROM t) " +
+        "SELECT lang, doc_id, n_tokens, start_token // 2048 AS bin_id, start_token % 2048 AS bin_offset " +
+        "FROM s ORDER BY doc_id"),
     "q_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +
         "s AS (SELECT q.q_id, e.vec_id AS n_id, " +

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after dedup:
+  * deterministic stratified sampling and fixed-capacity sequence packing.
+  * (Extensions beyond the reference per BASELINE.json's north star; the
+  * reference's closest analog is its per-upload filtering, DI:227-291.)
+  *
+  * Scale notes: sampling is a narrow filter on a hash of the text (no
+  * shuffle, fully pushdown-composable); packing is one window per
+  * (lang) stratum — on a 100 TB corpus pack per (stratum, shard) so each
+  * window partition stays executor-sized, exactly like the sessionization
+  * window. Both are pure column work, deterministic, and oracle-checked.
+  */
+object Curation {
+  import Tables._
+
+  /** Tokens-per-bin for sequence packing (a context-window worth). */
+  val BinTokens = 2048
+
+  /** Deterministic 1-in-`k` sample: keep rows whose text fingerprint
+    * (polynomial hash — portable, proven in the fingerprint oracle) falls
+    * in residue 0. Unlike `df.sample`, the choice is a pure function of
+    * the ROW, so it is stable across runs, partitionings, and engines —
+    * what a reproducible training-data pipeline needs. */
+  def hashSample(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.filter(pmod(graft.functions.GraftFunctions.poly_hash(col(textCol)), lit(k.toLong)) === 0)
+
+  /** Sequence packing: concatenate each stratum's documents in doc_id
+    * order and cut into `binTokens`-sized training sequences. Each doc is
+    * labeled with the bin holding its FIRST token and the offset inside
+    * that bin — the (bin_id, bin_offset) pair fully determines the packed
+    * layout downstream writers materialize. One running-sum window per
+    * stratum. */
+  def packSequences(docs: DataFrame, stratumCol: String, binTokens: Int = BinTokens): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(stratumCol), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_token", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(stratumCol), col("doc_id"), col("n_tokens"),
+        (col("start_token") / binTokens).cast("long").as("bin_id"),
+        pmod(col("start_token"), lit(binTokens.toLong)).as("bin_offset"))
+  }
+
+  /** Oracle-checked: deterministic 1-in-8 stratified sample with per-
+    * stratum accounting (rates should hover near 1/8 per stratum). */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val sampled = hashSample(documents(s, d), "text", 8)
+    sampled.select(col("doc_id"), col("lang")).orderBy("doc_id")
+  }
+
+  /** Oracle-checked: pack each language stratum into 2048-token bins. */
+  def qPackSequences(s: SparkSession, d: String): DataFrame =
+    packSequences(documents(s, d), "lang")
+      .orderBy("doc_id")
+}

@@ -321,6 +321,55 @@ object Dedup {
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round replaces a node's label with the minimum over itself and
+    * its neighbors; fixpoint = per-component minimum id. The loop runs
+    * only over nodes that APPEAR in a pair (the pair graph is tiny
+    * relative to the corpus — unpaired docs are their own trivial
+    * cluster), converges in O(component diameter) rounds (near-dup
+    * components are shallow — dup groups, not chains), and each round is
+    * one keyed join + aggregate over the edge list. The driver sees only
+    * the per-round change COUNT. At extreme component sizes swap in the
+    * alternating large-star/small-star optimization; the fixpoint is the
+    * same. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy("src").agg(min(col("dst_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-dup cluster assignment over the auto-selected pair path: one row
+    * per document that participates in a near-dup pair, labeled with its
+    * cluster id (= minimum doc_id in the component); `survivor` marks the
+    * one doc per cluster a dedup pipeline keeps. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    nearDupClusters(ngramNearDupsAuto(documents(s, d), 0.5).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("survivor"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens (with multiplicity): bit j of the

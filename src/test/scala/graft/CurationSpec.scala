@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operators: deterministic sampling and sequence packing. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("hash sampling is deterministic and near the nominal rate") {
+    val a = Curation.hashSample(docs, "text", 8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.hashSample(docs, "text", 8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val rate = a.size.toDouble / docs.count()
+    assert(rate > 0.05 && rate < 0.25, f"sample rate $rate%.3f far from 1/8")
+  }
+
+  test("sequence packing invariants: offsets bounded, layout is the running sum") {
+    val bin = 100
+    val packed = Curation.packSequences(docs, "lang", bin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    packed.foreach { case (_, id, _, binId, off) =>
+      assert(off >= 0 && off < bin, s"doc $id offset $off out of range")
+      assert(binId >= 0)
+    }
+    // per stratum: bin_id/bin_offset equal the running token sum in doc_id order
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var start = 0L
+      rows.sortBy(_._2).foreach { case (_, id, n, binId, off) =>
+        assert(binId === start / bin, s"doc $id bin")
+        assert(off === start % bin, s"doc $id offset")
+        start += n
+      }
+    }
+  }
+}

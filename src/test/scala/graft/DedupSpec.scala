@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, "x"), (2L, "y")))
   }
 
+  test("near-dup clustering: min-label connected components over the pair graph") {
+    import spark.implicits._
+    // chain 1-2-3 (diameter 2), pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ngram auto-selection picks the right strategy from corpus stats") {
     import spark.implicits._
     // real corpus: comfortably inside the pair budget -> inverted index
