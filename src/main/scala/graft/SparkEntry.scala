@@ -73,6 +73,7 @@ object SparkEntry {
     // --- corpus curation extensions
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_pack_sequences" -> (Curation.qPackSequences _),
+    "q_curate" -> (Curation.qCurate _),
     // --- similarity search extensions
     "q_topk" -> (Similarity.qTopK _),
     "q_embed_dup" -> (Similarity.qEmbedDup _),
@@ -340,6 +341,33 @@ object SparkEntry {
       ("SELECT doc_id, lang FROM documents WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
         "(a, c) -> (a * 31 + c) % 1000000007) % 8 = 0 ORDER BY doc_id"),
+    "q_curate" ->
+      (s"WITH RECURSIVE $ngramOracleCtes, " +
+        s"pairs AS ($ngramOraclePairs), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src), " +
+        "dropped AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(lbl) <> src), " +
+        "qt AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS wq FROM documents), " +
+        "q AS (SELECT doc_id, CAST(len(wq) AS BIGINT) AS n_tokens, " +
+        "(CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len AS punct_ratio, " +
+        "CAST(len(list_filter(wq, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(wq) AS stopword_ratio_raw, " +
+        "len(wq) AS nw, wq FROM qt), " +
+        "qs AS (SELECT doc_id, n_tokens, round(least(1.0, CAST(nw AS DOUBLE) / 100.0) * 0.5 " +
+        "+ stopword_ratio_raw * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score, " +
+        "CAST(len(list_filter(wq, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en, " +
+        "CAST(len(list_filter(wq, x -> x IN ('el','la','de','y','en','es','un'))) AS BIGINT) AS es, " +
+        "CAST(len(list_filter(wq, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de, " +
+        "CAST(len(list_filter(wq, x -> x IN ('le','la','et','de','un','est','en'))) AS BIGINT) AS fr FROM q), " +
+        "lp AS (SELECT doc_id, n_tokens, quality_score, " +
+        "CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und' " +
+        "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
+        "WHEN es >= de AND es >= fr THEN 'es' WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred FROM qs) " +
+        "SELECT doc_id, lang_pred, n_tokens, quality_score FROM lp " +
+        "WHERE quality_score >= 0.5 AND lang_pred <> 'und' " +
+        "AND doc_id NOT IN (SELECT doc_id FROM dropped) ORDER BY doc_id"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT lang, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
         "s AS (SELECT lang, doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +

@@ -356,12 +356,24 @@ object GraftFunctions {
   def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), a, b))
 
-  /** Register SQL names on a session (`SELECT poly_hash(text) ...`). */
+  /** Register SQL names on a session (`SELECT poly_hash(text) ...`).
+    * `minhash_sig` binds the engine's canonical hash family; `word_ngrams`
+    * takes its n as a literal second argument. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        graft.operators.Dedup.hashParams.map(_._1),
+        graft.operators.Dedup.hashParams.map(_._2)), "built-in")
   }
 }
 
@@ -381,5 +393,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        graft.operators.Dedup.hashParams.map(_._1),
+        graft.operators.Dedup.hashParams.map(_._2))))
   }
 }

@@ -59,4 +59,24 @@ object Curation {
   def qPackSequences(s: SparkSession, d: String): DataFrame =
     packSequences(documents(s, d), "lang")
       .orderBy("doc_id")
+
+  /** Oracle-checked COMPOSITE curation pipeline — the shape of a real
+    * corpus-prep job: score quality, predict language, drop near-dup
+    * non-survivors, keep docs passing every gate. Each stage is an
+    * already-oracle-proven operator; this query proves they COMPOSE
+    * (columns flow through, filters stack, the dedup anti-join
+    * broadcasts the small rejected-id set). */
+  def qCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.rebalance(documents(s, d), "doc_id")
+    val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+    val dropped = Dedup.nearDupClusters(
+      Dedup.ngramNearDupsAuto(docs, 0.5).select("doc_a", "doc_b"))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    scored
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= 0.5 && col("lang_pred") =!= "und")
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score"))
+      .orderBy("doc_id")
+  }
 }

@@ -213,6 +213,8 @@ object Dedup {
       expr("approx_percentile(df, 0.5)").as("p50"),
       expr("approx_percentile(df, 0.99)").as("p99"),
       expr("approx_percentile(df, 0.999)").as("p999")).head()
+    if (r.isNullAt(2)) // empty corpus: the sums/percentiles aggregate to NULL
+      return NgramStats(nDocs, 0L, 0L, 0.0, 0.0, 0.0, 0.0)
     val estPairs = r.getDouble(2) / (f * f)
     val headPairs = dfreq.filter(col("df") >= r.getLong(5))
       .agg(coalesce(sum(col("df").cast("double") * (col("df") - 1) / 2), lit(0.0)))
@@ -281,21 +283,26 @@ object Dedup {
   def minhashCandidates(docs: DataFrame): DataFrame =
     minhashCandidatesIdx(shingleIndex(docs))
 
-  private def minhashCandidatesIdx(sh: DataFrame): DataFrame = {
-    val sigs = sh
-      // codegen'd custom expression (graft.functions.MinHashSig): one
-      // compiled loop instead of K x |sh| interpreted lambda evaluations
-      .withColumn("sig", graft.functions.GraftFunctions.minhash_sig(
-        col("sh"), hashParams.map(_._1), hashParams.map(_._2)))
-      // materialized once: both join sides of the band bucketing and the
-      // Jaccard verification re-read this (signature gen is the CPU cost)
+  /** (doc_id, sh, sig) with the signature materialized once: both join
+    * sides of the band bucketing and the Jaccard verification re-read it
+    * (signature gen is the CPU cost). Codegen'd MinHashSig: one compiled
+    * loop instead of K x |sh| interpreted lambda evaluations. */
+  private def sigsOf(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", graft.functions.GraftFunctions.minhash_sig(
+      col("sh"), hashParams.map(_._1), hashParams.map(_._2)))
       .localCheckpoint()
-    // band keys only — the shingle arrays do NOT travel through the
-    // candidate shuffle; they are joined back for verification afterwards
-    val bands = sigs.select(col("doc_id"),
+
+  /** Band keys only — the shingle arrays do NOT travel through the
+    * candidate shuffle; they are joined back for verification afterwards. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         bnd => concat_ws(",", slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+  private def minhashCandidatesIdx(sh: DataFrame): DataFrame = {
+    val sigs = sigsOf(sh)
+    val bands = bandsOf(sigs)
     val pairs = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band", "band_key"))
@@ -320,6 +327,41 @@ object Dedup {
 
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+
+  /** CROSS-frame near-dups: (left id -> right id) pairs with Jaccard >=
+    * threshold, via band-bucket candidates. The left side is the small
+    * probe set (an incoming micro-batch); at scale keep the right side's
+    * (sigs, bands) persisted as the corpus dedup index instead of
+    * recomputing per call. */
+  def crossNearDups(left: DataFrame, right: DataFrame, threshold: Double): DataFrame = {
+    val ls = sigsOf(shingleIndex(left))
+    val rs = sigsOf(shingleIndex(right))
+    val pairs = bandsOf(ls).select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bandsOf(rs).select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(ls.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(rs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** CONTENT near-dup rejection on insert — the streaming-dedup analog of
+    * [[Mutations.insertDedup]] (which dedups on exact name): refuse
+    * incoming docs whose text is within Jaccard >= threshold of any
+    * existing doc, then append the survivors. Run inside foreachBatch the
+    * same way the command dispatcher runs its name dedup. Both frames
+    * need (doc_id, text). Within-batch near-dups among the incoming docs
+    * themselves are kept (dedup them first with [[minhashNearDups]] +
+    * [[nearDupClusters]] if the source can produce them). */
+  def insertNearDedup(existing: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val rejected = crossNearDups(incoming, existing, threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    existing.unionByName(incoming.join(rejected, Seq("doc_id"), "left_anti"))
+  }
 
   // ------------------------------------------------- near-dup clustering
 

@@ -58,6 +58,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, "x"), (2L, "y")))
   }
 
+  test("insertNearDedup rejects content near-dups of existing docs, keeps fresh ones") {
+    import spark.implicits._
+    val existing = docs.select("doc_id", "text")
+    // incoming: a light edit of an existing doc (near-dup) + a fresh doc
+    val editRow = docs.orderBy("doc_id").select("doc_id", "text").head()
+    val edited = editRow.getString(1).trim.split("\\s+").toSeq
+      .updated(0, "REPLACED").mkString(" ")
+    val fresh = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    val incoming = Seq((900001L, edited), (900002L, fresh)).toDF("doc_id", "text")
+    val next = Dedup.insertNearDedup(existing, incoming, 0.5)
+    val ids = next.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900001L), "near-dup upload should be rejected")
+    assert(ids.contains(900002L), "fresh upload should be accepted")
+    assert(next.count() === existing.count() + 1)
+  }
+
   test("near-dup clustering: min-label connected components over the pair graph") {
     import spark.implicits._
     // chain 1-2-3 (diameter 2), pair 10-11, triangle 20-21-22

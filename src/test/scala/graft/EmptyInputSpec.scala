@@ -23,6 +23,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashNearDups(emptyDocs, 0.5).count() === 0)
     assert(Dedup.simhashNearDups(emptyDocs, 2).count() === 0)
     assert(Dedup.exact(emptyDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.ngramNearDupsAuto(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.nearDupClusters(
+      emptyDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))).count() === 0)
+    assert(Dedup.crossNearDups(emptyDocs, emptyDocs, 0.5).count() === 0)
+  }
+
+  test("curation operators on an empty corpus") {
+    assert(Curation.hashSample(emptyDocs, "text", 8).count() === 0)
+    assert(Curation.packSequences(emptyDocs, "lang").count() === 0)
   }
 
   test("snippet pipeline on an empty corpus") {

@@ -135,6 +135,25 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr === viaScala)
   }
 
+  test("word_ngrams/simhash64/minhash_sig callable from SQL, equal to column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = docs.limit(20)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    df.createOrReplaceTempView("fn_check")
+    val viaSql = spark.sql(
+      "SELECT doc_id, word_ngrams(w, 3) AS ng, simhash64(w) AS sh, " +
+        "minhash_sig(word_ngrams(w, 3)) AS sig FROM fn_check")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    val viaApi = df.select(col("doc_id"),
+      GraftFunctions.word_ngrams(col("w"), 3).as("ng"),
+      GraftFunctions.simhash64(col("w")).as("sh"),
+      GraftFunctions.minhash_sig(GraftFunctions.word_ngrams(col("w"), 3),
+        Dedup.hashParams.map(_._1), Dedup.hashParams.map(_._2)).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    assert(viaSql.sortBy(_._1) === viaApi.sortBy(_._1))
+  }
+
   test("poly_hash is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
