@@ -74,6 +74,8 @@ object SparkEntry {
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_pack_sequences" -> (Curation.qPackSequences _),
     "q_curate" -> (Curation.qCurate _),
+    "q_cdc_diff" -> (Mutations.qCdcDiff _),
+    "q_percentiles" -> (Advanced.qPercentiles _),
     // --- similarity search extensions
     "q_topk" -> (Similarity.qTopK _),
     "q_embed_dup" -> (Similarity.qEmbedDup _),
@@ -368,6 +370,28 @@ object SparkEntry {
         "SELECT doc_id, lang_pred, n_tokens, quality_score FROM lp " +
         "WHERE quality_score >= 0.5 AND lang_pred <> 'und' " +
         "AND doc_id NOT IN (SELECT doc_id FROM dropped) ORDER BY doc_id"),
+    "q_cdc_diff" ->
+      ("WITH v1 AS (SELECT doc_id, text FROM documents), " +
+        "v2 AS (SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN text || ' EDITED' ELSE text END AS text " +
+        "FROM v1 WHERE doc_id % 97 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM v1 WHERE doc_id < 10), " +
+        "o AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS fp_old FROM v1), " +
+        "n AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS fp_new FROM v2), " +
+        "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "SELECT doc_id, CASE WHEN fp_old IS NULL THEN 'added' " +
+        "WHEN fp_new IS NULL THEN 'deleted' " +
+        "WHEN fp_old <> fp_new THEN 'changed' ELSE 'unchanged' END AS change " +
+        "FROM j WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new " +
+        "ORDER BY doc_id"),
+    "q_percentiles" ->
+      ("SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 6) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 6) AS p90, count(*) AS n " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT lang, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
         "s AS (SELECT lang, doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +

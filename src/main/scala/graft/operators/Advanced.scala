@@ -161,6 +161,19 @@ object Advanced {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** EXACT grouped percentiles (interpolating median/p90) — the dataset-
+    * card statistics a curation pipeline reports. `percentile` is the
+    * exact sort-based aggregate (deterministic; approx_percentile is the
+    * sketch variant exercised by q_approx_distinct's family). */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Regex extraction over the events props payload. */
   def qRegexExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)

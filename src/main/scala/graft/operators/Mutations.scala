@@ -75,6 +75,42 @@ object Mutations {
   def dimInsert(dim: DataFrame, incoming: DataFrame, nameCol: String): DataFrame =
     dim.unionByName(acceptedNew(dim, incoming, nameCol))
 
+  /** CDC-style snapshot diff for incremental re-ingestion: classify every
+    * key as added / deleted / changed / unchanged by comparing CONTENT
+    * FINGERPRINTS across two snapshot versions. Both sides are projected
+    * to (key, fingerprint) BEFORE the full-outer join, so the shuffle
+    * moves two longs per row — never the documents — and the downstream
+    * incremental pipeline reprocesses only the changed keys. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      contentCol: String): DataFrame = {
+    val fp = graft.functions.GraftFunctions.poly_hash _
+    val o = oldDf.select(col(key), fp(col(contentCol)).as("fp_old"))
+    val n = newDf.select(col(key), fp(col(contentCol)).as("fp_new"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "deleted")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .select(col(key), col("change"))
+  }
+
+  /** Oracle-checked CDC demo: derive a deterministic v2 of the corpus
+    * (every 97th doc deleted, every 31st doc edited, 10 new docs) and
+    * report the non-unchanged diff rows. */
+  def qCdcDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = documents(s, d).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 31 === 0, concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    snapshotDiff(v1, v2, "doc_id", "text")
+      .filter(col("change") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle-checked demos
 
   /** M1 demo: upload batch with two duplicate names and one new row. */

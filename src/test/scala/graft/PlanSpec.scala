@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("curation pipeline: dedup anti-join broadcasts, quality/langid stay narrow") {
+    val p = plan("q_curate")
+    assert(p.contains("BroadcastHashJoin"), s"dropped-id anti-join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"curate should not sort-merge:\n$p")
+  }
+
+  test("cdc diff shuffles fingerprints, not documents") {
+    val p = plan("q_cdc_diff")
+    // the full-outer join's exchanges must not carry the text column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text"), s"diff shuffles text:\n$p")
+  }
+
   test("plan audit: no accidental cartesian/nested-loop joins anywhere") {
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
