@@ -44,7 +44,19 @@ object CommandDispatch {
     * Returns the next state and one message row per command (the
     * reference's concatenated status report, data_ingestion.py:47-72,
     * as data instead of a string). */
-  def dispatch(state: EngineState, commands: DataFrame): (EngineState, DataFrame) = {
+  def dispatch(state: EngineState, commands: DataFrame): (EngineState, DataFrame) =
+    dispatchWith(state, commands, None)
+
+  /** [[dispatch]] with CONTENT near-dup rejection on uploads: beyond the
+    * reference's exact-name dedup, an upload whose text is within Jaccard
+    * >= threshold of any existing doc is refused (with its own message).
+    * Curried so it plugs into [[runStream]]'s dispatcher slot. */
+  def dispatchContentDedup(threshold: Double)(
+      state: EngineState, commands: DataFrame): (EngineState, DataFrame) =
+    dispatchWith(state, commands, Some(threshold))
+
+  private def dispatchWith(state: EngineState, commands: DataFrame,
+      contentDedup: Option[Double]): (EngineState, DataFrame) = {
     val cmds = commands.cache()
 
     // 2: add categories (uniqueness on name, M7)
@@ -63,7 +75,20 @@ object CommandDispatch {
     // the accepted set is computed ONCE and drives both the docs append and
     // snippet generation — so a within-batch duplicate name contributes
     // exactly one doc row and one snippet set (no orphan snippets)
-    val acceptedDocs = Mutations.acceptedNew(state.docs, newDocs, "document_name")
+    val nameAccepted = Mutations.acceptedNew(state.docs, newDocs, "document_name")
+    // optional content near-dup gate: reject uploads whose TEXT is a
+    // near-dup of an existing doc (the streaming content-dedup extension)
+    val contentRejected = contentDedup.map { t =>
+      graft.operators.Dedup.crossNearDups(
+        nameAccepted.select(col("document_id").as("doc_id"), col("text")),
+        state.docs.select(col("document_id").as("doc_id"), col("text")), t)
+        .select(col("doc_a").as("document_id")).distinct()
+        .cache()
+    }
+    val acceptedDocs = contentRejected match {
+      case Some(rej) => nameAccepted.join(broadcast(rej), Seq("document_id"), "left_anti")
+      case None => nameAccepted
+    }
     val docs1 = state.docs.unionByName(acceptedDocs)
     val newSnippets = acceptedDocs
       .select(col("document_id"), col("document_name"), col("category_id"),
@@ -88,12 +113,19 @@ object CommandDispatch {
     // status messages (C3 analog), one per command
     val existingNames = state.docs.select(col("document_name").as("n")).distinct()
     val existingCats = state.categories.select(col("category_name").as("cn")).distinct()
+    val rejIds = contentRejected
+      .map(_.select(col("document_id").as("rid"), lit(1).as("__rej")))
+      .getOrElse(cmds.filter(lit(false))
+        .select(col("document_id").as("rid"), lit(1).as("__rej")))
     val messages = cmds
       .join(existingNames, cmds("document_name") === col("n"), "left")
       .join(existingCats, cmds("category_name") === col("cn"), "left")
+      .join(broadcast(rejIds), cmds("document_id") === col("rid"), "left")
       .select(col("action_code"), col("document_name"), col("category_name"),
         when(col("action_code") === 1 && col("n").isNotNull,
             format_string("Document %s already exists", col("document_name")))
+          .when(col("action_code") === 1 && col("__rej").isNotNull,
+            format_string("Document %s is a near-duplicate", col("document_name")))
           .when(col("action_code") === 1,
             format_string("Document %s was uploaded", col("document_name")))
           .when(col("action_code") === 0,

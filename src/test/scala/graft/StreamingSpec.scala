@@ -292,6 +292,56 @@ class StreamingSpec extends SparkSpec {
     assert(snippetDocIds === Set(acceptedId))
   }
 
+  test("content-dedup dispatch rejects a near-dup upload under a NEW name") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ("REPLACED" +: (2 to 40).map(i => s"tok$i")).mkString(" ")
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", body, "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    val commands = Seq(
+      (1, Some(2L), Some("doc_b"), Some(1), None: Option[String], Some(nearDup)),
+      (1, Some(3L), Some("doc_c"), Some(1), None: Option[String],
+        Some((1 to 40).map(i => s"fresh$i").mkString(" "))))
+      .toDF("action_code", "document_id", "document_name", "category_id", "category_name", "text")
+    val (next, messages) = CommandDispatch.dispatchContentDedup(0.5)(
+      EngineState(docs0, snippets0, cats0), commands)
+    val names = next.docs.select("document_name").as[String].collect().toSet
+    assert(names === Set("doc_a", "doc_c"), "near-dup content should be refused")
+    // no orphan snippets for the refused upload
+    assert(next.snippets.filter(col("document_name") === "doc_b").count() === 0)
+    val msgs = messages.select("message").as[String].collect().toSet
+    assert(msgs === Set(
+      "Document doc_b is a near-duplicate",
+      "Document doc_c was uploaded"))
+  }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on upload names") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's name dedup in native streaming form: state-store
+    // backed duplicate suppression bounded by the watermark
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val deduped = stream.toDF().toDF("document_name", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("document_name")
+    val q = deduped.writeStream.format("memory").queryName("dedup_names")
+      .outputMode("append").start()
+    stream.addData(("doc_a", t0), ("doc_a", t0), ("doc_b", t0))
+    try {
+      q.processAllAvailable()
+      stream.addData(("doc_a", t0)) // still within the watermark -> suppressed
+      q.processAllAvailable()
+    } finally q.stop()
+    val names = spark.table("dedup_names").select("document_name")
+      .as[String].collect().toSeq
+    assert(names.sorted === Seq("doc_a", "doc_b"))
+  }
+
   test("dispatch messages report per-command outcomes") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
