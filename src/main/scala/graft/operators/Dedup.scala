@@ -333,9 +333,33 @@ object Dedup {
     * probe set (an incoming micro-batch); at scale keep the right side's
     * (sigs, bands) persisted as the corpus dedup index instead of
     * recomputing per call. */
-  def crossNearDups(left: DataFrame, right: DataFrame, threshold: Double): DataFrame = {
-    val ls = sigsOf(shingleIndex(left))
-    val rs = sigsOf(shingleIndex(right))
+  def crossNearDups(left: DataFrame, right: DataFrame, threshold: Double): DataFrame =
+    crossNearDupsSigs(sigsOf(shingleIndex(left)), sigsOf(shingleIndex(right)), threshold)
+
+  // ------------------------------------------------- persisted dedup index
+
+  /** Persist the MinHash dedup index — the (doc_id, sh, sig) table — so
+    * incremental ingestion probes it instead of re-signing the whole
+    * corpus per batch. The band keys are NOT stored: they are a cheap
+    * narrow explode of `sig` at probe time, while storing them would 8x
+    * the index row count. At cluster scale write this bucketed by doc_id
+    * (or partitioned by band at read-mostly sites). */
+  def writeIndex(docs: DataFrame, path: String): Unit =
+    sigsOf(shingleIndex(docs)).write.mode("overwrite").parquet(path)
+
+  /** Append newly-accepted docs to the persisted index. */
+  def appendIndex(docs: DataFrame, path: String): Unit =
+    sigsOf(shingleIndex(docs)).write.mode("append").parquet(path)
+
+  /** Probe the persisted index: (incoming doc -> indexed doc) near-dup
+    * pairs with Jaccard >= threshold. The incoming micro-batch is signed
+    * fresh; the corpus side comes straight off the stored parquet. */
+  def probeIndex(spark: SparkSession, path: String, incoming: DataFrame,
+      threshold: Double): DataFrame =
+    crossNearDupsSigs(sigsOf(shingleIndex(incoming)), spark.read.parquet(path), threshold)
+
+  private def crossNearDupsSigs(ls: DataFrame, rs: DataFrame,
+      threshold: Double): DataFrame = {
     val pairs = bandsOf(ls).select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(bandsOf(rs).select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band", "band_key"))
