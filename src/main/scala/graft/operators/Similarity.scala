@@ -59,8 +59,9 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within label blocks (label is the
-    * natural blocking key in the test data; a production pipeline blocks
-    * by LSH bucket instead — see [[lshBuckets]]). */
+    * natural blocking key in the test data and is ORACLE-CHECKABLE; the
+    * production pipeline blocks by LSH bucket instead — [[lshNearDups]],
+    * gated on planted near-dups in SimilaritySpec). */
   def qEmbedDup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
@@ -167,6 +168,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+  }
+
+  /** ALL-PAIRS embedding near-dups via LSH bucket blocking — the
+    * production form of [[qEmbedDup]]'s label blocking (labels exist only
+    * in curated data; buckets exist everywhere). Candidates are same-
+    * bucket pairs in any table; verification is exact cosine.
+    *
+    * Shuffle discipline: the bucket self-join moves (tbl, bucket, id)
+    * triples only; embeddings are joined back by id AFTER the candidate
+    * pairs are deduplicated, so each vector's array crosses the wire once
+    * per side, not once per bucket collision.
+    *
+    * Recall: a pair at cosine 0.9 collides in one 12-bit table with
+    * p ~ 0.855^12 = 0.15, so across 24 tables P(candidate) ~ 98% — the
+    * construction targets TRUE near-dups; moderate-similarity pairs
+    * (cos ~ 0.4) are out of scope by design (use [[bruteForceTopK]] or
+    * IVF for retrieval). Gated on planted near-dups in SimilaritySpec. */
+  def lshNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val keys = lshKeys(corpus).select(col("tbl"), col("bucket"), col("vec_id"))
+    val pairs = keys.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+      .join(keys.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .withColumn("score", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
   }
 
   // -------------------------------------------------------------- IVF

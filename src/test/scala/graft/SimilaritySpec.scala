@@ -100,6 +100,27 @@ class SimilaritySpec extends SparkSpec {
     assert(maxBucket < emb.count() / 8)
   }
 
+  test("LSH near-dup blocking finds every planted near-duplicate vector") {
+    import spark.implicits._
+    // plant perturbed copies (cosine ~0.99) of 10 corpus vectors — the
+    // test embeddings themselves contain no true near-dups (max within-
+    // label cosine ~0.5), which is exactly why label blocking is not the
+    // production path
+    val base = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val planted = base.map { case (id, e) =>
+      (id + 100000L, e.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 0.01f else 0f) })
+    }
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val got = Similarity.lshNearDups(corpus, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(expected.subsetOf(got), s"missed planted pairs: ${expected -- got}")
+    // precision guard: random-vector pairs do not reach cosine 0.9
+    assert((got -- expected).isEmpty, s"unexpected pairs: ${got -- expected}")
+  }
+
   test("ANN plan: no exchange carries an embedding array (scalar keys only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
