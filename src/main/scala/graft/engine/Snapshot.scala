@@ -54,4 +54,25 @@ class Snapshot(spark: SparkSession, root: String) {
     * result — the engine's whole mutation protocol (read -> transform ->
     * publish; SURVEY §2.8 M1-M8 compose with this). */
   def mutate(f: DataFrame => DataFrame): String = publish(f(read()))
+
+  /** Crash cleanup, run by THE single writer at startup: delete version
+    * directories never referenced by the pointer (a publish that crashed
+    * between claiming its directory and the pointer swap leaves one
+    * behind, and the exclusive create would otherwise wedge the retry).
+    * Versions at or below CURRENT are history and untouched. Returns the
+    * pruned version names. */
+  def recoverOrphans(): Seq[String] = {
+    val current = currentVersion().map(_.stripPrefix("v_").toLong).getOrElse(-1L)
+    val orphans = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .filter(_.getName.stripPrefix("v_").toLong > current)
+    orphans.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    orphans.map(_.getName).toSeq
+  }
 }

@@ -26,11 +26,18 @@ object Mutations {
 
   /** The accepted subset of an incoming batch under key-dedup: rows whose
     * key is absent from `existing`, deduplicated within the batch itself.
-    * Shared by [[insertDedup]] and by callers that derive follow-on work
-    * (e.g. snippet generation) from exactly the inserted rows. */
-  def acceptedNew(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    * The within-batch winner is the row that sorts FIRST on its full
+    * content — `dropDuplicates` would keep whichever row a task saw
+    * first, which varies with partitioning; a replayed batch must insert
+    * the same row. Shared by [[insertDedup]] and by callers that derive
+    * follow-on work (e.g. snippet generation) from exactly the inserted
+    * rows. */
+  def acceptedNew(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(struct(incoming.columns.map(col): _*))
     incoming.join(existing.select(key), Seq(key), "left_anti")
-      .dropDuplicates(key)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** M1 insert-with-dedup (upload_one_doc, data_ingestion.py:227-291):
     * refuse rows whose key already exists, then append. */

@@ -31,6 +31,19 @@ class EngineSpec extends SparkSpec {
     // composing with the mutation operators
     store.mutate(df => Mutations.deleteWhere(df, col("id") === 2L))
     assert(store.read().count() === 1)
+
+    // crash recovery: a publish that died after claiming its directory
+    // but before the pointer swap leaves an orphan; the exclusive create
+    // refuses the retry until recoverOrphans prunes it
+    val crashed = java.nio.file.Paths.get(root, "v_3")
+    Files.createDirectory(crashed)
+    Files.writeString(crashed.resolve("half-written"), "junk")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      store.publish(Seq((9L, "Active")).toDF("id", "status"))
+    }
+    assert(store.recoverOrphans() === Seq("v_3"))
+    val v3 = store.publish(Seq((9L, "Active")).toDF("id", "status"))
+    assert(v3 === "v_3" && store.read().count() === 1)
   }
 
   test("bucketed tables make the fact join shuffle-free (co-located join)") {

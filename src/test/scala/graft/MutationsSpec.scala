@@ -71,6 +71,21 @@ class MutationsSpec extends SparkSpec {
     assert(out.filter(col("category_name") === "Benefits").count() === 1)
   }
 
+  test("M1 within-batch dedup winner is deterministic across partitionings") {
+    import spark.implicits._
+    val existing = Seq(("other", 1L)).toDF("document_name", "document_id")
+    val incoming = Seq(("doc_x", 5L), ("doc_x", 2L), ("doc_y", 9L))
+      .toDF("document_name", "document_id")
+    def winner(df: org.apache.spark.sql.DataFrame): Long =
+      acceptedNew(existing, df, "document_name")
+        .filter(col("document_name") === "doc_x")
+        .select("document_id").as[Long].head()
+    // the full-row minimum wins, however the batch is partitioned
+    assert(winner(incoming) === 2L)
+    assert(winner(incoming.repartition(7)) === 2L)
+    assert(winner(incoming.coalesce(1)) === 2L)
+  }
+
   test("M7 dimInsert dedups WITHIN the incoming batch too") {
     import spark.implicits._
     val dim = Seq((1, "Benefits")).toDF("category_id", "category_name")
