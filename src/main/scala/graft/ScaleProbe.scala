@@ -75,6 +75,21 @@ object ScaleProbe {
       time("dedup_ngram", nDocs) { Dedup.ngramNearDups(docs, 0.5).count() }
     time("dedup_minhash", nDocs) { Dedup.minhashNearDups(docs, 0.5).count() }
     time("dedup_exact", nDocs) { Dedup.exact(docs, "text", "doc_id").count() }
+    time("dedup_clusters", nDocs) {
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b")).count()
+    }
+    time("cdc_diff", nDocs) {
+      val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+      Mutations.snapshotDiff(docs, v2, "doc_id", "text")
+        .filter(col("change") =!= "unchanged").count()
+    }
+    time("pack_sequences", nDocs) {
+      Curation.packSequences(docs.select("doc_id", "lang", "text"), "lang").count()
+    }
+    time("hash_sample", nDocs) {
+      Curation.hashSample(docs, "text", 8).count()
+    }
     time("topk_bruteforce", nEmb) {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < mult * 5), 10).count()
     }
