@@ -33,6 +33,34 @@ object BinaryIngest {
       .select(col("path"), col("length").as("n_bytes"),
         extractor(col("content")).as("text"))
 
+  /** Deterministic OCR stand-in: no OCR engine exists in this container
+    * (SURVEY §2.1 S2), so the text is derived from the page bytes' CRC —
+    * stable, clearly marked, and swappable for a real engine without
+    * touching the routing below. */
+  def ocrStub(content: Column): Column =
+    concat(lit("[ocr] page "), crc32(content), lit(" end"))
+
+  /** S2: the OCR fallback branch (reference DI:135-168 — render pages to
+    * images and OCR them when the PDF has no text layer; dead in the
+    * reference because the workdir is removed first, DI:167; implemented
+    * here with the INTENDED semantics). Routing is real: docs whose
+    * extracted text layer is empty are flagged `needs_ocr` and their
+    * bytes go through the `ocr` extractor instead; everything downstream
+    * sees one `text` column either way. */
+  def readWithOcrFallback(spark: SparkSession, dir: String,
+      extractor: Column => Column = c => decode(c, "UTF-8"),
+      ocr: Column => Column = ocrStub): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("length").as("n_bytes"),
+        extractor(col("content")).as("text_layer"), col("content"))
+      .withColumn("needs_ocr", length(trim(col("text_layer"))) === 0)
+      .select(col("path"), col("n_bytes"),
+        when(col("needs_ocr"), ocr(col("content"))).otherwise(col("text_layer")).as("text"),
+        col("needs_ocr"))
+
   /** Stage the pre-extracted fixture: one text FILE per document (the
     * per-upload unit the reference receives, DI:110), written DISTRIBUTED
     * through a partitioned text sink — document bytes never pass through

@@ -98,6 +98,26 @@ class EngineSpec extends SparkSpec {
     assert(fromCsv.orderBy("doc_id").collect().map(_.toSeq).toSeq === expected)
   }
 
+  test("OCR fallback routes empty-text-layer uploads through the ocr extractor") {
+    import graft.sources.BinaryIngest
+    val dir = Files.createTempDirectory("graft_ocr").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "doc_good.txt"), "real text layer here")
+    Files.writeString(java.nio.file.Paths.get(dir, "doc_scanned.txt"), "   ") // no text layer
+    val out = BinaryIngest.readWithOcrFallback(spark, dir)
+      .select("path", "text", "needs_ocr").collect()
+      .map(r => r.getString(0).split('/').last -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    val good = out.keys.find(_.contains("good")).get
+    val scanned = out.keys.find(_.contains("scanned")).get
+    assert(out(good) === (("real text layer here", false)))
+    assert(out(scanned)._2 === true)
+    assert(out(scanned)._1.startsWith("[ocr] page ") && out(scanned)._1.endsWith(" end"))
+    // the stub is deterministic: same bytes, same text
+    val again = BinaryIngest.readWithOcrFallback(spark, dir)
+      .filter(col("needs_ocr")).select("text").head().getString(0)
+    assert(again === out(scanned)._1)
+  }
+
   test("binaryFile source: pluggable extractor transforms the upload bytes") {
     import graft.sources.BinaryIngest
     val fix = BinaryIngest.stageFixture(spark, sf0001)
