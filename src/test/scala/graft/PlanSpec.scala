@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("text"), s"diff shuffles text:\n$p")
   }
 
+  test("pack/sample plan shapes: one window shuffle vs fully narrow scan") {
+    // sequence packing: exactly ONE hash exchange (the per-stratum window);
+    // the only other exchange is the deterministic output sort
+    val pPack = plan("q_pack_sequences")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(pPack).size
+    assert(hashExchanges === 1, s"pack should shuffle once for the window:\n$pPack")
+    // hash sampling: a narrow filter — no hash exchange at all
+    val pSample = plan("q_sample_stratified")
+    assert(!pSample.contains("Exchange hashpartitioning"),
+      s"sampling must stay narrow:\n$pSample")
+  }
+
   test("plan audit: no accidental cartesian/nested-loop joins anywhere") {
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
