@@ -81,6 +81,27 @@ class PlanSpec extends SparkSpec {
       s"sampling must stay narrow:\n$pSample")
   }
 
+  test("plan audit: exchanges carry arrays only where the design says so") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // EVERY declared query plans scalar-only exchanges at audit scale:
+    // candidate generation shuffles keys, verification join-backs ride
+    // broadcasts, aggregation buffers are binary. If a future operator
+    // legitimately must move an array through a shuffle (e.g. a verify
+    // join too big to broadcast), register it here WITH its reason.
+    val arrayExchangeByDesign: Map[String, String] = Map.empty
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+        val bad = p.collect { case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e }
+        if (bad.nonEmpty && !arrayExchangeByDesign.contains(name)) Some(name) else None
+      }
+      assert(offending.isEmpty, s"undeclared array-carrying exchanges: $offending")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan audit: no accidental cartesian/nested-loop joins anywhere") {
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
