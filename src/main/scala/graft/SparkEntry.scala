@@ -74,6 +74,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_pack_sequences" -> (Curation.qPackSequences _),
     "q_curate" -> (Curation.qCurate _),
+    "q_split" -> (Curation.qSplit _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
     // --- similarity search extensions
@@ -370,6 +371,14 @@ object SparkEntry {
         "SELECT doc_id, lang_pred, n_tokens, quality_score FROM lp " +
         "WHERE quality_score >= 0.5 AND lang_pred <> 'und' " +
         "AND doc_id NOT IN (SELECT doc_id FROM dropped) ORDER BY doc_id"),
+    "q_split" ->
+      ("WITH f AS (SELECT text, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % 10 AS r FROM documents) " +
+        "SELECT CASE WHEN r = 0 THEN 'test' WHEN r = 1 THEN 'val' ELSE 'train' END AS split, " +
+        "count(*) AS n_docs, " +
+        "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens " +
+        "FROM f GROUP BY 1 ORDER BY 1"),
     "q_cdc_diff" ->
       ("WITH v1 AS (SELECT doc_id, text FROM documents), " +
         "v2 AS (SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN text || ' EDITED' ELSE text END AS text " +

@@ -60,6 +60,25 @@ object Curation {
     packSequences(documents(s, d), "lang")
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test assignment from the text fingerprint:
+    * residues 0 -> test, 1 -> val, 2..k-1 -> train (10% / 10% / 80% at
+    * k=10). Pure function of the row, so membership survives reruns,
+    * repartitioning, and incremental appends — a doc can never leak
+    * between splits across pipeline versions. */
+  def assignSplit(df: DataFrame, textCol: String, k: Int = 10): DataFrame =
+    df.withColumn("split",
+      when(pmod(graft.functions.GraftFunctions.poly_hash(col(textCol)), lit(k.toLong)) === 0, "test")
+        .when(pmod(graft.functions.GraftFunctions.poly_hash(col(textCol)), lit(k.toLong)) === 1, "val")
+        .otherwise("train"))
+
+  /** Oracle-checked: split sizes and token budgets per assignment. */
+  def qSplit(s: SparkSession, d: String): DataFrame =
+    assignSplit(documents(s, d), "text")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"))
+      .orderBy("split")
+
   /** Oracle-checked COMPOSITE curation pipeline — the shape of a real
     * corpus-prep job: score quality, predict language, drop near-dup
     * non-survivors, keep docs passing every gate. Each stage is an
