@@ -65,7 +65,8 @@ class Snapshot(spark: SparkSession, root: String) {
     val current = currentVersion().map(_.stripPrefix("v_").toLong).getOrElse(-1L)
     val orphans = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .filter(_.getName.stripPrefix("v_").toLong > current)
+      .filter(f => scala.util.Try(f.getName.stripPrefix("v_").toLong)
+        .toOption.exists(_ > current)) // ignore non-version directories
     orphans.foreach { dir =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -33,8 +33,13 @@ object Mutations {
     * follow-on work (e.g. snippet generation) from exactly the inserted
     * rows. */
   def acceptedNew(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    // map columns are not orderable in Spark — order on everything else
+    // (degenerate all-map rows fall back to an arbitrary-but-single pick)
+    val orderable = incoming.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(struct(incoming.columns.map(col): _*))
+      .partitionBy(col(key)).orderBy(struct(orderable.toIndexedSeq: _*))
     incoming.join(existing.select(key), Seq(key), "left_anti")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

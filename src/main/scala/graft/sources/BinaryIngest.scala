@@ -56,7 +56,10 @@ object BinaryIngest {
       .load(dir)
       .select(col("path"), col("length").as("n_bytes"),
         extractor(col("content")).as("text_layer"), col("content"))
-      .withColumn("needs_ocr", length(trim(col("text_layer"))) === 0)
+      // ALL-whitespace detection — Spark trim() strips spaces only, so a
+      // newline-only text layer would dodge a trim-based check
+      .withColumn("needs_ocr",
+        length(regexp_replace(col("text_layer"), "\\s", "")) === 0)
       .select(col("path"), col("n_bytes"),
         when(col("needs_ocr"), ocr(col("content"))).otherwise(col("text_layer")).as("text"),
         col("needs_ocr"))

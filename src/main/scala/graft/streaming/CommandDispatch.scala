@@ -77,7 +77,9 @@ object CommandDispatch {
     // exactly one doc row and one snippet set (no orphan snippets)
     val nameAccepted = Mutations.acceptedNew(state.docs, newDocs, "document_name")
     // optional content near-dup gate: reject uploads whose TEXT is a
-    // near-dup of an existing doc (the streaming content-dedup extension)
+    // near-dup of an existing doc (the streaming content-dedup extension).
+    // This re-signs state.docs per batch — at scale keep the persisted
+    // MinHash index (Dedup.writeIndex/probeIndex/appendIndex) instead.
     val contentRejected = contentDedup.map { t =>
       graft.operators.Dedup.crossNearDups(
         nameAccepted.select(col("document_id").as("doc_id"), col("text")),
@@ -197,6 +199,7 @@ object CommandDispatch {
       .cache()
     val runIds = runs.select("__run").distinct().orderBy("__run")
       .collect().map(_.getLong(0))
+    if (runIds.isEmpty) return dispatch(state, commands) // empty micro-batch
     var st = state
     val messages = runIds.map { r =>
       val (next, msgs) = dispatch(st, runs.filter(col("__run") === r).drop("__run", seqCol))

@@ -38,10 +38,12 @@ class EngineSpec extends SparkSpec {
     val crashed = java.nio.file.Paths.get(root, "v_3")
     Files.createDirectory(crashed)
     Files.writeString(crashed.resolve("half-written"), "junk")
+    Files.createDirectory(java.nio.file.Paths.get(root, "v_tmp")) // non-version junk survives
     intercept[java.nio.file.FileAlreadyExistsException] {
       store.publish(Seq((9L, "Active")).toDF("id", "status"))
     }
     assert(store.recoverOrphans() === Seq("v_3"))
+    assert(Files.exists(java.nio.file.Paths.get(root, "v_tmp")))
     val v3 = store.publish(Seq((9L, "Active")).toDF("id", "status"))
     assert(v3 === "v_3" && store.read().count() === 1)
   }
@@ -102,7 +104,7 @@ class EngineSpec extends SparkSpec {
     import graft.sources.BinaryIngest
     val dir = Files.createTempDirectory("graft_ocr").toString
     Files.writeString(java.nio.file.Paths.get(dir, "doc_good.txt"), "real text layer here")
-    Files.writeString(java.nio.file.Paths.get(dir, "doc_scanned.txt"), "   ") // no text layer
+    Files.writeString(java.nio.file.Paths.get(dir, "doc_scanned.txt"), " \n\t\n") // no text layer
     val out = BinaryIngest.readWithOcrFallback(spark, dir)
       .select("path", "text", "needs_ocr").collect()
       .map(r => r.getString(0).split('/').last -> ((r.getString(1), r.getBoolean(2))))

@@ -84,6 +84,10 @@ class MutationsSpec extends SparkSpec {
     assert(winner(incoming) === 2L)
     assert(winner(incoming.repartition(7)) === 2L)
     assert(winner(incoming.coalesce(1)) === 2L)
+    // map columns (unorderable in Spark) don't break the winner window
+    val withMap = incoming.withColumn("meta", map(lit("k"), col("document_id")))
+    assert(acceptedNew(existing, withMap, "document_name")
+      .filter(col("document_name") === "doc_x").count() === 1)
   }
 
   test("M7 dimInsert dedups WITHIN the incoming batch too") {

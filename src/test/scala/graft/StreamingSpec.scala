@@ -266,6 +266,10 @@ class StreamingSpec extends SparkSpec {
     // documents this divergence for conflicting batches: doc_x is removed
     val (typedState, _) = CommandDispatch.dispatch(st0, cmds.drop("seq"))
     assert(typedState.docs.filter(col("document_name") === "doc_x").count() === 0)
+
+    // an empty micro-batch is a no-op, not a crash
+    val (same, noMsgs) = CommandDispatch.dispatchFifo(st0, cmds.filter(lit(false)))
+    assert(noMsgs.count() === 0 && same.docs.count() === st0.docs.count())
   }
 
   test("within-batch duplicate upload names insert once, with no orphan snippets") {
