@@ -101,6 +101,8 @@ object SparkEntry {
     "q_asof_join" -> (Advanced.qAsofJoin _),
     "q_range_join" -> (Advanced.qRangeJoin _),
     "q_shuffle_join" -> (Advanced.qShuffleJoin _),
+    "q_salted_join" -> (Advanced.qSaltedJoin _),
+    "q_session_window" -> (Advanced.qSessionWindow _),
     "q_regex_extract" -> (Advanced.qRegexExtract _),
     "q_sql_api" -> (Advanced.qSqlApi _),
     "q_cube" -> (Advanced.qCube _),
@@ -512,6 +514,21 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_session_window" ->
+      // session_window joins an event while ts < previous window END
+      // (half-open), so a gap of EXACTLY 30 min starts a new session: >=
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT user_id, event_id, ts, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "g AS (SELECT user_id, ts, event_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f) " +
+        "SELECT user_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q_regex_extract" ->
       ("SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k " +
         "FROM events ORDER BY event_id LIMIT 2000"),

@@ -105,6 +105,37 @@ object Advanced {
           .cast("decimal(38,4)")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** The salted big-big join under the SAME oracle as [[qShuffleJoin]]:
+    * proves the skew tool is result-identical to the plain join (its
+    * whole contract) on every gate run, not just in a spec. The probe
+    * side salts on l_partkey (a non-join column), the build side
+    * replicates over 8 salt values. */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame =
+    saltedJoin(
+      lineitem(s, d).withColumnRenamed("l_orderkey", "orderkey"),
+      orders(s, d).withColumnRenamed("o_orderkey", "orderkey"),
+      "orderkey", "l_partkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Gap sessionization via Spark's NATIVE session_window operator — the
+    * same sessions as [[EventAnalytics.sessionize]]'s lag+cumsum
+    * formulation (shared oracle modulo the running session number, which
+    * session_window does not produce): merged windows per user at a
+    * 30-minute gap. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select("user_id", "n_events", "session_start", "session_end")
+      .orderBy("user_id", "session_start")
+
   /** CUBE aggregate (all grouping combinations). */
   def qCube(s: SparkSession, d: String): DataFrame =
     orders(s, d)
