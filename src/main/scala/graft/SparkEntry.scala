@@ -103,6 +103,7 @@ object SparkEntry {
     "q_shuffle_join" -> (Advanced.qShuffleJoin _),
     "q_salted_join" -> (Advanced.qSaltedJoin _),
     "q_session_window" -> (Advanced.qSessionWindow _),
+    "q_variance" -> (Advanced.qVariance _),
     "q_regex_extract" -> (Advanced.qRegexExtract _),
     "q_sql_api" -> (Advanced.qSqlApi _),
     "q_cube" -> (Advanced.qCube _),
@@ -514,6 +515,11 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_variance" ->
+      ("SELECT l_returnflag, round(var_samp(l_quantity), 6) AS var_qty, " +
+        "round(stddev_samp(l_quantity), 6) AS std_qty, " +
+        "round(var_samp(l_discount), 6) AS var_disc, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_salted_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue " +

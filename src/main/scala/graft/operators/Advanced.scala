@@ -123,6 +123,22 @@ object Advanced {
           .cast("decimal(38,4)")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** Grouped dispersion stats via the built-in single-pass (Welford
+    * family) aggregates: sample variance/stddev per group. Columns are
+    * small-magnitude (quantity 1..50, discount 0..0.1) so the 1e-12
+    * RELATIVE accumulation differences between engines sit far below the
+    * round-6 hash tolerance; the custom WelfordVariance Aggregator is
+    * spec'd equal to var_samp in FunctionsSpec. */
+  def qVariance(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Gap sessionization via Spark's NATIVE session_window operator — the
     * same sessions as [[EventAnalytics.sessionize]]'s lag+cumsum
     * formulation (shared oracle modulo the running session number, which
