@@ -67,6 +67,7 @@ object SparkEntry {
     // --- deduplication extensions
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_auto" -> (Dedup.qDedupAuto _),  // rows-only: LSH branch is approximate by design
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),

@@ -33,15 +33,19 @@ class Snapshot(spark: SparkSession, root: String) {
     * published version name. A crash before the pointer move leaves the
     * previous snapshot intact and the half-written version unreferenced.
     *
-    * Concurrency: the store is optimistic single-writer. The version
-    * directory is claimed with an EXCLUSIVE create before any data is
-    * written — two publishers racing from the same CURRENT both compute the
-    * same next version, and the loser fails fast here instead of silently
-    * overwriting the winner's snapshot and racing the pointer swap. */
+    * Concurrency: the store is optimistic single-writer. The version is
+    * claimed with an EXCLUSIVE create of a separate `<version>.claim`
+    * marker before any data is written — two publishers racing from the
+    * same CURRENT both compute the same next version, and the loser fails
+    * fast here instead of silently overwriting the winner's snapshot and
+    * racing the pointer swap. The marker must be a file the data write
+    * never touches: claiming the version DIRECTORY itself would not work,
+    * because Spark's overwrite-mode write deletes and re-creates the
+    * target directory at job start, reopening the race window mid-write. */
   def publish(df: DataFrame): String = {
     val next = "v_" + (currentVersion().map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
     Files.createDirectories(Paths.get(root))
-    Files.createDirectory(Paths.get(root, next)) // throws FileAlreadyExistsException on a lost race
+    Files.createFile(Paths.get(root, next + ".claim")) // throws FileAlreadyExistsException on a lost race
     df.write.mode("overwrite").parquet(s"$root/$next")
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.writeString(tmp, next)
@@ -56,17 +60,21 @@ class Snapshot(spark: SparkSession, root: String) {
   def mutate(f: DataFrame => DataFrame): String = publish(f(read()))
 
   /** Crash cleanup, run by THE single writer at startup: delete version
-    * directories never referenced by the pointer (a publish that crashed
-    * between claiming its directory and the pointer swap leaves one
-    * behind, and the exclusive create would otherwise wedge the retry).
-    * Versions at or below CURRENT are history and untouched. Returns the
-    * pruned version names. */
+    * claims (and any half-written directories) never referenced by the
+    * pointer — a publish that crashed between claiming and the pointer
+    * swap leaves them behind, and the exclusive claim create would
+    * otherwise wedge the retry. Versions at or below CURRENT are history
+    * and untouched. Returns the pruned version names. */
   def recoverOrphans(): Seq[String] = {
     val current = currentVersion().map(_.stripPrefix("v_").toLong).getOrElse(-1L)
-    val orphans = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .filter(f => scala.util.Try(f.getName.stripPrefix("v_").toLong)
-        .toOption.exists(_ > current)) // ignore non-version directories
+    def versionAbove(name: String): Boolean =
+      scala.util.Try(name.stripPrefix("v_").stripSuffix(".claim").toLong)
+        .toOption.exists(_ > current) // ignore non-version entries
+    val entries = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v_"))
+    val orphans = entries.filter(f => f.isDirectory && versionAbove(f.getName))
+    val claims = entries.filter(f => f.isFile && f.getName.endsWith(".claim") &&
+      versionAbove(f.getName))
     orphans.foreach { dir =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -74,6 +82,7 @@ class Snapshot(spark: SparkSession, root: String) {
       }
       rm(dir)
     }
+    claims.foreach(_.delete())
     orphans.map(_.getName).toSeq
   }
 }

@@ -63,8 +63,13 @@ object Tables {
     // over-trigger on inputs that are small-file-bound — exactly the case
     // the repartition is for; a well-split 100 TB table has >> target files
     // and this is a no-op.
+    // inputFiles is empty for any non-file-backed frame (in-memory test
+    // data, streaming micro-batches, Seq.toDF) — there the file heuristic
+    // would unconditionally shuffle even tiny frames, so fall back to the
+    // frame's real partition count (cheap to plan for local relations).
     val files = df.inputFiles.length
-    if (files * 2 < target)
+    val current = if (files > 0) files else df.rdd.getNumPartitions
+    if (current * 2 < target)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }

@@ -43,8 +43,11 @@ object Curation {
       .select(col(stratumCol), col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .withColumn("start_token", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer `div`, not double `/`: the running token sum passes 2^53 on
+      // a 100 TB corpus and double division would silently mis-bin there
+      // (the DuckDB oracle uses exact integer division throughout)
       .select(col(stratumCol), col("doc_id"), col("n_tokens"),
-        (col("start_token") / binTokens).cast("long").as("bin_id"),
+        expr(s"start_token div ${binTokens}").as("bin_id"),
         pmod(col("start_token"), lit(binTokens.toLong)).as("bin_offset"))
   }
 
@@ -88,8 +91,11 @@ object Curation {
   def qCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.rebalance(documents(s, d), "doc_id")
     val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+    // exact pair path, pinned like qDedupNgram: the oracle enumerates exact
+    // pairs, and skipping the auto-selection stats pass saves a full extra
+    // shingling of the corpus in this composite
     val dropped = Dedup.nearDupClusters(
-      Dedup.ngramNearDupsAuto(docs, 0.5).select("doc_a", "doc_b"))
+      Dedup.ngramNearDups(docs, 0.5).select("doc_a", "doc_b"))
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     scored

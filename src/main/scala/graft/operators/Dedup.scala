@@ -198,7 +198,12 @@ object Dedup {
   def ngramStats(docs: DataFrame): NgramStats = {
     val nDocs = docs.count()
     val f = if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
-    val base = if (f >= 1.0) docs else docs.sample(withReplacement = false, f, seed = 42L)
+    // Sampling must be a pure function of the ROW, not of the partitioning:
+    // df.sample's Bernoulli draw depends on split boundaries, so the stats —
+    // and with them the strategy choice — could differ across parallelism.
+    // A doc_id-hash filter keeps membership identical on any cluster layout.
+    val base = if (f >= 1.0) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((f * 1e6).toLong))
     ngramStatsIdx(shingleIndex(base), nDocs, f)
   }
 
@@ -249,14 +254,34 @@ object Dedup {
     * Jaccard >= threshold whose signatures share a band — recall ~1 for
     * strongly-similar pairs, by band collision probability). */
   def ngramNearDupsAuto(docs: DataFrame, threshold: Double,
-      pairBudgetPerDoc: Double = 512.0): DataFrame =
-    chooseNgramStrategy(ngramStats(docs), pairBudgetPerDoc) match {
+      pairBudgetPerDoc: Double = 512.0): DataFrame = {
+    val st = ngramStats(docs)
+    val strategy = chooseNgramStrategy(st, pairBudgetPerDoc)
+    log.info(s"ngram dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
+      f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
+      s"budget=$pairBudgetPerDoc")
+    strategy match {
       case NgramInverted => ngramNearDups(docs, threshold)
       case NgramPrefix => ngramNearDupsPrefix(docs, threshold)
       case NgramLsh => minhashNearDups(docs, threshold)
     }
+  }
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Oracle-gated exact path: pinned to the inverted-index strategy so the
+    * declared result can never silently flip to the approximate LSH branch
+    * on a corpus near the pair budget (the DuckDB oracle enumerates exact
+    * pairs). Production callers use [[ngramNearDupsAuto]] — exposed
+    * non-gated as q_dedup_auto — which picks the scale-safe strategy and
+    * logs its choice. */
   def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+
+  /** The auto-selected production path as its own (rows-only) query entry:
+    * its LSH branch is approximate, so it is deliberately NOT under the
+    * exact-pair oracle — the gated exact result is [[qDedupNgram]]. */
+  def qDedupAuto(s: SparkSession, d: String): DataFrame =
     ngramNearDupsAuto(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
 
   // -------------------------------------------------------------- MinHash + LSH
@@ -426,12 +451,13 @@ object Dedup {
     labels
   }
 
-  /** Near-dup cluster assignment over the auto-selected pair path: one row
+  /** Near-dup cluster assignment over the exact pair path (pinned, like
+    * [[qDedupNgram]], so the oracle gate stays exact-vs-exact): one row
     * per document that participates in a near-dup pair, labeled with its
     * cluster id (= minimum doc_id in the component); `survivor` marks the
     * one doc per cluster a dedup pipeline keeps. */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    nearDupClusters(ngramNearDupsAuto(documents(s, d), 0.5).select("doc_a", "doc_b"))
+    nearDupClusters(ngramNearDups(documents(s, d), 0.5).select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("survivor"))
       .orderBy("doc_id")

@@ -55,9 +55,32 @@ object CommandDispatch {
       state: EngineState, commands: DataFrame): (EngineState, DataFrame) =
     dispatchWith(state, commands, Some(threshold))
 
+  /** Per-batch cache registry: dispatch caches small frames that several
+    * branches re-read (the command batch, the rejected-id set, FIFO runs).
+    * Inside a long-lived foreachBatch stream those blocks would otherwise
+    * accumulate across micro-batches until executor-cache pressure evicts
+    * them, so [[runStream]] releases them once the batch's snapshot and
+    * messages are on disk (the caches are fully consumed by then). Batch
+    * callers that materialize results themselves may call
+    * [[releaseBatchCaches]] at the same point; leaving them cached merely
+    * reproduces the old behavior. */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    liveCaches.add(c)
+    c
+  }
+
+  /** Unpersist every frame cached by dispatch calls since the last release. */
+  def releaseBatchCaches(): Unit = {
+    var d = liveCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = liveCaches.poll() }
+  }
+
   private def dispatchWith(state: EngineState, commands: DataFrame,
       contentDedup: Option[Double]): (EngineState, DataFrame) = {
-    val cmds = commands.cache()
+    val cmds = cached(commands)
 
     // 2: add categories (uniqueness on name, M7)
     val catAdds = cmds.filter(col("action_code") === 2)
@@ -85,7 +108,7 @@ object CommandDispatch {
         nameAccepted.select(col("document_id").as("doc_id"), col("text")),
         state.docs.select(col("document_id").as("doc_id"), col("text")), t)
         .select(col("doc_a").as("document_id")).distinct()
-        .cache()
+        .transform(cached)
     }
     val acceptedDocs = contentRejected match {
       case Some(rej) => nameAccepted.join(broadcast(rej), Seq("document_id"), "left_anti")
@@ -196,7 +219,7 @@ object CommandDispatch {
         when(col("action_code") === lag(col("action_code"), 1).over(w), 0).otherwise(1))
       .withColumn("__run", sum(col("__chg")).over(w))
       .drop("__chg")
-      .cache()
+      .transform(cached)
     val runIds = runs.select("__run").distinct().orderBy("__run")
       .collect().map(_.getLong(0))
     if (runIds.isEmpty) return dispatch(state, commands) // empty micro-batch
@@ -252,6 +275,9 @@ object CommandDispatch {
         messages.write.mode("overwrite").parquet(s"$dir/messages")
         // categories last: its _SUCCESS marks the snapshot complete for recovery
         next.categories.write.mode("overwrite").parquet(s"$dir/categories")
+        // snapshot + messages are on disk: the batch's cached frames are
+        // fully consumed, release them before the next micro-batch
+        releaseBatchCaches()
         onBatch(batchId, loadState(batchId).get)
       }
       .start()

@@ -32,10 +32,15 @@ class EngineSpec extends SparkSpec {
     store.mutate(df => Mutations.deleteWhere(df, col("id") === 2L))
     assert(store.read().count() === 1)
 
-    // crash recovery: a publish that died after claiming its directory
-    // but before the pointer swap leaves an orphan; the exclusive create
-    // refuses the retry until recoverOrphans prunes it
+    // crash recovery: a publish that died after claiming its version but
+    // before the pointer swap leaves a claim marker (and possibly a
+    // half-written directory); the exclusive claim create refuses the
+    // retry until recoverOrphans prunes both. The claim is a SEPARATE
+    // file precisely because Spark's overwrite write deletes and
+    // re-creates the data directory itself mid-publish — claiming the
+    // directory would reopen the two-writer race at that instant.
     val crashed = java.nio.file.Paths.get(root, "v_3")
+    Files.createFile(java.nio.file.Paths.get(root, "v_3.claim"))
     Files.createDirectory(crashed)
     Files.writeString(crashed.resolve("half-written"), "junk")
     Files.createDirectory(java.nio.file.Paths.get(root, "v_tmp")) // non-version junk survives
@@ -43,6 +48,7 @@ class EngineSpec extends SparkSpec {
       store.publish(Seq((9L, "Active")).toDF("id", "status"))
     }
     assert(store.recoverOrphans() === Seq("v_3"))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v_3.claim")))
     assert(Files.exists(java.nio.file.Paths.get(root, "v_tmp")))
     val v3 = store.publish(Seq((9L, "Active")).toDF("id", "status"))
     assert(v3 === "v_3" && store.read().count() === 1)
