@@ -76,6 +76,14 @@ object SparkEntry {
     "q_pack_sequences" -> (Curation.qPackSequences _),
     "q_curate" -> (Curation.qCurate _),
     "q_split" -> (Curation.qSplit _),
+    "q_chunk" -> (Curation.qChunk _),
+    "q_mixture" -> (Curation.qMixture _),
+    // --- text search / relevance extensions
+    "q_tfidf" -> (TextSearch.qTfidf _),
+    "q_bm25" -> (TextSearch.qBm25 _),
+    "q_contamination" -> (TextSearch.qContamination _),
+    "q_repetition" -> (TextAnalysis.qRepetition _),
+    "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
     // --- similarity search extensions
@@ -109,6 +117,11 @@ object SparkEntry {
     "q_sql_api" -> (Advanced.qSqlApi _),
     "q_cube" -> (Advanced.qCube _),
     "q_window_funcs" -> (Advanced.qWindowFuncs _),
+    "q_pivot" -> (Advanced.qPivot _),
+    "q_grouping_sets" -> (Advanced.qGroupingSets _),
+    "q_corr" -> (Advanced.qCorr _),
+    "q_histogram" -> (Advanced.qHistogram _),
+    "q_json" -> (Advanced.qJson _),
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
   )
 
@@ -567,5 +580,119 @@ object SparkEntry {
         "i -> CAST(ascii(text[CAST(frame_no * 64 + i AS INTEGER)]) AS BIGINT))), " +
         "(a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum " +
         "FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
+    "q_pivot" ->
+      ("SELECT user_id % 5 AS user_bucket, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS \"view\", " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error " +
+        "FROM events GROUP BY 1 ORDER BY user_bucket"),
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_corr" ->
+      ("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY 1), " +
+        "mm AS (SELECT l_returnflag, n, sx, sy, sxy, sxx, syy, CAST(n AS DOUBLE) AS nd, " +
+        "sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my FROM m) " +
+        "SELECT l_returnflag, n, " +
+        "round((sxy / nd - mx * my) / sqrt((sxx / nd - mx * mx) * (syy / nd - my * my)), 6) AS corr_qty_price, " +
+        "round((sxy - sx * sy / nd) / (nd - 1), 6) AS covar_qty_price " +
+        "FROM mm ORDER BY l_returnflag"),
+    "q_histogram" ->
+      ("SELECT bin, CAST(bin * 50000 AS DOUBLE) AS bin_lo, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM (SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bin, o_totalprice FROM orders) " +
+        "GROUP BY bin ORDER BY bin"),
+    "q_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events " +
+        "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 ORDER BY event_id"),
+    "q_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), " +
+        "scored AS (SELECT doc_id, term, round(tf * ln(nd / df), 6) AS score " +
+        "FROM tf JOIN dfq USING (term), nn), " +
+        "ranked AS (SELECT doc_id, term, score, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM scored) " +
+        "SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q_bm25" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(len(words)) AS DOUBLE) / count(*) AS avgdl FROM w), " +
+        "toks AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS term FROM w), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks " +
+        "WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2, 3), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "parts AS (SELECT doc_id, term, " +
+        "ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * CAST(2.2 AS DOUBLE)) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part " +
+        "FROM tf JOIN dfq USING (term), stats), " +
+        "agg AS (SELECT doc_id, round(" +
+        "coalesce(max(CASE WHEN term = 'spark' THEN part END), 0) + " +
+        "coalesce(max(CASE WHEN term = 'merge' THEN part END), 0) + " +
+        "coalesce(max(CASE WHEN term = 'window' THEN part END), 0), 6) AS bm25 " +
+        "FROM parts GROUP BY 1) " +
+        "SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20"),
+    "q_contamination" ->
+      ("WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "sh AS (SELECT doc_id, source, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+        "cp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0'), " +
+        "bp AS (SELECT doc_id AS bench_id, unnest(s) AS shingle FROM sh WHERE source = 'src0'), " +
+        "cm AS (SELECT cp.doc_id, bp.bench_id, count(*) AS common FROM cp JOIN bp USING (shingle) GROUP BY 1, 2) " +
+        "SELECT doc_id, count(*) AS n_bench_docs, max(common) AS max_overlap " +
+        "FROM cm WHERE common >= 3 GROUP BY 1 ORDER BY doc_id"),
+    "q_repetition" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "tok AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct FROM w), " +
+        "bg AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nw, " +
+        "unnest([words[i] || ' ' || words[i+1] for i in generate_series(1, len(words) - 1)]) AS bigram " +
+        "FROM w WHERE len(words) >= 2), " +
+        "bc AS (SELECT doc_id, nw, bigram, count(*) AS c FROM bg GROUP BY 1, 2, 3), " +
+        "bt AS (SELECT doc_id, max(c) AS top_bigram_count, max(nw - 1) AS n_bigrams FROM bc GROUP BY 1) " +
+        "SELECT t.doc_id, t.n_tokens, " +
+        "round(CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS dup_token_frac, " +
+        "round(coalesce(CAST(bt.top_bigram_count AS DOUBLE) / bt.n_bigrams, 0.0), 6) AS top_bigram_share " +
+        "FROM tok t LEFT JOIN bt ON t.doc_id = bt.doc_id ORDER BY t.doc_id"),
+    "q_pii_mask" ->
+      ("SELECT c_custkey, regexp_replace(regexp_replace(" +
+        "'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com or +1-555-' || " +
+        "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS masked " +
+        "FROM customer ORDER BY c_custkey"),
+    "q_chunk" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, words FROM w), " +
+        "c AS (SELECT doc_id, n_tokens, words, " +
+        "unnest(generate_series(0, (n_tokens - 1) // 48)) AS chunk_id FROM t) " +
+        "SELECT doc_id, chunk_id, " +
+        "CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_tokens, " +
+        "array_to_string(words[CAST(chunk_id * 48 + 1 AS BIGINT) : CAST(chunk_id * 48 + 64 AS BIGINT)], ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+    "q_mixture" ->
+      ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
+        "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +
+        "FROM documents GROUP BY source), " +
+        "rates AS (SELECT source, n_i, " +
+        "least(CAST(1.0 AS DOUBLE), w_i / sum(w_i) OVER () * sum(n_i) OVER () / n_i) AS rate FROM per), " +
+        "kept AS (SELECT d.source, r.n_i FROM documents d JOIN rates r USING (source) " +
+        "WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(d.text)), i -> CAST(ascii(d.text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % 1000000 < CAST(floor(r.rate * 1000000.0) AS BIGINT)) " +
+        "SELECT source, CAST(max(n_i) AS BIGINT) AS n_total, count(*) AS n_kept, " +
+        "round(CAST(count(*) AS DOUBLE) / max(n_i), 6) AS kept_frac " +
+        "FROM kept GROUP BY source ORDER BY source"),
   )
 }

@@ -227,4 +227,87 @@ object Advanced {
       .select(col("event_id"),
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
       .orderBy("event_id").limit(2000)
+
+  /** PIVOT: event-type counts as columns per user bucket. The pivot values
+    * are DECLARED (not discovered) so the plan is a single pass — Spark
+    * otherwise runs an extra distinct job to enumerate them, a full scan a
+    * 100 TB pipeline shouldn't pay for a fixed vocabulary. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(5L)))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // empty cells: match SQL conditional-count semantics
+      .orderBy("user_bucket")
+
+  /** GROUPING SETS — finer than rollup/cube: exactly the (flag,status),
+    * (flag), () groupings, one shuffle with grouping-id expansion. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("v_lineitem_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM v_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  /** Grouped Pearson correlation + sample covariance from EXACT decimal
+    * moments: the five sums are decimal-exact (order-independent), and only
+    * the final closed-form ratio runs in double — so the result is
+    * bit-identical on any partitioning AND matches the oracle, where
+    * Spark's native corr/covar_samp (a streaming double fold) is
+    * partitioning-dependent in the last ulps. One map-side-combined
+    * aggregation; the moment pattern is [[graft.functions.WelfordVariance]]'s
+    * documented decimal counterpart. */
+  def qCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val moments = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"),
+        sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"))
+    // the closed form runs in double with the SAME expression shape as the
+    // oracle SQL — identical IEEE ops on identical inputs, so no ulp drift
+    val nD = col("n").cast("double")
+    val mx = col("sx") / nD
+    val my = col("sy") / nD
+    moments.select(col("l_returnflag"), col("n"),
+      round((col("sxy") / nD - mx * my) /
+        sqrt((col("sxx") / nD - mx * mx) * (col("syy") / nD - my * my)), 6)
+        .as("corr_qty_price"),
+      round((col("sxy") - col("sx") * col("sy") / nD) / (nD - 1), 6)
+        .as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram of order totals: bin assignment is a narrow
+    * closed-form expression (no per-bin filtering passes), one grouped
+    * aggregation. */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long").as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("bin_lo", (col("bin") * 50000L).cast("double"))
+      .select("bin", "bin_lo", "n", "total")
+      .orderBy("bin")
+
+  /** JSON payload extraction (the events `props` column is a JSON string,
+    * like any event-bus payload): path extraction stays codegen'd and
+    * narrow — no UDF, no parse-to-struct materialization. */
+  def qJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 50L)
+      .orderBy("event_id")
 }

@@ -82,6 +82,72 @@ object Curation {
         sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"))
       .orderBy("split")
 
+  /** RAG-style token chunking: fixed `chunkSize`-token windows with
+    * `overlap` tokens of context repeated between consecutive chunks
+    * (stride = chunkSize - overlap). The same generator shape as the
+    * reference's 5/3 snippet windows (data_ingestion.py:39,190) at
+    * retrieval-chunk granularity: chunk k starts at token k*stride while
+    * that start is inside the document, so the tail is covered without
+    * emitting an empty trailing chunk. Narrow per-document work — the
+    * words array is materialized ONCE per row (see the re-evaluation
+    * caveat on [[Dedup.shinglesFromWords]]) and chunks explode from a
+    * sequence, never from a self-join. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkSize, s"overlap $overlap must be < chunkSize $chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"), col("words"))
+      .select(col("doc_id"), col("n_tokens"), col("words"),
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div $stride"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkSize.toLong), col("n_tokens") - col("chunk_id") * stride)
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("words"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize))).as("chunk_text"))
+  }
+
+  def qChunk(s: SparkSession, d: String): DataFrame =
+    chunkTokens(documents(s, d)).orderBy("doc_id", "chunk_id")
+
+  /** Domain-mixture sampling: hit a TARGET mixture over the `source`
+    * domains by computing one acceptance rate per domain and keeping rows
+    * by deterministic text-hash residue (same stability contract as
+    * [[hashSample]] — membership is a pure function of the row). Domain
+    * weights here derive from the source id (w = id%4 + 1, a stand-in for
+    * a mixture config); rate_i = min(1, (w_i/Σw) · N / n_i), i.e. the
+    * largest down-sample that respects the target shares without
+    * up-sampling. The rate table is domain-cardinality-sized (tiny),
+    * computed in one aggregation and broadcast back — the corpus itself
+    * is touched by exactly one narrow filter. */
+  def mixtureSample(docs: DataFrame, sourceCol: String): DataFrame = {
+    val wcol = (regexp_extract(col(sourceCol), "([0-9]+)$", 1).cast("long") % 4 + 1)
+      .cast("double")
+    val perSource = docs.groupBy(sourceCol)
+      .agg(count(lit(1)).cast("double").as("n_i"))
+      .withColumn("w_i", wcol)
+    // unpartitioned window over the domain table: ~#domains rows, not data
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = perSource
+      .withColumn("rate",
+        least(lit(1.0), col("w_i") / sum(col("w_i")).over(wAll)
+          * sum(col("n_i")).over(wAll) / col("n_i")))
+      .select(col(sourceCol), col("n_i"), col("rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(pmod(graft.functions.GraftFunctions.poly_hash(col("text")), lit(1000000L))
+        < floor(col("rate") * 1e6).cast("long"))
+  }
+
+  /** Per-domain kept/total accounting of the mixture sample. */
+  def qMixture(s: SparkSession, d: String): DataFrame =
+    mixtureSample(documents(s, d), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), max(col("n_i")).cast("long").as("n_total"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total"), 6).as("kept_frac"))
+      .orderBy("source")
+
   /** Oracle-checked COMPOSITE curation pipeline — the shape of a real
     * corpus-prep job: score quality, predict language, drop near-dup
     * non-survivors, keep docs passing every gate. Each stage is an

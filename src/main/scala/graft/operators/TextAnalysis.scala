@@ -98,6 +98,62 @@ object TextAnalysis {
     Tables.rebalance(documents(s, d), "doc_id")
       .select(col("doc_id"), fingerprint(col("text")).as("fp")).orderBy("doc_id")
 
+  /** Gopher-style repetition signals per document: the duplicate-token
+    * fraction (1 - distinct/total) and the share of the document taken by
+    * its single most frequent bigram — the two cheapest "degenerate text"
+    * detectors a corpus filter runs before any model-based scoring. All
+    * ratios are exact integer divisions in double (bit-identical on any
+    * engine); the bigram tally is one narrow explode + two keyed
+    * aggregations on scalar columns. */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.rebalance(documents(s, d), "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val tokenStats = base.select(col("doc_id"),
+      size(col("words")).cast("long").as("n_tokens"),
+      size(array_distinct(col("words"))).cast("long").as("n_distinct"))
+    // NOT word_ngrams: that expression emits DISTINCT n-grams (dedup
+    // semantics); repetition needs counts WITH multiplicity, so the
+    // bigram list is built positionally
+    val bigrams = base
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), size(col("words")).cast("long").as("nw"),
+        explode(transform(sequence(lit(1), size(col("words")) - 1),
+          i => concat_ws(" ", element_at(col("words"), i),
+            element_at(col("words"), i + 1)))).as("bigram"))
+      .groupBy("doc_id", "nw", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("top_bigram_count"),
+        max(col("nw") - 1).as("n_bigrams")) // nw is constant per doc_id
+    tokenStats.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(coalesce(col("top_bigram_count").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_share"))
+      .orderBy("doc_id")
+  }
+
+  /** PII masking: emails and phone-shaped digit runs are replaced with
+    * typed placeholders before any text leaves the pipeline. Patterns are
+    * RE2-safe (no lookbehind, portable to any regex engine); the rewrite
+    * is one codegen'd narrow projection. Exercised on synthetic contact
+    * strings derived from the customer dim (the corpus tables contain no
+    * real PII — by design). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def maskPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def qPiiMask(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(lit("Contact "), col("c_name"), lit(" at user"), col("c_custkey"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("c_custkey"), lit(10000L)).cast("string"), 4, "0")).as("contact"))
+      .select(col("c_custkey"), maskPii(col("contact")).as("masked"))
+      .orderBy("c_custkey")
+
   /** Corpus stats rollup: per (lang, source-bucket) aggregate of the
     * quality signals — the "dataset card" numbers of a training corpus. */
   def qTextStats(s: SparkSession, d: String): DataFrame =

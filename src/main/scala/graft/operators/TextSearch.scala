@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relevance ranking and cross-corpus overlap over the documents table:
+  * TF-IDF term weighting, BM25 keyword search, and benchmark-contamination
+  * detection. (Extensions beyond the reference per BASELINE.json's
+  * training-data north star; the reference's only text retrieval is the
+  * exact-name lookup, data_ingestion.py:328-334.)
+  *
+  * Scale design: everything is postings-list algebra — explode to
+  * (doc, term) rows, aggregate by key, join narrow term statistics back.
+  * No per-document iteration, no driver-side scoring; document frequency
+  * tables are tiny relative to the corpus (vocabulary-sized) and broadcast.
+  * Determinism: scores combine EXACT integer counts in double arithmetic
+  * with the same expression shape as the oracle SQL (IEEE ops on identical
+  * inputs), rounded to 6 places before any ranking, and ranking ties break
+  * on the term string.
+  */
+object TextSearch {
+  import Tables._
+
+  /** (doc_id, term) token postings with per-document length. */
+  private def postings(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("term"))
+
+  /** Per-(doc, term) frequency + per-term document frequency. `nDocs` is
+    * passed in (one cheap metadata-only count on the caller's side) so the
+    * plan needs no 1-row cross join, which the engine's plan audit bans. */
+  def tfIdf(docs: DataFrame, nDocs: Long): DataFrame = {
+    val tf = postings(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+  }
+
+  /** Top-3 TF-IDF terms per document (rank ties broken by term — the
+    * rounded score is what's ranked, in both engines). */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count()
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tfIdf(docs, n)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** BM25 scoring of a fixed term set (k1=1.2, b=0.75, the standard
+    * Robertson/Sparck Jones idf with +1 inside the log so it stays
+    * positive). `nDocs`/`avgdl` come from one aggregate on the caller's
+    * side; both are embedded as literals so the per-document math is a
+    * narrow broadcast-join + fold. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  def bm25(docs: DataFrame, terms: Seq[String], nDocs: Long, avgdl: Double): DataFrame = {
+    val tf = postings(docs)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // literals are written exactly as the oracle SQL writes them (2.2, not
+    // Bm25K1 + 1 — the Scala double sum 1.2 + 1 need not equal the parsed
+    // literal 2.2 in the last ulp)
+    val idf: Column = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val norm: Column = lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))
+    // fixed-order summation: a float sum over a shuffled group is
+    // order-dependent in the last ulp, which would make the score depend
+    // on partitioning. The term set is a fixed literal list, so pivot the
+    // per-term parts into columns and add them in declaration order —
+    // bit-identical on any cluster layout and in the oracle.
+    val parts = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("part", idf * (col("tf") * lit(2.2)) / (col("tf") + norm))
+      .groupBy("doc_id").pivot("term", terms).agg(max(col("part")))
+    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0))).reduceLeft(_ + _)
+    parts.select(col("doc_id"), round(total, 6).as("bm25"))
+  }
+
+  /** Top-20 documents for the query {"spark", "merge", "window"}. */
+  val Bm25Query: Seq[String] = Seq("spark", "merge", "window")
+
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val r = docs.agg(count(lit(1)),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head()
+    val n = r.getLong(0)
+    val avgdl = r.getLong(1).toDouble / n
+    bm25(docs, Bm25Query, n, avgdl)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("bm25"))
+  }
+
+  /** Benchmark-contamination check: which corpus documents share at least
+    * `minCommon` word-3-gram shingles with any document of the held-out
+    * benchmark set? The join runs on the inverted shingle postings
+    * (shingle -> doc), never document-to-document — the same sub-quadratic
+    * shape as the exact dedup path; the benchmark side is the small
+    * relation and its postings broadcast. */
+  def contamination(corpus: DataFrame, bench: DataFrame, minCommon: Long): DataFrame = {
+    def sh(df: DataFrame): DataFrame =
+      Tables.rebalance(df, "doc_id")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          explode(Dedup.shinglesFromWords(col("words"))).as("shingle"))
+    sh(corpus).select(col("doc_id"), col("shingle"))
+      .join(broadcast(sh(bench).select(col("doc_id").as("bench_id"), col("shingle"))),
+        Seq("shingle"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bench_docs"),
+        max(col("common")).as("max_overlap"))
+  }
+
+  /** Contamination of the corpus (sources != src0) against the src0 slice
+    * treated as the benchmark set. */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    contamination(docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), minCommon = 3L)
+      .orderBy("doc_id")
+  }
+}

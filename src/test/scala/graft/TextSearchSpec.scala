@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Curation, TextAnalysis, TextSearch}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the search/curation round-3 operators, checked on
+  * planted fixtures (the oracle gate checks value parity; these check the
+  * operators MEAN what they claim). */
+class TextSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25: a document matching more query terms outranks partial matches") {
+    val docs = Seq(
+      (1L, "spark merge window spark merge window extra words here"),
+      (2L, "spark only appears here with other filler tokens now"),
+      (3L, "no relevant terms at all in this filler document"),
+      (4L, "merge window but not the third term anywhere else")
+    ).toDF("doc_id", "text")
+    val scored = TextSearch.bm25(docs, TextSearch.Bm25Query, nDocs = 4L, avgdl = 9.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scored.contains(3L), "doc without query terms must not score")
+    assert(scored(1L) > scored(4L), s"3-term match must beat 2-term: $scored")
+    assert(scored(4L) > scored(2L), s"2-term match must beat 1-term: $scored")
+  }
+
+  test("tf-idf: corpus-wide terms get zero weight, distinctive terms rank first") {
+    val docs = Seq(
+      (1L, "common common unique1 unique1 unique1"),
+      (2L, "common rare2 filler"),
+      (3L, "common other3 filler")
+    ).toDF("doc_id", "text")
+    val rows = TextSearch.tfIdf(docs, nDocs = 3L).collect()
+    val byDocTerm = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+      r.getAs[Double]("score")).toMap
+    // 'common' appears in every doc: idf = ln(3/3) = 0
+    assert(byDocTerm((1L, "common")) === 0.0)
+    // doc 1's top term is its repeated unique term
+    assert(byDocTerm((1L, "unique1")) > byDocTerm((1L, "common")))
+  }
+
+  test("contamination: an exact copy of a benchmark doc is flagged, clean docs are not") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // copy
+      (2L, "totally different words with no shared trigrams here at all")
+    ).toDF("doc_id", "text")
+    val flagged = TextSearch.contamination(corpus, bench, minCommon = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(1L))
+  }
+
+  test("repetition: degenerate text scores higher than diverse text on both signals") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "s", 1L),
+      (2L, "each word here appears exactly once in text", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet("/tmp/graft_rep_docs/documents.parquet")
+    val r = TextAnalysis.qRepetition(spark, "/tmp/graft_rep_docs")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 > r(2L)._1, s"dup fraction should flag doc 1: $r")
+    assert(r(1L)._2 > r(2L)._2, s"top-bigram share should flag doc 1: $r")
+    assert(r(2L)._1 === 0.0)
+  }
+
+  test("pii mask removes planted emails and phone runs") {
+    val masked = Seq((1L, "mail jane.doe+x@corp.example.org or call +44-20-7946-0958 now"))
+      .toDF("id", "contact")
+      .select(TextAnalysis.maskPii(col("contact")).as("m")).as[String].head()
+    assert(masked === "mail <EMAIL> or call <PHONE> now", masked)
+  }
+
+  test("chunking: consecutive chunks overlap by exactly `overlap` tokens") {
+    val docs = Seq((1L, (1 to 150).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(docs, chunkSize = 64, overlap = 16)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 4) // starts at 0, 48, 96, 144 (tail start < 150)
+    val words = (1 to 150).map(i => s"t$i")
+    chunks.zipWithIndex.foreach { case (r, k) =>
+      val text = r.getAs[String]("chunk_text").split(" ")
+      assert(text.head === words(k * 48), s"chunk $k starts at token ${k * 48}")
+      assert(text.length === math.min(64, 150 - k * 48).toInt)
+    }
+    // overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    val c0 = chunks(0).getAs[String]("chunk_text").split(" ")
+    val c1 = chunks(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(16).toSeq === c1.take(16).toSeq)
+  }
+
+  test("mixture sampling respects per-domain rates and is repartition-invariant") {
+    // 4 domains x 10 docs; weights from the source suffix (id%4+1):
+    // src1->2, src2->3, src3->4, src4->1; sum_w=10, N=40, n_i=10 so
+    // rate_i = min(1, 0.4*w_i): src2/src3 keep everything, src4 keeps ~40%
+    val docs = (1 to 40).map(i => (i.toLong, s"document number $i with its own words", s"src${(i - 1) / 10 + 1}"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.mixtureSample(docs, "source")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource.getOrElse("src2", 0) === 10, s"rate 1.2 clamps to keep-all: $bySource")
+    assert(bySource.getOrElse("src3", 0) === 10, s"rate 1.6 clamps to keep-all: $bySource")
+    assert(bySource.getOrElse("src4", 0) < 10, s"rate 0.4 must down-sample: $bySource")
+    val keptShuffled = Curation.mixtureSample(docs.repartition(7), "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet === keptShuffled,
+      "membership must be a pure function of the row")
+  }
+}
