@@ -104,6 +104,29 @@ object ScaleProbe {
     time("fingerprint", nDocs) {
       docs.select(graft.functions.GraftFunctions.poly_hash(col("text"))).count()
     }
+    // round-3 operators
+    time("tfidf", nDocs) { TextSearch.tfIdf(docs, nDocs).count() }
+    time("bm25", nDocs) {
+      val r = docs.agg(count(lit(1)),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head()
+      TextSearch.bm25(docs, TextSearch.Bm25Query, r.getLong(0),
+        r.getLong(1).toDouble / r.getLong(0)).count()
+    }
+    time("contamination", nDocs) {
+      // benchmark sets are FIXED SIZE in practice (a benchmark suite does
+      // not grow with the training corpus), so the bench side stays at
+      // replica 0's src0 slice (500 docs at any multiplier): the postings
+      // join cost sum(freq_corpus * freq_bench) then grows linearly with
+      // the corpus. Scaling the bench side WITH the corpus reproduces the
+      // saturated-vocab quadratic shape of SCALE.md finding 4 instead.
+      TextSearch.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0" &&
+          pmod(col("doc_id"), lit(mult.toLong)) === 0), 3L).count()
+    }
+    time("chunk", nDocs) { Curation.chunkTokens(docs).count() }
+    time("mixture", nDocs) { Curation.mixtureSample(docs, "source").count() }
+    time("repetition", nDocs) { TextAnalysis.repetition(docs).count() }
     spark.stop()
   }
 }

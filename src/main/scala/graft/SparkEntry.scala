@@ -89,6 +89,7 @@ object SparkEntry {
     // --- similarity search extensions
     "q_topk" -> (Similarity.qTopK _),
     "q_embed_dup" -> (Similarity.qEmbedDup _),
+    "q_centroids" -> (Similarity.qCentroids _),
     // --- event analytics extensions
     "q_event_window" -> (EventAnalytics.qEventWindow _),
     "q_sessionize" -> (EventAnalytics.qSessionize _),
@@ -681,6 +682,13 @@ object SparkEntry {
         "CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_tokens, " +
         "array_to_string(words[CAST(chunk_id * 48 + 1 AS BIGINT) : CAST(chunk_id * 48 + 64 AS BIGINT)], ' ') AS chunk_text " +
         "FROM c ORDER BY doc_id, chunk_id"),
+    "q_centroids" ->
+      ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
+        "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +
+        "g AS (SELECT label, pos, count(*) AS n, " +
+        "sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS sv FROM e GROUP BY 1, 2) " +
+        "SELECT label, pos, round(CAST(sv AS DOUBLE) / n, 6) AS centroid " +
+        "FROM g ORDER BY label, pos"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

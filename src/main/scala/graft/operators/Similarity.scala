@@ -280,4 +280,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
   }
+
+  /** Per-label mean embedding (class prototypes — the few-shot/centroid
+    * classifier a labeled corpus trains for free). Shape: posexplode to
+    * (label, pos, value) scalars, one grouped aggregation — the embedding
+    * arrays never travel through an exchange, and the output is
+    * labels x dim rows however large the corpus is. Determinism: each
+    * component is rounded to 6 places and summed as DECIMAL (exact,
+    * order-independent), because a raw float sum over a shuffled group
+    * depends on arrival order in the last ulps — same rule as the BM25
+    * fixed-order sum. */
+  def qCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("col").cast("double"), 6).cast("decimal(18,6)")).as("sv"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("sv").cast("double") / col("n"), 6).as("centroid"))
+      .orderBy("label", "pos")
 }

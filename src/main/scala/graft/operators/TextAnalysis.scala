@@ -105,8 +105,8 @@ object TextAnalysis {
     * ratios are exact integer divisions in double (bit-identical on any
     * engine); the bigram tally is one narrow explode + two keyed
     * aggregations on scalar columns. */
-  def qRepetition(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.rebalance(documents(s, d), "doc_id")
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = Tables.rebalance(docs, "doc_id")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
     val tokenStats = base.select(col("doc_id"),
       size(col("words")).cast("long").as("n_tokens"),
@@ -130,8 +130,10 @@ object TextAnalysis {
           .as("dup_token_frac"),
         round(coalesce(col("top_bigram_count").cast("double") / col("n_bigrams"), lit(0.0)), 6)
           .as("top_bigram_share"))
-      .orderBy("doc_id")
   }
+
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    repetition(documents(s, d)).orderBy("doc_id")
 
   /** PII masking: emails and phone-shaped digit runs are replaced with
     * typed placeholders before any text leaves the pipeline. Patterns are

@@ -52,11 +52,10 @@ class TextSearchSpec extends SparkSpec {
 
   test("repetition: degenerate text scores higher than diverse text on both signals") {
     val docs = Seq(
-      (1L, "spam spam spam spam spam spam spam spam", "en", "s", 1L),
-      (2L, "each word here appears exactly once in text", "en", "s", 1L)
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.write.mode("overwrite").parquet("/tmp/graft_rep_docs/documents.parquet")
-    val r = TextAnalysis.qRepetition(spark, "/tmp/graft_rep_docs")
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once in text")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs)
       .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
     assert(r(1L)._1 > r(2L)._1, s"dup fraction should flag doc 1: $r")
     assert(r(1L)._2 > r(2L)._2, s"top-bigram share should flag doc 1: $r")
