@@ -69,6 +69,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_auto" -> (Dedup.qDedupAuto _),  // rows-only: LSH branch is approximate by design
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
+    "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     // --- corpus curation extensions
@@ -133,7 +134,7 @@ object SparkEntry {
     * verification. Every constant (LCG-derived a_i/b_i, band count, prime)
     * comes from the Scala source of truth, so the oracle can never drift
     * from the engine. */
-  private lazy val minhashOracleSql: String = {
+  private def minhashOracleFor(pairCondition: String): String = {
     val sigTerms = Dedup.hashParams.map { case (a, b) =>
       s"list_min(list_transform(cs, x -> ($a*x + $b) % ${Dedup.Prime}))"
     }.mkString(", ")
@@ -148,12 +149,18 @@ object SparkEntry {
       s"bands AS (SELECT doc_id, unnest(generate_series(0, ${Dedup.Bands - 1})) AS band, sig FROM sigs), " +
       s"keys AS (SELECT doc_id, band, array_to_string(sig[band*$rpb+1 : band*$rpb+$rpb], ',') AS band_key FROM bands), " +
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a " +
-      "JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+      s"JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND $pairCondition), " +
       "verified AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) " +
       "/ (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j FROM cands " +
       "JOIN codes sa ON cands.doc_a = sa.doc_id JOIN codes sb ON cands.doc_b = sb.doc_id) " +
       "SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5 ORDER BY doc_a, doc_b"
   }
+
+  private lazy val minhashOracleSql: String = minhashOracleFor("a.doc_id < b.doc_id")
+
+  /** Incremental probe: incoming = odd ids, persisted index = even ids. */
+  private lazy val minhashIncrementalOracleSql: String =
+    minhashOracleFor("a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")
 
   /** DuckDB replica of the banded SimHash pipeline, generated from
     * [[Dedup.SimhashBands]]/[[Dedup.SimhashBandBits]]/[[Dedup.SimhashBucketCap]].
@@ -224,6 +231,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_scan_project" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",

@@ -383,6 +383,20 @@ object Dedup {
       threshold: Double): DataFrame =
     crossNearDupsSigs(sigsOf(shingleIndex(incoming)), spark.read.parquet(path), threshold)
 
+  /** Oracle-gated incremental-ingestion demo: the even-id half of the
+    * corpus is written out as the persisted MinHash index, then the odd-id
+    * half arrives as an incoming batch and probes it — the end-to-end
+    * [[writeIndex]]/[[probeIndex]] path a streaming pipeline runs per
+    * micro-batch, checked against a DuckDB replica of the same split. The
+    * index round-trips through parquet in a fresh temp dir per call. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    writeIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+    probeIndex(s, dir, docs.filter(col("doc_id") % 2 =!= 0), 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def crossNearDupsSigs(ls: DataFrame, rs: DataFrame,
       threshold: Double): DataFrame = {
     val pairs = bandsOf(ls).select(col("band"), col("band_key"), col("doc_id").as("doc_a"))

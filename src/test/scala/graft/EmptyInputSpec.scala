@@ -32,6 +32,15 @@ class EmptyInputSpec extends SparkSpec {
   test("curation operators on an empty corpus") {
     assert(Curation.hashSample(emptyDocs, "text", 8).count() === 0)
     assert(Curation.packSequences(emptyDocs, "lang").count() === 0)
+    assert(Curation.chunkTokens(emptyDocs).count() === 0)
+    assert(Curation.mixtureSample(emptyDocs, "source").count() === 0)
+  }
+
+  test("search/relevance operators on an empty corpus") {
+    assert(TextSearch.tfIdf(emptyDocs, 0L).count() === 0)
+    assert(TextSearch.bm25(emptyDocs, TextSearch.Bm25Query, 0L, 1.0).count() === 0)
+    assert(TextSearch.contamination(emptyDocs, emptyDocs, 3L).count() === 0)
+    assert(TextAnalysis.repetition(emptyDocs).count() === 0)
   }
 
   test("snippet pipeline on an empty corpus") {
