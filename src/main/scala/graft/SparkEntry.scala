@@ -49,6 +49,8 @@ object SparkEntry {
     "q_date_funcs" -> (Relational.dateFuncs _),
     // --- set ops (SURVEY §2.7)
     "q_union_restore" -> (Relational.unionRestore _),
+    "q_setops" -> (Relational.qSetOps _),
+    "q_reservoir" -> (Relational.qReservoir _),
     // --- mutations as snapshot transforms (SURVEY §2.8)
     "q_upsert" -> (Mutations.qUpsert _),
     "q_status_update" -> (Mutations.qStatusUpdate _),
@@ -589,6 +591,17 @@ object SparkEntry {
         "i -> CAST(ascii(text[CAST(frame_no * 64 + i AS INTEGER)]) AS BIGINT))), " +
         "(a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum " +
         "FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
+    "q_setops" ->
+      ("SELECT custkey, 'no_orders' AS tag FROM " +
+        "(SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders) " +
+        "UNION ALL " +
+        "SELECT custkey, 'with_orders' AS tag FROM " +
+        "(SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders) " +
+        "ORDER BY tag, custkey"),
+    "q_reservoir" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS h FROM documents ORDER BY h, doc_id LIMIT 64"),
     "q_pivot" ->
       ("SELECT user_id % 5 AS user_bucket, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +

@@ -185,4 +185,29 @@ object Relational {
     val r = region(s, d).select("r_regionkey", "r_name")
     r.unionByName(r).distinct().orderBy("r_regionkey")
   }
+
+  /** EXCEPT / INTERSECT set ops (the §2.7 family beyond union): customers
+    * that never ordered vs customers that did — each a distinct-based set
+    * difference/intersection Catalyst plans as an aggregate + hash
+    * anti/semi join (no sort, no cartesian). */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey").as("custkey"))
+    val o = orders(s, d).select(col("o_custkey").as("custkey"))
+    c.except(o).withColumn("tag", lit("no_orders"))
+      .unionByName(c.intersect(o).withColumn("tag", lit("with_orders")))
+      .orderBy("tag", "custkey")
+  }
+
+  /** Deterministic bottom-k "reservoir" sample: the k rows with the
+    * smallest text-hash values form a uniform without-replacement sample
+    * that is (a) a pure function of the data — stable across reruns,
+    * partitionings, engines — and (b) MERGEABLE: the bottom-k of a union
+    * is the bottom-k of the per-shard bottom-k's, so each executor ships
+    * only k candidate rows and the plan is a TakeOrdered, never a full
+    * sort shuffle. The classic bottom-k sketch, and the scale-safe answer
+    * to "give me a reproducible 64-doc sample of a 100 TB corpus". */
+  def qReservoir(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), graft.functions.GraftFunctions.poly_hash(col("text")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(64)
 }

@@ -81,6 +81,13 @@ class PlanSpec extends SparkSpec {
       s"sampling must stay narrow:\n$pSample")
   }
 
+  test("bottom-k reservoir plans TakeOrdered, not a global sort") {
+    // each partition ships only its k smallest hashes to the driver-side
+    // merge — the mergeable bottom-k sketch shape, no full sort shuffle
+    val p = plan("q_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("plan audit: exchanges carry arrays only where the design says so") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
