@@ -198,14 +198,19 @@ object Dedup {
   def ngramStats(docs: DataFrame): NgramStats = {
     val nDocs = docs.count()
     val f = if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
-    // Sampling must be a pure function of the ROW, not of the partitioning:
-    // df.sample's Bernoulli draw depends on split boundaries, so the stats —
-    // and with them the strategy choice — could differ across parallelism.
-    // A doc_id-hash filter keeps membership identical on any cluster layout.
-    val base = if (f >= 1.0) docs
-      else docs.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((f * 1e6).toLong))
-    ngramStatsIdx(shingleIndex(base), nDocs, f)
+    if (f >= 1.0) ngramStatsIdx(shingleIndex(docs), nDocs, 1.0)
+    else ngramStatsSampled(docs, nDocs, f)
   }
+
+  /** Stats over a doc-id-hash sample. Sampling must be a pure function of
+    * the ROW, not of the partitioning: df.sample's Bernoulli draw depends
+    * on split boundaries, so the stats — and with them the strategy
+    * choice — could differ across parallelism. A doc_id-hash filter keeps
+    * membership identical on any cluster layout. */
+  private def ngramStatsSampled(docs: DataFrame, nDocs: Long, f: Double): NgramStats =
+    ngramStatsIdx(shingleIndex(
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((f * 1e6).toLong))),
+      nDocs, f)
 
   private def ngramStatsIdx(sh: DataFrame, nDocs: Long, f: Double): NgramStats = {
     val dfreq = sh.select(explode(col("sh")).as("shingle"))
@@ -255,15 +260,28 @@ object Dedup {
     * strongly-similar pairs, by band collision probability). */
   def ngramNearDupsAuto(docs: DataFrame, threshold: Double,
       pairBudgetPerDoc: Double = 512.0): DataFrame = {
-    val st = ngramStats(docs)
+    val nDocs = docs.count()
+    val f = if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
+    // under the sampling threshold the stats pass and the chosen strategy
+    // read the SAME full index — build (and checkpoint) it once; above it,
+    // stats run on the doc-hash sample and the strategy re-shingles only
+    // its own input (the sample index is useless to it)
+    val sharedIdx = if (f >= 1.0) Some(shingleIndex(docs)) else None
+    val st = sharedIdx match {
+      case Some(idx) => ngramStatsIdx(idx, nDocs, 1.0)
+      case None => ngramStatsSampled(docs, nDocs, f)
+    }
     val strategy = chooseNgramStrategy(st, pairBudgetPerDoc)
     log.info(s"ngram dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
       f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
       s"budget=$pairBudgetPerDoc")
-    strategy match {
-      case NgramInverted => ngramNearDups(docs, threshold)
-      case NgramPrefix => ngramNearDupsPrefix(docs, threshold)
-      case NgramLsh => minhashNearDups(docs, threshold)
+    (strategy, sharedIdx) match {
+      case (NgramInverted, Some(idx)) => ngramNearDupsIdx(idx, threshold)
+      case (NgramPrefix, Some(idx)) => ngramNearDupsPrefixIdx(idx, threshold)
+      case (NgramLsh, Some(idx)) => minhashNearDupsIdx(idx, threshold)
+      case (NgramInverted, None) => ngramNearDups(docs, threshold)
+      case (NgramPrefix, None) => ngramNearDupsPrefix(docs, threshold)
+      case (NgramLsh, None) => minhashNearDups(docs, threshold)
     }
   }
 
