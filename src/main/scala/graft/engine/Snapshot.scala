@@ -51,6 +51,10 @@ class Snapshot(spark: SparkSession, root: String) {
     Files.writeString(tmp, next)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // the claim is moot once CURRENT has moved (any new publisher computes
+    // a higher version) — drop it so markers don't accumulate one per
+    // publish on a long-lived store
+    Files.deleteIfExists(Paths.get(root, next + ".claim"))
     next
   }
 
@@ -67,14 +71,17 @@ class Snapshot(spark: SparkSession, root: String) {
     * and untouched. Returns the pruned version names. */
   def recoverOrphans(): Seq[String] = {
     val current = currentVersion().map(_.stripPrefix("v_").toLong).getOrElse(-1L)
-    def versionAbove(name: String): Boolean =
+    def versionOf(name: String): Option[Long] =
       scala.util.Try(name.stripPrefix("v_").stripSuffix(".claim").toLong)
-        .toOption.exists(_ > current) // ignore non-version entries
+        .toOption // None = non-version entry, ignored
     val entries = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("v_"))
-    val orphans = entries.filter(f => f.isDirectory && versionAbove(f.getName))
+    val orphans = entries.filter(f => f.isDirectory && versionOf(f.getName).exists(_ > current))
+    // claims: above CURRENT = crashed publish (the wedge this method
+    // exists for); at or below = left by a pre-cleanup version — stale
+    // either way, and published data dirs are never touched
     val claims = entries.filter(f => f.isFile && f.getName.endsWith(".claim") &&
-      versionAbove(f.getName))
+      versionOf(f.getName).isDefined)
     orphans.foreach { dir =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -64,12 +64,13 @@ object Tables {
     // the repartition is for; a well-split 100 TB table has >> target files
     // and this is a no-op.
     // inputFiles is empty for any non-file-backed frame (in-memory test
-    // data, streaming micro-batches, Seq.toDF) — there the file heuristic
-    // would unconditionally shuffle even tiny frames, so fall back to the
-    // frame's real partition count (cheap to plan for local relations).
+    // data, streaming micro-batches, shuffle-derived frames) — skip the
+    // repartition there: local relations parallelize to default
+    // parallelism on their own, micro-batches and shuffle outputs are
+    // already partitioned, and probing df.rdd.getNumPartitions instead
+    // would EXECUTE the upstream stages under AQE just to count them.
     val files = df.inputFiles.length
-    val current = if (files > 0) files else df.rdd.getNumPartitions
-    if (current * 2 < target)
+    if (files > 0 && files * 2 < target)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }

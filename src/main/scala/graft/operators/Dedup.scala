@@ -206,11 +206,23 @@ object Dedup {
     * the ROW, not of the partitioning: df.sample's Bernoulli draw depends
     * on split boundaries, so the stats — and with them the strategy
     * choice — could differ across parallelism. A doc_id-hash filter keeps
-    * membership identical on any cluster layout. */
-  private def ngramStatsSampled(docs: DataFrame, nDocs: Long, f: Double): NgramStats =
+    * membership identical on any cluster layout.
+    *
+    * The 1/f^2 correction uses the REALIZED fraction threshold/modulus,
+    * not the requested f: the threshold floors to an integer residue, and
+    * correcting by the requested f would bias estPairs (and can't go to
+    * zero — the threshold clamps to >= 1, so the sample never silently
+    * empties however large the corpus). Modulus 2^30 keeps the floor
+    * error below 1e-9 of the fraction. */
+  private val SampleModulus = 1L << 30
+
+  private def ngramStatsSampled(docs: DataFrame, nDocs: Long, f: Double): NgramStats = {
+    val threshold = math.max(1L, (f * SampleModulus).toLong)
+    val fReal = threshold.toDouble / SampleModulus
     ngramStatsIdx(shingleIndex(
-      docs.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((f * 1e6).toLong))),
-      nDocs, f)
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(SampleModulus)) < lit(threshold))),
+      nDocs, fReal)
+  }
 
   private def ngramStatsIdx(sh: DataFrame, nDocs: Long, f: Double): NgramStats = {
     val dfreq = sh.select(explode(col("sh")).as("shingle"))
@@ -406,10 +418,12 @@ object Dedup {
     * half arrives as an incoming batch and probes it — the end-to-end
     * [[writeIndex]]/[[probeIndex]] path a streaming pipeline runs per
     * micro-batch, checked against a DuckDB replica of the same split. The
-    * index round-trips through parquet in a fresh temp dir per call. */
+    * index round-trips through parquet at a fixed per-user temp path,
+    * overwritten per call — repeated verify/bench runs reuse the one
+    * directory instead of accumulating a fresh copy each invocation. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_${System.getProperty("user.name")}"
     writeIndex(docs.filter(col("doc_id") % 2 === 0), dir)
     probeIndex(s, dir, docs.filter(col("doc_id") % 2 =!= 0), 0.5)
       .orderBy("doc_a", "doc_b")

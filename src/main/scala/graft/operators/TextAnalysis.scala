@@ -135,14 +135,21 @@ object TextAnalysis {
   def qRepetition(s: SparkSession, d: String): DataFrame =
     repetition(documents(s, d)).orderBy("doc_id")
 
-  /** PII masking: emails and phone-shaped digit runs are replaced with
-    * typed placeholders before any text leaves the pipeline. Patterns are
+  /** PII masking: emails and phone-shaped numbers are replaced with typed
+    * placeholders before any text leaves the pipeline. Patterns are
     * RE2-safe (no lookbehind, portable to any regex engine); the rewrite
     * is one codegen'd narrow projection. Exercised on synthetic contact
     * strings derived from the customer dim (the corpus tables contain no
-    * real PII — by design). */
+    * real PII — by design).
+    *
+    * The phone pattern requires SEPARATOR-grouped digits (+1-555-0001,
+    * 44-20-7946-0958): a bare "any 8+ digit run" rule also swallowed ids
+    * like Customer#000000001, and a space inside the class bridged
+    * unrelated numbers across whitespace. Separator-free runs are ID
+    * territory — mask them with a dedicated rule only where the schema
+    * says a column holds phone numbers. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val PhoneRe = "\\+?[0-9]{1,4}(-[0-9]{2,6}){1,4}"
 
   def maskPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")

@@ -60,22 +60,29 @@ object CommandDispatch {
     * Inside a long-lived foreachBatch stream those blocks would otherwise
     * accumulate across micro-batches until executor-cache pressure evicts
     * them, so [[runStream]] releases them once the batch's snapshot and
-    * messages are on disk (the caches are fully consumed by then). Batch
-    * callers that materialize results themselves may call
-    * [[releaseBatchCaches]] at the same point; leaving them cached merely
-    * reproduces the old behavior. */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    * messages are on disk (the caches are fully consumed by then).
+    *
+    * The registry is THREAD-scoped (each streaming query executes its
+    * micro-batches on its own thread): a JVM-global queue would let one
+    * stream's release unpersist a concurrent stream's in-flight caches.
+    * Outside [[withBatchCaches]] (plain batch callers) frames are cached
+    * without registration — the pre-existing behavior. */
+  private val batchCaches = new scala.util.DynamicVariable[
+    Option[scala.collection.mutable.ArrayBuffer[DataFrame]]](None)
 
   private def cached(df: DataFrame): DataFrame = {
     val c = df.cache()
-    liveCaches.add(c)
+    batchCaches.value.foreach(_ += c)
     c
   }
 
-  /** Unpersist every frame cached by dispatch calls since the last release. */
-  def releaseBatchCaches(): Unit = {
-    var d = liveCaches.poll()
-    while (d != null) { d.unpersist(blocking = false); d = liveCaches.poll() }
+  /** Run `body` with a fresh cache registry, then unpersist everything the
+    * enclosed dispatch calls cached. The result of `body` must already be
+    * MATERIALIZED (written out) when it returns. */
+  def withBatchCaches[A](body: => A): A = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try batchCaches.withValue(Some(buf))(body)
+    finally buf.foreach(_.unpersist(blocking = false))
   }
 
   private def dispatchWith(state: EngineState, commands: DataFrame,
@@ -266,18 +273,20 @@ object CommandDispatch {
       (w, c) => w.option("checkpointLocation", c))
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val base = if (batchId == 0) initial else latestBelow(batchId).getOrElse(initial)
-        val (next, messages) = dispatcher(base, batch)
-        // materialize snapshots so state does not re-read mutated streams
-        val dir = s"$stateDir/$batchId"
-        next.docs.write.mode("overwrite").parquet(s"$dir/docs")
-        next.snippets.write.mode("overwrite").parquet(s"$dir/snippets")
-        messages.write.mode("overwrite").parquet(s"$dir/messages")
-        // categories last: its _SUCCESS marks the snapshot complete for recovery
-        next.categories.write.mode("overwrite").parquet(s"$dir/categories")
-        // snapshot + messages are on disk: the batch's cached frames are
-        // fully consumed, release them before the next micro-batch
-        releaseBatchCaches()
+        // the registry scope ends after the writes below: snapshot +
+        // messages are on disk by then, so the batch's cached frames are
+        // fully consumed and safe to unpersist
+        withBatchCaches {
+          val base = if (batchId == 0) initial else latestBelow(batchId).getOrElse(initial)
+          val (next, messages) = dispatcher(base, batch)
+          // materialize snapshots so state does not re-read mutated streams
+          val dir = s"$stateDir/$batchId"
+          next.docs.write.mode("overwrite").parquet(s"$dir/docs")
+          next.snippets.write.mode("overwrite").parquet(s"$dir/snippets")
+          messages.write.mode("overwrite").parquet(s"$dir/messages")
+          // categories last: its _SUCCESS marks the snapshot complete for recovery
+          next.categories.write.mode("overwrite").parquet(s"$dir/categories")
+        }
         onBatch(batchId, loadState(batchId).get)
       }
       .start()

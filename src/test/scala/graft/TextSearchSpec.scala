@@ -62,11 +62,12 @@ class TextSearchSpec extends SparkSpec {
     assert(r(2L)._1 === 0.0)
   }
 
-  test("pii mask removes planted emails and phone runs") {
-    val masked = Seq((1L, "mail jane.doe+x@corp.example.org or call +44-20-7946-0958 now"))
+  test("pii mask removes emails and separator-grouped phones, keeps bare ids") {
+    val masked = Seq((1L, "mail jane.doe+x@corp.example.org or call +44-20-7946-0958 re id 000123456"))
       .toDF("id", "contact")
       .select(TextAnalysis.maskPii(col("contact")).as("m")).as[String].head()
-    assert(masked === "mail <EMAIL> or call <PHONE> now", masked)
+    // the bare digit run is an ID, not a phone — it must survive
+    assert(masked === "mail <EMAIL> or call <PHONE> re id 000123456", masked)
   }
 
   test("chunking: consecutive chunks overlap by exactly `overlap` tokens") {
