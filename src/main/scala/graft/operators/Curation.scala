@@ -92,6 +92,17 @@ object Curation {
     * words array is materialized ONCE per row (see the re-evaluation
     * caveat on [[Dedup.shinglesFromWords]]) and chunks explode from a
     * sequence, never from a self-join. */
+  /** Pure kernel of [[chunkTokens]]'s layout math — (chunk_id, start,
+    * length) per chunk for an `nTokens`-token document. Property-tested in
+    * ChunkProps; the DataFrame operator is asserted equal on fixtures. */
+  def chunkBounds(nTokens: Long, chunkSize: Int = 64, overlap: Int = 16): Seq[(Long, Long, Long)] = {
+    require(overlap < chunkSize, s"overlap $overlap must be < chunkSize $chunkSize")
+    val stride = chunkSize - overlap
+    if (nTokens <= 0) Seq.empty
+    else (0L to (nTokens - 1) / stride).map(k =>
+      (k, k * stride, math.min(chunkSize.toLong, nTokens - k * stride)))
+  }
+
   def chunkTokens(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap < chunkSize, s"overlap $overlap must be < chunkSize $chunkSize")
     val stride = chunkSize - overlap

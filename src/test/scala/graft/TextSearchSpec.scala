@@ -85,6 +85,10 @@ class TextSearchSpec extends SparkSpec {
     val c0 = chunks(0).getAs[String]("chunk_text").split(" ")
     val c1 = chunks(1).getAs[String]("chunk_text").split(" ")
     assert(c0.takeRight(16).toSeq === c1.take(16).toSeq)
+    // the DataFrame operator realizes exactly the property-tested kernel
+    val got = chunks.map(r => (r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("chunk_id") * 48, r.getAs[Long]("chunk_tokens"))).toSeq
+    assert(got === Curation.chunkBounds(150, 64, 16))
   }
 
   test("mixture sampling respects per-domain rates and is repartition-invariant") {
