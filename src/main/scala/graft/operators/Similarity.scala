@@ -281,6 +281,48 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
   }
 
+  /** Persist the LSH ANN index: one row per (vector, table) with its
+    * bucket key, PARTITIONED by table and bucket-SORTED within each
+    * table's files. A point probe then prunes twice: directory-level
+    * partition pruning on `tbl`, and parquet min/max row-group stats on
+    * the sorted `bucket` column — so serving a query against a 100 TB
+    * index touches only the probed buckets' row groups, not the corpus.
+    * (The dedup-index analog is [[Dedup.writeIndex]]; this is the
+    * embedding side.) */
+  def writeAnnIndex(corpus: DataFrame, path: String): Unit =
+    lshKeys(corpus)
+      .repartition(col("tbl"))
+      .sortWithinPartitions("tbl", "bucket")
+      .write.mode("overwrite").partitionBy("tbl").parquet(path)
+
+  /** Serve ONE ANN query from the persisted index. The probe buckets are
+    * computed driver-side from the literal query vector (24 tables x
+    * 2^flipBits probes — a few hundred longs); each table is read from
+    * its own partition directory with a literal `bucket IN (...)`
+    * predicate, so the scan prunes to the probed tables by PATH and to
+    * the probed buckets by pushed filter + sorted row-group stats. No
+    * join, no shuffle of the index — the handful of matching rows is
+    * scored and top-k'd. `excludeId` drops the query vector itself when
+    * it is part of the corpus. */
+  def annLookup(spark: SparkSession, path: String, emb: Array[Float], k: Int,
+      excludeId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val probes = lshProbeKeys(Seq((0L, emb)).toDF("vec_id", "embedding"))
+      .select(col("tbl").cast("long"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perTable = probes.groupBy(_._1).toSeq.map { case (t, bs) =>
+      spark.read.parquet(s"$path/tbl=$t")
+        .filter(col("bucket").isin(bs.map(_._2).distinct.toSeq: _*))
+        .select(col("vec_id"), col("embedding"))
+    }
+    perTable.reduce(_ unionByName _)
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id").as("n_id"),
+        round(cosine(col("embedding"), lit(emb.map(_.toDouble))), 6).as("score"))
+      .distinct()
+      .orderBy(col("score").desc, col("n_id")).limit(k)
+  }
+
   /** Per-label mean embedding (class prototypes — the few-shot/centroid
     * classifier a labeled corpus trains for free). Shape: posexplode to
     * (label, pos, value) scalars, one grouped aggregation — the embedding

@@ -136,4 +136,23 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("persisted ANN index: point lookup equals in-memory lshTopK and prunes the scan") {
+    import spark.implicits._
+    // fixed path + overwrite: repeated test runs reuse one directory
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_spec"
+    Similarity.writeAnnIndex(emb, dir)
+    val q = emb.filter(col("vec_id") === 7L)
+    val qEmb = q.select("embedding").as[Array[Float]].head()
+    val got = Similarity.annLookup(spark, dir, qEmb, 10, excludeId = 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.lshTopK(emb, q, 10).orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Double]("score"))).toSeq
+    assert(got === want, s"index lookup diverged from in-memory ANN:\n$got\n$want")
+    // pruning posture: each per-table read pushes the literal bucket IN
+    // predicate into the parquet scan (path selection already pruned tbl)
+    val plan = Similarity.annLookup(spark, dir, qEmb, 10, 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(bucket"), s"bucket predicate not pushed:\n$plan")
+  }
 }
