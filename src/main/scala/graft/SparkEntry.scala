@@ -97,6 +97,7 @@ object SparkEntry {
     "q_event_window" -> (EventAnalytics.qEventWindow _),
     "q_sessionize" -> (EventAnalytics.qSessionize _),
     "q_top_users" -> (EventAnalytics.qTopUsers _),
+    "q_resample" -> (EventAnalytics.qResample _),
     // --- multimodal plumbing extension
     "q_multimodal" -> (Multimodal.qMultimodalDecode _),
     // --- command dispatch (SURVEY §2.9)
@@ -591,6 +592,19 @@ object SparkEntry {
         "i -> CAST(ascii(text[CAST(frame_no * 64 + i AS INTEGER)]) AS BIGINT))), " +
         "(a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum " +
         "FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
+    "q_resample" ->
+      ("WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM events), " +
+        "spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM b), " +
+        "p AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS sv FROM events " +
+        "WHERE event_type = 'purchase' AND user_id < 50 GROUP BY 1), " +
+        "f AS (SELECT spine.hour, coalesce(p.n, 0) AS n, " +
+        "coalesce(p.sv, CAST(0 AS DECIMAL(18,2))) AS sv FROM spine LEFT JOIN p USING (hour)) " +
+        "SELECT hour, n, CAST(sv AS DOUBLE) AS total, " +
+        "CAST(sum(n) OVER w AS BIGINT) AS n_24h, " +
+        "CAST(sum(sv) OVER w AS DOUBLE) AS total_24h " +
+        "FROM f WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY hour"),
     "q_setops" ->
       ("SELECT custkey, 'no_orders' AS tag FROM " +
         "(SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders) " +

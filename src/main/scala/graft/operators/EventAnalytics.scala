@@ -50,6 +50,38 @@ object EventAnalytics {
   def qSessionize(s: SparkSession, d: String): DataFrame =
     sessionize(events(s, d), 30).orderBy("user_id", "session_id")
 
+  /** Time-series RESAMPLE with gap-fill + rolling aggregate: a sparse
+    * event stream (purchases of a user cohort) is resampled onto a dense
+    * hourly spine generated from the stream's own bounds, empty hours are
+    * zero-filled, and a trailing 24h rolling sum runs over the dense
+    * series (rows-frame ≡ time-range frame once the spine is dense — and
+    * deterministic). The spine is generated, never stored; the unkeyed
+    * ordering window runs over spine-cardinality rows (hours, not
+    * events) — at 100 TB partition the window by (series, day) exactly
+    * like the sessionization window. Decimal sums; zero-fill uses typed
+    * zero literals so both engines promote identically. */
+  def qResample(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("hour"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("user_id") < 50)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val filled = spine.join(purchases, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0).cast("decimal(18,2)")).as("sv"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
+    filled
+      .select(col("hour"), col("n"), col("sv").cast("double").as("total"),
+        sum(col("n")).over(w).as("n_24h"),
+        sum(col("sv")).over(w).cast("double").as("total_24h"))
+      .orderBy("hour")
+  }
+
   /** Ranking window demo: top-3 users by event count per event type
     * (row_number + deterministic tiebreak). */
   def qTopUsers(s: SparkSession, d: String): DataFrame = {
