@@ -51,10 +51,13 @@ class Snapshot(spark: SparkSession, root: String) {
     Files.writeString(tmp, next)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // the claim is moot once CURRENT has moved (any new publisher computes
-    // a higher version) — drop it so markers don't accumulate one per
-    // publish on a long-lived store
-    Files.deleteIfExists(Paths.get(root, next + ".claim"))
+    // the claim file is deliberately KEPT: a racer that read the old
+    // CURRENT before this swap computes the same `next`, and only the
+    // still-existing claim makes its createFile fail fast — deleting the
+    // marker here would let that racer overwrite the just-published
+    // snapshot. Claims accumulate one tiny file per publish between
+    // restarts and are pruned by recoverOrphans, which runs when the
+    // single writer starts up and no competing publisher can exist.
     next
   }
 

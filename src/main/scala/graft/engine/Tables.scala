@@ -63,14 +63,23 @@ object Tables {
     // over-trigger on inputs that are small-file-bound — exactly the case
     // the repartition is for; a well-split 100 TB table has >> target files
     // and this is a no-op.
-    // inputFiles is empty for any non-file-backed frame (in-memory test
-    // data, streaming micro-batches, shuffle-derived frames) — skip the
-    // repartition there: local relations parallelize to default
-    // parallelism on their own, micro-batches and shuffle outputs are
-    // already partitioned, and probing df.rdd.getNumPartitions instead
-    // would EXECUTE the upstream stages under AQE just to count them.
+    // inputFiles is empty for non-file-backed frames. For a LEAF RDD-backed
+    // frame (a streaming micro-batch in foreachBatch, an RDD conversion)
+    // the partition count is free metadata on the existing RDD — a
+    // 1-partition source (single-partition topic, rate source) must still
+    // be rebalanced or the per-document CPU work serializes on one core.
+    // For anything else non-file (local test data, shuffle-derived frames)
+    // skip: local relations parallelize to default parallelism on their
+    // own, shuffle outputs are already partitioned, and probing
+    // df.rdd.getNumPartitions there would EXECUTE the upstream stages
+    // under AQE just to count them.
     val files = df.inputFiles.length
-    if (files > 0 && files * 2 < target)
+    val current = if (files > 0) files
+      else df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getNumPartitions
+        case _ => Int.MaxValue // not cheaply knowable: leave the frame alone
+      }
+    if (current * 2 < target)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }

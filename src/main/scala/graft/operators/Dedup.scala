@@ -195,9 +195,15 @@ object Dedup {
     * (informational only). */
   private val StatsSampleDocs = 20000L
 
+  /** Single source of truth for the stats sampling rule — shared by
+    * [[ngramStats]] and [[ngramNearDupsAuto]]'s index-reuse decision so
+    * the two can never drift. */
+  private def sampleFraction(nDocs: Long): Double =
+    if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
+
   def ngramStats(docs: DataFrame): NgramStats = {
     val nDocs = docs.count()
-    val f = if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
+    val f = sampleFraction(nDocs)
     if (f >= 1.0) ngramStatsIdx(shingleIndex(docs), nDocs, 1.0)
     else ngramStatsSampled(docs, nDocs, f)
   }
@@ -273,7 +279,7 @@ object Dedup {
   def ngramNearDupsAuto(docs: DataFrame, threshold: Double,
       pairBudgetPerDoc: Double = 512.0): DataFrame = {
     val nDocs = docs.count()
-    val f = if (nDocs <= StatsSampleDocs) 1.0 else StatsSampleDocs.toDouble / nDocs
+    val f = sampleFraction(nDocs)
     // under the sampling threshold the stats pass and the chosen strategy
     // read the SAME full index — build (and checkpoint) it once; above it,
     // stats run on the doc-hash sample and the strategy re-shingles only
@@ -418,14 +424,27 @@ object Dedup {
     * half arrives as an incoming batch and probes it — the end-to-end
     * [[writeIndex]]/[[probeIndex]] path a streaming pipeline runs per
     * micro-batch, checked against a DuckDB replica of the same split. The
-    * index round-trips through parquet at a fixed per-user temp path,
-    * overwritten per call — repeated verify/bench runs reuse the one
-    * directory instead of accumulating a fresh copy each invocation. */
+    * index round-trips through parquet at a PER-PROCESS temp path
+    * (repeated calls in one JVM overwrite the same directory; concurrent
+    * processes cannot clobber each other's index mid-read) and is removed
+    * by a shutdown hook. */
+  private lazy val incrementalIdxDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_" +
+      s"${System.getProperty("user.name")}_${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_${System.getProperty("user.name")}"
-    writeIndex(docs.filter(col("doc_id") % 2 === 0), dir)
-    probeIndex(s, dir, docs.filter(col("doc_id") % 2 =!= 0), 0.5)
+    writeIndex(docs.filter(col("doc_id") % 2 === 0), incrementalIdxDir)
+    probeIndex(s, incrementalIdxDir, docs.filter(col("doc_id") % 2 =!= 0), 0.5)
       .orderBy("doc_a", "doc_b")
   }
 

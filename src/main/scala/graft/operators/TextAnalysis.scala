@@ -142,14 +142,17 @@ object TextAnalysis {
     * strings derived from the customer dim (the corpus tables contain no
     * real PII — by design).
     *
-    * The phone pattern requires SEPARATOR-grouped digits (+1-555-0001,
-    * 44-20-7946-0958): a bare "any 8+ digit run" rule also swallowed ids
-    * like Customer#000000001, and a space inside the class bridged
-    * unrelated numbers across whitespace. Separator-free runs are ID
-    * territory — mask them with a dedicated rule only where the schema
-    * says a column holds phone numbers. */
+    * The phone pattern requires a SEPARATOR-GROUPED shape — an optional
+    * +country/(area) head, at least one middle group, and a 3-6 digit
+    * terminal group, with -, ., or space separators: +1-555-0001,
+    * 44-20-7946-0958, (555) 123-4567, +44 20 7946 0958. A bare "any 8+
+    * digit run" rule swallows ids like Customer#000000001, and a bare
+    * "hyphen groups" rule masks page ranges (3-12) and ISO dates
+    * (2024-01-01) — the 2+-group + terminal-length shape excludes all
+    * three. Separator-free runs are ID territory: mask them with a
+    * dedicated rule only where the schema says a column holds phones. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9]{1,4}(-[0-9]{2,6}){1,4}"
+  val PhoneRe = "\\+?\\(?[0-9]{1,4}\\)?([-. ][0-9]{2,6}){1,3}[-. ][0-9]{3,6}"
 
   def maskPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")

@@ -139,8 +139,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("persisted ANN index: point lookup equals in-memory lshTopK and prunes the scan") {
     import spark.implicits._
-    // fixed path + overwrite: repeated test runs reuse one directory
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_spec"
+    // per-user fixed path + overwrite: repeated test runs reuse one
+    // directory, and another user's run on a shared host cannot collide
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_spec_${System.getProperty("user.name")}"
     Similarity.writeAnnIndex(emb, dir)
     val q = emb.filter(col("vec_id") === 7L)
     val qEmb = q.select("embedding").as[Array[Float]].head()

@@ -62,12 +62,19 @@ class TextSearchSpec extends SparkSpec {
     assert(r(2L)._1 === 0.0)
   }
 
-  test("pii mask removes emails and separator-grouped phones, keeps bare ids") {
-    val masked = Seq((1L, "mail jane.doe+x@corp.example.org or call +44-20-7946-0958 re id 000123456"))
-      .toDF("id", "contact")
-      .select(TextAnalysis.maskPii(col("contact")).as("m")).as[String].head()
-    // the bare digit run is an ID, not a phone — it must survive
-    assert(masked === "mail <EMAIL> or call <PHONE> re id 000123456", masked)
+  test("pii mask removes emails and phone shapes, keeps ids, ranges, dates") {
+    def mask(s: String): String =
+      Seq((1L, s)).toDF("id", "contact")
+        .select(TextAnalysis.maskPii(col("contact")).as("m")).as[String].head()
+    assert(mask("mail jane.doe+x@corp.example.org or call +44-20-7946-0958 re id 000123456")
+      === "mail <EMAIL> or call <PHONE> re id 000123456")
+    // separator variants all mask
+    assert(mask("try (555) 123-4567 first") === "try <PHONE> first")
+    assert(mask("try +44 20 7946 0958 next") === "try <PHONE> next")
+    assert(mask("try 555.123.4567 too") === "try <PHONE> too")
+    // non-phones survive: page ranges, ISO dates, bare digit runs
+    assert(mask("see pages 3-12 of 2024-01-01 build 20240101")
+      === "see pages 3-12 of 2024-01-01 build 20240101")
   }
 
   test("chunking: consecutive chunks overlap by exactly `overlap` tokens") {
