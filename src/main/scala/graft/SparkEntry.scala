@@ -81,6 +81,7 @@ object SparkEntry {
     "q_split" -> (Curation.qSplit _),
     "q_chunk" -> (Curation.qChunk _),
     "q_mixture" -> (Curation.qMixture _),
+    "q_curriculum" -> (Curation.qCurriculum _),
     // --- text search / relevance extensions
     "q_tfidf" -> (TextSearch.qTfidf _),
     "q_bm25" -> (TextSearch.qBm25 _),
@@ -717,6 +718,20 @@ object SparkEntry {
         "CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_tokens, " +
         "array_to_string(words[CAST(chunk_id * 48 + 1 AS BIGINT) : CAST(chunk_id * 48 + 64 AS BIGINT)], ' ') AS chunk_text " +
         "FROM c ORDER BY doc_id, chunk_id"),
+    "q_curriculum" ->
+      ("WITH qt AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS wq FROM documents), " +
+        "q AS (SELECT doc_id, " +
+        "(CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len AS punct_ratio, " +
+        "CAST(len(list_filter(wq, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(wq) AS stopword_ratio_raw, " +
+        "len(wq) AS nw FROM qt), " +
+        "qs AS (SELECT doc_id, round(least(1.0, CAST(nw AS DOUBLE) / 100.0) * 0.5 " +
+        "+ stopword_ratio_raw * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score FROM q), " +
+        "t AS (SELECT list_transform(quantile_cont(quality_score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), " +
+        "x -> round(x, 6)) AS ts FROM qs) " +
+        "SELECT doc_id, quality_score, " +
+        "CAST(1 + len(list_filter(t.ts, x -> quality_score >= x)) AS BIGINT) AS decile " +
+        "FROM qs, t ORDER BY doc_id"),
     "q_centroids" ->
       ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
         "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +

@@ -159,6 +159,31 @@ object Curation {
         round(col("n_kept").cast("double") / col("n_total"), 6).as("kept_frac"))
       .orderBy("source")
 
+  /** Curriculum assignment: every document gets a quality DECILE from
+    * exact grouped percentiles — the "order the corpus easy-to-hard"
+    * step of curriculum training, without a global sort. The 9 decile
+    * thresholds are one exact-percentile aggregate (collected driver-side
+    * — 9 doubles), and bucket assignment is a narrow comparison fold, so
+    * the corpus is touched by exactly one aggregate and one projection at
+    * any scale. Thresholds are ROUNDED onto the same 6-decimal grid the
+    * scores live on before comparing: the two engines interpolate with
+    * different expression shapes (a+(b-a)f vs a(1-f)+bf), which on tied
+    * neighbors differs by an ulp — exactly at a grid point, where every
+    * tied score would flip buckets. On-grid thresholds make the
+    * comparisons exact. */
+  def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.withQuality(Tables.rebalance(documents(s, d), "doc_id"))
+      .select(col("doc_id"), col("quality_score"))
+    val thresholds = scored
+      .agg(expr("transform(percentile(quality_score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), t -> round(t, 6))"))
+      .head().getSeq[Double](0)
+    val decile = thresholds.foldLeft(lit(1L)) { (acc, t) =>
+      acc + when(col("quality_score") >= t, 1L).otherwise(0L)
+    }
+    scored.select(col("doc_id"), col("quality_score"), decile.as("decile"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-checked COMPOSITE curation pipeline — the shape of a real
     * corpus-prep job: score quality, predict language, drop near-dup
     * non-survivors, keep docs passing every gate. Each stage is an
