@@ -707,7 +707,11 @@ object SparkEntry {
         "'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com or +1-555-' || " +
         "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\+?\\(?[0-9]{1,4}\\)?([-. ][0-9]{2,6}){1,3}[-. ][0-9]{3,6}', '<PHONE>', 'g') AS masked " +
+        "'\\+?[0-9]{1,4}(-[0-9]{2,6}){1,3}-[0-9]{3,6}" +
+        "|[0-9]{1,4}(\\.[0-9]{2,6}){1,3}\\.[0-9]{4,6}" +
+        "|\\+?[0-9]{1,4}( [0-9]{2,6}){2,3} [0-9]{3,6}" +
+        "|\\(?[0-9]{3}\\)? ?[0-9]{3}-[0-9]{4}\\b" +
+        "|\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS masked " +
         "FROM customer ORDER BY c_custkey"),
     "q_chunk" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +

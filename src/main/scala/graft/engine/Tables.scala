@@ -74,12 +74,13 @@ object Tables {
     // df.rdd.getNumPartitions there would EXECUTE the upstream stages
     // under AQE just to count them.
     val files = df.inputFiles.length
-    val current = if (files > 0) files
+    val knownParallelism: Option[Int] =
+      if (files > 0) Some(files)
       else df.queryExecution.logical match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getNumPartitions
-        case _ => Int.MaxValue // not cheaply knowable: leave the frame alone
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.getNumPartitions)
+        case _ => None // not cheaply knowable: leave the frame alone
       }
-    if (current * 2 < target)
+    if (knownParallelism.exists(_ * 2 < target))
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }

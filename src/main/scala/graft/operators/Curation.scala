@@ -174,9 +174,11 @@ object Curation {
   def qCurriculum(s: SparkSession, d: String): DataFrame = {
     val scored = TextAnalysis.withQuality(Tables.rebalance(documents(s, d), "doc_id"))
       .select(col("doc_id"), col("quality_score"))
-    val thresholds = scored
+    // percentile over zero rows aggregates to NULL — an empty corpus gets
+    // an empty threshold list (fold yields decile 1 on a frame with no rows)
+    val thresholds = Option(scored
       .agg(expr("transform(percentile(quality_score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), t -> round(t, 6))"))
-      .head().getSeq[Double](0)
+      .head().getSeq[Double](0)).getOrElse(Seq.empty)
     val decile = thresholds.foldLeft(lit(1L)) { (acc, t) =>
       acc + when(col("quality_score") >= t, 1L).otherwise(0L)
     }

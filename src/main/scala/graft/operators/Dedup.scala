@@ -429,15 +429,21 @@ object Dedup {
     * processes cannot clobber each other's index mid-read) and is removed
     * by a shutdown hook. */
   private lazy val incrementalIdxDir: String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_" +
-      s"${System.getProperty("user.name")}_${ProcessHandle.current().pid()}"
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
     }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_dedup_idx_${System.getProperty("user.name")}_"
+    // sweep siblings left by crashed JVMs (a SIGKILL skips the shutdown
+    // hook; the pid suffix tells us whether the owner is still alive)
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .filter(f => scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
+        .forall(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
+      .foreach(rm)
+    val dir = s"$tmp/$prefix${ProcessHandle.current().pid()}"
+    sys.addShutdownHook(rm(new java.io.File(dir)))
     dir
   }
 

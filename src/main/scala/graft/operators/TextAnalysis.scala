@@ -142,17 +142,26 @@ object TextAnalysis {
     * strings derived from the customer dim (the corpus tables contain no
     * real PII — by design).
     *
-    * The phone pattern requires a SEPARATOR-GROUPED shape — an optional
-    * +country/(area) head, at least one middle group, and a 3-6 digit
-    * terminal group, with -, ., or space separators: +1-555-0001,
-    * 44-20-7946-0958, (555) 123-4567, +44 20 7946 0958. A bare "any 8+
-    * digit run" rule swallows ids like Customer#000000001, and a bare
-    * "hyphen groups" rule masks page ranges (3-12) and ISO dates
-    * (2024-01-01) — the 2+-group + terminal-length shape excludes all
-    * three. Separator-free runs are ID territory: mask them with a
-    * dedicated rule only where the schema says a column holds phones. */
+    * The phone pattern is an alternation of UNIFORM-separator grouped
+    * shapes (a mixed-separator class would let a space bridge unrelated
+    * numbers — "2024-01-01 2024-03-15" must not merge):
+    *  - hyphen groups with a 3-6 digit terminal (+1-555-0001,
+    *    44-20-7946-0958) — ISO dates fail the terminal length;
+    *  - dot groups with a 4-6 digit terminal (555.123.4567) — IPs and
+    *    versions fail the terminal length;
+    *  - 4+ space-separated groups (+44 20 7946 0958) — prose number
+    *    pairs have too few groups;
+    *  - NANP (555) 123-4567 / 555 123-4567 and bare local 555-1234
+    *    (word-bounded so digit runs inside longer tokens never match).
+    * A bare "any 8+ digit run" rule swallows ids like Customer#000000001:
+    * separator-free runs are ID territory — mask them with a dedicated
+    * rule only where the schema says a column holds phones. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?\\(?[0-9]{1,4}\\)?([-. ][0-9]{2,6}){1,3}[-. ][0-9]{3,6}"
+  val PhoneRe = "\\+?[0-9]{1,4}(-[0-9]{2,6}){1,3}-[0-9]{3,6}" +
+    "|[0-9]{1,4}(\\.[0-9]{2,6}){1,3}\\.[0-9]{4,6}" +
+    "|\\+?[0-9]{1,4}( [0-9]{2,6}){2,3} [0-9]{3,6}" +
+    "|\\(?[0-9]{3}\\)? ?[0-9]{3}-[0-9]{4}\\b" +
+    "|\\b[0-9]{3}-[0-9]{4}\\b"
 
   def maskPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")

@@ -68,13 +68,17 @@ class TextSearchSpec extends SparkSpec {
         .select(TextAnalysis.maskPii(col("contact")).as("m")).as[String].head()
     assert(mask("mail jane.doe+x@corp.example.org or call +44-20-7946-0958 re id 000123456")
       === "mail <EMAIL> or call <PHONE> re id 000123456")
-    // separator variants all mask
+    // separator variants all mask, including the bare local form
     assert(mask("try (555) 123-4567 first") === "try <PHONE> first")
     assert(mask("try +44 20 7946 0958 next") === "try <PHONE> next")
     assert(mask("try 555.123.4567 too") === "try <PHONE> too")
+    assert(mask("call 555-1234 now") === "call <PHONE> now")
     // non-phones survive: page ranges, ISO dates, bare digit runs
     assert(mask("see pages 3-12 of 2024-01-01 build 20240101")
       === "see pages 3-12 of 2024-01-01 build 20240101")
+    // a space must not bridge unrelated numbers: adjacent dates and IPs
+    assert(mask("shipped 2024-01-01 2024-03-15 via 192.168.10.100")
+      === "shipped 2024-01-01 2024-03-15 via 192.168.10.100")
   }
 
   test("chunking: consecutive chunks overlap by exactly `overlap` tokens") {
