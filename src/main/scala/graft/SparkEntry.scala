@@ -129,6 +129,20 @@ object SparkEntry {
     "q_histogram" -> (Advanced.qHistogram _),
     "q_json" -> (Advanced.qJson _),
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
+    // --- text normalization + heuristic filtering
+    "q_normalize" -> (TextNormalize.qNormalize _),
+    "q_c4_filters" -> (TextNormalize.qC4Filters _),
+    // --- corpus statistics / tokenizer induction
+    "q_stopword_df" -> (TextSearch.qStopwordDf _),
+    "q_bpe_pairs" -> (TextSearch.qBpePairs _),
+    // --- winnowing fingerprints + canonical-selection dedup
+    "q_winnow" -> (Dedup.qWinnow _),
+    "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
+    // --- recency-weighted event scoring
+    "q_decay" -> (EventAnalytics.qDecay _),
+    // --- embedding quantization + z-order layout kernel
+    "q_quantize" -> (Similarity.qQuantize _),
+    "q_zorder" -> (Advanced.qZorder _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -756,5 +770,83 @@ object SparkEntry {
         "SELECT source, CAST(max(n_i) AS BIGINT) AS n_total, count(*) AS n_kept, " +
         "round(CAST(count(*) AS DOUBLE) / max(n_i), 6) AS kept_frac " +
         "FROM kept GROUP BY source ORDER BY source"),
+    "q_normalize" ->
+      ("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents) " +
+        "SELECT doc_id, norm_text, CASE WHEN norm_text = '' THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT) END AS n_norm_tokens " +
+        "FROM n ORDER BY doc_id"),
+    "q_c4_filters" ->
+      ("WITH t AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "q AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "round((CAST(len AS DOUBLE) - (len(w) - 1)) / len(w), 6) AS mean_word_len FROM t), " +
+        "r AS (SELECT doc_id, n_tokens, mean_word_len, " +
+        "CASE WHEN n_tokens < 5 THEN 'too_short' " +
+        "WHEN contains(text, '{') THEN 'brace' " +
+        "WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem' " +
+        "WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len' " +
+        "WHEN NOT regexp_matches(text, '[.!?][\"'')\\]]*\\s*$') THEN 'no_terminal' " +
+        "ELSE 'kept' END AS reason FROM q) " +
+        "SELECT doc_id, n_tokens, mean_word_len, reason, reason = 'kept' AS kept " +
+        "FROM r ORDER BY doc_id"),
+    "q_stopword_df" ->
+      ("WITH p AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token " +
+        "FROM documents) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS df FROM p " +
+        "GROUP BY token ORDER BY df DESC, token LIMIT 20"),
+    "q_bpe_pairs" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
+        "p AS (SELECT unnest([w[i:i+1] for i in generate_series(1, length(w) - 1)]) AS pair " +
+        "FROM t WHERE length(w) >= 2) " +
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
+    "q_winnow" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "g AS (SELECT doc_id, [words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)] AS sh FROM w WHERE len(words) >= 6), " +
+        "c AS (SELECT doc_id, list_transform(sh, sg -> list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(sg)), " +
+        "i -> CAST(ascii(sg[i]) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)) AS cs FROM g), " +
+        "f AS (SELECT doc_id, unnest(list_distinct([list_min(cs[i:i+3]) " +
+        "for i in generate_series(1, len(cs) - 3)])) AS fp FROM c) " +
+        "SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
+    "q_dedup_keepbest" ->
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000 AS doc_id, upper(text) AS text " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "t AS (SELECT doc_id, text, lower(text) AS lt, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM all_docs), " +
+        "q AS (SELECT doc_id, lt, " +
+        "round(least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5 " +
+        "+ CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) * 0.3 " +
+        "+ (1.0 - (CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len) * 0.2, 6) " +
+        "AS quality_score FROM t), " +
+        "k AS (SELECT doc_id, quality_score, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(lt)), i -> CAST(ascii(lt[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS ckey FROM q), " +
+        "r AS (SELECT doc_id, quality_score, ckey, " +
+        "row_number() OVER (PARTITION BY ckey ORDER BY quality_score DESC, doc_id) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY ckey) AS BIGINT) AS n_variants FROM k) " +
+        "SELECT doc_id, n_variants, quality_score FROM r WHERE rn = 1 ORDER BY doc_id"),
+    "q_decay" ->
+      ("WITH r AS (SELECT max(ts) AS ref_ts FROM events), " +
+        "a AS (SELECT user_id, (epoch_us((SELECT ref_ts FROM r)) - epoch_us(ts)) // 86400000000 AS age_days " +
+        "FROM events) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / (age_days + 1), 9) AS DECIMAL(28,9))) AS DOUBLE) AS decayed_score " +
+        "FROM a GROUP BY user_id ORDER BY user_id"),
+    "q_quantize" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale FROM e), " +
+        "q AS (SELECT vec_id, scale, v, list_transform(v, x -> round(x / scale)) AS qv FROM s), " +
+        "r AS (SELECT vec_id, round(scale, 6) AS scale, " +
+        "round(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - qv[i] * scale))), 6) AS max_err FROM q) " +
+        "SELECT vec_id, scale, max_err FROM r ORDER BY vec_id"),
+    "q_zorder" ->
+      ("SELECT l_orderkey, l_partkey, CAST(" +
+        operators.Advanced.zvalueSql("(l_orderkey % 65536)", "(l_partkey % 65536)") +
+        " AS BIGINT) AS zval FROM lineitem " +
+        "ORDER BY zval, l_orderkey, l_partkey LIMIT 100"),
   )
 }

@@ -607,4 +607,69 @@ object Dedup {
 
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     simhashNearDups(documents(s, d), 4).orderBy("doc_a", "doc_b")
+
+  // -------------------------------------------------------------- winnowing
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    * public): hash POSITIONAL word-3-grams (not the distinct shingle set —
+    * winnowing needs sequence order), slide a window of `WinnowW` hashes,
+    * keep each window's minimum. Guarantees every match of at least
+    * W+2 contiguous words is witnessed by a shared fingerprint while
+    * storing only ~2/(W+1) of the hashes — the standard document-
+    * fingerprinting trade for plagiarism/near-dup detection at corpus
+    * scale. All narrow per-row array math; the output relation is
+    * (doc_id, fp), ready for the same inverted-index join as the exact
+    * dedup path. */
+  val WinnowW = 4
+
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val codes = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 3 + WinnowW - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("words")) - 2),
+          i => graft.functions.GraftFunctions.poly_hash(concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2)))).as("cs"))
+    codes.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("cs")) - (WinnowW - 1)),
+        i => array_min(slice(col("cs"), i, lit(WinnowW)))))).as("fp"))
+  }
+
+  def qWinnow(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(documents(s, d)).orderBy("doc_id", "fp")
+
+  // -------------------------------------------------------- keep-best dedup
+
+  /** Canonical selection among near-identical variants: group documents by
+    * a NORMALIZED content key (here: poly_hash of the lowercased text — a
+    * long, so the shuffle never carries document bodies) and keep the
+    * highest-quality member, ties broken by lowest doc_id. This is the
+    * policy layer exact dedup needs in production: when a document exists
+    * in several casings/encodings, keep the best copy, not an arbitrary
+    * one. The demo plants uppercased variants of every 5th doc at shifted
+    * ids; their stopword hits vanish under [[TextAnalysis.withQuality]]'s
+    * lowercase markers, so the original deterministically wins. */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.withQuality(Tables.rebalance(docs, "doc_id"))
+      .withColumn("ckey", graft.functions.GraftFunctions.poly_hash(lower(col("text"))))
+      .select("doc_id", "ckey", "quality_score")
+    val w = Window.partitionBy(col("ckey"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_variants",
+        count(lit(1)).over(Window.partitionBy(col("ckey"))).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_variants"), col("quality_score"))
+  }
+
+  def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), upper(col("text")).as("text"))
+    keepBest(base.unionByName(variants)).orderBy("doc_id")
+  }
 }

@@ -82,6 +82,34 @@ object EventAnalytics {
       .orderBy("hour")
   }
 
+  /** Recency-weighted engagement score per user: each event contributes
+    * 1/(1+age_days) relative to the stream's own high-water mark — the
+    * hyperbolic-decay cousin of exponential decay, chosen because the
+    * weight is a rounded double of EXACT integer division (bit-identical
+    * in any engine; pow() differs across libm implementations in the last
+    * ulp). Weights are rounded to 9 places and summed as DECIMAL so the
+    * per-user total is independent of partitioning and add order. The
+    * high-water mark comes from one 1-row aggregate on the caller's side,
+    * embedded as a literal (the tfIdf/bm25 pattern — a cross join against
+    * a 1-row frame plans as a nested-loop join, which the engine's plan
+    * audit bans); ages use integer microsecond division — exact far past
+    * double's 2^53 range. */
+  def decayScores(ev: DataFrame, refMicros: Long): DataFrame =
+    ev
+      .withColumn("age_days",
+        expr(s"($refMicros - unix_micros(ts)) div 86400000000"))
+      .withColumn("wt",
+        round(lit(1.0) / (col("age_days") + 1L), 9).cast("decimal(28,9)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wt")).cast("double").as("decayed_score"))
+
+  def qDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val refMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    decayScores(ev, refMicros).orderBy("user_id")
+  }
+
   /** Ranking window demo: top-3 users by event count per event type
     * (row_number + deterministic tiebreak). */
   def qTopUsers(s: SparkSession, d: String): DataFrame = {

@@ -341,4 +341,31 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"),
         round(col("sv").cast("double") / col("n"), 6).as("centroid"))
       .orderBy("label", "pos")
+
+  /** Int8 scalar quantization of the embedding column (the standard 4x
+    * memory cut before an ANN index is built at corpus scale): per-vector
+    * symmetric scale s = max|x|/127, q_i = round(x_i/s) in [-127, 127],
+    * reported with the worst-case reconstruction error max|x_i - q_i*s|.
+    * Everything is narrow per-row array math over the float column cast
+    * to double once (the same cast discipline as the cosine path —
+    * float32 math would diverge from the oracle's double fold). */
+  def quantize(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    emb
+      .withColumn("v", v)
+      // max_abs is a bound attribute so the per-element lambdas below
+      // reference a scalar, never re-reduce the array (projection collapse
+      // would otherwise inline an array_max per element)
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", col("max_abs") / lit(127.0))
+      .withColumn("qv", transform(col("v"), x => round(x / col("scale")).cast("long")))
+      .withColumn("max_err",
+        round(array_max(zip_with(col("v"), col("qv"),
+          (x, q) => abs(x - q * col("scale")))), 6))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        col("max_err"))
+  }
+
+  def qQuantize(s: SparkSession, d: String): DataFrame =
+    quantize(embeddings(s, d)).orderBy("vec_id")
 }

@@ -128,4 +128,39 @@ object TextSearch {
       docs.filter(col("source") === "src0"), minCommon = 3L)
       .orderBy("doc_id")
   }
+
+  /** Corpus-driven stopword induction: the top-k tokens by DOCUMENT
+    * frequency (distinct per doc, so a single token-spamming document
+    * cannot promote its tokens). One narrow explode + one vocabulary-sized
+    * aggregate; the total sort runs over k rows. This is how a pipeline
+    * derives the stopword list that [[TextAnalysis.withQuality]] consumes,
+    * instead of hard-coding one per language. */
+  def stopwordDf(docs: DataFrame, k: Int): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(k)
+
+  def qStopwordDf(s: SparkSession, d: String): DataFrame =
+    stopwordDf(documents(s, d), 20)
+
+  /** Tokenizer-vocabulary induction, the first BPE step: count adjacent
+    * character pairs inside words across the corpus — the most frequent
+    * pair is the first merge a byte-pair encoder would learn (Sennrich et
+    * al. 2016, public). Pair generation is a per-word character slide
+    * (narrow, codegen'd); the only shuffle is the pair-count aggregate,
+    * which partial-aggregates map-side into at most |alphabet|^2 keys. */
+  def bpePairs(docs: DataFrame, k: Int): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+
+  def qBpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairs(documents(s, d), 20)
 }

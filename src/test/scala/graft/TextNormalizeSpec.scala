@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Dedup, EventAnalytics, TextNormalize, TextSearch}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the normalization / filtering / fingerprinting /
+  * decay operators added in round 3 (the oracle gate checks value parity
+  * against DuckDB; these check the operators MEAN what they claim). */
+class TextNormalizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("normalize: case/punctuation variants collapse to one canonical form, idempotently") {
+    val df = Seq(
+      (1L, "Hello,   World! (Again)"),
+      (2L, "hello world again"),
+      (3L, "HELLO-world,AGAIN")
+    ).toDF("doc_id", "text")
+    val out = df.select(TextNormalize.normalized(col("text")).as("n")).as[String].collect()
+    assert(out.toSet === Set("hello world again"))
+    // idempotence: a normalized string is its own normal form
+    val twice = df.select(
+      TextNormalize.normalized(TextNormalize.normalized(col("text"))).as("n"))
+      .as[String].collect()
+    assert(twice.toSet === Set("hello world again"))
+  }
+
+  test("c4 filters: each rule fires on its planted document, precedence holds") {
+    val df = Seq(
+      (1L, "short one."),                                             // < 5 tokens
+      (2L, "this code block has a { brace inside it somewhere."),     // brace
+      (3L, "standard lorem ipsum placeholder text lives right here."),// lorem
+      (4L, "a b c d e f g h i j k l m n o p q r s t u v w x y z a."), // mean len < 3
+      (5L, "the sentence just stops without terminal punctuation at all here"),
+      (6L, "a perfectly reasonable document that ends with punctuation.")
+    ).toDF("doc_id", "text")
+    val byId = TextNormalize.c4Filters(df)
+      .select("doc_id", "reason", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(byId(1L) === ("too_short", false))
+    assert(byId(2L) === ("brace", false))
+    assert(byId(3L) === ("lorem", false))
+    assert(byId(4L) === ("word_len", false))
+    assert(byId(5L) === ("no_terminal", false))
+    assert(byId(6L) === ("kept", true))
+  }
+
+  test("stopword induction counts DOCUMENT frequency, not term frequency") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam alpha"),
+      (2L, "alpha beta"),
+      (3L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val top = TextSearch.stopwordDf(df, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top("alpha") === 3L, "alpha appears in all three docs")
+    assert(top("beta") === 2L)
+    assert(top("spam") === 1L, "ten in-document repeats still count one doc")
+  }
+
+  test("bpe pairs: adjacent char-pair counts match hand enumeration") {
+    // "aaab" -> aa, aa, ab ; "ab" -> ab ; single chars contribute nothing
+    val df = Seq((1L, "aaab ab x")).toDF("doc_id", "text")
+    val pairs = TextSearch.bpePairs(df, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs === Map("aa" -> 2L, "ab" -> 2L))
+  }
+
+  test("winnowing: a shared run of W+2 words is witnessed by a shared fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"$shared completely different tail content here instead now"),
+      (3L, "nothing in common with either of the other documents at all")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "docs sharing an 11-word run must share a fingerprint")
+    assert(fps(1L).intersect(fps(3L)).isEmpty && fps(2L).intersect(fps(3L)).isEmpty,
+      "no shared 3-gram, no shared fingerprint")
+    // density: winnowing must select strictly fewer fps than there are k-grams
+    val dfCounts = docs.select(col("doc_id"),
+      (size(split(trim(col("text")), "\\s+")) - 2).as("ngrams"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fps.foreach { case (id, f) => assert(f.size < dfCounts(id)) }
+  }
+
+  test("keep-best dedup: highest quality wins its group, ties fall to lowest id") {
+    val docs = Seq(
+      // same normalized key; the lowercased copy keeps its stopword hits
+      (10L, "the cat sat on the mat today."),
+      (20L, "THE CAT SAT ON THE MAT TODAY."),
+      // a group with identical quality (no stopwords either way)
+      (30L, "zig zag."),
+      (40L, "ZIG ZAG.")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.keepBest(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set(10L, 30L), s"winners: ${rows.keySet}")
+    assert(rows(10L) === 2L && rows(30L) === 2L, "both groups have two variants")
+  }
+
+  test("decay: today weighs 1.0, older events strictly less, totals are exact") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-10 00:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-03-09 00:00:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val refMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val out = EventAnalytics.decayScores(ev, refMicros)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 7: age 0 (1.0) + age 1 (0.5); user 8: age 9 (0.1)
+    assert(out(7L) === ((2L, 1.5)))
+    assert(out(8L) === ((1L, 0.1)))
+  }
+
+  test("quantize: reconstruction error is bounded by half a quantization step") {
+    val emb = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Array(-2.0f, 0.004f, 1.5f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    graft.operators.Similarity.quantize(emb).collect().foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_err")
+      assert(err <= scale / 2 + 1e-9,
+        s"round-to-nearest error $err must be <= scale/2 = ${scale / 2}")
+    }
+  }
+
+  test("z-order: bit interleaving identities hold") {
+    def z(a: Long, b: Long): Long = {
+      val df = Seq((a, b)).toDF("a", "b")
+      df.select(graft.operators.Advanced.zvalue(col("a"), col("b")).as("z"))
+        .as[Long].head()
+    }
+    assert(z(1, 0) === 1L && z(0, 1) === 2L && z(3, 3) === 15L)
+    assert(z(65535, 0) === 0x55555555L && z(0, 65535) === 0xAAAAAAAAL)
+    // dimension shift identity: b's bits land one position above a's
+    assert(z(7, 9) === z(7, 0) + 2 * z(9, 0))
+  }
+}
