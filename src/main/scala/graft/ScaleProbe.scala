@@ -127,6 +127,33 @@ object ScaleProbe {
     time("chunk", nDocs) { Curation.chunkTokens(docs).count() }
     time("mixture", nDocs) { Curation.mixtureSample(docs, "source").count() }
     time("repetition", nDocs) { TextAnalysis.repetition(docs).count() }
+    // round-3 batch-2 operators
+    time("normalize", nDocs) {
+      docs.select(TextNormalize.normalized(col("text")).as("n"))
+        .agg(max(length(col("n")))).count()
+    }
+    time("c4_filters", nDocs) { TextNormalize.c4Filters(docs).filter(col("kept")).count() }
+    time("stopword_df", nDocs) { TextSearch.stopwordDf(docs, 20).count() }
+    time("bpe_pairs", nDocs) { TextSearch.bpePairs(docs, 20).count() }
+    time("winnow", nDocs) { Dedup.winnowFingerprints(docs).count() }
+    time("dedup_keepbest", nDocs) { Dedup.keepBest(docs).count() }
+    time("quantize", nEmb) {
+      Similarity.quantize(emb).agg(max(col("max_err"))).count()
+    }
+    time("zorder", nLi) {
+      li.select(Advanced.zvalue(pmod(col("l_orderkey"), lit(65536L)),
+        pmod(col("l_partkey"), lit(65536L))).as("z")).agg(max(col("z"))).count()
+    }
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .crossJoin(spark.range(mult).toDF("r"))
+      .select((col("event_id") * mult + col("r")).as("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+      .localCheckpoint()
+    val nEv = ev.count()
+    time("decay", nEv) {
+      val ref = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      EventAnalytics.decayScores(ev, ref).count()
+    }
     spark.stop()
   }
 }

@@ -777,16 +777,26 @@ object SparkEntry {
         "ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT) END AS n_norm_tokens " +
         "FROM n ORDER BY doc_id"),
     "q_c4_filters" ->
-      ("WITH t AS (SELECT doc_id, text, length(text) AS len, " +
-        "string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      ("WITH base AS (SELECT doc_id, text FROM documents), " +
+        "planted AS (SELECT doc_id + 3000000 AS doc_id, " +
+        "CASE WHEN doc_id % 10 = 1 THEN array_to_string((string_split_regex(trim(text), '\\s+'))[1:3], ' ') " +
+        "WHEN doc_id % 10 = 3 THEN text || ' {config}' " +
+        "WHEN doc_id % 10 = 4 THEN 'lorem ipsum ' || text " +
+        "ELSE 'a b c d e f g h i j' END AS text " +
+        "FROM documents WHERE doc_id % 10 IN (1, 3, 4, 5)), " +
+        "all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM planted), " +
+        "t AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w, " +
+        "string_split_regex(trim(lower(text)), '\\s+') AS lw FROM all_docs), " +
         "q AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens, " +
-        "round((CAST(len AS DOUBLE) - (len(w) - 1)) / len(w), 6) AS mean_word_len FROM t), " +
+        "round((CAST(len AS DOUBLE) - (len(w) - 1)) / len(w), 6) AS mean_word_len, " +
+        "CAST(len(list_filter(lw, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t), " +
         "r AS (SELECT doc_id, n_tokens, mean_word_len, " +
         "CASE WHEN n_tokens < 5 THEN 'too_short' " +
         "WHEN contains(text, '{') THEN 'brace' " +
         "WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem' " +
         "WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len' " +
-        "WHEN NOT regexp_matches(text, '[.!?][\"'')\\]]*\\s*$') THEN 'no_terminal' " +
+        "WHEN n_stop < 2 THEN 'no_stopwords' " +
         "ELSE 'kept' END AS reason FROM q) " +
         "SELECT doc_id, n_tokens, mean_word_len, reason, reason = 'kept' AS kept " +
         "FROM r ORDER BY doc_id"),

@@ -35,35 +35,54 @@ object TextNormalize {
           .otherwise(size(split(col("norm_text"), " ")).cast("long")))
       .orderBy("doc_id")
 
-  /** C4-style heuristic quality filters (Raffel et al. 2020, public):
-    * every doc gets a keep/reject verdict plus the FIRST failing rule, so
-    * the filter is auditable — a pipeline can report exactly why each
-    * document was dropped. Rules, in precedence order:
+  /** C4/Gopher-style heuristic quality filters (Raffel et al. 2020 and
+    * Rae et al. 2021, both public): every doc gets a keep/reject verdict
+    * plus the FIRST failing rule, so the filter is auditable — a pipeline
+    * can report exactly why each document was dropped. Rules, in
+    * precedence order:
     *   too_short    — fewer than `minTokens` whitespace tokens;
-    *   brace        — contains '{' (code/markup leakage);
-    *   lorem        — contains "lorem ipsum" (placeholder text);
+    *   brace        — contains '{' (code/markup leakage, C4);
+    *   lorem        — contains "lorem ipsum" (placeholder text, C4);
     *   word_len     — mean token length outside [3, 10] (gibberish /
-    *                  non-linguistic content);
-    *   no_terminal  — does not end in sentence punctuation.
-    * All thresholds are public C4 constants adapted to token granularity. */
+    *                  non-linguistic content, Gopher);
+    *   no_stopwords — fewer than 2 stopword tokens (Gopher's minimum-
+    *                  stopword rule; C4's end-of-line punctuation rule is
+    *                  LINE-level and meaningless on a corpus stored as
+    *                  punctuation-free word streams, like this one). */
   def c4Filters(df: DataFrame, minTokens: Int = 5): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     val nTok = size(words).cast("long")
     val meanLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
     df.withColumn("n_tokens", nTok)
       .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("n_stopwords",
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          w => w.isInCollection(Stopwords.en))).cast("long"))
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("text").contains("{"), "brace")
           .when(lower(col("text")).contains("lorem ipsum"), "lorem")
           .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, "word_len")
-          .when(!col("text").rlike("[.!?][\"')\\]]*\\s*$"), "no_terminal")
+          .when(col("n_stopwords") < 2, "no_stopwords")
           .otherwise("kept"))
       .withColumn("kept", col("reason") === "kept")
   }
 
-  def qC4Filters(s: SparkSession, d: String): DataFrame =
-    c4Filters(documents(s, d))
+  /** The filter demo plants one corpus-derived violation per rule at
+    * shifted ids (the clean corpus itself keeps everything — the planted
+    * rows prove each rule fires and the audit column names the culprit). */
+  def qC4Filters(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    val planted = base.filter(pmod(col("doc_id"), lit(10)).isin(1, 3, 4, 5))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 1,
+          concat_ws(" ", slice(w, 1, 3)))
+          .when(pmod(col("doc_id"), lit(10)) === 3, concat(col("text"), lit(" {config}")))
+          .when(pmod(col("doc_id"), lit(10)) === 4, concat(lit("lorem ipsum "), col("text")))
+          .otherwise(lit("a b c d e f g h i j")).as("text"))
+    c4Filters(base.unionByName(planted))
       .select("doc_id", "n_tokens", "mean_word_len", "reason", "kept")
       .orderBy("doc_id")
+  }
 }

@@ -31,8 +31,8 @@ class TextNormalizeSpec extends SparkSpec {
       (2L, "this code block has a { brace inside it somewhere."),     // brace
       (3L, "standard lorem ipsum placeholder text lives right here."),// lorem
       (4L, "a b c d e f g h i j k l m n o p q r s t u v w x y z a."), // mean len < 3
-      (5L, "the sentence just stops without terminal punctuation at all here"),
-      (6L, "a perfectly reasonable document that ends with punctuation.")
+      (5L, "one stopword the whole document cannot satisfy gopher minimums here"),
+      (6L, "a perfectly reasonable document in the middle of the corpus.")
     ).toDF("doc_id", "text")
     val byId = TextNormalize.c4Filters(df)
       .select("doc_id", "reason", "kept")
@@ -41,7 +41,7 @@ class TextNormalizeSpec extends SparkSpec {
     assert(byId(2L) === ("brace", false))
     assert(byId(3L) === ("lorem", false))
     assert(byId(4L) === ("word_len", false))
-    assert(byId(5L) === ("no_terminal", false))
+    assert(byId(5L) === ("no_stopwords", false))
     assert(byId(6L) === ("kept", true))
   }
 
