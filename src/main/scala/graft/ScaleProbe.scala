@@ -127,10 +127,14 @@ object ScaleProbe {
     time("chunk", nDocs) { Curation.chunkTokens(docs).count() }
     time("mixture", nDocs) { Curation.mixtureSample(docs, "source").count() }
     time("repetition", nDocs) { TextAnalysis.repetition(docs).count() }
-    // round-3 batch-2 operators
+    // round-3 batch-2 operators. Force with .head() on the 1-row
+    // aggregate, never .count(): count-of-aggregate column-prunes the
+    // aggregate expressions away (Aggregate[max(e)] -> Aggregate[] both
+    // yield one row), which would time a zero-column scan instead of the
+    // operator under test.
     time("normalize", nDocs) {
       docs.select(TextNormalize.normalized(col("text")).as("n"))
-        .agg(max(length(col("n")))).count()
+        .agg(max(length(col("n")))).head(); 1L
     }
     time("c4_filters", nDocs) { TextNormalize.c4Filters(docs).filter(col("kept")).count() }
     time("stopword_df", nDocs) { TextSearch.stopwordDf(docs, 20).count() }
@@ -138,11 +142,11 @@ object ScaleProbe {
     time("winnow", nDocs) { Dedup.winnowFingerprints(docs).count() }
     time("dedup_keepbest", nDocs) { Dedup.keepBest(docs).count() }
     time("quantize", nEmb) {
-      Similarity.quantize(emb).agg(max(col("max_err"))).count()
+      Similarity.quantize(emb).agg(max(col("max_err"))).head(); 1L
     }
     time("zorder", nLi) {
       li.select(Advanced.zvalue(pmod(col("l_orderkey"), lit(65536L)),
-        pmod(col("l_partkey"), lit(65536L))).as("z")).agg(max(col("z"))).count()
+        pmod(col("l_partkey"), lit(65536L))).as("z")).agg(max(col("z"))).head(); 1L
     }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))
@@ -152,7 +156,10 @@ object ScaleProbe {
     val nEv = ev.count()
     time("decay", nEv) {
       val ref = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      EventAnalytics.decayScores(ev, ref).count()
+      // sum over the score column so the decimal weight math cannot be
+      // pruned (bare .count() drops the sum aggregate entirely)
+      EventAnalytics.decayScores(ev, ref)
+        .agg(sum(col("decayed_score"))).head(); nEv
     }
     spark.stop()
   }

@@ -720,12 +720,10 @@ object SparkEntry {
       ("SELECT c_custkey, regexp_replace(regexp_replace(" +
         "'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com or +1-555-' || " +
         "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\+?[0-9]{1,4}(-[0-9]{2,6}){1,3}-[0-9]{3,6}" +
-        "|[0-9]{1,4}(\\.[0-9]{2,6}){1,3}\\.[0-9]{4,6}" +
-        "|\\+?[0-9]{1,4}( [0-9]{2,6}){2,3} [0-9]{3,6}" +
-        "|\\(?[0-9]{3}\\)? ?[0-9]{3}-[0-9]{4}\\b" +
-        "|\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS masked " +
+        // both patterns come from the engine's source of truth — RE2-safe
+        // by construction, so the same text ports verbatim to DuckDB
+        s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS masked " +
         "FROM customer ORDER BY c_custkey"),
     "q_chunk" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
@@ -785,11 +783,11 @@ object SparkEntry {
         "ELSE 'a b c d e f g h i j' END AS text " +
         "FROM documents WHERE doc_id % 10 IN (1, 3, 4, 5)), " +
         "all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM planted), " +
-        "t AS (SELECT doc_id, text, length(text) AS len, " +
+        "t AS (SELECT doc_id, text, " +
         "string_split_regex(trim(text), '\\s+') AS w, " +
         "string_split_regex(trim(lower(text)), '\\s+') AS lw FROM all_docs), " +
         "q AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens, " +
-        "round((CAST(len AS DOUBLE) - (len(w) - 1)) / len(w), 6) AS mean_word_len, " +
+        "round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS mean_word_len, " +
         "CAST(len(list_filter(lw, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop FROM t), " +
         "r AS (SELECT doc_id, n_tokens, mean_word_len, " +
         "CASE WHEN n_tokens < 5 THEN 'too_short' " +
@@ -841,15 +839,17 @@ object SparkEntry {
         "SELECT doc_id, n_variants, quality_score FROM r WHERE rn = 1 ORDER BY doc_id"),
     "q_decay" ->
       ("WITH r AS (SELECT max(ts) AS ref_ts FROM events), " +
-        "a AS (SELECT user_id, (epoch_us((SELECT ref_ts FROM r)) - epoch_us(ts)) // 86400000000 AS age_days " +
+        "a AS (SELECT user_id, greatest((epoch_us((SELECT ref_ts FROM r)) - epoch_us(ts)) // 86400000000, 0) AS age_days " +
         "FROM events) " +
         "SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / (age_days + 1), 9) AS DECIMAL(28,9))) AS DOUBLE) AS decayed_score " +
         "FROM a GROUP BY user_id ORDER BY user_id"),
     "q_quantize" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale FROM e), " +
-        "q AS (SELECT vec_id, scale, v, list_transform(v, x -> round(x / scale)) AS qv FROM s), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e), " +
+        "s AS (SELECT vec_id, v, max_abs / CAST(127 AS DOUBLE) AS scale, " +
+        "CASE WHEN max_abs = 0 THEN CAST(1 AS DOUBLE) ELSE max_abs / CAST(127 AS DOUBLE) END AS divisor FROM m), " +
+        "q AS (SELECT vec_id, scale, v, list_transform(v, x -> round(x / divisor)) AS qv FROM s), " +
         "r AS (SELECT vec_id, round(scale, 6) AS scale, " +
         "round(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - qv[i] * scale))), 6) AS max_err FROM q) " +
         "SELECT vec_id, scale, max_err FROM r ORDER BY vec_id"),

@@ -436,11 +436,13 @@ object Dedup {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val prefix = s"graft_dedup_idx_${System.getProperty("user.name")}_"
     // sweep siblings left by crashed JVMs (a SIGKILL skips the shutdown
-    // hook; the pid suffix tells us whether the owner is still alive)
+    // hook; the pid suffix tells us whether the owner is still alive).
+    // Delete ONLY when a pid parsed AND is provably dead — a non-numeric
+    // suffix is some other tool's directory, never ours to remove
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .filter(f => scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
-        .forall(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
+        .exists(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
       .foreach(rm)
     val dir = s"$tmp/$prefix${ProcessHandle.current().pid()}"
     sys.addShutdownHook(rm(new java.io.File(dir)))

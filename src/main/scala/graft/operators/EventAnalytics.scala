@@ -96,8 +96,12 @@ object EventAnalytics {
     * double's 2^53 range. */
   def decayScores(ev: DataFrame, refMicros: Long): DataFrame =
     ev
+      // clamp at 0 so a reference mark that lags the stream (wall-clock
+      // "now" behind the data) weighs future events 1.0 instead of
+      // feeding 1/0 into the weight (NULL in Spark, inf in IEEE engines —
+      // silently dropped from the sum while still counted in n_events)
       .withColumn("age_days",
-        expr(s"($refMicros - unix_micros(ts)) div 86400000000"))
+        expr(s"greatest(($refMicros - unix_micros(ts)) div 86400000000, 0)"))
       .withColumn("wt",
         round(lit(1.0) / (col("age_days") + 1L), 9).cast("decimal(28,9)"))
       .groupBy("user_id")

@@ -358,7 +358,12 @@ object Similarity {
       // would otherwise inline an array_max per element)
       .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
       .withColumn("scale", col("max_abs") / lit(127.0))
-      .withColumn("qv", transform(col("v"), x => round(x / col("scale")).cast("long")))
+      // an all-zero vector has scale 0; dividing by it yields NULL in
+      // Spark but NaN in IEEE engines — quantize against a unit divisor
+      // instead, which maps the zero vector to all-zero codes, error 0
+      .withColumn("divisor",
+        when(col("max_abs") === 0.0, lit(1.0)).otherwise(col("scale")))
+      .withColumn("qv", transform(col("v"), x => round(x / col("divisor")).cast("long")))
       .withColumn("max_err",
         round(array_max(zip_with(col("v"), col("qv"),
           (x, q) => abs(x - q * col("scale")))), 6))

@@ -151,17 +151,20 @@ object TextAnalysis {
     *    versions fail the terminal length;
     *  - 4+ space-separated groups (+44 20 7946 0958) — prose number
     *    pairs have too few groups;
-    *  - NANP (555) 123-4567 / 555 123-4567 and bare local 555-1234
-    *    (word-bounded so digit runs inside longer tokens never match).
-    * A bare "any 8+ digit run" rule swallows ids like Customer#000000001:
-    * separator-free runs are ID territory — mask them with a dedicated
-    * rule only where the schema says a column holds phones. */
+    *  - NANP (555) 123-4567 (paren-anchored: a match can only start at
+    *    the literal '(') and 555 123-4567 (word-bounded: the 3-digit head
+    *    cannot start inside a longer digit run).
+    * A bare "any 8+ digit run" rule swallows ids like Customer#000000001,
+    * and a bare local form like 555-1234 is indistinguishable from
+    * numeric ranges (pages 100-1000, part 250-5000) — separator-free runs
+    * and 2-group locals are ID territory: mask them with a dedicated rule
+    * only where the schema says a column holds phones. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?[0-9]{1,4}(-[0-9]{2,6}){1,3}-[0-9]{3,6}" +
     "|[0-9]{1,4}(\\.[0-9]{2,6}){1,3}\\.[0-9]{4,6}" +
     "|\\+?[0-9]{1,4}( [0-9]{2,6}){2,3} [0-9]{3,6}" +
-    "|\\(?[0-9]{3}\\)? ?[0-9]{3}-[0-9]{4}\\b" +
-    "|\\b[0-9]{3}-[0-9]{4}\\b"
+    "|\\([0-9]{3}\\) ?[0-9]{3}-[0-9]{4}\\b" +
+    "|\\b[0-9]{3} [0-9]{3}-[0-9]{4}\\b"
 
   def maskPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")

@@ -52,7 +52,11 @@ object TextNormalize {
   def c4Filters(df: DataFrame, minTokens: Int = 5): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     val nTok = size(words).cast("long")
-    val meanLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
+    // mean over actual token lengths — the chars-minus-separators form
+    // counts every whitespace char beyond one-per-boundary as word mass,
+    // inflating the mean on indented/double-spaced documents
+    val meanLen = aggregate(words, lit(0L),
+      (a, x) => a + length(x).cast("long")).cast("double") / nTok
     df.withColumn("n_tokens", nTok)
       .withColumn("mean_word_len", round(meanLen, 6))
       .withColumn("n_stopwords",

@@ -119,14 +119,19 @@ class TextNormalizeSpec extends SparkSpec {
   test("quantize: reconstruction error is bounded by half a quantization step") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
-      (2L, Array(-2.0f, 0.004f, 1.5f, 0.75f))
+      (2L, Array(-2.0f, 0.004f, 1.5f, 0.75f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector: scale 0, error 0
     ).toDF("vec_id", "embedding")
-    graft.operators.Similarity.quantize(emb).collect().foreach { r =>
+    val rows = graft.operators.Similarity.quantize(emb).collect()
+    rows.foreach { r =>
       val scale = r.getAs[Double]("scale")
       val err = r.getAs[Double]("max_err")
+      assert(!scale.isNaN && !err.isNaN)
       assert(err <= scale / 2 + 1e-9,
         s"round-to-nearest error $err must be <= scale/2 = ${scale / 2}")
     }
+    val zero = rows.find(_.getLong(0) == 3L).get
+    assert(zero.getAs[Double]("scale") === 0.0 && zero.getAs[Double]("max_err") === 0.0)
   }
 
   test("z-order: bit interleaving identities hold") {

@@ -68,14 +68,20 @@ class TextSearchSpec extends SparkSpec {
         .select(TextAnalysis.maskPii(col("contact")).as("m")).as[String].head()
     assert(mask("mail jane.doe+x@corp.example.org or call +44-20-7946-0958 re id 000123456")
       === "mail <EMAIL> or call <PHONE> re id 000123456")
-    // separator variants all mask, including the bare local form
+    // separator variants all mask
     assert(mask("try (555) 123-4567 first") === "try <PHONE> first")
+    assert(mask("try 555 123-4567 second") === "try <PHONE> second")
     assert(mask("try +44 20 7946 0958 next") === "try <PHONE> next")
     assert(mask("try 555.123.4567 too") === "try <PHONE> too")
-    assert(mask("call 555-1234 now") === "call <PHONE> now")
     // non-phones survive: page ranges, ISO dates, bare digit runs
     assert(mask("see pages 3-12 of 2024-01-01 build 20240101")
       === "see pages 3-12 of 2024-01-01 build 20240101")
+    // bare 2-group locals are numeric-range territory, not phones
+    assert(mask("see pages 100-1000 for details")
+      === "see pages 100-1000 for details")
+    // the NANP head cannot start inside a longer digit run
+    assert(mask("build 20240101 123-4567 tag")
+      === "build 20240101 123-4567 tag")
     // a space must not bridge unrelated numbers: adjacent dates and IPs
     assert(mask("shipped 2024-01-01 2024-03-15 via 192.168.10.100")
       === "shipped 2024-01-01 2024-03-15 via 192.168.10.100")
