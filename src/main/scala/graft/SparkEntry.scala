@@ -143,6 +143,10 @@ object SparkEntry {
     // --- embedding quantization + z-order layout kernel
     "q_quantize" -> (Similarity.qQuantize _),
     "q_zorder" -> (Advanced.qZorder _),
+    // --- containment dedup + exact repeated-span scan + skew diagnostics
+    "q_containment" -> (Dedup.qContainment _),
+    "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
+    "q_skew_stats" -> (Advanced.qSkewStats _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -858,5 +862,42 @@ object SparkEntry {
         operators.Advanced.zvalueSql("(l_orderkey % 65536)", "(l_partkey % 65536)") +
         " AS BIGINT) AS zval FROM lineitem " +
         "ORDER BY zval, l_orderkey, l_partkey LIMIT 100"),
+    "q_containment" ->
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 4000000 AS doc_id, " +
+        "array_to_string((string_split_regex(trim(text), '\\s+'))[1:len(string_split_regex(trim(text), '\\s+'))//2], ' ') AS text " +
+        "FROM documents WHERE doc_id % 17 = 0), " +
+        "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM all_docs), " +
+        "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+        "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
+        "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+        "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
+        "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment " +
+        "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9 " +
+        "ORDER BY doc_a, doc_b"),
+    "q_repeated_spans" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "g AS (SELECT doc_id, [" +
+        (0 until 8).map(k => s"words[i+$k]").mkString(" || ' ' || ") +
+        " for i in generate_series(1, len(words) - 7)] AS sh FROM w WHERE len(words) >= 8), " +
+        "c AS (SELECT doc_id, list_transform(sh, sg -> list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(sg)), " +
+        "i -> CAST(ascii(sg[i]) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)) AS cs FROM g), " +
+        "e AS (SELECT doc_id, unnest(cs) AS span_hash FROM c) " +
+        "SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_occur, min(doc_id) AS first_doc " +
+        "FROM e GROUP BY span_hash HAVING count(*) >= 2 " +
+        "ORDER BY n_occur DESC, span_hash"),
+    "q_skew_stats" ->
+      ("WITH f AS (SELECT event_type, user_id, count(*) AS freq FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys, " +
+        "CAST(max(freq) AS BIGINT) AS max_freq, CAST(sum(freq) AS BIGINT) AS n_rows, " +
+        "round(quantile_cont(freq, 0.99), 6) AS p99_freq, " +
+        "round(CAST(max(freq) AS DOUBLE) * count(*) / sum(freq), 6) AS skew_ratio " +
+        "FROM f GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -311,6 +311,28 @@ object Advanced {
       .filter(col("k") >= 50L)
       .orderBy("event_id")
 
+  /** Join-key skew diagnostics: the per-key frequency profile that decides
+    * salt-vs-broadcast-vs-plain BEFORE a big join ships data — the
+    * operational companion to [[qSaltedJoin]]. Two aggregations (key
+    * counts, then a per-group profile); skew_ratio = max_freq x n_keys /
+    * n_rows is 1.0 for a perfectly uniform key and grows with the hottest
+    * key's excess. At 100 TB this runs on a sample or the join input
+    * itself — either way it is two shuffles of scalar pairs. */
+  def keySkew(df: DataFrame, group: String, key: String): DataFrame =
+    df.groupBy(group, key).agg(count(lit(1)).as("freq"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("freq")).as("max_freq"),
+        sum(col("freq")).as("n_rows"),
+        round(expr("percentile(freq, 0.99)"), 6).as("p99_freq"))
+      .withColumn("skew_ratio",
+        round(col("max_freq").cast("double") * col("n_keys") / col("n_rows"), 6))
+
+  def qSkewStats(s: SparkSession, d: String): DataFrame =
+    keySkew(events(s, d), "event_type", "user_id")
+      .select("event_type", "n_keys", "max_freq", "n_rows", "p99_freq", "skew_ratio")
+      .orderBy("event_type")
+
   /** Z-ORDER curve value: interleave the low [[ZorderBits]] bits of two
     * key columns (Morton code) — the layout kernel for multi-dimensional
     * data clustering. Writing a 100 TB fact table sorted by z(a, b) makes

@@ -643,6 +643,75 @@ object Dedup {
   def qWinnow(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(documents(s, d)).orderBy("doc_id", "fp")
 
+  // ----------------------------------------------------- containment dedup
+
+  /** Jaccard CONTAINMENT near-dups: |A∩B| / min(|A|, |B|) — catches
+    * truncated and partial copies that symmetric Jaccard misses entirely
+    * (a half-length copy of a document has J ≈ 0.5 but containment 1.0;
+    * truncated re-crawls and excerpt pages are the common real case).
+    * Same inverted-postings shape as [[ngramNearDups]]: sub-quadratic,
+    * no per-pair array ops, and the same vocabulary-saturation caveats. */
+  def containmentDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs)
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    postings.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sb")), Seq("doc_b"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("sa"), col("sb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /** Containment demo: plant the FIRST HALF of every 17th document at a
+    * shifted id — a truncated copy whose symmetric Jaccard (~0.5) evades
+    * the 0.5-threshold near-dup queries but whose containment is 1.0. */
+  def qContainment(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    val truncated = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), (size(w) / lit(2)).cast("int"))).as("text"))
+    containmentDups(base.unionByName(truncated), 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------- repeated-span scan
+
+  /** Exact repeated-span detection (the public "Deduplicating Training
+    * Data Makes Language Models Better" approach, Lee et al. 2022,
+    * re-expressed as postings algebra instead of a suffix array): hash
+    * every POSITIONAL [[SpanK]]-token span, group by hash, and report
+    * spans occurring more than once — the exact duplicated passages a
+    * span-level deduper would cut. Narrow span hashing + one
+    * high-cardinality aggregate; no pairwise comparison anywhere, so the
+    * cost is linear in corpus tokens at any scale. */
+  val SpanK = 8
+
+  def repeatedSpans(docs: DataFrame): DataFrame = {
+    val codes = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= SpanK)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("words")) - (SpanK - 1)),
+          i => graft.functions.GraftFunctions.poly_hash(concat_ws(" ",
+            (0 until SpanK).map(k => element_at(col("words"), i + k)): _*))).as("cs"))
+    codes.select(col("doc_id"), explode(col("cs")).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occur") >= 2)
+  }
+
+  def qRepeatedSpans(s: SparkSession, d: String): DataFrame =
+    repeatedSpans(documents(s, d)).orderBy(col("n_occur").desc, col("span_hash"))
+
   // -------------------------------------------------------- keep-best dedup
 
   /** Canonical selection among near-identical variants: group documents by

@@ -134,6 +134,48 @@ class TextNormalizeSpec extends SparkSpec {
     assert(zero.getAs[Double]("scale") === 0.0 && zero.getAs[Double]("max_err") === 0.0)
   }
 
+  test("containment catches a truncated copy that symmetric Jaccard misses") {
+    val full = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val half = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, full), (2L, half),
+      (3L, "completely unrelated words that overlap with nothing else at all")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentDups(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet === Set((1L, 2L)), s"got $cont")
+    assert(cont((1L, 2L)) === 1.0, "every shingle of the half is in the full doc")
+    // the same pair evades the symmetric-Jaccard query at the same threshold
+    assert(Dedup.ngramNearDups(docs, 0.9).count() === 0L)
+  }
+
+  test("repeated spans: cross-doc and within-doc repeats are both witnessed") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // exactly SpanK tokens
+    val docs = Seq(
+      (1L, s"$span filler one two three"),
+      (2L, s"prefix words here $span trailing tail"),
+      (3L, s"$span middle padding goes here and then again $span"),
+      (4L, "no shared spans in this document at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.repeatedSpans(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the planted span occurs 4 times across 3 docs; nothing else repeats
+    assert(rows.size === 1)
+    val (nDocs, nOccur) = rows.values.head
+    assert(nDocs === 3L && nOccur === 4L)
+  }
+
+  test("skew stats: a hot key raises skew_ratio above the uniform baseline 1.0") {
+    val rows = (1 to 60).map(i => ("hot", i % 10)) ++ // key 0 uniform...
+      (1 to 60).map(_ => ("hot", 0)) ++               // ...then overloaded
+      (1 to 50).map(i => ("flat", i % 10))
+    val df = rows.toDF("grp", "key")
+    val out = graft.operators.Advanced.keySkew(df, "grp", "key")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("skew_ratio")).toMap
+    assert(out("flat") === 1.0, "uniform keys: max x n_keys / n_rows = 1")
+    assert(out("hot") > 4.0, s"the hot key holds 66/120 rows: ${out("hot")}")
+  }
+
   test("z-order: bit interleaving identities hold") {
     def z(a: Long, b: Long): Long = {
       val df = Seq((a, b)).toDF("a", "b")
