@@ -148,6 +148,8 @@ object ScaleProbe {
       li.select(Advanced.zvalue(pmod(col("l_orderkey"), lit(65536L)),
         pmod(col("l_partkey"), lit(65536L))).as("z")).agg(max(col("z"))).head(); 1L
     }
+    time("containment", nDocs) { Dedup.containmentDups(docs, 0.9).count() }
+    time("repeated_spans", nDocs) { Dedup.repeatedSpans(docs).count() }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))
       .select((col("event_id") * mult + col("r")).as("event_id"),
@@ -160,6 +162,10 @@ object ScaleProbe {
       // pruned (bare .count() drops the sum aggregate entirely)
       EventAnalytics.decayScores(ev, ref)
         .agg(sum(col("decayed_score"))).head(); nEv
+    }
+    time("skew_stats", nEv) {
+      Advanced.keySkew(ev.withColumn("event_type", pmod(col("event_id"), lit(5L))),
+        "event_type", "user_id").collect().length.toLong
     }
     spark.stop()
   }

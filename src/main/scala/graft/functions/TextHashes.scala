@@ -81,6 +81,43 @@ object TextHashes {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** POSITIONAL word n-gram hashes in one compiled pass: out(i) =
+    * polyHash("w_i w_i+1 ... w_i+n-1"), computed by folding the bytes
+    * incrementally across words — no per-span string concatenation at
+    * all. Bit-identical to polyHash over the concat_ws(" ", ...) form
+    * (asserted in FunctionsSpec). Unlike [[wordNgrams]] this keeps every
+    * position (winnowing and span-level dedup need sequence order, not
+    * the distinct shingle set). */
+  def spanHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    val total = m - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    // fetch each word's bytes once (overlapping spans re-read every word
+    // up to n times otherwise)
+    val wb = new Array[Array[Byte]](m)
+    var w = 0
+    while (w < m) { wb(w) = words.getUTF8String(w).getBytes; w += 1 }
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31L + ' '.toInt) % Mod
+        val bytes = wb(i + j)
+        var k = 0
+        while (k < bytes.length) {
+          acc = (acc * 31L + (bytes(k) & 0xFF)) % Mod
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Murmur3 finalizer: full-avalanche mix of a 64-bit value. Without it
     * the multiplicative char fold leaves the HIGH bits of short-token
     * hashes nearly constant (they depend mostly on seed * 31^len), which
@@ -275,6 +312,18 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `span_hashes(array<string>, n) -> array<long>`: codegen'd positional
+  * word n-gram hashing (one hash per position, order preserved). */
+case class SpanHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.spanHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.spanHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
 /** `cosine_sim(array<float>, array<float>) -> double`: codegen'd cosine
   * similarity. Bit-identical to the declarative
   * `aggregate(zip_with(...))/sqrt(...)` form in operators.Similarity —
@@ -349,6 +398,9 @@ object GraftFunctions {
 
   def word_ngrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
+
+  def span_hashes(c: Column, n: Int): Column =
+    ColumnBridge.column(SpanHashes(ColumnBridge.expression(c), n))
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))

@@ -629,11 +629,7 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 3 + WinnowW - 1)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("words")) - 2),
-          i => graft.functions.GraftFunctions.poly_hash(concat_ws(" ",
-            element_at(col("words"), i),
-            element_at(col("words"), i + 1),
-            element_at(col("words"), i + 2)))).as("cs"))
+        graft.functions.GraftFunctions.span_hashes(col("words"), 3).as("cs"))
     codes.select(col("doc_id"),
       explode(array_distinct(transform(
         sequence(lit(1), size(col("cs")) - (WinnowW - 1)),
@@ -694,13 +690,14 @@ object Dedup {
   val SpanK = 8
 
   def repeatedSpans(docs: DataFrame): DataFrame = {
+    // one compiled pass per document (the declarative per-position HOF
+    // lambda ran interpreted and was measured 6x the hash cost once the
+    // explode collapsed the transform into the generator)
     val codes = Tables.rebalance(docs, "doc_id")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= SpanK)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("words")) - (SpanK - 1)),
-          i => graft.functions.GraftFunctions.poly_hash(concat_ws(" ",
-            (0 until SpanK).map(k => element_at(col("words"), i + k)): _*))).as("cs"))
+        graft.functions.GraftFunctions.span_hashes(col("words"), SpanK).as("cs"))
     codes.select(col("doc_id"), explode(col("cs")).as("span_hash"))
       .groupBy("span_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -124,6 +124,25 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.last.getSeq[String](0) === Seq("a b c"))
   }
 
+  test("SpanHashes == declarative positional poly_hash chain on real docs") {
+    val withWords = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 8)
+    val slow = transform(sequence(lit(1), size(col("words")) - 7),
+      i => graft.functions.GraftFunctions.poly_hash(concat_ws(" ",
+        (0 until 8).map(k => element_at(col("words"), i + k)): _*)))
+    val mismatches = withWords.select(slow.as("slow"),
+      graft.functions.GraftFunctions.span_hashes(col("words"), 8).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+    // shorter than n words -> empty array, not an error
+    import spark.implicits._
+    val short = Seq(Seq("a", "b")).toDF("words")
+      .select(graft.functions.GraftFunctions.span_hashes(col("words"), 8).as("h"))
+      .collect()
+    assert(short.head.getSeq[Long](0) === Seq.empty)
+  }
+
   test("SimHash64 expression == scala simhash64 on real docs") {
     import spark.implicits._
     val viaExpr = docs
