@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * inputs (10x and 30x sf0.1) to measure how cost grows with data size —
   * the local evidence behind the 100 TB design claims (results recorded in
   * SCALE.md). Not part of the driver contract; run manually:
-  *   sbt "runMain graft.ScaleProbe [multiplier]"
+  *   sbt "runMain graft.ScaleProbe [multiplier] [op1,op2,...]"
+  * (second arg: only probe the named operators)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 10
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -59,6 +62,7 @@ object ScaleProbe {
     println(s"[scale] mult=$mult docs=$nDocs embeddings=$nEmb lineitem=$nLi")
 
     def time(name: String, rows: Long)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       val n = f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -148,7 +152,10 @@ object ScaleProbe {
       li.select(Advanced.zvalue(pmod(col("l_orderkey"), lit(65536L)),
         pmod(col("l_partkey"), lit(65536L))).as("z")).agg(max(col("z"))).head(); 1L
     }
-    time("containment", nDocs) { Dedup.containmentDups(docs, 0.9).count() }
+    // plain inverted-postings containment goes quadratic on the saturated
+    // synthetic vocab (135 s at 30x, SCALE.md) — probe the prefix-filtered
+    // exact variant, which is the declared scale path
+    time("containment", nDocs) { Dedup.containmentDupsPrefix(docs, 0.9).count() }
     time("repeated_spans", nDocs) { Dedup.repeatedSpans(docs).count() }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))

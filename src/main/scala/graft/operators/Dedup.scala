@@ -664,6 +664,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
   }
 
+  /** EXACT containment near-dups with PREFIX FILTERING — the containment
+    * analog of [[ngramNearDupsPrefix]]. For a pair with containment >= t,
+    * the SMALLER document S (ties broken by doc_id) satisfies
+    * |A∩B| >= t*|S|, so S must share a shingle among its first
+    * |S| - ceil(t*|S|) + 1 shingles ranked rarest-first by global document
+    * frequency. Candidates therefore come from joining SMALLER-side prefix
+    * postings against full postings (the larger side gets no usable prefix
+    * bound: it only needs t*|S| common shingles, which for |B| >> |S| is a
+    * vanishing fraction of B). Candidates are verified on the full shingle
+    * sets, so results are identical to [[containmentDups]] (equality
+    * spec'd).
+    *
+    * Scale: candidate cost is Σ_s freq_prefix(s) * freq_full(s) instead of
+    * Σ_s freq_full(s)² — rarest-first ranking keeps prefix postings off
+    * the hot head, which on the saturated synthetic vocabulary turned the
+    * 30x probe from 135 s (full postings join) to the measured SCALE.md
+    * number. Same guidance as the Jaccard pair: plain inverted join while
+    * posting lists are short, prefix filter at scale. */
+  def containmentDupsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs)
+    val postings = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = postings
+      .join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    // (n_sh, doc_id) lexicographic order decides which side is "smaller";
+    // equal-size pairs are generated from both prefixes and deduped below
+    val cands = prefix
+      .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("doc_a") =!= col("doc_b")))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Containment demo: plant the FIRST HALF of every 17th document at a
     * shifted id — a truncated copy whose symmetric Jaccard (~0.5) evades
     * the 0.5-threshold near-dup queries but whose containment is 1.0. */

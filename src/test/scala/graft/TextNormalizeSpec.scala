@@ -149,6 +149,28 @@ class TextNormalizeSpec extends SparkSpec {
     assert(Dedup.ngramNearDups(docs, 0.9).count() === 0L)
   }
 
+  test("containmentDupsPrefix returns exactly containmentDups' pairs") {
+    // small vocab => incidental overlaps, plus planted truncations and
+    // equal-size duplicates (the prefix filter's tie-break path)
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 60).map { i =>
+      (i.toLong, (0 until 12 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    }
+    val truncated = base.collect { case (id, t) if id % 7 == 0 =>
+      (id + 1000L, t.split(" ").take(t.split(" ").length / 2 + 3).mkString(" "))
+    }
+    val equalDup = base.collect { case (id, t) if id % 11 == 0 => (id + 2000L, t) }
+    val docs = (base ++ truncated ++ equalDup).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9)) {
+      val plain = Dedup.containmentDups(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.containmentDupsPrefix(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === plain, s"threshold $t: prefix variant diverged")
+      assert(plain.nonEmpty, s"threshold $t: fixture should produce pairs")
+    }
+  }
+
   test("repeated spans: cross-doc and within-doc repeats are both witnessed") {
     val span = "alpha beta gamma delta epsilon zeta eta theta" // exactly SpanK tokens
     val docs = Seq(
