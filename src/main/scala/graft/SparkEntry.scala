@@ -103,6 +103,7 @@ object SparkEntry {
     "q_multimodal" -> (Multimodal.qMultimodalDecode _),
     // --- command dispatch (SURVEY §2.9)
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
+    "q_dedup_gate" -> (graft.streaming.StreamingJobs.qDedupGate _),
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
@@ -251,7 +252,69 @@ object SparkEntry {
       "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
       "WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5"
 
+  /** Oracle for the streaming dedup gate: replay both waves' four
+    * rejection stages (exact-in-batch, exact-vs-corpus, near-dup-vs-corpus,
+    * near-dup-in-batch with recursive-CTE connected components) over the
+    * same planted corpus the Spark side builds. */
+  private val dedupGateOracleSql: String =
+    "WITH RECURSIVE " +
+      "docs0 AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0 " +
+      "UNION ALL SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 30 = 0), " +
+      "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM docs0), " +
+      "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+      "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+      "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
+      "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+      "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
+      "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "jp AS (SELECT doc_a, doc_b FROM cm " +
+      "JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
+      "WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5), " +
+      "sym AS (SELECT doc_a AS x, doc_b AS y FROM jp UNION ALL SELECT doc_b, doc_a FROM jp), " +
+      // wave 0
+      "b0 AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 2 = 0), " +
+      "e0 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS wmin FROM b0), " +
+      "r0e AS (SELECT doc_id, 'exact_batch' AS status, wmin AS witness FROM e0 WHERE doc_id <> wmin), " +
+      "s0 AS (SELECT doc_id FROM e0 WHERE doc_id = wmin), " +
+      "ed0 AS (SELECT x, y FROM sym WHERE x IN (SELECT doc_id FROM s0) AND y IN (SELECT doc_id FROM s0)), " +
+      "rc0 AS (SELECT x AS id, x AS lbl FROM (SELECT DISTINCT x FROM ed0) " +
+      "UNION SELECT e.x, r.lbl FROM ed0 e JOIN rc0 r ON e.y = r.id), " +
+      "l0 AS (SELECT id, min(lbl) AS lbl FROM rc0 GROUP BY id), " +
+      "r0n AS (SELECT id AS doc_id, 'near_dup_batch' AS status, lbl AS witness FROM l0 WHERE id <> lbl), " +
+      "a0 AS (SELECT doc_id FROM s0 WHERE doc_id NOT IN (SELECT doc_id FROM r0n)), " +
+      // wave 1
+      "b1 AS (SELECT doc_id, text FROM docs0 WHERE doc_id % 2 = 1), " +
+      "e1 AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS wmin FROM b1), " +
+      "r1e AS (SELECT doc_id, 'exact_batch' AS status, wmin AS witness FROM e1 WHERE doc_id <> wmin), " +
+      "s1 AS (SELECT doc_id, text FROM e1 WHERE doc_id = wmin), " +
+      "a0t AS (SELECT d.doc_id, d.text FROM docs0 d JOIN a0 ON d.doc_id = a0.doc_id), " +
+      "r1ec AS (SELECT s1.doc_id, 'exact_corpus' AS status, min(a0t.doc_id) AS witness " +
+      "FROM s1 JOIN a0t ON s1.text = a0t.text GROUP BY s1.doc_id), " +
+      "s1c AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM r1ec)), " +
+      "r1nc AS (SELECT x AS doc_id, 'near_dup_corpus' AS status, min(y) AS witness FROM sym " +
+      "WHERE x IN (SELECT doc_id FROM s1c) AND y IN (SELECT doc_id FROM a0) GROUP BY x), " +
+      "s1n AS (SELECT doc_id FROM s1c WHERE doc_id NOT IN (SELECT doc_id FROM r1nc)), " +
+      "ed1 AS (SELECT x, y FROM sym WHERE x IN (SELECT doc_id FROM s1n) AND y IN (SELECT doc_id FROM s1n)), " +
+      "rc1 AS (SELECT x AS id, x AS lbl FROM (SELECT DISTINCT x FROM ed1) " +
+      "UNION SELECT e.x, r.lbl FROM ed1 e JOIN rc1 r ON e.y = r.id), " +
+      "l1 AS (SELECT id, min(lbl) AS lbl FROM rc1 GROUP BY id), " +
+      "r1n AS (SELECT id AS doc_id, 'near_dup_batch' AS status, lbl AS witness FROM l1 WHERE id <> lbl), " +
+      "a1 AS (SELECT doc_id FROM s1n WHERE doc_id NOT IN (SELECT doc_id FROM r1n)) " +
+      "SELECT doc_id, status, witness, CAST(batch_id AS BIGINT) AS batch_id FROM (" +
+      "SELECT doc_id, 'accepted' AS status, CAST(NULL AS BIGINT) AS witness, doc_id % 2 AS batch_id FROM a0 " +
+      "UNION ALL SELECT doc_id, 'accepted', CAST(NULL AS BIGINT), doc_id % 2 FROM a1 " +
+      "UNION ALL SELECT doc_id, status, witness, 0 FROM r0e " +
+      "UNION ALL SELECT doc_id, status, witness, 0 FROM r0n " +
+      "UNION ALL SELECT doc_id, status, witness, 1 FROM r1e " +
+      "UNION ALL SELECT doc_id, status, witness, 1 FROM r1ec " +
+      "UNION ALL SELECT doc_id, status, witness, 1 FROM r1nc " +
+      "UNION ALL SELECT doc_id, status, witness, 1 FROM r1n" +
+      ") ORDER BY doc_id, status"
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_gate" -> dedupGateOracleSql,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,

@@ -397,6 +397,32 @@ object Dedup {
   def crossNearDups(left: DataFrame, right: DataFrame, threshold: Double): DataFrame =
     crossNearDupsSigs(sigsOf(shingleIndex(left)), sigsOf(shingleIndex(right)), threshold)
 
+  /** EXACT cross-frame near-dups via the inverted-postings join — the
+    * exact analog of [[crossNearDups]] (complete for any threshold > 0:
+    * every cross pair sharing at least one shingle is scored). Same
+    * Σ freq_left·freq_right cost shape as [[TextSearch]]'s contamination
+    * check: bounded as long as ONE side is small (the probe batch). */
+  def crossNearDupsExact(left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame =
+    crossNearDupsExactIdx(shingleIndex(left), shingleIndex(right), threshold)
+
+  private[graft] def crossNearDupsExactIdx(la: DataFrame, ra: DataFrame,
+      threshold: Double): DataFrame = {
+    val lp = la.select(col("doc_id").as("doc_a"), explode(col("sh")).as("shingle"))
+    val rp = ra.select(col("doc_id").as("doc_b"), explode(col("sh")).as("shingle"))
+    val common = lp.join(rp, Seq("shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(la.select(col("doc_id").as("doc_a"),
+        size(col("sh")).cast("long").as("sa")), Seq("doc_a"))
+      .join(ra.select(col("doc_id").as("doc_b"),
+        size(col("sh")).cast("long").as("sb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa") + col("sb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------------- persisted dedup index
 
   /** Persist the MinHash dedup index — the (doc_id, sh, sig) table — so
@@ -419,6 +445,15 @@ object Dedup {
       threshold: Double): DataFrame =
     crossNearDupsSigs(sigsOf(shingleIndex(incoming)), spark.read.parquet(path), threshold)
 
+  /** Exact-pair probe of the persisted index (the stored (doc_id, sh)
+    * columns feed the inverted-postings join; `sig` is pruned away).
+    * Complete, unlike the band-bucket [[probeIndex]] — use it where a
+    * declared-exact result matters and the probe side is small. */
+  def probeIndexExact(spark: SparkSession, path: String, incoming: DataFrame,
+      threshold: Double): DataFrame =
+    crossNearDupsExactIdx(shingleIndex(incoming),
+      spark.read.parquet(path).select("doc_id", "sh"), threshold)
+
   /** Oracle-gated incremental-ingestion demo: the even-id half of the
     * corpus is written out as the persisted MinHash index, then the odd-id
     * half arrives as an incoming batch and probes it — the end-to-end
@@ -428,26 +463,31 @@ object Dedup {
     * (repeated calls in one JVM overwrite the same directory; concurrent
     * processes cannot clobber each other's index mid-read) and is removed
     * by a shutdown hook. */
-  private lazy val incrementalIdxDir: String = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Per-process temp directory `<tmpdir>/<base>_<user>_<pid>`, removed by
+    * a shutdown hook. Also sweeps dead siblings left by crashed JVMs (a
+    * SIGKILL skips the hook; the pid suffix tells us whether the owner is
+    * still alive). Delete ONLY when a pid parsed AND is provably dead — a
+    * non-numeric suffix is some other tool's directory, never ours to
+    * remove. */
+  private[graft] def processTempDir(base: String): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft_dedup_idx_${System.getProperty("user.name")}_"
-    // sweep siblings left by crashed JVMs (a SIGKILL skips the shutdown
-    // hook; the pid suffix tells us whether the owner is still alive).
-    // Delete ONLY when a pid parsed AND is provably dead — a non-numeric
-    // suffix is some other tool's directory, never ours to remove
+    val prefix = s"${base}_${System.getProperty("user.name")}_"
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .filter(f => scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
         .exists(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
-      .foreach(rm)
+      .foreach(rmTree)
     val dir = s"$tmp/$prefix${ProcessHandle.current().pid()}"
-    sys.addShutdownHook(rm(new java.io.File(dir)))
+    sys.addShutdownHook(rmTree(new java.io.File(dir)))
     dir
   }
+
+  private lazy val incrementalIdxDir: String = processTempDir("graft_dedup_idx")
 
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)

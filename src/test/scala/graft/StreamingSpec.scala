@@ -367,4 +367,63 @@ class StreamingSpec extends SparkSpec {
       "Category Cat1 already exists",
       "Unknown action"))
   }
+
+  test("streaming dedup gate: exact + near dups rejected within and across batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dedup_gate")
+    val docsDir = root.resolve("docs"); Files.createDirectory(docsDir)
+    val accepted = root.resolve("accepted").toString
+    val index = root.resolve("index").toString
+    val rejected = root.resolve("rejected").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val textA = (1 to 60).map(i => s"a$i").mkString(" ")
+    // J(A, Aa) ~ 0.9: high enough that the 8x4 MinHash bands witness the
+    // pair with probability ~1 - 2e-4 (deterministic given the text; a
+    // lower-J fixture landed in a band-miss configuration)
+    val textAa = ((1 to 57).map(i => s"a$i") ++ (1 to 3).map(i => s"z$i")).mkString(" ")
+    val textB = (1 to 40).map(i => s"b$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"c$i").mkString(" ")
+    def doc(id: Long, t: String) = (id, t, "en", "test", t.length.toLong)
+    def stage(name: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = root.resolve(s"stage_$name").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, docsDir.resolve(s"$name.parquet")); ()
+    }
+
+    // wave 1: original A, exact copy of A, near-dup of A, unrelated B
+    stage("w1", Seq(doc(1, textA), doc(2, textA), doc(3, textAa), doc(4, textB)))
+    val q = StreamingJobs.dedupGateStream(spark, docsDir.toString, accepted,
+      index, rejected, ckpt, threshold = 0.5)
+    try {
+      q.processAllAvailable()
+      // wave 2: exact copy of corpus A, near-dup of corpus A, fresh C, copy of C
+      stage("w2", Seq(doc(5, textA), doc(6, textAa), doc(7, textC), doc(8, textC)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val acc = spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+    assert(acc === Set(1L, 4L, 7L))
+    val rej = spark.read.parquet(rejected)
+      .select("doc_id", "reason", "witness")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rej === Map(
+      2L -> ("exact_batch", 1L),
+      3L -> ("near_dup_batch", 1L),
+      5L -> ("exact_corpus", 1L),
+      6L -> ("near_dup_corpus", 1L),
+      8L -> ("exact_batch", 7L)))
+    // the index holds signatures for exactly the accepted docs, so later
+    // batches dedup against them
+    val idxDocs = spark.read.parquet(index).select("doc_id").as[Long].collect().toSet
+    assert(idxDocs === Set(1L, 4L, 7L))
+    // batch ids recorded: wave 1 = batch 0, wave 2 = batch 1
+    val batches = spark.read.parquet(rejected)
+      .select("doc_id", "batch_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batches(2L) === 0L && batches(6L) === 1L)
+  }
 }
