@@ -34,6 +34,88 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
 
+  // ------------------------------------------- stateful sessionization
+
+  /** Typed event fed to the stateful sessionizer (`ts_us` = event-time
+    * micros, so all gap math is exact integer arithmetic). */
+  case class SessEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, ts_us: Long)
+
+  /** Open-session state kept per user between micro-batches. */
+  case class SessState(session_id: Long, start_us: Long, end_us: Long, n: Long)
+
+  /** A closed session — same shape as [[graft.operators.EventAnalytics
+    * .sessionize]]'s output with micros timestamps. */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Streaming sessionization with CUSTOM state —
+    * `flatMapGroupsWithState` over user_id (SURVEY §2.9's
+    * KeyValueGroupedDataset state primitive; the declarative alternative
+    * is the native `session_window`, exercised batch-side by
+    * q_session_window). A session closes when a later event for the same
+    * user arrives more than `gapMinutes` after it, or when the WATERMARK
+    * passes its end + gap (event-time timeout) — so results equal the
+    * batch [[graft.operators.EventAnalytics.sessionize]] on any prefix
+    * whose sessions the watermark has closed, asserted in StreamingSpec.
+    *
+    * Contract: per-key event-time order must be respected ACROSS
+    * micro-batches up to the watermark delay (the standard streaming
+    * contract — within a batch we sort, across batches the watermark
+    * bounds disorder). State is one tiny fixed-size record per ACTIVE
+    * user, not per event: memory is bounded by concurrent-user
+    * cardinality, and the state store shards on user_id with the same
+    * single shuffle the batch window pays. */
+  def sessionizeStream(spark: SparkSession, eventsDir: String,
+      gapMinutes: Int, watermarkDelay: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60000000L
+    def close(u: Long, s: SessState) =
+      SessionOut(u, s.session_id, s.n, s.start_us, s.end_us)
+    val fn = (userId: Long, it: Iterator[SessEvent], state: GroupState[SessState]) => {
+      if (state.hasTimedOut) {
+        // watermark passed end + gap with no new events: the session is
+        // provably complete
+        val out = Iterator.single(close(userId, state.get))
+        state.remove()
+        out
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption
+        // batch order within a trigger matches the batch formulation's
+        // ORDER BY (ts, event_id)
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          cur match {
+            case None => cur = Some(SessState(1L, e.ts_us, e.ts_us, 1L))
+            case Some(s) if e.ts_us - s.end_us > gapUs =>
+              out += close(userId, s)
+              cur = Some(SessState(s.session_id + 1, e.ts_us, e.ts_us, 1L))
+            case Some(s) => cur = Some(s.copy(end_us = e.ts_us, n = s.n + 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // +1 ms: micros -> millis floors, and the timeout must fire
+          // strictly AFTER watermark reaches end + gap
+          state.setTimeoutTimestamp((s.end_us + gapUs) / 1000 + 1)
+        }
+        out.iterator
+      }
+    }
+    spark.readStream.schema(eventsFileSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermarkDelay)
+      // keep the watermarked `ts` column in the typed event: event-time
+      // timeout requires it to survive into the grouped Dataset
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
   // ------------------------------------------------- streaming dedup gate
 
   /** documents.parquet physical schema (the streaming file source needs it

@@ -368,6 +368,45 @@ class StreamingSpec extends SparkSpec {
       "Unknown action"))
   }
 
+  test("flatMapGroupsWithState sessionization == batch sessionize once watermark closes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("w1.parquet"))
+    val streamed = StreamingJobs.sessionizeStream(spark, dir.toString, 30)
+    val q = streamed.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // nothing can emit yet except gap-closed sessions; the open tails
+      // need the watermark pushed past end+gap — plant one far-future
+      // sentinel event for a user id outside the data
+      val maxNs = spark.read.parquet(s"$sf0001/events.parquet")
+        .agg(max(col("ts"))).head().getLong(0)
+      Seq((-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(dir.resolve("stage").toString)
+      val part = new java.io.File(dir.resolve("stage").toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve("w2.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_out")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expected = graft.operators.EventAnalytics
+      .sessionize(graft.engine.Tables.events(spark, sf0001), 30)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("session_start")).as("s"), unix_micros(col("session_end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    assert(got.size > 100, s"fixture should produce many sessions, got ${got.size}")
+  }
+
   test("streaming dedup gate: exact + near dups rejected within and across batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dedup_gate")
