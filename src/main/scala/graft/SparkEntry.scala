@@ -87,6 +87,7 @@ object SparkEntry {
     "q_bm25" -> (TextSearch.qBm25 _),
     "q_contamination" -> (TextSearch.qContamination _),
     "q_repetition" -> (TextAnalysis.qRepetition _),
+    "q_perplexity" -> (TextAnalysis.qPerplexity _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
@@ -314,6 +315,16 @@ object SparkEntry {
       ") ORDER BY doc_id, status"
 
   def oracleSql: Map[String, String] = Map(
+    "q_perplexity" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+        "t2 AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0), " +
+        "tf AS (SELECT tok, count(*) AS tf FROM t2 GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS n_total FROM t2), " +
+        "lp AS (SELECT doc_id, CAST(round(ln(CAST(tf.tf AS DOUBLE) / (SELECT n_total FROM tot)), 6) AS DECIMAL(18,6)) AS lp " +
+        "FROM t2 JOIN tf USING (tok)), " +
+        "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS sum_lp FROM lp GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, round(exp(-CAST(sum_lp AS DOUBLE) / n_tokens), 4) AS ppl " +
+        "FROM agg ORDER BY doc_id"),
     "q_dedup_gate" -> dedupGateOracleSql,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,

@@ -76,6 +76,45 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
 
+  /** CCNet-style unigram-LM perplexity per document: score each doc by
+    * exp(-mean log p(token)) under the CORPUS's own maximum-likelihood
+    * unigram distribution (tf/N with multiplicity). Low perplexity =
+    * repetitive/common-token text, high = rare-token text — the standard
+    * LM-quality filtering signal (CCNet, Wenzek et al. 2020, trains a
+    * 5-gram LM; the unigram variant keeps the same pipeline shape with
+    * an in-corpus model).
+    *
+    * Determinism: ln() last-ulp behavior varies by libm, and a float sum
+    * over a shuffled group is order-dependent — so the per-token log-prob
+    * is rounded to 6 dp and summed as DECIMAL (exact, associative), the
+    * same discipline as q_agg/q_decay. The final exp/round(4) runs on one
+    * already-exact double per doc.
+    *
+    * Scale: tokens explode to (doc_id, tok) scalars; tf is one token-keyed
+    * aggregate; N broadcasts as a 1-row frame; the score join shuffles
+    * token keys, never text. At 100 TB hash the token to a long for the
+    * join key and frequency-cap the vocab (rare tokens below k occurrences
+    * can share a single OOV bucket) to bound the tf table. */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val toks = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(tf, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log(col("tf").cast("double") / col("n_total")), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("sum_lp"))
+      .withColumn("ppl",
+        round(exp(-col("sum_lp").cast("double") / col("n_tokens")), 4))
+      .select("doc_id", "n_tokens", "ppl")
+  }
+
+  def qPerplexity(s: SparkSession, d: String): DataFrame =
+    perplexity(documents(s, d)).orderBy("doc_id")
+
   // ------------------------------------------------------------ queries
 
   def qTokenCount(s: SparkSession, d: String): DataFrame =

@@ -62,6 +62,26 @@ class TextSearchSpec extends SparkSpec {
     assert(r(2L)._1 === 0.0)
   }
 
+  test("perplexity: common-token text scores low, rare-token text high") {
+    val docs = Seq(
+      (1L, "the the the the the the the the"),           // all corpus-common
+      (2L, "the the the the rare1 rare2 rare3 rare4"),   // half rare
+      (3L, "the and of to in is it as the and of to")    // common filler
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexity(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L)._1 === 8L)
+    // doc 1 is pure repetition of the modal token -> strictly lowest
+    // perplexity; any admixture of rarer tokens raises it (note "common
+    // English words" are NOT common under this 3-doc corpus model — the
+    // model is the corpus's own distribution, so doc 3's one-to-two-
+    // occurrence filler scores even higher than doc 2)
+    assert(r(1L)._2 < r(2L)._2 && r(1L)._2 < r(3L)._2, s"doc 1 lowest: $r")
+    assert(r(2L)._2 < r(3L)._2, s"higher singleton share -> higher ppl: $r")
+    assert(r.values.forall(_._2 >= 1.0), "perplexity is >= 1 by definition")
+  }
+
   test("pii mask removes emails and phone shapes, keeps ids, ranges, dates") {
     def mask(s: String): String =
       Seq((1L, s)).toDF("id", "contact")
