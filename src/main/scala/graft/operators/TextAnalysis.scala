@@ -100,11 +100,17 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // The 1-row corpus total attaches at VOCAB level, not occurrence level,
+    // so log() runs once per distinct token. The crossJoin of the broadcast
+    // 1-row aggregate is the optimal scalar attach (|vocab| x 1, no shuffle);
+    // PlanSpec's nested-loop audit recognizes scalar-aggregate build sides.
     val tot = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(tf, Seq("tok"))
+    val logProb = tf
       .crossJoin(broadcast(tot))
       .withColumn("lp",
         round(log(col("tf").cast("double") / col("n_total")), 6).cast("decimal(18,6)"))
+      .select("tok", "lp")
+    toks.join(logProb, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("sum_lp"))
       .withColumn("ppl",

@@ -110,13 +110,34 @@ class PlanSpec extends SparkSpec {
   }
 
   test("plan audit: no accidental cartesian/nested-loop joins anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
     val allPairsByDesign = Set("q_topk", "q_embed_dup")
+    // A BNLJ is a SCALAR ATTACH, not an accident, when its broadcast side is
+    // a global (no grouping keys) aggregate: that side is exactly one row, so
+    // the "nested loop" is |stream| x 1 — the optimal way to join a corpus
+    // total onto every row with zero shuffle. Anything else stays banned.
+    def isScalarAggregate(p: SparkPlan): Boolean = p.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    }.getOrElse(false)
     SparkEntry.queries.keys.filterNot(allPairsByDesign).foreach { name =>
-      val p = plan(name)
+      val exec = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+      val p = exec.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$p")
+      val badBnlj = exec.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          (j, build)
+      }.collect { case (j, build) if !isScalarAggregate(build) => j }
+      assert(badBnlj.isEmpty, s"$name plans a non-scalar nested loop:\n$p")
     }
   }
 
