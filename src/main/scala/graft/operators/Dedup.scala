@@ -90,11 +90,16 @@ object Dedup {
     * Jaccard strategies (shingling recomputation otherwise dominates). On
     * a cluster persist this as a table for reuse across dedup runs. */
   private def shingleIndex(docs: DataFrame): DataFrame =
+    shingleIndexLazy(docs).localCheckpoint()
+
+  /** The shingle projection WITHOUT the eager materialization — for
+    * compositions that checkpoint once on top (e.g. [[signedIndexOf]],
+    * which would otherwise materialize the bulky shingle arrays twice). */
+  private def shingleIndexLazy(docs: DataFrame): DataFrame =
     Tables.rebalance(docs, "doc_id")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shinglesFromWords(col("words")).as("sh"))
-      .localCheckpoint()
 
   /** EXACT all-pairs n-gram Jaccard via an inverted shingle index: explode
     * (doc, shingle), self-join on shingle, count common shingles per pair,
@@ -361,8 +366,10 @@ object Dedup {
         bnd => concat_ws(",", slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
 
-  private def minhashCandidatesIdx(sh: DataFrame): DataFrame = {
-    val sigs = sigsOf(sh)
+  private def minhashCandidatesIdx(sh: DataFrame): DataFrame =
+    minhashCandidatesSigs(sigsOf(sh))
+
+  private def minhashCandidatesSigs(sigs: DataFrame): DataFrame = {
     val bands = bandsOf(sigs)
     val pairs = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
@@ -381,7 +388,14 @@ object Dedup {
     minhashNearDupsIdx(shingleIndex(docs), threshold)
 
   private def minhashNearDupsIdx(sh: DataFrame, threshold: Double): DataFrame =
-    minhashCandidatesIdx(sh)
+    verifyPairs(minhashCandidatesIdx(sh), threshold)
+
+  /** Band-bucket near-dups over an already-signed frame (no re-signing). */
+  private[graft] def minhashNearDupsOnSigs(sigs: DataFrame, threshold: Double): DataFrame =
+    verifyPairs(minhashCandidatesSigs(sigs), threshold)
+
+  private def verifyPairs(cands: DataFrame, threshold: Double): DataFrame =
+    cands
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -453,6 +467,37 @@ object Dedup {
       threshold: Double): DataFrame =
     crossNearDupsExactIdx(shingleIndex(incoming),
       spark.read.parquet(path).select("doc_id", "sh"), threshold)
+
+  // ---- shingle-frame entry points (one shingle pass shared across stages)
+  // A multi-stage consumer (the streaming dedup gate) probes the index,
+  // pairs the remainder within-batch, and appends survivors' signatures —
+  // three operations that would each re-shingle the same batch through the
+  // public entry points. These variants accept the (doc_id, sh[, sig])
+  // frame directly so the batch is shingled (and signed) exactly once.
+
+  /** Shingle AND MinHash-sign a batch in one materialization pass — the
+    * (doc_id, sh, sig) frame reused across probe/pair/append stages. */
+  private[graft] def signedIndexOf(docs: DataFrame): DataFrame =
+    sigsOf(shingleIndexLazy(docs))
+
+  private[graft] def ngramNearDupsOnIdx(sh: DataFrame, threshold: Double): DataFrame =
+    ngramNearDupsIdx(sh, threshold)
+
+  private[graft] def minhashNearDupsOnIdx(sh: DataFrame, threshold: Double): DataFrame =
+    minhashNearDupsIdx(sh, threshold)
+
+  private[graft] def probeIndexExactOnIdx(spark: SparkSession, path: String,
+      sh: DataFrame, threshold: Double): DataFrame =
+    crossNearDupsExactIdx(sh.select("doc_id", "sh"),
+      spark.read.parquet(path).select("doc_id", "sh"), threshold)
+
+  private[graft] def probeIndexOnSigs(spark: SparkSession, path: String,
+      sigs: DataFrame, threshold: Double): DataFrame =
+    crossNearDupsSigs(sigs, spark.read.parquet(path), threshold)
+
+  /** Append pre-computed (doc_id, sh, sig) rows to the persisted index. */
+  private[graft] def appendIndexSigs(sigs: DataFrame, path: String): Unit =
+    sigs.select("doc_id", "sh", "sig").write.mode("append").parquet(path)
 
   /** Oracle-gated incremental-ingestion demo: the even-id half of the
     * corpus is written out as the persisted MinHash index, then the odd-id
@@ -551,15 +596,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy("src").agg(min(col("dst_label")).as("nbr_min"))
+      // carry the previous label through the checkpoint so convergence is
+      // a narrow filter-count on the materialized rows — one shuffle job
+      // per iteration instead of two (the old-vs-new join re-shuffled)
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
     }
     labels
   }

@@ -183,6 +183,13 @@ object StreamingJobs {
       acceptedDir: String, indexDir: String, rejectedDir: String,
       threshold: Double, exactPairs: Boolean = false): Unit = {
     val in = batch.withColumn("xxh", xxhash64(col("text"))).cache()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // The corpus-facing rejection frames are tiny (doc_id, reason, witness)
+    // key lists, but each sits on top of an EXPENSIVE subtree (pruned corpus
+    // scan / index band probe) that `live`'s lineage would otherwise replay
+    // on every one of the three publish actions below — cache them so the
+    // expensive probes run once per batch.
+    def pin(df: DataFrame): DataFrame = { df.cache(); cached += df; df }
     try {
       // 1. exact within batch: min doc_id per text hash survives
       val wx = org.apache.spark.sql.expressions.Window
@@ -196,7 +203,7 @@ object StreamingJobs {
 
       // 2. exact vs corpus: anti-join on the accepted fingerprint column
       //    (pruned scan — only `xxh` and the witness id leave the parquet)
-      val exactCorpusRej =
+      val exactCorpusRej = pin(
         if (!exists(spark, acceptedDir)) spark.emptyDataFrame
           .select(lit(0L).as("doc_id"), lit("").as("reason"), lit(0L).as("witness"))
           .limit(0)
@@ -209,43 +216,58 @@ object StreamingJobs {
             .groupBy("xxh").agg(min(col("doc_id")).as("witness"))
           live.join(seen, Seq("xxh"))
             .select(col("doc_id"), lit("exact_corpus").as("reason"), col("witness"))
-        }
+        })
       live = live.join(exactCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
 
+      // One shingle + signature pass for the whole batch: the index probe
+      // (step 3), the within-batch pair join (step 4) and the index append
+      // all consume this frame — through the public entry points each would
+      // re-shingle (and re-sign) the batch from text.
+      val sigs = Dedup.signedIndexOf(live)
+
       // 3. near-dup vs corpus: band-bucket probe of the persisted index
-      val nearCorpusRej =
+      val nearCorpusRej = pin(
         if (!exists(spark, indexDir)) exactCorpusRej.limit(0)
         else {
           val probed =
-            if (exactPairs) Dedup.probeIndexExact(spark, indexDir, live, threshold)
-            else Dedup.probeIndex(spark, indexDir, live, threshold)
+            if (exactPairs) Dedup.probeIndexExactOnIdx(spark, indexDir, sigs, threshold)
+            else Dedup.probeIndexOnSigs(spark, indexDir, sigs, threshold)
           probed
             .groupBy(col("doc_a").as("doc_id"))
             .agg(min(col("doc_b")).as("witness"))
             .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness"))
-        }
+        })
       live = live.join(nearCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
 
       // 4. near-dup within batch: cluster the pair graph, keep minima
-      val pairs = (if (exactPairs) Dedup.ngramNearDups(live, threshold)
-        else Dedup.minhashNearDups(live, threshold)).select("doc_a", "doc_b")
-      val nearBatchRej = Dedup.nearDupClusters(pairs)
+      val sigsLive = sigs.join(nearCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
+      val pairs = (if (exactPairs) Dedup.ngramNearDupsOnIdx(sigsLive, threshold)
+        else Dedup.minhashNearDupsOnSigs(sigsLive, threshold)).select("doc_a", "doc_b")
+      val nearBatchRej = pin(Dedup.nearDupClusters(pairs)
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"), lit("near_dup_batch").as("reason"),
-          col("label").as("witness"))
+          col("label").as("witness")))
       live = live.join(nearBatchRej.select("doc_id"), Seq("doc_id"), "left_anti")
+        // EAGER materialization before any publish action. This is load-
+        // bearing for correctness, not just speed: the accepted write below
+        // appends to acceptedDir, and Spark's recache-by-path would hand any
+        // LATER re-evaluation of `live` a refreshed file listing in which the
+        // batch's own rows are already "in the corpus" — the exact_corpus
+        // anti-join would then erase the batch from the index append. With
+        // the survivors pinned here, the three writes replay nothing.
+        .localCheckpoint()
 
-      // publish: rejections audit, accepted rows, index signatures.
-      // `live` is recomputed by each action below, but every input it
-      // derives from is cached (`in`) or on disk, so the recompute is the
-      // cheap narrow tail, and each write stays atomic-per-directory.
+      // publish: rejections audit, accepted rows, index signatures — each
+      // write stays atomic-per-directory and none replays the probes.
       exactBatchRej.unionByName(exactCorpusRej).unionByName(nearCorpusRej)
         .unionByName(nearBatchRej)
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(rejectedDir)
       live.write.mode("append").parquet(acceptedDir)
       Dedup.appendIndex(live, indexDir)
-    } finally { in.unpersist(); () }
+    } finally {
+      cached.foreach(_.unpersist(blocking = false)); in.unpersist(); ()
+    }
   }
 
   private lazy val gateDir: String = Dedup.processTempDir("graft_dedup_gate")
