@@ -144,6 +144,7 @@ object SparkEntry {
     "q_decay" -> (EventAnalytics.qDecay _),
     // --- embedding quantization + z-order layout kernel
     "q_quantize" -> (Similarity.qQuantize _),
+    "q_pq_encode" -> (Similarity.qPqEncode _),
     "q_zorder" -> (Advanced.qZorder _),
     // --- containment dedup + exact repeated-span scan + skew diagnostics
     "q_containment" -> (Dedup.qContainment _),
@@ -931,6 +932,20 @@ object SparkEntry {
         "r AS (SELECT vec_id, round(scale, 6) AS scale, " +
         "round(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - qv[i] * scale))), 6) AS max_err FROM q) " +
         "SELECT vec_id, scale, max_err FROM r ORDER BY vec_id"),
+    "q_pq_encode" ->
+      ("WITH ranked AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, " +
+        "row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn FROM embeddings), " +
+        "seeds AS (SELECT rn - 1 AS code, emb FROM ranked WHERE rn <= 16), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "d AS (SELECT v.vec_id, g.m, sd.code, " +
+        "round(list_sum(list_transform(generate_series(1, 4), " +
+        "i -> (v.emb[g.m * 4 + i] - sd.emb[g.m * 4 + i]) * (v.emb[g.m * 4 + i] - sd.emb[g.m * 4 + i]))), 6) AS dist " +
+        "FROM v, generate_series(0, 15) g(m), seeds sd), " +
+        "best AS (SELECT vec_id, m, code, dist, " +
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS r FROM d) " +
+        "SELECT vec_id, string_agg(CAST(code AS VARCHAR), '|' ORDER BY m) AS codes, " +
+        "round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE), 6) AS qerr " +
+        "FROM best WHERE r = 1 GROUP BY vec_id ORDER BY vec_id"),
     "q_zorder" ->
       ("SELECT l_orderkey, l_partkey, CAST(" +
         operators.Advanced.zvalueSql("(l_orderkey % 65536)", "(l_partkey % 65536)") +

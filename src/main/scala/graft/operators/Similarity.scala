@@ -373,4 +373,159 @@ object Similarity {
 
   def qQuantize(s: SparkSession, d: String): DataFrame =
     quantize(embeddings(s, d)).orderBy("vec_id")
+
+  // -------------------------------------------------- product quantization
+
+  /** PQ configuration for the 64-dim embedding column: M=16 subspaces of 4
+    * components, K=16 codes each — M nibble codes (8 bytes at M=16)
+    * replace 256 bytes of float32, a 32x index-memory cut. The asymmetric-distance
+    * (ADC) scan then ranks the corpus from the codes alone: per query one
+    * M x K lookup table is built from the full-precision query, and each
+    * corpus vector costs M table lookups — no decode, no float array.
+    * (Jegou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011.) */
+  val PqM = 16; val PqSub = 4; val PqK = 16
+
+  /** Squared-L2 distances of subspace `m` of `vd` (a double-array column)
+    * to each centroid of `book`, rounded to 6 dp (the engine's portable-
+    * double discipline — same as the cosine paths). */
+  private def pqDists(vd: Column, m: Int, book: Seq[Array[Double]]): Column =
+    array(book.map { cvec =>
+      round(aggregate(zip_with(slice(vd, m * PqSub + 1, PqSub), lit(cvec),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x), 6)
+    }: _*)
+
+  /** Deterministic seed codebooks: the subvectors of the K vectors ranked
+    * first by a Knuth multiplicative hash of vec_id (portable integer
+    * arithmetic — the DuckDB oracle reproduces the identical selection).
+    * These seed [[pqTrainCodebooks]] AND back the oracle-gated
+    * [[qPqEncode]], whose argmin-over-seeds is fully SQL-expressible. */
+  def pqSeedCodebooks(emb: DataFrame): Seq[Seq[Array[Double]]] = {
+    val seeds = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)))
+      .orderBy("h", "vec_id").limit(PqK)
+      .collect().map(_.getSeq[Double](1).toArray)
+    (0 until PqM).map(m => seeds.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+  }
+
+  /** Per-subspace Lloyd iterations on top of the seed codebooks. Each
+    * iteration is one narrow assignment pass (argmin over literal
+    * centroids — the [[kmeansAssign]] pattern, no exchange) plus one
+    * M*K*PqSub-key aggregation for the new means; the codebooks travel
+    * driver -> executors as expression literals, never as a join side.
+    * Codes whose cell empties keep their previous centroid. */
+  def pqTrainCodebooks(emb: DataFrame, iters: Int): Seq[Seq[Array[Double]]] = {
+    var books = pqSeedCodebooks(emb)
+    var i = 0
+    while (i < iters) {
+      val vd = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val withCodes = (0 until PqM).foldLeft(vd) { (df, m) =>
+        val dists = pqDists(col("v"), m, books(m))
+        df.withColumn(s"c$m", array_position(dists, array_min(dists)) - 1)
+      }
+      val codeOfM = array((0 until PqM).map(m => col(s"c$m")): _*)
+      val means = withCodes
+        .select(posexplode(col("v")).as(Seq("pos", "x")), codeOfM.as("cs"))
+        .select((col("pos") / PqSub).cast("int").as("m"),
+          pmod(col("pos"), lit(PqSub)).cast("int").as("j"),
+          element_at(col("cs"), (col("pos") / PqSub).cast("int") + 1).as("code"),
+          col("x"))
+        .groupBy("m", "code", "j").agg(avg(col("x")).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      books = (0 until PqM).map { m =>
+        (0 until PqK).map { code =>
+          val prev = books(m)(code)
+          Array.tabulate(PqSub)(j => means.getOrElse((m, code.toLong, j), prev(j)))
+        }
+      }
+      i += 1
+    }
+    books
+  }
+
+  /** Encode: 8 int codes + total squared quantization error per vector.
+    * Fully narrow — the only non-literal input is the embedding column. */
+  def pqEncode(df: DataFrame, books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val codes = (0 until PqM).map { m =>
+      val d = pqDists(vd, m, books(m))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val qerr = (0 until PqM).map { m =>
+      array_min(pqDists(vd, m, books(m))).cast("decimal(18,6)")
+    }.reduce(_ + _)
+    df.withColumn("codes", array(codes: _*))
+      .withColumn("qerr", round(qerr.cast("double"), 6))
+  }
+
+  /** ADC top-k: rank the whole corpus from codes + one per-query lookup
+    * table. The corpus is scanned narrow (codes only — M small ints per
+    * vector); the query side computes its M x K LUT once and broadcasts
+    * (q_id, lut); the rank shuffle carries scalars. Approximate by
+    * construction: scores are distances between the query and each
+    * vector's QUANTIZED form — recall vs [[bruteForceTopK]] is gated in
+    * SimilaritySpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
+    val c = pqEncode(corpus, books)
+      .select(col("vec_id").as("n_id"), col("codes"))
+    val qd = transform(col("embedding"), x => x.cast("double"))
+    val lut = array((for (m <- 0 until PqM; kk <- 0 until PqK) yield {
+      aggregate(zip_with(slice(qd, m * PqSub + 1, PqSub), lit(books(m)(kk)),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+    }): _*)
+    val q = queries.select(col("vec_id").as("q_id"), lut.as("lut"))
+    val dist = (0 until PqM).map { m =>
+      element_at(col("lut"), lit(m * PqK + 1) + element_at(col("codes"), m + 1))
+    }.reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist", round(dist, 6))
+      .select("q_id", "n_id", "adist")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("adist"))
+  }
+
+  /** ADC + exact re-rank (the PQ paper's "+R" variant): shortlist
+    * `refine * k` candidates per query from codes alone, then score ONLY
+    * the shortlist with exact cosine on the full-precision vectors. The
+    * shortlist join broadcasts (q_id, n_id) scalars into the corpus scan,
+    * so each shortlisted embedding is read narrow and never shuffled —
+    * the exact-scan cost is refine*k rows per query regardless of corpus
+    * size. Output shape matches [[bruteForceTopK]]. */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int, refine: Int = 5): DataFrame = {
+    val shortlist = pqTopK(corpus, queries, books, k * refine)
+      .select(col("q_id"), col("n_id"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = c.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("score"))
+  }
+
+  /** Oracle-gated PQ encode under the DETERMINISTIC seed codebooks (the
+    * trained path differs only in the literal centroid values; the DuckDB
+    * oracle replays seed selection, per-subspace argmin, and the exact
+    * decimal error sum). */
+  def qPqEncode(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    pqEncode(emb, pqSeedCodebooks(emb))
+      .select(col("vec_id"),
+        concat_ws("|", col("codes").cast("array<string>")).as("codes"),
+        col("qerr"))
+      .orderBy("vec_id")
+  }
 }

@@ -137,6 +137,59 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("PQ: training cuts quantization error; ADC recall is usable and deterministic") {
+    val seedBooks = Similarity.pqSeedCodebooks(emb)
+    val trained = Similarity.pqTrainCodebooks(emb, 2)
+    def meanErr(books: Seq[Seq[Array[Double]]]): Double = {
+      val r = Similarity.pqEncode(emb, books).agg(avg(col("qerr"))).head().getDouble(0)
+      r
+    }
+    val (seedErr, trainedErr) = (meanErr(seedBooks), meanErr(trained))
+    info(f"PQ mean quantization error: seeds $seedErr%.4f -> trained $trainedErr%.4f")
+    // Lloyd iterations can only reduce the summed assignment distance
+    assert(trainedErr <= seedErr + 1e-9,
+      f"training worsened quantization error: $seedErr%.4f -> $trainedErr%.4f")
+
+    // embeddings are unit vectors (asserted in the oracle data), so the
+    // ADC L2 ranking approximates the cosine ranking brute force uses
+    val truth = neighborSets(Similarity.bruteForceTopK(emb, queries, 10))
+    val pq = neighborSets(Similarity.pqTopK(emb, queries, trained, 10))
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size / 10.0 }
+      rs.sum / rs.size
+    }
+    val adc = meanRecall(pq)
+    info(f"PQ pure-ADC mean recall@10 = $adc%.2f (8 bytes/vector vs 256)")
+    assert(adc >= 0.3, f"pure-ADC recall $adc%.2f below gate")
+    // the production shape: ADC shortlist (5k codes-only candidates), then
+    // exact re-rank of the shortlist — recall recovers while the exact
+    // scan stays at refine*k rows per query
+    val refined = meanRecall(neighborSets(
+      Similarity.pqTopKRefined(emb, queries, trained, 10, refine = 5)))
+    info(f"PQ ADC+rerank mean recall@10 = $refined%.2f at 50 exact rows/query")
+    assert(refined >= 0.7, f"refined recall $refined%.2f below gate")
+
+    val t1 = Similarity.pqTopK(emb, queries, trained, 10).collect().map(_.toSeq)
+    val t2 = Similarity.pqTopK(emb, queries, trained, 10).collect().map(_.toSeq)
+    assert(t1.sameElements(t2), "ADC ranking must be deterministic")
+  }
+
+  test("PQ plan: corpus scan is narrow and no exchange carries an array") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val books = Similarity.pqSeedCodebooks(emb)
+      val plan = Similarity.pqTopK(emb, queries, books, 10).queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected the rank shuffle")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"exchange carries an array: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("persisted ANN index: point lookup equals in-memory lshTopK and prunes the scan") {
     import spark.implicits._
     // per-user fixed path + overwrite: repeated test runs reuse one
