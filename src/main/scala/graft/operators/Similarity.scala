@@ -516,6 +516,49 @@ object Similarity {
         col("n_id"), col("score"))
   }
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space with k-means, compare pairs ONLY within a
+    * cluster, connect components over the >= threshold pairs, keep the
+    * minimum vec_id per component.
+    *
+    * Scale shape: the within-cluster candidate join moves (list_id,
+    * vec_id) SCALARS — embeddings are joined back per side for the exact
+    * cosine only after the pair keys exist (the [[lshNearDups]]
+    * discipline; asserted in SimilaritySpec). Cluster count k is the
+    * knob: pair volume is ~ n^2/k for balanced clusters, so k grows with
+    * the corpus while each cluster stays executor-sized. Near-identical
+    * vectors land in the same cluster by construction (their centroid
+    * scores differ by at most their distance), which is why SemDeDup
+    * blocks on k-means rather than random buckets.
+    *
+    * Output: every corpus vector, its component representative (`rep` =
+    * min vec_id, itself when unclustered) and `keep` = is-representative. */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(corpus, k, iters)
+      .select(col("list_id"), col("vec_id"))
+    val pairKeys = assigned.select(col("list_id"), col("vec_id").as("id_a"))
+      .join(assigned.select(col("list_id"), col("vec_id").as("id_b")), Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val pairs = pairKeys
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .withColumn("score", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comps = Dedup.nearDupClusters(pairs)
+      .select(col("id").as("vec_id"), col("label"))
+    corpus.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("rep"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
   /** Oracle-gated PQ encode under the DETERMINISTIC seed codebooks (the
     * trained path differs only in the literal centroid values; the DuckDB
     * oracle replays seed selection, per-subspace argmin, and the exact

@@ -106,6 +106,45 @@ class EngineSpec extends SparkSpec {
     assert(fromCsv.orderBy("doc_id").collect().map(_.toSeq).toSeq === expected)
   }
 
+  test("ORC sink/source round-trips and pushes filters like parquet") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val expected = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    docs.write.orc(dir)
+    val fromOrc = spark.read.orc(dir)
+    assert(fromOrc.orderBy("doc_id").collect().map(_.toSeq).toSeq === expected)
+    // predicate pushdown reaches the ORC scan, same as the parquet posture
+    val plan = fromOrc.filter(col("lang") === "en").select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
+  }
+
+  test("raw text source ingests line-per-row corpora") {
+    val dir = Files.createTempDirectory("graft_text").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "corpus.txt"),
+      "first line\nsecond line\n\nfourth line\n")
+    val lines = spark.read.text(dir)
+    assert(lines.count() === 4) // blank lines are rows, not separators
+    assert(lines.filter(length(col("value")) > 0).count() === 3)
+  }
+
+  test("schema evolution: mergeSchema reads old and new writer generations") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // generation 1: no quality column; generation 2 adds it
+    docs.select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+      .write.mode("append").parquet(dir)
+    docs.select("doc_id", "text").filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", lit(0.5))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "quality", "text"))
+    assert(merged.count() === docs.count())
+    // rows from the old generation surface NULL for the added column
+    assert(merged.filter(col("quality").isNull).count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
   test("OCR fallback routes empty-text-layer uploads through the ocr extractor") {
     import graft.sources.BinaryIngest
     val dir = Files.createTempDirectory("graft_ocr").toString

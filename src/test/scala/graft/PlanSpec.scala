@@ -141,6 +141,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective big-big join") {
+    import org.apache.spark.sql.functions.col
+    // At cluster scale a selective dim-side predicate should not leave the
+    // fact side scanning everything into the shuffle: Spark's runtime
+    // bloom filter (on by default in the session) injects a semi-join
+    // filter built from the selective side. The size thresholds exist for
+    // real clusters (10 GB probe side), so this test lowers them to
+    // demonstrate the injection fires under the engine's session config.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val plan = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("plan audit: narrow projections never scan the text column") {
     // queries whose output does not depend on `text` must not read it
     val noTextNeeded = Seq("q_scan_project", "q_filter_eq", "q_batch_delete",

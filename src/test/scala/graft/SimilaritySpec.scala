@@ -190,6 +190,44 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("semantic dedup: every planted near-identical vector collapses to its original") {
+    import spark.implicits._
+    // plant a near-identical copy of every 5th vector: nudge one component
+    // by 1e-3 — cosine vs the original stays > 0.999 while every other
+    // pair in the random corpus sits far below the 0.99 threshold
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        concat(array((col("embedding")(0) + lit(0.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)))
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(planted.select("vec_id", "embedding"))
+    val out = Similarity.semanticDedup(corpus, k = 8, iters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val plantedIds = planted.select("vec_id").as[Long].collect()
+    plantedIds.foreach { id =>
+      assert(out(id) === ((id - 100000L, false)),
+        s"planted copy $id should collapse onto ${id - 100000L}, got ${out(id)}")
+      assert(out(id - 100000L) === ((id - 100000L, true)),
+        s"original ${id - 100000L} should be the kept representative")
+    }
+    // no false merges: everything unplanted survives as its own rep
+    out.keys.filter(_ < 100000L).filterNot(id => plantedIds.contains(id + 100000L))
+      .foreach(id => assert(out(id) === ((id, true)), s"vector $id falsely merged"))
+    // and the pair-candidate exchanges carry scalars, not embeddings
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.semanticDedup(corpus, 8, 1, 0.99)
+        .queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"exchange carries an array: ${e.output.map(_.name).mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("persisted ANN index: point lookup equals in-memory lshTopK and prunes the scan") {
     import spark.implicits._
     // per-user fixed path + overwrite: repeated test runs reuse one
