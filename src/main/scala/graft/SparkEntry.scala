@@ -126,6 +126,8 @@ object SparkEntry {
     "q_cube" -> (Advanced.qCube _),
     "q_window_funcs" -> (Advanced.qWindowFuncs _),
     "q_pivot" -> (Advanced.qPivot _),
+    "q_unpivot" -> (Advanced.qUnpivot _),
+    "q_fuzzy_match" -> (Advanced.qFuzzyMatch _),
     "q_grouping_sets" -> (Advanced.qGroupingSets _),
     "q_corr" -> (Advanced.qCorr _),
     "q_histogram" -> (Advanced.qHistogram _),
@@ -932,6 +934,21 @@ object SparkEntry {
         "r AS (SELECT vec_id, round(scale, 6) AS scale, " +
         "round(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - qv[i] * scale))), 6) AS max_err FROM q) " +
         "SELECT vec_id, scale, max_err FROM r ORDER BY vec_id"),
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, metric"),
+    "q_fuzzy_match" ->
+      ("WITH probes AS (" +
+        "SELECT s_suppkey AS p_key, s_name[1:2] || s_name[4:] AS probe FROM supplier WHERE s_suppkey % 7 = 0 " +
+        "UNION ALL SELECT s_suppkey, 'MANGLED' || s_name[9:] FROM supplier WHERE s_suppkey % 7 = 3), " +
+        "b AS (SELECT p_key, probe, regexp_extract(probe, '([0-9]+)$', 1) AS bk FROM probes), " +
+        "c AS (SELECT s_suppkey, s_name, regexp_extract(s_name, '([0-9]+)$', 1) AS bk FROM supplier) " +
+        "SELECT b.p_key, b.probe, c.s_suppkey, c.s_name, levenshtein(b.probe, c.s_name) AS dist " +
+        "FROM b JOIN c USING (bk) WHERE levenshtein(b.probe, c.s_name) <= 2 " +
+        "ORDER BY p_key, s_suppkey"),
     "q_pq_encode" ->
       ("WITH ranked AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, " +
         "row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn FROM embeddings), " +

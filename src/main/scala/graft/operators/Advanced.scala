@@ -241,6 +241,47 @@ object Advanced {
       .na.fill(0L) // empty cells: match SQL conditional-count semantics
       .orderBy("user_bucket")
 
+  /** UNPIVOT (melt): the four lineitem measures as (metric, value) rows —
+    * the wide-to-long reshape every metrics pipeline needs before a
+    * generic per-metric aggregation. Spark's native unpivot is a NARROW
+    * 4x row expansion (one Expand node, no shuffle, no join), so it
+    * scales with the scan; the deterministic sort is the only exchange. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** BLOCKED fuzzy match (entity resolution): probe names with planted
+    * typos re-join their canonical supplier row via levenshtein <= 2 —
+    * but never all-pairs: the join's EQUI key is a blocking key (here the
+    * numeric suffix; on real names a phonetic code or length band), so
+    * the plan is a hash join with the edit-distance as a residual filter,
+    * and only within-block candidates are scored. Two probe classes:
+    * one-char deletions (must match, dist 1) and mangled prefixes that
+    * share the block but fail the residual (must NOT match) — so the
+    * result proves both the block routing and the residual filtering. */
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+    val probes = sup.filter(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey").as("p_key"),
+        concat(substring(col("s_name"), 1, 2), substring(col("s_name"), 4, 1000)).as("probe"))
+      .unionByName(sup.filter(col("s_suppkey") % 7 === 3)
+        .select(col("s_suppkey").as("p_key"),
+          concat(lit("MANGLED"), substring(col("s_name"), 9, 1000)).as("probe")))
+      .withColumn("bk", regexp_extract(col("probe"), "([0-9]+)$", 1))
+    val canon = sup
+      .select(col("s_suppkey"), col("s_name"),
+        regexp_extract(col("s_name"), "([0-9]+)$", 1).as("bk"))
+    probes.join(canon, Seq("bk"))
+      .withColumn("dist", levenshtein(col("probe"), col("s_name")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("p_key", "probe", "s_suppkey", "s_name", "dist")
+      .orderBy("p_key", "s_suppkey")
+  }
+
   /** GROUPING SETS — finer than rollup/cube: exactly the (flag,status),
     * (flag), () groupings, one shuffle with grouping-id expansion. */
   def qGroupingSets(s: SparkSession, d: String): DataFrame = {
