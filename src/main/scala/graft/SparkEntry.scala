@@ -100,6 +100,8 @@ object SparkEntry {
     "q_sessionize" -> (EventAnalytics.qSessionize _),
     "q_top_users" -> (EventAnalytics.qTopUsers _),
     "q_resample" -> (EventAnalytics.qResample _),
+    "q_funnel" -> (EventAnalytics.qFunnel _),
+    "q_retention" -> (EventAnalytics.qRetention _),
     // --- multimodal plumbing extension
     "q_multimodal" -> (Multimodal.qMultimodalDecode _),
     // --- command dispatch (SURVEY §2.9)
@@ -701,6 +703,23 @@ object SparkEntry {
         "CAST(sum(sv) OVER w AS DOUBLE) AS total_24h " +
         "FROM f WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) " +
         "ORDER BY hour"),
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, ts, event_type, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events), " +
+        "s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t2 FROM s1), " +
+        "s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t3 FROM s2) " +
+        "SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, " +
+        "CAST(CASE WHEN min(t3) IS NOT NULL THEN 3 WHEN min(t2) IS NOT NULL THEN 2 " +
+        "WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
+        "FROM s3 GROUP BY user_id ORDER BY user_id"),
+    "q_retention" ->
+      ("WITH f AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events) " +
+        "SELECT CAST(first_ts AS DATE) AS cohort_day, " +
+        "CAST((epoch_us(ts) - epoch_us(first_ts)) // 604800000000 AS BIGINT) AS week_offset, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM f GROUP BY 1, 2 ORDER BY cohort_day, week_offset"),
     "q_setops" ->
       ("SELECT custkey, 'no_orders' AS tag FROM " +
         "(SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders) " +

@@ -114,6 +114,62 @@ object EventAnalytics {
     decayScores(ev, refMicros).orderBy("user_id")
   }
 
+  /** Ordered funnel per user: the earliest `view`, the earliest `click`
+    * AT OR AFTER that view, and the earliest `purchase` at or after that
+    * click — the strict-sequence conversion funnel (an unordered
+    * count-per-type overcounts users who purchased before ever viewing).
+    * Three window passes over ONE user_id partitioning: the exchange
+    * happens once and each min(CASE …) pass reuses it (the dependent
+    * thresholds t1/t2 make this inherently sequential, but sequential
+    * WITHIN the partition — no extra shuffle, no self-joins per step).
+    * `depth` is how far the user got (0–3). */
+  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = Window.partitionBy(col("user_id"))
+    val withTs = steps.zipWithIndex.foldLeft(ev) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col("ts") >= col(s"t${i}")
+      df.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(byUser))
+    }
+    val tCols = steps.indices.map(i => col(s"t${i + 1}"))
+    // fold forward so the DEEPEST step's check ends up outermost:
+    // when(t3, 3).otherwise(when(t2, 2).otherwise(when(t1, 1).otherwise(0)))
+    val depth = tCols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+      when(t.isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    withTs
+      .groupBy("user_id")
+      .agg(min(tCols.head).as("t1"),
+        tCols.tail.zipWithIndex.map { case (t, i) => min(t).as(s"t${i + 2}") }: _*)
+      .withColumn("depth", depth)
+  }
+
+  /** Oracle-checked: view -> click -> purchase funnel, one row per user. */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnel(events(s, d), Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** Weekly retention cohorts: users grouped by their FIRST-ever event
+    * day, counted once per whole-week offset they return in. The week
+    * offset is exact integer microsecond division relative to the user's
+    * own first event (calendar-week truncation differs across engines'
+    * week-start conventions; an offset from the user's anchor is
+    * convention-free). Two shuffles: the user_id window and the
+    * (cohort, offset) count — both on high-cardinality-enough keys. */
+  def retention(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("first_ts", min(col("ts")).over(byUser))
+      .withColumn("week_offset",
+        expr("(unix_micros(ts) - unix_micros(first_ts)) div 604800000000"))
+      .groupBy(to_date(col("first_ts")).as("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def qRetention(s: SparkSession, d: String): DataFrame =
+    retention(events(s, d)).orderBy("cohort_day", "week_offset")
+
   /** Ranking window demo: top-3 users by event count per event type
     * (row_number + deterministic tiebreak). */
   def qTopUsers(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+
+/** Semantics of the ordered funnel and the cohort-retention rollup on
+  * hand-built fixtures (the full queries are oracle-gated on the events
+  * table; these pin the ORDERING rules the SQL alone doesn't make
+  * obvious). */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+
+  test("funnel requires steps in order: an early purchase doesn't convert") {
+    val events = ev(
+      // user 1: purchase BEFORE view -> depth 2 (view, then click), the
+      //   pre-view purchase must not count as step 3
+      (1L, "purchase", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "click", "2024-01-01 02:00:00"),
+      // user 2: full ordered funnel -> depth 3
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 00:30:00"),
+      (2L, "purchase", "2024-01-01 00:45:00"),
+      // user 3: click only, never viewed -> depth 0
+      (3L, "click", "2024-01-01 00:00:00"),
+      // user 4: same-timestamp view+click (>= boundary) -> depth 2
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "click", "2024-01-01 00:00:00"))
+    val depths = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    assert(depths === Map(1L -> 2L, 2L -> 3L, 3L -> 0L, 4L -> 2L))
+  }
+
+  test("funnel picks the EARLIEST qualifying event per step") {
+    val events = ev(
+      (1L, "view", "2024-01-01 05:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"), // earlier view anchors the funnel
+      (1L, "click", "2024-01-01 02:00:00")) // after the early view only
+    val row = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .select(col("t1").cast("string"), col("t2").cast("string"), col("depth"))
+      .as[(String, String, Long)].head()
+    assert(row === (("2024-01-01 01:00:00", "2024-01-01 02:00:00", 2L)))
+  }
+
+  test("retention offsets anchor to each user's own first event") {
+    val events = ev(
+      // user 1 first seen Jan 1, returns 8 days later (week offset 1)
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-09 00:00:00"),
+      // user 2 first seen Jan 2, active twice that day (offset 0 once)
+      (2L, "view", "2024-01-02 00:00:00"),
+      (2L, "click", "2024-01-02 12:00:00"),
+      // boundary: exactly 7 days later is offset 1, 7 days minus 1us is 0
+      (3L, "view", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-08 00:00:00"))
+    val got = EventAnalytics.retention(events)
+      .select(col("cohort_day").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 2L), // users 1 and 3 on their first day
+      ("2024-01-01", 1L, 2L), // both return in week 1
+      ("2024-01-02", 0L, 1L)))
+  }
+}
