@@ -141,6 +141,8 @@ object SparkEntry {
     // --- corpus statistics / tokenizer induction
     "q_stopword_df" -> (TextSearch.qStopwordDf _),
     "q_bpe_pairs" -> (TextSearch.qBpePairs _),
+    "q_bigram_lm" -> (TextSearch.qBigramLm _),
+    "q_budget_select" -> (Curation.qBudgetSelect _),
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -909,6 +911,29 @@ object SparkEntry {
         "FROM t WHERE length(w) >= 2) " +
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
+    "q_bigram_lm" ->
+      ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT unnest([struct_pack(w1 := w[i], w2 := w[i+1]) " +
+        "for i in generate_series(1, len(w) - 1)]) AS z FROM t WHERE len(w) >= 2), " +
+        "c12 AS (SELECT z.w1 AS w1, z.w2 AS w2, count(*) AS n FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, sum(n) AS n1 FROM c12 GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(w) AS tok FROM t)) " +
+        "SELECT w1, w2, n, round((n + 0.5) / (n1 + 0.5 * vs), 6) AS p " +
+        "FROM c12 JOIN c1 USING (w1), v ORDER BY n DESC, w1, w2 LIMIT 100"),
+    "q_budget_select" ->
+      ("WITH t AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "(CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len AS punct_ratio, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stopword_ratio_raw, " +
+        "len(w) AS nw FROM t), " +
+        "sc AS (SELECT doc_id, n_tokens, " +
+        "round(least(1.0, CAST(nw AS DOUBLE) / 100.0) * 0.5 + stopword_ratio_raw * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score FROM q), " +
+        "s AS (SELECT doc_id, quality_score, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM sc) " +
+        "SELECT doc_id, quality_score, n_tokens, tokens_before FROM s " +
+        "WHERE tokens_before < 20000 ORDER BY doc_id"),
     "q_winnow" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "g AS (SELECT doc_id, [words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +

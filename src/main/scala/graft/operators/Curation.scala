@@ -186,6 +186,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * until a token budget is spent — the "best N tokens" selection step
+    * of a data-constrained training run. Documents are ranked by the
+    * oracle-proven quality score (ties to doc_id), and a document is kept
+    * while the tokens BEFORE it sit under the budget, so exactly the doc
+    * that straddles the boundary is the last one in. The running sum here
+    * is one global-order window — fine at verification scale; at 100 TB
+    * range-partition by (quality_score desc) and prefix-sum the partition
+    * totals (two passes, no global sort), the same scale path as
+    * [[packSequences]]'s per-stratum windows. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val scored = TextAnalysis.withQuality(Tables.rebalance(docs, "doc_id"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+  }
+
+  /** Oracle-checked: the 20k-token quality-first selection. */
+  val BudgetTokens = 20000L
+
+  def qBudgetSelect(s: SparkSession, d: String): DataFrame =
+    budgetSelect(documents(s, d), BudgetTokens)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("tokens_before"))
+      .orderBy("doc_id")
+
   /** Oracle-checked COMPOSITE curation pipeline — the shape of a real
     * corpus-prep job: score quality, predict language, drop near-dup
     * non-survivors, keep docs passing every gate. Each stage is an

@@ -163,4 +163,45 @@ object TextSearch {
 
   def qBpePairs(s: SparkSession, d: String): DataFrame =
     bpePairs(documents(s, d), 20)
+
+  /** Add-k-smoothed bigram language model over the corpus:
+    * P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V), the classic Lidstone
+    * estimate (k=0.5 is Jeffreys-Perks; V = corpus vocabulary size) — the
+    * n-gram-LM table a KenLM-style quality filter consumes. Pair
+    * generation is a narrow per-document slide; the corpus is touched by
+    * one explode + one (w1,w2) count whose partial aggregation collapses
+    * map-side. The context totals c(w1·) are derived from the bigram
+    * counts themselves (vocabulary-sized, broadcast back), so context and
+    * pair counts can never disagree. The probability is double division
+    * of exact integers in the same expression shape as the oracle —
+    * bit-identical — and `vocabSize` arrives as a caller-side literal
+    * (the nDocs pattern: no 1-row cross join in the plan). */
+  def bigramLm(docs: DataFrame, vocabSize: Long): DataFrame = {
+    val pairs = Tables.rebalance(docs, "doc_id")
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        // Spark array subscripts are 0-based: i in [1, n-1] pairs
+        // words[i-1] with words[i]
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
+        .as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val c1 = c12.groupBy("w1").agg(sum(col("n")).as("n1"))
+    c12.join(broadcast(c1), Seq("w1"))
+      .withColumn("p",
+        round((col("n") + lit(0.5)) / (col("n1") + lit(0.5) * lit(vocabSize.toDouble)), 6))
+  }
+
+  /** Top-100 bigrams by count with their smoothed conditional
+    * probabilities (ties break on the pair strings). */
+  def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val v = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct().count()
+    bigramLm(docs, v)
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(100)
+      .select(col("w1"), col("w2"), col("n"), col("p"))
+  }
 }

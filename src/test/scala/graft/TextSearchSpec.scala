@@ -145,4 +145,35 @@ class TextSearchSpec extends SparkSpec {
     assert(kept.map(_._1).toSet === keptShuffled,
       "membership must be a pure function of the row")
   }
+
+  test("bigram LM: counts, smoothing, and context-total consistency") {
+    // corpus: "a b" x3, "a c" x1, "b a" x1 -> V = 3
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
+      (2L, "a b a c"))   // bigrams: (a,b) (b,a) (a,c)
+      .toDF("doc_id", "text")
+    val lm = TextSearch.bigramLm(docs, vocabSize = 3L)
+      .select("w1", "w2", "n", "p").as[(String, String, Long, Double)]
+      .collect().map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(lm(("a", "b"))._1 === 3L)
+    assert(lm(("b", "a"))._1 === 2L)
+    assert(lm(("a", "c"))._1 === 1L)
+    // c(a·) = 4: P(b|a) = 3.5 / (4 + 1.5), P(c|a) = 1.5 / 5.5
+    assert(lm(("a", "b"))._2 === math.rint(3.5 / 5.5 * 1e6) / 1e6)
+    assert(lm(("a", "c"))._2 === math.rint(1.5 / 5.5 * 1e6) / 1e6)
+    // smoothed probabilities over the OBSERVED vocab stay under 1
+    assert(lm.values.forall { case (_, p) => p > 0 && p < 1 })
+  }
+
+  test("budget select keeps quality order and the straddling document") {
+    // equal-quality docs (same shape) so ranking falls to doc_id; 10
+    // tokens each, budget 25 -> docs 1..3 kept (doc 3 straddles: 20 < 25),
+    // doc 4 dropped (30 >= 25)
+    val docs = (1 to 6).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val kept = Curation.budgetSelect(docs, budgetTokens = 25L)
+      .select("doc_id", "tokens_before").as[(Long, Long)].collect().sorted
+    assert(kept.toSeq === Seq((1L, 0L), (2L, 10L), (3L, 20L)))
+  }
 }
