@@ -143,6 +143,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (TextSearch.qBpePairs _),
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_budget_select" -> (Curation.qBudgetSelect _),
+    "q_split_safe" -> (Curation.qSplitSafe _),
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -934,6 +935,24 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM sc) " +
         "SELECT doc_id, quality_score, n_tokens, tokens_before FROM s " +
         "WHERE tokens_before < 20000 ORDER BY doc_id"),
+    "q_split_safe" ->
+      (s"WITH RECURSIVE $ngramOracleCtes, " +
+        s"pairs AS ($ngramOraclePairs), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src), " +
+        "lbl AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY src), " +
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % 10 AS own_r FROM documents), " +
+        "rep AS (SELECT l.doc_id, l.cluster_id, hr.own_r AS rep_r FROM lbl l " +
+        "JOIN h hr ON hr.doc_id = l.cluster_id) " +
+        "SELECT d.doc_id, coalesce(rep.cluster_id, d.doc_id) AS cluster_id, " +
+        "CASE WHEN coalesce(rep.rep_r, h.own_r) = 0 THEN 'test' " +
+        "WHEN coalesce(rep.rep_r, h.own_r) = 1 THEN 'val' ELSE 'train' END AS split " +
+        "FROM documents d JOIN h USING (doc_id) LEFT JOIN rep ON rep.doc_id = d.doc_id " +
+        "ORDER BY doc_id"),
     "q_winnow" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "g AS (SELECT doc_id, [words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +

@@ -186,6 +186,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS move as a
+    * unit. [[assignSplit]]'s per-document hash is stable but leaks — two
+    * near-dup documents usually differ in text, so their hashes can land
+    * one copy in train and one in test, and the eval set silently overlaps
+    * the training set. Here every document in a near-dup cluster inherits
+    * the split of the cluster REPRESENTATIVE (min doc_id), so a cluster
+    * can never straddle splits; singletons fall back to their own hash.
+    * The corpus text is touched exactly once (the residue projection);
+    * every join after that moves (doc_id, cluster_id, residue) scalars
+    * only. */
+  def splitSafe(docs: DataFrame, pairs: DataFrame, k: Int = 10): DataFrame = {
+    val residues = docs.select(col("doc_id"),
+      pmod(graft.functions.GraftFunctions.poly_hash(col("text")), lit(k.toLong)).as("own_r"))
+    val labels = Dedup.nearDupClusters(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val repR = labels.join(
+      residues.select(col("doc_id").as("cluster_id"), col("own_r").as("rep_r")),
+      Seq("cluster_id"))
+    residues
+      .join(repR.select("doc_id", "cluster_id", "rep_r"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("rep_r"), col("own_r")).as("r"))
+      .withColumn("split",
+        when(col("r") === 0, "test").when(col("r") === 1, "val").otherwise("train"))
+      .drop("r")
+  }
+
+  /** Oracle-checked: cluster-granular split assignment, one row per doc
+    * (exact pair path, pinned like [[qCurate]]). */
+  def qSplitSafe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.rebalance(documents(s, d), "doc_id")
+    splitSafe(docs, Dedup.ngramNearDups(docs, 0.5).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection: keep the highest-quality documents
     * until a token budget is spent — the "best N tokens" selection step
     * of a data-constrained training run. Documents are ranked by the

@@ -165,6 +165,35 @@ class TextSearchSpec extends SparkSpec {
     assert(lm.values.forall { case (_, p) => p > 0 && p < 1 })
   }
 
+  test("leakage-safe split: a near-dup cluster can never straddle splits") {
+    val docs = (1 to 40).map(i => (i.toLong, s"document body number $i unique words " + ("x " * i)))
+      .toDF("doc_id", "text")
+    val naive = Curation.assignSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // plant the pair across two docs the NAIVE split separates — the
+    // exact leak this operator closes (test/val eval docs near-duplicated
+    // in train); guaranteed to exist with 40 docs and a 10% test slice
+    val a = naive.collectFirst { case (id, s) if s != "train" => id }.get
+    val b = naive.collectFirst { case (id, s) if s == "train" && id != a => id }.get
+    val pairs = Seq((a, b), (10L, 11L)).toDF("doc_a", "doc_b")
+    val split = Curation.splitSafe(docs, pairs)
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(split.size === 40)
+    // every member inherits the representative's split...
+    assert(split(a)._2 === split(b)._2)
+    assert(split(10L) === split(11L))
+    assert(split(a)._1 === math.min(a, b) && split(10L)._1 === 10L)
+    // ...which means one of them flipped relative to its naive assignment
+    assert(Seq(a, b).exists(id => naive(id) !== split(id)._2))
+    // singletons keep their per-doc assignment
+    val planted = Set(a, b, 10L, 11L)
+    docs.select("doc_id").as[Long].collect().filterNot(planted).foreach { id =>
+      assert(split(id)._2 === naive(id), s"singleton $id must not move")
+      assert(split(id)._1 === id)
+    }
+  }
+
   test("budget select keeps quality order and the straddling document") {
     // equal-quality docs (same shape) so ranking falls to doc_id; 10
     // tokens each, budget 25 -> docs 1..3 kept (doc 3 straddles: 20 < 25),
