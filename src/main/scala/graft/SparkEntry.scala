@@ -156,6 +156,7 @@ object SparkEntry {
     // --- containment dedup + exact repeated-span scan + skew diagnostics
     "q_containment" -> (Dedup.qContainment _),
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
+    "q_span_dedup" -> (Dedup.qSpanDedup _),
     "q_skew_stats" -> (Advanced.qSkewStats _),
   )
 
@@ -1061,6 +1062,34 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_occur, min(doc_id) AS first_doc " +
         "FROM e GROUP BY span_hash HAVING count(*) >= 2 " +
         "ORDER BY n_occur DESC, span_hash"),
+    "q_span_dedup" ->
+      ("WITH docs0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0 " +
+        "UNION ALL SELECT doc_id + 2000000, " +
+        "array_to_string((string_split_regex(trim(text), '\\s+'))[1:16], ' ') " +
+        "|| ' unique tail ' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 30 = 0), " +
+        "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM docs0), " +
+        "c AS (SELECT doc_id, list_transform([" +
+        (0 until 8).map(k => s"words[i+$k]").mkString(" || ' ' || ") +
+        " for i in generate_series(1, len(words) - 7)], " +
+        "sg -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(sg)), i -> CAST(ascii(sg[i]) AS BIGINT))), " +
+        "(a, x) -> (a * 31 + x) % 1000000007)) AS cs FROM w WHERE len(words) >= 8), " +
+        "sp AS (SELECT doc_id, unnest(generate_series(0, len(cs) - 1)) AS pos, " +
+        "unnest(cs) AS span_hash FROM c), " +
+        "rem AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+        "row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, pos) AS rn FROM sp) WHERE rn > 1), " +
+        "cut AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS i FROM rem), " +
+        "toks AS (SELECT doc_id, unnest(words) AS tok, " +
+        "unnest(generate_series(0, len(words) - 1)) AS i FROM w), " +
+        "keep AS (SELECT t.doc_id, t.i, t.tok FROM toks t " +
+        "LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.i = c.i WHERE c.i IS NULL), " +
+        "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY i) AS text_clean FROM keep GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(a.text_clean, '') AS text_clean " +
+        "FROM w LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"),
     "q_skew_stats" ->
       ("WITH f AS (SELECT event_type, user_id, count(*) AS freq FROM events GROUP BY 1, 2) " +
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys, " +

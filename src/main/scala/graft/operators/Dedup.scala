@@ -845,6 +845,63 @@ object Dedup {
   def qRepeatedSpans(s: SparkSession, d: String): DataFrame =
     repeatedSpans(documents(s, d)).orderBy(col("n_occur").desc, col("span_hash"))
 
+  /** Exact substring dedup WITH REMOVAL (the full Lee et al. 2022 step —
+    * [[repeatedSpans]] only reports): every positional [[SpanK]]-token
+    * span keeps its globally-first occurrence (min (doc_id, pos)); the
+    * token range of every LATER occurrence is cut, overlapping cuts
+    * union, and each document is reassembled from its surviving tokens.
+    * A full duplicate of an earlier document ends up empty; a copied
+    * passage inside an otherwise-novel document loses just that passage.
+    *
+    * Shape: one compiled span-hash pass, one scalar (span_hash, doc_id,
+    * pos) shuffle for the first-occurrence rule, then the per-doc cut
+    * lists come BACK as a broadcast and removal is a narrow indexed
+    * array filter — the corpus text itself never enters an exchange.
+    * The cut-list table is sized by the corpus's duplicated-span rate;
+    * if it outgrows broadcast at 100 TB, join it through the doc_id
+    * bucketing ([[graft.engine.Bucketed]]) instead — the corpus side
+    * still never re-shuffles. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val words = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val spans = words
+      .filter(size(col("words")) >= SpanK)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.span_hashes(col("words"), SpanK)))
+      .select(col("doc_id"), col("pos"), col("col").as("span_hash"))
+    val w = Window.partitionBy(col("span_hash")).orderBy(col("doc_id"), col("pos"))
+    val cutStarts = spans
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("cut_starts"))
+    words
+      .join(broadcast(cutStarts), Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+        when(col("cut_starts").isNull, col("words")).otherwise(
+          filter(col("words"), (_, i) =>
+            !exists(col("cut_starts"), s => i >= s && i < s + SpanK))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
+  /** Oracle-checked demo: corpus + full copies of every 20th doc (they
+    * reassemble to empty) + first-16-token prefix copies of every 30th
+    * doc with a unique tail (the copied prefix is cut, the tail
+    * survives). */
+  def qSpanDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val full = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val prefix = base.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 16), " "),
+          lit(" unique tail "), col("doc_id").cast("string")).as("text"))
+    spanDedup(base.unionByName(full).unionByName(prefix)).orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- keep-best dedup
 
   /** Canonical selection among near-identical variants: group documents by

@@ -208,4 +208,30 @@ class DedupSpec extends SparkSpec {
     val tight = bruteForcePairs(0.95).toSeq.map { case (a, b) => dist(a, b) }
     assert(tight.nonEmpty && tight.max <= 8, s"tight pair too far: $tight")
   }
+
+  test("span removal cuts later occurrences only and reassembles the rest") {
+    import spark.implicits._
+    // tokens t0..t19 are unique; doc 2 embeds doc 1's tokens t4..t15 (a
+    // 12-token copied passage -> five dup 8-spans at pos 3..7) between
+    // novel heads/tails; doc 3 is a full copy of doc 1
+    val t = (0 to 19).map(i => s"t$i")
+    val doc1 = t.mkString(" ")
+    val doc2 = ("h1 h2 h3 " + t.slice(4, 16).mkString(" ") + " z1 z2 z3 z4 z5")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc1)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs)
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is globally first at every span: untouched
+    assert(out(1L) === ((1L, 20L, 20L, doc1)))
+    // doc 3 (same text, higher id) loses every token
+    assert(out(3L) === ((3L, 20L, 0L, "")))
+    // doc 2: dup spans start at positions 3..7 (8-grams fully inside the
+    // copied t4..t15 run, all present in doc 1), and their union covers
+    // positions 3..14 — exactly the 12 copied tokens; heads and tail
+    // survive because every span touching them contains novel text
+    val kept2 = out(2L)._4.split(" ").toSeq
+    assert(out(2L)._2 === 20L)
+    assert(kept2 === Seq("h1", "h2", "h3", "z1", "z2", "z3", "z4", "z5"),
+      s"doc 2 kept: $kept2")
+  }
 }
