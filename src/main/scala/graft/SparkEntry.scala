@@ -88,6 +88,7 @@ object SparkEntry {
     "q_contamination" -> (TextSearch.qContamination _),
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
+    "q_importance" -> (TextAnalysis.qImportance _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
@@ -334,6 +335,18 @@ object SparkEntry {
         "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS sum_lp FROM lp GROUP BY doc_id) " +
         "SELECT doc_id, n_tokens, round(exp(-CAST(sum_lp AS DOUBLE) / n_tokens), 4) AS ppl " +
         "FROM agg ORDER BY doc_id"),
+    "q_importance" ->
+      ("WITH t AS (SELECT doc_id, source = 'src0' AS is_t, " +
+        "unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+        "t2 AS (SELECT doc_id, is_t, tok FROM t WHERE len(tok) > 0), " +
+        "vocab AS (SELECT tok, count(*) AS cr, " +
+        "sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM t2 GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS nr, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt, " +
+        "count(DISTINCT tok) AS v FROM t2), " +
+        "delta AS (SELECT tok, CAST(round(ln((ct + 1.0) / (nt + v)) " +
+        "- ln((cr + 1.0) / (nr + v)), 6) AS DECIMAL(18,6)) AS d FROM vocab, tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(d) AS DOUBLE) AS log_weight " +
+        "FROM t2 JOIN delta USING (tok) GROUP BY doc_id ORDER BY doc_id"),
     "q_dedup_gate" -> dedupGateOracleSql,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,

@@ -121,6 +121,47 @@ object TextAnalysis {
   def qPerplexity(s: SparkSession, d: String): DataFrame =
     perplexity(documents(s, d)).orderBy("doc_id")
 
+  /** DSIR-style importance weights (Xie et al. 2023, public): score every
+    * document by how much more likely its tokens are under the TARGET
+    * slice's unigram distribution than under the full corpus's —
+    * log w(doc) = Σ_tok [ln p_target(tok) − ln p_raw(tok)], add-1
+    * smoothed over the shared vocabulary. Sampling by these weights
+    * shifts a raw crawl toward the target domain; the hashed-ngram
+    * feature space of the paper drops in at the same column slot.
+    *
+    * Same determinism discipline as [[perplexity]]: the log-ratio is
+    * rounded to 6 dp at VOCAB level and decimal-summed per document, so
+    * ln() runs once per distinct token and per-doc totals are exact on
+    * any partitioning. Both corpus totals attach at vocab level via the
+    * 1-row broadcast scalar attach. */
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val tot = toks.agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
+      countDistinct(col("tok")).as("v"))
+    val delta = vocab.crossJoin(broadcast(tot))
+      .withColumn("d",
+        round(log((col("c_t") + lit(1.0)) / (col("n_t") + col("v")))
+          - log((col("c_r") + lit(1.0)) / (col("n_r") + col("v"))), 6)
+          .cast("decimal(18,6)"))
+      .select("tok", "d")
+    toks.join(delta, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("d")).cast("double").as("log_weight"))
+  }
+
+  /** Oracle-checked: importance toward the src0 slice as target. */
+  def qImportance(s: SparkSession, d: String): DataFrame =
+    importanceWeights(documents(s, d), col("source") === "src0")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ queries
 
   def qTokenCount(s: SparkSession, d: String): DataFrame =

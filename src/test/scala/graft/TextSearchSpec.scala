@@ -165,6 +165,25 @@ class TextSearchSpec extends SparkSpec {
     assert(lm.values.forall { case (_, p) => p > 0 && p < 1 })
   }
 
+  test("importance weights shift toward the target slice's vocabulary") {
+    // target slice (is_t) talks about zebras, the rest about yaks; shared
+    // filler tokens should contribute ~0 either way
+    val docs = Seq(
+      (1L, "zebra zebra stripes run fast", "tgt"),
+      (2L, "zebra stripes graze plains here", "tgt"),
+      (3L, "yak yak wool mountain cold", "raw"),
+      (4L, "yak wool herd snow slope", "raw"),
+      (5L, "zebra stripes zebra stripes zebra", "raw"),  // target-like text in raw
+      (6L, "yak wool yak wool yak", "raw"))              // raw-like text
+      .toDF("doc_id", "text", "source")
+    val w = TextAnalysis.importanceWeights(docs, col("source") === "tgt")
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    // the doc written in the target's vocabulary outweighs the raw-only doc
+    assert(w(5L) > w(6L), s"target-like ${w(5L)} must beat raw-like ${w(6L)}")
+    // and actual target docs score above the raw-vocabulary docs
+    assert(w(1L) > w(3L) && w(2L) > w(4L), w.toString)
+  }
+
   test("leakage-safe split: a near-dup cluster can never straddle splits") {
     val docs = (1 to 40).map(i => (i.toLong, s"document body number $i unique words " + ("x " * i)))
       .toDF("doc_id", "text")
