@@ -96,6 +96,7 @@ object SparkEntry {
     "q_topk" -> (Similarity.qTopK _),
     "q_embed_dup" -> (Similarity.qEmbedDup _),
     "q_centroids" -> (Similarity.qCentroids _),
+    "q_hard_negatives" -> (Similarity.qHardNegatives _),
     // --- event analytics extensions
     "q_event_window" -> (EventAnalytics.qEventWindow _),
     "q_sessionize" -> (EventAnalytics.qSessionize _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_resample" -> (EventAnalytics.qResample _),
     "q_funnel" -> (EventAnalytics.qFunnel _),
     "q_retention" -> (EventAnalytics.qRetention _),
+    "q_anomaly" -> (EventAnalytics.qAnomaly _),
     // --- multimodal plumbing extension
     "q_multimodal" -> (Multimodal.qMultimodalDecode _),
     // --- command dispatch (SURVEY §2.9)
@@ -145,6 +147,7 @@ object SparkEntry {
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_budget_select" -> (Curation.qBudgetSelect _),
     "q_split_safe" -> (Curation.qSplitSafe _),
+    "q_negatives" -> (Curation.qNegatives _),
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -558,6 +561,15 @@ object SparkEntry {
         "FROM embeddings e, q WHERE e.vec_id <> q.q_id) " +
         "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, n_id, score " +
         "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    "q_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
+        "CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10), " +
+        "s AS (SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label, " +
+        "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, q WHERE e.label <> q.q_label) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) " +
+        "AS BIGINT) AS rank, n_id, n_label, score " +
+        "FROM s QUALIFY rank <= 5 ORDER BY q_id, rank"),
     "q_embed_dup" ->
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score " +
@@ -737,6 +749,18 @@ object SparkEntry {
         "CAST((epoch_us(ts) - epoch_us(first_ts)) // 604800000000 AS BIGINT) AS week_offset, " +
         "count(DISTINCT user_id) AS n_users " +
         "FROM f GROUP BY 1, 2 ORDER BY cohort_day, week_offset"),
+    "q_anomaly" ->
+      ("WITH m AS (SELECT event_id, user_id, value, " +
+        "count(*) OVER w AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) " +
+        "AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id)) " +
+        "SELECT event_id, user_id, value, " +
+        "round((value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)), 6) AS z " +
+        "FROM m WHERE n >= 3 AND (s2/n - (s1/n)*(s1/n)) > 0 " +
+        "AND abs((value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 3.0 " +
+        "ORDER BY event_id"),
     "q_setops" ->
       ("SELECT custkey, 'no_orders' AS tag FROM " +
         "(SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders) " +
@@ -967,6 +991,15 @@ object SparkEntry {
         "WHEN coalesce(rep.rep_r, h.own_r) = 1 THEN 'val' ELSE 'train' END AS split " +
         "FROM documents d JOIN h USING (doc_id) LEFT JOIN rep ON rep.doc_id = d.doc_id " +
         "ORDER BY doc_id"),
+    "q_negatives" ->
+      ("WITH b AS (SELECT min(doc_id) AS mn, count(*) AS n FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, 4)) AS j FROM documents), " +
+        "h AS (SELECT doc_id, j, (list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))), " +
+        "i -> CAST(ascii((CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % n) + mn AS raw, mn, n FROM g, b) " +
+        "SELECT doc_id, j, CASE WHEN raw = doc_id THEN ((raw - mn + 1) % n) + mn ELSE raw END AS neg_id " +
+        "FROM h ORDER BY doc_id, j"),
     "q_winnow" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "g AS (SELECT doc_id, [words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +

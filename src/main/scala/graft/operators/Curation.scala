@@ -186,6 +186,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic RANDOM negative sampling for contrastive training:
+    * k pseudo-random partner ids per document, derived by hashing
+    * (doc_id, j) into the contiguous id space [minId, minId + nDocs) —
+    * join-free (the negatives are generated, not matched), reproducible
+    * across runs/engines/partitionings, and uniform enough that no
+    * document becomes a hot negative. Self-pairs advance one slot. The
+    * complement of [[Similarity.hardNegatives]]: random negatives anchor
+    * the easy end of the contrastive batch, mined ones the hard end. */
+  def negativeSamples(docs: DataFrame, k: Int, minId: Long, nDocs: Long): DataFrame = {
+    require(nDocs >= 2, "need at least two documents to sample negatives")
+    val h = pmod(graft.functions.GraftFunctions.poly_hash(
+      concat(col("doc_id").cast("string"), lit(":"), col("j").cast("string"))),
+      lit(nDocs))
+    docs.select(col("doc_id"), explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("raw", h + minId)
+      .withColumn("neg_id",
+        when(col("raw") === col("doc_id"),
+          pmod(col("raw") - minId + 1L, lit(nDocs)) + minId)
+          .otherwise(col("raw")))
+      .select(col("doc_id"), col("j"), col("neg_id"))
+  }
+
+  /** Oracle-checked: 4 negatives per document over the corpus id space
+    * (bounds from one caller-side aggregate, embedded as literals). */
+  def qNegatives(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val r = docs.agg(min(col("doc_id")), count(lit(1))).head()
+    negativeSamples(docs, 4, r.getLong(0), r.getLong(1))
+      .orderBy("doc_id", "j")
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate CLUSTERS move as a
     * unit. [[assignSplit]]'s per-document hash is stable but leaks — two
     * near-dup documents usually differ in text, so their hashes can land

@@ -170,6 +170,34 @@ object EventAnalytics {
   def qRetention(s: SparkSession, d: String): DataFrame =
     retention(events(s, d)).orderBy("cohort_day", "week_offset")
 
+  /** Per-user outlier events: flag events whose value sits more than
+    * `zMax` standard deviations from the user's own mean — the per-entity
+    * anomaly screen that runs before event data feeds a training set.
+    * Moments accumulate as DECIMAL over one user_id window (exact on any
+    * partitioning — qCorr's discipline); the closed-form z runs in double
+    * with the oracle's exact expression shape, so the flag cannot flip
+    * with cluster layout. One shuffle; no join. Users with fewer than 3
+    * events or zero variance are skipped (z undefined). */
+  def anomalies(ev: DataFrame, zMax: Double): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val v = col("value").cast("decimal(18,2)")
+    val withMoments = ev
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("s1", sum(v).over(byUser).cast("double"))
+      .withColumn("s2", sum((v * v).cast("decimal(38,4)")).over(byUser).cast("double"))
+    val nD = col("n").cast("double")
+    val mean = col("s1") / nD
+    val variance = col("s2") / nD - mean * mean
+    withMoments
+      .withColumn("z", (col("value") - mean) / sqrt(variance))
+      .filter(col("n") >= 3 && variance > 0 && abs(col("z")) > zMax)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("z"), 6).as("z"))
+  }
+
+  def qAnomaly(s: SparkSession, d: String): DataFrame =
+    anomalies(events(s, d), 3.0).orderBy("event_id")
+
   /** Ranking window demo: top-3 users by event count per event type
     * (row_number + deterministic tiebreak). */
   def qTopUsers(s: SparkSession, d: String): DataFrame = {

@@ -58,6 +58,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most similar corpus vectors with a DIFFERENT
+    * label — the negatives that sit right at the decision boundary,
+    * where random negatives are trivially easy. Same plan shape as
+    * [[bruteForceTopK]] (query side broadcasts, corpus never shuffles);
+    * at 100 TB the candidate generation swaps to the LSH/IVF index and
+    * this exact ranking runs on the candidate set. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("n_label"), col("score"))
+  }
+
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs within label blocks (label is the
     * natural blocking key in the test data and is ORACLE-CHECKABLE; the
     * production pipeline blocks by LSH bucket instead — [[lshNearDups]],

@@ -46,6 +46,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(row === (("2024-01-01 01:00:00", "2024-01-01 02:00:00", 2L)))
   }
 
+  test("anomalies flag only extreme values, never small or degenerate groups") {
+    val rows = // user 1: 20 values at 10.0 plus one wild outlier
+      (1 to 20).map(i => (i.toLong, 1L, 10.0)) ++ Seq((21L, 1L, 500.0)) ++
+        // user 2: two events only (n < 3, skipped even though spread is huge)
+        Seq((22L, 2L, 0.0), (23L, 2L, 1000.0)) ++
+        // user 3: zero variance (identical values, z undefined, skipped)
+        (24 to 28).map(i => (i.toLong, 3L, 7.0))
+    val ev = rows.toDF("event_id", "user_id", "value")
+    val out = graft.operators.EventAnalytics.anomalies(ev, 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(out === Set(21L), s"only the planted outlier should flag: $out")
+  }
+
   test("retention offsets anchor to each user's own first event") {
     val events = ev(
       // user 1 first seen Jan 1, returns 8 days later (week offset 1)

@@ -115,7 +115,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
-    val allPairsByDesign = Set("q_topk", "q_embed_dup")
+    val allPairsByDesign = Set("q_topk", "q_embed_dup", "q_hard_negatives")
     // A BNLJ is a SCALAR ATTACH, not an accident, when its broadcast side is
     // a global (no grouping keys) aggregate: that side is exactly one row, so
     // the "nested loop" is |stream| x 1 — the optimal way to join a corpus

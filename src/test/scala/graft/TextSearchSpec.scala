@@ -213,6 +213,23 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("negative sampling: in-range, never self, invariant to partitioning") {
+    val docs = (0L to 99L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val neg = Curation.negativeSamples(docs, 4, 0L, 100L)
+      .select("doc_id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(neg.length === 400)
+    neg.foreach { case (id, _, n) =>
+      assert(n >= 0L && n < 100L, s"out of range: $n")
+      assert(n !== id, s"self-pair for $id")
+    }
+    val reparts = Curation.negativeSamples(docs.repartition(13), 4, 0L, 100L)
+      .select("doc_id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(neg.toSet === reparts.toSet, "negatives must be a pure function of the row")
+    // sanity: negatives spread across the id space, no hot partner
+    val hottest = neg.groupBy(_._3).values.map(_.size).max
+    assert(hottest <= 15, s"hot negative partner: $hottest")
+  }
+
   test("budget select keeps quality order and the straddling document") {
     // equal-quality docs (same shape) so ranking falls to doc_id; 10
     // tokens each, budget 25 -> docs 1..3 kept (doc 3 straddles: 20 < 25),
