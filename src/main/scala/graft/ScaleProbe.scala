@@ -157,10 +157,35 @@ object ScaleProbe {
     // exact variant, which is the declared scale path
     time("containment", nDocs) { Dedup.containmentDupsPrefix(docs, 0.9).count() }
     time("repeated_spans", nDocs) { Dedup.repeatedSpans(docs).count() }
+    // round-3 batch-4 operators: force through an aggregate over the
+    // operator's computed column (same pruning caveat as above)
+    time("span_dedup", nDocs) {
+      Dedup.spanDedup(docs).agg(sum(length(col("text_clean")))).head(); nDocs
+    }
+    time("bigram_lm", nDocs) {
+      val v = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .distinct().count()
+      TextSearch.bigramLm(docs, v).count()
+    }
+    time("importance", nDocs) {
+      TextAnalysis.importanceWeights(docs, col("source") === "src0")
+        .agg(sum(col("log_weight"))).head(); nDocs
+    }
+    time("split_safe", nDocs) {
+      // pair generation at scale goes through the LSH path, like the
+      // clusters probe; splitSafe consumes whatever pair source is fed
+      Curation.splitSafe(docs,
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"))
+        .groupBy("split").count().collect().length.toLong
+    }
+    time("budget_select", nDocs) {
+      Curation.budgetSelect(docs, 1000000L).agg(max(col("tokens_before"))).head(); nDocs
+    }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))
       .select((col("event_id") * mult + col("r")).as("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"),
+        col("event_type"), col("value"))
       .localCheckpoint()
     val nEv = ev.count()
     time("decay", nEv) {
@@ -174,6 +199,12 @@ object ScaleProbe {
       Advanced.keySkew(ev.withColumn("event_type", pmod(col("event_id"), lit(5L))),
         "event_type", "user_id").collect().length.toLong
     }
+    time("funnel", nEv) {
+      EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+        .agg(sum(col("depth"))).head(); nEv
+    }
+    time("retention", nEv) { EventAnalytics.retention(ev).count() }
+    time("anomaly", nEv) { EventAnalytics.anomalies(ev, 3.0).count() }
     spark.stop()
   }
 }
