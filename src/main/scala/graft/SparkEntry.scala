@@ -144,6 +144,7 @@ object SparkEntry {
     // --- corpus statistics / tokenizer induction
     "q_stopword_df" -> (TextSearch.qStopwordDf _),
     "q_bpe_pairs" -> (TextSearch.qBpePairs _),
+    "q_bpe_train" -> (TextSearch.qBpeTrain _),
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_budget_select" -> (Curation.qBudgetSelect _),
     "q_split_safe" -> (Curation.qSplitSafe _),
@@ -246,6 +247,35 @@ object SparkEntry {
       "i -> va.bits[i] != vb.bits[i])) AS INTEGER) AS hamming FROM cands " +
       "JOIN votes va ON cands.doc_a = va.doc_id JOIN votes vb ON cands.doc_b = vb.doc_id) " +
       "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4 ORDER BY doc_a, doc_b"
+  }
+
+  /** DuckDB replica of the BPE trainer: the same `TextSearch.BpeMerges`
+    * iterations unrolled as CTE chains (segmentation s_i -> weighted pair
+    * counts p_i -> top merge m_i -> rewritten segmentation s_{i+1}).
+    * Every s_i/m_i is MATERIALIZED: each level is referenced twice (the
+    * pair count and the next rewrite), so inlined CTEs would re-evaluate
+    * the whole chain exponentially (measured: >120 s inlined, 0.1 s
+    * materialized at sf0.01). */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH v0 AS (SELECT w, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
+      "WHERE length(w) > 0 GROUP BY w), ")
+    sb.append("s1 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg, freq FROM v0), ")
+    for (i <- 1 to nMerges) {
+      sb.append(s"p$i AS (SELECT z.l AS l, z.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM " +
+        "(SELECT freq, unnest([struct_pack(l := parts[j], r := parts[j+1]) " +
+        "for j in generate_series(1, len(parts) - 1)]) AS z FROM " +
+        s"(SELECT freq, string_split(trim(seg), ' ') AS parts FROM s$i) WHERE len(parts) >= 2) GROUP BY 1, 2), ")
+      sb.append(s"m$i AS MATERIALIZED (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1), ")
+      if (i < nMerges)
+        sb.append(s"s${i + 1} AS MATERIALIZED (SELECT replace(seg, " +
+          s"(SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS seg, freq FROM s$i), ")
+    }
+    val body = sb.toString.stripSuffix(", ")
+    body + " " + (1 to nMerges)
+      .map(i => s"SELECT CAST(step AS BIGINT) AS step, l AS l_tok, r AS r_tok, n FROM m$i")
+      .mkString(" UNION ALL ") + " ORDER BY step"
   }
 
   /** Shared CTE chain of the exact n-gram pair oracle, reused by the
@@ -950,6 +980,7 @@ object SparkEntry {
         "FROM t WHERE length(w) >= 2) " +
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
+    "q_bpe_train" -> bpeTrainOracleSql(TextSearch.BpeMerges),
     "q_bigram_lm" ->
       ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "bg AS (SELECT unnest([struct_pack(w1 := w[i], w2 := w[i+1]) " +

@@ -164,6 +164,67 @@ object TextSearch {
   def qBpePairs(s: SparkSession, d: String): DataFrame =
     bpePairs(documents(s, d), 20)
 
+  /** BPE TRAINER: learn the first `nMerges` byte-pair merges over the
+    * corpus (Sennrich et al. 2016) — [[bpePairs]] found only merge #1;
+    * this runs the real loop: count adjacent segment pairs over the
+    * current segmentation (weighted by word frequency), merge the most
+    * frequent pair everywhere, repeat. The corpus collapses to its
+    * (word, freq) VOCABULARY first — every iteration then runs on the
+    * vocabulary-sized frame (one tiny aggregate + one narrow string
+    * rewrite), so the loop cost is independent of corpus size: this is
+    * exactly how production BPE trainers scale.
+    *
+    * Merge application is leftmost non-overlapping (`replace` on the
+    * space-delimited segmentation, identical semantics in the oracle's
+    * engine): an immediately repeated pair ("l r l r") merges its second
+    * occurrence on a LATER step, a documented, deterministic variant of
+    * the reference algorithm. Ties break (count desc, left, right). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ' a b c ' — one space between segments, sentinels at both ends so
+    // a merge pattern ' l r ' can anchor at word boundaries
+    var vocab = Tables.rebalance(docs, "doc_id")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"),
+        col("freq"))
+      .localCheckpoint() // vocabulary-sized; cut the corpus scan out of the loop
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"), split(trim(col("seg")), " ").as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(parts) - 1), i -> struct(parts[i-1] AS l, parts[i] AS r))"))
+          .as("z"))
+        .groupBy(col("z.l").as("l"), col("z.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, n))
+        vocab = vocab
+          .withColumn("seg", expr(s"replace(seg, ' $l $r ', ' $l$r ')"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "l_tok", "r_tok", "n")
+  }
+
+  /** Oracle-checked: the first 8 learned merges (the oracle unrolls the
+    * same 8 iterations as CTE chains, generated from the same constant). */
+  val BpeMerges = 8
+
+  def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(documents(s, d), BpeMerges).orderBy("step")
+
   /** Add-k-smoothed bigram language model over the corpus:
     * P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V), the classic Lidstone
     * estimate (k=0.5 is Jeffreys-Perks; V = corpus vocabulary size) — the

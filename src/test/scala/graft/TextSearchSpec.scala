@@ -146,6 +146,23 @@ class TextSearchSpec extends SparkSpec {
       "membership must be a pure function of the row")
   }
 
+  test("bpe trainer: learned merges, tie order, overlap rule, exhaustion") {
+    // vocab: abab x3, cd x3 -> step 1 merges (a,b) [n=6]; the leftmost
+    // non-overlapping rule leaves ' ab a b ' (the second 'a b' shares the
+    // boundary space), so step 2 merges (a,b) again [n=3, tie with (ab,a)
+    // and (c,d) broken lexicographically], step 3 (ab,ab), step 4 (c,d) --
+    // then no pairs remain and the trainer stops short of 8
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab cd cd")).toDF("doc_id", "text")
+    val merges = TextSearch.bpeTrain(docs, 8)
+      .select("step", "l_tok", "r_tok", "n")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges === Seq(
+      (1L, "a", "b", 6L),
+      (2L, "a", "b", 3L),
+      (3L, "ab", "ab", 3L),
+      (4L, "c", "d", 3L)))
+  }
+
   test("bigram LM: counts, smoothing, and context-total consistency") {
     // corpus: "a b" x3, "a c" x1, "b a" x1 -> V = 3
     val docs = Seq(
