@@ -149,6 +149,8 @@ object SparkEntry {
     "q_budget_select" -> (Curation.qBudgetSelect _),
     "q_split_safe" -> (Curation.qSplitSafe _),
     "q_negatives" -> (Curation.qNegatives _),
+    "q_quota_sample" -> (Curation.qQuotaSample _),
+    "q_vocab_coverage" -> (TextSearch.qVocabCoverage _),
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -981,6 +983,25 @@ object SparkEntry {
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
     "q_bpe_train" -> bpeTrainOracleSql(TextSearch.BpeMerges),
+    "q_vocab_coverage" ->
+      ("WITH tf AS (SELECT tok, count(*) AS tf FROM " +
+        "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +
+        "WHERE length(tok) > 0 GROUP BY tok), " +
+        "cum AS (SELECT tf, CAST(coalesce(sum(tf) OVER (ORDER BY tf DESC, tok " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before, " +
+        "CAST(sum(tf) OVER () AS BIGINT) AS total FROM tf) " +
+        "SELECT " +
+        "CAST(sum(CASE WHEN before * 1.0 < total * 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k_50, " +
+        "CAST(sum(CASE WHEN before * 1.0 < total * 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS k_75, " +
+        "CAST(sum(CASE WHEN before * 1.0 < total * 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS k_90, " +
+        "CAST(sum(CASE WHEN before * 1.0 < total * 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS k_99 " +
+        "FROM cum"),
+    "q_quota_sample" ->
+      ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007), doc_id) AS rnk FROM documents) " +
+        "SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 25 ORDER BY doc_id"),
     "q_bigram_lm" ->
       ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "bg AS (SELECT unnest([struct_pack(w1 := w[i], w2 := w[i+1]) " +

@@ -186,6 +186,25 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Exact-quota stratified sample: exactly min(k, |stratum|) documents
+    * per stratum — what an eval-set builder needs where [[hashSample]]'s
+    * RATE-based draw only hits k in expectation. Selection order is the
+    * text fingerprint (ties to doc_id): deterministic, engine-portable,
+    * and uncorrelated with any content signal, so the quota is an
+    * unbiased draw. One row_number window per stratum — the
+    * sessionization shuffle shape. */
+  def quotaSample(docs: DataFrame, stratumCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(graft.functions.GraftFunctions.poly_hash(col("text")), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col(stratumCol), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Oracle-checked: exactly 25 docs per language. */
+  def qQuotaSample(s: SparkSession, d: String): DataFrame =
+    quotaSample(documents(s, d), "lang", 25).orderBy("doc_id")
+
   /** Deterministic RANDOM negative sampling for contrastive training:
     * k pseudo-random partner ids per document, derived by hashing
     * (doc_id, j) into the contiguous id space [minId, minId + nDocs) —

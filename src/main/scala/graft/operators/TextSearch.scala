@@ -225,6 +225,36 @@ object TextSearch {
   def qBpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrain(documents(s, d), BpeMerges).orderBy("step")
 
+  /** Vocabulary coverage curve: the smallest number of (most frequent)
+    * vocabulary types needed to cover each target fraction of corpus
+    * token mass — the measurement that sizes a tokenizer vocab or an
+    * OOV bucket. One token-keyed aggregate; the cumulative window runs
+    * over the VOCABULARY (bounded regardless of corpus size), ordered
+    * (tf desc, token) so ties are deterministic. A type is counted if
+    * the mass BEFORE it is still short of the target, so the reported
+    * k is exactly the minimal covering prefix. */
+  def vocabCoverage(docs: DataFrame, targets: Seq[Double]): DataFrame = {
+    val tf = Tables.rebalance(docs, "doc_id")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = tf
+      .withColumn("before", coalesce(sum(col("tf")).over(w), lit(0L)))
+      .withColumn("total", sum(col("tf")).over(wAll))
+    val cols = targets.map(t =>
+      sum(when(col("before") * lit(1.0) < col("total") * lit(t), 1L).otherwise(0L))
+        .as(s"k_${(t * 100).round}"))
+    cum.agg(cols.head, cols.tail: _*)
+  }
+
+  /** Oracle-checked: types covering 50/75/90/99% of token mass. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(documents(s, d), Seq(0.5, 0.75, 0.9, 0.99))
+
   /** Add-k-smoothed bigram language model over the corpus:
     * P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V), the classic Lidstone
     * estimate (k=0.5 is Jeffreys-Perks; V = corpus vocabulary size) — the
