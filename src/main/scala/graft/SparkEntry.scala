@@ -145,6 +145,7 @@ object SparkEntry {
     "q_stopword_df" -> (TextSearch.qStopwordDf _),
     "q_bpe_pairs" -> (TextSearch.qBpePairs _),
     "q_bpe_train" -> (TextSearch.qBpeTrain _),
+    "q_bpe_encode" -> (TextSearch.qBpeEncode _),
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_budget_select" -> (Curation.qBudgetSelect _),
     "q_split_safe" -> (Curation.qSplitSafe _),
@@ -278,6 +279,42 @@ object SparkEntry {
     body + " " + (1 to nMerges)
       .map(i => s"SELECT CAST(step AS BIGINT) AS step, l AS l_tok, r AS r_tok, n FROM m$i")
       .mkString(" UNION ALL ") + " ORDER BY step"
+  }
+
+  /** DuckDB replica of train + ENCODE: the trainer's CTE chain (same
+    * generator, same materialization rationale) followed by the apply
+    * chain — each learned merge applied to the corpus segmentation in
+    * step order, word boundaries marked '|' exactly as the engine builds
+    * them. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    val train = {
+      val sb = new StringBuilder
+      sb.append("WITH v0 AS (SELECT w, count(*) AS freq FROM " +
+        "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
+        "WHERE length(w) > 0 GROUP BY w), ")
+      sb.append("s1 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg, freq FROM v0), ")
+      for (i <- 1 to nMerges) {
+        sb.append(s"p$i AS (SELECT z.l AS l, z.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM " +
+          "(SELECT freq, unnest([struct_pack(l := parts[j], r := parts[j+1]) " +
+          "for j in generate_series(1, len(parts) - 1)]) AS z FROM " +
+          s"(SELECT freq, string_split(trim(seg), ' ') AS parts FROM s$i) WHERE len(parts) >= 2) GROUP BY 1, 2), ")
+        sb.append(s"m$i AS MATERIALIZED (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1), ")
+        if (i < nMerges)
+          sb.append(s"s${i + 1} AS MATERIALIZED (SELECT replace(seg, " +
+            s"(SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS seg, freq FROM s$i), ")
+      }
+      sb.toString
+    }
+    val apply = new StringBuilder
+    apply.append("e0 AS (SELECT doc_id, ' ' || array_to_string(" +
+      "list_transform(string_split_regex(trim(text), '\\s+'), " +
+      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ') AS seg FROM documents), ")
+    for (i <- 1 to nMerges)
+      apply.append(s"e$i AS MATERIALIZED (SELECT doc_id, replace(seg, " +
+        s"(SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS seg FROM e${i - 1}), ")
+    train + apply.toString.stripSuffix(", ") +
+      s" SELECT doc_id, CAST(len(list_filter(string_split(trim(seg), ' '), t -> t <> '|')) AS BIGINT) " +
+      s"AS n_bpe_tokens FROM e$nMerges ORDER BY doc_id"
   }
 
   /** Shared CTE chain of the exact n-gram pair oracle, reused by the
@@ -983,6 +1020,7 @@ object SparkEntry {
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
     "q_bpe_train" -> bpeTrainOracleSql(TextSearch.BpeMerges),
+    "q_bpe_encode" -> bpeEncodeOracleSql(TextSearch.BpeMerges),
     "q_vocab_coverage" ->
       ("WITH tf AS (SELECT tok, count(*) AS tf FROM " +
         "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +

@@ -225,6 +225,40 @@ object TextSearch {
   def qBpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrain(documents(s, d), BpeMerges).orderBy("step")
 
+  /** BPE ENCODER: apply learned merges to the corpus and report the
+    * compression — the tokenizer-application step that turns text into
+    * training tokens. Each document becomes ONE segmentation string
+    * (words char-split, joined with a '|' boundary marker that no merge
+    * pattern can cross, since merges contain only letters and spaces);
+    * the merges then apply as `nMerges` sequential narrow replaces in
+    * learned order — per-document work, no joins, no shuffle beyond the
+    * final count. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seg0 = concat(lit(" "),
+      array_join(
+        transform(split(trim(col("text")), "\\s+"),
+          w => regexp_replace(w, "(.)", "$1 ")),
+        "| "))
+    val segged = merges.foldLeft(
+      Tables.rebalance(docs, "doc_id").select(col("doc_id"), seg0.as("seg"))) {
+      case (df, (l, r)) =>
+        df.withColumn("seg", expr(s"replace(seg, ' $l $r ', ' $l$r ')"))
+    }
+    segged.select(col("doc_id"),
+      size(filter(split(trim(col("seg")), " "), t => t =!= "|"))
+        .cast("long").as("n_bpe_tokens"))
+  }
+
+  /** Oracle-checked: train 8 merges on the corpus, encode the corpus
+    * with them (the oracle replays train + apply in one CTE chain). */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = bpeTrain(docs, BpeMerges)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs, merges).orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve: the smallest number of (most frequent)
     * vocabulary types needed to cover each target fraction of corpus
     * token mass — the measurement that sizes a tokenizer vocab or an

@@ -161,6 +161,11 @@ class TextSearchSpec extends SparkSpec {
       (2L, "a", "b", 3L),
       (3L, "ab", "ab", 3L),
       (4L, "c", "d", 3L)))
+    // encoding with those merges collapses every word to one token:
+    // 'abab' -> ab a b -> ab ab -> abab; 'cd' -> cd
+    val counts = TextSearch.bpeEncode(docs, merges.map(m => (m._2, m._3)))
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L))
   }
 
   test("bigram LM: counts, smoothing, and context-total consistency") {
