@@ -89,6 +89,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
     "q_importance" -> (TextAnalysis.qImportance _),
+    "q_dataset_card" -> (TextAnalysis.qDatasetCard _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
@@ -419,6 +420,29 @@ object SparkEntry {
         "- ln((cr + 1.0) / (nr + v)), 6) AS DECIMAL(18,6)) AS d FROM vocab, tot) " +
         "SELECT doc_id, count(*) AS n_tokens, CAST(sum(d) AS DOUBLE) AS log_weight " +
         "FROM t2 JOIN delta USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+    "q_dataset_card" ->
+      ("WITH t AS (SELECT doc_id, text, lang, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "qx AS (SELECT text, lang, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "round(least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5 " +
+        "+ (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)) * 0.3 " +
+        "+ (1.0 - (CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len) * 0.2, 6) AS quality_score FROM t), " +
+        "base AS (SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_toks, " +
+        "count(DISTINCT text) AS n_distinct_text, count(DISTINCT lang) AS n_langs, " +
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en, " +
+        "sum(CAST(quality_score AS DECIMAL(18,6))) AS q_sum FROM qx), " +
+        "v AS (SELECT count(DISTINCT tok) AS v FROM " +
+        "(SELECT unnest(w) AS tok FROM t) WHERE length(tok) > 0) " +
+        "SELECT metric, value FROM (" +
+        "SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base " +
+        "UNION ALL SELECT 'n_tokens', CAST(n_toks AS DOUBLE) FROM base " +
+        "UNION ALL SELECT 'vocab_size', CAST(v AS DOUBLE) FROM v " +
+        "UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base " +
+        "UNION ALL SELECT 'pct_en', round(CAST(n_en AS DOUBLE) / n_docs, 6) FROM base " +
+        "UNION ALL SELECT 'exact_dup_rate', round(CAST(1.0 AS DOUBLE) - CAST(n_distinct_text AS DOUBLE) / n_docs, 6) FROM base " +
+        "UNION ALL SELECT 'mean_tokens', round(CAST(n_toks AS DOUBLE) / n_docs, 6) FROM base " +
+        "UNION ALL SELECT 'mean_quality', round(CAST(q_sum AS DOUBLE) / n_docs, 6) FROM base" +
+        ") ORDER BY metric"),
     "q_dedup_gate" -> dedupGateOracleSql,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,

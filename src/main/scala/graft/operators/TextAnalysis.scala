@@ -162,6 +162,42 @@ object TextAnalysis {
     importanceWeights(documents(s, d), col("source") === "src0")
       .orderBy("doc_id")
 
+  /** DATASET CARD: the corpus profile a training-data release documents
+    * — sizes, vocabulary, language mix, exact-dup rate, mean quality —
+    * as one (metric, value) table from two aggregates (one doc-level,
+    * one token-level; the 1×1 combine is the scalar attach the plan
+    * audit recognizes). Ratios are exact-integer division in double,
+    * rounded to 6; mean quality sums the already-6dp-rounded score as
+    * DECIMAL first. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val q = withQuality(Tables.rebalance(docs, "doc_id"))
+    val base = q.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_toks"),
+      countDistinct(col("text")).as("n_distinct_text"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(col("quality_score").cast("decimal(18,6)")).as("q_sum"))
+    val vocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct(col("tok")).as("v"))
+    base.crossJoin(broadcast(vocab))
+      .select(expr(
+        "stack(8, " +
+          "'n_docs', CAST(n_docs AS DOUBLE), " +
+          "'n_tokens', CAST(n_toks AS DOUBLE), " +
+          "'vocab_size', CAST(v AS DOUBLE), " +
+          "'n_langs', CAST(n_langs AS DOUBLE), " +
+          "'pct_en', round(CAST(n_en AS DOUBLE) / n_docs, 6), " +
+          "'exact_dup_rate', round(CAST(1.0 AS DOUBLE) - CAST(n_distinct_text AS DOUBLE) / n_docs, 6), " +
+          "'mean_tokens', round(CAST(n_toks AS DOUBLE) / n_docs, 6), " +
+          "'mean_quality', round(CAST(q_sum AS DOUBLE) / n_docs, 6)) AS (metric, value)"))
+  }
+
+  def qDatasetCard(s: SparkSession, d: String): DataFrame =
+    datasetCard(documents(s, d)).orderBy("metric")
+
   // ------------------------------------------------------------ queries
 
   def qTokenCount(s: SparkSession, d: String): DataFrame =

@@ -47,6 +47,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(SnippetGen.docSnippets(emptyDocs).count() === 0)
   }
 
+  test("round-3 batch-4 operators on an empty corpus") {
+    import spark.implicits._
+    assert(Dedup.spanDedup(emptyDocs).count() === 0)
+    assert(TextSearch.bigramLm(emptyDocs, 0L).count() === 0)
+    assert(TextSearch.vocabCoverage(emptyDocs, Seq(0.5, 0.9)).count() === 1) // one all-zero row
+    assert(TextSearch.bpeTrain(emptyDocs, 4).count() === 0) // exhausts at step 1
+    assert(TextSearch.bpeEncode(emptyDocs, Seq(("a", "b"))).count() === 0)
+    assert(TextAnalysis.importanceWeights(emptyDocs, col("source") === "src0").count() === 0)
+    assert(Curation.budgetSelect(emptyDocs, 100L).count() === 0)
+    assert(Curation.quotaSample(emptyDocs, "lang", 5).count() === 0)
+    assert(Curation.negativeSamples(emptyDocs, 4, 0L, 2L).count() === 0)
+    assert(Curation.splitSafe(emptyDocs,
+      emptyDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))).count() === 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.funnel(emptyEv, Seq("view", "click", "purchase")).count() === 0)
+    assert(EventAnalytics.retention(emptyEv).count() === 0)
+    assert(EventAnalytics.anomalies(emptyEv, 3.0).count() === 0)
+  }
+
   test("similarity on an empty query set") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val noQueries = emb.filter(col("vec_id") < 0)
