@@ -72,6 +72,7 @@ object SparkEntry {
     "q_dedup_auto" -> (Dedup.qDedupAuto _),  // rows-only: LSH branch is approximate by design
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
+    "q_cross_dedup" -> (Dedup.qCrossDedup _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     // --- corpus curation extensions
@@ -571,6 +572,23 @@ object SparkEntry {
         "UNION ALL SELECT doc_id + 1000000, text FROM documents) " +
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM allc GROUP BY text ORDER BY doc_id"),
     "q_dedup_ngram" -> s"WITH $ngramOracleCtes $ngramOraclePairs ORDER BY doc_a, doc_b",
+    "q_cross_dedup" ->
+      ("WITH lw AS (SELECT doc_id, text FROM documents WHERE source = 'src0' " +
+        "UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE source <> 'src0' AND doc_id % 40 = 1), " +
+        "rw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'), " +
+        "l1 AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS s FROM " +
+        "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM lw) WHERE len(words) >= 3), " +
+        "r1 AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS s FROM " +
+        "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM rw) WHERE len(words) >= 3), " +
+        "lp AS (SELECT doc_id AS doc_a, unnest(s) AS shingle FROM l1), " +
+        "rp AS (SELECT doc_id AS doc_b, unnest(s) AS shingle FROM r1), " +
+        "cm AS (SELECT doc_a, doc_b, count(*) AS common FROM lp JOIN rp USING (shingle) GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard " +
+        "FROM cm JOIN (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM l1) sa ON doc_a = sa.doc_id " +
+        "JOIN (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM r1) sb ON doc_b = sb.doc_id " +
+        "WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5 ORDER BY doc_a, doc_b"),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $ngramOracleCtes, " +
         s"pairs AS ($ngramOraclePairs), " +

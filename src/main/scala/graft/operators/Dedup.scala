@@ -437,6 +437,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Oracle-checked CROSS-corpus dedup (doc-level decontamination): exact
+    * near-dup pairs BETWEEN the src0 slice (+ planted exact copies of
+    * every 40th non-src0 doc, which guarantee J=1 witnesses) and the rest
+    * of the corpus — the "does my training set duplicate the held-out
+    * set" check at document granularity, complementing the shingle-
+    * overlap `q_contamination`. The production probe path is
+    * [[crossNearDups]] (band buckets); this pins the exact analog under
+    * the gate, the same pinned-vs-auto split as qDedupNgram. */
+  def qCrossDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    val right = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val left = docs.filter(col("source") === "src0").select("doc_id", "text")
+      .unionByName(right.filter(col("doc_id") % 40 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    crossNearDupsExact(left, right, 0.5).orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------- persisted dedup index
 
   /** Persist the MinHash dedup index — the (doc_id, sh, sig) table — so
