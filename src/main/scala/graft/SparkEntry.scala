@@ -107,6 +107,7 @@ object SparkEntry {
     "q_funnel" -> (EventAnalytics.qFunnel _),
     "q_retention" -> (EventAnalytics.qRetention _),
     "q_anomaly" -> (EventAnalytics.qAnomaly _),
+    "q_transitions" -> (EventAnalytics.qTransitions _),
     // --- multimodal plumbing extension
     "q_multimodal" -> (Multimodal.qMultimodalDecode _),
     // --- command dispatch (SURVEY §2.9)
@@ -872,6 +873,14 @@ object SparkEntry {
         "FROM m WHERE n >= 3 AND (s2/n - (s1/n)*(s1/n)) > 0 " +
         "AND abs((value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 3.0 " +
         "ORDER BY event_id"),
+    "q_transitions" ->
+      ("WITH t AS (SELECT user_id, event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+        "c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n " +
+        "FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p " +
+        "FROM c ORDER BY from_type, to_type"),
     "q_setops" ->
       ("SELECT custkey, 'no_orders' AS tag FROM " +
         "(SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders) " +

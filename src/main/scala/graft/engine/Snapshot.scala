@@ -66,6 +66,36 @@ class Snapshot(spark: SparkSession, root: String) {
     * publish; SURVEY §2.8 M1-M8 compose with this). */
   def mutate(f: DataFrame => DataFrame): String = publish(f(read()))
 
+  /** History retention, run by THE single writer: delete published
+    * versions older than the newest `keep` (the CURRENT version is always
+    * among the kept). Without this the store grows one full table copy
+    * per mutation — at 100 TB that is the difference between a snapshot
+    * store and a disk leak; `keep >= 2` preserves one rollback target.
+    * Only versions at or BELOW current are touched (orphans above are
+    * [[recoverOrphans]]' province); their stale claim markers go with
+    * them. Returns the pruned version names. */
+  def vacuum(keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"keep $keep must be >= 1")
+    currentVersion().map(_.stripPrefix("v_").toLong) match {
+      case None => Seq.empty
+      case Some(current) =>
+        val cutoff = current - keep + 1 // keep [cutoff, current]
+        val entries = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+        def versionOf(name: String): Option[Long] =
+          scala.util.Try(name.stripPrefix("v_").stripSuffix(".claim").toLong).toOption
+        val old = entries.filter(f =>
+          f.getName.startsWith("v_") && versionOf(f.getName).exists(_ < cutoff))
+        old.foreach { f =>
+          def rm(g: java.io.File): Unit = {
+            Option(g.listFiles()).getOrElse(Array.empty).foreach(rm)
+            g.delete(); ()
+          }
+          rm(f)
+        }
+        old.filter(_.getName.endsWith(".claim") == false).map(_.getName).toSeq.sorted
+    }
+  }
+
   /** Crash cleanup, run by THE single writer at startup: delete version
     * claims (and any half-written directories) never referenced by the
     * pointer — a publish that crashed between claiming and the pointer

@@ -170,6 +170,26 @@ object EventAnalytics {
   def qRetention(s: SparkSession, d: String): DataFrame =
     retention(events(s, d)).orderBy("cohort_day", "week_offset")
 
+  /** Event-type transition matrix: counts and row-normalized
+    * probabilities of consecutive (from -> to) steps within each user's
+    * ordered stream — the first-order Markov model behind next-action
+    * prediction and funnel design (which step pairs actually occur).
+    * One user_id window for the lead(), one |types|²-bounded aggregate;
+    * the probability window runs over the tiny matrix itself. */
+  def transitions(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+  }
+
+  def qTransitions(s: SparkSession, d: String): DataFrame =
+    transitions(events(s, d)).orderBy("from_type", "to_type")
+
   /** Per-user outlier events: flag events whose value sits more than
     * `zMax` standard deviations from the user's own mean — the per-entity
     * anomaly screen that runs before event data feeds a training set.

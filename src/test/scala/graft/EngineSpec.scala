@@ -52,6 +52,19 @@ class EngineSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(root, "v_tmp")))
     val v3 = store.publish(Seq((9L, "Active")).toDF("id", "status"))
     assert(v3 === "v_3" && store.read().count() === 1)
+
+    // retention: keep the newest 2 published versions, prune the rest
+    // (with their stale claim markers); CURRENT still reads, the kept
+    // rollback target still reads, non-version junk survives
+    assert(store.vacuum(keep = 2) === Seq("v_0", "v_1"))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v_0")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v_0.claim")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "v_2")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "v_tmp")))
+    assert(store.read().count() === 1)
+    assert(spark.read.parquet(s"$root/v_2").count() === 1)
+    // idempotent: nothing older remains
+    assert(store.vacuum(keep = 2) === Seq.empty)
   }
 
   test("bucketed tables make the fact join shuffle-free (co-located join)") {

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Robustness: NULL text/value rows are routine in a 100 TB corpus
+  * (failed extractions, schema evolution). Operators must either skip
+  * null rows or handle them explicitly — never emit nonsense (size(NULL)
+  * is -1 in Spark, which silently poisons token counts downstream). */
+class NullInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today", "en", "src1", 60L),
+    (2L, null.asInstanceOf[String], "en", "src2", 0L),
+    (3L, "a second real document with enough words to shingle cleanly here", "en", "src3", 60L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("dedup family: null-text docs neither crash nor pair") {
+    assert(Dedup.ngramNearDups(docs, 0.1).count() === 0)
+    assert(Dedup.minhashNearDups(docs, 0.1).count() === 0)
+    assert(Dedup.exact(docs, "text", "doc_id").count() >= 2)
+    assert(Dedup.spanDedup(docs).filter(col("doc_id") =!= 2L).count() === 2)
+  }
+
+  test("token operators: null-text docs do not poison counts") {
+    val lm = TextSearch.bigramLm(docs, 10L)
+    assert(lm.filter(col("n") <= 0).count() === 0)
+    val cov = TextSearch.vocabCoverage(docs, Seq(0.9)).head()
+    assert(cov.getLong(0) > 0)
+    val imp = TextAnalysis.importanceWeights(docs, col("source") === "src1")
+    assert(imp.filter(col("n_tokens") <= 0).count() === 0)
+    val enc = TextSearch.bpeEncode(docs, Seq(("t", "h")))
+    assert(enc.filter(col("n_bpe_tokens") < 0).count() === 0)
+  }
+
+  test("curation: null-text docs do not produce negative token math") {
+    val packed = Curation.packSequences(docs, "lang")
+    assert(packed.filter(col("n_tokens") < 0).count() === 0,
+      packed.collect().mkString(","))
+    val sel = Curation.budgetSelect(docs, 1000L)
+    assert(sel.filter(col("n_tokens") < 0).count() === 0)
+  }
+
+  test("events: null values do not crash anomaly/funnel") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", Some(1.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", None),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "purchase", Some(2.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .head().getAs[Long]("depth") === 3L)
+    assert(EventAnalytics.anomalies(ev, 3.0).count() === 0)
+  }
+}
