@@ -88,6 +88,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("span dedup: cut lists come back broadcast, corpus text never shuffles") {
+    val p = plan("q_span_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"cut-list join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"span dedup must not sort-merge:\n$p")
+  }
+
+  test("funnel: three window passes reuse ONE user_id exchange") {
+    val p = plan("q_funnel")
+    // hash exchanges: exactly one (user_id); the only other exchange is
+    // the deterministic output sort's range partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"funnel should shuffle once:\n$p")
+    assert(!p.contains("Join"), s"funnel must not plan per-step joins:\n$p")
+  }
+
   test("plan audit: exchanges carry arrays only where the design says so") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
