@@ -255,14 +255,15 @@ object SparkEntry {
       "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 4 ORDER BY doc_a, doc_b"
   }
 
-  /** DuckDB replica of the BPE trainer: the same `TextSearch.BpeMerges`
-    * iterations unrolled as CTE chains (segmentation s_i -> weighted pair
+  /** Shared DuckDB trainer chain for the BPE oracles: `nMerges`
+    * iterations unrolled as CTEs (segmentation s_i -> weighted pair
     * counts p_i -> top merge m_i -> rewritten segmentation s_{i+1}).
     * Every s_i/m_i is MATERIALIZED: each level is referenced twice (the
     * pair count and the next rewrite), so inlined CTEs would re-evaluate
     * the whole chain exponentially (measured: >120 s inlined, 0.1 s
-    * materialized at sf0.01). */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
+    * materialized at sf0.01). ONE generator feeds both q_bpe_train and
+    * q_bpe_encode so the two oracles' trainers can never drift. */
+  private def bpeTrainerCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb.append("WITH v0 AS (SELECT w, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
@@ -275,48 +276,36 @@ object SparkEntry {
         s"(SELECT freq, string_split(trim(seg), ' ') AS parts FROM s$i) WHERE len(parts) >= 2) GROUP BY 1, 2), ")
       sb.append(s"m$i AS MATERIALIZED (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1), ")
       if (i < nMerges)
-        sb.append(s"s${i + 1} AS MATERIALIZED (SELECT replace(seg, " +
-          s"(SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS seg, freq FROM s$i), ")
+        sb.append(s"s${i + 1} AS MATERIALIZED (SELECT " +
+          s"coalesce(replace(seg, (SELECT ' '||l||' '||r||' ' FROM m$i), " +
+          s"(SELECT ' '||l||r||' ' FROM m$i)), seg) AS seg, freq FROM s$i), ")
     }
-    val body = sb.toString.stripSuffix(", ")
-    body + " " + (1 to nMerges)
-      .map(i => s"SELECT CAST(step AS BIGINT) AS step, l AS l_tok, r AS r_tok, n FROM m$i")
-      .mkString(" UNION ALL ") + " ORDER BY step"
+    sb.toString
   }
 
-  /** DuckDB replica of train + ENCODE: the trainer's CTE chain (same
-    * generator, same materialization rationale) followed by the apply
-    * chain — each learned merge applied to the corpus segmentation in
-    * step order, word boundaries marked '|' exactly as the engine builds
-    * them. */
+  private def bpeTrainOracleSql(nMerges: Int): String =
+    bpeTrainerCtes(nMerges).stripSuffix(", ") + " " + (1 to nMerges)
+      .map(i => s"SELECT CAST(step AS BIGINT) AS step, l AS l_tok, r AS r_tok, n FROM m$i")
+      .mkString(" UNION ALL ") + " ORDER BY step"
+
+  /** DuckDB replica of train + ENCODE: the shared trainer chain followed
+    * by the apply chain — each learned merge applied to the corpus
+    * segmentation in step order, word boundaries marked chr(1) exactly
+    * as the engine builds them ([[TextSearch.BpeBoundary]]). The
+    * coalesce(...) on every rewrite keeps an EXHAUSTED trainer (empty
+    * m_i) from NULLing the segmentation — the engine just stops early,
+    * and the oracle must pass the text through unchanged the same way. */
   private def bpeEncodeOracleSql(nMerges: Int): String = {
-    val train = {
-      val sb = new StringBuilder
-      sb.append("WITH v0 AS (SELECT w, count(*) AS freq FROM " +
-        "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
-        "WHERE length(w) > 0 GROUP BY w), ")
-      sb.append("s1 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg, freq FROM v0), ")
-      for (i <- 1 to nMerges) {
-        sb.append(s"p$i AS (SELECT z.l AS l, z.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM " +
-          "(SELECT freq, unnest([struct_pack(l := parts[j], r := parts[j+1]) " +
-          "for j in generate_series(1, len(parts) - 1)]) AS z FROM " +
-          s"(SELECT freq, string_split(trim(seg), ' ') AS parts FROM s$i) WHERE len(parts) >= 2) GROUP BY 1, 2), ")
-        sb.append(s"m$i AS MATERIALIZED (SELECT $i AS step, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1), ")
-        if (i < nMerges)
-          sb.append(s"s${i + 1} AS MATERIALIZED (SELECT replace(seg, " +
-            s"(SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS seg, freq FROM s$i), ")
-      }
-      sb.toString
-    }
     val apply = new StringBuilder
     apply.append("e0 AS (SELECT doc_id, ' ' || array_to_string(" +
       "list_transform(string_split_regex(trim(text), '\\s+'), " +
-      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ') AS seg FROM documents), ")
+      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' ') AS seg FROM documents), ")
     for (i <- 1 to nMerges)
-      apply.append(s"e$i AS MATERIALIZED (SELECT doc_id, replace(seg, " +
-        s"(SELECT ' '||l||' '||r||' ' FROM m$i), (SELECT ' '||l||r||' ' FROM m$i)) AS seg FROM e${i - 1}), ")
-    train + apply.toString.stripSuffix(", ") +
-      s" SELECT doc_id, CAST(len(list_filter(string_split(trim(seg), ' '), t -> t <> '|')) AS BIGINT) " +
+      apply.append(s"e$i AS MATERIALIZED (SELECT doc_id, " +
+        s"coalesce(replace(seg, (SELECT ' '||l||' '||r||' ' FROM m$i), " +
+        s"(SELECT ' '||l||r||' ' FROM m$i)), seg) AS seg FROM e${i - 1}), ")
+    bpeTrainerCtes(nMerges) + apply.toString.stripSuffix(", ") +
+      s" SELECT doc_id, CAST(len(list_filter(string_split(trim(seg), ' '), t -> t <> chr(1))) AS BIGINT) " +
       s"AS n_bpe_tokens FROM e$nMerges ORDER BY doc_id"
   }
 
@@ -863,7 +852,7 @@ object SparkEntry {
         "FROM f GROUP BY 1, 2 ORDER BY cohort_day, week_offset"),
     "q_anomaly" ->
       ("WITH m AS (SELECT event_id, user_id, value, " +
-        "count(*) OVER w AS n, " +
+        "count(value) OVER w AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) " +
         "AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2 " +

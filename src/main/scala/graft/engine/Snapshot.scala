@@ -66,6 +66,14 @@ class Snapshot(spark: SparkSession, root: String) {
     * publish; SURVEY §2.8 M1-M8 compose with this). */
   def mutate(f: DataFrame => DataFrame): String = publish(f(read()))
 
+  /** Recursive delete shared by [[vacuum]] and [[recoverOrphans]] —
+    * failures are deliberately ignored (both callers tolerate leftovers;
+    * the next run retries). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** History retention, run by THE single writer: delete published
     * versions older than the newest `keep` (the CURRENT version is always
     * among the kept). Without this the store grows one full table copy
@@ -85,14 +93,10 @@ class Snapshot(spark: SparkSession, root: String) {
           scala.util.Try(name.stripPrefix("v_").stripSuffix(".claim").toLong).toOption
         val old = entries.filter(f =>
           f.getName.startsWith("v_") && versionOf(f.getName).exists(_ < cutoff))
-        old.foreach { f =>
-          def rm(g: java.io.File): Unit = {
-            Option(g.listFiles()).getOrElse(Array.empty).foreach(rm)
-            g.delete(); ()
-          }
-          rm(f)
-        }
-        old.filter(_.getName.endsWith(".claim") == false).map(_.getName).toSeq.sorted
+        old.foreach(deleteRecursively)
+        // numeric version order: lexicographic would put v_10 before v_2
+        old.filter(!_.getName.endsWith(".claim")).map(_.getName).toSeq
+          .sortBy(n => versionOf(n).getOrElse(Long.MaxValue))
     }
   }
 
@@ -115,13 +119,7 @@ class Snapshot(spark: SparkSession, root: String) {
     // either way, and published data dirs are never touched
     val claims = entries.filter(f => f.isFile && f.getName.endsWith(".claim") &&
       versionOf(f.getName).isDefined)
-    orphans.foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    orphans.foreach(deleteRecursively)
     claims.foreach(_.delete())
     orphans.map(_.getName).toSeq
   }

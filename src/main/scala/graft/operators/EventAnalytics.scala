@@ -202,7 +202,10 @@ object EventAnalytics {
     val byUser = Window.partitionBy(col("user_id"))
     val v = col("value").cast("decimal(18,2)")
     val withMoments = ev
-      .withColumn("n", count(lit(1)).over(byUser))
+      // n counts NON-NULL values (count(value), not count(*)): null-value
+      // events would otherwise deflate the mean and fabricate variance —
+      // a user with mostly-null values would flag normal events
+      .withColumn("n", count(col("value")).over(byUser))
       .withColumn("s1", sum(v).over(byUser).cast("double"))
       .withColumn("s2", sum((v * v).cast("decimal(38,4)")).over(byUser).cast("double"))
     val nD = col("n").cast("double")

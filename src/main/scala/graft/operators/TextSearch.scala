@@ -179,6 +179,13 @@ object TextSearch {
     * engine): an immediately repeated pair ("l r l r") merges its second
     * occurrence on a LATER step, a documented, deterministic variant of
     * the reference algorithm. Ties break (count desc, left, right). */
+  /** Escape a learned token for interpolation into a Spark SQL string
+    * literal: merge tokens come from DATA, and a quote or backslash in a
+    * token would otherwise break the parse (or silently rewrite the
+    * pattern). */
+  private def sqlLit(t: String): String =
+    t.replace("\\", "\\\\").replace("'", "\\'")
+
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -210,7 +217,8 @@ object TextSearch {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, l, r, n))
         vocab = vocab
-          .withColumn("seg", expr(s"replace(seg, ' $l $r ', ' $l$r ')"))
+          .withColumn("seg",
+            expr(s"replace(seg, ' ${sqlLit(l)} ${sqlLit(r)} ', ' ${sqlLit(l)}${sqlLit(r)} ')"))
           .localCheckpoint()
         step += 1
       }
@@ -228,24 +236,30 @@ object TextSearch {
   /** BPE ENCODER: apply learned merges to the corpus and report the
     * compression — the tokenizer-application step that turns text into
     * training tokens. Each document becomes ONE segmentation string
-    * (words char-split, joined with a '|' boundary marker that no merge
-    * pattern can cross, since merges contain only letters and spaces);
-    * the merges then apply as `nMerges` sequential narrow replaces in
+    * (words char-split, joined with a U+0001 boundary marker no merge
+    * pattern can cross). The marker is in-band: the corpus must not
+    * contain U+0001 itself — a control char no tokenizable text carries,
+    * where the previous '|' collided with legitimate punctuation; a
+    * production encoder would carry token ARRAYS instead of a flat
+    * string. Merges apply as `nMerges` sequential narrow replaces in
     * learned order — per-document work, no joins, no shuffle beyond the
     * final count. */
+  val BpeBoundary: String = "\u0001"
+
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val seg0 = concat(lit(" "),
       array_join(
         transform(split(trim(col("text")), "\\s+"),
           w => regexp_replace(w, "(.)", "$1 ")),
-        "| "))
+        BpeBoundary + " "))
     val segged = merges.foldLeft(
       Tables.rebalance(docs, "doc_id").select(col("doc_id"), seg0.as("seg"))) {
       case (df, (l, r)) =>
-        df.withColumn("seg", expr(s"replace(seg, ' $l $r ', ' $l$r ')"))
+        df.withColumn("seg",
+          expr(s"replace(seg, ' ${sqlLit(l)} ${sqlLit(r)} ', ' ${sqlLit(l)}${sqlLit(r)} ')"))
     }
     segged.select(col("doc_id"),
-      size(filter(split(trim(col("seg")), " "), t => t =!= "|"))
+      size(filter(split(trim(col("seg")), " "), t => t =!= BpeBoundary))
         .cast("long").as("n_bpe_tokens"))
   }
 
@@ -279,8 +293,15 @@ object TextSearch {
     val cum = tf
       .withColumn("before", coalesce(sum(col("tf")).over(w), lit(0L)))
       .withColumn("total", sum(col("tf")).over(wAll))
+    // both sides of the boundary comparison are DOUBLE with the same
+    // expression shape as the oracle: a DECIMAL-vs-DOUBLE mix would
+    // disagree exactly when a prefix hits a target fraction on the nose
+    // (0.9 is not binary-representable); coalesce makes the empty-corpus
+    // profile all-zero instead of all-NULL
     val cols = targets.map(t =>
-      sum(when(col("before") * lit(1.0) < col("total") * lit(t), 1L).otherwise(0L))
+      coalesce(sum(
+        when(col("before").cast("double") < col("total").cast("double") * lit(t), 1L)
+          .otherwise(0L)), lit(0L))
         .as(s"k_${(t * 100).round}"))
     cum.agg(cols.head, cols.tail: _*)
   }

@@ -65,6 +65,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventAnalytics.funnel(emptyEv, Seq("view", "click", "purchase")).count() === 0)
     assert(EventAnalytics.retention(emptyEv).count() === 0)
     assert(EventAnalytics.anomalies(emptyEv, 3.0).count() === 0)
+    assert(EventAnalytics.transitions(emptyEv).count() === 0)
   }
 
   test("similarity on an empty query set") {

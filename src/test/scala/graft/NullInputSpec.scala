@@ -51,5 +51,30 @@ class NullInputSpec extends SparkSpec {
     assert(EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
       .head().getAs[Long]("depth") === 3L)
     assert(EventAnalytics.anomalies(ev, 3.0).count() === 0)
+    // transitions: a null-typed DESTINATION is indistinguishable from
+    // stream end (lead() yields NULL for both) and is dropped, exactly
+    // like the oracle's WHERE next_type IS NOT NULL; a null-typed SOURCE
+    // survives as an explicit (null -> to) row
+    val evN = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", Some(1.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L,
+        null.asInstanceOf[String], Some(1.0)),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "click", Some(1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tr = EventAnalytics.transitions(evN)
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(tr === Set((null, "click")))
+  }
+
+  test("anomalies: null values count as absent, not as zero") {
+    // user 1: nine 10.0s, one null -- the null must not deflate the mean
+    // (count(value), not count(*)) or fabricate variance
+    val ev = ((1 to 9).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"), 1L, "view", Some(10.0))) :+
+      ((10L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "view",
+        None: Option[Double])))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // zero variance among the non-null values -> nothing flagged
+    assert(EventAnalytics.anomalies(ev, 3.0).count() === 0)
   }
 }
