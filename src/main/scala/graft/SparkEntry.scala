@@ -1069,10 +1069,10 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before, " +
         "CAST(sum(tf) OVER () AS BIGINT) AS total FROM tf) " +
         "SELECT " +
-        "CAST(sum(CASE WHEN before * 1.0 < total * 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k_50, " +
-        "CAST(sum(CASE WHEN before * 1.0 < total * 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS k_75, " +
-        "CAST(sum(CASE WHEN before * 1.0 < total * 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS k_90, " +
-        "CAST(sum(CASE WHEN before * 1.0 < total * 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS k_99 " +
+        "CAST(coalesce(sum(CASE WHEN CAST(before AS DOUBLE) < CAST(total AS DOUBLE) * CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_50, " +
+        "CAST(coalesce(sum(CASE WHEN CAST(before AS DOUBLE) < CAST(total AS DOUBLE) * CAST(0.75 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_75, " +
+        "CAST(coalesce(sum(CASE WHEN CAST(before AS DOUBLE) < CAST(total AS DOUBLE) * CAST(0.9 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_90, " +
+        "CAST(coalesce(sum(CASE WHEN CAST(before AS DOUBLE) < CAST(total AS DOUBLE) * CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_99 " +
         "FROM cum"),
     "q_quota_sample" ->
       ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
