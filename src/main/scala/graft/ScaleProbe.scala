@@ -181,6 +181,37 @@ object ScaleProbe {
     time("budget_select", nDocs) {
       Curation.budgetSelect(docs, 1000000L).agg(max(col("tokens_before"))).head(); nDocs
     }
+    // round-3 batch-5 operators
+    time("bpe_encode", nDocs) {
+      val merges = TextSearch.bpeTrain(docs, 8)
+        .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextSearch.bpeEncode(docs, merges).agg(sum(col("n_bpe_tokens"))).head(); nDocs
+    }
+    time("vocab_coverage", nDocs) {
+      TextSearch.vocabCoverage(docs, Seq(0.5, 0.9)).head(); nDocs
+    }
+    time("dataset_card", nDocs) { TextAnalysis.datasetCard(docs).count() }
+    time("cross_dedup", nDocs) {
+      Dedup.crossNearDupsExact(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), 0.5).count()
+    }
+    time("cross_dedup_lsh", nDocs) {
+      Dedup.crossNearDups(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), 0.5).count()
+    }
+    // the realistic shape: the probe side is a FIXED held-out set (an
+    // eval benchmark does not grow with the training corpus) — same
+    // bounded-side rule as the contamination probe above
+    time("cross_dedup_fixed", nDocs) {
+      Dedup.crossNearDupsExact(
+        docs.filter(col("source") === "src0" && pmod(col("doc_id"), lit(mult.toLong)) === 0),
+        docs.filter(col("source") =!= "src0"), 0.5).count()
+    }
+    time("quota_sample", nDocs) {
+      Curation.quotaSample(docs, "lang", 25).count()
+    }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))
       .select((col("event_id") * mult + col("r")).as("event_id"),
@@ -205,6 +236,7 @@ object ScaleProbe {
     }
     time("retention", nEv) { EventAnalytics.retention(ev).count() }
     time("anomaly", nEv) { EventAnalytics.anomalies(ev, 3.0).count() }
+    time("transitions", nEv) { EventAnalytics.transitions(ev).count() }
     spark.stop()
   }
 }
