@@ -141,6 +141,7 @@ object SparkEntry {
     "q_histogram" -> (Advanced.qHistogram _),
     "q_json" -> (Advanced.qJson _),
     "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
+    "q_multimodal_resize" -> (Multimodal.qMultimodalResize _),
     // --- text normalization + heuristic filtering
     "q_normalize" -> (TextNormalize.qNormalize _),
     "q_c4_filters" -> (TextNormalize.qC4Filters _),
@@ -820,6 +821,22 @@ object SparkEntry {
         "i -> CAST(ascii(text[CAST(frame_no * 64 + i AS INTEGER)]) AS BIGINT))), " +
         "(a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum " +
         "FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
+    "q_multimodal_resize" ->
+      ("WITH g AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), " +
+        "geo AS (SELECT doc_id, text, n, n % 64 + 1 AS width, n // 64 + 1 AS height, " +
+        "greatest(n % 64 + 1, n // 64 + 1) AS m FROM g), " +
+        "sc AS (SELECT doc_id, text, n, width, height, " +
+        "CASE WHEN m <= 48 THEN 1000 ELSE 48 * 1000 // m END AS scale_pm, " +
+        "greatest(1, (m + 47) // 48) AS k FROM geo) " +
+        "SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, " +
+        "CAST(greatest(1, width * scale_pm // 1000) AS BIGINT) AS out_w, " +
+        "CAST(greatest(1, height * scale_pm // 1000) AS BIGINT) AS out_h, " +
+        "CAST(scale_pm AS BIGINT) AS scale_pm, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, CAST(n AS BIGINT), CAST(k AS BIGINT)), " +
+        "i -> CAST(ascii(text[CAST(i AS INTEGER)]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS out_checksum " +
+        "FROM sc ORDER BY doc_id"),
     "q_resample" ->
       ("WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM events), " +
         "spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM b), " +

@@ -103,4 +103,50 @@ object Multimodal {
     * oracle can recompute the chunking on the string side). */
   def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
     sampleFrames(mediaTable(s, d), 2).orderBy("doc_id", "frame_no")
+
+  /** Aspect-preserving resize geometry + a decimated-payload fingerprint. */
+  case class Resized(doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, scale_pm: Long, out_checksum: Long)
+
+  val ResizeMaxDim = 48L
+
+  /** STUB resize ("image" -> bounded-dimension image): compute the
+    * aspect-preserving target geometry in EXACT integer milli-scale
+    * (floats would round differently across engines) and fingerprint a
+    * decimated byte stream (every k-th byte, k = ceil(maxDim-overshoot))
+    * as the stand-in for the resampled payload. A real implementation
+    * swaps the body for a codec call; the Spark shape — typed
+    * mapPartitions, small typed outputs, payloads never shuffled — is
+    * the part that survives the swap. */
+  def resizeStub(r: MediaRecord, maxDim: Long): Resized = {
+    val n = r.media.length.toLong
+    val w = n % 64L + 1L
+    val h = n / 64L + 1L
+    val m = math.max(w, h)
+    val scalePm = if (m <= maxDim) 1000L else maxDim * 1000L / m
+    val outW = math.max(1L, w * scalePm / 1000L)
+    val outH = math.max(1L, h * scalePm / 1000L)
+    val k = math.max(1L, (m + maxDim - 1L) / maxDim).toInt
+    var ck = 0L
+    var i = 0
+    while (i < r.media.length) {
+      ck = (ck * 31L + (r.media(i) & 0xFF)) % 1000000007L
+      i += k
+    }
+    Resized(r.doc_id, w, h, outW, outH, scalePm, ck)
+  }
+
+  def resize(media: DataFrame, maxDim: Long = ResizeMaxDim): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions(it => it.map(resizeStub(_, maxDim)))
+      .toDF()
+  }
+
+  /** Oracle-checked: resize every payload's stub geometry into a
+    * 48-pixel bounding box (integer milli-scale; the decimated checksum
+    * recomputes on the string side like the frame sampler). */
+  def qMultimodalResize(s: SparkSession, d: String): DataFrame =
+    resize(mediaTable(s, d)).orderBy("doc_id")
 }
