@@ -118,6 +118,36 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Remove every token covered by a [start, start+k) cut interval —
+    * the span-removal kernel of [[graft.operators.Dedup.spanDedup]] in
+    * one compiled pass. The declarative filter×exists form evaluates an
+    * interpreted lambda per (token, cut-interval) pair — quadratic in a
+    * document's cut count, exactly the hidden-at-small-scale shape SCALE
+    * findings 3/7 flagged. Here: sort the starts once, sweep the tokens
+    * once against the merged intervals. */
+  def cutTokens(words: ArrayData, starts: ArrayData, k: Int): ArrayData = {
+    val m = words.numElements()
+    val ns = starts.numElements()
+    val st = new Array[Long](ns)
+    var i = 0
+    while (i < ns) { st(i) = starts.getInt(i).toLong; i += 1 }
+    java.util.Arrays.sort(st)
+    val out = new java.util.ArrayList[Any](m)
+    var si = 0
+    var coveredUntil = -1L // exclusive end of the merged interval swept so far
+    i = 0
+    while (i < m) {
+      while (si < ns && st(si) <= i) {
+        val e = st(si) + k
+        if (e > coveredUntil) coveredUntil = e
+        si += 1
+      }
+      if (i >= coveredUntil) out.add(words.getUTF8String(i).clone())
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Murmur3 finalizer: full-avalanche mix of a 64-bit value. Without it
     * the multiplicative char fold leaves the HIGH bits of short-token
     * hashes nearly constant (they depend mostly on seed * 31^len), which
@@ -324,6 +354,21 @@ case class SpanHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `cut_tokens(array<string>, array<int>, k) -> array<string>`: codegen'd
+  * span-removal sweep (sorted merged intervals, one token pass). */
+case class CutTokens(words: Expression, starts: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = words
+  override def right: Expression = starts
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(w: Any, s: Any): Any =
+    TextHashes.cutTokens(w.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, s) => s"graft.functions.TextHashes.cutTokens($w, $s, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CutTokens =
+    copy(words = l, starts = r)
+}
+
 /** `cosine_sim(array<float>, array<float>) -> double`: codegen'd cosine
   * similarity. Bit-identical to the declarative
   * `aggregate(zip_with(...))/sqrt(...)` form in operators.Similarity —
@@ -401,6 +446,10 @@ object GraftFunctions {
 
   def span_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(SpanHashes(ColumnBridge.expression(c), n))
+
+  def cut_tokens(words: Column, starts: Column, k: Int): Column =
+    ColumnBridge.column(
+      CutTokens(ColumnBridge.expression(words), ColumnBridge.expression(starts), k))
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))

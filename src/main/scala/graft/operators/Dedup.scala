@@ -895,9 +895,13 @@ object Dedup {
     words
       .join(broadcast(cutStarts), Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+        // codegen'd sweep (sorted merged intervals, one token pass): the
+        // declarative filter×exists form runs an interpreted lambda per
+        // (token, cut) pair — quadratic in a doc's cut count, the SCALE
+        // findings 3/7 shape (equality with that form spec'd)
         when(col("cut_starts").isNull, col("words")).otherwise(
-          filter(col("words"), (_, i) =>
-            !exists(col("cut_starts"), s => i >= s && i < s + SpanK))).as("kept"))
+          graft.functions.GraftFunctions.cut_tokens(
+            col("words"), col("cut_starts"), SpanK)).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("kept")).as("text_clean"))

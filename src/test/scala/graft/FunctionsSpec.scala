@@ -143,6 +143,35 @@ class FunctionsSpec extends SparkSpec {
     assert(short.head.getSeq[Long](0) === Seq.empty)
   }
 
+  test("CutTokens == declarative filter×exists on real docs with synthetic cuts") {
+    import spark.implicits._
+    val k = 8
+    val withCuts = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= k)
+      // deterministic pseudo-random cut starts: overlapping, unsorted,
+      // duplicated — the shapes the sweep's merge must handle
+      .withColumn("cut_starts",
+        filter(transform(sequence(lit(0), size(col("words")) - 1),
+          i => when(pmod(i * 7 + col("doc_id").cast("int"), lit(11)) === 0, i)),
+          x => x.isNotNull).cast("array<int>"))
+    val slow = filter(col("words"), (_, i) =>
+      !exists(col("cut_starts"), s => i >= s && i < s + k))
+    val mismatches = withCuts
+      .select(slow.as("slow"),
+        graft.functions.GraftFunctions.cut_tokens(col("words"), col("cut_starts"), k).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches === 0)
+    // empty cut list -> identity; full-coverage cut -> empty
+    val edge = Seq((Seq("a", "b", "c"), Seq.empty[Int]), (Seq("a", "b", "c"), Seq(0)))
+      .toDF("words", "cut_starts")
+      .select(graft.functions.GraftFunctions
+        .cut_tokens(col("words"), col("cut_starts"), k).as("kept"))
+      .collect().map(_.getSeq[String](0))
+    assert(edge(0) === Seq("a", "b", "c"))
+    assert(edge(1) === Seq.empty)
+  }
+
   test("SimHash64 expression == scala simhash64 on real docs") {
     import spark.implicits._
     val viaExpr = docs
