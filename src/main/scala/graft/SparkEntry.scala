@@ -826,7 +826,7 @@ object SparkEntry {
         "geo AS (SELECT doc_id, text, n, n % 64 + 1 AS width, n // 64 + 1 AS height, " +
         "greatest(n % 64 + 1, n // 64 + 1) AS m FROM g), " +
         "sc AS (SELECT doc_id, text, n, width, height, " +
-        "CASE WHEN m <= 48 THEN 1000 ELSE 48 * 1000 // m END AS scale_pm, " +
+        "CASE WHEN m <= 48 THEN 1000 ELSE greatest(1, 48 * 1000 // m) END AS scale_pm, " +
         "greatest(1, (m + 47) // 48) AS k FROM geo) " +
         "SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, " +
         "CAST(greatest(1, width * scale_pm // 1000) AS BIGINT) AS out_w, " +
@@ -886,7 +886,7 @@ object SparkEntry {
         "FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
         "SELECT from_type, to_type, n, " +
         "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p " +
-        "FROM c ORDER BY from_type, to_type"),
+        "FROM c ORDER BY from_type NULLS FIRST, to_type NULLS FIRST"),
     "q_setops" ->
       ("SELECT custkey, 'no_orders' AS tag FROM " +
         "(SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders) " +

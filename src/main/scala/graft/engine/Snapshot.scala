@@ -121,6 +121,7 @@ class Snapshot(spark: SparkSession, root: String) {
       versionOf(f.getName).isDefined)
     orphans.foreach(deleteRecursively)
     claims.foreach(_.delete())
-    orphans.map(_.getName).toSeq
+    // numeric version order, like vacuum (listFiles order is unspecified)
+    orphans.map(_.getName).toSeq.sortBy(n => versionOf(n).getOrElse(Long.MaxValue))
   }
 }

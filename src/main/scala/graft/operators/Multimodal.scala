@@ -123,7 +123,10 @@ object Multimodal {
     val w = n % 64L + 1L
     val h = n / 64L + 1L
     val m = math.max(w, h)
-    val scalePm = if (m <= maxDim) 1000L else maxDim * 1000L / m
+    // scale floor 1: past a 1000x downscale the milli-scale would floor
+    // to 0 and collapse EVERY geometry to 1x1 (payloads >= ~3 MB under
+    // this stub's dims) — clamped, the long edge maps to >= maxDim/1000
+    val scalePm = if (m <= maxDim) 1000L else math.max(1L, maxDim * 1000L / m)
     val outW = math.max(1L, w * scalePm / 1000L)
     val outH = math.max(1L, h * scalePm / 1000L)
     val k = math.max(1L, (m + maxDim - 1L) / maxDim).toInt

@@ -179,13 +179,6 @@ object TextSearch {
     * engine): an immediately repeated pair ("l r l r") merges its second
     * occurrence on a LATER step, a documented, deterministic variant of
     * the reference algorithm. Ties break (count desc, left, right). */
-  /** Escape a learned token for interpolation into a Spark SQL string
-    * literal: merge tokens come from DATA, and a quote or backslash in a
-    * token would otherwise break the parse (or silently rewrite the
-    * pattern). */
-  private def sqlLit(t: String): String =
-    t.replace("\\", "\\\\").replace("'", "\\'")
-
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -216,9 +209,12 @@ object TextSearch {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, l, r, n))
+        // merge tokens are DATA: pass them as literal COLUMNS, never
+        // interpolated into SQL text (a quote/backslash token would
+        // break the parse or silently rewrite the pattern)
         vocab = vocab
           .withColumn("seg",
-            expr(s"replace(seg, ' ${sqlLit(l)} ${sqlLit(r)} ', ' ${sqlLit(l)}${sqlLit(r)} ')"))
+            replace(col("seg"), lit(s" $l $r "), lit(s" $l$r ")))
           .localCheckpoint()
         step += 1
       }
@@ -255,8 +251,7 @@ object TextSearch {
     val segged = merges.foldLeft(
       Tables.rebalance(docs, "doc_id").select(col("doc_id"), seg0.as("seg"))) {
       case (df, (l, r)) =>
-        df.withColumn("seg",
-          expr(s"replace(seg, ' ${sqlLit(l)} ${sqlLit(r)} ', ' ${sqlLit(l)}${sqlLit(r)} ')"))
+        df.withColumn("seg", replace(col("seg"), lit(s" $l $r "), lit(s" $l$r ")))
     }
     segged.select(col("doc_id"),
       size(filter(split(trim(col("seg")), " "), t => t =!= BpeBoundary))

@@ -149,12 +149,21 @@ class FunctionsSpec extends SparkSpec {
     val withCuts = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= k)
-      // deterministic pseudo-random cut starts: overlapping, unsorted,
-      // duplicated — the shapes the sweep's merge must handle
+      // deterministic pseudo-random cut starts: TWO residue patterns,
+      // the second spaced 5 < k apart (so its intervals genuinely
+      // overlap), concatenated with the first REVERSED — the result is
+      // unsorted, overlapping, and (where the patterns collide)
+      // duplicated: the shapes the sweep's sort+merge must handle. A
+      // single ascending pattern spaced > k would leave the merge and
+      // the sort both untested.
       .withColumn("cut_starts",
-        filter(transform(sequence(lit(0), size(col("words")) - 1),
-          i => when(pmod(i * 7 + col("doc_id").cast("int"), lit(11)) === 0, i)),
-          x => x.isNotNull).cast("array<int>"))
+        concat(
+          reverse(filter(transform(sequence(lit(0), size(col("words")) - 1),
+            i => when(pmod(i * 7 + col("doc_id").cast("int"), lit(11)) === 0, i)),
+            x => x.isNotNull)),
+          filter(transform(sequence(lit(0), size(col("words")) - 1),
+            i => when(pmod(i + col("doc_id").cast("int"), lit(5)) === 0, i)),
+            x => x.isNotNull)).cast("array<int>"))
     val slow = filter(col("words"), (_, i) =>
       !exists(col("cut_starts"), s => i >= s && i < s + k))
     val mismatches = withCuts
