@@ -1019,9 +1019,11 @@ object SparkEntry {
       ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
         "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +
         "g AS (SELECT label, pos, count(*) AS n, " +
-        "sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS sv FROM e GROUP BY 1, 2) " +
-        "SELECT label, pos, round(CAST(sv AS DOUBLE) / n, 6) AS centroid " +
-        "FROM g ORDER BY label, pos"),
+        "sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS sv FROM e GROUP BY 1, 2), " +
+        "u AS (SELECT label, pos, n, CAST(sv * 1000000 AS BIGINT) AS sv_u FROM g) " +
+        "SELECT label, pos, CAST(CASE WHEN sv_u >= 0 THEN (2 * sv_u + n) // (2 * n) " +
+        "ELSE -((-2 * sv_u + n) // (2 * n)) END AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS centroid " +
+        "FROM u ORDER BY label, pos"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

@@ -366,8 +366,18 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"),
         sum(round(col("col").cast("double"), 6).cast("decimal(18,6)")).as("sv"))
+      // The mean is rounded to 6dp in EXACT INTEGER MICROS, never through
+      // round(double): when sv/n lands exactly on a half-way point (found
+      // at sf0.1: 0.616992/192 = 0.0032135 precisely), Spark rounds the
+      // nearest BINARY double (0.00321349999... -> down) while decimal-
+      // repr engines round the half up — a guaranteed 1-ulp gate
+      // mismatch. Half-up away from zero on integers is engine-free.
+      .withColumn("sv_u", (col("sv") * 1000000).cast("long"))
+      .withColumn("micros",
+        when(col("sv_u") >= 0, expr("(2 * sv_u + n) div (2 * n)"))
+          .otherwise(-expr("(-2 * sv_u + n) div (2 * n)")))
       .select(col("label"), col("pos").cast("long").as("pos"),
-        round(col("sv").cast("double") / col("n"), 6).as("centroid"))
+        (col("micros").cast("double") / lit(1000000.0)).as("centroid"))
       .orderBy("label", "pos")
 
   /** Int8 scalar quantization of the embedding column (the standard 4x
