@@ -91,6 +91,8 @@ object SparkEntry {
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
     "q_importance" -> (TextAnalysis.qImportance _),
     "q_dataset_card" -> (TextAnalysis.qDatasetCard _),
+    "q_confusion" -> (TextAnalysis.qConfusion _),
+    "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
@@ -435,6 +437,34 @@ object SparkEntry {
         "UNION ALL SELECT 'mean_tokens', round(CAST(n_toks AS DOUBLE) / n_docs, 6) FROM base " +
         "UNION ALL SELECT 'mean_quality', round(CAST(q_sum AS DOUBLE) / n_docs, 6) FROM base" +
         ") ORDER BY metric"),
+    "q_confusion" ->
+      ("WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "h AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en, " +
+        "CAST(len(list_filter(w, x -> x IN ('el','la','de','y','en','es','un'))) AS BIGINT) AS es, " +
+        "CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de, " +
+        "CAST(len(list_filter(w, x -> x IN ('le','la','et','de','un','est','en'))) AS BIGINT) AS fr FROM t), " +
+        "lp AS (SELECT lang, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und' " +
+        "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
+        "WHEN es >= de AND es >= fr THEN 'es' WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred FROM h), " +
+        "m AS (SELECT lang AS truth, pred, count(*) AS n FROM lp GROUP BY 1, 2), " +
+        "x AS (SELECT truth, pred, n, sum(n) OVER (PARTITION BY truth) AS n_truth, " +
+        "sum(n) OVER (PARTITION BY pred) AS n_pred FROM m) " +
+        "SELECT truth, pred, n, " +
+        "CASE WHEN truth = pred THEN round(CAST(n AS DOUBLE) / n_pred, 6) END AS \"precision\", " +
+        "CASE WHEN truth = pred THEN round(CAST(n AS DOUBLE) / n_truth, 6) END AS recall " +
+        "FROM x ORDER BY truth, pred"),
+    "q_novelty" ->
+      ("WITH w AS (SELECT source, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "c AS (SELECT source, list_transform([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)], sg -> list_reduce( " +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(sg)), " +
+        "i -> CAST(ascii(sg[i]) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)) AS cs " +
+        "FROM w WHERE len(words) >= 3), " +
+        "e AS (SELECT source, unnest(cs) AS sh FROM c) " +
+        "SELECT source, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct, " +
+        "round(CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS novelty " +
+        "FROM e GROUP BY source ORDER BY source"),
     "q_dedup_gate" -> dedupGateOracleSql,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.engine.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -197,6 +198,54 @@ object TextAnalysis {
 
   def qDatasetCard(s: SparkSession, d: String): DataFrame =
     datasetCard(documents(s, d)).orderBy("metric")
+
+  /** Classifier evaluation at corpus scale: the confusion matrix of the
+    * lang-ID model against the labeled `lang` column, with per-class
+    * precision/recall derived from the SAME count table (one grouped
+    * aggregate over (truth, prediction) — |langs|² rows however big the
+    * corpus; the class totals come from windows over that tiny matrix).
+    * This is the eval loop a pipeline runs after swapping any model into
+    * the lang_pred slot; ratios are exact-int division in double,
+    * rounded 6. */
+  def confusion(docs: DataFrame): DataFrame = {
+    val m = withLangId(Tables.rebalance(docs, "doc_id"))
+      .groupBy(col("lang").as("truth"), col("lang_pred").as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byTruth = Window.partitionBy(col("truth"))
+    val byPred = Window.partitionBy(col("pred"))
+    m
+      .withColumn("n_truth", sum(col("n")).over(byTruth))
+      .withColumn("n_pred", sum(col("n")).over(byPred))
+      .select(col("truth"), col("pred"), col("n"),
+        when(col("truth") === col("pred"),
+          round(col("n").cast("double") / col("n_pred"), 6)).as("precision"),
+        when(col("truth") === col("pred"),
+          round(col("n").cast("double") / col("n_truth"), 6)).as("recall"))
+  }
+
+  def qConfusion(s: SparkSession, d: String): DataFrame =
+    confusion(documents(s, d)).orderBy("truth", "pred")
+
+  /** Corpus diversity: per-source n-gram novelty — DISTINCT word-3-gram
+    * occurrences as a fraction of ALL positional occurrences. Low
+    * novelty = templated/repetitive source (the diversity signal next to
+    * the repetition and perplexity screens). Positional spans come from
+    * the codegen'd span-hash pass (multiplicity preserved — the shingle
+    * SET would hide within-doc repetition); one source-keyed aggregate. */
+  def novelty(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(col("source"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.span_hashes(col("words"), 3)).as("sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .withColumn("novelty",
+        round(col("n_distinct").cast("double") / col("n_shingles"), 6))
+
+  def qNovelty(s: SparkSession, d: String): DataFrame =
+    novelty(documents(s, d)).orderBy("source")
 
   // ------------------------------------------------------------ queries
 
