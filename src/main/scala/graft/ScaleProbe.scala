@@ -212,6 +212,8 @@ object ScaleProbe {
     time("quota_sample", nDocs) {
       Curation.quotaSample(docs, "lang", 25).count()
     }
+    time("confusion", nDocs) { TextAnalysis.confusion(docs).count() }
+    time("novelty", nDocs) { TextAnalysis.novelty(docs).count() }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))
       .select((col("event_id") * mult + col("r")).as("event_id"),
