@@ -182,8 +182,10 @@ object ScaleProbe {
       Curation.budgetSelect(docs, 1000000L).agg(max(col("tokens_before"))).head(); nDocs
     }
     // round-3 batch-5 operators
+    // the declared trainer path: one capped vocab aggregate + driver loop
+    time("bpe_train_local", nDocs) { TextSearch.bpeTrainLocal(docs, 8).count() }
     time("bpe_encode", nDocs) {
-      val merges = TextSearch.bpeTrain(docs, 8)
+      val merges = TextSearch.bpeTrainLocal(docs, 8)
         .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextSearch.bpeEncode(docs, merges).agg(sum(col("n_bpe_tokens"))).head(); nDocs
     }

@@ -69,7 +69,7 @@ object SparkEntry {
     // --- deduplication extensions
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
-    "q_dedup_auto" -> (Dedup.qDedupAuto _),  // rows-only: LSH branch is approximate by design
+    "q_dedup_auto" -> (Dedup.qDedupAuto _),  // router picks exact-inverted at gate scale; strategy column pinned
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
     "q_cross_dedup" -> (Dedup.qCrossDedup _),
@@ -123,7 +123,7 @@ object SparkEntry {
     "q_outer_join" -> (Advanced.qOuterJoin _),
     "q_rollup" -> (Advanced.qRollup _),
     "q_distinct_count" -> (Advanced.qDistinctCount _),
-    "q_approx_distinct" -> (Advanced.qApproxDistinct _),  // rows-only: HLL not SQL-portable
+    "q_approx_distinct" -> (Advanced.qApproxDistinct _),  // sketch gated via within-5pct booleans vs exact
     "q_running_sum" -> (Advanced.qRunningSum _),
     "q_asof_join" -> (Advanced.qAsofJoin _),
     "q_range_join" -> (Advanced.qRangeJoin _),
@@ -593,9 +593,16 @@ object SparkEntry {
         "UNION ALL SELECT doc_id + 1000000, text FROM documents) " +
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM allc GROUP BY text ORDER BY doc_id"),
     "q_dedup_ngram" -> s"WITH $ngramOracleCtes $ngramOraclePairs ORDER BY doc_a, doc_b",
+    // at sf0.01 the router provably picks the exact inverted strategy (pairs
+    // per doc far under budget), so the exact pair oracle applies; the
+    // pinned 'inverted' literal makes a silent branch flip a loud hash FAIL
+    "q_dedup_auto" ->
+      (s"WITH $ngramOracleCtes SELECT doc_a, doc_b, jaccard, 'inverted' AS strategy " +
+        s"FROM ($ngramOraclePairs) ORDER BY doc_a, doc_b"),
     "q_cross_dedup" ->
-      ("WITH lw AS (SELECT doc_id, text FROM documents WHERE source = 'src0' " +
-        "UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE source <> 'src0' AND doc_id % 40 = 1), " +
+      ("WITH lw AS (SELECT doc_id, text FROM documents WHERE source = 'src0' AND doc_id < 500 " +
+        "UNION ALL SELECT doc_id + 3000000, text FROM documents " +
+        "WHERE source <> 'src0' AND doc_id % 40 = 1 AND doc_id < 500), " +
         "rw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'), " +
         "l1 AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
         "for i in generate_series(1, len(words) - 2)]) AS s FROM " +
@@ -777,6 +784,12 @@ object SparkEntry {
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "q_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+    // the sketch value cannot cross engines; the exact counts and the
+    // within-tolerance booleans (TRUE iff the HLL estimate sits within 5%)
+    // replay exactly — see Advanced.qApproxDistinct
+    "q_approx_distinct" ->
+      ("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
+        "TRUE AS parts_within_5pct, TRUE AS supps_within_5pct FROM lineitem"),
     "q_running_sum" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey " +

@@ -40,13 +40,25 @@ object Advanced {
       countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps"))
 
-  /** Approximate distinct count (HLL sketch) — bench-only rows-check entry:
-    * sketches are engine-specific so no DuckDB hash oracle; accuracy vs the
-    * exact count is gated in AdvancedSpec. Deterministic for fixed input. */
+  /** Approximate distinct count (HLL sketch), oracle-gated via the
+    * tolerance trick: the sketch VALUE is engine-specific (it cannot
+    * hash-match another engine), so the declared output is the exact
+    * counts plus booleans asserting the sketch landed within 5% of them
+    * — DuckDB replays the exact counts and TRUE literals, and the hash
+    * compare then FAILS if the sketch ever drifts outside tolerance.
+    * rsd=0.02 leaves 5% a comfortable margin; the sketch is
+    * deterministic for fixed input, so the booleans are stable. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
+      .select(col("n_parts"), col("n_supps"),
+        (abs(col("ap") - col("n_parts")).cast("double") / col("n_parts") <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(col("asu") - col("n_supps")).cast("double") / col("n_supps") <= 0.05)
+          .as("supps_within_5pct"))
 
   /** Running total per customer over order dates (window frame). */
   def qRunningSum(s: SparkSession, d: String): DataFrame = {

@@ -277,19 +277,46 @@ object Curation {
     * of a data-constrained training run. Documents are ranked by the
     * oracle-proven quality score (ties to doc_id), and a document is kept
     * while the tokens BEFORE it sit under the budget, so exactly the doc
-    * that straddles the boundary is the last one in. The running sum here
-    * is one global-order window — fine at verification scale; at 100 TB
-    * range-partition by (quality_score desc) and prefix-sum the partition
-    * totals (two passes, no global sort), the same scale path as
-    * [[packSequences]]'s per-stratum windows. */
+    * that straddles the boundary is the last one in.
+    *
+    * Never a global-order window (that funnels the whole corpus through
+    * ONE task). Two passes instead: range-partition on the selection
+    * order so partition i holds strictly higher-ranked docs than
+    * partition i+1, then (1) sum tokens per partition — a handful of
+    * rows, prefix-summed on the driver into per-partition offsets — and
+    * (2) run the running-sum window PER PARTITION and add the offset.
+    * Partitions whose offset already exceeds the budget are pruned
+    * before the window, so only the partitions at or under the budget
+    * boundary pay for it. The ranked frame is localCheckpoint'ed so both
+    * passes read the SAME materialized range partitioning (range
+    * boundaries come from sampling; re-deriving them per job could
+    * drift the offsets). */
   def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val scored = TextAnalysis.withQuality(Tables.rebalance(docs, "doc_id"))
       .select(col("doc_id"), col("quality_score"), col("n_tokens"))
-    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+    val ranked = scored
+      .repartitionByRange(col("quality_score").desc, col("doc_id").asc)
+      .withColumn("part", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranked.groupBy("part").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (totals.isEmpty)
+      return ranked.drop("part").withColumn("tokens_before", lit(0L)).limit(0)
+    val nParts = totals.keySet.max + 1
+    // offsets(i) = tokens in all partitions ranked before partition i
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L)).take(nParts)
+    val live = (0 until nParts).filter(i => offsets(i) < budgetTokens)
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    scored
-      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    ranked
+      .filter(col("part").isin(live: _*))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          element_at(typedLit(offsets), col("part") + 1))
       .filter(col("tokens_before") < budgetTokens)
+      .drop("part")
   }
 
   /** Oracle-checked: the 20k-token quality-first selection. */

@@ -282,7 +282,13 @@ object Dedup {
     * Jaccard >= threshold whose signatures share a band — recall ~1 for
     * strongly-similar pairs, by band collision probability). */
   def ngramNearDupsAuto(docs: DataFrame, threshold: Double,
-      pairBudgetPerDoc: Double = 512.0): DataFrame = {
+      pairBudgetPerDoc: Double = 512.0): DataFrame =
+    ngramNearDupsAutoTagged(docs, threshold, pairBudgetPerDoc)._1
+
+  /** [[ngramNearDupsAuto]] plus the chosen strategy, so a caller (and the
+    * oracle gate) can assert WHICH branch ran rather than trusting logs. */
+  def ngramNearDupsAutoTagged(docs: DataFrame, threshold: Double,
+      pairBudgetPerDoc: Double = 512.0): (DataFrame, NgramStrategy) = {
     val nDocs = docs.count()
     val f = sampleFraction(nDocs)
     // under the sampling threshold the stats pass and the chosen strategy
@@ -298,7 +304,7 @@ object Dedup {
     log.info(s"ngram dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
       f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
       s"budget=$pairBudgetPerDoc")
-    (strategy, sharedIdx) match {
+    val pairs = (strategy, sharedIdx) match {
       case (NgramInverted, Some(idx)) => ngramNearDupsIdx(idx, threshold)
       case (NgramPrefix, Some(idx)) => ngramNearDupsPrefixIdx(idx, threshold)
       case (NgramLsh, Some(idx)) => minhashNearDupsIdx(idx, threshold)
@@ -306,6 +312,7 @@ object Dedup {
       case (NgramPrefix, None) => ngramNearDupsPrefix(docs, threshold)
       case (NgramLsh, None) => minhashNearDups(docs, threshold)
     }
+    (pairs, strategy)
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
@@ -319,11 +326,18 @@ object Dedup {
   def qDedupNgram(s: SparkSession, d: String): DataFrame =
     ngramNearDups(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
 
-  /** The auto-selected production path as its own (rows-only) query entry:
-    * its LSH branch is approximate, so it is deliberately NOT under the
-    * exact-pair oracle — the gated exact result is [[qDedupNgram]]. */
-  def qDedupAuto(s: SparkSession, d: String): DataFrame =
-    ngramNearDupsAuto(documents(s, d), 0.5).orderBy("doc_a", "doc_b")
+  /** The auto-selected production path as its own ORACLE-GATED entry: at
+    * gate scale (sf0.01) the corpus sits comfortably inside the pair
+    * budget, so the router provably picks the exact inverted strategy and
+    * the q_dedup_ngram pair oracle applies verbatim — plus a `strategy`
+    * column the hash compare pins to 'inverted'. If a stats drift ever
+    * flipped the router at gate scale, the compare fails LOUDLY instead
+    * of silently accepting an approximate result. (The LSH branch stays
+    * approximate by design; its recall is spec'd in DedupSpec.) */
+  def qDedupAuto(s: SparkSession, d: String): DataFrame = {
+    val (pairs, strategy) = ngramNearDupsAutoTagged(documents(s, d), 0.5)
+    pairs.withColumn("strategy", lit(strategy.name)).orderBy("doc_a", "doc_b")
+  }
 
   // -------------------------------------------------------------- MinHash + LSH
 
@@ -437,21 +451,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Bounded-probe id prefix for [[qCrossDedup]]: ids are dense from 0,
+    * so a constant id cutoff is a constant-size probe set at ANY corpus
+    * scale — the probe cannot grow with the corpus. */
+  val CrossDedupProbePrefix = 500L
+
   /** Oracle-checked CROSS-corpus dedup (doc-level decontamination): exact
-    * near-dup pairs BETWEEN the src0 slice (+ planted exact copies of
-    * every 40th non-src0 doc, which guarantee J=1 witnesses) and the rest
-    * of the corpus — the "does my training set duplicate the held-out
-    * set" check at document granularity, complementing the shingle-
-    * overlap `q_contamination`. The production probe path is
-    * [[crossNearDups]] (band buckets); this pins the exact analog under
-    * the gate, the same pinned-vs-auto split as qDedupNgram. */
+    * near-dup pairs BETWEEN a FIXED held-out probe set and the rest of
+    * the corpus — the "does my training set duplicate the benchmark"
+    * check at document granularity, complementing the shingle-overlap
+    * `q_contamination`. The probe is the bounded id-prefix slice of src0
+    * (an eval benchmark does not grow with the training corpus) plus
+    * planted exact copies of every 40th non-src0 doc in the same prefix
+    * (guaranteed J=1 witnesses), so the Σ freq_probe·freq_corpus
+    * postings cost grows LINEARLY in the corpus — SCALE finding 10
+    * measured the corpus-growing-probe variant superlinear (5.3s→60.9s
+    * across 10x→30x), which is why the probe side is pinned constant
+    * here. The production probe path is [[crossNearDups]] (band
+    * buckets); this pins the exact analog under the gate, the same
+    * pinned-vs-auto split as qDedupNgram. */
   def qCrossDedup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
     val right = docs.filter(col("source") =!= "src0").select("doc_id", "text")
-    val left = docs.filter(col("source") === "src0").select("doc_id", "text")
-      .unionByName(right.filter(col("doc_id") % 40 === 1)
+    val probe = docs
+      .filter(col("source") === "src0" && col("doc_id") < CrossDedupProbePrefix)
+      .select("doc_id", "text")
+      .unionByName(right
+        .filter(col("doc_id") % 40 === 1 && col("doc_id") < CrossDedupProbePrefix)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-    crossNearDupsExact(left, right, 0.5).orderBy("doc_a", "doc_b")
+    crossNearDupsExact(probe, right, 0.5).orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------- persisted dedup index

@@ -222,12 +222,113 @@ object TextSearch {
     merges.toSeq.toDF("step", "l_tok", "r_tok", "n")
   }
 
+  /** BPE TRAINER, bounded-state variant — the declared scale path. One
+    * distributed pass collapses the corpus to its (word, freq) vocabulary
+    * capped at the `maxVocab` most frequent words (ties by word), then
+    * the merge loop runs DRIVER-SIDE over that bounded table with
+    * incremental pair-count maintenance — zero Spark jobs per merge,
+    * where [[bpeTrain]] pays one job + one collect per merge (fine for 8
+    * merges, 50k sequential jobs for a real vocab). This is how
+    * production BPE trainers scale: they operate on a word-frequency
+    * dict, not the corpus (Sennrich et al. 2016's learn_bpe works the
+    * same way). Merge-count scaling: each merge touches only the words
+    * containing the merged pair (incremental re-count) plus one
+    * linear-in-distinct-pairs max scan; a 50k-merge vocab over a capped
+    * dict is seconds of driver CPU, not 50k cluster round-trips.
+    *
+    * Semantics are IDENTICAL to [[bpeTrain]] (same leftmost
+    * non-overlapping space-delimited replace variant, same (count desc,
+    * left, right) tie-break in UTF-8 byte order) — asserted by equality
+    * spec; the cap does not bind at gate scale, so the same unrolled-CTE
+    * oracle verifies both. */
+  def bpeTrainLocal(docs: DataFrame, nMerges: Int, maxVocab: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = Tables.rebalance(docs, "doc_id")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(maxVocab)
+      .collect()
+    // words char-split exactly like the distributed trainer's regexp
+    val segs: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      rows.map(r => scala.collection.mutable.ArrayBuffer(
+        r.getString(0).replaceAll("(.)", "$1 ").trim.split(" ").toIndexedSeq: _*))
+    val freqs: Array[Long] = rows.map(_.getLong(1))
+    // Spark string ordering is UTF-8 binary; JVM String.compareTo is
+    // UTF-16 code units — they diverge on supplementary planes, so the
+    // tie-break compares UTF-8 bytes explicitly
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    val occurs = scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.Set[Int]]()
+    def countWord(i: Int, sign: Long): Unit = {
+      val s = segs(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = counts.getOrElse(p, 0L) + sign * freqs(i)
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+        if (sign > 0) occurs.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    segs.indices.foreach(countWord(_, 1L))
+    // the string-replace merge: " l r " -> " lr " consumes the boundary
+    // space, so the token AFTER a merge cannot start the next match —
+    // an immediately repeated pair merges its second occurrence on a
+    // later step (same documented variant as the distributed trainer)
+    def applyMerge(s: scala.collection.mutable.ArrayBuffer[String],
+        l: String, r: String): scala.collection.mutable.ArrayBuffer[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          out += (l + r); j += 2
+          if (j < s.length) { out += s(j); j += 1 }
+        } else { out += s(j); j += 1 }
+      }
+      out
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var step = 1
+    while (step <= nMerges && counts.nonEmpty) {
+      var best: ((String, String), Long) = null
+      counts.foreach { case e @ (p, n) =>
+        if (best == null || n > best._2 ||
+          (n == best._2 && (utf8Lt(p._1, best._1._1) ||
+            (p._1 == best._1._1 && utf8Lt(p._2, best._1._2))))) best = e
+      }
+      val ((l, r), n) = best
+      merges += ((step.toLong, l, r, n))
+      val affected = occurs.getOrElse((l, r), scala.collection.mutable.Set.empty[Int])
+      affected.toSeq.foreach { i =>
+        countWord(i, -1L)
+        segs(i) = applyMerge(segs(i), l, r)
+        countWord(i, 1L)
+      }
+      // a pair whose count fell to zero keeps a stale occurs entry; that
+      // is harmless (the max scan reads counts, not occurs)
+      step += 1
+    }
+    merges.toSeq.toDF("step", "l_tok", "r_tok", "n")
+  }
+
   /** Oracle-checked: the first 8 learned merges (the oracle unrolls the
     * same 8 iterations as CTE chains, generated from the same constant). */
   val BpeMerges = 8
 
   def qBpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeTrain(documents(s, d), BpeMerges).orderBy("step")
+    bpeTrainLocal(documents(s, d), BpeMerges).orderBy("step")
 
   /** BPE ENCODER: apply learned merges to the corpus and report the
     * compression — the tokenizer-application step that turns text into
@@ -262,7 +363,7 @@ object TextSearch {
     * with them (the oracle replays train + apply in one CTE chain). */
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val merges = bpeTrain(docs, BpeMerges)
+    val merges = bpeTrainLocal(docs, BpeMerges)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     bpeEncode(docs, merges).orderBy("doc_id")

@@ -192,6 +192,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("budget select windows are partitioned (no whole-corpus single task)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps the plan in AdaptiveSparkPlanExec, which collect() cannot
+    // descend into pre-execution; audit with it off (same as the array audit)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_budget_select")(spark, sf0001)
+        .queryExecution.executedPlan
+      val wins = exec.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"expected the per-partition running-sum window:\n$exec")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned WindowExec funnels the corpus through one task:\n$exec")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the snippet pipeline scan+generate") {
     // AQE's pre-execution plan string hides codegen spans; inspect with AQE off
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -168,6 +168,32 @@ class TextSearchSpec extends SparkSpec {
     assert(counts === Map(1L -> 3L, 2L -> 3L))
   }
 
+  test("bpe local trainer matches the distributed trainer exactly") {
+    // the tricky trace: repeated-pair overlap rule + 3-way tie-break
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab cd cd")).toDF("doc_id", "text")
+    val local = TextSearch.bpeTrainLocal(docs, 8)
+      .select("step", "l_tok", "r_tok", "n")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local === Seq(
+      (1L, "a", "b", 6L),
+      (2L, "a", "b", 3L),
+      (3L, "ab", "ab", 3L),
+      (4L, "c", "d", 3L)))
+    // and on a real corpus: merge-for-merge identical to the
+    // distributed trainer (same counts, same tie order)
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    def trace(df: org.apache.spark.sql.DataFrame) = df
+      .select("step", "l_tok", "r_tok", "n")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(trace(TextSearch.bpeTrainLocal(corpus, 8)) ===
+      trace(TextSearch.bpeTrain(corpus, 8)))
+    // a binding vocab cap keeps only the most frequent words: with
+    // maxVocab=1 the trainer sees a single word and still terminates
+    val capped = TextSearch.bpeTrainLocal(docs, 8, maxVocab = 1)
+      .select("l_tok").as[String].collect()
+    assert(capped.nonEmpty)
+  }
+
   test("bigram LM: counts, smoothing, and context-total consistency") {
     // corpus: "a b" x3, "a c" x1, "b a" x1 -> V = 3
     val docs = Seq(
