@@ -241,6 +241,24 @@ object ScaleProbe {
     time("retention", nEv) { EventAnalytics.retention(ev).count() }
     time("anomaly", nEv) { EventAnalytics.anomalies(ev, 3.0).count() }
     time("transitions", nEv) { EventAnalytics.transitions(ev).count() }
+    // skew posture: the event suite shuffles on user_id; a power-law
+    // corpus concentrates a constant FRACTION of all events on one hot
+    // user (here 1/3), so the hot window partition grows linearly with
+    // the corpus and pins one task — AQE splits skewed JOIN/AGG
+    // partitions but can never split a window partition (every row of a
+    // window key must see one task). These rows measure how far the
+    // hot task stretches the suite vs the uniform runs above.
+    val evSkew = ev
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(3L)) === 0, lit(424242L))
+          .otherwise(col("user_id")))
+      .localCheckpoint()
+    time("funnel_hotuser", nEv) {
+      EventAnalytics.funnel(evSkew, Seq("view", "click", "purchase"))
+        .agg(sum(col("depth"))).head(); nEv
+    }
+    time("retention_hotuser", nEv) { EventAnalytics.retention(evSkew).count() }
+    time("anomaly_hotuser", nEv) { EventAnalytics.anomalies(evSkew, 3.0).count() }
     spark.stop()
   }
 }

@@ -74,14 +74,21 @@ class Snapshot(spark: SparkSession, root: String) {
     f.delete(); ()
   }
 
-  /** History retention, run by THE single writer: delete published
-    * versions older than the newest `keep` (the CURRENT version is always
-    * among the kept). Without this the store grows one full table copy
-    * per mutation — at 100 TB that is the difference between a snapshot
-    * store and a disk leak; `keep >= 2` preserves one rollback target.
-    * Only versions at or BELOW current are touched (orphans above are
-    * [[recoverOrphans]]' province); their stale claim markers go with
-    * them. Returns the pruned version names. */
+  /** History retention: delete published versions older than the newest
+    * `keep` (the CURRENT version is always among the kept). Without this
+    * the store grows one full table copy per mutation — at 100 TB that
+    * is the difference between a snapshot store and a disk leak;
+    * `keep >= 2` preserves one rollback target. Only version DIRECTORIES
+    * at or BELOW current are touched (orphans above are
+    * [[recoverOrphans]]' province). Claim markers are deliberately KEPT,
+    * even for pruned versions: publish()'s fail-fast invariant — a stale
+    * publisher that read an old CURRENT fails on the exclusive claim
+    * create — must hold at ALL times, and vacuum (unlike recoverOrphans)
+    * may legitimately run while such a racer exists; deleting a pruned
+    * version's claim here would let that racer re-create the version and
+    * swap CURRENT backwards. Claims are pruned only by [[recoverOrphans]]
+    * at single-writer startup, when no competing publisher can exist.
+    * Returns the pruned version names. */
   def vacuum(keep: Int = 2): Seq[String] = {
     require(keep >= 1, s"keep $keep must be >= 1")
     currentVersion().map(_.stripPrefix("v_").toLong) match {
@@ -90,12 +97,13 @@ class Snapshot(spark: SparkSession, root: String) {
         val cutoff = current - keep + 1 // keep [cutoff, current]
         val entries = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
         def versionOf(name: String): Option[Long] =
-          scala.util.Try(name.stripPrefix("v_").stripSuffix(".claim").toLong).toOption
+          scala.util.Try(name.stripPrefix("v_").toLong).toOption
         val old = entries.filter(f =>
-          f.getName.startsWith("v_") && versionOf(f.getName).exists(_ < cutoff))
+          f.isDirectory && f.getName.startsWith("v_") &&
+            versionOf(f.getName).exists(_ < cutoff))
         old.foreach(deleteRecursively)
         // numeric version order: lexicographic would put v_10 before v_2
-        old.filter(!_.getName.endsWith(".claim")).map(_.getName).toSeq
+        old.map(_.getName).toSeq
           .sortBy(n => versionOf(n).getOrElse(Long.MaxValue))
     }
   }

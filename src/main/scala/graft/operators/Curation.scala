@@ -194,8 +194,14 @@ object Curation {
     * unbiased draw. One row_number window per stratum — the
     * sessionization shuffle shape. */
   def quotaSample(docs: DataFrame, stratumCol: String, k: Int): DataFrame = {
+    // hash a coalesced key: poly_hash(NULL) is NULL, and Spark sorts
+    // nulls FIRST where the DuckDB oracle sorts them LAST — a null-text
+    // doc would silently rank first here and last there. Hashing '' keeps
+    // non-null ranks identical and gives null text a deterministic,
+    // engine-portable slot
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(graft.functions.GraftFunctions.poly_hash(col("text")), col("doc_id"))
+      .orderBy(graft.functions.GraftFunctions.poly_hash(coalesce(col("text"), lit(""))),
+        col("doc_id"))
     docs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col(stratumCol), col("rnk").cast("long").as("rnk"))

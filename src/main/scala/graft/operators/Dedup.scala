@@ -907,8 +907,13 @@ object Dedup {
     * bucketing ([[graft.engine.Bucketed]]) instead — the corpus side
     * still never re-shuffles. */
   def spanDedup(docs: DataFrame): DataFrame = {
+    // null text (failed extraction) -> explicit empty token array: the
+    // doc surfaces as (n_tokens=0, n_kept=0, text_clean=""), never as a
+    // size(NULL) = -1 nonsense row
     val words = Tables.rebalance(docs, "doc_id")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"),
+        when(col("text").isNull, array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")).as("words"))
     val spans = words
       .filter(size(col("words")) >= SpanK)
       .select(col("doc_id"),

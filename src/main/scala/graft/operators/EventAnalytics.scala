@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
   * Scale: both queries shuffle once on their natural keys (window/user);
   * the window aggregate partial-aggregates map-side, and sessionization
   * partitions by user_id so state for one user never crosses executors.
+  *
+  * SKEW posture (SCALE.md round-4 probe): the whole suite keys on
+  * user_id, and a power-law corpus concentrates a constant fraction of
+  * events on a few hot users. AQE's skew handling splits oversized JOIN
+  * and AGGREGATE partitions, but a WINDOW partition can never be split —
+  * every row of a window key must pass through one task, so the hot
+  * user's task grows linearly with the corpus. Measured locally: a 1/3-
+  * hot user at 3M events is within noise of uniform (one in-memory sort
+  * of the hot partition is cheap); on a 1000-executor cluster the same
+  * shape eventually pins a straggler. When it does, each operator has an
+  * algebraic escape that [[Advanced.saltedJoin]]-style salting composes
+  * with:
+  *  - [[anomalies]]: mean/σ are ALGEBRAIC — two-phase (salted partial,
+  *    then merge per user) replaces the window for hot keys;
+  *  - [[retention]]: pre-aggregate to (user_id, day) first — the window
+  *    input is then bounded by active days per user, not events;
+  *  - [[funnel]]: stage-reach is equivalent to a per-(user, stage)
+  *    min-ts aggregation cascade (saltable), trading the single ordered
+  *    pass for one extra keyed agg when the hot task binds.
   */
 object EventAnalytics {
   import Tables._

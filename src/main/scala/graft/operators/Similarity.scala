@@ -372,7 +372,13 @@ object Similarity {
       // nearest BINARY double (0.00321349999... -> down) while decimal-
       // repr engines round the half up — a guaranteed 1-ulp gate
       // mismatch. Half-up away from zero on integers is engine-free.
-      .withColumn("sv_u", (col("sv") * 1000000).cast("long"))
+      // sv_u stays DECIMAL, not LONG: `2 * sv_u` on a long overflows once
+      // a (label,pos) group's 6dp sum passes ~4.6e12, silently corrupting
+      // the rounded centroid; decimal(38,0) gives the same half-up integer
+      // formula 19 more digits of headroom (IntegralDivide on decimals is
+      // exact, and the quotient — a bounded per-component mean in micros —
+      // always fits the long it returns)
+      .withColumn("sv_u", (col("sv") * 1000000).cast("decimal(38,0)"))
       .withColumn("micros",
         when(col("sv_u") >= 0, expr("(2 * sv_u + n) div (2 * n)"))
           .otherwise(-expr("(-2 * sv_u + n) div (2 * n)")))

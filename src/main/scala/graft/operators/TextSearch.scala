@@ -429,8 +429,14 @@ object TextSearch {
         .as("z"))
       .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val c1 = c12.groupBy("w1").agg(sum(col("n")).as("n1"))
-    c12.join(broadcast(c1), Seq("w1"))
+    // context totals as a w1-partitioned window over the pair counts: one
+    // keyed exchange, per-key state bounded by |vocab| successors. The
+    // previous broadcast(c1) shipped a frame with one row per DISTINCT
+    // FIRST WORD — vocabulary-sized, which on a crawl-scale corpus can
+    // blow the broadcast limit / driver heap; a window never leaves the
+    // executors
+    val w = Window.partitionBy("w1")
+    c12.withColumn("n1", sum(col("n")).over(w))
       .withColumn("p",
         round((col("n") + lit(0.5)) / (col("n1") + lit(0.5) * lit(vocabSize.toDouble)), 6))
   }

@@ -23,15 +23,37 @@ import org.apache.spark.sql.functions._
 object BinaryIngest {
 
   /** Scan a directory of binary uploads. `extractor` maps the raw bytes
-    * column to text; the caller derives ids/attrs from `path`. */
+    * column to text; the caller derives ids/attrs from `path`. `glob`
+    * selects the upload extension (pre-extracted .txt by default; a PDF
+    * deployment passes "*.pdf" with its extractor). */
   def readBinaryDocs(spark: SparkSession, dir: String,
-      extractor: Column => Column = c => decode(c, "UTF-8")): DataFrame =
+      extractor: Column => Column = c => decode(c, "UTF-8"),
+      glob: String = "*.txt"): DataFrame =
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.txt")
+      .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(dir)
       .select(col("path"), col("length").as("n_bytes"),
         extractor(col("content")).as("text"))
+
+  /** Text-layer extractor for UNCOMPRESSED PDF content streams — a REAL
+    * container format through the extractor slot, proving the seam takes
+    * actual PDF bytes end-to-end (the reference's fitz path, DI:110-134,
+    * is this slot with a full decoder). Parses the show-text operators
+    * of the page stream: every `(string) Tj` in an uncompressed stream
+    * carries one text run; runs join with a space. Column functions only
+    * (decode + regexp_extract_all + array_join), so it rides whole-stage
+    * codegen like the default extractor. A production binding replacing
+    * it handles compressed streams/encodings but changes NOTHING else —
+    * same Column => Column shape, same routing, same downstream
+    * pipeline. */
+  def pdfTextExtractor(content: Column): Column =
+    array_join(
+      regexp_extract_all(
+        // ISO-8859-1 maps bytes 1:1 to chars: binary-safe for the regex
+        decode(content, "ISO-8859-1"),
+        lit("\\(([^)]*)\\)\\s*Tj"), lit(1)),
+      " ")
 
   /** Deterministic OCR stand-in: no OCR engine exists in this container
     * (SURVEY §2.1 S2), so the text is derived from the page bytes' CRC —
@@ -49,9 +71,10 @@ object BinaryIngest {
     * sees one `text` column either way. */
   def readWithOcrFallback(spark: SparkSession, dir: String,
       extractor: Column => Column = c => decode(c, "UTF-8"),
-      ocr: Column => Column = ocrStub): DataFrame =
+      ocr: Column => Column = ocrStub,
+      glob: String = "*.txt"): DataFrame =
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.txt")
+      .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(dir)
       .select(col("path"), col("length").as("n_bytes"),

@@ -53,18 +53,33 @@ class EngineSpec extends SparkSpec {
     val v3 = store.publish(Seq((9L, "Active")).toDF("id", "status"))
     assert(v3 === "v_3" && store.read().count() === 1)
 
-    // retention: keep the newest 2 published versions, prune the rest
-    // (with their stale claim markers); CURRENT still reads, the kept
-    // rollback target still reads, non-version junk survives
+    // retention: keep the newest 2 published versions, prune the rest;
+    // CURRENT still reads, the kept rollback target still reads,
+    // non-version junk survives. Claim markers are KEPT even for pruned
+    // versions — publish()'s fail-fast depends on them, and vacuum (unlike
+    // recoverOrphans) may run while a stale concurrent publisher exists:
+    // deleting v_0.claim would let a racer holding the old CURRENT
+    // re-create v_0 and swap the pointer backwards
+    // (recoverOrphans above pruned the original claims; restore v_0's to
+    // model a store that has published since its last startup sweep)
+    Files.createFile(java.nio.file.Paths.get(root, "v_0.claim"))
     assert(store.vacuum(keep = 2) === Seq("v_0", "v_1"))
     assert(!Files.exists(java.nio.file.Paths.get(root, "v_0")))
-    assert(!Files.exists(java.nio.file.Paths.get(root, "v_0.claim")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "v_0.claim")))
     assert(Files.exists(java.nio.file.Paths.get(root, "v_2")))
     assert(Files.exists(java.nio.file.Paths.get(root, "v_tmp")))
     assert(store.read().count() === 1)
     assert(spark.read.parquet(s"$root/v_2").count() === 1)
     // idempotent: nothing older remains
     assert(store.vacuum(keep = 2) === Seq.empty)
+    // a stale publisher racing from pruned v_0's era still fails fast on
+    // the kept claim instead of resurrecting a vacuumed version
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.createFile(java.nio.file.Paths.get(root, "v_0.claim"))
+    }
+    // single-writer startup prunes the stale claims vacuum left behind
+    store.recoverOrphans()
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v_0.claim")))
   }
 
   test("bucketed tables make the fact join shuffle-free (co-located join)") {
@@ -191,5 +206,59 @@ class EngineSpec extends SparkSpec {
       c => upper(decode(c, "UTF-8")))
     val oneUpper = upperExtract.orderBy("path").select("text").head().getString(0)
     assert(oneUpper === one.toUpperCase)
+  }
+
+  test("golden PDF bytes run the extractor seam end-to-end (S1/S2 drop-in proof)") {
+    import graft.sources.BinaryIngest
+    import graft.operators.Ingest
+    import spark.implicits._
+    // hand-built, VALID single-page PDFs with uncompressed content
+    // streams — real container bytes, not pre-extracted text: the same
+    // upload shape the reference's fitz path receives (DI:110-134)
+    def minimalPdf(texts: Seq[String]): Array[Byte] = {
+      val stream = texts.map(t => s"BT /F1 12 Tf 72 712 Td ($t) Tj ET").mkString("\n")
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${stream.length} >> stream\n" +
+        stream + "\nendstream endobj\n" +
+        "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    }
+    val dir = Files.createTempDirectory("graft_pdf_golden").toFile
+    Files.write(new java.io.File(dir, "doc0.pdf").toPath,
+      minimalPdf(Seq("the quick brown fox jumps over the lazy dog",
+        "and keeps jumping for a second sentence of page text")))
+    Files.write(new java.io.File(dir, "doc1.pdf").toPath,
+      minimalPdf(Seq.empty)) // scanned-image page: no text layer at all
+    val out = BinaryIngest.readWithOcrFallback(spark, dir.getAbsolutePath,
+      BinaryIngest.pdfTextExtractor, glob = "*.pdf")
+      .orderBy("path").collect()
+    assert(out.length === 2)
+    // text-layer page: the Tj runs come back joined, in stream order
+    assert(out(0).getAs[String]("text") ===
+      "the quick brown fox jumps over the lazy dog " +
+        "and keeps jumping for a second sentence of page text")
+    assert(!out(0).getAs[Boolean]("needs_ocr"))
+    // no-text-layer page routes through the OCR slot
+    assert(out(1).getAs[Boolean]("needs_ocr"))
+    assert(out(1).getAs[String]("text").startsWith("[ocr] page "))
+    // and the extracted rows run the ORDINARY ingest pipeline: the
+    // golden PDF becomes a nested document with paginated snippets
+    val bin = BinaryIngest.readWithOcrFallback(spark, dir.getAbsolutePath,
+      BinaryIngest.pdfTextExtractor, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .withColumn("lang", lit("und"))
+      .withColumn("source", col("path"))
+      .select("doc_id", "lang", "source", "text")
+    val cats = Seq((0, "golden")).toDF("category_id", "category_name")
+    val built = Ingest.buildDocuments(bin, cats)
+      .orderBy("document_id").collect()
+    assert(built.length === 2)
+    val firstSnippet = built(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("pages")
+      .head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("page_snippets")
+      .head.getAs[String]("snippet_text")
+    assert(firstSnippet.startsWith("the quick brown fox"))
   }
 }

@@ -20,7 +20,14 @@ class NullInputSpec extends SparkSpec {
     assert(Dedup.ngramNearDups(docs, 0.1).count() === 0)
     assert(Dedup.minhashNearDups(docs, 0.1).count() === 0)
     assert(Dedup.exact(docs, "text", "doc_id").count() >= 2)
-    assert(Dedup.spanDedup(docs).filter(col("doc_id") =!= 2L).count() === 2)
+    // the null-text doc's row is pinned: explicit zeros and empty text,
+    // never size(NULL) = -1 nonsense
+    val span = Dedup.spanDedup(docs)
+    assert(span.count() === 3)
+    val nullRow = span.filter(col("doc_id") === 2L).head()
+    assert(nullRow.getAs[Long]("n_tokens") === 0L)
+    assert(nullRow.getAs[Long]("n_kept") === 0L)
+    assert(nullRow.getAs[String]("text_clean") === "")
   }
 
   test("token operators: null-text docs do not poison counts") {
