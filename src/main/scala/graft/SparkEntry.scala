@@ -92,6 +92,8 @@ object SparkEntry {
     "q_importance" -> (TextAnalysis.qImportance _),
     "q_dataset_card" -> (TextAnalysis.qDatasetCard _),
     "q_confusion" -> (TextAnalysis.qConfusion _),
+    "q_nb_classify" -> (TextAnalysis.qNbClassify _),
+    "q_mix_plan" -> (Curation.qMixPlan _),
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
@@ -437,6 +439,47 @@ object SparkEntry {
         "UNION ALL SELECT 'mean_tokens', round(CAST(n_toks AS DOUBLE) / n_docs, 6) FROM base " +
         "UNION ALL SELECT 'mean_quality', round(CAST(q_sum AS DOUBLE) / n_docs, 6) FROM base" +
         ") ORDER BY metric"),
+    // multinomial NB: training is counting, so DuckDB replays the whole
+    // model — smoothed per-(class, token) log-likelihoods rounded to 6dp
+    // DECIMAL before the per-doc sums (the perplexity ln() discipline)
+    "q_nb_classify" ->
+      ("WITH t AS (SELECT doc_id, lang, tok FROM (SELECT doc_id, lang, " +
+        "unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) WHERE len(tok) > 0), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "ct AS (SELECT lang AS cls, tok, count(*) AS c FROM t GROUP BY 1, 2), " +
+        "tot AS (SELECT cls, sum(c) AS n_c FROM ct GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT tok) AS vs FROM t), " +
+        "dt AS (SELECT count(*) AS nd FROM documents), " +
+        "lp AS (SELECT cls, tok, CAST(round(ln((c + 1.0) / (n_c + vs)), 6) AS DECIMAL(18,6)) AS logp " +
+        "FROM ct JOIN tot USING (cls), v), " +
+        "def AS (SELECT cls, CAST(round(ln(1.0 / (n_c + vs)), 6) AS DECIMAL(18,6)) AS logp0 FROM tot, v), " +
+        "pri AS (SELECT lang AS cls, CAST(round(ln(count(*) * 1.0 / max(nd)), 6) AS DECIMAL(18,6)) AS logprior " +
+        "FROM documents CROSS JOIN dt GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, def.cls, sum(tf.tf * coalesce(lp.logp, def.logp0)) AS ll " +
+        "FROM tf CROSS JOIN def LEFT JOIN lp ON lp.cls = def.cls AND lp.tok = tf.tok GROUP BY 1, 2), " +
+        "fin AS (SELECT doc_id, cls, CAST(ll + logprior AS DOUBLE) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY CAST(ll + logprior AS DOUBLE) DESC, cls) AS rn " +
+        "FROM sc JOIN pri USING (cls)) " +
+        "SELECT doc_id, cls AS nb_pred, score FROM fin WHERE rn = 1 ORDER BY doc_id"),
+    // UniMax water-filling + sqrt temperature rates; caps are
+    // integer-valued doubles so the windowed prefix sums are exact, and
+    // sqrt (unlike pow) is IEEE-correctly-rounded in both engines
+    "q_mix_plan" ->
+      ("WITH per AS (SELECT source, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "c AS (SELECT source, n_tokens, n_tokens * 2.0 AS cap FROM per), " +
+        "st AS (SELECT source, n_tokens, cap, " +
+        "row_number() OVER (ORDER BY cap, source) AS i, " +
+        "coalesce(sum(cap) OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix, " +
+        "count(*) OVER () AS s_total, " +
+        "coalesce(lag(cap, 1) OVER (ORDER BY cap, source), 0) AS prev_cap FROM c), " +
+        "lamt AS (SELECT *, (48000.0 - prefix) / (s_total - i + 1) AS lam_i FROM st), " +
+        "lam AS (SELECT *, max(CASE WHEN prev_cap <= lam_i AND lam_i <= cap THEN lam_i END) OVER () AS lam FROM lamt), " +
+        "un AS (SELECT source, n_tokens, round(least(cap, coalesce(lam, cap)), 6) AS unimax_alloc FROM lam), " +
+        "tm AS (SELECT source, n_tokens, unimax_alloc, CAST(round(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS t_mass FROM un) " +
+        "SELECT source, n_tokens, unimax_alloc, " +
+        "round(CAST(t_mass AS DOUBLE) / CAST(sum(t_mass) OVER () AS DOUBLE), 6) AS temp_rate " +
+        "FROM tm ORDER BY source"),
     "q_confusion" ->
       ("WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "h AS (SELECT doc_id, lang, " +

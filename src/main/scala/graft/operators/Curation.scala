@@ -333,6 +333,78 @@ object Curation {
       .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("tokens_before"))
       .orderBy("doc_id")
 
+  /** MIXTURE PLANNING under an epoch cap — the budget-allocation step a
+    * multi-domain training run solves before sampling: given per-source
+    * token counts, a total token budget, and a max-epochs-per-source cap
+    * (UniMax, Chung et al. 2023, public), allocate the budget as
+    * uniformly as possible without repeating any source more than
+    * `epochCap` times. This is exact WATER-FILLING: alloc_s =
+    * min(cap_s, λ) with λ chosen so the allocations sum to the budget —
+    * computed in closed form from the cap-sorted prefix sums (for each
+    * boundary row i, λ_i = (budget − Σ caps below i)/(sources from i up);
+    * the unique boundary where prev_cap ≤ λ_i ≤ cap_i wins; if the
+    * budget covers every cap, every source is fully capped). Temperature
+    * sampling rates (rate_s ∝ n_s^(1/T), the multilingual-mixing
+    * standard) come out of the same pass for comparison.
+    *
+    * Scale shape: one source-keyed aggregate over the corpus; everything
+    * after runs on the |sources| frame — a dataset-card cardinality
+    * (domains, not documents), so the global windows over it are
+    * bounded by design. */
+  def mixPlan(docs: DataFrame, budget: Double, epochCap: Double,
+      temp: Double): DataFrame = {
+    val per = Tables.rebalance(docs, "doc_id")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(epochCap))
+    // |sources|-bounded frame: global windows below are fine
+    val byCap = Window.orderBy(col("cap"), col("source"))
+    val full = byCap.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = per
+      .withColumn("i", row_number().over(byCap))
+      .withColumn("prefix",
+        coalesce(sum(col("cap")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .withColumn("s_total", count(lit(1)).over(full))
+      .withColumn("prev_cap", coalesce(lag(col("cap"), 1).over(byCap), lit(0.0)))
+      .withColumn("lam_i",
+        (lit(budget) - col("prefix")) / (col("s_total") - col("i") + 1))
+      .withColumn("lam_valid",
+        col("prev_cap") <= col("lam_i") && col("lam_i") <= col("cap"))
+    val lam = staged
+      .withColumn("lam", max(when(col("lam_valid"), col("lam_i"))).over(full))
+    lam
+      .select(col("source"), col("n_tokens"),
+        round(least(col("cap"), coalesce(col("lam"), col("cap"))), 6)
+          .as("unimax_alloc"))
+      // temperature mass rounds to 6dp DECIMAL before the total, so the
+      // normalizing sum is exact and order-independent (window sums over
+      // raw doubles are summation-order-sensitive in the last ulp)
+      // T=2 (the standard sqrt-scaling) computes via sqrt, which IEEE 754
+      // requires to be CORRECTLY rounded in every engine; pow carries a
+      // <=1-ulp libm tolerance, so only the sqrt form is oracle-gated
+      .withColumn("t_mass",
+        round(
+          if (temp == 2.0) sqrt(col("n_tokens").cast("double"))
+          else pow(col("n_tokens").cast("double"), lit(1.0 / temp)), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("temp_rate",
+        round(col("t_mass").cast("double") /
+          sum(col("t_mass")).over(
+            Window.orderBy(col("source")).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("double"), 6))
+      .select(col("source"), col("n_tokens"), col("unimax_alloc"), col("temp_rate"))
+  }
+
+  /** Oracle-checked: budget 48000 tokens, 2-epoch cap, T=2 temperature —
+    * at gate scale the waterfall genuinely binds (the smallest sources
+    * hit their cap, the rest share λ). */
+  def qMixPlan(s: SparkSession, d: String): DataFrame =
+    mixPlan(documents(s, d), budget = 48000.0, epochCap = 2.0, temp = 2.0)
+      .orderBy("source")
+
   /** Oracle-checked COMPOSITE curation pipeline — the shape of a real
     * corpus-prep job: score quality, predict language, drop near-dup
     * non-survivors, keep docs passing every gate. Each stage is an

@@ -122,6 +122,74 @@ object TextAnalysis {
   def qPerplexity(s: SparkSession, d: String): DataFrame =
     perplexity(documents(s, d)).orderBy("doc_id")
 
+  /** Multinomial NAIVE BAYES classifier, trained and applied over the
+    * corpus in one plan — the supervised sibling of the heuristic
+    * [[withLangId]] and the classifier-based quality/domain filtering
+    * step of the GPT-3/LLaMA-style data pipelines (train a classifier on
+    * labeled slices, score every document). Training IS counting, so the
+    * "model" is exact postings algebra: per-(class, token) counts with
+    * add-one smoothing, class priors from document counts, and each
+    * document scored with Σ tf·ln p(tok|c) + ln p(c), argmax over
+    * classes.
+    *
+    * Determinism (the [[perplexity]] discipline): every ln() runs once
+    * per distinct (class, token) — never per occurrence — and is rounded
+    * to 6dp into DECIMAL before the per-document sum, so totals are
+    * exact and order-independent on any partitioning/engine.
+    *
+    * Scale shape: class-conditional counts are one token-keyed shuffle
+    * into a |vocab|·|classes|-bounded table; scoring joins doc tokens to
+    * that table BY TOKEN KEY (postings algebra, like tf-idf — the model
+    * table is never broadcast: vocabulary-sized frames must not ship to
+    * the driver, the bigramLm lesson) after a crossJoin with the
+    * |classes|-row per-class default (unseen-token) frame, which IS
+    * bounded and broadcast. At 100 TB frequency-cap the vocab into an
+    * OOV bucket exactly like perplexity's note. */
+  def nbClassify(docs: DataFrame, labelCol: String): DataFrame = {
+    val base = Tables.rebalance(docs, "doc_id")
+    val toks = base
+      .select(col("doc_id"), col(labelCol).as("cls"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocabSize = toks.select("tok").distinct().count()
+    val nDocs = base.count()
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val ct = toks.groupBy("cls", "tok").agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("cls").agg(sum(col("c")).as("n_c"))
+    // per-(class, token) smoothed log-likelihood; 6dp decimal
+    val lp = ct.join(tot, Seq("cls"))
+      .select(col("cls"), col("tok"),
+        round(log((col("c") + lit(1.0)) / (col("n_c") + lit(vocabSize.toDouble))), 6)
+          .cast("decimal(18,6)").as("logp"))
+    // per-class default for tokens unseen in that class (c = 0)
+    val defaults = tot.select(col("cls"),
+      round(log(lit(1.0) / (col("n_c") + lit(vocabSize.toDouble))), 6)
+        .cast("decimal(18,6)").as("logp0"))
+    val priors = base.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("d_c"))
+      .select(col("cls"),
+        round(log(col("d_c").cast("double") / lit(nDocs.toDouble)), 6)
+          .cast("decimal(18,6)").as("logprior"))
+    val scored = tf
+      .crossJoin(broadcast(defaults)) // |classes| rows — bounded by design
+      .join(lp, Seq("cls", "tok"), "left")
+      .select(col("doc_id"), col("cls"),
+        (col("tf") * coalesce(col("logp"), col("logp0"))).as("contrib"))
+      .groupBy("doc_id", "cls").agg(sum(col("contrib")).as("ll"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        (col("ll") + col("logprior")).cast("double").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("nb_pred"), col("score"))
+  }
+
+  /** Oracle-checked: train on the lang labels, score every doc. */
+  def qNbClassify(s: SparkSession, d: String): DataFrame =
+    nbClassify(documents(s, d), "lang").orderBy("doc_id")
+
   /** DSIR-style importance weights (Xie et al. 2023, public): score every
     * document by how much more likely its tokens are under the TARGET
     * slice's unigram distribution than under the full corpus's —

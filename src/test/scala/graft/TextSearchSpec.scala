@@ -146,6 +146,49 @@ class TextSearchSpec extends SparkSpec {
       "membership must be a pure function of the row")
   }
 
+  test("naive bayes: class-conditional token evidence beats the prior") {
+    val docs = Seq(
+      (1L, "cat cat dog", "pets"),
+      (2L, "cat cat cat", "pets"),
+      (3L, "cat dog cat", "pets"),
+      (4L, "stock bond stock", "finance"),
+      (5L, "bond bond yield", "finance"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(docs, "lang")
+      .select("doc_id", "nb_pred").as[(Long, String)].collect().toMap
+    // resubstitution on separable vocab: every doc classified correctly
+    // despite the 3:2 prior favouring pets
+    assert(out === Map(1L -> "pets", 2L -> "pets", 3L -> "pets",
+      4L -> "finance", 5L -> "finance"))
+    // membership is a pure function of the data, not the partitioning
+    val shuffled = TextAnalysis.nbClassify(docs.repartition(7), "lang")
+      .select("doc_id", "nb_pred").as[(Long, String)].collect().toMap
+    assert(shuffled === out)
+  }
+
+  test("mix plan: water-filling respects caps and spends the budget exactly") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "small"),
+      (2L, Seq.fill(100)("w").mkString(" "), "big1"),
+      (3L, Seq.fill(100)("w").mkString(" "), "big2"))
+      .toDF("doc_id", "text", "source")
+    // caps at 2 epochs: 20 / 200 / 200; budget 120 -> small fully capped
+    // (20), the rest split the remainder equally (50 each)
+    val out = Curation.mixPlan(docs, budget = 120.0, epochCap = 2.0, temp = 2.0)
+      .select("source", "unimax_alloc").as[(String, Double)].collect().toMap
+    assert(out("small") === 20.0)
+    assert(out("big1") === 50.0 && out("big2") === 50.0)
+    assert(out.values.sum === 120.0)
+    // budget above the total caps: every source saturates its cap
+    val rich = Curation.mixPlan(docs, budget = 10000.0, epochCap = 2.0, temp = 2.0)
+      .select("source", "unimax_alloc").as[(String, Double)].collect().toMap
+    assert(rich === Map("small" -> 20.0, "big1" -> 200.0, "big2" -> 200.0))
+    // budget under the smallest cap: a pure uniform split, nobody capped
+    val tight = Curation.mixPlan(docs, budget = 30.0, epochCap = 2.0, temp = 2.0)
+      .select("source", "unimax_alloc").as[(String, Double)].collect().toMap
+    assert(tight.values.toSeq.sorted === Seq(10.0, 10.0, 10.0))
+  }
+
   test("bpe trainer: learned merges, tie order, overlap rule, exhaustion") {
     // vocab: abab x3, cd x3 -> step 1 merges (a,b) [n=6]; the leftmost
     // non-overlapping rule leaves ' ab a b ' (the second 'a b' shares the
