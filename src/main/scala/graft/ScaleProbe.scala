@@ -214,6 +214,13 @@ object ScaleProbe {
     time("quota_sample", nDocs) {
       Curation.quotaSample(docs, "lang", 25).count()
     }
+    // round-4 operators
+    time("nb_classify", nDocs) {
+      TextAnalysis.nbClassify(docs, "lang").count()
+    }
+    time("mix_plan", nDocs) {
+      Curation.mixPlan(docs, 1000000.0, 2.0, 2.0).count()
+    }
     time("confusion", nDocs) { TextAnalysis.confusion(docs).count() }
     time("novelty", nDocs) { TextAnalysis.novelty(docs).count() }
     val ev = spark.read.parquet(s"$d/events.parquet")
