@@ -354,9 +354,12 @@ object Curation {
   def mixPlan(docs: DataFrame, budget: Double, epochCap: Double,
       temp: Double): DataFrame = {
     val per = Tables.rebalance(docs, "doc_id")
+      // null text counts as zero tokens, so a source of failed
+      // extractions gets an explicit 0-token row, never a NULL cap
       .select(col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
-      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        coalesce(size(split(trim(col("text")), "\\s+")), lit(0))
+          .cast("long").as("nt"))
+      .groupBy("source").agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * lit(epochCap))
     // |sources|-bounded frame: global windows below are fine
     val byCap = Window.orderBy(col("cap"), col("source"))

@@ -47,6 +47,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(SnippetGen.docSnippets(emptyDocs).count() === 0)
   }
 
+  test("round-4 operators on an empty corpus") {
+    assert(TextSearch.bpeTrainLocal(emptyDocs, 4).count() === 0)
+    assert(TextAnalysis.nbClassify(emptyDocs, "lang").count() === 0)
+    assert(Curation.mixPlan(emptyDocs, 1000.0, 2.0, 2.0).count() === 0)
+  }
+
   test("round-3 batch-4 operators on an empty corpus") {
     import spark.implicits._
     assert(Dedup.spanDedup(emptyDocs).count() === 0)

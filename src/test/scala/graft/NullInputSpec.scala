@@ -41,6 +41,21 @@ class NullInputSpec extends SparkSpec {
     assert(enc.filter(col("n_bpe_tokens") < 0).count() === 0)
   }
 
+  test("classifier/planner: null-text docs neither crash nor emit nonsense") {
+    // a null-text doc carries NO token evidence: nbClassify skips it (no
+    // prediction beats a prior-only guess pretending to be evidence)
+    val nb = TextAnalysis.nbClassify(docs, "lang")
+    assert(nb.count() === 2)
+    assert(nb.filter(col("doc_id") === 2L).count() === 0)
+    // mixPlan counts a null-text doc as zero tokens: the all-null source
+    // gets an explicit 0-token row with a 0 allocation, never a NULL cap
+    val plan = Curation.mixPlan(docs, 100.0, 2.0, 2.0)
+    assert(plan.filter(col("n_tokens") < 0).count() === 0)
+    val nullSrc = plan.filter(col("source") === "src2").head()
+    assert(nullSrc.getAs[Long]("n_tokens") === 0L)
+    assert(nullSrc.getAs[Double]("unimax_alloc") === 0.0)
+  }
+
   test("curation: null-text docs do not produce negative token math") {
     val packed = Curation.packSequences(docs, "lang")
     assert(packed.filter(col("n_tokens") < 0).count() === 0,
