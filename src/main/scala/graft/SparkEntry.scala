@@ -465,7 +465,7 @@ object SparkEntry {
     // integer-valued doubles so the windowed prefix sums are exact, and
     // sqrt (unlike pow) is IEEE-correctly-rounded in both engines
     "q_mix_plan" ->
-      ("WITH per AS (SELECT source, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens " +
+      ("WITH per AS (SELECT source, CAST(coalesce(sum(coalesce(len(string_split_regex(trim(text), '\\s+')), 0)), 0) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY 1), " +
         "c AS (SELECT source, n_tokens, n_tokens * 2.0 AS cap FROM per), " +
         "st AS (SELECT source, n_tokens, cap, " +
@@ -1180,10 +1180,11 @@ object SparkEntry {
         "CAST(coalesce(sum(CASE WHEN CAST(before AS DOUBLE) < CAST(total AS DOUBLE) * CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_99 " +
         "FROM cum"),
     "q_quota_sample" ->
-      ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+      ("WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
         "ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
-        "(a, c) -> (a * 31 + c) % 1000000007), doc_id) AS rnk FROM documents) " +
+        "list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007), doc_id) AS rnk FROM d) " +
         "SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 25 ORDER BY doc_id"),
     "q_bigram_lm" ->
       ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents), " +

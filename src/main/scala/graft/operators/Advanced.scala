@@ -54,11 +54,15 @@ object Advanced {
       countDistinct(col("l_suppkey")).as("n_supps"),
       approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
       approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
+      // multiplicative form (|est-exact| <= exact*0.05) rather than a
+      // division: on an empty input both sides are 0 and the check stays
+      // TRUE, where 0.0/0 = NaN would silently flip it false against the
+      // oracle's TRUE literal
       .select(col("n_parts"), col("n_supps"),
-        (abs(col("ap") - col("n_parts")).cast("double") / col("n_parts") <= 0.05)
-          .as("parts_within_5pct"),
-        (abs(col("asu") - col("n_supps")).cast("double") / col("n_supps") <= 0.05)
-          .as("supps_within_5pct"))
+        (abs(col("ap") - col("n_parts")).cast("double") <=
+          col("n_parts").cast("double") * 0.05).as("parts_within_5pct"),
+        (abs(col("asu") - col("n_supps")).cast("double") <=
+          col("n_supps").cast("double") * 0.05).as("supps_within_5pct"))
 
   /** Running total per customer over order dates (window frame). */
   def qRunningSum(s: SparkSession, d: String): DataFrame = {

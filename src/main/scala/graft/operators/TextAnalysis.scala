@@ -147,10 +147,14 @@ object TextAnalysis {
     * OOV bucket exactly like perplexity's note. */
   def nbClassify(docs: DataFrame, labelCol: String): DataFrame = {
     val base = Tables.rebalance(docs, "doc_id")
+    // materialize the exploded tokens once: vocabSize, tf and ct would
+    // otherwise each re-tokenize the full corpus (the bpeTrain
+    // localCheckpoint discipline — cut the corpus scan out of the reuse)
     val toks = base
       .select(col("doc_id"), col(labelCol).as("cls"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
+      .localCheckpoint()
     val vocabSize = toks.select("tok").distinct().count()
     val nDocs = base.count()
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -124,10 +124,11 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("plan audit: no accidental cartesian/nested-loop joins anywhere") {
+  test("plan audit: no accidental cartesian/nested-loop joins or unpartitioned windows anywhere") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
     val allPairsByDesign = Set("q_topk", "q_embed_dup", "q_hard_negatives")
@@ -136,6 +137,16 @@ class PlanSpec extends SparkSpec {
     val boundedBnljByDesign: Map[String, String] = Map(
       "q_nb_classify" -> ("crossJoin of the per-class defaults frame: " +
         "|classes| rows by construction (a label-space, not a data-space)"))
+    // An unpartitioned WindowExec funnels its ENTIRE input through one
+    // task — the budget-select trap, generalized. It is legitimate only
+    // when the window's input is bounded by DESIGN (an aggregate over a
+    // bounded key space), which the planner cannot know — register those
+    // here with the bound that makes them safe.
+    val boundedWindowByDesign: Map[String, String] = Map(
+      "q_mix_plan" -> "|sources| rows: water-filling runs on the per-source aggregate",
+      "q_vocab_coverage" -> "|vocabulary| rows: the cumulative-mass window orders the type table, never the corpus",
+      "q_mixture" -> "|sources| rows: the rate table window runs on the per-domain aggregate, the corpus sees one narrow filter",
+      "q_resample" -> "|hours| rows: the rolling window runs on the generated time spine (span-bounded; partition by (series, day) at 100 TB per its docstring)")
     // A BNLJ is a SCALAR ATTACH, not an accident, when its broadcast side is
     // a global (no grouping keys) aggregate: that side is exactly one row, so
     // the "nested loop" is |stream| x 1 — the optimal way to join a corpus
@@ -147,24 +158,33 @@ class PlanSpec extends SparkSpec {
     }.getOrElse(false)
     // AQE wraps every plan in AdaptiveSparkPlanExec, whose collect() does
     // NOT descend into the wrapped tree pre-execution — with it on, the
-    // BNLJ inspection below silently checks nothing. Audit with AQE off.
+    // inspections below silently check nothing. Audit with AQE off. Both
+    // audits share ONE executedPlan per query: building a query is not
+    // free (q_dedup_auto runs its stats jobs, q_bpe_train the local
+    // trainer), so a second full loop would double the suite's cost.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      SparkEntry.queries.keys.filterNot(allPairsByDesign).foreach { name =>
+      val unregisteredWindows = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val exec = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
-        val p = exec.toString
-        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
-        val badBnlj = exec.collect {
-          case j: BroadcastNestedLoopJoinExec =>
-            val build = j.buildSide match {
-              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
-              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
-            }
-            (j, build)
-        }.collect { case (j, build) if !isScalarAggregate(build) => j }
-        assert(badBnlj.isEmpty || boundedBnljByDesign.contains(name),
-          s"$name plans a non-scalar nested loop:\n$p")
+        if (!allPairsByDesign.contains(name)) {
+          val p = exec.toString
+          assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+          val badBnlj = exec.collect {
+            case j: BroadcastNestedLoopJoinExec =>
+              val build = j.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+              }
+              (j, build)
+          }.collect { case (j, build) if !isScalarAggregate(build) => j }
+          assert(badBnlj.isEmpty || boundedBnljByDesign.contains(name),
+            s"$name plans a non-scalar nested loop:\n$p")
+        }
+        val badWin = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (badWin.nonEmpty && !boundedWindowByDesign.contains(name)) Some(name) else None
       }
+      assert(unregisteredWindows.isEmpty,
+        s"unregistered unpartitioned windows (whole-input single task): $unregisteredWindows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -218,30 +238,6 @@ class PlanSpec extends SparkSpec {
         assert(w.partitionSpec.nonEmpty,
           s"unpartitioned WindowExec funnels the corpus through one task:\n$exec")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-  }
-
-  test("plan audit: no query runs an unpartitioned window over corpus-sized input") {
-    import org.apache.spark.sql.execution.window.WindowExec
-    // An unpartitioned WindowExec funnels its ENTIRE input through one
-    // task — the budget-select trap, generalized. It is legitimate only
-    // when the window's input is bounded by DESIGN (an aggregate over a
-    // bounded key space), which the planner cannot know — register those
-    // here with the bound that makes them safe.
-    val boundedWindowByDesign: Map[String, String] = Map(
-      "q_mix_plan" -> "|sources| rows: water-filling runs on the per-source aggregate",
-      "q_vocab_coverage" -> "|vocabulary| rows: the cumulative-mass window orders the type table, never the corpus",
-      "q_mixture" -> "|sources| rows: the rate table window runs on the per-domain aggregate, the corpus sees one narrow filter",
-      "q_resample" -> "|hours| rows: the rolling window runs on the generated time spine (span-bounded; partition by (series, day) at 100 TB per its docstring)")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-        val exec = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
-        val bad = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-        if (bad.nonEmpty && !boundedWindowByDesign.contains(name)) Some(name) else None
-      }
-      assert(offending.isEmpty,
-        s"unregistered unpartitioned windows (whole-input single task): $offending")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
