@@ -223,6 +223,30 @@ object ScaleProbe {
     }
     time("confusion", nDocs) { TextAnalysis.confusion(docs).count() }
     time("novelty", nDocs) { TextAnalysis.novelty(docs).count() }
+    // round-4 batch-2 operators
+    time("sem_dedup", nEmb) {
+      // cluster count scales WITH the corpus (the SemDeDup regime:
+      // constant target cluster size), so per-cluster pair work stays
+      // bounded; a fixed k under a growing corpus would be quadratic
+      Similarity.semDedup(emb, 16 * mult, 0.35).filter(col("is_dup")).count()
+    }
+    time("bloom_decontam", nDocs) {
+      // bench side fixed (same bounded-benchmark rule as `contamination`)
+      TextSearch.bloomContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0" &&
+          pmod(col("doc_id"), lit(mult.toLong)) === 0), 1L).count()
+    }
+    time("calibration", nDocs) {
+      TextAnalysis.calibrationSweep(docs, col("lang") === "en",
+        size(filter(split(trim(col("text")), "\\s+"),
+          w => w.isInCollection(Stopwords.en))),
+        size(split(trim(col("text")), "\\s+")), 20).count()
+    }
+    time("export_manifest", nDocs) {
+      Curation.exportManifest(
+        docs.withColumn("n_chars", length(col("text"))), 64).count()
+    }
     val ev = spark.read.parquet(s"$d/events.parquet")
       .crossJoin(spark.range(mult).toDF("r"))
       .select((col("event_id") * mult + col("r")).as("event_id"),

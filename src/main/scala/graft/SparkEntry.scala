@@ -93,7 +93,10 @@ object SparkEntry {
     "q_dataset_card" -> (TextAnalysis.qDatasetCard _),
     "q_confusion" -> (TextAnalysis.qConfusion _),
     "q_nb_classify" -> (TextAnalysis.qNbClassify _),
+    "q_calibration" -> (TextAnalysis.qCalibration _),
     "q_mix_plan" -> (Curation.qMixPlan _),
+    "q_bloom_decontam" -> (TextSearch.qBloomDecontam _),
+    "q_export_manifest" -> (Curation.qExportManifest _),
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
@@ -103,6 +106,7 @@ object SparkEntry {
     "q_embed_dup" -> (Similarity.qEmbedDup _),
     "q_centroids" -> (Similarity.qCentroids _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
+    "q_sem_dedup" -> (Similarity.qSemDedup _),
     // --- event analytics extensions
     "q_event_window" -> (EventAnalytics.qEventWindow _),
     "q_sessionize" -> (EventAnalytics.qSessionize _),
@@ -1110,6 +1114,61 @@ object SparkEntry {
         "SELECT label, pos, CAST(CASE WHEN sv_u >= 0 THEN (2 * sv_u + n) // (2 * n) " +
         "ELSE -((-2 * sv_u + n) // (2 * n)) END AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS centroid " +
         "FROM u ORDER BY label, pos"),
+    // Bloom-prefiltered decontamination: the bloom has no false
+    // negatives and the verify join kills its false positives, so the
+    // oracle replays the PLAIN exact join — identical rows required
+    "q_bloom_decontam" ->
+      ("WITH w AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "sh AS (SELECT doc_id, source, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+        "bp AS (SELECT doc_id AS bench_id, unnest(s) AS shingle FROM sh WHERE source = 'src0' AND doc_id < 25), " +
+        "cp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE NOT (source = 'src0' AND doc_id < 25)), " +
+        "cm AS (SELECT cp.doc_id, bp.bench_id, count(*) AS common FROM cp JOIN bp USING (shingle) GROUP BY 1, 2) " +
+        "SELECT doc_id, count(*) AS n_bench_docs, max(common) AS max_overlap " +
+        "FROM cm WHERE common >= 1 GROUP BY 1 ORDER BY doc_id"),
+    // Export manifest: per-shard totals; shard = doc_id mod 8
+    "q_export_manifest" ->
+      ("SELECT doc_id % 8 AS shard, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_bytes, " +
+        "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id " +
+        "FROM documents GROUP BY 1 ORDER BY shard"),
+    // Calibration sweep: integer-exact bucket of the EN-stopword ratio,
+    // cumulative precision/recall/F1 from the top bucket down
+    "q_calibration" ->
+      ("WITH t AS (SELECT lang, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "h AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
+        "least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 20) " +
+        "// CAST(len(w) AS BIGINT), 19) AS bucket FROM t), " +
+        "g AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM h GROUP BY 1), " +
+        "c AS (SELECT bucket, n, n_pos, " +
+        "CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS pred_pos, " +
+        "CAST(sum(n_pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp, " +
+        "CAST(sum(n_pos) OVER () AS BIGINT) AS p_total FROM g) " +
+        "SELECT round(CAST(bucket AS DOUBLE) / 20, 6) AS threshold, n, n_pos, " +
+        "round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate, " +
+        "round(CAST(tp AS DOUBLE) / pred_pos, 6) AS \"precision\", " +
+        "CASE WHEN p_total > 0 THEN round(CAST(tp AS DOUBLE) / p_total, 6) END AS recall, " +
+        "round(2.0 * tp / (pred_pos + p_total), 6) AS f1 " +
+        "FROM c ORDER BY threshold"),
+    // SemDeDup: one Lloyd assignment step from the 16 lowest-id seeds
+    // (6dp-rounded argmax, ties to lowest seed), then within-cluster
+    // pairs at cosine >= 0.35 mark the higher id a duplicate
+    "q_sem_dedup" ->
+      ("WITH seeds AS (SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS s_emb " +
+        "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+        "a AS (SELECT e.vec_id, s.seed_id, " +
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.s_emb), 6) AS sc " +
+        "FROM embeddings e, seeds s), " +
+        "asg AS (SELECT vec_id, seed_id AS cluster FROM a " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, seed_id) = 1), " +
+        "v AS (SELECT asg.vec_id, cluster, CAST(e.embedding AS DOUBLE[]) AS emb " +
+        "FROM asg JOIN embeddings e USING (vec_id)), " +
+        "drp AS (SELECT DISTINCT y.vec_id FROM v x JOIN v y " +
+        "ON x.cluster = y.cluster AND x.vec_id < y.vec_id " +
+        "WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.35) " +
+        "SELECT v.vec_id, cluster, (v.vec_id IN (SELECT vec_id FROM drp)) AS is_dup " +
+        "FROM v ORDER BY v.vec_id"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

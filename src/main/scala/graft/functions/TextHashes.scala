@@ -457,6 +457,25 @@ object GraftFunctions {
   def minhash_sig(c: Column, a: Seq[Long], b: Seq[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), a, b))
 
+  /** Spark's native codegen'd bloom-filter aggregate over a LONG column
+    * (the building block of its own runtime join filters). Internal
+    * expression, not in the public function registry — bridged exactly
+    * like the custom expressions above. */
+  def bloom_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Bloom membership probe; `bloom` must be foldable (a collected
+    * binary literal — might_contain deserializes it once at init). */
+  def might_contain(bloom: Column, value: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloom), ColumnBridge.expression(value)))
+
   /** Register SQL names on a session (`SELECT poly_hash(text) ...`).
     * `minhash_sig` binds the engine's canonical hash family; `word_ngrams`
     * takes its n as a literal second argument. */

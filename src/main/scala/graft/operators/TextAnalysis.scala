@@ -428,6 +428,62 @@ object TextAnalysis {
       .select(col("c_custkey"), maskPii(col("contact")).as("masked"))
       .orderBy("c_custkey")
 
+  /** Classifier CALIBRATION sweep: bucket a score column, then report
+    * per-threshold precision / recall / F1 against a binary label — the
+    * threshold-picking step every classifier-based quality or language
+    * filter needs before it gates a corpus (fastText-style filtering à la
+    * GPT-3/CCNet: you never apply the classifier at its default cutoff,
+    * you sweep thresholds on a labeled slice and pick the operating
+    * point). Also emits the per-bucket positive rate, i.e. the
+    * reliability-diagram curve.
+    *
+    * Shape: one corpus-wide aggregation to `buckets` rows, then the
+    * cumulative precision/recall windows run over the BUCKET table only —
+    * bounded by construction, never the corpus (registered in the
+    * unpartitioned-window audit with that bound).
+    *
+    * Determinism: buckets are assigned in exact INTEGER arithmetic —
+    * `(hits * buckets) div n_tokens` — never `floor(ratio * buckets)`,
+    * whose double product can land an ulp under an integer boundary and
+    * flip a bucket between engines. Ratios round to 6dp; the recall
+    * denominator is guarded so a positive-free corpus yields NULL in
+    * both engines rather than Spark-NULL-vs-DuckDB-inf. */
+  def calibrationSweep(docs: DataFrame, posLabel: Column, hits: Column,
+      total: Column, buckets: Int): DataFrame = {
+    val g = docs
+      .select(hits.cast("long").as("h"), total.cast("long").as("tot"),
+        posLabel.cast("int").as("y"))
+      .select(least(expr(s"(h * $buckets) div tot"), lit(buckets - 1L))
+        .cast("long").as("bucket"), col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+    val desc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("pred_pos", sum(col("n")).over(desc))
+      .withColumn("tp", sum(col("n_pos")).over(desc))
+      .withColumn("p_total", sum(col("n_pos")).over(full))
+      .select(
+        round(col("bucket").cast("double") / buckets, 6).as("threshold"),
+        col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("tp").cast("double") / col("pred_pos"), 6).as("precision"),
+        when(col("p_total") > 0,
+          round(col("tp").cast("double") / col("p_total"), 6)).as("recall"),
+        round(lit(2.0) * col("tp") / (col("pred_pos") + col("p_total")), 6)
+          .as("f1"))
+  }
+
+  /** Oracle-checked: the one-feature English detector (EN-stopword hit
+    * ratio) swept over 20 thresholds against the true lang column. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val enHits = size(filter(words, w => w.isInCollection(Stopwords.en)))
+    calibrationSweep(documents(s, d), col("lang") === "en",
+      enHits, size(words), buckets = 20)
+      .orderBy("threshold")
+  }
+
   /** Corpus stats rollup: per (lang, source-bucket) aggregate of the
     * quality signals — the "dataset card" numbers of a training corpus. */
   def qTextStats(s: SparkSession, d: String): DataFrame =

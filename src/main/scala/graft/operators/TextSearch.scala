@@ -129,6 +129,61 @@ object TextSearch {
       .orderBy("doc_id")
   }
 
+  /** BLOOM-prefiltered decontamination: [[contamination]] broadcasts the
+    * benchmark's raw (bench_id, shingle) postings — right until the
+    * benchmark suite grows past the broadcast budget (a 10^9-shingle
+    * eval-suite union is ~tens of GB raw). This variant ships a BLOOM
+    * FILTER of the benchmark shingles instead (~1.2 bytes/item at 3%
+    * FPP, a 10-20x cut) and lets only corpus shingles that MIGHT be in
+    * the benchmark reach the exact verify join — which then sees a few
+    * percent of the corpus postings instead of all of them.
+    *
+    * Exactness is UNCONDITIONAL: a Bloom filter has no false negatives,
+    * so prefilter + exact-verify returns bit-identical rows to the plain
+    * exact join — the oracle replays the plain join and the bloom's
+    * false positives must all die in the verify join for the gate to
+    * pass. Plumbing: the bloom aggregates distributedly via Spark's
+    * native codegen'd `bloom_filter_agg` over xxhash64(shingle), is
+    * collected as ONE bounded binary scalar (the literal-centroid
+    * discipline — `might_contain` requires a foldable filter argument),
+    * and the membership test stays inside whole-stage codegen. */
+  def bloomContamination(corpus: DataFrame, bench: DataFrame,
+      minCommon: Long): DataFrame = {
+    def sh(df: DataFrame): DataFrame =
+      Tables.rebalance(df, "doc_id")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          explode(Dedup.shinglesFromWords(col("words"))).as("shingle"))
+    val benchSh = sh(bench).select(col("doc_id").as("bench_id"), col("shingle"))
+    val bfRow = benchSh
+      .agg(graft.functions.GraftFunctions
+        .bloom_agg(xxhash64(col("shingle")), 100000L, 800000L).as("bf"))
+      .head()
+    val candidates =
+      if (bfRow.isNullAt(0)) sh(corpus).limit(0) // empty benchmark: nothing to match
+      else sh(corpus).filter(graft.functions.GraftFunctions.might_contain(
+        lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("shingle"))))
+    candidates
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bench_docs"),
+        max(col("common")).as("max_overlap"))
+  }
+
+  /** Oracle-checked: benchmark = a CONSTANT id-prefix slice of src0 (the
+    * fixed-probe decontamination shape, SCALE finding 10), permissive
+    * 1-shingle threshold so the verify join sees real volume. */
+  def qBloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val inBench = col("source") === "src0" && col("doc_id") < 25
+    bloomContamination(docs.filter(!inBench), docs.filter(inBench),
+      minCommon = 1L)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-driven stopword induction: the top-k tokens by DOCUMENT
     * frequency (distinct per doc, so a single token-spamming document
     * cannot promote its tokens). One narrow explode + one vocabulary-sized

@@ -48,9 +48,18 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("round-4 operators on an empty corpus") {
+    import spark.implicits._
     assert(TextSearch.bpeTrainLocal(emptyDocs, 4).count() === 0)
     assert(TextAnalysis.nbClassify(emptyDocs, "lang").count() === 0)
     assert(Curation.mixPlan(emptyDocs, 1000.0, 2.0, 2.0).count() === 0)
+    assert(TextSearch.bloomContamination(emptyDocs, emptyDocs, 1L).count() === 0)
+    assert(Curation.exportManifest(emptyDocs, 8).count() === 0)
+    assert(TextAnalysis.calibrationSweep(emptyDocs, col("lang") === "en",
+      size(split(trim(col("text")), "\\s+")), size(split(trim(col("text")), "\\s+")),
+      20).count() === 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.semDedup(emptyEmb, 16, 0.35).count() === 0)
   }
 
   test("round-3 batch-4 operators on an empty corpus") {

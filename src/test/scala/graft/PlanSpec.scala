@@ -144,6 +144,7 @@ class PlanSpec extends SparkSpec {
     // here with the bound that makes them safe.
     val boundedWindowByDesign: Map[String, String] = Map(
       "q_mix_plan" -> "|sources| rows: water-filling runs on the per-source aggregate",
+      "q_calibration" -> "|buckets| rows: the cumulative precision/recall windows run on the 20-row bucket table, never the corpus",
       "q_vocab_coverage" -> "|vocabulary| rows: the cumulative-mass window orders the type table, never the corpus",
       "q_mixture" -> "|sources| rows: the rate table window runs on the per-domain aggregate, the corpus sees one narrow filter",
       "q_resample" -> "|hours| rows: the rolling window runs on the generated time spine (span-bounded; partition by (series, day) at 100 TB per its docstring)")

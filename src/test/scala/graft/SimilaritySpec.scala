@@ -247,4 +247,34 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("In(bucket"), s"bucket predicate not pushed:\n$plan")
   }
+
+  test("semDedup: flagged iff a lower-id same-cluster partner is within tau") {
+    val tau = 0.35
+    val got = Similarity.semDedup(emb, k = 16, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === emb.count())
+    // brute-force re-derivation: same seeds, same rounded argmax, then
+    // exhaustive within-cluster pair check
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = vecs.take(16)
+    val cluster = vecs.map { case (id, v) =>
+      id -> seeds.map { case (sid, sv) => (r6(cos(v, sv)), -sid) }.max._2.unary_-
+    }.toMap
+    val byId = vecs.toMap
+    got.foreach { case (id, cl, dup) =>
+      assert(cl === cluster(id), s"vec $id assigned $cl, expected ${cluster(id)}")
+      val expectDup = vecs.exists { case (other, ov) =>
+        other < id && cluster(other) == cl && r6(cos(ov, byId(id))) >= tau
+      }
+      assert(dup === expectDup, s"vec $id is_dup=$dup, expected $expectDup")
+    }
+    assert(got.count(_._3) > 0, "expected at least one semantic duplicate at sf0.001")
+  }
 }

@@ -332,4 +332,50 @@ class TextSearchSpec extends SparkSpec {
       .select("doc_id", "tokens_before").as[(Long, Long)].collect().sorted
     assert(kept.toSeq === Seq((1L, 0L), (2L, 10L), (3L, 20L)))
   }
+
+  test("bloom decontamination returns exactly the plain exact join (prefilter transparency)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val inBench = col("source") === "src0" && col("doc_id") < 25
+    val bloom = TextSearch.bloomContamination(
+      docs.filter(!inBench), docs.filter(inBench), 1L)
+      .collect().map(_.toSeq).toSet
+    val exact = TextSearch.contamination(
+      docs.filter(!inBench), docs.filter(inBench), 1L)
+      .collect().map(_.toSeq).toSet
+    assert(bloom === exact, "bloom prefilter changed the result set")
+    assert(bloom.nonEmpty, "fixture should produce contaminated docs")
+  }
+
+  test("calibration sweep: counts cover the corpus, recall is monotone from 1.0") {
+    val sweep = TextAnalysis.qCalibration(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(sweep.map(_.getAs[Long]("n")).sum === docs.count())
+    assert(sweep.map(_.getAs[Long]("n_pos")).sum ===
+      docs.filter(col("lang") === "en").count())
+    // rows are threshold-ascending; cumulative-from-the-top recall can
+    // only fall as the threshold rises, starting at 1.0 (everything
+    // above the lowest bucket = the whole corpus)
+    val recalls = sweep.map(_.getAs[Double]("recall"))
+    assert(recalls.head === 1.0)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      recalls.mkString(","))
+    sweep.foreach { r =>
+      val p = r.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("export shards: written layout matches the manifest") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_export_spec_" +
+      System.getProperty("user.name")
+    val manifest = Curation.exportShards(docs, dir, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet === (0L to 7L).toSet)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    val perShard = back.groupBy("shard").count().collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(perShard === manifest, "per-shard doc counts diverge from the manifest")
+  }
 }
