@@ -230,6 +230,11 @@ object ScaleProbe {
       // bounded; a fixed k under a growing corpus would be quadratic
       Similarity.semDedup(emb, 16 * mult, 0.35).filter(col("is_dup")).count()
     }
+    time("sem_dedup_hier", nEmb) {
+      // same growing-k regime through the two-level assignment:
+      // ~2*sqrt(k) cosines per row instead of k
+      Similarity.semDedupHier(emb, 16 * mult, 0.35).filter(col("is_dup")).count()
+    }
     time("bloom_decontam", nDocs) {
       // bench side fixed (same bounded-benchmark rule as `contamination`)
       TextSearch.bloomContamination(

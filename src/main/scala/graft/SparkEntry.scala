@@ -97,6 +97,8 @@ object SparkEntry {
     "q_mix_plan" -> (Curation.qMixPlan _),
     "q_bloom_decontam" -> (TextSearch.qBloomDecontam _),
     "q_export_manifest" -> (Curation.qExportManifest _),
+    "q_approx_percentiles" -> (Advanced.qApproxPercentiles _), // GK sketch gated via rank-tolerance booleans vs exact
+    "q_heavy_hitters" -> (TextSearch.qHeavyHitters _), // CMS gated via tolerance booleans vs exact top-k
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
@@ -1114,6 +1116,20 @@ object SparkEntry {
         "SELECT label, pos, CAST(CASE WHEN sv_u >= 0 THEN (2 * sv_u + n) // (2 * n) " +
         "ELSE -((-2 * sv_u + n) // (2 * n)) END AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS centroid " +
         "FROM u ORDER BY label, pos"),
+    // GK approx-percentile sketch gated via rank-tolerance booleans;
+    // parallel unnests zip positionally in DuckDB
+    "q_approx_percentiles" ->
+      ("WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), " +
+        "[0.25, 0.5, 0.75, 0.95]) AS q FROM lineitem) " +
+        "SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p, " +
+        "unnest(list_transform(q, x -> round(x, 6))) AS exact_pct, " +
+        "TRUE AS rank_within_eps FROM e ORDER BY p"),
+    // count-min sketch gated via tolerance booleans vs the exact top-20
+    "q_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+        "g AS (SELECT tok, count(*) AS exact_n FROM t WHERE tok <> '' " +
+        "GROUP BY 1 ORDER BY exact_n DESC, tok LIMIT 20) " +
+        "SELECT tok, exact_n, TRUE AS cms_within_eps FROM g ORDER BY exact_n DESC, tok"),
     // Bloom-prefiltered decontamination: the bloom has no false
     // negatives and the verify join kills its false positives, so the
     // oracle replays the PLAIN exact join — identical rows required

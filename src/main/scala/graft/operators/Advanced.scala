@@ -237,6 +237,48 @@ object Advanced {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Approximate percentiles (Greenwald-Khanna sketch), oracle-gated via
+    * the RANK-tolerance trick: a GK sketch guarantees the returned value's
+    * true rank sits within ±eps·n of the requested quantile (eps = 1/
+    * accuracy) REGARDLESS of partition merge order — so the declared
+    * output is the exact percentiles plus one boolean per quantile
+    * asserting the sketch value's measured rank honors that bound. DuckDB
+    * replays the exact percentiles and TRUE literals; a sketch regression
+    * (or a merge-order bound violation) fails the hash compare loudly.
+    * Two jobs total: one sketch pass, one rank-count pass — at 100 TB the
+    * sketch pass is the whole point (no global sort, map-side mergeable
+    * summaries). */
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val eps = 1.0 / 1000 // accuracy 1000
+    val li = lineitem(s, d).select(col("l_extendedprice").cast("double").as("x"))
+    val approx = li
+      .agg(expr(s"approx_percentile(x, array(${ps.mkString(",")}), 1000)"))
+      .head().getSeq[Double](0)
+    // one second pass measuring each sketch value's true rank SPAN plus
+    // the exact percentiles (same aggregate — no third scan): a value
+    // occupies ranks (count(x < a), count(x <= a)] — the bound holds if
+    // that span intersects [p - eps, p + eps] (strict/non-strict counts
+    // both needed: a heavily duplicated value has a wide span)
+    val rankAgg = li.agg(
+      count(lit(1)).as("cnt"),
+      (approx.zipWithIndex.flatMap { case (a, i) =>
+        Seq(sum(when(col("x") <= a, 1L).otherwise(0L)).as(s"le_$i"),
+          sum(when(col("x") < a, 1L).otherwise(0L)).as(s"lt_$i"))
+      } :+ expr(s"percentile(x, array(${ps.mkString(",")}))").as("exact")): _*)
+      .head()
+    val n = rankAgg.getLong(0)
+    val exact = rankAgg.getSeq[Double](1 + 2 * ps.length)
+    ps.zipWithIndex.map { case (p, i) =>
+      val le = rankAgg.getLong(1 + 2 * i).toDouble / n
+      val lt = rankAgg.getLong(2 + 2 * i).toDouble / n
+      val exact6 = BigDecimal(exact(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (p, exact6, lt <= p + eps && le >= p - eps)
+    }.toDF("p", "exact_pct", "rank_within_eps")
+  }
+
   /** Regex extraction over the events props payload. */
   def qRegexExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)

@@ -423,6 +423,12 @@ object Similarity {
         lit(-id).as("nid")) }.toIndexedSeq: _*))
     val assigned = emb.select(col("vec_id"), col("embedding"),
       (-best.getField("nid")).as("cluster"))
+    withinClusterDups(assigned, tau)
+  }
+
+  /** Shared second stage: near-dup verdicts from a (vec_id, embedding,
+    * cluster) frame — pair search joins on the cluster key only. */
+  private def withinClusterDups(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -435,6 +441,109 @@ object Similarity {
     assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** PRODUCTION-scale [[semDedup]] assignment: the flat argmax evaluates
+    * all k seed cosines per vector — O(N·k), and SemDeDup's regime grows
+    * k WITH the corpus (constant cluster size), making flat assignment
+    * quadratic overall (measured 4.2x at 3x data, SCALE.md). This
+    * variant goes TWO-LEVEL, the IVF trick applied to the seed set
+    * itself: a driver-side Lloyd groups the k seeds into ~sqrt(k) cells;
+    * each vector routes to its TOP-2 cell centers (multi-probe, the IVF
+    * nprobe trick — single-cell routing mis-places boundary vectors),
+    * then argmaxes only those cells' seeds — O(sqrt(k)) cosines per row
+    * instead of k. The
+    * routing is lazily branched (`when` chains evaluate only the matched
+    * cell), so the executed work is 2N·sqrt(k) even though the plan
+    * carries every cell's literals. Assignment is APPROXIMATE (the true
+    * nearest seed can sit outside the routed cell), so this path is
+    * spec-gated on agreement + planted-dup recall, not oracle-gated —
+    * the [[lshNearDups]]-vs-[[qEmbedDup]] pattern. */
+  def semDedupHier(emb: DataFrame, k: Int, tau: Double,
+      lloydIters: Int = 5): DataFrame = {
+    val seeds = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (seeds.isEmpty)
+      return emb.limit(0).select(col("vec_id"), lit(0L).as("cluster"),
+        lit(false).as("is_dup"))
+    def cosA(x: Array[Double], y: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val m = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    // driver-side Lloyd over the k SEED vectors (k rows — negligible):
+    // deterministic init by seed order, mean centers, cosine assignment
+    var centers = Array.tabulate(m)(i => seeds(i * seeds.length / m)._2)
+    var cellOf = Array.fill(seeds.length)(0)
+    (0 until lloydIters).foreach { _ =>
+      cellOf = seeds.map { case (_, v) =>
+        var bc = 0; var bs = Double.NegativeInfinity
+        centers.indices.foreach { c =>
+          val sc = cosA(v, centers(c))
+          if (sc > bs) { bs = sc; bc = c }
+        }
+        bc
+      }
+      centers = Array.tabulate(m) { c =>
+        val members = seeds.indices.filter(cellOf(_) == c)
+        if (members.isEmpty) centers(c)
+        else {
+          val dim = seeds.head._2.length
+          val acc = new Array[Double](dim)
+          members.foreach { s => var i = 0; while (i < dim) { acc(i) += seeds(s)._2(i); i += 1 } }
+          acc.map(_ / members.length)
+        }
+      }
+    }
+    val cells: Seq[(Int, Seq[(Long, Array[Double])])] =
+      seeds.indices.groupBy(cellOf).toSeq.sortBy(_._1)
+        .map { case (c, idxs) => (c, idxs.map(seeds(_)).toSeq) }
+    // Multi-probe routing (the IVF nprobe trick): boundary vectors whose
+    // true nearest seed sits in the runner-up cell dominate the
+    // disagreement, so probe the TOP-2 cells. The fine stage is the
+    // [[ivfTopK]] shape — explode the two probed cells, broadcast-join
+    // the (cell, seed) table, argmax per vector — NOT a per-cell literal
+    // CASE: a k-seed when-chain defeats common-subexpression elimination
+    // (each predicate re-derives the coarse argmax) and measured 10x
+    // SLOWER than the flat argmax it was meant to beat. The routed frame
+    // is localCheckpoint'ed so the coarse scores are computed once, and
+    // only scalar (vec_id, score, seed_id) rows reach the argmax
+    // exchange. Total work per vector: sqrt(k) coarse cosines narrow +
+    // ~2·k/sqrt(k) fine cosines inside the broadcast join.
+    val floor = struct(lit(-2.0).as("s"), lit(0L).as("nid"))
+    val centerArr = array(centers.zipWithIndex.map { case (cv, i) =>
+      struct(round(cosine(col("embedding"), lit(cv)), 6).as("s"),
+        lit(-i.toLong).as("nid")) }.toIndexedSeq: _*)
+    val routed = emb
+      .withColumn("carr", centerArr)
+      .withColumn("best", array_max(col("carr")))
+      .withColumn("second", array_max(filter(col("carr"),
+        x => x.getField("nid") =!= col("best").getField("nid"))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best").getField("nid")).cast("long").as("c1"),
+        (-coalesce(col("second"), floor).getField("nid")).cast("long").as("c2"))
+      .localCheckpoint()
+    import emb.sparkSession.implicits._
+    val seedDf = broadcast(cells.flatMap { case (c, ss) =>
+      ss.map { case (id, v) => (c.toLong, id, v) } }
+      .toDF("cell", "seed_id", "seed_vec"))
+    val clusterOf = routed
+      .select(col("vec_id"), col("embedding"),
+        explode(array(col("c1"), col("c2"))).as("cell"))
+      .join(seedDf, Seq("cell"))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("seed_vec")), 6).as("s"),
+        col("seed_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("s"), (-col("seed_id")).as("nid"))).as("b"))
+      .select(col("vec_id"), (-col("b").getField("nid")).cast("long").as("cluster"))
+    val assigned = routed.select("vec_id", "embedding")
+      .join(clusterOf, Seq("vec_id"))
+    withinClusterDups(assigned, tau)
   }
 
   /** Oracle-checked: 16 learned clusters, tau 0.35 (66 within-cluster

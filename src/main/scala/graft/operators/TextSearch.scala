@@ -184,6 +184,45 @@ object TextSearch {
       .orderBy("doc_id")
   }
 
+  /** HEAVY HITTERS under a count-min sketch, oracle-gated like the HLL
+    * and GK sketches (tolerance trick): the declared output is the exact
+    * top-k token counts plus a boolean per token asserting the CMS
+    * estimate respects its guarantee — never BELOW the true count
+    * (structural: counters only overcount), and within eps·totalCount
+    * above it (the 99%-confidence width bound). DuckDB replays the exact
+    * counts and TRUE literals; a sketch regression fails the hash loudly.
+    *
+    * Why a pipeline wants it: one mergeable fixed-size sketch answers
+    * "how often does token/URL/fingerprint X occur" for ANY x after one
+    * pass — the streaming-side hot-key detector ([[Advanced.keySkew]]
+    * computes the exact version when a full pass is affordable). The
+    * sketch aggregates distributedly (Spark's native codegen'd
+    * count_min_sketch aggregate); only the k probe lookups run on the
+    * collected ~KB binary. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.rebalance(documents(s, d), "doc_id")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (exact.isEmpty)
+      return Seq.empty[(String, Long, Boolean)]
+        .toDF("tok", "exact_n", "cms_within_eps")
+    val row = toks.agg(
+      expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]](0))
+    val slack = math.ceil(0.001 * row.getLong(1)).toLong
+    exact.toSeq.map { case (t, n) =>
+      val est = cms.estimateCount(t)
+      (t, n, est >= n && est - n <= slack)
+    }.toDF("tok", "exact_n", "cms_within_eps")
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
   /** Corpus-driven stopword induction: the top-k tokens by DOCUMENT
     * frequency (distinct per doc, so a single token-spamming document
     * cannot promote its tokens). One narrow explode + one vocabulary-sized

@@ -277,4 +277,26 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.count(_._3) > 0, "expected at least one semantic duplicate at sf0.001")
   }
+
+  test("semDedupHier: two-level assignment tracks exact, planted copies collapse") {
+    val exact = Similarity.semDedup(emb, 16, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = Similarity.semDedupHier(emb, 16, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(hier.length === exact.size)
+    // routed assignment must agree with the exact argmax for most
+    // vectors (the cells are learned from the seeds themselves, so only
+    // boundary vectors can be mis-routed)
+    val agree = hier.count { case (id, cl, _) => exact(id) == cl }
+    assert(agree.toDouble / hier.length >= 0.7,
+      s"two-level assignment agreement ${agree.toDouble / hier.length}")
+    // a planted exact copy routes WITH its original (identical vector ->
+    // identical routing) and must be flagged whatever the cell shapes are
+    val copies = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val withCopies = Similarity.semDedupHier(emb.unionByName(copies), 16, 0.35)
+      .filter(col("vec_id") >= 100000L).collect()
+    assert(withCopies.length === 3)
+    assert(withCopies.forall(_.getBoolean(2)), "planted copies must be flagged")
+  }
 }
