@@ -99,6 +99,7 @@ object SparkEntry {
     "q_export_manifest" -> (Curation.qExportManifest _),
     "q_approx_percentiles" -> (Advanced.qApproxPercentiles _), // GK sketch gated via rank-tolerance booleans vs exact
     "q_heavy_hitters" -> (TextSearch.qHeavyHitters _), // CMS gated via tolerance booleans vs exact top-k
+    "q_kanon" -> (Curation.qKanon _),
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
@@ -1116,6 +1117,10 @@ object SparkEntry {
         "SELECT label, pos, CAST(CASE WHEN sv_u >= 0 THEN (2 * sv_u + n) // (2 * n) " +
         "ELSE -((-2 * sv_u + n) // (2 * n)) END AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS centroid " +
         "FROM u ORDER BY label, pos"),
+    // k-anonymity audit: under-k quasi-identifier groups flagged
+    "q_kanon" ->
+      ("SELECT c_nationkey, c_mktsegment, count(*) AS n, count(*) < 10 AS at_risk " +
+        "FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment"),
     // GK approx-percentile sketch gated via rank-tolerance booleans;
     // parallel unnests zip positionally in DuckDB
     "q_approx_percentiles" ->

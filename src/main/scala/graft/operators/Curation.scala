@@ -471,4 +471,39 @@ object Curation {
   /** Oracle-checked: 8-shard manifest of the documents corpus. */
   def qExportManifest(s: SparkSession, d: String): DataFrame =
     exportManifest(documents(s, d), 8).orderBy("shard")
+
+  /** K-ANONYMITY audit over quasi-identifier columns — the governance
+    * check a corpus with subject metadata needs before release: any
+    * quasi-identifier combination shared by fewer than k rows can
+    * re-identify its members (Sweeney 2002), so those groups must be
+    * suppressed or generalized before the data ships. One grouped count
+    * to |combinations| rows; the flag is pure column math.
+    * [[kAnonymize]] applies the standard suppression: quasi columns of
+    * at-risk rows are nulled (a broadcast semi-join against the at-risk
+    * combination list — bounded: risky combos are by definition the
+    * SMALL groups, at most |combos| rows). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+
+  /** Suppression: null the quasi columns of every row in an under-k
+    * group, keep everything else verbatim. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val risky = kAnonymityAudit(df, quasiCols, k)
+      .filter(col("at_risk")).select(quasiCols.map(col): _*)
+      .withColumn("__risk", lit(true))
+    val joined = df.join(broadcast(risky), quasiCols, "left")
+    val out = df.columns.map { c =>
+      if (quasiCols.contains(c))
+        when(col("__risk"), lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    joined.select(out.toIndexedSeq: _*)
+  }
+
+  /** Oracle-checked: customer quasi-identifiers (nation, segment), k=10. */
+  def qKanon(s: SparkSession, d: String): DataFrame =
+    kAnonymityAudit(customer(s, d), Seq("c_nationkey", "c_mktsegment"), 10L)
+      .orderBy("c_nationkey", "c_mktsegment")
 }
