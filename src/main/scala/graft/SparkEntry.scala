@@ -1159,8 +1159,8 @@ object SparkEntry {
     "q_calibration" ->
       ("WITH t AS (SELECT lang, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "h AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
-        "least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 20) " +
-        "// CAST(len(w) AS BIGINT), 19) AS bucket FROM t), " +
+        "least(coalesce((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 20) " +
+        "// CAST(len(w) AS BIGINT), 0), 19) AS bucket FROM t), " +
         "g AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM h GROUP BY 1), " +
         "c AS (SELECT bucket, n, n_pos, " +
         "CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS pred_pos, " +

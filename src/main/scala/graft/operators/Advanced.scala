@@ -248,14 +248,24 @@ object Advanced {
     * Two jobs total: one sketch pass, one rank-count pass — at 100 TB the
     * sketch pass is the whole point (no global sort, map-side mergeable
     * summaries). */
-  def qApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    approxPercentileCheck(
+      lineitem(s, d).select(col("l_extendedprice").cast("double").as("x")))
+
+  /** The sketch-vs-exact check over any single-column frame `x`; empty
+    * input yields zero rows (the sketch aggregate returns NULL). */
+  def approxPercentileCheck(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
     import s.implicits._
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
     val eps = 1.0 / 1000 // accuracy 1000
-    val li = lineitem(s, d).select(col("l_extendedprice").cast("double").as("x"))
-    val approx = li
+    val approxRow = li
       .agg(expr(s"approx_percentile(x, array(${ps.mkString(",")}), 1000)"))
-      .head().getSeq[Double](0)
+      .head()
+    if (approxRow.isNullAt(0))
+      return Seq.empty[(Double, Double, Boolean)]
+        .toDF("p", "exact_pct", "rank_within_eps")
+    val approx = approxRow.getSeq[Double](0)
     // one second pass measuring each sketch value's true rank SPAN plus
     // the exact percentiles (same aggregate — no third scan): a value
     // occupies ranks (count(x < a), count(x <= a)] — the bound holds if

@@ -488,12 +488,17 @@ object Curation {
       .withColumn("at_risk", col("n") < k)
 
   /** Suppression: null the quasi columns of every row in an under-k
-    * group, keep everything else verbatim. */
+    * group, keep everything else verbatim. The match is NULL-SAFE
+    * (`<=>` per column): a NULL quasi value forms a group like any
+    * other — an equality join would never match it, and the one row
+    * most in need of suppression would ship intact. */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     val risky = kAnonymityAudit(df, quasiCols, k)
-      .filter(col("at_risk")).select(quasiCols.map(col): _*)
+      .filter(col("at_risk"))
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*)
       .withColumn("__risk", lit(true))
-    val joined = df.join(broadcast(risky), quasiCols, "left")
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    val joined = df.join(broadcast(risky), cond, "left")
     val out = df.columns.map { c =>
       if (quasiCols.contains(c))
         when(col("__risk"), lit(null)).otherwise(col(c)).as(c)

@@ -452,10 +452,10 @@ object Similarity {
     * each vector routes to its TOP-2 cell centers (multi-probe, the IVF
     * nprobe trick — single-cell routing mis-places boundary vectors),
     * then argmaxes only those cells' seeds — O(sqrt(k)) cosines per row
-    * instead of k. The
-    * routing is lazily branched (`when` chains evaluate only the matched
-    * cell), so the executed work is 2N·sqrt(k) even though the plan
-    * carries every cell's literals. Assignment is APPROXIMATE (the true
+    * instead of k. The fine stage is an explode of the two probed cells
+    * into a broadcast (cell, seed) join with a scalar per-vector argmax
+    * (see the in-body comment and SCALE.md finding 12 for why it must
+    * NOT be a per-cell literal CASE). Assignment is APPROXIMATE (the true
     * nearest seed can sit outside the routed cell), so this path is
     * spec-gated on agreement + planted-dup recall, not oracle-gated —
     * the [[lshNearDups]]-vs-[[qEmbedDup]] pattern. */
@@ -514,10 +514,18 @@ object Similarity {
     // only scalar (vec_id, score, seed_id) rows reach the argmax
     // exchange. Total work per vector: sqrt(k) coarse cosines narrow +
     // ~2·k/sqrt(k) fine cosines inside the broadcast join.
-    val floor = struct(lit(-2.0).as("s"), lit(0L).as("nid"))
-    val centerArr = array(centers.zipWithIndex.map { case (cv, i) =>
-      struct(round(cosine(col("embedding"), lit(cv)), 6).as("s"),
-        lit(-i.toLong).as("nid")) }.toIndexedSeq: _*)
+    // route ONLY against OCCUPIED cells: a Lloyd cell that lost all its
+    // seeds keeps a stale init center, and a vector routed to it would
+    // find zero candidates in the seed join and silently VANISH from the
+    // output (both downstream joins are inner). The second-probe
+    // fallback for a single-cell seed set points at the first occupied
+    // cell for the same reason.
+    val occupied = cells.map(_._1).toSet
+    val floor = struct(lit(-2.0).as("s"), lit(-cells.head._1.toLong).as("nid"))
+    val centerArr = array(centers.zipWithIndex.collect {
+      case (cv, i) if occupied.contains(i) =>
+        struct(round(cosine(col("embedding"), lit(cv)), 6).as("s"),
+          lit(-i.toLong).as("nid")) }.toIndexedSeq: _*)
     val routed = emb
       .withColumn("carr", centerArr)
       .withColumn("best", array_max(col("carr")))

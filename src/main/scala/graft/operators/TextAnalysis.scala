@@ -450,10 +450,17 @@ object TextAnalysis {
     * both engines rather than Spark-NULL-vs-DuckDB-inf. */
   def calibrationSweep(docs: DataFrame, posLabel: Column, hits: Column,
       total: Column, buckets: Int): DataFrame = {
+    // NULL discipline, both mirrored in the oracle: a NULL label counts
+    // as NOT-positive (coalesce to 0 — a null-skipping sum would turn an
+    // all-null bucket into n_pos=NULL), and an unscorable row (null
+    // score components) lands in bucket 0, the no-evidence floor —
+    // without the coalesce, Spark's null-skipping least(NULL, B-1)
+    // would promote it to the TOP-confidence bucket
     val g = docs
       .select(hits.cast("long").as("h"), total.cast("long").as("tot"),
-        posLabel.cast("int").as("y"))
-      .select(least(expr(s"(h * $buckets) div tot"), lit(buckets - 1L))
+        coalesce(posLabel.cast("int"), lit(0)).as("y"))
+      .select(least(coalesce(expr(s"(h * $buckets) div tot"), lit(0L)),
+        lit(buckets - 1L))
         .cast("long").as("bucket"), col("y"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))

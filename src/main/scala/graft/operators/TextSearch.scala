@@ -155,7 +155,11 @@ object TextSearch {
         .filter(size(col("words")) >= 3)
         .select(col("doc_id"),
           explode(Dedup.shinglesFromWords(col("words"))).as("shingle"))
+    // materialized once: the bloom aggregate and the verify join would
+    // otherwise each re-tokenize and re-shingle the benchmark (the
+    // nbClassify localCheckpoint discipline)
     val benchSh = sh(bench).select(col("doc_id").as("bench_id"), col("shingle"))
+      .localCheckpoint()
     val bfRow = benchSh
       .agg(graft.functions.GraftFunctions
         .bloom_agg(xxhash64(col("shingle")), 100000L, 800000L).as("bf"))
@@ -199,13 +203,22 @@ object TextSearch {
     * sketch aggregates distributedly (Spark's native codegen'd
     * count_min_sketch aggregate); only the k probe lookups run on the
     * collected ~KB binary. */
-  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHitters(documents(s, d), 20)
+
+  /** The sketch-vs-exact check over any docs frame; empty input (or an
+    * all-empty text column) yields zero rows. */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val toks = Tables.rebalance(documents(s, d), "doc_id")
+    // materialized once: the exact top-k job and the sketch job would
+    // otherwise each re-tokenize the corpus
+    val toks = Tables.rebalance(docs, "doc_id")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
+      .localCheckpoint()
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("tok")).limit(20).collect()
+      .orderBy(col("exact_n").desc, col("tok")).limit(k).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     if (exact.isEmpty)
       return Seq.empty[(String, Long, Boolean)]

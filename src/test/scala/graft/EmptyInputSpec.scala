@@ -60,6 +60,12 @@ class EmptyInputSpec extends SparkSpec {
     val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.semDedup(emptyEmb, 16, 0.35).count() === 0)
+    assert(Similarity.semDedupHier(emptyEmb, 16, 0.35).count() === 0)
+    assert(Advanced.approxPercentileCheck(
+      Seq.empty[Double].toDF("x")).count() === 0)
+    assert(Curation.kAnonymityAudit(emptyDocs, Seq("lang", "source"), 10L).count() === 0)
+    assert(Curation.kAnonymize(emptyDocs, Seq("lang", "source"), 10L).count() === 0)
+    assert(TextSearch.heavyHitters(emptyDocs, 20).count() === 0)
   }
 
   test("round-3 batch-4 operators on an empty corpus") {

@@ -369,16 +369,20 @@ class TextSearchSpec extends SparkSpec {
     val rows = Seq(
       (1L, "US", "A", 10.0), (2L, "US", "A", 11.0), (3L, "US", "A", 12.0),
       (4L, "DE", "B", 20.0), // singleton group -> re-identifiable
-      (5L, "FR", "A", 30.0), (6L, "FR", "A", 31.0)
+      (5L, "FR", "A", 30.0), (6L, "FR", "A", 31.0),
+      (7L, null, "B", 40.0) // singleton with a NULL quasi value: the
+      // suppression join must be null-safe or this row ships intact
     ).toDF("id", "nation", "segment", "balance")
     val audit = Curation.kAnonymityAudit(rows, Seq("nation", "segment"), 2L)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(3)).toMap
-    assert(audit(("DE", "B")) && !audit(("US", "A")) && !audit(("FR", "A")))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getBoolean(3)).toMap
+    assert(audit((Some("DE"), "B")) && audit((None, "B")))
+    assert(!audit((Some("US"), "A")) && !audit((Some("FR"), "A")))
     val anon = Curation.kAnonymize(rows, Seq("nation", "segment"), 2L)
       .collect().map(r => r.getLong(0) ->
         (Option(r.getString(1)), Option(r.getString(2)), r.getDouble(3))).toMap
     assert(anon.size === rows.count())
     assert(anon(4L) === ((None, None, 20.0)), "risky row's quasi cols must be nulled")
+    assert(anon(7L) === ((None, None, 40.0)), "null-quasi risky row must be suppressed too")
     assert(anon(1L) === ((Some("US"), Some("A"), 10.0)), "safe rows stay verbatim")
   }
 
