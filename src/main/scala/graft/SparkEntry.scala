@@ -87,6 +87,7 @@ object SparkEntry {
     "q_tfidf" -> (TextSearch.qTfidf _),
     "q_bm25" -> (TextSearch.qBm25 _),
     "q_contamination" -> (TextSearch.qContamination _),
+    "q_phrase_search" -> (TextSearch.qPhraseSearch _), // positional-postings exact phrase match
     "q_repetition" -> (TextAnalysis.qRepetition _),
     "q_perplexity" -> (TextAnalysis.qPerplexity _),
     "q_importance" -> (TextAnalysis.qImportance _),
@@ -100,6 +101,8 @@ object SparkEntry {
     "q_approx_percentiles" -> (Advanced.qApproxPercentiles _), // GK sketch gated via rank-tolerance booleans vs exact
     "q_heavy_hitters" -> (TextSearch.qHeavyHitters _), // CMS gated via tolerance booleans vs exact top-k
     "q_kanon" -> (Curation.qKanon _),
+    "q_pagerank" -> (Graph.qPagerank _), // domain-centrality power iteration
+
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
@@ -110,6 +113,7 @@ object SparkEntry {
     "q_centroids" -> (Similarity.qCentroids _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
     "q_sem_dedup" -> (Similarity.qSemDedup _),
+    "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC
     // --- event analytics extensions
     "q_event_window" -> (EventAnalytics.qEventWindow _),
     "q_sessionize" -> (EventAnalytics.qSessionize _),
@@ -400,7 +404,33 @@ object SparkEntry {
       "UNION ALL SELECT doc_id, status, witness, 1 FROM r1n" +
       ") ORDER BY doc_id, status"
 
+  /** PageRank oracle: the iteration chain unrolled into CTEs — each
+    * round's per-edge contribution is rounded to 6dp, summed as
+    * DECIMAL(18,6) and the damped update re-rounded, replaying the
+    * engine's order-independent iteration discipline exactly. */
+  private def pagerankOracle(iterations: Int): String = {
+    val head =
+      "WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), " +
+        "e AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) AS w, ow.wout FROM e0 " +
+        "JOIN (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM e0 GROUP BY 1) ow ON e0.src = ow.src), " +
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "r0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"
+    val iters = (1 to iterations).map { k =>
+      s"c$k AS (SELECT e.dst, sum(CAST(round(r.pr * e.w / e.wout, 6) AS DECIMAL(18,6))) AS sc " +
+        s"FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1), " +
+        s"r$k AS (SELECT nodes.node, round((1 - 0.85) / nn.n + 0.85 * CAST(coalesce(c$k.sc, 0) AS DOUBLE), 6) AS pr " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.node = c$k.dst)"
+    }.mkString(", ")
+    s"$head, $iters SELECT CAST(node AS BIGINT) AS node, pr FROM r$iterations ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // domain-centrality power iteration over the nation trade graph
+    "q_pagerank" -> pagerankOracle(5),
     "q_perplexity" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
         "t2 AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0), " +
@@ -1117,6 +1147,37 @@ object SparkEntry {
         "SELECT label, pos, CAST(CASE WHEN sv_u >= 0 THEN (2 * sv_u + n) // (2 * n) " +
         "ELSE -((-2 * sv_u + n) // (2 * n)) END AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS centroid " +
         "FROM u ORDER BY label, pos"),
+    // positional phrase match: candidate starts = token positions
+    // anchored by term offset, intersected across the phrase's terms
+    "q_phrase_search" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "p AS (SELECT doc_id, i FROM (SELECT doc_id, w, " +
+        "unnest(generate_series(1, len(w) - 1)) AS i FROM t) " +
+        "WHERE w[i] = 'part' AND w[i+1] = 'filter') " +
+        "SELECT doc_id, count(*) AS n_matches, CAST(min(i) - 1 AS BIGINT) AS first_pos " +
+        "FROM p GROUP BY 1 ORDER BY doc_id"),
+    // embedding QC: z-outliers on cosine-to-own-centroid, replaying the
+    // centroid-micros formula, ordered list fold, and decimal moments
+    "q_embed_outliers" ->
+      ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
+        "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +
+        "g AS (SELECT label, pos, count(*) AS n, " +
+        "sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS sv FROM e GROUP BY 1, 2), " +
+        "u AS (SELECT label, pos, n, CAST(sv * 1000000 AS BIGINT) AS sv_u FROM g), " +
+        "ct AS (SELECT label, pos, CAST(CASE WHEN sv_u >= 0 THEN (2 * sv_u + n) // (2 * n) " +
+        "ELSE -((-2 * sv_u + n) // (2 * n)) END AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS centroid FROM u), " +
+        "cv AS (SELECT label, list(centroid ORDER BY pos) AS cvec FROM ct GROUP BY label), " +
+        "c AS (SELECT em.vec_id, em.label, " +
+        "round(list_cosine_similarity(CAST(em.embedding AS DOUBLE[]), cv.cvec), 6) AS cos_c " +
+        "FROM embeddings em JOIN cv ON em.label = cv.label), " +
+        "m AS (SELECT vec_id, label, cos_c, count(*) OVER w AS n, " +
+        "CAST(sum(CAST(cos_c AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(CAST(cos_c AS DECIMAL(18,6)) * CAST(cos_c AS DECIMAL(18,6)) " +
+        "AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2 FROM c WINDOW w AS (PARTITION BY label)) " +
+        "SELECT vec_id, label, cos_c, " +
+        "round((cos_c - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)), 6) AS z " +
+        "FROM m WHERE n >= 3 AND (s2/n - (s1/n)*(s1/n)) > 0 " +
+        "AND abs((cos_c - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 2.0 ORDER BY vec_id"),
     // k-anonymity audit: under-k quasi-identifier groups flagged
     "q_kanon" ->
       ("SELECT c_nationkey, c_mktsegment, count(*) AS n, count(*) < 10 AS at_risk " +

@@ -361,7 +361,12 @@ object Similarity {
     * depends on arrival order in the last ulps — same rule as the BM25
     * fixed-order sum. */
   def qCentroids(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+    centroidTable(embeddings(s, d)).orderBy("label", "pos")
+
+  /** The (label, pos, centroid) table behind [[qCentroids]], reusable
+    * wherever a class prototype is needed ([[embedOutliers]]). */
+  def centroidTable(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"),
@@ -384,7 +389,58 @@ object Similarity {
           .otherwise(-expr("(-2 * sv_u + n) div (2 * n)")))
       .select(col("label"), col("pos").cast("long").as("pos"),
         (col("micros").cast("double") / lit(1000000.0)).as("centroid"))
-      .orderBy("label", "pos")
+
+  /** Embedding QC: flag vectors whose cosine to their OWN class centroid
+    * is a z-score outlier within the class — the screen that catches
+    * mislabeled or corrupt vectors before a labeled corpus trains a
+    * classifier or seeds [[semDedup]] clusters.
+    *
+    * Scale shape: the centroid table is |labels| x dim rows (bounded by
+    * the label universe, not the corpus) so it collects to the driver and
+    * travels back as a broadcast (label, cvec) frame — the PQ-codebook
+    * discipline; the corpus side then does one narrow cosine per row and
+    * one keyed moment aggregation. No embedding array ever crosses a
+    * shuffle. Determinism: cosines fold in array order (same as the
+    * oracle's list fold), are rounded to 6dp, and the within-class
+    * moments accumulate as DECIMAL over the rounded values (exact on any
+    * partitioning — the [[EventAnalytics.anomalies]] discipline); the
+    * closed-form z runs in double with the oracle's exact expression
+    * shape. Classes with fewer than 3 vectors or zero variance are
+    * skipped (z undefined). */
+  def embedOutliers(emb: DataFrame, zMax: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cent = centroidTable(emb)
+      .collect() // bounded: |labels| x dim rows, never corpus-sized
+    val cvecs = cent
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+    if (cvecs.isEmpty)
+      return Seq.empty[(Long, Int, Double, Double)]
+        .toDF("vec_id", "label", "cos_c", "z")
+    val byLabel = Window.partitionBy(col("label"))
+    val cosDec = round(col("cos_c"), 6).cast("decimal(18,6)")
+    val withMoments = emb
+      .join(broadcast(cvecs.toDF("label", "cvec")), "label")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("cvec")), 6).as("cos_c"))
+      .withColumn("n", count(lit(1)).over(byLabel))
+      .withColumn("s1", sum(cosDec).over(byLabel).cast("double"))
+      .withColumn("s2",
+        sum((cosDec * cosDec).cast("decimal(38,12)")).over(byLabel).cast("double"))
+    val nD = col("n").cast("double")
+    val mean = col("s1") / nD
+    val variance = col("s2") / nD - mean * mean
+    withMoments
+      .withColumn("z", (col("cos_c") - mean) / sqrt(variance))
+      .filter(col("n") >= 3 && variance > 0 && abs(col("z")) > zMax)
+      .select(col("vec_id"), col("label"), col("cos_c"), round(col("z"), 6).as("z"))
+  }
+
+  def qEmbedOutliers(s: SparkSession, d: String): DataFrame =
+    embedOutliers(embeddings(s, d), 2.0).orderBy("vec_id")
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     * deduplication — cluster the embedding space, then search for

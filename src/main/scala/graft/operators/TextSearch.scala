@@ -97,6 +97,39 @@ object TextSearch {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Positional phrase search: exact-adjacency match of a multi-word
+    * phrase via positional postings — the operator behind "find every
+    * document containing this exact passage" (license boilerplate,
+    * canary strings, benchmark prompts) that substring LIKE cannot do at
+    * scale (no pushdown, no postings reuse).
+    *
+    * Shape: tokenize with positions, prune the token stream to the
+    * phrase's own vocabulary BEFORE any exchange (the postings that
+    * survive are df-bounded, not corpus-bounded), anchor each term's
+    * positions to its candidate phrase START (pos - term offset), and
+    * inner-join all k postings on (doc_id, start) — after the first
+    * shuffle every join is co-partitioned on the same key. Occurrences
+    * then collapse to one row per document. Never a corpus-wide join;
+    * the worst case is the df of the phrase's most common term. */
+  def phraseSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phrase must have at least one term")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .filter(col("col").isin(terms.distinct: _*))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    parts.reduce { (a, b) => a.join(b, Seq("doc_id", "start")) }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
+  def qPhraseSearch(s: SparkSession, d: String): DataFrame =
+    phraseSearch(documents(s, d), Seq("part", "filter")).orderBy("doc_id")
+
   /** Benchmark-contamination check: which corpus documents share at least
     * `minCommon` word-3-gram shingles with any document of the held-out
     * benchmark set? The join runs on the inverted shingle postings

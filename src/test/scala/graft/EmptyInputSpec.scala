@@ -66,6 +66,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.kAnonymityAudit(emptyDocs, Seq("lang", "source"), 10L).count() === 0)
     assert(Curation.kAnonymize(emptyDocs, Seq("lang", "source"), 10L).count() === 0)
     assert(TextSearch.heavyHitters(emptyDocs, 20).count() === 0)
+    assert(Graph.pageRank(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"), 5, 0.85).count() === 0)
+    assert(Similarity.embedOutliers(emptyEmb, 2.0).count() === 0)
   }
 
   test("round-3 batch-4 operators on an empty corpus") {

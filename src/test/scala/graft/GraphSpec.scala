@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank: structural invariants on a hand graph plus a brute-force
+  * driver-side replay of the exact iteration discipline (6dp-rounded
+  * contributions, decimal sums) — the same math the DuckDB oracle unrolls. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A -> B, A -> C, B -> C, C -> A (classic 3-node example, weighted 1)
+  private def triangle = Seq(
+    (0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)
+  ).toDF("src", "dst", "w")
+
+  /** Driver-side replay with identical rounding at every step. */
+  private def bruteRank(edges: Seq[(Long, Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val sc = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          // decimal-exact sum of 6dp-rounded contributions
+          dst -> es.map { case (s, _, w) =>
+            BigDecimal(r6(pr(s) * w.toDouble / wout(s)))
+          }.sum.toDouble
+        }
+      pr = nodes.map(v => v -> r6((1 - d) / n + d * sc.getOrElse(v, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the driver-side replay on the triangle graph") {
+    val got = Graph.pageRank(triangle, 5, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = bruteRank(Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)), 5, 0.85)
+    assert(got === want)
+    // B only receives half of A's mass -> strictly lowest rank (the A/C
+    // ranks still oscillate around the fixed point at 5 iterations, so
+    // their relative order is not a stable invariant); mass is conserved
+    // up to rounding (no dangling nodes in this graph)
+    assert(got(1L) < got(0L) && got(1L) < got(2L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank respects edge weights") {
+    // B gets 9/10 of A's mass, C gets 1/10 -> B must outrank C
+    val e = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, 5, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("sink nodes keep the floor rank and forward nothing") {
+    // 0 -> 1; 1 is a sink: rank(1) grows, rank(0) decays to the floor
+    val e = Seq((0L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, 10, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) === 0.075)
+    assert(got(1L) > got(0L))
+  }
+
+  test("nation trade graph derivation is a full aggregation") {
+    val e = Graph.nationTradeEdges(spark, sf0001)
+    val cols = e.columns.toSeq
+    assert(cols === Seq("src", "dst", "w"))
+    // every edge weight positive; node ids are nation keys
+    assert(e.filter(col("w") <= 0).count() === 0)
+  }
+}

@@ -299,4 +299,21 @@ class SimilaritySpec extends SparkSpec {
     assert(withCopies.length === 3)
     assert(withCopies.forall(_.getBoolean(2)), "planted copies must be flagged")
   }
+
+  test("embedOutliers flags a planted anti-parallel vector, skips small classes") {
+    import spark.implicits._
+    // label 0: ten tight vectors around e0 plus one anti-parallel plant;
+    // label 1: two vectors only (n < 3 -> z undefined -> skipped)
+    val tight = (0 until 10).map { i =>
+      (i.toLong, Array(1.0f, 0.01f * i, 0.0f, 0.0f), 0)
+    }
+    val planted = Seq((99L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0))
+    val small = Seq((200L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (201L, Array(0.0f, 0.9f, 0.1f, 0.0f), 1))
+    val emb = (tight ++ planted ++ small).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedOutliers(emb, 2.0).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(99L),
+      "exactly the planted anti-parallel vector is an outlier")
+    assert(out.head.getDouble(3) < -2.0, "plant sits below -2 sigma")
+  }
 }

@@ -399,4 +399,21 @@ class TextSearchSpec extends SparkSpec {
       .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
     assert(perShard === manifest, "per-shard doc counts diverge from the manifest")
   }
+
+  test("phraseSearch: adjacency, overlap, repeated terms, absent phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"), // two occurrences of "alpha beta"
+      (2L, "beta alpha"),                  // reversed -> no match
+      (3L, "go go go"),                    // overlapping "go go" -> 2 matches
+      (4L, null.asInstanceOf[String])      // null text must not blow up
+    ).toDF("doc_id", "text")
+    val ab = TextSearch.phraseSearch(docs, Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ab === Map(1L -> ((2L, 0L))))
+    val gg = TextSearch.phraseSearch(docs, Seq("go", "go"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gg === Map(3L -> ((2L, 0L))), "overlapping occurrences both count")
+    assert(TextSearch.phraseSearch(docs, Seq("gamma", "delta")).count() === 0)
+  }
 }
