@@ -295,6 +295,42 @@ object ScaleProbe {
     }
     time("retention_hotuser", nEv) { EventAnalytics.retention(evSkew).count() }
     time("anomaly_hotuser", nEv) { EventAnalytics.anomalies(evSkew, 3.0).count() }
+
+    // round-4c additions: orders multiplied CONSISTENTLY with lineitem
+    // (same orderkey transform) so the pagerank derivation join scales
+    // with mult instead of dropping rows. Both big inputs are staged to
+    // PARQUET, not localCheckpoint: an ExistingRDD scan feeds the SMJ
+    // row-by-row off the heap and its cost degrades superlinearly with
+    // the cached volume (24 s vs 5 s at 30x — SCALE finding 13), which
+    // would masquerade as an engine defect.
+    if (only.isEmpty || only.contains("pagerank")) {
+      li.write.mode("overwrite").parquet("/tmp/graft_probe_li")
+      spark.read.parquet(s"$d/orders.parquet")
+        .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("o_orderkey", col("o_orderkey") * mult + col("r"))
+        .drop("r")
+        .write.mode("overwrite").parquet("/tmp/graft_probe_ord")
+      val liP = spark.read.parquet("/tmp/graft_probe_li")
+      val ordx = spark.read.parquet("/tmp/graft_probe_ord")
+      time("pagerank", nLi) {
+        val cust = spark.read.parquet(s"$d/customer.parquet")
+        val supp = spark.read.parquet(s"$d/supplier.parquet")
+        val edges = liP.select(col("l_orderkey"), col("l_suppkey"))
+          .join(ordx.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust.select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(supp.select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        Graph.pageRank(edges, 5, 0.85).count()
+      }
+    }
+    time("embed_outliers", nEmb) { Similarity.embedOutliers(emb, 2.0).count() }
+    time("phrase_search", nDocs) {
+      TextSearch.phraseSearch(docs, Seq("part", "filter")).count()
+    }
     spark.stop()
   }
 }
