@@ -114,6 +114,8 @@ object SparkEntry {
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
     "q_sem_dedup" -> (Similarity.qSemDedup _),
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC
+    "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection
+    "q_weighted_sample" -> (Curation.qWeightedSample _), // quality-proportional ES sampling
     // --- event analytics extensions
     "q_event_window" -> (EventAnalytics.qEventWindow _),
     "q_sessionize" -> (EventAnalytics.qSessionize _),
@@ -428,9 +430,55 @@ object SparkEntry {
     s"$head, $iters SELECT CAST(node AS BIGINT) AS node, pr FROM r$iterations ORDER BY node"
   }
 
+  /** Greedy k-center oracle: selection rounds unrolled into CTEs — each
+    * round's running min-distance chain replays the engine's 6dp-rounded
+    * cosine + exact IEEE least, and top-1 uses the same (d DESC, vec_id)
+    * tiebreak. */
+  private def coresetOracle(k: Int): String = {
+    val head =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1), " +
+        "d1 AS (SELECT e.vec_id, e.v, 1.0 - round(list_cosine_similarity(e.v, (SELECT v FROM c0)), 6) AS d FROM e), " +
+        "c1 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1)"
+    val mid = (2 until k).map { i =>
+      s"d$i AS (SELECT d${i - 1}.vec_id, d${i - 1}.v, least(d${i - 1}.d, " +
+        s"1.0 - round(list_cosine_similarity(d${i - 1}.v, (SELECT v FROM c${i - 1})), 6)) AS d FROM d${i - 1}), " +
+        s"c$i AS (SELECT vec_id, v, d FROM d$i ORDER BY d DESC, vec_id LIMIT 1)"
+    }.mkString(", ")
+    val sel = (1 until k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, d AS d_min FROM c$i")
+      .mkString(" UNION ALL ")
+    s"$head, $mid SELECT sel_rank, vec_id, d_min FROM (" +
+      "SELECT CAST(0 AS BIGINT) AS sel_rank, (SELECT vec_id FROM c0) AS vec_id, " +
+      "CAST(2.0 AS DOUBLE) AS d_min " +
+      s"UNION ALL $sel) ORDER BY sel_rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
     // domain-centrality power iteration over the nation trade graph
     "q_pagerank" -> pagerankOracle(5),
+    // greedy k-center coreset selection, rounds unrolled
+    "q_coreset" -> coresetOracle(8),
+    // Efraimidis-Spirakis weighted sampling: key = -ln(u)/w, k smallest;
+    // u from the poly_hash fingerprint, w = blended quality score
+    "q_weighted_sample" ->
+      ("WITH t AS (SELECT doc_id, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents " +
+        "WHERE length(text) > 0 AND len(string_split_regex(trim(text), '\\s+')) >= 1), " +
+        "q AS (SELECT doc_id, text, " +
+        "(CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len AS punct_ratio, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stopword_ratio_raw, " +
+        "len(w) AS nw FROM t), " +
+        "qs AS (SELECT doc_id, text, " +
+        "round(least(1.0, CAST(nw AS DOUBLE) / 100.0) * 0.5 + stopword_ratio_raw * 0.3 " +
+        "+ (1.0 - punct_ratio) * 0.2, 6) AS quality_score FROM q), " +
+        "h AS (SELECT doc_id, quality_score, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS hh FROM qs) " +
+        "SELECT doc_id, quality_score, " +
+        "round(-round(ln((hh + 1) / 1000000008.0), 6) / quality_score, 6) AS samp_key " +
+        "FROM h ORDER BY samp_key, doc_id LIMIT 100"),
     "q_perplexity" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
         "t2 AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0), " +

@@ -211,6 +211,41 @@ object Curation {
   def qQuotaSample(s: SparkSession, d: String): DataFrame =
     quotaSample(documents(s, d), "lang", 25).orderBy("doc_id")
 
+  /** Weighted sampling WITHOUT replacement, quality-proportional:
+    * Efraimidis-Spirakis (2006) order sampling — each document draws key
+    * -ln(u)/w and the k SMALLEST keys win, which is distributionally a
+    * weighted draw without replacement. u comes from the text
+    * fingerprint, not a RNG, so the sample is reproducible across runs,
+    * engines, and partitionings (the [[hashSample]] doctrine applied to
+    * a weighted draw); w is the blended quality score, so high-quality
+    * documents are proportionally favored without hard thresholds — the
+    * soft alternative to [[budgetSelect]]'s strict quality ordering.
+    *
+    * Shape: one narrow pass computes keys, TakeOrdered pulls the k
+    * smallest (per-partition top-k + driver merge, no global sort).
+    * Determinism: u = (h+1)/(M+1) in (0,1); ln is rounded to 6dp at the
+    * call (the [[TextAnalysis.perplexity]] ln discipline), the key
+    * re-rounded after the division. Docs are pre-filtered to len>0 and
+    * n_tokens>=1 so every ratio in w is division of positive integers —
+    * no NaN can reach the filter (Spark drops NaN at `> 0`, DuckDB sorts
+    * it greatest: an engine-visible divergence if it ever existed). */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val m = 1000000007L // poly_hash modulus
+    val q = TextAnalysis.withQuality(
+      Tables.rebalance(docs, "doc_id")
+        .filter(length(col("text")) > 0 &&
+          size(split(trim(col("text")), "\\s+")) >= 1))
+    val u = (graft.functions.GraftFunctions.poly_hash(col("text")) + 1)
+      .cast("double") / lit((m + 1).toDouble)
+    q.withColumn("samp_key",
+        round(-round(log(u), 6) / col("quality_score"), 6))
+      .orderBy(col("samp_key"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("quality_score"), col("samp_key"))
+  }
+
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(documents(s, d), 100)
+
   /** Deterministic RANDOM negative sampling for contrastive training:
     * k pseudo-random partner ids per document, derived by hashing
     * (doc_id, j) into the contiguous id space [minId, minId + nDocs) —

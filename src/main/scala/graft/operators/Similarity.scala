@@ -442,6 +442,60 @@ object Similarity {
   def qEmbedOutliers(s: SparkSession, d: String): DataFrame =
     embedOutliers(embeddings(s, d), 2.0).orderBy("vec_id")
 
+  /** Greedy k-center (farthest-point) coreset selection: pick k vectors
+    * that COVER the embedding space — the diverse eval-set / annotation-
+    * budget selection step (Sener & Savarese 2018's coreset rule). Each
+    * round selects the vector farthest (cosine distance) from everything
+    * selected so far, ties broken by vec_id; the seed is the minimum
+    * vec_id.
+    *
+    * Scale shape: k narrow corpus passes, one per selection — each pass
+    * evaluates `least` over the selected centers' cosines (centers
+    * travel as literals, the PQ-codebook discipline) and takes top-1 via
+    * TakeOrdered (no shuffle, no sort — per-partition max + driver
+    * merge). Total work is k·N cosines with k bounded by the eval-set
+    * size; beyond a few hundred centers the literal chain should switch
+    * to a checkpointed running-min column (same math, k× less repeated
+    * cosine work, at the cost of materializing the corpus per round).
+    * Determinism: cosines rounded to 6dp before the `least` chain (exact
+    * IEEE min), so selection replays bit-identically in the oracle's
+    * unrolled CTEs.
+    *
+    * Output: (sel_rank, vec_id, d_min) — d_min is the selection-time
+    * distance to the already-selected set (the coverage-radius sequence,
+    * non-increasing); the seed reports 2.0, the cosine-distance
+    * diameter. */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    require(k >= 1, "k-center needs k >= 1")
+    val seed = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("sel_rank", "vec_id", "d_min")
+    var selected = Vector((seed(0).getLong(0), 2.0,
+      seed(0).getSeq[Double](1).toArray))
+    while (selected.size < k) {
+      val dExpr = selected.map { case (_, _, cv) =>
+        lit(1.0) - round(cosine(col("embedding"), lit(cv)), 6)
+      }.reduce(least(_, _))
+      val nxt = emb
+        .select(col("vec_id"), col("embedding"), dExpr.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("d"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .collect()(0)
+      selected :+= ((nxt.getLong(0), nxt.getDouble(1),
+        nxt.getSeq[Double](2).toArray))
+    }
+    selected.zipWithIndex.map { case ((id, d, _), i) => (i.toLong, id, d) }
+      .toDF("sel_rank", "vec_id", "d_min")
+  }
+
+  def qCoreset(s: SparkSession, d: String): DataFrame =
+    kCenterSelect(embeddings(s, d), 8).orderBy("sel_rank")
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     * deduplication — cluster the embedding space, then search for
     * near-duplicate pairs only WITHIN a cluster, never globally. The

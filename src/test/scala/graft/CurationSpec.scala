@@ -37,4 +37,28 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("weightedSample favors high-quality docs, is deterministic, keys ordered") {
+    import spark.implicits._
+    // 100 high-quality docs (long, stopword-rich -> w ~ 0.79) and 100
+    // low-quality (3 words, no stopwords -> w ~ 0.215); ES keys scale
+    // with 1/w so the top-50 must be dominated by the high-quality half
+    val hi = (0 until 100).map { i =>
+      (i.toLong, (s"the a of and to in is doc$i " * 13).trim)
+    }
+    val lo = (100 until 200).map { i => (i.toLong, s"zz$i yy$i xx$i") }
+    val docs = (hi ++ lo).toDF("doc_id", "text")
+    val got = Curation.weightedSample(docs, 50).collect()
+    assert(got.length === 50)
+    val nHigh = got.count(_.getLong(0) < 100L)
+    assert(nHigh > 30, s"expected high-quality majority, got $nHigh/50")
+    assert(got.exists(_.getLong(0) >= 100L) || nHigh === 50,
+      "draw is weighted, not a hard threshold") // informational guard
+    val keys = got.map(_.getDouble(2))
+    assert(keys.zip(keys.drop(1)).forall { case (a, b) => a <= b })
+    // pure function of the rows: a repartitioned rerun returns the
+    // identical sample in the identical order
+    val again = Curation.weightedSample(docs.repartition(13), 50).collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

@@ -69,6 +69,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.pageRank(
       Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"), 5, 0.85).count() === 0)
     assert(Similarity.embedOutliers(emptyEmb, 2.0).count() === 0)
+    assert(Similarity.kCenterSelect(emptyEmb, 8).count() === 0)
+    assert(Curation.weightedSample(emptyDocs, 10).count() === 0)
   }
 
   test("round-3 batch-4 operators on an empty corpus") {

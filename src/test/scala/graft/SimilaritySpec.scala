@@ -316,4 +316,41 @@ class SimilaritySpec extends SparkSpec {
       "exactly the planted anti-parallel vector is an outlier")
     assert(out.head.getDouble(3) < -2.0, "plant sits below -2 sigma")
   }
+
+  test("kCenterSelect greedy farthest-first matches a driver replay; radius non-increasing") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    // four clusters on distinct axes + jitter; greedy must visit all four
+    // axes before refining within a cluster
+    val vecs = (0 until 4).flatMap { axis =>
+      (0 until 5).map { j =>
+        val v = Array.fill(4)(0.02f * j)
+        v(axis) = 1.0f
+        ((axis * 5 + j).toLong, v)
+      }
+    }
+    val got = Similarity.kCenterSelect(vecs.toDF("vec_id", "embedding"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver replay of the exact greedy rule
+    val byId = vecs.toMap
+    var sel = Vector(vecs.map(_._1).min)
+    while (sel.size < 6) {
+      val next = vecs.filter(v => true).map { case (id, v) =>
+        val d = sel.map(s => 1.0 - r6(cos(v, byId(s)))).min
+        (d, id)
+      }.maxBy { case (d, id) => (d, -id) }
+      sel :+= next._2
+    }
+    assert(got.map(_._2).toSeq === sel)
+    // the four axis clusters are all covered within the first four picks
+    assert(got.take(4).map(_._2 / 5).toSet.size === 4)
+    // coverage radius never increases after the seed sentinel
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
+  }
 }
