@@ -8,19 +8,37 @@ object Bench {
     // charged ~5s of one-time cost
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // median of 3 runs per query: single-shot numbers swing 2-3x with
-    // shared-host load; the median tracks the real plan cost
+    // shared-host load; the median tracks the real plan cost.
+    // A query that throws is reported as -1 (NOT a sub-second fake timing —
+    // round 4's 16 broken queries masqueraded as ~0.1s rows) plus an entry
+    // in "errors", and the process exits nonzero so the driver sees red.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+          None
+        }
       }.sorted
-      name -> times(1)
+      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -252,11 +252,11 @@ object ScaleProbe {
       Curation.exportManifest(
         docs.withColumn("n_chars", length(col("text"))), 64).count()
     }
-    val ev = spark.read.parquet(s"$d/events.parquet")
+    val ev = graft.engine.Tables.normalizeTs(
+        spark.read.parquet(s"$d/events.parquet"))
       .crossJoin(spark.range(mult).toDF("r"))
       .select((col("event_id") * mult + col("r")).as("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"),
-        col("event_type"), col("value"))
+        col("ts"), col("user_id"), col("event_type"), col("value"))
       .localCheckpoint()
     val nEv = ev.count()
     time("decay", nEv) {

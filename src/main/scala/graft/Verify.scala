@@ -13,15 +13,28 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.engine.GraftSession.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Loud failure: a thrown query must NOT vanish from the gate (round 4
+        // lost 16 queries that way). Write a one-row marker parquet whose
+        // schema can never match any oracle, so the driver's compare reports
+        // a red row ("columns differ") instead of producing no entry at all.
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        import spark.implicits._
+        Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+          .toDF("_verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -27,16 +27,42 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
-    * this reader converts to a regular TimestampType column. The sub-µs
-    * part is zero throughout the test data, so the conversion is lossless
-    * (verified: epoch_ns(ts) % 1000 == 0 for all rows). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Schema-adaptive events read. The driver's `events.parquet` has shipped
+    * with two different physical encodings of `ts` across environments:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    [[GraftSession]]), in which case `ts` arrives as BIGINT nanos;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark ≥4.x reads this
+    *    natively as TIMESTAMP_NTZ.
+    *
+    * Hard-coding either assumption breaks the other environment (round 4
+    * lost all 16 events queries to exactly this drift), so normalize on the
+    * SCANNED dtype instead. Target type is session-zoned TimestampType in a
+    * UTC session — micros-since-epoch identical to what the DuckDB oracle
+    * computes reading the same file as naive TIMESTAMP.
+    * [[graft.EventsReaderCanarySpec]] pins both decodings to fixture values. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Normalize a scanned events frame's `ts` to session-zoned TimestampType,
+    * whatever decoding the scan produced — shared by the batch reader, the
+    * streaming file source ([[graft.streaming.StreamingJobs]]) and
+    * [[graft.ScaleProbe]], so a future encoding drift is a one-line fix
+    * here, not a hunt. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      // integer `div`, not `/`: double division loses precision above 2^53
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      // legacy nanosAsLong path: integer `div`, not `/` — double division
+      // loses precision above 2^53
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // native NTZ path: wall-clock reinterpreted in the session zone (UTC,
+      // pinned by GraftSession) — exact, no offset arithmetic involved
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

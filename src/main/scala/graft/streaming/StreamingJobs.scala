@@ -13,11 +13,26 @@ import org.apache.spark.sql.types._
   * StreamingSpec. */
 object StreamingJobs {
 
-  /** events.parquet physical schema under nanosAsLong (ts is INT64 nanos). */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events parquet physical schema for the streaming file source, which
+    * requires the schema declared up front. The `ts` encoding has drifted
+    * across environments (INT64 nanos under nanosAsLong vs native
+    * TIMESTAMP_NTZ micros on Spark ≥4.x — see [[graft.engine.Tables
+    * .normalizeTs]]), so probe the ACTUAL dtype with a one-off batch
+    * metadata read instead of hard-coding either. The probe reads footers
+    * only (no data scan) and runs once at stream definition. */
+  def eventsFileSchema(spark: SparkSession, eventsDir: String): StructType = {
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** readStream over an events directory with `ts` normalized to
+    * session-zoned TimestampType regardless of the file encoding. */
+  private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
+    graft.engine.Tables.normalizeTs(
+      spark.readStream.schema(eventsFileSchema(spark, eventsDir)).parquet(eventsDir))
 
   /** Tumbling 1-hour event counts as a streaming query (watermarked
     * event-time window) over a DIRECTORY of event parquet files (the
@@ -25,10 +40,7 @@ object StreamingJobs {
     * picked up as micro-batches). Same result as
     * EventAnalytics.qEventWindow's count column when run to completion. */
   def eventWindowCounts(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsFileSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -103,8 +115,7 @@ object StreamingJobs {
         out.iterator
       }
     }
-    spark.readStream.schema(eventsFileSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", watermarkDelay)
       // keep the watermarked `ts` column in the typed event: event-time
       // timeout requires it to survive into the grouped Dataset

@@ -12,6 +12,32 @@ import java.nio.file.Files
   * batches in FIFO batch order with per-batch-id snapshots. */
 class StreamingSpec extends SparkSpec {
 
+  /** Stage one extra event file into a streaming source dir using the SAME
+    * `ts` encoding as the driver's events.parquet (raw INT64 nanos vs
+    * TIMESTAMP_NTZ micros has drifted across environments — see
+    * Tables.normalizeTs), so the FileStreamSource sees a consistent schema
+    * whichever decoding this sandbox ships. */
+  private def stageLateEvent(dir: java.nio.file.Path, name: String,
+      eventId: Long, tsMicros: Long, userId: Long, eventType: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsType = spark.read.parquet(s"$sf0001/events.parquet").schema("ts").dataType
+    val base = Seq((eventId, tsMicros, userId, eventType, 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val withTs = tsType match {
+      case LongType => base.withColumn("ts", col("us") * lit(1000L))
+      case TimestampNTZType =>
+        base.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      case _ => base.withColumn("ts", timestamp_micros(col("us")))
+    }
+    val stage = Files.createTempDirectory("graft_late")
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, dir.resolve(name))
+  }
+
   test("streaming tumbling-window counts == batch groupBy") {
     // FileStreamSource wants a directory; stage the events file into one
     val dir = Files.createTempDirectory("graft_events")
@@ -98,11 +124,9 @@ class StreamingSpec extends SparkSpec {
       // final 2h of January are NOT finalized yet — emitted < total
       val afterBatch1 = spark.table("wm_counts").count()
       assert(afterBatch1 > 0 && afterBatch1 < 870, s"got $afterBatch1")
-      val lateNanos = java.time.Instant.parse("2024-06-01T00:00:00Z")
-        .toEpochMilli * 1000000L
-      Seq((999999L, lateNanos, 1L, "click", 1.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir.toString)
+      val lateMicros = java.time.Instant.parse("2024-06-01T00:00:00Z")
+        .toEpochMilli * 1000L
+      stageLateEvent(dir, "late.parquet", 999999L, lateMicros, 1L, "click")
       q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("wm_counts")
@@ -381,14 +405,10 @@ class StreamingSpec extends SparkSpec {
       // nothing can emit yet except gap-closed sessions; the open tails
       // need the watermark pushed past end+gap — plant one far-future
       // sentinel event for a user id outside the data
-      val maxNs = spark.read.parquet(s"$sf0001/events.parquet")
-        .agg(max(col("ts"))).head().getLong(0)
-      Seq((-1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(dir.resolve("stage").toString)
-      val part = new java.io.File(dir.resolve("stage").toString).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, dir.resolve("w2.parquet"))
+      val maxUs = graft.engine.Tables.events(spark, sf0001)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      stageLateEvent(dir, "w2.parquet", -1L, maxUs + 86400L * 1000000L,
+        -1L, "sentinel")
       q.processAllAvailable()
     } finally q.stop()
 
