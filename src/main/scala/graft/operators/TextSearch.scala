@@ -478,12 +478,80 @@ object TextSearch {
     * contain U+0001 itself — a control char no tokenizable text carries,
     * where the previous '|' collided with legitimate punctuation; a
     * production encoder would carry token ARRAYS instead of a flat
-    * string. Merges apply as `nMerges` sequential narrow replaces in
-    * learned order — per-document work, no joins, no shuffle beyond the
-    * final count. */
+    * string.
+    *
+    * Two implementations with identical output (TextSearchSpec asserts
+    * equality at the full learned-merge depth):
+    *
+    *  - [[bpeEncodeFold]]: one Catalyst `replace` column per merge — the
+    *    plan GROWS with the vocabulary, so a real 50k-merge vocab is a
+    *    50k-deep expression tree the analyzer/codegen cannot survive
+    *    (VERDICT r4 item #5). Kept as the oracle-shaped comparison
+    *    baseline.
+    *  - [[bpeEncode]] (production): ONE documented UDF driven by the
+    *    learned merge table, applying merges in rank order over a token
+    *    buffer per document — same left-to-right boundary-consuming
+    *    semantics as the string replace, but the plan is constant-size in
+    *    the vocabulary (the merge table rides the closure, one broadcast
+    *    per job, ~vocab·avg-token-len bytes). Per-document work, no
+    *    joins, no shuffle beyond the final count. */
   val BpeBoundary: String = "\u0001"
 
+  /** One left-to-right merge pass over a token buffer — the same
+    * non-overlapping, boundary-space-consuming variant as the string
+    * `replace(" l r ", " lr ")`: after a merge the NEXT token is copied
+    * verbatim, so an immediately repeated pair merges its second
+    * occurrence on a later step (matches the trainer's applyMerge). */
+  private def mergePass(s: scala.collection.mutable.ArrayBuffer[String],
+      l: String, r: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var j = 0
+    while (j < s.length) {
+      if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+        out += (l + r); j += 2
+        if (j < s.length) { out += s(j); j += 1 }
+      } else { out += s(j); j += 1 }
+    }
+    out
+  }
+
+  /** Scale-path encoder: single narrow pass, merge table in the closure. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val table = merges.toArray
+    val boundary = BpeBoundary
+    // documented UDF (not expressible as a bounded Catalyst expression:
+    // the merge loop is data-dependent): replicates the seg-string
+    // semantics exactly, including the empty-text edge (trim then split
+    // yields one empty token, which counts 1) and null passthrough
+    val countTokens = udf { (text: String) =>
+      if (text == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var buf = new scala.collection.mutable.ArrayBuffer[String]()
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+        var w = 0
+        while (w < words.length) {
+          if (w > 0) buf += boundary
+          val cs = words(w); var c = 0
+          while (c < cs.length) {
+            buf += String.valueOf(cs.charAt(c))
+            c += 1
+          }
+          w += 1
+        }
+        var m = 0
+        while (m < table.length) {
+          buf = mergePass(buf, table(m)._1, table(m)._2); m += 1
+        }
+        val n = if (buf.isEmpty) 1L else buf.count(_ != boundary).toLong
+        java.lang.Long.valueOf(n)
+      }
+    }
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), countTokens(col("text")).as("n_bpe_tokens"))
+  }
+
+  /** Plan-growing fold baseline (see scaladoc above) — spec-only. */
+  def bpeEncodeFold(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val seg0 = concat(lit(" "),
       array_join(
         transform(split(trim(col("text")), "\\s+"),

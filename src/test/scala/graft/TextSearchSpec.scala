@@ -211,6 +211,41 @@ class TextSearchSpec extends SparkSpec {
     assert(counts === Map(1L -> 3L, 2L -> 3L))
   }
 
+  test("bpe single-pass encoder == fold baseline at 200 merges; plan stays bounded") {
+    // the production UDF encoder must replicate the replace-fold semantics
+    // at a REAL vocab depth (the fold is a 200-deep expression tree here;
+    // at 50k merges it would not analyze) — VERDICT r4 item #5
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val merges = TextSearch.bpeTrainLocal(corpus, 200)
+      .orderBy("step").select("l_tok", "r_tok")
+      .as[(String, String)].collect().toSeq
+    // sf0.001's vocab exhausts its pair supply before 200 — anything
+    // clearly past the gated 8 proves the depth claim
+    assert(merges.length >= 80, s"trainer exhausted at ${merges.length}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(rows(TextSearch.bpeEncode(corpus, merges)) ===
+      rows(TextSearch.bpeEncodeFold(corpus, merges)))
+    // the single-pass plan is constant-size in the vocabulary: growing the
+    // merge table 100x must not grow the analyzed plan (the fold's grows
+    // linearly — one replace node per merge)
+    def planChars(ms: Seq[(String, String)]) =
+      TextSearch.bpeEncode(corpus, ms).queryExecution.analyzed.toString.length
+    assert(planChars(merges) == planChars(merges.take(2)),
+      "single-pass encode plan must not grow with the merge table")
+    // edge semantics match the seg-string path: empty text counts 1 token
+    // (trim->""->split yields [""]), null text stays null
+    val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val u = TextSearch.bpeEncode(edge, merges.take(5))
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val f = TextSearch.bpeEncodeFold(edge, merges.take(5))
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(u === f)
+  }
+
   test("bpe local trainer matches the distributed trainer exactly") {
     // the tricky trace: repeated-pair overlap rule + 3-way tie-break
     val docs = Seq((1L, "abab abab cd"), (2L, "abab cd cd")).toDF("doc_id", "text")
