@@ -113,6 +113,7 @@ object SparkEntry {
     "q_centroids" -> (Similarity.qCentroids _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
     "q_sem_dedup" -> (Similarity.qSemDedup _),
+    "q_sem_dedup_hier" -> (Similarity.qSemDedupHier _), // production two-level path, tolerance-gated
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC
     "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection
     "q_weighted_sample" -> (Curation.qWeightedSample _), // quality-proportional ES sampling
@@ -1299,6 +1300,15 @@ object SparkEntry {
         "WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.35) " +
         "SELECT v.vec_id, cluster, (v.vec_id IN (SELECT vec_id FROM drp)) AS is_dup " +
         "FROM v ORDER BY v.vec_id"),
+    // the two-level routed assignment is approximate, so the declared
+    // output is the tolerance pattern (see Similarity.qSemDedupHier):
+    // the exact corpus count replays, and the oracle pins every
+    // agreement/recall boolean to TRUE — a routing regression flips one
+    // and the hash compare goes red
+    "q_sem_dedup_hier" ->
+      ("SELECT count(*) AS n_vecs, TRUE AS assign_agree_ok, " +
+        "TRUE AS dup_agree_ok, TRUE AS dup_rate_close_ok, " +
+        "TRUE AS planted_present, TRUE AS planted_recall_ok FROM embeddings"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

@@ -685,6 +685,57 @@ object Similarity {
   def qSemDedup(s: SparkSession, d: String): DataFrame =
     semDedup(embeddings(s, d), k = 16, tau = 0.35).orderBy("vec_id")
 
+  /** Driver-gated two-level SemDeDup (VERDICT r4 item #7). The routed
+    * assignment is APPROXIMATE (top-2-cell multi-probe can mis-place a
+    * boundary vector), so its raw output cannot hash-match an exact
+    * oracle; the declared output is the [[graft.operators.Advanced
+    * .qApproxDistinct]] tolerance pattern instead — exact replayable
+    * scalars plus booleans the oracle pins to TRUE:
+    *
+    *  - `n_vecs`: corpus size (both paths emit one row per vector and
+    *    the comparison joins them, so this also proves neither path
+    *    drops or duplicates rows);
+    *  - `assign_agree_ok`: >= 70% of vectors route to their exact argmax
+    *    cluster (measured 0.81-0.83 across sf0.001/0.01/0.1);
+    *  - `dup_agree_ok`: >= 85% of is_dup verdicts match the flat path
+    *    (measured 0.966/0.956/0.896 — agreement falls as dup density
+    *    rises, sf0.1 carries a 0.30 dup rate);
+    *  - `dup_rate_close_ok`: the two paths' overall dup RATES sit within
+    *    0.05 absolute (measured gap 0.006-0.012) — per-vector verdicts
+    *    may flip on mis-routed boundary vectors, but the corpus-level
+    *    dedup yield must not drift;
+    *  - `planted_present` / `planted_recall_ok`: 25 planted exact copies
+    *    all survive to the output and >= 95% are flagged — identical
+    *    vectors route identically, so real recall is 1.0 and the margin
+    *    only covers future routing changes.
+    *
+    * A hash mismatch on any boolean = the production path regressed. */
+  def qSemDedupHier(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val flat = semDedup(emb, k = 16, tau = 0.35)
+      .select(col("vec_id"), col("cluster").as("c_f"), col("is_dup").as("d_f"))
+    val hier = semDedupHier(emb, k = 16, tau = 0.35)
+      .select(col("vec_id"), col("cluster").as("c_h"), col("is_dup").as("d_h"))
+    // 0/1 doubles sum exactly (integers < 2^53): partition-order invariant
+    val agree = flat.join(hier, Seq("vec_id")).agg(
+      count(lit(1)).as("n_vecs"),
+      (avg(when(col("c_f") === col("c_h"), 1.0).otherwise(0.0)) >= 0.7)
+        .as("assign_agree_ok"),
+      (avg(when(col("d_f") === col("d_h"), 1.0).otherwise(0.0)) >= 0.85)
+        .as("dup_agree_ok"),
+      (abs(avg(when(col("d_f"), 1.0).otherwise(0.0)) -
+        avg(when(col("d_h"), 1.0).otherwise(0.0))) <= 0.05)
+        .as("dup_rate_close_ok"))
+    val copies = emb.filter(col("vec_id") < 25)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val planted = semDedupHier(emb.unionByName(copies), k = 16, tau = 0.35)
+      .filter(col("vec_id") >= 1000000L)
+      .agg((count(lit(1)) === 25).as("planted_present"),
+        (avg(when(col("is_dup"), 1.0).otherwise(0.0)) >= 0.95)
+          .as("planted_recall_ok"))
+    agree.crossJoin(planted)
+  }
+
   /** Int8 scalar quantization of the embedding column (the standard 4x
     * memory cut before an ANN index is built at corpus scale): per-vector
     * symmetric scale s = max|x|/127, q_i = round(x_i/s) in [-127, 127],
