@@ -235,6 +235,16 @@ object ScaleProbe {
       // ~2*sqrt(k) cosines per row instead of k
       Similarity.semDedupHier(emb, 16 * mult, 0.35).filter(col("is_dup")).count()
     }
+    time("coreset_k8", nEmb) {
+      // running-min shape (round 5): one cosine per row per round + a
+      // localCheckpoint — per-round cost must stay FLAT in the number of
+      // already-selected centers (the r4 literal-chain was k²/2·N)
+      Similarity.kCenterSelect(emb, 8).count()
+    }
+    time("coreset_k32", nEmb) {
+      // 4x the rounds must cost ~4x coreset_k8, not 16x
+      Similarity.kCenterSelect(emb, 32).count()
+    }
     time("bloom_decontam", nDocs) {
       // bench side fixed (same bounded-benchmark rule as `contamination`)
       TextSearch.bloomContamination(
