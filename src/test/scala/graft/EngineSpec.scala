@@ -261,4 +261,78 @@ class EngineSpec extends SparkSpec {
       .head.getAs[String]("snippet_text")
     assert(firstSnippet.startsWith("the quick brown fox"))
   }
+
+  test("full PDF extractor: FlateDecode streams, TJ arrays, escapes, image screening") {
+    import graft.sources.BinaryIngest
+    import spark.implicits._
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](8192)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    def pdf(parts: Seq[(String, Boolean)]): Array[Byte] = {
+      // parts: (content stream, compressed?) — a valid multi-stream PDF
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n".getBytes("ISO-8859-1"))
+      parts.zipWithIndex.foreach { case ((content, z), i) =>
+        val data = if (z) deflate(content) else content.getBytes("ISO-8859-1")
+        val filter = if (z) " /Filter /FlateDecode" else ""
+        bos.write(s"${i + 4} 0 obj << /Length ${data.length}$filter >> stream\n"
+          .getBytes("ISO-8859-1"))
+        bos.write(data)
+        bos.write("\nendstream endobj\n".getBytes("ISO-8859-1"))
+      }
+      bos.write("trailer << /Root 1 0 R >>\n%%EOF\n".getBytes("ISO-8859-1"))
+      bos.toByteArray
+    }
+    // compressed + uncompressed streams in ONE document, in order
+    val mixed = pdf(Seq(
+      ("BT (compressed page one) Tj ET", true),
+      ("BT (plain page two) Tj ET", false)))
+    assert(BinaryIngest.pdfExtract(mixed) === "compressed page one plain page two")
+    // TJ kerned arrays: fragments concatenate, kerning numbers vanish
+    val kerned = pdf(Seq(
+      ("BT [(ker) -120 (ned te) 40 (xt)] TJ ET", true)))
+    assert(BinaryIngest.pdfExtract(kerned) === "kerned text")
+    // escapes: \( \) \\ and octal
+    val escaped = pdf(Seq(
+      ("""BT (balanced \(parens\) and \\slash \101\102) Tj ET""", true)))
+    assert(BinaryIngest.pdfExtract(escaped) === """balanced (parens) and \slash AB""")
+    // image XObjects are screened out even when their inflated bytes
+    // happen to contain a show-text-looking pattern
+    val withImage = pdf(Seq(
+      ("BT (real text) Tj ET", true),
+      ("(fake) Tj inside an image", true))) // second dict gets /Image added below
+    val withImageStr = new String(withImage, "ISO-8859-1")
+      .replaceFirst("5 0 obj << /Length", "5 0 obj << /Subtype /Image /Length")
+    assert(BinaryIngest.pdfExtract(withImageStr.getBytes("ISO-8859-1")) === "real text")
+    // corrupt Flate data: stream skipped, document survives
+    val corrupt = new String(pdf(Seq(
+      ("BT (good) Tj ET", false), ("BT (bad) Tj ET", true))), "ISO-8859-1")
+    val corrupted = corrupt.replace(
+      new String(deflate("BT (bad) Tj ET").take(4), "ISO-8859-1"), "zzzz")
+    assert(BinaryIngest.pdfExtract(corrupted.getBytes("ISO-8859-1")) === "good")
+    // parity with the declarative uncompressed extractor on the SAME
+    // golden bytes, through the Spark seam (readWithOcrFallback)
+    def minimalPdf(texts: Seq[String]): Array[Byte] = pdf(
+      if (texts.isEmpty) Seq(("BT ET", false))
+      else texts.map(t => (s"BT /F1 12 Tf 72 712 Td ($t) Tj ET", false)))
+    val dir = Files.createTempDirectory("graft_pdf_full").toFile
+    Files.write(new java.io.File(dir, "doc0.pdf").toPath,
+      minimalPdf(Seq("the quick brown fox", "second run")))
+    Files.write(new java.io.File(dir, "doc1.pdf").toPath,
+      pdf(Seq(("BT (deep flate text layer) Tj ET", true))))
+    val out = BinaryIngest.readWithOcrFallback(spark, dir.getAbsolutePath,
+      BinaryIngest.pdfTextExtractorFull, glob = "*.pdf")
+      .orderBy("path").collect()
+    assert(out(0).getAs[String]("text") === "the quick brown fox second run")
+    assert(out(1).getAs[String]("text") === "deep flate text layer")
+    assert(out.forall(!_.getAs[Boolean]("needs_ocr")))
+    // null bytes stay null through the UDF (the binaryFile source never
+    // produces them, but the extractor slot must not NPE)
+    assert(BinaryIngest.pdfExtract(null) === null)
+  }
 }
