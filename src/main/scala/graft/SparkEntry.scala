@@ -134,6 +134,7 @@ object SparkEntry {
     "q_dedup_gate" -> (graft.streaming.StreamingJobs.qDedupGate _),
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
+    "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
     // --- advanced relational ops (SURVEY §2 "absent" rows)
@@ -897,6 +898,11 @@ object SparkEntry {
         "for p in generate_series(0, (len(words)-1)//40)]) AS BIGINT) AS n_snippets, " +
         "array_to_string(words[1:5], ' ') AS first_snippet " +
         "FROM w LEFT JOIN region ON doc_id % 5 = r_regionkey ORDER BY document_id"),
+    // the PDF round trip must reproduce the source text EXACTLY: the
+    // oracle is the documents table itself — any inflate/escape/run
+    // defect in the extractor hash-mismatches
+    "q_pdf_ingest" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "q_nested_project" ->
       ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents) " +
         "SELECT doc_id AS document_id, CAST((len(words)-1)//40 + 1 AS BIGINT) AS n_pages, " +

@@ -111,10 +111,25 @@ object BinaryIngest {
         if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
         val endIdx = raw.indexOf("endstream", dataStart)
         if (endIdx > dataStart) {
-          var dataEnd = endIdx
-          // the spec puts an EOL before 'endstream'; strip it from the data
-          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          // Data bounds: prefer the dict's DIRECT /Length — exact, no
+          // guessing (this is why /Length is mandatory: stream bytes are
+          // arbitrary binary, and a deflate stream whose last byte is 0x0D
+          // is eaten by any EOL-trimming heuristic — found the hard way,
+          // 1/256 odds per stream). Fall back to endstream-relative
+          // trimming only for an INDIRECT length ("N 0 R"), stripping one
+          // optional EOL (CRLF or lone LF/CR) per spec.
+          val direct = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+            .findFirstMatchIn(dict).map(_.group(1).toInt)
+          var dataEnd = direct match {
+            case Some(len) if dataStart + len <= endIdx => dataStart + len
+            case _ =>
+              var e = endIdx
+              if (e > dataStart && raw.charAt(e - 1) == '\n') {
+                e -= 1
+                if (e > dataStart && raw.charAt(e - 1) == '\r') e -= 1
+              } else if (e > dataStart && raw.charAt(e - 1) == '\r') e -= 1
+              e
+          }
           if (!dict.contains("/Image") && !dict.contains("/FontFile")) {
             val content: Option[String] =
               if (dict.contains("/FlateDecode")) inflateRange(bytes, dataStart, dataEnd)
@@ -248,6 +263,77 @@ object BinaryIngest {
         .write.partitionBy("doc_id").mode("overwrite").text(fix)
     }
     fix
+  }
+
+  /** Build one VALID single-page PDF whose content stream is
+    * Flate-COMPRESSED and carries `text` as a single escaped show-text
+    * run — the staging side of the q_pdf_ingest round trip. */
+  def buildPdf(text: String): Array[Byte] = {
+    val esc = text.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = s"BT /F1 12 Tf 72 712 Td ($esc) Tj ET"
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    defl.finish()
+    val buf = new Array[Byte](8192)
+    val data = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) data.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${data.size} /Filter /FlateDecode >> stream\n")
+    bos.write(data.toByteArray)
+    w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Stage real COMPRESSED-PDF uploads: one .pdf file per document,
+    * written from the EXECUTORS (mapPartitions — document bytes never
+    * pass through the driver; in local mode /tmp is the shared FS, on a
+    * cluster point this at one). Deterministic, idempotent. */
+  def stagePdfFixture(s: SparkSession, d: String): String = {
+    val fix = "/tmp/graft_pdf_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val done = new java.io.File(fix, "_SUCCESS")
+    if (!done.exists()) {
+      import s.implicits._
+      new java.io.File(fix).mkdirs()
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(fix, f"doc$id%05d.pdf"),
+              buildPdf(Option(text).getOrElse("")))
+            id
+          }
+        }.count()
+      done.createNewFile()
+    }
+    fix
+  }
+
+  /** Oracle-checked FULL-PDF round trip: documents staged as real
+    * Flate-compressed PDFs -> binaryFile scan -> [[pdfTextExtractorFull]]
+    * (inflate + show-text walk + unescape) -> exact text equality against
+    * the source table. A single flipped byte, bad escape, lost run or
+    * broken inflate fails the hash compare — the extractor itself is
+    * under the driver gate, not just its spec. */
+  def qPdfIngest(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
   }
 
   /** Oracle-checked S1 round trip: stage files -> binaryFile scan ->
