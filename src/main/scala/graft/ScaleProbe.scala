@@ -100,6 +100,15 @@ object ScaleProbe {
     time("lsh_topk", nEmb) {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < mult * 5), 10).count()
     }
+    time("ivf_topk_learned", nEmb) {
+      // the q_ann_recall production shape: lists learned with 2 Lloyd
+      // iterations (list count grows with the corpus — constant target
+      // list size, the IVF regime), then 4-probe retrieval; query panel
+      // grows with mult like lsh_topk's
+      val km = Similarity.kmeansAssign(emb, 10 * mult, 2)
+      Similarity.ivfTopK(km, km.filter(col("vec_id") < mult * 5),
+        "list_id", 10, 4).count()
+    }
     time("agg_pricing", nLi) {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"), count(lit(1)).as("n"))
