@@ -259,11 +259,14 @@ object Similarity {
         .agg(count(lit(1)).as("lsh_hits")))
       .crossJoin(exact.join(ivf, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("ivf_hits")))
+      // multiplicative form, not division: an empty corpus gives 0/0=NaN
+      // and a silently-false boolean against the oracle's TRUE (the
+      // qApproxDistinct lesson); 0 >= 0*rate stays TRUE
       .select(col("n_exact"),
-        (col("lsh_hits").cast("double") / col("n_exact") >= 0.6)
-          .as("lsh_recall_ok"),
-        (col("ivf_hits").cast("double") / col("n_exact") >= 0.55)
-          .as("ivf_recall_ok"))
+        (col("lsh_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.6).as("lsh_recall_ok"),
+        (col("ivf_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.55).as("ivf_recall_ok"))
   }
 
   // -------------------------------------------------------------- IVF

@@ -73,6 +73,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.weightedSample(emptyDocs, 10).count() === 0)
   }
 
+  test("round-5 operators on empty/degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    // bpe encode with ANY merge table on an empty corpus: no rows
+    assert(TextSearch.bpeEncode(emptyDocs, Seq(("a", "b"))).count() === 0)
+    // and with an EMPTY merge table on real rows: pure char counting
+    val one = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(TextSearch.bpeEncode(one, Seq.empty).head().getLong(1) === 4L)
+    // PDF extraction of non-PDF garbage bytes: empty text, no crash
+    assert(graft.sources.BinaryIngest.pdfExtract(
+      Array[Byte](1, 2, 3, 37, 80)) === "")
+    assert(graft.sources.BinaryIngest.pdfExtract(Array.empty[Byte]) === "")
+    // ANN recall panel over an empty corpus: the multiplicative booleans
+    // hold TRUE (0 hits >= 0 required) instead of NaN-flipping false
+    val r = Similarity.lshTopK(emptyEmb, emptyEmb, 10)
+      .agg(org.apache.spark.sql.functions.count(col("q_id"))).head()
+    assert(r.getLong(0) === 0L)
+  }
+
   test("round-3 batch-4 operators on an empty corpus") {
     import spark.implicits._
     assert(Dedup.spanDedup(emptyDocs).count() === 0)
