@@ -109,6 +109,14 @@ object ScaleProbe {
       Similarity.ivfTopK(km, km.filter(col("vec_id") < mult * 5),
         "list_id", 10, 4).count()
     }
+    time("ivf_topk_hier", nEmb) {
+      // same retrieval with the TWO-LEVEL assign (kmeansAssignHier):
+      // O(sqrt(k)) cosines per row per Lloyd iteration instead of k —
+      // the finding-12 remedy applied to list learning
+      val km = Similarity.kmeansAssignHier(emb, 10 * mult, 2)
+      Similarity.ivfTopK(km, km.filter(col("vec_id") < mult * 5),
+        "list_id", 10, 4).count()
+    }
     time("agg_pricing", nLi) {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"), count(lit(1)).as("n"))

@@ -635,12 +635,28 @@ object Similarity {
     if (seeds.isEmpty)
       return emb.limit(0).select(col("vec_id"), lit(0L).as("cluster"),
         lit(false).as("is_dup"))
+    val assigned = twoLevelNearest(emb, seeds, lloydIters)
+      .withColumnRenamed("nearest_id", "cluster")
+    withinClusterDups(assigned, tau)
+  }
+
+  /** The shared two-level nearest-item engine behind [[semDedupHier]] and
+    * [[kmeansAssignHier]]: group the candidate items (id, vector) into
+    * ~sqrt(|items|) cells with a driver-side Lloyd over the ITEM vectors
+    * (|items| rows — negligible), route each corpus row to its TOP-2
+    * cells (multi-probe), then argmax only those cells' items through a
+    * broadcast join. O(sqrt(k)) coarse cosines per row narrow +
+    * ~2·sqrt(k) fine cosines in the join, vs the flat argmax's k.
+    * Returns (vec_id, embedding, nearest_id); items must be non-empty
+    * (callers guard). */
+  private def twoLevelNearest(emb: DataFrame,
+      seeds: Seq[(Long, Array[Double])], lloydIters: Int): DataFrame = {
     def cosA(x: Array[Double], y: Array[Double]): Double = {
       var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
       while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
       dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    val m = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val m = math.max(1, math.round(math.sqrt(seeds.length.toDouble)).toInt)
     // driver-side Lloyd over the k SEED vectors (k rows — negligible):
     // deterministic init by seed order, mean centers, cosine assignment
     var centers = Array.tabulate(m)(i => seeds(i * seeds.length / m)._2)
@@ -653,7 +669,7 @@ object Similarity {
           if (sc > bs) { bs = sc; bc = c }
         }
         bc
-      }
+      }.toArray
       centers = Array.tabulate(m) { c =>
         val members = seeds.indices.filter(cellOf(_) == c)
         if (members.isEmpty) centers(c)
@@ -714,10 +730,41 @@ object Similarity {
         col("seed_id"))
       .groupBy("vec_id")
       .agg(max(struct(col("s"), (-col("seed_id")).as("nid"))).as("b"))
-      .select(col("vec_id"), (-col("b").getField("nid")).cast("long").as("cluster"))
-    val assigned = routed.select("vec_id", "embedding")
+      .select(col("vec_id"), (-col("b").getField("nid")).cast("long").as("nearest_id"))
+    routed.select("vec_id", "embedding")
       .join(clusterOf, Seq("vec_id"))
-    withinClusterDups(assigned, tau)
+  }
+
+  /** PRODUCTION-scale [[kmeansAssign]]: the flat assign step is N·k
+    * literal cosines per Lloyd iteration, and the IVF regime grows the
+    * list count WITH the corpus (constant target list size) — the
+    * finding-12 quadratic, re-measured for learned-list retrieval in
+    * SCALE.md's ivf_topk_learned row. Each iteration here recomputes
+    * centroids with the same distributed groupBy-mean jobs, then assigns
+    * through [[twoLevelNearest]] — O(sqrt(k)) cosines per row. Assignment
+    * is APPROXIMATE (a boundary vector can route past its true nearest
+    * centroid), so this path is spec-gated on agreement with the flat
+    * assign + identical-vector co-routing, the [[semDedupHier]]
+    * pattern. */
+  def kmeansAssignHier(corpus: DataFrame, k: Int, iters: Int,
+      lloydIters: Int = 5): DataFrame = {
+    val ids = corpus.select(col("vec_id"), col("embedding"))
+    var assigned = ids.withColumn("list_id",
+      pmod(col("vec_id"), lit(k.toLong))) // deterministic seed partition
+    var i = 0
+    while (i < iters) {
+      val cents = ivfCentroids(
+        assigned.withColumnRenamed("list_id", "seed_list"), "seed_list")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      assigned =
+        if (cents.isEmpty) ids.limit(0).withColumn("list_id", lit(0L))
+        else twoLevelNearest(ids, cents, lloydIters)
+          .withColumnRenamed("nearest_id", "list_id")
+      i += 1
+    }
+    assigned
   }
 
   /** Oracle-checked: 16 learned clusters, tau 0.35 (66 within-cluster

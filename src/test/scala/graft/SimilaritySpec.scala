@@ -300,6 +300,37 @@ class SimilaritySpec extends SparkSpec {
     assert(withCopies.forall(_.getBoolean(2)), "planted copies must be flagged")
   }
 
+  test("kmeansAssignHier tracks the flat Lloyd assign; identical vectors co-route") {
+    import spark.implicits._
+    val flat = Similarity.kmeansAssign(emb, 16, 2)
+      .select(col("vec_id"), col("list_id").as("l_f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = Similarity.kmeansAssignHier(emb, 16, 2)
+      .select(col("vec_id"), col("list_id").as("l_h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one row per vector, none dropped by the routing joins
+    assert(hier.length === flat.size)
+    // routed assignment agrees with the exact argmax for most vectors
+    // (only boundary vectors can mis-route — the semDedupHier bound)
+    val agree = hier.count { case (id, l) => flat(id) == l }
+    assert(agree.toDouble / hier.length >= 0.7,
+      s"two-level lloyd agreement ${agree.toDouble / hier.length}")
+    // planted exact copies route WITH their originals whatever the cells
+    val copies = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val withCopies = Similarity.kmeansAssignHier(emb.unionByName(copies), 16, 2)
+      .select("vec_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 3L).foreach { id =>
+      assert(withCopies(id + 100000L) === withCopies(id),
+        s"copy of $id routed to a different list")
+    }
+    // empty corpus: no lists, no rows, no crash
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.kmeansAssignHier(emptyEmb, 8, 2).count() === 0)
+  }
+
   test("embedOutliers flags a planted anti-parallel vector, skips small classes") {
     import spark.implicits._
     // label 0: ten tight vectors around e0 plus one anti-parallel plant;
