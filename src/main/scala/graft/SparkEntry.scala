@@ -1321,7 +1321,8 @@ object SparkEntry {
     // see Similarity.qAnnRecall for the measured rates behind the gates
     "q_ann_recall" ->
       ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
-        "TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok " +
+        "TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok, " +
+        "TRUE AS ivf_hier_recall_ok " +
         "FROM embeddings WHERE vec_id < 20"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +

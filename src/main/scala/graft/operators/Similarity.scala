@@ -243,22 +243,30 @@ object Similarity {
     * ULP-level centroid drift: `ivfCentroids` means are plain double
     * avg(), so a boundary vector's list can flip with partitioning;
     * label lists were tried and rejected at 0.27-0.29 recall — labels
-    * are not geometric clusters on this data). Rankings are
-    * (6dp-rounded score desc, id), so the top-k sets are stable. */
+    * are not geometric clusters on this data). `ivf_hier_recall_ok`
+    * additionally gates retrieval over [[kmeansAssignHier]]-learned
+    * lists (measured 0.66-0.69, same 0.55 gate) so the two-level
+    * production assign is driver-gated, not just spec-gated. Rankings
+    * are (6dp-rounded score desc, id), so the top-k sets are stable. */
   def qAnnRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val k = 10
     val km = kmeansAssign(emb, 10, 2)
-    val queries = km.filter(col("vec_id") < 20)
+    val kmh = kmeansAssignHier(emb, 10, 2)
     val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k)
       .select("q_id", "n_id")
     val lsh = lshTopK(emb, emb.filter(col("vec_id") < 20), k).select("q_id", "n_id")
-    val ivf = ivfTopK(km, queries, "list_id", k, 4).select("q_id", "n_id")
+    val ivf = ivfTopK(km, km.filter(col("vec_id") < 20), "list_id", k, 4)
+      .select("q_id", "n_id")
+    val ivfH = ivfTopK(kmh, kmh.filter(col("vec_id") < 20), "list_id", k, 4)
+      .select("q_id", "n_id")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(exact.join(lsh, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("lsh_hits")))
       .crossJoin(exact.join(ivf, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("ivf_hits")))
+      .crossJoin(exact.join(ivfH, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("ivf_hier_hits")))
       // multiplicative form, not division: an empty corpus gives 0/0=NaN
       // and a silently-false boolean against the oracle's TRUE (the
       // qApproxDistinct lesson); 0 >= 0*rate stays TRUE
@@ -266,7 +274,9 @@ object Similarity {
         (col("lsh_hits").cast("double") >=
           col("n_exact").cast("double") * 0.6).as("lsh_recall_ok"),
         (col("ivf_hits").cast("double") >=
-          col("n_exact").cast("double") * 0.55).as("ivf_recall_ok"))
+          col("n_exact").cast("double") * 0.55).as("ivf_recall_ok"),
+        (col("ivf_hier_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.55).as("ivf_hier_recall_ok"))
   }
 
   // -------------------------------------------------------------- IVF
