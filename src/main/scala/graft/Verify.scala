@@ -26,10 +26,17 @@ object Verify {
         // a red row ("columns differ") instead of producing no entry at all.
         failed ::= name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        import spark.implicits._
-        Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
-          .toDF("_verify_error")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the marker write must never take the remaining queries down
+        // with it (a session-level failure would otherwise turn one red
+        // row back into a silent multi-query gap)
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed too: ${m.getMessage}")
+        }
       }
     }
     if (failed.nonEmpty)
