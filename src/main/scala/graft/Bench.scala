@@ -29,7 +29,11 @@ object Bench {
           None
         }
       }.sorted
-      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
+      // lower-middle for even-length samples: with one of 3 runs failed,
+      // times(len/2) would report the MAX of the two survivors, skewing
+      // flaky queries upward (the partial failure is already visible in
+      // "errors")
+      name -> (if (times.isEmpty) -1.0 else times((times.length - 1) / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

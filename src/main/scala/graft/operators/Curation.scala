@@ -447,8 +447,15 @@ object Curation {
     * corpus-prep job: score quality, predict language, drop near-dup
     * non-survivors, keep docs passing every gate. Each stage is an
     * already-oracle-proven operator; this query proves they COMPOSE
-    * (columns flow through, filters stack, the dedup anti-join
-    * broadcasts the small rejected-id set). */
+    * (columns flow through, filters stack).
+    *
+    * The dedup anti-join carries NO broadcast hint deliberately: at
+    * 100 TB the near-dup non-survivor set is corpus-proportional
+    * (30-50% of a raw crawl — billions of ids), so forcing a driver
+    * broadcast is an OOM. A plain left_anti on the scalar key lets
+    * Catalyst/AQE pick: broadcast when the dropped side is actually
+    * small (it is at test scale — AQE still broadcasts it), shuffled
+    * hash/SMJ when it isn't. PlanSpec pins the large-side behavior. */
   def qCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.rebalance(documents(s, d), "doc_id")
     val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
@@ -460,7 +467,7 @@ object Curation {
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     scored
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .filter(col("quality_score") >= 0.5 && col("lang_pred") =!= "und")
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score"))
       .orderBy("doc_id")

@@ -250,6 +250,11 @@ object Similarity {
     * are (6dp-rounded score desc, id), so the top-k sets are stable. */
   def qAnnRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // COUPLED to the oracle: SparkEntry.oracleSql("q_ann_recall") hardcodes
+    // n_exact = 10 * 20 (this k times the vec_id < 20 panel below), which
+    // assumes every panel query gets a FULL k-list — true for every shipped
+    // sf dir (all have >> 11 vectors). Changing k or the panel predicate
+    // here requires changing the oracle literal in the same commit.
     val k = 10
     val km = kmeansAssign(emb, 10, 2)
     val kmh = kmeansAssignHier(emb, 10, 2)

@@ -118,7 +118,11 @@ object BinaryIngest {
           // 1/256 odds per stream). Fall back to endstream-relative
           // trimming only for an INDIRECT length ("N 0 R"), stripping one
           // optional EOL (CRLF or lone LF/CR) per spec.
-          val direct = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+          // \d++ (possessive) prevents partial-number backtracking: with a
+          // greedy \d+ against "/Length 10 0 R" the engine retries the
+          // capture as "1" so the indirect-ref lookahead passes, yielding a
+          // bogus direct length of 1 and silently truncating the stream.
+          val direct = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
             .findFirstMatchIn(dict).map(_.group(1).toInt)
           var dataEnd = direct match {
             case Some(len) if dataStart + len <= endIdx => dataStart + len
@@ -249,20 +253,60 @@ object BinaryIngest {
         when(col("needs_ocr"), ocr(col("content"))).otherwise(col("text_layer")).as("text"),
         col("needs_ocr"))
 
+  /** Fixture-builder version, baked into every staged-fixture path: bump
+    * it whenever [[buildPdf]], the doc selection, or the escaping changes
+    * so a stale cache from a previous build can never be verified against
+    * (the old paths simply stop being looked at). */
+  private val FixtureVersion = 2
+
+  /** Versioned fixture root for sf dir `d`: deterministic per (builder
+    * version, sf dir), so a builder change = a fresh path. */
+  private def fixtureRoot(kind: String, d: String): String =
+    s"/tmp/graft_${kind}_v${FixtureVersion}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Atomically publish a staged directory: `build` populates a per-JVM
+    * temp dir which is then renamed into `target` (same-FS dir rename is
+    * atomic on POSIX). A concurrent verify/bench JVM either sees no
+    * target (and builds its own identical copy) or a COMPLETE one — never
+    * a half-written dir. The `_SUCCESS` marker inside survives the rename
+    * with the rest of the contents. */
+  private def publishFixture(target: String)(build: String => Unit): Unit = {
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    val tmp = target + ".tmp." + java.lang.ProcessHandle.current().pid()
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists()) deleteRecursive(tmpDir)
+    tmpDir.mkdirs()
+    build(tmp)
+    new java.io.File(tmp, "_SUCCESS").createNewFile()
+    try
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { // a racer published first; ours is identical — discard it
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException => deleteRecursive(tmpDir)
+    }
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
+    f.delete()
+  }
+
   /** Stage the pre-extracted fixture: one text FILE per document (the
     * per-upload unit the reference receives, DI:110), written DISTRIBUTED
     * through a partitioned text sink — document bytes never pass through
-    * the driver. Deterministic location per sf dir; idempotent overwrite.
-    * Capped at 200 docs: the point is the source plumbing, not volume. */
+    * the driver. Versioned deterministic location per sf dir; published
+    * atomically (see [[publishFixture]]). Capped at 200 docs: the point
+    * is the source plumbing, not volume. */
   def stageFixture(s: SparkSession, d: String): String = {
-    val fix = "/tmp/graft_s1_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    // content is a deterministic function of the sf dir: stage once, reuse
-    if (!new java.io.File(fix, "_SUCCESS").exists()) {
+    val fix = fixtureRoot("s1_fixture", d)
+    publishFixture(fix) { tmp =>
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("text"), col("doc_id"))
-        .write.partitionBy("doc_id").mode("overwrite").text(fix)
+        .write.partitionBy("doc_id").mode("overwrite").text(tmp + "/data")
     }
-    fix
+    fix + "/data"
   }
 
   /** Build one VALID single-page PDF whose content stream is
@@ -300,23 +344,20 @@ object BinaryIngest {
     * pass through the driver; in local mode /tmp is the shared FS, on a
     * cluster point this at one). Deterministic, idempotent. */
   def stagePdfFixture(s: SparkSession, d: String): String = {
-    val fix = "/tmp/graft_pdf_fixture_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    val done = new java.io.File(fix, "_SUCCESS")
-    if (!done.exists()) {
+    val fix = fixtureRoot("pdf_fixture", d)
+    publishFixture(fix) { tmp =>
       import s.implicits._
-      new java.io.File(fix).mkdirs()
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(fix, f"doc$id%05d.pdf"),
+              java.nio.file.Paths.get(tmp, f"doc$id%05d.pdf"),
               buildPdf(Option(text).getOrElse("")))
             id
           }
         }.count()
-      done.createNewFile()
     }
     fix
   }

@@ -56,10 +56,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("curation pipeline: dedup anti-join broadcasts, quality/langid stay narrow") {
-    val p = plan("q_curate")
-    assert(p.contains("BroadcastHashJoin"), s"dropped-id anti-join should broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"curate should not sort-merge:\n$p")
+  test("curate dedup anti-join lets the planner choose (no corpus-scale broadcast hint)") {
+    // The dropped-id set is corpus-proportional at 100 TB (30-50% of a raw
+    // crawl), so qCurate must NOT force a driver broadcast with a hint —
+    // Catalyst/AQE broadcasts it when it is actually small and falls back
+    // to a shuffled join when it is not.
+    // 1) small side (test scale): after execution, AQE has picked a
+    //    broadcast for the tiny dropped-id set on its own
+    val df = SparkEntry.queries("q_curate")(spark, sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the small dropped side at runtime:\n$finalPlan")
+    // 2) large side (simulated by flooring the threshold): the anti-join
+    //    must NOT broadcast — a broadcast() hint would force it regardless
+    //    of threshold, which is exactly the 100 TB driver-OOM regression
+    //    this case pins against
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q_curate")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"anti-join still broadcasts with the threshold floored — forced hint?\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("cdc diff shuffles fingerprints, not documents") {
