@@ -354,6 +354,59 @@ object ScaleProbe {
         Graph.pageRank(edges, 5, 0.85).count()
       }
     }
+    // round-6: the composite curation pipeline with the UNHINTED dedup
+    // anti-join — the dropped set grows with the corpus, so the planner
+    // must keep picking a strategy that works when it is no longer
+    // broadcastable (qCurate dropped its broadcast() hint this round).
+    // Pair generation goes through the LSH path at scale, like the
+    // clusters probe (the oracle-pinned exact-ngram path is a gate-scale
+    // choice, not the 100 TB one).
+    time("curate", nDocs) {
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+      val dropped = Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"))
+        .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      scored.join(dropped, Seq("doc_id"), "left_anti")
+        .filter(col("quality_score") >= 0.5 && col("lang_pred") =!= "und")
+        .count()
+    }
+    // curate component breakdown (sum ≈ curate; the residual is the
+    // anti-join + final filter)
+    time("curate_scored", nDocs) {
+      TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+        .agg(sum(col("quality_score")), count(col("lang_pred"))).head(); nDocs
+    }
+    time("curate_dropped", nDocs) {
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"))
+        .filter(col("id") =!= col("label")).count()
+    }
+    // phase-split diagnostic: construction (pair gen + clusters, eager
+    // checkpoints) vs execution (scored scan + anti-join)
+    if (only.contains("curate_v3")) {
+      val t0 = System.nanoTime()
+      val dropped = Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"))
+        .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+        .localCheckpoint()
+      println(f"[scale] curate_v3 construct ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val t1 = System.nanoTime()
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+        .filter(col("quality_score") >= 0.5 && col("lang_pred") =!= "und")
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score")
+      val n = scored.join(dropped, Seq("doc_id"), "left_anti").count()
+      println(f"[scale] curate_v3 execute ${(System.nanoTime() - t1) / 1e9}%.1f s ($n out)")
+    }
+    // variant: quality/lang filter + projection BEFORE the anti-join
+    time("curate_v2", nDocs) {
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+        .filter(col("quality_score") >= 0.5 && col("lang_pred") =!= "und")
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score")
+      val dropped = Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"))
+        .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      scored.join(dropped, Seq("doc_id"), "left_anti").count()
+    }
     time("embed_outliers", nEmb) { Similarity.embedOutliers(emb, 2.0).count() }
     time("phrase_search", nDocs) {
       TextSearch.phraseSearch(docs, Seq("part", "filter")).count()

@@ -135,6 +135,7 @@ object SparkEntry {
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
+    "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
     // --- advanced relational ops (SURVEY §2 "absent" rows)
@@ -903,6 +904,18 @@ object SparkEntry {
     // defect in the extractor hash-mismatches
     "q_pdf_ingest" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // the PNG round trip: the engine decodes REAL staged PNGs (ImageIO)
+    // and reports measured geometry + a position-weighted pixel sum; the
+    // oracle recomputes both in closed form from the deterministic image
+    // function (Multimodal.buildPng) — wrong pixels, swapped axes or a
+    // failed decode (sentinel -1s) all hash-mismatch
+    "q_image_ingest" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(list_sum([(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM g ORDER BY doc_id"),
     "q_nested_project" ->
       ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents) " +
         "SELECT doc_id AS document_id, CAST((len(words)-1)//40 + 1 AS BIGINT) AS n_pages, " +

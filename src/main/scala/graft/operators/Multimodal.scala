@@ -152,4 +152,114 @@ object Multimodal {
     * recomputes on the string side like the frame sampler). */
   def qMultimodalResize(s: SparkSession, d: String): DataFrame =
     resize(mediaTable(s, d)).orderBy("doc_id")
+
+  // --------------------------------------------- REAL image decode (PNG)
+
+  /** Deterministic grayscale test image for `docId`: dimensions and every
+    * pixel are pure functions of (x, y, docId), so the DuckDB oracle can
+    * recompute the decoded geometry AND a position-weighted pixel sum in
+    * closed form — any decode defect (wrong pixel, transposed axes, wrong
+    * dimensions, dropped row) breaks the hash compare. PNG is lossless, so
+    * the decoded values are exactly the encoded ones. */
+  def imageDims(docId: Long): (Int, Int) =
+    ((docId % 40 + 8).toInt, (docId % 23 + 8).toInt)
+
+  def buildPng(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + docId) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode in pure JDK — `javax.imageio.ImageIO` ships with
+    * the JRE and decodes PNG/JPEG/BMP/GIF, the same no-dependency move
+    * that landed FlateDecode PDF extraction (BinaryIngest.pdfExtract).
+    * Returns (width, height, Σ gray(x,y)·(y·width + x + 1)): the weight
+    * makes the sum order-sensitive, so axis swaps and pixel shuffles are
+    * caught, while staying a closed-form SQL expression for the oracle.
+    * Null on undecodable bytes (surfaces as a red oracle row, never an
+    * executor crash). */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) & 0xFF).toLong * (y.toLong * w + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** Stage real PNG uploads, one file per document — executor-written
+    * (mapPartitions; image bytes never pass through the driver), versioned
+    * + atomically published like the PDF fixture. */
+  def stagePngFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("png_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"img$id%05d.png"),
+              buildPng(id))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked REAL-image round trip: documents staged as actual PNG
+    * files -> binaryFile scan -> ImageIO decode (mapPartitions, per-
+    * partition codec reuse) -> exact geometry + weighted-pixel-sum
+    * equality against the oracle's closed-form recomputation. This is the
+    * q_pdf_ingest pattern applied to the image modality: the decode step
+    * is REAL, not the length-derived stub above (which stays as the
+    * documented seam for codecs the JDK lacks — video, audio). */
+  def qImageIngest(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stagePngFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "img(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePng(bytes) match {
+            case Some((w, h, sum)) => (id, w, h, sum)
+            case None => (id, -1, -1, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "pixel_sum")
+      .orderBy("doc_id")
+  }
 }

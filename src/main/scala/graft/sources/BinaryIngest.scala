@@ -261,7 +261,7 @@ object BinaryIngest {
 
   /** Versioned fixture root for sf dir `d`: deterministic per (builder
     * version, sf dir), so a builder change = a fresh path. */
-  private def fixtureRoot(kind: String, d: String): String =
+  private[graft] def fixtureRoot(kind: String, d: String): String =
     s"/tmp/graft_${kind}_v${FixtureVersion}_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Atomically publish a staged directory: `build` populates a per-JVM
@@ -270,7 +270,7 @@ object BinaryIngest {
     * target (and builds its own identical copy) or a COMPLETE one — never
     * a half-written dir. The `_SUCCESS` marker inside survives the rename
     * with the rest of the contents. */
-  private def publishFixture(target: String)(build: String => Unit): Unit = {
+  private[graft] def publishFixture(target: String)(build: String => Unit): Unit = {
     if (new java.io.File(target, "_SUCCESS").exists()) return
     val tmp = target + ".tmp." + java.lang.ProcessHandle.current().pid()
     val tmpDir = new java.io.File(tmp)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** The REAL image-decode path (round 6): ImageIO PNG decode through the
+  * multimodal mapPartitions slot, gated on exact geometry + a
+  * position-weighted pixel sum (see Multimodal.buildPng/decodePng).
+  * The oracle gate (q_image_ingest) covers the distributed round trip;
+  * these specs pin the decode function itself, including the failure
+  * modes the weighted sum exists to catch. */
+class MultimodalSpec extends SparkSpec {
+
+  test("PNG encode/decode round trip recovers exact geometry and pixels") {
+    for (id <- Seq(0L, 7L, 39L, 199L)) {
+      val (w, h) = Multimodal.imageDims(id)
+      val Some((dw, dh, sum)) = Multimodal.decodePng(Multimodal.buildPng(id))
+      assert(dw === w && dh === h)
+      // recompute the expected weighted sum directly from the image function
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expect += ((x * 7 + y * 13 + id) % 256) * (y.toLong * w + x + 1)
+      assert(sum === expect, s"doc $id")
+    }
+  }
+
+  test("weighted pixel sum is axis-sensitive (transposed image differs)") {
+    // a decoder that swapped x/y would produce a different sum unless the
+    // image is symmetric — build an asymmetric case and check directly
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val t = new java.awt.image.BufferedImage(2, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val v = x * 7 + y * 13
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      t.setRGB(y, x, (v << 16) | (v << 8) | v)
+    }
+    def enc(i: java.awt.image.BufferedImage) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
+    }
+    val Some((_, _, s1)) = Multimodal.decodePng(enc(img))
+    val Some((_, _, s2)) = Multimodal.decodePng(enc(t))
+    assert(s1 !== s2)
+  }
+
+  test("undecodable bytes return None, not an exception") {
+    assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodePng(Array.emptyByteArray).isEmpty)
+    // a truncated PNG (valid magic, cut stream)
+    val full = Multimodal.buildPng(5L)
+    assert(Multimodal.decodePng(full.take(20)).isEmpty)
+  }
+
+  test("q_image_ingest decodes every staged PNG with real dimensions") {
+    val out = SparkEntry.queries("q_image_ingest")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.imageDims(id)
+      assert(r.getInt(1) === w, s"doc $id width")
+      assert(r.getInt(2) === h, s"doc $id height")
+      assert(r.getLong(3) > 0L, s"doc $id decode failed (sentinel)")
+    }
+  }
+}
