@@ -132,6 +132,7 @@ object SparkEntry {
     // --- command dispatch (SURVEY §2.9)
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_dedup_gate" -> (graft.streaming.StreamingJobs.qDedupGate _),
+    "q_stream_window" -> (graft.streaming.StreamingJobs.qStreamWindow _), // event-time watermark + late-data gate
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
@@ -598,6 +599,20 @@ object SparkEntry {
         "round(CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 6) AS novelty " +
         "FROM e GROUP BY source ORDER BY source"),
     "q_dedup_gate" -> dedupGateOracleSql,
+    // watermark gate: the oracle replays the deterministic wave plan —
+    // wave 1 (event_id % 3 != 0) at real timestamps, plus ONLY the wave-2
+    // rows re-timed INSIDE the 2h watermark (even ids at max-30min); the
+    // odd-id rows re-timed to max-5h sit beyond the watermark and must be
+    // dropped by the stream, and the __flush sentinels never emit (their
+    // windows stay open). See StreamingJobs.qStreamWindow.
+    "q_stream_window" ->
+      ("WITH w1 AS (SELECT ts, event_type FROM events WHERE event_id % 3 <> 0), " +
+        "mx AS (SELECT max(ts) AS m FROM w1), " +
+        "w2 AS (SELECT m - INTERVAL 30 MINUTE AS ts, event_type FROM events, mx " +
+        "WHERE event_id % 3 = 0 AND event_id % 2 = 0), " +
+        "allv AS (SELECT ts, event_type FROM w1 UNION ALL SELECT ts, event_type FROM w2) " +
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n " +
+        "FROM allv GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,

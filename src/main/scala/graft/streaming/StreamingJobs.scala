@@ -127,6 +127,122 @@ object StreamingJobs {
       .toDF()
   }
 
+  // --------------------------------------- watermark + late-data gate
+
+  private lazy val streamWinDir: String = Dedup.processTempDir("graft_stream_window")
+
+  /** Stage `df` as ONE parquet file named `name` under `srcDir`, with an
+    * explicit modification time: the FileStreamSource orders files by
+    * (modTime, path), so distinct staged mod-times pin the wave replay
+    * order deterministically (`maxFilesPerTrigger=1` then maps one wave to
+    * one micro-batch). */
+  private def stageWave(df: DataFrame, srcDir: String, name: String, modMs: Long): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_wave")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(srcDir, name)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    dst.setLastModified(modMs)
+    Dedup.rmTree(stage.toFile)
+  }
+
+  /** Event-time watermark + late-data handling, driver-gated (SURVEY §2.9
+    * "absent" row — an engine extension; the reference has no event-time
+    * processing at all). Four deterministic waves of the events table
+    * replay through ONE watermarked streaming aggregation:
+    *
+    *   - wave 1: every `event_id % 3 != 0` row at its real timestamp.
+    *     After its batch the watermark is max(wave-1 ts) - 2h.
+    *   - wave 2: an EMPTY advance batch. Spark runs stateful operators
+    *     with TWO watermarks (SPARK-40925): late-row filtering uses the
+    *     PREVIOUS batch's watermark while eviction uses the current one —
+    *     so the batch right after wave 1 still ADMITS rows older than
+    *     wave 1's watermark (verified against this build's offset log).
+    *     The empty batch burns that lag: it evicts+emits every window
+    *     closed by wave 1's watermark and promotes that watermark into
+    *     the late-row filter for the next batch.
+    *   - wave 3: the `% 3 == 0` rows, re-timed relative to wave 1's max —
+    *     even ids to max-30min (late but INSIDE the watermark: they must
+    *     MERGE into their still-open windows), odd ids to max-5h (their
+    *     window end is below the watermark: they must be DROPPED). The
+    *     5h/30min offsets keep every row unambiguous under both late-row
+    *     interpretations (raw ts < watermark vs window end <= watermark).
+    *   - waves 4/5: one far-future `__flush` sentinel row each (+10h /
+    *     +11h). Wave 4 advances the watermark past every real window's
+    *     end; wave 5's batch then emits them all (append mode emits on a
+    *     batch AFTER the watermark passes, so the result is complete with
+    *     or without no-data micro-batches). The sentinel windows themselves
+    *     stay open forever — `__flush` never reaches the output.
+    *
+    * The DuckDB oracle recomputes the exact final state (wave 1 plus only
+    * the within-watermark wave-2 rows): a regression that drops
+    * within-watermark late rows, keeps beyond-watermark rows, or
+    * double-emits a window hash-mismatches. Scale posture: the streaming
+    * aggregation shuffles once on (window, event_type) with map-side
+    * partial aggregation, and state is one row per OPEN window per type —
+    * the watermark bounds it regardless of stream length. */
+  def qStreamWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.engine.Tables.events(s, d)
+    val wave1 = ev.filter(col("event_id") % 3 =!= 0).select(col("ts"), col("event_type"))
+    val us = 1000000L
+    val mxUs = wave1.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val lateWave = ev.filter(col("event_id") % 3 === 0)
+      .select(timestamp_micros(when(col("event_id") % 2 === 0, mxUs - 1800 * us)
+        .otherwise(mxUs - 18000 * us)).as("ts"), col("event_type"))
+    val advance = wave1.filter(lit(false)) // empty batch: see wave 2 above
+    def flush(offsetHours: Long) = s.range(1)
+      .select(timestamp_micros(lit(mxUs + offsetHours * 3600 * us)).as("ts"),
+        lit("__flush").as("event_type"))
+    replayWatermarkedWaves(s, streamWinDir,
+      Seq(wave1, advance, lateWave, flush(10), flush(11)), "2 hours",
+      statePartitions = Some(1))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Replay `waves` (each: ts TIMESTAMP, event_type STRING) through one
+    * watermarked tumbling-window count, one wave per micro-batch, and
+    * return the append-mode output — the harness behind [[qStreamWindow]]
+    * and the StreamingSpec late-data proofs.
+    *
+    * `statePartitions` pins `spark.sql.shuffle.partitions` (= the state
+    * store partition count, fixed at the stream's first batch) for the
+    * duration of the stream, restoring the session value after: the GATE
+    * stream is micro-scale by construction (a handful of waves), and each
+    * extra state partition costs two checkpointed state tasks per batch. A
+    * production deployment of the same query keeps the session default —
+    * the aggregation itself shuffles once on (window, event_type) however
+    * wide the cluster is. */
+  private[graft] def replayWatermarkedWaves(s: SparkSession, root: String,
+      waves: Seq[DataFrame], delay: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    Dedup.rmTree(new java.io.File(root))
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    val t0 = System.currentTimeMillis() - 60000
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stageWave(w, src, f"w$i%02d.parquet", t0 + i * 10000L)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ =>
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle))
+    s.read.parquet(out)
+  }
+
   // ------------------------------------------------- streaming dedup gate
 
   /** documents.parquet physical schema (the streaming file source needs it

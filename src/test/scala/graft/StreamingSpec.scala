@@ -427,6 +427,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 100, s"fixture should produce many sessions, got ${got.size}")
   }
 
+  test("watermark gate: within-watermark late rows merge, beyond-watermark rows drop") {
+    import spark.implicits._
+    def wave(rows: (String, String)*) =
+      rows.toSeq.toDF("t", "event_type")
+        .select(to_timestamp(col("t")).as("ts"), col("event_type"))
+    // wave 1 closes with max ts 12:50 -> watermark 10:50 (2h delay)
+    val w1 = wave(("2024-01-01 08:30:00", "view"), ("2024-01-01 12:50:00", "view"))
+    // empty advance batch: Spark's late-row filter runs one watermark
+    // BEHIND eviction (SPARK-40925), so without this batch the 08:45 row
+    // below would still be admitted (this build's offset log verified)
+    val adv = w1.filter(lit(false))
+    // late wave: 12:40 is late but INSIDE the watermark (its 12:00 window
+    // is still open) -> must merge; 08:45's window closed at 09:00 < 10:50
+    // -> must be dropped
+    val w2 = wave(("2024-01-01 12:40:00", "view"), ("2024-01-01 08:45:00", "view"))
+    val w3 = wave(("2024-01-02 12:00:00", "__flush"))
+    val w4 = wave(("2024-01-02 13:00:00", "__flush"))
+    val root = Files.createTempDirectory("graft_wm_gate").toString
+    val got = StreamingJobs.replayWatermarkedWaves(spark, root,
+      Seq(w1, adv, w2, w3, w4), "2 hours")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 08:00:00.0", "view", 1L), // 08:45 late row dropped
+      ("2024-01-01 12:00:00.0", "view", 2L))) // 12:40 late row merged
+  }
+
+  test("q_stream_window end-to-end on sf0.001 matches its batch replay") {
+    // the oracle's batch formulation: wave 1 + only the within-watermark
+    // wave-2 rows (even event_id % 3 == 0 docs re-timed to max-30min)
+    val got = StreamingJobs.qStreamWindow(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    val ev = graft.engine.Tables.events(spark, sf0001)
+    val w1 = ev.filter(col("event_id") % 3 =!= 0).select(col("ts"), col("event_type"))
+    val mxUs = w1.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val w2 = ev.filter(col("event_id") % 3 === 0 && col("event_id") % 2 === 0)
+      .select(timestamp_micros(lit(mxUs - 1800L * 1000000L)).as("ts"), col("event_type"))
+    val expected = w1.unionByName(w2)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && !got.exists(_._2 == "__flush"))
+  }
+
   test("streaming dedup gate: exact + near dups rejected within and across batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dedup_gate")
