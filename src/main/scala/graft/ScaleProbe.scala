@@ -322,6 +322,16 @@ object ScaleProbe {
     }
     time("retention_hotuser", nEv) { EventAnalytics.retention(evSkew).count() }
     time("anomaly_hotuser", nEv) { EventAnalytics.anomalies(evSkew, 3.0).count() }
+    // the algebraic escape: same hot fixture through the two-phase
+    // formulation (map-side-combined moments + AQE-splittable join) and
+    // through the router, which should detect the 1/3-hot user and pick
+    // two_phase on its own once the hot count clears the task budget
+    time("anomaly_hotuser_2p", nEv) {
+      EventAnalytics.anomaliesTwoPhase(evSkew, 3.0).count()
+    }
+    time("anomaly_hotuser_auto", nEv) {
+      EventAnalytics.anomaliesAuto(evSkew, 3.0).count()
+    }
 
     // round-4c additions: orders multiplied CONSISTENTLY with lineitem
     // (same orderkey transform) so the pagerank derivation join scales

@@ -237,8 +237,94 @@ object EventAnalytics {
         round(col("z"), 6).as("z"))
   }
 
+  /** Algebraic two-phase formulation of [[anomalies]]: per-user moments
+    * via groupBy (n, Σv, Σv² — partial-aggregated map-side, so a hot
+    * user's rows combine INSIDE each input partition before the shuffle),
+    * joined back to the events. Result-identical to the window path on
+    * any input: the moment expressions are the same exact-DECIMAL sums
+    * cast to double at the same points, the join is null-safe on user_id
+    * (a window treats NULL as its own partition; a plain equi-join would
+    * drop those rows), and the closed-form z is the same double
+    * expression — so the flag cannot differ between formulations
+    * (AnomalyTwoPhaseSpec proves equality on real and hot-key data).
+    *
+    * Scale: this is the hot-key escape the class doc promises. A WINDOW
+    * partition can never be split — the hottest user's task grows
+    * linearly with the corpus and AQE cannot help. Here the map-side
+    * combine bounds the aggregation by distinct users per partition, and
+    * the join back IS an AQE-splittable shuffle join (OptimizeSkewedJoin
+    * splits oversized join partitions; the tiny moments side is
+    * replicated into each split). Cost vs the window: one extra shuffle
+    * of the small per-user moments table. */
+  def anomaliesTwoPhase(ev: DataFrame, zMax: Double): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    val moments = ev.groupBy(col("user_id").as("m_user_id")).agg(
+      count(col("value")).as("n"),
+      sum(v).cast("double").as("s1"),
+      sum((v * v).cast("decimal(38,4)")).cast("double").as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1") / nD
+    val variance = col("s2") / nD - mean * mean
+    ev.join(moments, col("user_id") <=> col("m_user_id"))
+      .withColumn("z", (col("value") - mean) / sqrt(variance))
+      .filter(col("n") >= 3 && variance > 0 && abs(col("z")) > zMax)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("z"), 6).as("z"))
+  }
+
+  /** Row-hash sample target for the skew stats (the Dedup.ngramStats
+    * discipline: membership is a pure function of the row, never of the
+    * partitioning, so the estimate — and the routed strategy — is
+    * identical on any cluster layout). */
+  private val SkewSampleRows = 100000L
+  private val SkewSampleModulus = 1L << 30
+
+  /** Estimated event count of the hottest user, from a deterministic
+    * event_id-hash sample (exact when the table fits the sample budget).
+    * The 1/f correction uses the REALIZED modulus fraction, not the
+    * requested one (the Dedup sampled-stats rule). */
+  def estMaxUserRows(ev: DataFrame): Double = {
+    val n = ev.count()
+    if (n == 0L) return 0.0
+    val f = if (n <= SkewSampleRows) 1.0 else SkewSampleRows.toDouble / n
+    val (sampled, fReal) =
+      if (f >= 1.0) (ev, 1.0)
+      else {
+        val threshold = math.max(1L, (f * SkewSampleModulus).toLong)
+        (ev.filter(pmod(xxhash64(col("event_id")), lit(SkewSampleModulus))
+          < lit(threshold)), threshold.toDouble / SkewSampleModulus)
+      }
+    val r = sampled.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble / fReal
+  }
+
+  /** [[anomalies]] with strategy auto-selection from the sampled skew
+    * stats (the [[Dedup.ngramNearDupsAuto]] pattern): while the hottest
+    * user's estimated row count fits in one task's row budget, the
+    * single-shuffle window formulation wins; beyond it the window task
+    * is an unsplittable straggler and the AQE-splittable two-phase
+    * formulation takes over. Unlike the ngram router's LSH branch, BOTH
+    * branches here are exact and result-identical, so the routed result
+    * never depends on which side ran — the gated q_anomaly routes freely
+    * under its unchanged oracle. */
+  def anomaliesAutoTagged(ev: DataFrame, zMax: Double,
+      hotRowBudget: Long = 1000000L): (DataFrame, String) = {
+    val hot = estMaxUserRows(ev)
+    val strategy = if (hot > hotRowBudget) "two_phase" else "window"
+    log.info(f"anomaly strategy=$strategy estMaxUserRows=$hot%.0f budget=$hotRowBudget")
+    (if (strategy == "two_phase") anomaliesTwoPhase(ev, zMax)
+     else anomalies(ev, zMax), strategy)
+  }
+
+  def anomaliesAuto(ev: DataFrame, zMax: Double,
+      hotRowBudget: Long = 1000000L): DataFrame =
+    anomaliesAutoTagged(ev, zMax, hotRowBudget)._1
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.EventAnalytics")
+
   def qAnomaly(s: SparkSession, d: String): DataFrame =
-    anomalies(events(s, d), 3.0).orderBy("event_id")
+    anomaliesAuto(events(s, d), 3.0).orderBy("event_id")
 
   /** Ranking window demo: top-3 users by event count per event type
     * (row_number + deterministic tiebreak). */

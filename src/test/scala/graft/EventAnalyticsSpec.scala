@@ -46,6 +46,59 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(row === (("2024-01-01 01:00:00", "2024-01-01 02:00:00", 2L)))
   }
 
+  test("anomaliesTwoPhase is result-identical to the window formulation") {
+    // real data: the full sf0.001 events table through both formulations
+    val events = graft.engine.Tables.events(spark, sf0001)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "value", "z")
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val win = key(EventAnalytics.anomalies(events, 3.0))
+    val twoPhase = key(EventAnalytics.anomaliesTwoPhase(events, 3.0))
+    assert(win.nonEmpty, "fixture should flag at least one anomaly")
+    assert(twoPhase === win)
+
+    // adversarial fixture: a hot user holding 1/3 of all rows, a NULL
+    // user_id group (a window partitions NULL together; a non-null-safe
+    // join would drop it) and null values mixed into a flagged group
+    val rows = (1 to 300).map { i =>
+      val u: java.lang.Long = if (i % 3 == 0) 7L else if (i % 17 == 0) null
+        else (i % 5).toLong
+      val v: java.lang.Double = if (i == 90) 9999.0 else if (i % 13 == 0) null
+        else (i % 7).toDouble
+      (i.toLong, u, v)
+    }
+    val fix = rows.toDF("event_id", "user_id", "value")
+    val winF = key(EventAnalytics.anomalies(fix, 3.0))
+    val twoF = key(EventAnalytics.anomaliesTwoPhase(fix, 3.0))
+    assert(winF.nonEmpty, "hot fixture should flag the planted outlier")
+    assert(twoF === winF)
+  }
+
+  test("anomaly router: window while the hottest user fits, two_phase beyond") {
+    val events = graft.engine.Tables.events(spark, sf0001)
+    val (_, uniform) = EventAnalytics.anomaliesAutoTagged(events, 3.0)
+    assert(uniform === "window",
+      "gate-scale uniform users must stay on the single-shuffle window path")
+    // same data, hot budget forced below the hottest user's real count:
+    // the router must switch — and the routed result must still equal the
+    // window result (both branches exact)
+    val (routed, hot) = EventAnalytics.anomaliesAutoTagged(events, 3.0, hotRowBudget = 1L)
+    assert(hot === "two_phase")
+    val win = EventAnalytics.anomalies(events, 3.0)
+      .select("event_id", "z").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val got = routed.select("event_id", "z").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === win)
+  }
+
+  test("estMaxUserRows is exact under the sample budget") {
+    // user 1 holds the 40 head rows PLUS the six i%10==1 tail rows (41,
+    // 51, ... 91) = 46 total; every other user has at most 7
+    val fix = (1 to 100).map(i => (i.toLong, if (i <= 40) 1L else (i % 10).toLong))
+      .toDF("event_id", "user_id")
+    assert(EventAnalytics.estMaxUserRows(fix) === 46.0)
+    assert(EventAnalytics.estMaxUserRows(fix.limit(0)) === 0.0)
+  }
+
   test("anomalies flag only extreme values, never small or degenerate groups") {
     val rows = // user 1: 20 values at 10.0 plus one wild outlier
       (1 to 20).map(i => (i.toLong, 1L, 10.0)) ++ Seq((21L, 1L, 500.0)) ++
