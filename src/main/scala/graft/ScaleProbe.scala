@@ -117,6 +117,24 @@ object ScaleProbe {
       Similarity.ivfTopK(km, km.filter(col("vec_id") < mult * 5),
         "list_id", 10, 4).count()
     }
+    // persisted-index split of the same workload: TRAIN once (kmeans +
+    // partitioned snapshot write), then PROBE with a FIXED 20-query panel
+    // against the published snapshot. The probe row is the serving cost a
+    // deployment pays per batch — it must scale with the probed lists'
+    // share of the corpus (nprobe/k, and k grows with the corpus at a
+    // constant list-size target), never with training or the full scan.
+    locally {
+      val ivfRoot = "/tmp/graft_probe_ivf"
+      Dedup.rmTree(new java.io.File(ivfRoot))
+      time("ivf_index_train", nEmb) {
+        Similarity.writeIvfIndex(spark, emb, ivfRoot, 10 * mult, 2); nEmb
+      }
+      time("ivf_index_probe", nEmb) {
+        Similarity.ivfProbeIndex(spark, ivfRoot,
+          emb.filter(col("vec_id") < 20), 10, 4).count()
+      }
+      Dedup.rmTree(new java.io.File(ivfRoot))
+    }
     time("agg_pricing", nLi) {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"), count(lit(1)).as("n"))

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_sem_dedup" -> (Similarity.qSemDedup _),
     "q_sem_dedup_hier" -> (Similarity.qSemDedupHier _), // production two-level path, tolerance-gated
     "q_ann_recall" -> (Similarity.qAnnRecall _), // LSH+IVF recall@10 vs brute force, tolerance-gated
+    "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC
     "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection
     "q_weighted_sample" -> (Curation.qWeightedSample _), // quality-proportional ES sampling
@@ -1352,6 +1353,14 @@ object SparkEntry {
         "TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok, " +
         "TRUE AS ivf_hier_recall_ok " +
         "FROM embeddings WHERE vec_id < 20"),
+    // n_exact = k(10) * |odd panel| exactly: the indexed even half holds
+    // >= 10 vectors in every shipped sf dir and the parity split makes
+    // query/corpus disjoint, so no exact list is ever short. The literal
+    // 10 is coupled to Similarity.qAnnIncremental's k.
+    "q_ann_incremental" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS ivf_recall_ok " +
+        "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

@@ -23,10 +23,15 @@ class Snapshot(spark: SparkSession, root: String) {
     if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim) else None
 
   /** Read the published snapshot. */
-  def read(): DataFrame = {
+  def read(): DataFrame = spark.read.parquet(currentPath())
+
+  /** Filesystem path of the published version — the entry point for
+    * multi-table snapshots written via [[publishVia]], whose readers
+    * address subdirectories themselves. */
+  def currentPath(): String = {
     val v = currentVersion().getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    spark.read.parquet(s"$root/$v")
+    s"$root/$v"
   }
 
   /** Write `df` as the next version and publish it atomically. Returns the
@@ -42,11 +47,21 @@ class Snapshot(spark: SparkSession, root: String) {
     * never touches: claiming the version DIRECTORY itself would not work,
     * because Spark's overwrite-mode write deletes and re-creates the
     * target directory at job start, reopening the race window mid-write. */
-  def publish(df: DataFrame): String = {
+  def publish(df: DataFrame): String =
+    publishVia(v => df.write.mode("overwrite").parquet(v))
+
+  /** [[publish]] with a caller-supplied layout: `write` receives the
+    * claimed version DIRECTORY path and may produce any structure under
+    * it (several tables, partitioned subdirectories) before the pointer
+    * swap publishes them all atomically TOGETHER — the multi-table
+    * snapshot a persisted index needs (lists + centroids must never be
+    * readable at different versions). Same claim/swap protocol as
+    * [[publish]]. */
+  def publishVia(write: String => Unit): String = {
     val next = "v_" + (currentVersion().map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
     Files.createDirectories(Paths.get(root))
     Files.createFile(Paths.get(root, next + ".claim")) // throws FileAlreadyExistsException on a lost race
-    df.write.mode("overwrite").parquet(s"$root/$next")
+    write(s"$root/$next")
     val tmp = Paths.get(root, "CURRENT.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,

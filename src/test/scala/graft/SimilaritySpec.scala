@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -383,5 +383,41 @@ class SimilaritySpec extends SparkSpec {
     // coverage radius never increases after the seed sentinel
     val ds = got.drop(1).map(_._3)
     assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("persisted IVF probe equals the self-contained ivfTopK and prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 40)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+
+    Similarity.writeIvfIndex(spark, corpus, root, 10, 2)
+    val probed = Similarity.ivfProbeIndex(spark, root, queries, 10, 4)
+
+    // result parity: training is deterministic, so probing the persisted
+    // lists must reproduce the in-memory ivfTopK over the same assignment
+    val assigned = Similarity.kmeansAssignHier(corpus, 10, 2)
+    val expected = Similarity.ivfTopK(assigned, queries, "list_id", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val got = probed
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+
+    // scale shape: the list scan must be pruned by PARTITION filter on
+    // list_id (directory-level pruning — the probe never reads the whole
+    // index), and no embedding array may cross an exchange
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan)
+
+    // snapshot protocol: retraining publishes a NEW version atomically
+    val snap = new graft.engine.Snapshot(spark, root)
+    assert(snap.currentVersion() === Some("v_0"))
+    Similarity.writeIvfIndex(spark, corpus, root, 10, 2)
+    assert(snap.currentVersion() === Some("v_1"))
+    Dedup.rmTree(new java.io.File(root))
   }
 }
