@@ -451,6 +451,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ONE-JOIN exact near-dup pass for a dedup-gate micro-batch: the batch
+    * postings are exploded ONCE and joined against the union of the batch
+    * itself and the persisted index's stored shingles, so batch-vs-corpus
+    * rejection pairs (`is_corpus` true, any orientation) and
+    * batch-vs-batch pairs (`is_corpus` false, doc_a < doc_b) come out of
+    * a single postings join — where the split formulation ran two
+    * independent joins over the same batch postings (VERDICT r5 #5's
+    * "reuse the corpus shingle postings across stages 3/4"). Join cost is
+    * Σ freq_batch·(freq_batch + freq_corpus) — exactly the sum of the two
+    * split joins, with one exchange of the batch postings instead of two
+    * and one job wave instead of two. Results are identical by
+    * construction (same candidate classes, same Jaccard); the gate's
+    * oracle replays both stages unchanged. */
+  private[graft] def gateFusedExactPairs(spark: SparkSession,
+      indexDir: Option[String], sigs: DataFrame, threshold: Double): DataFrame = {
+    val batchSh = sigs.select(col("doc_id"), col("sh"))
+    val right = indexDir match {
+      case Some(p) => batchSh.withColumn("is_corpus", lit(false))
+        .unionByName(spark.read.parquet(p).select(col("doc_id"), col("sh"))
+          .withColumn("is_corpus", lit(true)))
+      case None => batchSh.withColumn("is_corpus", lit(false))
+    }
+    val lp = batchSh.select(col("doc_id").as("doc_a"), explode(col("sh")).as("shingle"))
+    val rp = right.select(col("doc_id").as("doc_b"), col("is_corpus"),
+      explode(col("sh")).as("shingle"))
+    val common = lp.join(rp, Seq("shingle"))
+      .filter(col("is_corpus") || col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "is_corpus").agg(count(lit(1)).as("common"))
+    common
+      .join(batchSh.select(col("doc_id").as("doc_a"),
+        size(col("sh")).cast("long").as("sa")), Seq("doc_a"))
+      .join(right.select(col("doc_id").as("doc_b"), col("is_corpus"),
+        size(col("sh")).cast("long").as("sb")), Seq("doc_b", "is_corpus"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa") + col("sb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("is_corpus"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Bounded-probe id prefix for [[qCrossDedup]]: ids are dense from 0,
     * so a constant id cutoff is a constant-size probe set at ANY corpus
     * scale — the probe cannot grow with the corpus. */
@@ -628,11 +668,45 @@ object Dedup {
     * one keyed join + aggregate over the edge list. The driver sees only
     * the per-round change COUNT. At extreme component sizes swap in the
     * alternating large-star/small-star optimization; the fixpoint is the
-    * same. */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    * same.
+    *
+    * SMALL-GRAPH FAST PATH: under `driverEdgeBudget` edges (16 MB of
+    * longs at the default 2^20) the pair list collects to the driver and
+    * a union-find labels it in one pass — result-IDENTICAL to the loop
+    * fixpoint (union-by-min keeps every tree rooted at its component
+    * minimum; DedupSpec proves equality on chain graphs), but replaces
+    * the per-round join+checkpoint+count jobs with one collect. This is
+    * the shape that matters for the streaming dedup gate, whose
+    * WITHIN-BATCH pair graph is micro-batch-bounded by construction —
+    * the distributed loop remains the path for corpus-scale graphs. */
+  def nearDupClusters(pairs: DataFrame,
+      driverEdgeBudget: Long = 1L << 20): DataFrame = {
+    val s = pairs.sparkSession
+    val pe = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    if (pe.count() <= driverEdgeBudget) {
+      import s.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pe.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN: the smaller root stays root, so every root is its
+        // component's minimum id — the loop's fixpoint semantics
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "label")
+    }
+    val edges = pe
+      .unionByName(pe.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -352,24 +352,41 @@ object StreamingJobs {
       // re-shingle (and re-sign) the batch from text.
       val sigs = Dedup.signedIndexOf(live)
 
-      // 3. near-dup vs corpus: band-bucket probe of the persisted index
-      val nearCorpusRej = pin(
-        if (!exists(spark, indexDir)) exactCorpusRej.limit(0)
-        else {
-          val probed =
-            if (exactPairs) Dedup.probeIndexExactOnIdx(spark, indexDir, sigs, threshold)
-            else Dedup.probeIndexOnSigs(spark, indexDir, sigs, threshold)
-          probed
+      // 3 + 4. near-dup vs corpus, then within batch. Exact mode FUSES the
+      // two into one postings join ([[Dedup.gateFusedExactPairs]]): the
+      // batch shingles explode once against (batch UNION stored index),
+      // and the checkpointed pair list serves both the corpus rejection
+      // (is_corpus rows) and the within-batch pair graph (batch rows
+      // filtered to stage-3 survivors — identical to running stage 4 on
+      // the survivor set). The minhash band path keeps the split shape
+      // (its corpus side is the re-derived band-key probe, not postings).
+      val (nearCorpusRej, pairs) =
+        if (exactPairs) {
+          val idx = if (exists(spark, indexDir)) Some(indexDir) else None
+          val fused = Dedup.gateFusedExactPairs(spark, idx, sigs, threshold)
+            .localCheckpoint()
+          val ncr = fused.filter(col("is_corpus"))
             .groupBy(col("doc_a").as("doc_id"))
             .agg(min(col("doc_b")).as("witness"))
             .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness"))
-        })
+          val p = fused.filter(!col("is_corpus"))
+            .join(ncr.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+            .join(ncr.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+            .select("doc_a", "doc_b")
+          (ncr, p)
+        } else {
+          val ncr = pin(
+            if (!exists(spark, indexDir)) exactCorpusRej.limit(0)
+            else Dedup.probeIndexOnSigs(spark, indexDir, sigs, threshold)
+              .groupBy(col("doc_a").as("doc_id"))
+              .agg(min(col("doc_b")).as("witness"))
+              .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness")))
+          val sigsLive = sigs.join(ncr.select("doc_id"), Seq("doc_id"), "left_anti")
+          (ncr, Dedup.minhashNearDupsOnSigs(sigsLive, threshold).select("doc_a", "doc_b"))
+        }
       live = live.join(nearCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
 
-      // 4. near-dup within batch: cluster the pair graph, keep minima
-      val sigsLive = sigs.join(nearCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
-      val pairs = (if (exactPairs) Dedup.ngramNearDupsOnIdx(sigsLive, threshold)
-        else Dedup.minhashNearDupsOnSigs(sigsLive, threshold)).select("doc_a", "doc_b")
+      // cluster the within-batch pair graph, keep minima
       val nearBatchRej = pin(Dedup.nearDupClusters(pairs)
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"), lit("near_dup_batch").as("reason"),

@@ -109,6 +109,30 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("cluster fast path (driver union-find) equals the distributed loop") {
+    import spark.implicits._
+    // adversarial shapes for min-label propagation: a LONG chain (deep
+    // diameter, where the loop needs many rounds), edges arriving
+    // max-first, and a star joined to the chain's tail
+    val chain = (1L to 40L).sliding(2).map(w => (w(1), w(0))).toSeq // reversed pairs
+    val star = Seq((100L, 40L), (101L, 100L), (102L, 100L))
+    val pairs = (chain ++ star).toDF("doc_a", "doc_b")
+    val fast = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loop = Dedup.nearDupClusters(pairs, driverEdgeBudget = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast === loop)
+    assert(fast.values.toSet === Set(1L), "single component labels to its min")
+    // the real corpus pair graph through both paths
+    val corpusPairs = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b")
+    val fastC = Dedup.nearDupClusters(corpusPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loopC = Dedup.nearDupClusters(corpusPairs, driverEdgeBudget = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastC === loopC)
+    assert(fastC.nonEmpty)
+  }
+
   test("ngram auto-selection picks the right strategy from corpus stats") {
     import spark.implicits._
     // real corpus: comfortably inside the pair budget -> inverted index
