@@ -227,6 +227,27 @@ object ScaleProbe {
     time("vocab_coverage", nDocs) {
       TextSearch.vocabCoverage(docs, Seq(0.5, 0.9)).head(); nDocs
     }
+    // REALISTIC-VOCAB trainer probe (VERDICT r5 #6): the 8-merge gate
+    // rows above never stress the driver loop. 1k and 10k merges measure
+    // the incremental pair-count maintenance + max-scan cost the
+    // production trainer actually pays (Sennrich-style: driver work over
+    // the capped word-freq dict, zero Spark jobs per merge). The trainer
+    // may exhaust the pair supply first — the learned count is printed so
+    // the row is honest about how many merges it actually performed.
+    Seq(1000, 10000).foreach { m =>
+      var merges: Seq[(String, String)] = Seq.empty
+      time(s"bpe_train_${m}", nDocs) {
+        merges = TextSearch.bpeTrainLocal(docs, m)
+          .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        merges.length.toLong
+      }
+      // encode with the JUST-LEARNED table (train cost excluded): the
+      // single-pass UDF's per-row cost grows with merge-table depth, the
+      // plan does not
+      time(s"bpe_encode_${m}", nDocs) {
+        TextSearch.bpeEncode(docs, merges).agg(sum(col("n_bpe_tokens"))).head(); nDocs
+      }
+    }
     time("dataset_card", nDocs) { TextAnalysis.datasetCard(docs).count() }
     time("cross_dedup", nDocs) {
       Dedup.crossNearDupsExact(

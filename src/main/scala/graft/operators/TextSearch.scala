@@ -538,9 +538,25 @@ object TextSearch {
           }
           w += 1
         }
+        // presence-set skip: a merge whose left or right token is absent
+        // from the buffer cannot fire — skip it with two hash lookups
+        // instead of an O(len) pass. The set is a SUPERSET of live tokens
+        // (merged-away tokens are not removed), so a needed pass is never
+        // skipped and the output is bit-identical to the all-passes fold
+        // (spec'd); per-document cost becomes O(len · applicable merges +
+        // vocab lookups), not O(len · vocab) — the difference between a
+        // 1k and a 50k vocabulary being usable
+        val present = scala.collection.mutable.HashSet.empty[String]
+        buf.foreach(present += _)
         var m = 0
         while (m < table.length) {
-          buf = mergePass(buf, table(m)._1, table(m)._2); m += 1
+          val l = table(m)._1; val r = table(m)._2
+          if (present.contains(l) && present.contains(r)) {
+            val merged = mergePass(buf, l, r)
+            if (merged.length != buf.length) present += (l + r)
+            buf = merged
+          }
+          m += 1
         }
         val n = if (buf.isEmpty) 1L else buf.count(_ != boundary).toLong
         java.lang.Long.valueOf(n)

@@ -233,6 +233,13 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bpeEncode(corpus, ms).queryExecution.analyzed.toString.length
     assert(planChars(merges) == planChars(merges.take(2)),
       "single-pass encode plan must not grow with the merge table")
+    // ... and at a REAL 10k-merge vocabulary: the fold baseline would be
+    // a 10k-deep replace tree that cannot analyze; the production plan is
+    // byte-identical to the 2-merge plan and still executes
+    val big = (1 to 10000).map(i => (s"x$i", s"y$i"))
+    assert(planChars(big) == planChars(merges.take(2)),
+      "plan must stay constant at 10k merges")
+    assert(TextSearch.bpeEncode(corpus.limit(5), big).count() === 5L)
     // edge semantics match the seg-string path: empty text counts 1 token
     // (trim->""->split yields [""]), null text stays null
     val edge = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
