@@ -137,6 +137,7 @@ object SparkEntry {
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
+    "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
@@ -919,6 +920,12 @@ object SparkEntry {
     // oracle is the documents table itself — any inflate/escape/run
     // defect in the extractor hash-mismatches
     "q_pdf_ingest" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // the composite-font round trip must ALSO reproduce the source text
+    // exactly — same oracle shape; the staged bytes are Type0/Identity-H
+    // with hex CID strings and a ToUnicode CMap, so any defect in the
+    // CMap parse, range expansion or 2-byte decode hash-mismatches
+    "q_pdf_cid" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the PNG round trip: the engine decodes REAL staged PNGs (ImageIO)
     // and reports measured geometry + a position-weighted pixel sum; the

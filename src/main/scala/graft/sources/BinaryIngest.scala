@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  - [[pdfTextExtractor]]: declarative, uncompressed content streams
   *    only — rides whole-stage codegen;
   *  - [[pdfTextExtractorFull]]: REAL PDF extraction including
-  *    FlateDecode-compressed streams, TJ kerned arrays and string
-  *    escapes, in pure JDK (no dependency — `java.util.zip.Inflater`
-  *    IS the Flate codec). A glyph-accurate library binding (CID
-  *    fonts, encryption) remains a drop-in through the same slot.
+  *    FlateDecode-compressed streams, TJ kerned arrays, string escapes,
+  *    hex show strings and CID/Type0 composite fonts via /ToUnicode
+  *    CMaps, in pure JDK (no dependency — `java.util.zip.Inflater` IS
+  *    the Flate codec). A glyph-accurate library binding (encryption,
+  *    /ObjStm) remains a drop-in through the same slot.
   *
   * No OCR engine exists in this container (SURVEY §2.1), so the OCR
   * fallback below keeps its deterministic stand-in. Everything
@@ -86,10 +87,22 @@ object BinaryIngest {
     *    `/FontFile` programs are skipped wholesale (their bytes are not
     *    text and inflating them wastes work).
     *
-    * Out of scope (documented): hex strings `<..> Tj`, CID/Type0
-    * multi-byte encodings, /Differences remaps, object streams
-    * (/ObjStm), encryption — a glyph-accurate binding (fitz-class)
-    * remains the production swap-in, through the SAME seam.
+    *  - hex show strings (`<..> Tj` and hex TJ fragments) and CID/Type0
+    *    composite fonts via their /ToUnicode CMap (round 6): streams
+    *    containing `begincmap` are classified as CMaps (never text),
+    *    their `bfchar`/`bfrange` entries (scalar and array forms) build
+    *    the code→Unicode map, and hex strings decode as big-endian
+    *    2-byte CIDs through it — the Identity-H layout every generated
+    *    CID PDF uses. Without any CMap in the file, hex strings fall
+    *    back to 1-byte Latin-1 (the simple-font hex case). Driver-gated
+    *    end-to-end by q_pdf_cid on staged composite-font PDFs.
+    *
+    * Out of scope (documented): per-font CMap scoping (one merged map
+    * per document — exact whenever fonts don't reuse the same code for
+    * different glyphs, which generated single-font PDFs never do),
+    * /Differences remaps, object streams (/ObjStm), encryption — a
+    * glyph-accurate binding (fitz-class) remains the production swap-in,
+    * through the SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -97,7 +110,11 @@ object BinaryIngest {
   def pdfExtract(bytes: Array[Byte]): String = {
     if (bytes == null) return null
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // pass 1 collects decoded stream CONTENTS in file order; text runs
+    // are extracted afterwards, once the document's ToUnicode map (built
+    // from any CMap streams) is known — hex CID strings in stream 1 may
+    // need a CMap that appears in stream 6
+    val contents = scala.collection.mutable.ArrayBuffer.empty[String]
     var idx = raw.indexOf("stream")
     while (idx >= 0) {
       val isEndKeyword = idx >= 3 && raw.regionMatches(idx - 3, "end", 0, 3)
@@ -138,14 +155,84 @@ object BinaryIngest {
             val content: Option[String] =
               if (dict.contains("/FlateDecode")) inflateRange(bytes, dataStart, dataEnd)
               else Some(raw.substring(dataStart, dataEnd))
-            content.foreach(c => runs ++= showTextRuns(c))
+            content.foreach(contents += _)
           }
           next = endIdx + 9
         }
       }
       idx = raw.indexOf("stream", next)
     }
-    runs.mkString(" ")
+    val (cmapStreams, textStreams) = contents.partition(_.contains("begincmap"))
+    val cmap = cmapStreams.map(parseToUnicode)
+      .foldLeft(Map.empty[Int, String])(_ ++ _)
+    textStreams.flatMap(c => showTextRuns(c, cmap)).mkString(" ")
+  }
+
+  /** Parse one ToUnicode CMap stream: `bfchar` pairs plus `bfrange` in
+    * both the scalar (`<lo> <hi> <dstBase>`, last UTF-16 unit
+    * incremented across the range, per the CMap spec) and array
+    * (`<lo> <hi> [<d0> <d1> ...]`) forms. Destinations are UTF-16BE hex
+    * (possibly multi-unit — ligature expansions round-trip). Range size
+    * is capped at 2^16 entries (a CID range never legitimately exceeds
+    * the 2-byte code space; an adversarial <0> <7FFFFFFF> must not spin
+    * the parser). */
+  private[graft] def parseToUnicode(cm: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    val hexItem = """<([0-9A-Fa-f]+)>""".r
+    def hexStr(h: String): String = {
+      val p = if (h.length % 2 == 1) h + "0" else h
+      new String(p.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cm).foreach { blk =>
+      """<([0-9A-Fa-f]{1,8})>\s*<([0-9A-Fa-f]+)>""".r
+        .findAllMatchIn(blk.group(1)).foreach { m =>
+          out(java.lang.Long.parseLong(m.group(1), 16).toInt) = hexStr(m.group(2))
+        }
+    }
+    val arrRe =
+      """<([0-9A-Fa-f]{1,8})>\s*<([0-9A-Fa-f]{1,8})>\s*\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\]""".r
+    val scalarRe =
+      """<([0-9A-Fa-f]{1,8})>\s*<([0-9A-Fa-f]{1,8})>\s*<([0-9A-Fa-f]+)>""".r
+    """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cm).foreach { blk =>
+      val b = blk.group(1)
+      arrRe.findAllMatchIn(b).foreach { m =>
+        val lo = java.lang.Long.parseLong(m.group(1), 16).toInt
+        hexItem.findAllMatchIn(m.group(3)).map(x => hexStr(x.group(1)))
+          .zipWithIndex.foreach { case (d, i) => out(lo + i) = d }
+      }
+      // strip array entries first: the scalar regex would otherwise match
+      // three consecutive items INSIDE an array's brackets
+      scalarRe.findAllMatchIn(arrRe.replaceAllIn(b, " ")).foreach { m =>
+        val lo = java.lang.Long.parseLong(m.group(1), 16)
+        val hi = java.lang.Long.parseLong(m.group(2), 16)
+        val base = hexStr(m.group(3))
+        if (base.nonEmpty && hi >= lo && hi - lo <= 0xFFFF) {
+          var c = lo
+          while (c <= hi) {
+            out(c.toInt) = base.init + (base.last + (c - lo)).toChar
+            c += 1
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Decode one hex show string: with a ToUnicode map, big-endian 2-byte
+    * CIDs through the map (unmapped codes drop — the fitz behavior for
+    * glyphs with no Unicode); with no map, 1-byte Latin-1 (simple-font
+    * hex). An odd trailing nibble pads with 0 per the PDF spec. */
+  private def decodeHex(h: String, cmap: Map[Int, String]): String = {
+    val clean = h.replaceAll("\\s", "")
+    val padded = if (clean.length % 2 == 1) clean + "0" else clean
+    if (padded.isEmpty) ""
+    else if (cmap.nonEmpty)
+      padded.grouped(4).map { g =>
+        val g4 = if (g.length < 4) (g + "00").take(4) else g
+        cmap.getOrElse(Integer.parseInt(g4, 16), "")
+      }.mkString
+    else padded.grouped(2).map(p => Integer.parseInt(p, 16).toChar).mkString
   }
 
   /** Inflate bytes[from, until) — None on any corruption (a skipped
@@ -170,20 +257,35 @@ object BinaryIngest {
       else None
     } catch { case _: Exception => None }
 
-  // (string) with escaped chars; no unescaped parens inside
-  private val PdfString = """\(((?:\\.|[^\\()])*)\)"""
+  // (string) with escaped chars; no unescaped parens inside.
+  // UNROLLED-LOOP form, not `(?:\\.|[^\\()])*`: Java's regex engine
+  // recurses once per iteration of an alternation star, so a multi-KB
+  // string body (a CID hex TJ array quadruples the text length) blows the
+  // executor thread's stack. `[^..]*+(?:\\.[^..]*+)*+` consumes plain-char
+  // runs in a non-recursing possessive loop and recurses only per ESCAPE —
+  // same language, depth ∝ escape count instead of byte count (spec'd on a
+  // 20k-char document).
+  private val PdfString = """\(([^\\()]*+(?:\\.[^\\()]*+)*+)\)"""
+  private val HexString = """<([0-9A-Fa-f\s]*+)>"""
   private val TjRe = (PdfString + """\s*Tj""").r
-  private val TJRe = ("""\[((?:\\.|[^\]\\])*)\]\s*TJ""").r
-  private val FragRe = PdfString.r
+  private val HexTjRe = (HexString + """\s*Tj""").r
+  private val TJRe = ("""\[([^\]\\]*+(?:\\.[^\]\\]*+)*+)\]\s*TJ""").r
+  // TJ fragment: literal string (group 1) OR hex string (group 2)
+  private val FragRe = (PdfString + "|" + HexString).r
 
   /** Show-text runs of one content stream, in stream order: each Tj is
-    * one run; each TJ array is one run (fragments concatenated). */
-  private def showTextRuns(content: String): Seq[String] = {
+    * one run; each TJ array is one run (fragments concatenated). Literal
+    * strings unescape; hex strings decode through [[decodeHex]] with the
+    * document's ToUnicode map. */
+  private def showTextRuns(content: String, cmap: Map[Int, String]): Seq[String] = {
     val ops = scala.collection.mutable.TreeMap.empty[Int, String]
     TjRe.findAllMatchIn(content).foreach(m => ops(m.start) = pdfUnescape(m.group(1)))
+    HexTjRe.findAllMatchIn(content).foreach(m => ops(m.start) = decodeHex(m.group(1), cmap))
     TJRe.findAllMatchIn(content).foreach { m =>
       ops(m.start) = FragRe.findAllMatchIn(m.group(1))
-        .map(f => pdfUnescape(f.group(1))).mkString
+        .map(f => if (f.group(1) != null) pdfUnescape(f.group(1))
+                  else decodeHex(f.group(2), cmap))
+        .mkString
     }
     ops.values.filter(_.nonEmpty).toSeq
   }
@@ -320,13 +422,8 @@ object BinaryIngest {
       case c => c.toString
     }
     val content = s"BT /F1 12 Tf 72 712 Td ($esc) Tj ET"
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    defl.finish()
-    val buf = new Array[Byte](8192)
     val data = new java.io.ByteArrayOutputStream()
-    while (!defl.finished()) data.write(buf, 0, defl.deflate(buf))
-    defl.end()
+    data.write(deflateBytes(content))
     val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit =
       bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -339,12 +436,89 @@ object BinaryIngest {
     bos.toByteArray
   }
 
+  private def deflateBytes(s: String): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    defl.finish()
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    out.toByteArray
+  }
+
+  /** Build one valid COMPOSITE-FONT (Type0 / Identity-H) PDF carrying
+    * `text` as 2-byte CID hex strings — the staging side of the
+    * q_pdf_cid round trip, exercising the extractor's whole CID surface:
+    *
+    *  - codes are assigned 0x0100.. by first appearance, OFFSET from the
+    *    Unicode values, so an identity-decoding extractor (or the 1-byte
+    *    simple-font fallback) produces garbage instead of accidentally
+    *    passing;
+    *  - the /ToUnicode CMap maps the first up-to-4 codes via an
+    *    ARRAY-form bfrange and the rest via bfchar — both parse paths
+    *    are under the gate ([[parseToUnicode]]'s scalar form is spec'd
+    *    in EngineSpec);
+    *  - splittable text is shown as a kerned TJ array of TWO hex
+    *    fragments; single-char text as a hex Tj — both hex show forms
+    *    under the gate;
+    *  - both the content stream and the CMap stream are Flate-compressed
+    *    (the CMap classification must happen on INFLATED content). */
+  def buildPdfCid(text: String): Array[Byte] = {
+    val t = Option(text).getOrElse("")
+    val chars: IndexedSeq[Char] = t.distinct
+    val code: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (0x100 + i) }.toMap
+    def hexOf(s: String): String = s.map(c => f"${code(c)}%04X").mkString
+    val content =
+      if (t.isEmpty) "BT ET"
+      else if (t.length >= 2) {
+        val (a, b) = t.splitAt(t.length / 2)
+        s"BT /F1 12 Tf 72 712 Td [<${hexOf(a)}> -120 <${hexOf(b)}>] TJ ET"
+      } else s"BT /F1 12 Tf 72 712 Td <${hexOf(t)}> Tj ET"
+    val nRange = math.min(4, chars.length)
+    val bfrange = if (nRange == 0) "" else
+      s"1 beginbfrange\n" +
+        f"<${0x100}%04X> <${0x100 + nRange - 1}%04X> " +
+        chars.take(nRange).map(c => f"<${c.toInt}%04X>").mkString("[", " ", "]") +
+        "\nendbfrange\n"
+    val rest = chars.drop(nRange)
+    val bfchar = if (rest.isEmpty) "" else
+      s"${rest.length} beginbfchar\n" +
+        rest.map(c => f"<${code(c)}%04X> <${c.toInt}%04X>").mkString("\n") +
+        "\nendbfchar\n"
+    val cmap = "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      bfrange + bfchar +
+      "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    val cdata = deflateBytes(content)
+    val mdata = deflateBytes(cmap)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${cdata.length} /Filter /FlateDecode >> stream\n")
+    bos.write(cdata)
+    w("\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${mdata.length} /Filter /FlateDecode >> stream\n")
+    bos.write(mdata)
+    w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Stage real COMPRESSED-PDF uploads: one .pdf file per document,
     * written from the EXECUTORS (mapPartitions — document bytes never
     * pass through the driver; in local mode /tmp is the shared FS, on a
     * cluster point this at one). Deterministic, idempotent. */
-  def stagePdfFixture(s: SparkSession, d: String): String = {
-    val fix = fixtureRoot("pdf_fixture", d)
+  def stagePdfFixture(s: SparkSession, d: String, kind: String = "pdf_fixture",
+      build: String => Array[Byte] = buildPdf): String = {
+    val fix = fixtureRoot(kind, d)
     publishFixture(fix) { tmp =>
       import s.implicits._
       Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -354,7 +528,7 @@ object BinaryIngest {
           it.map { case (id, text) =>
             java.nio.file.Files.write(
               java.nio.file.Paths.get(tmp, f"doc$id%05d.pdf"),
-              buildPdf(Option(text).getOrElse("")))
+              build(Option(text).getOrElse("")))
             id
           }
         }.count()
@@ -370,6 +544,21 @@ object BinaryIngest {
     * under the driver gate, not just its spec. */
   def qPdfIngest(s: SparkSession, d: String): DataFrame = {
     val fix = stagePdfFixture(s, d)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked COMPOSITE-FONT round trip (r5 stretch item #8):
+    * documents staged as Type0/Identity-H PDFs ([[buildPdfCid]] — hex
+    * CID strings, Flate-compressed ToUnicode CMaps with bfrange+bfchar)
+    * through the SAME extractor slot, exact text equality against the
+    * source table. The 0x100 code offset means a decoder that ignores
+    * the CMap cannot accidentally pass. */
+  def qPdfCid(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfcid_fixture", build = buildPdfCid)
     readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
       .withColumn("doc_id",
         regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))

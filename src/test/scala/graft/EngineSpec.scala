@@ -335,4 +335,54 @@ class EngineSpec extends SparkSpec {
     // produces them, but the extractor slot must not NPE)
     assert(BinaryIngest.pdfExtract(null) === null)
   }
+
+  test("PDF CID/ToUnicode: hex strings, bfchar/bfrange forms, fallbacks") {
+    import graft.sources.BinaryIngest
+    // full composite-font round trip through the fixture builder —
+    // TJ hex fragments + array-form bfrange + bfchar, all Flate-compressed
+    val text = "conjunction junction, what's your function?"
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid(text)) === text)
+    // single-char text takes the hex-Tj path
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid("x")) === "x")
+    // empty text: no show ops, no CMap entries, no crash
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid("")) === "")
+    // SCALAR bfrange form: <lo> <hi> <base> increments the last UTF-16
+    // unit across the range (the builder emits only the array form)
+    val scalarMap = BinaryIngest.parseToUnicode(
+      """begincmap
+        |1 beginbfrange
+        |<0100> <0103> <0041>
+        |endbfrange
+        |1 beginbfchar
+        |<01FF> <00660066>
+        |endbfchar
+        |endcmap""".stripMargin)
+    assert(scalarMap === Map(0x100 -> "A", 0x101 -> "B", 0x102 -> "C",
+      0x103 -> "D", 0x1FF -> "ff")) // multi-unit dst = ligature expansion
+    // array entries must NOT also parse as a scalar range (three items
+    // inside brackets look like <a> <b> <c>)
+    val arrOnly = BinaryIngest.parseToUnicode(
+      "begincmap 1 beginbfrange <0100> <0102> [<0058> <0059> <005A>] endbfrange endcmap")
+    assert(arrOnly === Map(0x100 -> "X", 0x101 -> "Y", 0x102 -> "Z"))
+    // no CMap in the file: hex strings fall back to 1-byte Latin-1
+    val simpleHex = "BT <48656C6C6F> Tj ET"
+    val pdfBytes = ("%PDF-1.4\n4 0 obj << /Length " + simpleHex.length +
+      " >> stream\n" + simpleHex + "\nendstream endobj\ntrailer\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(BinaryIngest.pdfExtract(pdfBytes) === "Hello")
+    // unmapped codes drop silently (glyph with no Unicode), mapped ones keep
+    val mixed = BinaryIngest.buildPdfCid("ab")
+    val tampered = new String(mixed, "ISO-8859-1") // codes 0100,0101 mapped
+    assert(BinaryIngest.pdfExtract(tampered.getBytes("ISO-8859-1")) === "ab")
+    // adversarial range: <0> <7FFFFFFF> must not spin the parser
+    val bomb = BinaryIngest.parseToUnicode(
+      "begincmap 1 beginbfrange <00000000> <7FFFFFFF> <0041> endbfrange endcmap")
+    assert(bomb === Map.empty[Int, String])
+    // LONG documents: a 20k-char text is an ~80k-char hex TJ body — the
+    // show-string regexes must not recurse per char (StackOverflowError
+    // with the naive alternation-star form, found at sf0.01)
+    val long = (1 to 4000).map(i => s"w$i(x)").mkString(" ")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid(long)) === long)
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdf(long)) === long)
+  }
 }
