@@ -372,6 +372,27 @@ object ScaleProbe {
       EventAnalytics.anomaliesAuto(evSkew, 3.0).count()
     }
 
+    // dedup-gate batch at scale (round 6): one full micro-batch of the
+    // multiplied corpus through all four rejection stages against an
+    // index seeded with the corpus' even half — the per-batch serving
+    // cost of the streaming gate (the q_dedup_gate bench row is two
+    // micro-batches at sf0.1 plus harness overhead; this isolates the
+    // batch itself as the corpus grows)
+    if (only.isEmpty || only.contains("dedup_gate_batch")) {
+      val root = "/tmp/graft_probe_gate"
+      Dedup.rmTree(new java.io.File(root))
+      val half = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      graft.streaming.StreamingJobs.dedupGateBatch(spark, half, 0L,
+        s"$root/acc", s"$root/idx", s"$root/rej", 0.5, exactPairs = true)
+      time("dedup_gate_batch", nDocs) {
+        graft.streaming.StreamingJobs.dedupGateBatch(spark,
+          docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text"), 1L,
+          s"$root/acc", s"$root/idx", s"$root/rej", 0.5, exactPairs = true)
+        spark.read.parquet(s"$root/acc").count()
+      }
+      Dedup.rmTree(new java.io.File(root))
+    }
+
     // round-4c additions: orders multiplied CONSISTENTLY with lineitem
     // (same orderkey transform) so the pagerank derivation join scales
     // with mult instead of dropping rows. Both big inputs are staged to

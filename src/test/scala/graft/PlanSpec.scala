@@ -166,8 +166,10 @@ class PlanSpec extends SparkSpec {
     // intentional all-pairs designs: brute-force similarity baselines
     // (crossJoin of a broadcast query set is the point)
     val allPairsByDesign = Set("q_topk", "q_embed_dup", "q_hard_negatives",
-      // embeds the brute-force ground-truth baseline by definition
-      "q_ann_recall")
+      // embed the brute-force ground-truth baseline by definition; the
+      // incremental gate additionally certifies the persisted probe
+      // against the same fixed-panel baseline
+      "q_ann_recall", "q_ann_incremental")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
