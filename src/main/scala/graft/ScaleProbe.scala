@@ -481,6 +481,45 @@ object ScaleProbe {
     time("phrase_search", nDocs) {
       TextSearch.phraseSearch(docs, Seq("part", "filter")).count()
     }
+
+    // ---- round-6 widening: web ingestion, PQ serving, session stream
+    {
+      import spark.implicits._
+      import graft.sources.{HtmlIngest, WarcIngest}
+      time("html_extract", nDocs) {
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, t) =>
+            HtmlIngest.htmlToText(
+              HtmlIngest.buildHtml(id, if (t == null) "" else t)).length
+          }.filter(_ >= 0).count()
+      }
+      time("warc_parse", nDocs) {
+        // build + walk multi-record archives in memory, ~50 docs/archive
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.grouped(50).map(g =>
+            WarcIngest.parseWarcResponses(WarcIngest.buildWarcFile(g)).length.toLong))
+          .reduce(_ + _)
+      }
+      time("url_filter", nDocs) { UrlOps.urlVerdicts(docs).count() }
+      val pqBooks = Similarity.pqTrainCodebooks(emb, 2)
+      time("pq_adc_topk", nEmb) {
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20 * mult),
+          pqBooks, 50).count()
+      }
+      time("stream_session", nEv) {
+        val us = 1000000L
+        val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        val waves = Seq(
+          ev.filter(unix_micros(col("ts")) < midUs).select(col("user_id"), col("ts")),
+          ev.filter(unix_micros(col("ts")) >= midUs).select(col("user_id"), col("ts")),
+          spark.range(1).select(lit(-1L).as("user_id"),
+            timestamp_micros(lit(bounds.getLong(1) + 4 * 3600 * us)).as("ts")))
+        graft.streaming.StreamingJobs.replaySessionWaves(spark,
+          graft.operators.Dedup.processTempDir("graft_scale_sess"),
+          waves, "1 hour", "30 minutes").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_sem_dedup" -> (Similarity.qSemDedup _),
     "q_sem_dedup_hier" -> (Similarity.qSemDedupHier _), // production two-level path, tolerance-gated
     "q_ann_recall" -> (Similarity.qAnnRecall _), // LSH+IVF recall@10 vs brute force, tolerance-gated
+    "q_pq_search" -> (Similarity.qPqSearch _), // PQ ADC + rerank recall@10, tolerance-gated
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC
     "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection
@@ -134,11 +135,18 @@ object SparkEntry {
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_dedup_gate" -> (graft.streaming.StreamingJobs.qDedupGate _),
     "q_stream_window" -> (graft.streaming.StreamingJobs.qStreamWindow _), // event-time watermark + late-data gate
+    "q_stream_session" -> (graft.streaming.StreamingJobs.qStreamSession _), // session windows merging across micro-batches
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
+    "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
+    "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
+    "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
+    "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
+    "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
+    "q_jsonl_ingest" -> (graft.sources.JsonlGz.qJsonlIngest _), // gzipped-JSONL shards via the native json source
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
     // --- advanced relational ops (SURVEY §2 "absent" rows)
@@ -615,6 +623,22 @@ object SparkEntry {
         "allv AS (SELECT ts, event_type FROM w1 UNION ALL SELECT ts, event_type FROM w2) " +
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n " +
         "FROM allv GROUP BY 1, 2 ORDER BY 1, 2"),
+    // session gate: gaps-and-islands over the SAME event rows the stream
+    // replays (two time-split waves; no late rows by construction) — a
+    // session breaks when the gap EXCEEDS 30 minutes (Spark merges
+    // adjacent [t, t+gap) windows, i.e. diff == gap still merges;
+    // pinned by StreamingSpec); session_end_gap = last event + gap,
+    // matching session_window.end. The flush user (-1) never emits.
+    "q_stream_session" ->
+      ("WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+        "SELECT min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end_gap, " +
+        "user_id, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, sess ORDER BY user_id, session_start"),
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
@@ -939,6 +963,82 @@ object SparkEntry {
         "CAST(list_sum([(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) * (i + 1) " +
         "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
         "FROM g ORDER BY doc_id"),
+    // the WAV round trip: the engine decodes REAL staged RIFF/WAVE files
+    // through the JDK's own audio codec (AudioSystem) and reports the
+    // measured format + a position-weighted sample sum; the oracle
+    // recomputes both in closed form from the deterministic PCM function
+    // (Multimodal.audioSample) — wrong endianness, channel miscount or a
+    // failed parse (sentinel -1s) all hash-mismatch
+    "q_audio_ingest" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
+        "CAST(doc_id % 200 + 50 AS BIGINT) AS n_frames " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, sample_rate, channels, n_frames, " +
+        "CAST(list_sum([((((i * 37 + doc_id * 11) % 65536) - 32768) * (i + 1)) " +
+        "for i in generate_series(0, n_frames * channels - 1)]) AS BIGINT) AS sample_sum " +
+        "FROM g ORDER BY doc_id"),
+    // the animated-GIF round trip: the engine decodes every frame of REAL
+    // staged multi-frame GIFs (ImageIO reader over the container) and the
+    // oracle recomputes each frame's geometry + weighted pixel sum in
+    // closed form from the deterministic frame function
+    // (Multimodal.gifPixel) — a dropped frame, frame-order swap or
+    // palette quantization defect all hash-mismatch
+    "q_gif_frames" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 21 + 6 AS w, doc_id % 13 + 6 AS h, " +
+        "doc_id % 4 + 2 AS nf FROM documents WHERE doc_id < 200), " +
+        "f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_no FROM g) " +
+        "SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(list_sum([(((i % w) * 5 + (i // w) * 11 + frame_no * 17 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM f ORDER BY doc_id, frame_no"),
+    // the HTML round trip: staged real pages wrap each document's text in
+    // boilerplate (nav, script, style, comments, entities — see
+    // HtmlIngest.buildHtml); the extractor must reproduce EXACTLY the
+    // visible text, which the oracle states in closed form — script/style
+    // leakage, surviving comments, attribute-'>' truncation or an entity
+    // mis-decode all hash-mismatch
+    "q_html_ingest" ->
+      ("WITH t AS (SELECT doc_id, regexp_replace(trim(coalesce(text, '')), " +
+        "'\\s+', ' ', 'g') AS body FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, 'Doc ' || doc_id || ' Home | About Doc #' || doc_id || " +
+        "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
+        "' © 2026 Graft' AS text_clean FROM t ORDER BY doc_id"),
+    // URL canonicalization: the engine PARSES each generated URL (hand
+    // parser + RFC 3986 dot-segment removal + tracking-param strip +
+    // suffix-aware domain); the oracle states each of the five
+    // generator families' canonical form in closed form — it never runs
+    // a parser, so any rule defect (kept default port, unresolved '..',
+    // surviving utm_, wrong suffix split) hash-mismatches
+    "q_url_filter" ->
+      ("SELECT doc_id, CASE doc_id % 5 " +
+        "WHEN 0 THEN 'http://www.example.com/a/c/page' || doc_id || '?q=' || doc_id " +
+        "WHEN 1 THEN 'https://blog.example.org/posts/' || doc_id || '?id=' || doc_id " +
+        "WHEN 2 THEN 'http://ads.spam-site.co.uk/offer' " +
+        "WHEN 3 THEN 'https://docs.example.com/kb/' || doc_id || '?q=a%20b' " +
+        "ELSE 'http://example.com/item/' || doc_id END AS url_norm, " +
+        "CASE doc_id % 5 WHEN 1 THEN 'example.org' " +
+        "WHEN 2 THEN 'spam-site.co.uk' ELSE 'example.com' END AS domain, " +
+        "doc_id % 5 = 2 AS blocked " +
+        "FROM documents ORDER BY doc_id"),
+    // the WARC round trip: staged multi-record archives (warcinfo +
+    // request + response records; the engine must walk by Content-Length
+    // and keep only the HTTP-200 response bodies) extract to exactly the
+    // q_html_ingest closed form plus each doc's crawl URI
+    "q_warc_ingest" ->
+      ("WITH t AS (SELECT doc_id, regexp_replace(trim(coalesce(text, '')), " +
+        "'\\s+', ' ', 'g') AS body FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, 'http://example.com/doc/' || doc_id AS url, " +
+        "'Doc ' || doc_id || ' Home | About Doc #' || doc_id || " +
+        "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
+        "' © 2026 Graft' AS text_clean FROM t ORDER BY doc_id"),
+    // gzip-JSONL round trip: hand-built RFC 8259 lines in executor-written
+    // gzip shards, read back through Spark's native json source — must
+    // reproduce the documents table byte for byte
+    "q_jsonl_ingest" ->
+      "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
     "q_nested_project" ->
       ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents) " +
         "SELECT doc_id AS document_id, CAST((len(words)-1)//40 + 1 AS BIGINT) AS n_pages, " +
@@ -1359,6 +1459,13 @@ object SparkEntry {
       ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
         "TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok, " +
         "TRUE AS ivf_hier_recall_ok " +
+        "FROM embeddings WHERE vec_id < 20"),
+    // same coupling as q_ann_recall: n_exact = k(10) * the vec_id < 20
+    // panel; the booleans pin the PQ serving path's measured recalls
+    // (ADC 0.33-0.43 >= 0.25, ADC+rerank 0.82-0.93 >= 0.6)
+    "q_pq_search" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS adc_recall_ok, TRUE AS refined_recall_ok " +
         "FROM embeddings WHERE vec_id < 20"),
     // n_exact = k(10) * |odd panel| exactly: the indexed even half holds
     // >= 10 vectors in every shipped sf dir and the parity split makes

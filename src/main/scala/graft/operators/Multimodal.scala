@@ -239,7 +239,7 @@ object Multimodal {
     * equality against the oracle's closed-form recomputation. This is the
     * q_pdf_ingest pattern applied to the image modality: the decode step
     * is REAL, not the length-derived stub above (which stays as the
-    * documented seam for codecs the JDK lacks — video, audio). */
+    * documented seam for codecs the JDK lacks — video). */
   def qImageIngest(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -261,5 +261,266 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "pixel_sum")
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------- REAL audio decode (WAV)
+
+  /** Deterministic PCM parameters for `docId`'s test clip: rate, channel
+    * count and frame count are pure functions of the id, and interleaved
+    * sample i is `((i*37 + docId*11) % 65536) - 32768` — the full signed
+    * 16-bit range, position-dependent, so the DuckDB oracle recomputes the
+    * decoded stream in closed form. PCM is lossless: decoded == encoded. */
+  def audioParams(docId: Long): (Int, Int, Int) =
+    (8000 + (docId % 5).toInt * 2000, 1 + (docId % 2).toInt, (docId % 200 + 50).toInt)
+
+  def audioSample(docId: Long, i: Long): Int =
+    (((i * 37L + docId * 11L) % 65536L) - 32768L).toInt
+
+  /** Hand-rolled RIFF/WAVE writer (16-bit little-endian PCM). Written BY
+    * HAND on purpose: the decode side goes through the JDK's own codec
+    * (`javax.sound.sampled.AudioSystem`), so builder and decoder share no
+    * code — a defect in either breaks the closed-form oracle instead of
+    * cancelling out. */
+  def buildWav(docId: Long): Array[Byte] = {
+    val (rate, channels, frames) = audioParams(docId)
+    val nSamples = frames * channels
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2)               // byte rate
+      .putShort((channels * 2).toShort)          // block align
+      .putShort(16.toShort)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(audioSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** REAL audio decode in pure JDK — `javax.sound.sampled.AudioSystem`
+    * ships with the JRE and parses RIFF/WAVE (PCM and a-law/mu-law).
+    * Returns (rate, channels, frames, Σ sample(i)·(i+1)) over the
+    * interleaved 16-bit stream; the position weight catches channel
+    * deinterleave bugs and byte-order mistakes, while staying a
+    * closed-form SQL expression for the oracle. Null on undecodable
+    * bytes (red oracle row, never an executor crash). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            // the sign lives in whichever byte is the high one — .toInt on
+            // that byte sign-extends; the other is masked unsigned
+            val sample =
+              if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xFF)
+              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+            sum += sample.toLong * (i + 1)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            n.toLong / fmt.getChannels, sum))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Stage real WAV uploads, one file per document — executor-written,
+    * versioned + atomically published like the PDF/PNG fixtures. */
+  def stageWavFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("wav_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"clip$id%05d.wav"),
+              buildWav(id))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked REAL-audio round trip: documents staged as actual
+    * RIFF/WAVE files -> binaryFile scan -> JDK AudioSystem decode
+    * (mapPartitions, per-partition codec reuse) -> exact format geometry
+    * + position-weighted sample sum against the oracle's closed-form
+    * recomputation. Completes the modality set the brief enumerates:
+    * text (q_pdf_ingest), image (q_image_ingest), audio (here) are all
+    * REAL decodes; only video remains a documented stub (no JDK codec). */
+  def qAudioIngest(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageWavFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "clip(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some((rate, ch, frames, sum)) => (id, rate, ch, frames, sum)
+            case None => (id, -1, -1, -1L, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_frames", "sample_sum")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------- REAL frame extraction (anim GIF)
+
+  /** Deterministic geometry for `docId`'s animated test clip: frame
+    * dimensions are constant per clip (the GIF logical screen), the frame
+    * count varies 2-5, and every pixel of every frame is a pure function
+    * of (x, y, frame, docId) so the oracle recomputes each frame's
+    * weighted pixel sum in closed form. */
+  def gifDims(docId: Long): (Int, Int, Int) =
+    ((docId % 21 + 6).toInt, (docId % 13 + 6).toInt, (docId % 4 + 2).toInt)
+
+  def gifPixel(docId: Long, frame: Int, x: Int, y: Int): Int =
+    ((x * 5 + y * 11 + frame * 17 + docId) % 256).toInt
+
+  /** 256-entry gray palette: the frame's 8-bit gray values land on exact
+    * palette entries, so the GIF encode is LOSSLESS by construction (no
+    * quantizer involved) and decoded pixels equal encoded ones. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Multi-frame animated GIF via the JDK's own GIF writer
+    * (`ImageIO` + `writeToSequence`): frame f's pixels are
+    * `gifPixel(docId, f, x, y)`. */
+  def buildGif(docId: Long): Array[Byte] = {
+    val (w, h, nFrames) = gifDims(docId)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gifPixel(docId, f, x, y)); x += 1 }
+        y += 1
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode in pure JDK: an `ImageReader` over the GIF
+    * container, one `read(i)` per frame — the real shape of video-frame
+    * extraction (container -> per-frame raster -> small typed features),
+    * with the codec init amortized per file exactly where a per-partition
+    * video decoder would sit. Returns one (frame_no, w, h, weighted pixel
+    * sum) per frame; empty on undecodable bytes. */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return Seq.empty }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) & 0xFF).toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          (f, w, h, sum)
+        }
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => Seq.empty }
+
+  /** Stage real animated-GIF uploads, one file per document. */
+  def stageGifFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("gif_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"anim$id%05d.gif"),
+              buildGif(id))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked REAL frame extraction: documents staged as actual
+    * animated GIFs -> binaryFile scan -> per-frame ImageIO decode
+    * (flatMap inside mapPartitions: one small typed row per frame, raw
+    * media never shuffled) -> exact frame count, geometry and per-frame
+    * weighted pixel sums against the oracle's closed-form recomputation.
+    * This upgrades the frame-sampling stub (sampleFrames) to a REAL
+    * container-parsing path — the video modality's Spark shape with a
+    * real (if humble) codec behind it. */
+  def qGifFrames(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageGifFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "anim(\\d+)\\.gif", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = decodeGifFrames(bytes)
+          if (frames.isEmpty) Seq((id, -1, -1, -1, -1L))
+          else frames.map { case (f, w, h, sum) => (id, f, w, h, sum) }
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "pixel_sum")
+      .orderBy("doc_id", "frame_no")
   }
 }

@@ -1000,37 +1000,78 @@ object Similarity {
     (0 until PqM).map(m => seeds.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub)))
   }
 
+  /** Spark's `round(x, 6)` for a finite double, JVM-side: the closure
+    * paths below must round exactly like the expression paths or a
+    * boundary vector's code could differ between them. */
+  private def round6d(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** All M codes for one vector — the closure-side twin of [[pqEncode]]'s
+    * expression argmin (equality pinned in SimilaritySpec). */
+  private[graft] def pqCodesJvm(v: Array[Double],
+      bks: Array[Array[Array[Double]]]): Array[Int] = {
+    val codes = new Array[Int](PqM)
+    var m = 0
+    while (m < PqM) { codes(m) = nearestCodeJvm(v, m, bks(m)); m += 1 }
+    codes
+  }
+
+  /** First-minimum argmin over `book` for subspace `m`, with the same
+    * fold order and 6dp rounding as [[pqDists]] + `array_position(min)` —
+    * kept JVM-side because a 16x16-literal expression tree's CODEGEN
+    * COMPILE dominated the actual work (round-6 probe: 8.1s for two
+    * Lloyd iterations over 2,000 vectors; the arithmetic is microseconds). */
+  private def nearestCodeJvm(v: Array[Double], m: Int, book: Seq[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var k = 0
+    while (k < book.length) {
+      val c = book(k); var s = 0.0; var j = 0
+      while (j < PqSub) { val dd = v(m * PqSub + j) - c(j); s += dd * dd; j += 1 }
+      val d = round6d(s)
+      if (d < bestD) { bestD = d; best = k }
+      k += 1
+    }
+    best
+  }
+
   /** Per-subspace Lloyd iterations on top of the seed codebooks. Each
-    * iteration is one narrow assignment pass (argmin over literal
-    * centroids — the [[kmeansAssign]] pattern, no exchange) plus one
-    * M*K*PqSub-key aggregation for the new means; the codebooks travel
-    * driver -> executors as expression literals, never as a join side.
-    * Codes whose cell empties keep their previous centroid. */
+    * iteration is one narrow assignment pass (typed mapPartitions; the
+    * codebooks travel in the task closure — k·dim doubles, never a join
+    * side) emitting (m, code, j, component) scalars, plus one
+    * M*K*PqSub-key distributed aggregation for the new means. Codes whose
+    * cell empties keep their previous centroid. The assign is JVM code
+    * rather than literal expressions deliberately: same arithmetic (see
+    * [[nearestCodeJvm]]), but plan size — and therefore codegen compile
+    * time — is CONSTANT in M·K instead of quadratic. */
   def pqTrainCodebooks(emb: DataFrame, iters: Int): Seq[Seq[Array[Double]]] = {
     var books = pqSeedCodebooks(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
     var i = 0
     while (i < iters) {
-      val vd = emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val withCodes = (0 until PqM).foldLeft(vd) { (df, m) =>
-        val dists = pqDists(col("v"), m, books(m))
-        df.withColumn(s"c$m", array_position(dists, array_min(dists)) - 1)
-      }
-      val codeOfM = array((0 until PqM).map(m => col(s"c$m")): _*)
-      val means = withCodes
-        .select(posexplode(col("v")).as(Seq("pos", "x")), codeOfM.as("cs"))
-        .select((col("pos") / PqSub).cast("int").as("m"),
-          pmod(col("pos"), lit(PqSub)).cast("int").as("j"),
-          element_at(col("cs"), (col("pos") / PqSub).cast("int") + 1).as("code"),
-          col("x"))
+      val bks: Array[Array[Array[Double]]] = books.map(_.toArray).toArray
+      val means = emb
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .as[Array[Double]]
+        .mapPartitions { it =>
+          it.flatMap { v =>
+            if (v == null || v.length < PqM * PqSub) Iterator.empty
+            else (0 until PqM).iterator.flatMap { m =>
+              val code = nearestCodeJvm(v, m, bks(m))
+              (0 until PqSub).iterator.map(j => (m, code, j, v(m * PqSub + j)))
+            }
+          }
+        }
+        .toDF("m", "code", "j", "x")
         .groupBy("m", "code", "j").agg(avg(col("x")).as("c"))
         .collect()
-        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
         .toMap
       books = (0 until PqM).map { m =>
         (0 until PqK).map { code =>
           val prev = books(m)(code)
-          Array.tabulate(PqSub)(j => means.getOrElse((m, code.toLong, j), prev(j)))
+          Array.tabulate(PqSub)(j => means.getOrElse((m, code, j), prev(j)))
         }
       }
       i += 1
@@ -1062,14 +1103,47 @@ object Similarity {
     * SimilaritySpec. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
-    val c = pqEncode(corpus, books)
-      .select(col("vec_id").as("n_id"), col("codes"))
-    val qd = transform(col("embedding"), x => x.cast("double"))
-    val lut = array((for (m <- 0 until PqM; kk <- 0 until PqK) yield {
-      aggregate(zip_with(slice(qd, m * PqSub + 1, PqSub), lit(books(m)(kk)),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
-    }): _*)
-    val q = queries.select(col("vec_id").as("q_id"), lut.as("lut"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // both sides of the scan are built JVM-side with the books in the
+    // task closure: the literal-expression formulations (a 256-term LUT
+    // array; 32 pqDists trees in the encode) each measured SECONDS of
+    // pure codegen compile per invocation, for arithmetic that takes
+    // microseconds — same fold order + rounding, so values and codes are
+    // bit-identical ([[pqCodesJvm]] parity is spec-pinned; the
+    // expression encode remains the oracle-gated q_pq_encode surface)
+    val bks: Array[Array[Array[Double]]] = books.map(_.toArray).toArray
+    val c = corpus
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          if (v == null || v.length < PqM * PqSub) None
+          else Some((id, pqCodesJvm(v, bks)))
+        }
+      }
+      .toDF("n_id", "codes")
+    val q = queries
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val lut = new Array[Double](PqM * PqK)
+          var m = 0
+          while (m < PqM) {
+            var kk = 0
+            while (kk < PqK) {
+              val cv = bks(m)(kk); var s = 0.0; var j = 0
+              while (j < PqSub) { val dd = v(m * PqSub + j) - cv(j); s += dd * dd; j += 1 }
+              lut(m * PqK + kk) = s
+              kk += 1
+            }
+            m += 1
+          }
+          (id, lut)
+        }
+      }
+      .toDF("q_id", "lut")
     val dist = (0 until PqM).map { m =>
       element_at(col("lut"), lit(m * PqK + 1) + element_at(col("codes"), m + 1))
     }.reduce(_ + _)
@@ -1161,5 +1235,49 @@ object Similarity {
         concat_ws("|", col("codes").cast("array<string>")).as("codes"),
         col("qerr"))
       .orderBy("vec_id")
+  }
+
+  /** Driver-gated PQ retrieval quality — the [[qAnnRecall]] pattern
+    * applied to the product-quantized serving path: recall@10 of pure
+    * ADC ([[pqTopK]], codes-only scan — M bytes/vector instead of the
+    * full embedding) and ADC+exact-rerank ([[pqTopKRefined]], the PQ
+    * paper's "+R" variant with a refine·k shortlist) against
+    * [[bruteForceTopK]] ground truth on the fixed 20-query panel, over
+    * 2-iteration-trained codebooks. Measured across sf0.001/0.01/0.1:
+    * pure ADC 0.33-0.43 (gate 0.25 — 16x compression costs recall by
+    * design; that's what the rerank is for), refined 0.82-0.93 (gate
+    * 0.6). `n_exact` pins the ground-truth side like qAnnRecall
+    * (coupled to the oracle literal 10·20). Booleans in multiplicative
+    * form — an empty corpus stays TRUE, never 0/0 NaN. */
+  def qPqSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = 10
+    val books = pqTrainCodebooks(emb, 2)
+    val panel = emb.filter(col("vec_id") < 20)
+    val exact = bruteForceTopK(emb, panel, k).select("q_id", "n_id")
+    // ONE ADC pass at refine*k: its rank<=k prefix IS pqTopK(k) (same
+    // ordering), and the full list is pqTopKRefined's shortlist — running
+    // pqTopK twice (once inside Refined) doubled the encode+rank cost
+    val adc50 = pqTopK(emb, panel, books, k * 5)
+      .select("q_id", "rank", "n_id").localCheckpoint()
+    val adc = adc50.filter(col("rank") <= k).select("q_id", "n_id")
+    val cSide = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qSide = panel.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rer = cSide.join(broadcast(adc50.select(col("q_id"), col("n_id"))), Seq("n_id"))
+      .join(broadcast(qSide), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val refined = rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k).select("q_id", "n_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(adc, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("adc_hits")))
+      .crossJoin(exact.join(refined, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("refined_hits")))
+      .select(col("n_exact"),
+        (col("adc_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.25).as("adc_recall_ok"),
+        (col("refined_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.6).as("refined_recall_ok"))
   }
 }

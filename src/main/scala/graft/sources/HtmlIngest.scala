@@ -1,0 +1,188 @@
+package graft.sources
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the crawl-ingestion step every large-scale
+  * training-data pipeline runs before any quality/dedup pass (the
+  * reference ingests PDFs, data_ingestion.py:110-135; a crawl corpus is
+  * overwhelmingly HTML — same extractor seam, different container).
+  *
+  * The extractor is a REAL single-pass state machine (linear in the
+  * input, no regex backtracking anywhere — the RE2-safety discipline of
+  * SnippetGen applied to markup): comment removal, script/style element
+  * removal, attribute-aware tag stripping (a quoted `>` inside an
+  * attribute does not close the tag), named + decimal + hex entity
+  * decoding with the classic double-decode bug designed out (decoded
+  * `<` is emitted literally, never re-parsed as markup), NBSP-aware
+  * whitespace collapse.
+  *
+  * At 100 TB: extraction is a narrow per-row pass (mapPartitions; raw
+  * HTML bytes never shuffle), so it scales exactly like the PDF path —
+  * the scan is the cost, the extract is free compute on top.
+  */
+object HtmlIngest {
+
+  /** Minimal-but-real HTML escape for the builder side (the inverse of
+    * the extractor's entity decode, so staged pages round-trip exactly). */
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def decodeEntity(ent: String): Option[String] = ent match {
+    case "amp"  => Some("&")
+    case "lt"   => Some("<")
+    case "gt"   => Some(">")
+    case "quot" => Some("\"")
+    case "apos" => Some("'")
+    case "nbsp" => Some(" ")
+    case "copy" => Some("©")
+    case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+      try {
+        val cp = Integer.parseInt(e.substring(2), 16)
+        if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp))) else None
+      } catch { case _: Exception => None }
+    case e if e.length > 1 && e.startsWith("#") =>
+      try {
+        val cp = Integer.parseInt(e.substring(1))
+        if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp))) else None
+      } catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      if (hay.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The extractor: one left-to-right pass, O(n), never throws.
+    * Unterminated constructs (comment, script, tag) consume to EOF —
+    * the lenient behavior real crawl extractors need. */
+  def htmlToText(html: String): String = {
+    if (html == null) return ""
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n / 2)
+    var i = 0
+    def at(s: String): Boolean = html.regionMatches(true, i, s, 0, s.length)
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (at("<!--")) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          sb.append(' ')
+        } else if (at("<script") || at("<style")) {
+          // element removal: content up to the matching close tag is NOT text
+          val tag = if (at("<script")) "script" else "style"
+          val close = indexOfIgnoreCase(html, "</" + tag, i + 1)
+          if (close < 0) i = n
+          else {
+            val gt = html.indexOf('>', close)
+            i = if (gt < 0) n else gt + 1
+          }
+          sb.append(' ')
+        } else {
+          // tag skip, honoring quoted attribute values: `<p class="a>b">`
+          i += 1
+          var quote: Char = 0
+          var done = false
+          while (i < n && !done) {
+            val ch = html.charAt(i)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') done = true
+            i += 1
+          }
+          sb.append(' ')
+        }
+      } else if (c == '&') {
+        // entity names are short: look at most 10 chars ahead (an
+        // UNBOUNDED indexOf would make a semicolon-free run of
+        // ampersands quadratic — crawl data contains such pages)
+        var semi = -1
+        var s = i + 1
+        val lim = math.min(n, i + 11)
+        while (semi < 0 && s < lim) { if (html.charAt(s) == ';') semi = s; s += 1 }
+        if (semi > i) {
+          decodeEntity(html.substring(i + 1, semi)) match {
+            case Some(s) => sb.append(s); i = semi + 1
+            case None    => sb.append('&'); i += 1
+          }
+        } else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    // collapse runs of whitespace INCLUDING NBSP (outside \s in Java)
+    sb.toString.replaceAll("[\\s\\u00a0]+", " ").trim
+  }
+
+  /** Deterministic test page for (docId, text): exercises every extractor
+    * feature — comments containing tags, script with `<`/`&&`, style with
+    * a fake tag in CSS, quoted `>` in attributes, named + decimal + hex
+    * entities, NBSP — and embeds the escaped document text so the round
+    * trip reproduces it exactly. */
+  def buildHtml(docId: Long, text: String): String =
+    s"""<!DOCTYPE html>
+<html><head><title>Doc $docId</title>
+<style type="text/css">body { color: #fff; } /* <p>not text</p> */</style>
+<script>if (a < b && c > d) { alert("<span>not text</span>"); }</script>
+</head>
+<body class="m>ain">
+<nav><a href="/home">Home</a> | <a href="/about?x=1&amp;y=2">About</a></nav>
+<!-- hidden <p>comment</p> -->
+<h1>Doc &#35;$docId</h1>
+<p id='p>1'>${escapeHtml(text)}</p>
+<footer>&copy; 2026&nbsp;&#x47;raft</footer>
+</body></html>"""
+
+  /** Stage real .html files, one per document — executor-written,
+    * versioned + atomically published like the PDF/PNG/WAV fixtures. */
+  def stageHtmlFixture(s: SparkSession, d: String): String = {
+    val fix = BinaryIngest.fixtureRoot("html_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"page$id%05d.html"),
+              buildHtml(id, if (text == null) "" else text)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked HTML round trip: documents staged as real web pages
+    * -> binaryFile scan -> state-machine extraction -> exact equality
+    * against the oracle's closed-form expected text (boilerplate labels +
+    * the original document text, whitespace-collapsed on both sides).
+    * Any defect — script text leaking, a comment surviving, an attribute
+    * `>` truncating a tag, an entity mis-decode — breaks the hash. */
+  def qHtmlIngest(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageHtmlFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.html")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "page(\\d+)\\.html", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, htmlToText(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+      .toDF("doc_id", "text_clean")
+      .orderBy("doc_id")
+  }
+}

@@ -201,6 +201,78 @@ object StreamingJobs {
       .orderBy("hour", "event_type")
   }
 
+  private lazy val streamSessDir: String = Dedup.processTempDir("graft_stream_session")
+
+  /** Event-time SESSION windows (`session_window`, 30-minute gap) through
+    * a watermarked streaming aggregation — the companion to
+    * [[qStreamWindow]]'s tumbling windows, proving the harder stateful
+    * shape: sessions MERGE across micro-batches. The events table splits
+    * at its midpoint timestamp into two time-ordered waves (every session
+    * straddling the midpoint arrives half per batch and must be merged by
+    * the state store, not within one batch), then a far-future flush row
+    * advances the watermark past every session end so append mode emits
+    * the complete, final session table. The oracle recomputes sessions in
+    * closed form as a gaps-and-islands pass over the SAME events rows —
+    * a dropped row, an unmerged straddling session or a gap-boundary
+    * off-by-one (Spark merges windows that touch: a gap of EXACTLY 30
+    * minutes still merges, pinned in StreamingSpec) all hash-mismatch. No late rows by construction: q_stream_window owns
+    * the drop/merge late-data proof; this query isolates session-merge
+    * correctness. Scale: one (session_window, user_id) state shuffle with
+    * map-side partials; state is one row per OPEN session, bounded by the
+    * watermark however long the stream runs. */
+  def qStreamSession(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.engine.Tables.events(s, d).select(col("user_id"), col("ts"))
+    val us = 1000000L
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val midUs = (mnUs + mxUs) / 2
+    val wave1 = ev.filter(unix_micros(col("ts")) < midUs)
+    val wave2 = ev.filter(unix_micros(col("ts")) >= midUs)
+    // flush user -1: its own session never closes, so it never appears in
+    // the append output — it exists only to push the watermark past every
+    // real session's end (+4h > 1h delay + 30min gap)
+    val flush = s.range(1).select(lit(-1L).as("user_id"),
+      timestamp_micros(lit(mxUs + 4 * 3600 * us)).as("ts"))
+    replaySessionWaves(s, streamSessDir, Seq(wave1, wave2, flush),
+      delay = "1 hour", gap = "30 minutes", statePartitions = Some(1))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** The [[replayWatermarkedWaves]] harness for session windows: replay
+    * `waves` (each: user_id LONG, ts TIMESTAMP) through one watermarked
+    * `session_window` count, one wave per micro-batch, return the
+    * append-mode output. */
+  private[graft] def replaySessionWaves(s: SparkSession, root: String,
+      waves: Seq[DataFrame], delay: String, gap: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    Dedup.rmTree(new java.io.File(root))
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    val t0 = System.currentTimeMillis() - 60000
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stageWave(w, src, f"w$i%02d.parquet", t0 + i * 10000L)
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", delay)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end_gap"),
+          col("user_id"), col("n_events"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ =>
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle))
+    s.read.parquet(out)
+  }
+
   /** Replay `waves` (each: ts TIMESTAMP, event_type STRING) through one
     * watermarked tumbling-window count, one wave per micro-batch, and
     * return the append-mode output — the harness behind [[qStreamWindow]]

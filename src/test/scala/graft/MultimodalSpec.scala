@@ -53,6 +53,77 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(full.take(20)).isEmpty)
   }
 
+  test("WAV encode/decode round trip recovers exact format and samples") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 199L)) {
+      val (rate, channels, frames) = Multimodal.audioParams(id)
+      val Some((dr, dc, df, sum)) = Multimodal.decodeWav(Multimodal.buildWav(id))
+      assert(dr === rate && dc === channels && df === frames.toLong, s"doc $id format")
+      var expect = 0L
+      for (i <- 0 until frames * channels)
+        expect += Multimodal.audioSample(id, i).toLong * (i + 1)
+      assert(sum === expect, s"doc $id")
+    }
+  }
+
+  test("weighted sample sum is order-sensitive (byte-swapped stream differs)") {
+    // a decoder with the wrong endianness reads each sample byte-swapped;
+    // doc 1's stream contains asymmetric samples so the sums must differ
+    val bytes = Multimodal.buildWav(1L)
+    val swapped = bytes.clone()
+    var i = 44 // past the RIFF/fmt/data headers
+    while (i + 1 < swapped.length) {
+      val t = swapped(i); swapped(i) = swapped(i + 1); swapped(i + 1) = t
+      i += 2
+    }
+    val Some((_, _, _, s1)) = Multimodal.decodeWav(bytes)
+    val Some((_, _, _, s2)) = Multimodal.decodeWav(swapped)
+    assert(s1 !== s2)
+  }
+
+  test("undecodable audio bytes return None, not an exception") {
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.buildWav(3L).take(30)).isEmpty)
+  }
+
+  test("q_audio_ingest decodes every staged WAV with real format") {
+    val out = SparkEntry.queries("q_audio_ingest")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (rate, channels, frames) = Multimodal.audioParams(id)
+      assert(r.getInt(1) === rate, s"doc $id rate")
+      assert(r.getInt(2) === channels, s"doc $id channels")
+      assert(r.getLong(3) === frames.toLong, s"doc $id frames")
+    }
+  }
+
+  test("GIF encode/decode round trip recovers every frame exactly") {
+    for (id <- Seq(0L, 3L, 20L, 199L)) {
+      val (w, h, nFrames) = Multimodal.gifDims(id)
+      val frames = Multimodal.decodeGifFrames(Multimodal.buildGif(id))
+      assert(frames.length === nFrames, s"doc $id frame count")
+      frames.foreach { case (f, dw, dh, sum) =>
+        assert(dw === w && dh === h, s"doc $id frame $f dims")
+        var expect = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          expect += Multimodal.gifPixel(id, f, x, y).toLong * (y.toLong * w + x + 1)
+        assert(sum === expect, s"doc $id frame $f pixels")
+      }
+    }
+  }
+
+  test("GIF frames are distinct (frame-order swaps would be caught)") {
+    val frames = Multimodal.decodeGifFrames(Multimodal.buildGif(7L))
+    val sums = frames.map(_._4)
+    assert(sums.distinct.length === sums.length)
+  }
+
+  test("undecodable GIF bytes return empty, not an exception") {
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("q_image_ingest decodes every staged PNG with real dimensions") {
     val out = SparkEntry.queries("q_image_ingest")(spark, sf0001).collect()
     assert(out.nonEmpty)

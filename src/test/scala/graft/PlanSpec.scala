@@ -168,8 +168,9 @@ class PlanSpec extends SparkSpec {
     val allPairsByDesign = Set("q_topk", "q_embed_dup", "q_hard_negatives",
       // embed the brute-force ground-truth baseline by definition; the
       // incremental gate additionally certifies the persisted probe
-      // against the same fixed-panel baseline
-      "q_ann_recall", "q_ann_incremental")
+      // against the same fixed-panel baseline, and the PQ gate certifies
+      // the ADC serving path against it (panel-bounded: 20 queries)
+      "q_ann_recall", "q_ann_incremental", "q_pq_search")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(

@@ -174,6 +174,25 @@ class SimilaritySpec extends SparkSpec {
     assert(t1.sameElements(t2), "ADC ranking must be deterministic")
   }
 
+  test("PQ closure encode matches the expression encode code for code") {
+    // the search path encodes JVM-side (codegen-compile economics); the
+    // oracle-gated q_pq_encode keeps the expression argmin — the two must
+    // agree exactly or the ADC ranking silently diverges from the gated
+    // surface
+    val books = Similarity.pqSeedCodebooks(emb)
+    val bks = books.map(_.toArray).toArray
+    val expr = Similarity.pqEncode(emb, books)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val jvm = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Similarity.pqCodesJvm(r.getSeq[Double](1).toArray, bks).toSeq)
+      .toMap
+    assert(expr === jvm)
+  }
+
   test("PQ plan: corpus scan is narrow and no exchange carries an array") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType

@@ -473,6 +473,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && !got.exists(_._2 == "__flush"))
   }
 
+  test("session windows merge across micro-batches; an exact-gap event still merges") {
+    import spark.implicits._
+    def wave(rows: (Long, String)*) =
+      rows.toSeq.toDF("user_id", "t")
+        .select(col("user_id"), to_timestamp(col("t")).as("ts"))
+    // user 1's session STRADDLES the wave split (10:10 in wave 1, 10:20 in
+    // wave 2) — only state-store session merge can join them; user 2 tests
+    // the boundary: 10:00 -> 10:30:00 is EXACTLY the 30-minute gap, and
+    // Spark merges touching [t, t+gap) windows, which is why the DuckDB
+    // oracle breaks only on diff > gap (not >=)
+    val w1 = wave((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (2L, "2024-01-01 10:00:00"))
+    val w2 = wave((1L, "2024-01-01 10:20:00"), (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 10:30:00"))
+    val flush = wave((-1L, "2024-01-02 12:00:00"))
+    val root = Files.createTempDirectory("graft_sess_gate").toString
+    val got = StreamingJobs.replaySessionWaves(spark, root,
+      Seq(w1, w2, flush), "1 hour", "30 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0", 1L, 3L), // merged across waves
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L, 1L), // past-gap: new session
+      ("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 2L, 2L))) // exact-gap merges
+  }
+
+  test("q_stream_session end-to-end on sf0.001 matches batch session_window") {
+    val got = StreamingJobs.qStreamSession(spark, sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expected = graft.engine.Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end_gap"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.size > 100, s"expected many sessions, got ${got.size}")
+    assert(!got.exists(_._3 == -1L), "flush user must never emit")
+  }
+
   test("streaming dedup gate: exact + near dups rejected within and across batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dedup_gate")
