@@ -486,25 +486,32 @@ object ScaleProbe {
     {
       import spark.implicits._
       import graft.sources.{HtmlIngest, WarcIngest}
+      // the probe's multiplied docs frame is a SINGLE partition (broadcast
+      // crossJoin of a one-split file) — narrow per-row operators would
+      // serialize on one core, which is the finding-2 trap, not a
+      // measurement; spread like Tables.rebalance does for engine paths
+      val docsWide = docs.select(col("doc_id"), col("text"))
+        .repartition(64, col("doc_id")).as[(Long, String)].localCheckpoint()
       time("html_extract", nDocs) {
-        docs.select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, t) =>
+        docsWide.map { case (id, t) =>
             HtmlIngest.htmlToText(
               HtmlIngest.buildHtml(id, if (t == null) "" else t)).length
           }.filter(_ >= 0).count()
       }
       time("warc_parse", nDocs) {
         // build + walk multi-record archives in memory, ~50 docs/archive
-        docs.select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions(_.grouped(50).map(g =>
+        docsWide.mapPartitions(_.grouped(50).map(g =>
             WarcIngest.parseWarcResponses(WarcIngest.buildWarcFile(g)).length.toLong))
           .reduce(_ + _)
       }
-      time("url_filter", nDocs) { UrlOps.urlVerdicts(docs).count() }
+      time("url_filter", nDocs) { UrlOps.urlVerdicts(docs.repartition(64, col("doc_id"))).count() }
       val pqBooks = Similarity.pqTrainCodebooks(emb, 2)
       time("pq_adc_topk", nEmb) {
-        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20 * mult),
-          pqBooks, 50).count()
+        // FIXED 20-query panel: the growth axis is the corpus (encode +
+        // rank are linear in N per query); serving QPS scales by adding
+        // executors, not by growing this probe's panel
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20 * mult.toLong &&
+          pmod(col("vec_id"), lit(mult.toLong)) === 0), pqBooks, 50).count()
       }
       time("stream_session", nEv) {
         val us = 1000000L

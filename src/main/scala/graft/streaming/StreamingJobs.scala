@@ -233,8 +233,13 @@ object StreamingJobs {
     // real session's end (+4h > 1h delay + 30min gap)
     val flush = s.range(1).select(lit(-1L).as("user_id"),
       timestamp_micros(lit(mxUs + 4 * 3600 * us)).as("ts"))
+    // 8 state partitions: session state is per-OPEN-SESSION (~|users|,
+    // much wider than q_stream_window's per-window-per-type rows), so the
+    // replay parallelizes the state sort while keeping checkpoint task
+    // count small; measured equal to 1 partition at sf0.1 (the cost is
+    // fixed micro-batch overhead), chosen for the wider-state regime
     replaySessionWaves(s, streamSessDir, Seq(wave1, wave2, flush),
-      delay = "1 hour", gap = "30 minutes", statePartitions = Some(1))
+      delay = "1 hour", gap = "30 minutes", statePartitions = Some(8))
       .orderBy("user_id", "session_start")
   }
 
