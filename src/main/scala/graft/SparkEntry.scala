@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dataset_card" -> (TextAnalysis.qDatasetCard _),
     "q_confusion" -> (TextAnalysis.qConfusion _),
     "q_nb_classify" -> (TextAnalysis.qNbClassify _),
+    "q_logistic" -> (TextAnalysis.qLogistic _), // GD-trained classifier; oracle replays the training loop
     "q_calibration" -> (TextAnalysis.qCalibration _),
     "q_mix_plan" -> (Curation.qMixPlan _),
     "q_bloom_decontam" -> (TextSearch.qBloomDecontam _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "q_dedup_gate" -> (graft.streaming.StreamingJobs.qDedupGate _),
     "q_stream_window" -> (graft.streaming.StreamingJobs.qStreamWindow _), // event-time watermark + late-data gate
     "q_stream_session" -> (graft.streaming.StreamingJobs.qStreamSession _), // session windows merging across micro-batches
+    "q_stream_dedup" -> (graft.streaming.StreamingJobs.qStreamDedup _), // bounded-state dedup: drop inside the window, re-admit after expiry
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
@@ -314,6 +316,78 @@ object SparkEntry {
           s"(SELECT ' '||l||r||' ' FROM m$i)), seg) AS seg, freq FROM s$i), ")
     }
     sb.toString
+  }
+
+  /** DuckDB replica of the ENTIRE logistic-regression training loop
+    * (TextAnalysis.qLogistic), generated from the same constants:
+    * hashed-bucket features, the rational surrogate sigmoid (only
+    * IEEE-pinned ops — libm exp() does not round-trip engines),
+    * DECIMAL(28,12) gradient sums, 6dp half-up weight updates, unrolled
+    * one CTE-triple per iteration (MATERIALIZED — each level is read by
+    * the next two). The q_pagerank/q_bpe_train pattern applied to a
+    * trained model: the oracle cannot drift from the Scala constants. */
+  private lazy val logisticOracleSql: String = {
+    import graft.operators.TextAnalysis.{LogitBuckets => B, LogitIters => I, LogitLr => LR}
+    def f6(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    val xs = (0 until B).map(j => s"x$j").mkString(", ")
+    val sb = new StringBuilder("WITH ")
+    sb.append("lt0 AS (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), ")
+    sb.append("ltj AS (SELECT doc_id, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, length(tok)), i -> CAST(ascii(tok[i]) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % 1000000007) % $B AS j, " +
+      "CASE WHEN tok IN (" +
+      graft.operators.Stopwords.en.map(w => s"'$w'").mkString(",") +
+      ") THEN 1 ELSE 0 END AS st FROM lt0), ")
+    val xcols = (0 until B).map(j =>
+      f6(s"CAST(sum(CASE WHEN j = $j THEN 1 ELSE 0 END) AS DOUBLE) / count(*)") + s" AS x$j")
+      .mkString(", ")
+    sb.append("ltf AS MATERIALIZED (SELECT doc_id, " +
+      "CASE WHEN 15 * sum(st) >= count(*) THEN 1 ELSE 0 END AS y, " +
+      s"$xcols FROM ltj GROUP BY doc_id), ")
+    // standardization: decimal moment sums -> 6dp mean/sd -> centered/scaled
+    sb.append("ltm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      (0 until B).map(j =>
+        s"sum(CAST(x$j AS DECIMAL(18,6))) AS s$j, " +
+        s"sum(CAST(x$j * x$j AS DECIMAL(28,12))) AS q$j").mkString(", ") +
+      " FROM ltf), ")
+    sb.append("ltmm AS (SELECT n, " +
+      (0 until B).map(j =>
+        f6(s"CAST(s$j AS DOUBLE) / n") + s" AS m$j, " +
+        f6(s"CAST(q$j AS DOUBLE) / n") + s" AS v$j").mkString(", ") +
+      " FROM ltm), ")
+    sb.append("ltsd AS (SELECT n, " +
+      (0 until B).map(j => s"m$j, greatest(" +
+        f6(s"sqrt(greatest(0.0, v$j - m$j * m$j))") + s", 0.000001) AS d$j").mkString(", ") +
+      " FROM ltmm), ")
+    sb.append("ltsf AS MATERIALIZED (SELECT doc_id, y, " +
+      (0 until B).map(j => f6(s"(x$j - m$j) / d$j") + s" AS x$j").mkString(", ") +
+      " FROM ltf, ltsd), ")
+    sb.append("ltn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ltsf), ")
+    sb.append("ltw0 AS (SELECT " +
+      (0 until B).map(j => s"0.0 AS w$j").mkString(", ") + ", 0.0 AS wb), ")
+    for (i <- 1 to I) {
+      val prev = s"ltw${i - 1}"
+      val z = f6((0 until B).map(j => s"x$j * $prev.w$j").mkString(" + ") + s" + $prev.wb")
+      sb.append(s"lte$i AS (SELECT y, $xs, " +
+        f6("0.5 + z / (2.0 * (1.0 + abs(z)))") + " - y AS err FROM " +
+        s"(SELECT y, $xs, $z AS z FROM ltsf, $prev)), ")
+      sb.append(s"ltg$i AS MATERIALIZED (SELECT " +
+        (0 until B).map(j => s"sum(CAST(err * x$j AS DECIMAL(28,12))) AS g$j").mkString(", ") +
+        s", sum(CAST(err AS DECIMAL(28,12))) AS gb FROM lte$i), ")
+      sb.append(s"ltw$i AS (SELECT " +
+        (0 until B).map(j =>
+          f6(s"$prev.w$j - $LR * CAST(ltg$i.g$j AS DOUBLE) / ltn.n") + s" AS w$j")
+          .mkString(", ") +
+        ", " + f6(s"$prev.wb - $LR * CAST(ltg$i.gb AS DOUBLE) / ltn.n") + " AS wb " +
+        s"FROM $prev, ltg$i, ltn), ")
+    }
+    val zf = f6((0 until B).map(j => s"x$j * ltw$I.w$j").mkString(" + ") + s" + ltw$I.wb")
+    sb.toString.stripSuffix(", ") + " " +
+      "SELECT doc_id, y, score, score >= 0.5 AS pred, (score >= 0.5) = (y = 1) AS hit " +
+      "FROM (SELECT doc_id, y, " + f6("0.5 + z / (2.0 * (1.0 + abs(z)))") + " AS score " +
+      s"FROM (SELECT doc_id, y, $zf AS z FROM ltsf, ltw$I)) ORDER BY doc_id"
   }
 
   private def bpeTrainOracleSql(nMerges: Int): String =
@@ -639,6 +713,18 @@ object SparkEntry {
         "max(ts) + INTERVAL 30 MINUTE AS session_end_gap, " +
         "user_id, count(*) AS n_events " +
         "FROM s GROUP BY user_id, sess ORDER BY user_id, session_start"),
+    // bounded-state streaming dedup: wave 1 (every doc at T) emits, the
+    // wave-2 re-sends at T+10min are DROPPED (inside the 1h window), the
+    // advance row emits and evicts wave-1 state, and the wave-4 re-sends
+    // at T+5h RE-EMIT (state gone — the bounded-state contract). The
+    // oracle is the exact final multiset.
+    "q_stream_dedup" ->
+      ("SELECT doc_id, TIMESTAMP '2024-01-01 00:00:00' AS ts FROM documents " +
+        "UNION ALL SELECT -1 AS doc_id, TIMESTAMP '2024-01-01 05:00:00' AS ts " +
+        "UNION ALL SELECT doc_id, TIMESTAMP '2024-01-01 05:00:00' AS ts " +
+        "FROM documents WHERE doc_id % 3 = 0 " +
+        "ORDER BY doc_id, ts"),
+    "q_logistic" -> logisticOracleSql,
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,

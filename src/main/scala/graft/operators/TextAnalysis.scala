@@ -491,6 +491,144 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  // --------------------------------------- trained quality classifier
+
+  /** Logistic-regression trainer over hashed token features — the
+    * fastText-style LEARNED corpus filter (quality/language/domain
+    * classifiers trained on corpus scale data are the step beyond the
+    * closed-form Naive Bayes of [[nbClassify]]: NB counts, this one
+    * optimizes). Batch gradient descent: each iteration is ONE
+    * map-side-combined aggregation over the feature frame (9 decimal
+    * sums), weights travel driver -> executors as expression literals —
+    * the Lloyd/PageRank iteration discipline, cost per step independent
+    * of model dimension growth in the plan.
+    *
+    * Cross-engine exactness (the PageRank discipline, extended to a
+    * trained model): features are 6dp-rounded exact divisions; the
+    * sigmoid is the RATIONAL surrogate 0.5 + z/(2(1+|z|)) — only
+    * +,-,*,/,abs, which IEEE 754 pins bit-identically across engines
+    * (libm exp() does NOT round-trip engines, so the classic logistic
+    * would break the hash gate); per-doc products are summed as
+    * DECIMAL(28,12) (a product of two 6dp values needs <= 12 decimal
+    * places, so the cast is exact on dyadic values and unambiguous on
+    * inexact ones); weight updates round half-up to 6dp each step. The
+    * DuckDB oracle replays the ENTIRE training loop as unrolled
+    * MATERIALIZED CTEs generated from the same constants. */
+  val LogitBuckets = 8
+  val LogitIters = 10
+  val LogitLr = 1.0
+
+  /** ENGINE-FREE 6dp rounding: floor(x·1e6 + 0.5)/1e6 — multiply, add,
+    * floor, divide are all IEEE-pinned, so every engine lands on the
+    * same double. `round(x, 6)` is NOT portable on this operator's
+    * values: Spark rounds the SHORTEST decimal representation
+    * (BigDecimal.valueOf) while DuckDB rounds the true binary, and a
+    * surrogate-sigmoid score whose shortest form ends in ...5 splits
+    * them (observed at sf0.1: 0.4331395 -> 0.433140 vs 0.433139). */
+  private def r6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Pivoted hashed features: x0..x7 = bucket-j token share (6dp), one
+    * row per doc with non-empty text. The label DISTILLS the rule-based
+    * quality signal (en-stopword ratio >= 1/15, integer-exact — the
+    * q_calibration signal at a class-balancing threshold) into the
+    * learned model: the weak-supervision shape real quality classifiers
+    * train with (cheap rule labels a corpus, the model generalizes).
+    * The rule is learnable-but-not-trivial from the features: the seven
+    * marker tokens hash into specific buckets, but every bucket also
+    * collects colliding non-markers, so GD has signal AND noise — the
+    * synthetic corpus' lang column, by contrast, is independent of its
+    * text (measured: identical stopword shares across langs), so no
+    * text model could beat constant prediction on it. */
+  def logitFeatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        pmod(fingerprint(col("tok")), lit(LogitBuckets.toLong)).as("j"),
+        col("tok").isInCollection(Stopwords.en).cast("long").as("st"))
+    val aggs = count(lit(1)).as("nt") +: sum(col("st")).as("hits") +:
+      (0 until LogitBuckets).map(j =>
+        sum(when(col("j") === j, 1L).otherwise(0L)).as(s"c$j"))
+    val counted = toks.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("y", (lit(15L) * col("hits") >= col("nt")).cast("int"))
+    (0 until LogitBuckets).foldLeft(counted) { (df, j) =>
+      df.withColumn(s"x$j",
+        r6(col(s"c$j").cast("double") / col("nt").cast("double")))
+    }.select(col("doc_id") +: col("y") +:
+      (0 until LogitBuckets).map(j => col(s"x$j")): _*)
+  }
+
+  /** Standardize the hashed features: x'j = (xj - mean_j)/max(sd_j, 1e-6),
+    * everything 6dp floor-rounded. Conditioning is what makes 10 GD
+    * iterations reach the linear ceiling (raw shares average 1/8 with
+    * tiny variance — unstandardized, the same accuracy needed 160
+    * iterations at a divergence-prone learning rate; measured in the
+    * round-6 tuning sweep). Portability: the moment sums are DECIMAL
+    * (exact, order-free) and sqrt is IEEE-754 correctly rounded — unlike
+    * exp/ln, sqrt is safe in a hash-gated expression. */
+  def logitStandardize(feat: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: (0 until LogitBuckets).flatMap(j => Seq(
+      sum(col(s"x$j").cast("decimal(18,6)")).as(s"s$j"),
+      sum((col(s"x$j") * col(s"x$j")).cast("decimal(28,12)")).as(s"q$j")))
+    val row = feat.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0).toDouble
+    val stats = (0 until LogitBuckets).map { j =>
+      val m1 = round6(row.getDecimal(1 + 2 * j).doubleValue / n)
+      val m2 = round6(row.getDecimal(2 + 2 * j).doubleValue / n)
+      val sd = round6(math.sqrt(math.max(0.0, m2 - m1 * m1)))
+      (m1, math.max(sd, 1e-6))
+    }
+    (0 until LogitBuckets).foldLeft(feat) { (df, j) =>
+      df.withColumn(s"x$j", r6((col(s"x$j") - lit(stats(j)._1)) / lit(stats(j)._2)))
+    }
+  }
+
+  private def zExpr(w: Array[Double]): Column =
+    r6((0 until LogitBuckets).map(j => col(s"x$j") * lit(w(j)))
+      .reduce(_ + _) + lit(w(LogitBuckets)))
+
+  private def pExpr(z: Column): Column =
+    r6(lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))))
+
+  /** Train: returns the 6dp weight vector (x0..x7 then bias). `feat`
+    * should be localCheckpoint'ed by the caller — each iteration scans it. */
+  def logisticTrain(feat: DataFrame, iters: Int = LogitIters): Array[Double] = {
+    val n = feat.count().toDouble
+    var w = Array.fill(LogitBuckets + 1)(0.0)
+    var it = 0
+    while (it < iters) {
+      val err = pExpr(zExpr(w)) - col("y") // p is 6dp, y integer: exact
+      val gradAggs = (0 until LogitBuckets).map(j =>
+        sum((err * col(s"x$j")).cast("decimal(28,12)")).as(s"g$j")) :+
+        sum(err.cast("decimal(28,12)")).as("gb")
+      val row = feat.agg(gradAggs.head, gradAggs.tail: _*).head()
+      w = Array.tabulate(LogitBuckets + 1) { j =>
+        round6(w(j) - LogitLr * row.getDecimal(j).doubleValue / n)
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Oracle-gated train + score: 5 GD iterations on the documents table,
+    * then every doc scored with the learned weights. The oracle REPLAYS
+    * TRAINING ITSELF (unrolled MATERIALIZED CTE iterations generated
+    * from the same constants — the q_pagerank/q_bpe_train pattern), so a
+    * defect anywhere in the loop (feature hash, surrogate sigmoid,
+    * gradient sum, update rounding) hash-mismatches. */
+  def qLogistic(s: SparkSession, d: String): DataFrame = {
+    val raw = logitFeatures(Tables.rebalance(documents(s, d), "doc_id"))
+      .localCheckpoint()
+    val feat = logitStandardize(raw).localCheckpoint()
+    val w = logisticTrain(feat)
+    val p = pExpr(zExpr(w))
+    feat.select(col("doc_id"), col("y"), p.as("score"),
+        (p >= 0.5).as("pred"))
+      .withColumn("hit", col("pred") === (col("y") === 1))
+      .orderBy("doc_id")
+  }
+
   /** Corpus stats rollup: per (lang, source-bucket) aggregate of the
     * quality signals — the "dataset card" numbers of a training corpus. */
   def qTextStats(s: SparkSession, d: String): DataFrame =

@@ -243,6 +243,78 @@ object StreamingJobs {
       .orderBy("user_id", "session_start")
   }
 
+  private lazy val streamDedupDir: String = Dedup.processTempDir("graft_stream_dedup")
+
+  /** Streaming exact dedup with BOUNDED state, driver-gated:
+    * `dropDuplicatesWithinWatermark` keeps a key in the state store only
+    * until the watermark passes its event time + delay — the property
+    * that makes streaming dedup deployable on an unbounded 100 TB ingest
+    * feed (plain `dropDuplicates` state grows forever; the dedup GATE
+    * covers content-level dedup against persisted indexes, this covers
+    * the cheap first-line id/name dedup). Four deterministic waves:
+    *
+    *   1. every document at T           -> all emit (first sight)
+    *   2. every `doc_id % 3 == 0` doc re-sent at T+10min -> all DROPPED
+    *      (inside the 1h dedup window)
+    *   3. an advance row (id -1) at T+5h -> emits, pushes the watermark
+    *      to T+4h so wave-1 state (expiry T+1h) is evicted
+    *   4. the same `% 3` docs re-sent at T+5h -> all RE-EMITTED: their
+    *      state is gone, which is exactly the bounded-state contract
+    *      (re-admission after the window is the price of not holding
+    *      state forever — callers needing permanent dedup use the gate's
+    *      persisted index instead)
+    *
+    * The oracle states the exact final multiset in closed form; a
+    * dropped re-admission (state never evicted => unbounded), a leaked
+    * duplicate, or an early eviction all hash-mismatch. */
+  def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.engine.Tables.documents(s, d).select(col("doc_id"))
+    val t0Us = 1704067200000000L // 2024-01-01T00:00:00Z
+    val us = 1000000L
+    def at(ids: DataFrame, tsUs: Long) =
+      ids.select(col("doc_id"), timestamp_micros(lit(tsUs)).as("ts"))
+    val waves = Seq(
+      at(docs, t0Us),
+      at(docs.filter(col("doc_id") % 3 === 0), t0Us + 600 * us),
+      at(s.range(1).select(lit(-1L).as("doc_id")), t0Us + 5 * 3600 * us),
+      // empty advance batch: state eviction runs one watermark BEHIND
+      // (SPARK-40925, same as qStreamWindow's wave 2) — without it the
+      // wave-3 watermark has not evicted wave-1 state when the re-sends
+      // arrive, and they would still be deduped
+      at(docs.filter(lit(false)), t0Us),
+      at(docs.filter(col("doc_id") % 3 === 0), t0Us + 5 * 3600 * us))
+    replayDedupWaves(s, streamDedupDir, waves, "1 hour")
+      .orderBy("doc_id", "ts")
+  }
+
+  /** Replay `waves` (each: doc_id LONG, ts TIMESTAMP) through one
+    * watermarked `dropDuplicatesWithinWatermark("doc_id")`, one wave per
+    * micro-batch, append output. */
+  private[graft] def replayDedupWaves(s: SparkSession, root: String,
+      waves: Seq[DataFrame], delay: String): DataFrame = {
+    Dedup.rmTree(new java.io.File(root))
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    val t0 = System.currentTimeMillis() - 60000
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stageWave(w, src, f"w$i%02d.parquet", t0 + i * 10000L)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType)))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("doc_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(out)
+  }
+
   /** The [[replayWatermarkedWaves]] harness for session windows: replay
     * `waves` (each: user_id LONG, ts TIMESTAMP) through one watermarked
     * `session_window` count, one wave per micro-batch, return the

@@ -521,6 +521,26 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._3 == -1L), "flush user must never emit")
   }
 
+  test("watermarked dedup: in-window re-sends drop, expired keys re-admit") {
+    import spark.implicits._
+    def wave(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "t")
+        .select(col("doc_id"), to_timestamp(col("t")).as("ts"))
+    val w1 = wave((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"))
+    val w2 = wave((1L, "2024-01-01 10:10:00"))             // in-window dup: drop
+    val w3 = wave((9L, "2024-01-01 15:00:00"))             // advance + new key
+    val adv = w1.filter(lit(false))                        // eviction lags a batch
+    val w4 = wave((1L, "2024-01-01 15:00:00"))             // expired: re-admit
+    val root = Files.createTempDirectory("graft_wm_dedup").toString
+    val got = StreamingJobs.replayDedupWaves(spark, root,
+      Seq(w1, w2, w3, adv, w4), "1 hour")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00.0"), (2L, "2024-01-01 10:00:00.0"),
+      (9L, "2024-01-01 15:00:00.0"),
+      (1L, "2024-01-01 15:00:00.0"))) // the re-admission — bounded state
+  }
+
   test("streaming dedup gate: exact + near dups rejected within and across batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dedup_gate")

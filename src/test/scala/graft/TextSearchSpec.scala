@@ -166,6 +166,29 @@ class TextSearchSpec extends SparkSpec {
     assert(shuffled === out)
   }
 
+  test("logistic trainer: learns the distilled rule above baseline, partition-invariant") {
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+    val raw = TextAnalysis.logitFeatures(docs).localCheckpoint()
+    val feat = TextAnalysis.logitStandardize(raw).localCheckpoint()
+    val w = TextAnalysis.logisticTrain(feat)
+    assert(w.exists(_ != 0.0), "training must move the weights")
+    val out = SparkEntry.queries("q_logistic")(spark, sf0001)
+      .select("y", "pred", "hit").collect()
+    val n = out.length.toDouble
+    val acc = out.count(_.getBoolean(2)) / n
+    val basePos = out.count(_.getInt(0) == 1) / n
+    val baseline = math.max(basePos, 1 - basePos)
+    info(f"logistic acc=$acc%.3f vs constant-prediction baseline $baseline%.3f")
+    // the model must BEAT constant prediction (it predicts both classes)
+    assert(acc > baseline + 0.05, f"no learning: $acc%.3f <= $baseline%.3f")
+    assert(out.exists(_.getBoolean(1)) && out.exists(!_.getBoolean(1)),
+      "degenerate constant prediction")
+    // weights are a pure function of the data, not the partitioning
+    val w2 = TextAnalysis.logisticTrain(
+      TextAnalysis.logitStandardize(raw.repartition(7)).localCheckpoint())
+    assert(w.toSeq === w2.toSeq)
+  }
+
   test("mix plan: water-filling respects caps and spends the budget exactly") {
     val docs = Seq(
       (1L, Seq.fill(10)("w").mkString(" "), "small"),
