@@ -183,6 +183,7 @@ object SparkEntry {
     "q_stopword_df" -> (TextSearch.qStopwordDf _),
     "q_bpe_pairs" -> (TextSearch.qBpePairs _),
     "q_bpe_train" -> (TextSearch.qBpeTrain _),
+    "q_unigram_lm" -> (TextSearch.qUnigramLm _), // SentencePiece-family hard-EM tokenizer
     "q_bpe_encode" -> (TextSearch.qBpeEncode _),
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_budget_select" -> (Curation.qBudgetSelect _),
@@ -388,6 +389,59 @@ object SparkEntry {
       "SELECT doc_id, y, score, score >= 0.5 AS pred, (score >= 0.5) = (y = 1) AS hit " +
       "FROM (SELECT doc_id, y, " + f6("0.5 + z / (2.0 * (1.0 + abs(z)))") + " AS score " +
       s"FROM (SELECT doc_id, y, $zf AS z FROM ltsf, ltw$I)) ORDER BY doc_id"
+  }
+
+  /** DuckDB replica of the unigram-LM tokenizer (TextSearch.qUnigramLm),
+    * generated from the same constants: seed substring counts, top-K +
+    * alphabet vocabulary, then per hard-EM round a RECURSIVE-CTE
+    * enumeration of every segmentation of every distinct word — scores
+    * as left-to-right double products (bit-identical to the engine DP's
+    * accumulation), ties on the larger boundary bitmask — followed by
+    * the usage recount. The oracle replays TRAINING + SEGMENTATION in
+    * full; it shares no code with the engine's Viterbi. */
+  private lazy val unigramOracleSql: String = {
+    import graft.operators.TextSearch.{UniMaxPieceLen => L, UniVocabK => K}
+    def recur(segName: String, probName: String): String =
+      s"$segName AS (" +
+        "SELECT word, freq, 0 AS pos, CAST(1.0 AS DOUBLE) AS score, " +
+        "CAST(0 AS BIGINT) AS mask, '' AS path FROM uw " +
+        "UNION ALL " +
+        "SELECT g.word, g.freq, g.pos + length(v.piece), g.score * v.p, " +
+        "g.mask + CASE WHEN g.pos = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << g.pos) END, " +
+        "CASE WHEN g.pos = 0 THEN v.piece ELSE g.path || '|' || v.piece END " +
+        s"FROM $segName g JOIN $probName v " +
+        "ON substr(g.word, g.pos + 1, length(v.piece)) = v.piece " +
+        "WHERE g.pos < length(g.word) AND length(v.piece) <= length(g.word) - g.pos), "
+    def best(bestName: String, segName: String): String =
+      s"$bestName AS MATERIALIZED (SELECT word, freq, path, score, " +
+        "row_number() OVER (PARTITION BY word ORDER BY score DESC, mask DESC) AS rn " +
+        s"FROM $segName WHERE pos = length(word)), "
+    "WITH RECURSIVE " +
+      "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) " +
+      "WHERE length(word) > 0 GROUP BY word), " +
+      "us1 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS s FROM uw), " +
+      s"us2 AS (SELECT word, freq, s, unnest(generate_series(1, " +
+      s"least($L, length(word) - s + 1))) AS l FROM us1), " +
+      "usub AS (SELECT substr(word, s, l) AS piece, sum(freq) AS c FROM us2 GROUP BY 1), " +
+      s"uv0 AS MATERIALIZED (SELECT piece, c FROM " +
+      s"(SELECT piece, c FROM usub WHERE length(piece) > 1 ORDER BY c DESC, piece LIMIT $K) " +
+      "UNION ALL SELECT piece, c FROM usub WHERE length(piece) = 1), " +
+      "ut0 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uv0), " +
+      "up0 AS MATERIALIZED (SELECT piece, CAST(c AS DOUBLE) / t AS p FROM uv0, ut0), " +
+      recur("useg0", "up0") +
+      best("ubest0", "useg0") +
+      "uuse0 AS (SELECT unnest(string_split(path, '|')) AS piece, freq " +
+      "FROM ubest0 WHERE rn = 1), " +
+      "uv1 AS MATERIALIZED (SELECT piece, sum(freq) AS c FROM uuse0 GROUP BY piece), " +
+      "ut1 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uv1), " +
+      "up1 AS MATERIALIZED (SELECT piece, CAST(c AS DOUBLE) / t AS p FROM uv1, ut1), " +
+      recur("useg1", "up1") +
+      best("ubest1", "useg1").stripSuffix(", ") + " " +
+      "SELECT word, freq, path AS pieces, " +
+      "CAST(len(string_split(path, '|')) AS BIGINT) AS n_pieces, score " +
+      "FROM ubest1 WHERE rn = 1 ORDER BY word"
   }
 
   private def bpeTrainOracleSql(nMerges: Int): String =
@@ -1616,6 +1670,7 @@ object SparkEntry {
         "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
     "q_bpe_train" -> bpeTrainOracleSql(TextSearch.BpeMerges),
+    "q_unigram_lm" -> unigramOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql(TextSearch.BpeMerges),
     "q_vocab_coverage" ->
       ("WITH tf AS (SELECT tok, count(*) AS tf FROM " +

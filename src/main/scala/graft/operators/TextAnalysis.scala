@@ -573,6 +573,7 @@ object TextAnalysis {
       sum((col(s"x$j") * col(s"x$j")).cast("decimal(28,12)")).as(s"q$j")))
     val row = feat.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0).toDouble
+    if (n == 0) return feat // empty corpus: nothing to standardize
     val stats = (0 until LogitBuckets).map { j =>
       val m1 = round6(row.getDecimal(1 + 2 * j).doubleValue / n)
       val m2 = round6(row.getDecimal(2 + 2 * j).doubleValue / n)
@@ -596,6 +597,7 @@ object TextAnalysis {
   def logisticTrain(feat: DataFrame, iters: Int = LogitIters): Array[Double] = {
     val n = feat.count().toDouble
     var w = Array.fill(LogitBuckets + 1)(0.0)
+    if (n == 0) return w // empty corpus: zero model, not a 0/0 NPE
     var it = 0
     while (it < iters) {
       val err = pExpr(zExpr(w)) - col("y") // p is 6dp, y integer: exact

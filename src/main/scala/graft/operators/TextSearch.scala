@@ -676,4 +676,158 @@ object TextSearch {
       .orderBy(col("n").desc, col("w1"), col("w2")).limit(100)
       .select(col("w1"), col("w2"), col("n"), col("p"))
   }
+
+  // ------------------------------------------- unigram-LM tokenizer
+
+  /** Unigram-LM tokenizer (the SentencePiece family, Kudo 2018) in its
+    * deterministic hard-EM form — the OTHER real-world subword
+    * tokenizer, completing the suite next to BPE train/encode:
+    *
+    *   1. seed vocabulary: every substring of length <= [[UniMaxPieceLen]]
+    *      of the corpus' words, counted with word multiplicity; the
+    *      top-[[UniVocabK]] multi-char pieces (count desc, piece asc)
+    *      plus ALL single chars (coverage guarantee);
+    *   2. Viterbi segmentation of every distinct word under ML piece
+    *      probabilities p = count/total;
+    *   3. hard-EM re-estimation: pieces are recounted from the CHOSEN
+    *      segmentations (weighted by word frequency), probabilities
+    *      re-derived, and segmentation re-run — [[UniIters]] rounds.
+    *
+    * Determinism across engines, without any rounding: a path's score is
+    * the product of its pieces' probabilities multiplied LEFT TO RIGHT —
+    * the same IEEE operation sequence in the engine DP and in the
+    * oracle's path enumeration, so scores are bit-identical. Ties
+    * (genuinely equal products — e.g. 'aaaa' as a|aa|a vs aa|a|a, the
+    * same piece multiset) break on the larger BOUNDARY BITMASK
+    * (bit j = a piece starts at char j); the (score, mask) pair is
+    * DP-composable because extending two prefixes at the same position
+    * multiplies both scores by the same factor and adds the same bit.
+    *
+    * Scale shape: the corpus collapses once to its (word, freq) table
+    * (the bpeTrainLocal discipline); substring counting, segmentation
+    * (vocab as a task-closure map, one DP per word) and the hard-EM
+    * usage recount are all distributed over that table; only the
+    * bounded vocabulary (K + alphabet) ever reaches the driver. */
+  val UniMaxPieceLen = 4
+  val UniVocabK = 64
+  val UniIters = 2
+
+  /** (word, freq) table of the corpus. */
+  def uniWordFreq(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Seed piece counts: every substring of length 1..max, with word
+    * multiplicity. */
+  def uniSeedCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("freq"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(UniMaxPieceLen), length(col("word")) - col("s") + 1))).as("l"))
+      .select(substring(col("word"), col("s"), col("l")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("c"))
+
+  /** The seed vocabulary: top-K multi-char pieces + all single chars,
+    * with their counts. Bounded, so collect is safe at any corpus size. */
+  def uniSeedVocab(words: DataFrame): Seq[(String, Long)] = {
+    val counts = uniSeedCounts(words)
+    val multi = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(UniVocabK)
+    val chars = counts.filter(length(col("piece")) === 1)
+    multi.unionByName(chars).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Viterbi DP over one word: best (score, boundary mask) over all
+    * segmentations into vocab pieces, probabilities multiplied left to
+    * right. Returns (pieces, score, mask); pieces rebuilt from the mask. */
+  private[graft] def uniViterbi(word: String,
+      p: Map[String, Double]): (Seq[String], Double, Long) = {
+    val n = word.length
+    // the boundary mask is one bit per char: words past 63 chars (crawl
+    // garbage — URLs, base64 runs) pass through opaque rather than
+    // wrapping the shift; a production vocab treats them as unknowns
+    if (n > 63) return (Seq(word), 0.0, 0L)
+    val bestS = Array.fill(n + 1)(-1.0)
+    val bestM = Array.fill(n + 1)(0L)
+    bestS(0) = 1.0
+    var i = 0
+    while (i < n) {
+      if (bestS(i) >= 0.0) {
+        var l = 1
+        while (l <= math.max(UniMaxPieceLen, 1) && i + l <= n) {
+          p.get(word.substring(i, i + l)).foreach { pp =>
+            val s = bestS(i) * pp
+            val m = if (i == 0) bestM(i) else bestM(i) | (1L << i)
+            if (s > bestS(i + l) || (s == bestS(i + l) && m > bestM(i + l))) {
+              bestS(i + l) = s; bestM(i + l) = m
+            }
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    if (bestS(n) < 0.0) (Seq(word), 0.0, 0L) // uncovered char: opaque fallback
+    else {
+      val bounds = (1 until n).filter(j => (bestM(n) & (1L << j)) != 0L)
+      val starts = 0 +: bounds
+      val ends = bounds :+ n
+      (starts.zip(ends).map { case (a, b) => word.substring(a, b) },
+        bestS(n), bestM(n))
+    }
+  }
+
+  /** One segmentation pass: DP per word with the probability map in the
+    * task closure; emits (word, freq, pieces '|'-joined, n_pieces,
+    * score). */
+  private def uniSegment(words: DataFrame, p: Map[String, Double]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.select(col("word"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, f) =>
+          val (pieces, score, _) = uniViterbi(w, p)
+          (w, f, pieces.mkString("|"), pieces.length, score)
+        }
+      }
+      .toDF("word", "freq", "pieces", "n_pieces", "score")
+  }
+
+  /** Train + segment: seed vocab, then [[UniIters]] hard-EM rounds. The
+    * usage recount is DISTRIBUTED (explode chosen pieces x freq); only
+    * the bounded vocab count table collects. */
+  def unigramSegment(docs: DataFrame): DataFrame = {
+    val words = uniWordFreq(docs).localCheckpoint()
+    var counts: Seq[(String, Long)] = uniSeedVocab(words)
+    var seg: DataFrame = null
+    var it = 0
+    while (it < UniIters) {
+      val total = counts.map(_._2).sum.toDouble
+      val p = counts.map { case (piece, c) => piece -> c / total }.toMap
+      seg = uniSegment(words, p).localCheckpoint()
+      // hard-EM: recount from the chosen segmentations, drop unused
+      counts = seg
+        .select(col("freq"), explode(split(col("pieces"), "\\|")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      it += 1
+    }
+    seg
+  }
+
+  /** Oracle-gated unigram tokenizer: per distinct word, the hard-EM
+    * round-2 segmentation, piece count and raw Viterbi score (bit-
+    * identical across engines — see scaladoc above; the DuckDB oracle
+    * enumerates every segmentation with a recursive CTE and replays
+    * both EM rounds). */
+  def qUnigramLm(s: SparkSession, d: String): DataFrame =
+    unigramSegment(documents(s, d))
+      .select(col("word"), col("freq"), col("pieces"),
+        col("n_pieces").cast("long").as("n_pieces"), col("score"))
+      .orderBy("word")
 }

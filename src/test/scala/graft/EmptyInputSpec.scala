@@ -115,6 +115,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventAnalytics.transitions(emptyEv).count() === 0)
   }
 
+  test("round-6 operators on empty/degenerate inputs") {
+    import spark.implicits._
+    // web-ingestion pure functions: empty inputs are routine crawl noise
+    assert(graft.sources.HtmlIngest.htmlToText("") === "")
+    assert(graft.sources.WarcIngest.parseWarcResponses(Array.emptyByteArray).isEmpty)
+    assert(graft.operators.UrlOps.urlVerdicts(emptyDocs).count() === 0)
+    // logistic: an empty corpus must train to zero weights, not crash
+    // on NULL gradient sums / 0-division
+    val rawEmpty = TextAnalysis.logitFeatures(emptyDocs)
+    assert(rawEmpty.count() === 0)
+    val wEmpty = TextAnalysis.logisticTrain(
+      TextAnalysis.logitStandardize(rawEmpty))
+    assert(wEmpty.forall(_ == 0.0))
+    // media decoders on empty payloads
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("similarity on an empty query set") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val noQueries = emb.filter(col("vec_id") < 0)

@@ -189,6 +189,50 @@ class TextSearchSpec extends SparkSpec {
     assert(w.toSeq === w2.toSeq)
   }
 
+  test("unigram tokenizer: Viterbi picks the max-probability segmentation") {
+    val p = Map("ab" -> 0.4, "a" -> 0.1, "b" -> 0.1, "c" -> 0.4)
+    // 'abc': ab|c (0.4*0.4=0.16) beats a|b|c (0.1*0.1*0.4=0.004)
+    val (pieces, score, _) = TextSearch.uniViterbi("abc", p)
+    assert(pieces === Seq("ab", "c"))
+    assert(score === 0.4 * 0.4)
+  }
+
+  test("unigram tokenizer: exact-tie products break on the larger boundary mask") {
+    // 'aaaa' under {aa, a}: a|aa|a, aa|a|a, a|a|aa all share the multiset
+    // {aa, a, a} -> EXACTLY equal products; largest mask = boundaries at
+    // the latest positions = a|a|aa (bits 1+2 = 6 beats 1+3=10? masks:
+    // a|aa|a = 2^1+2^3 = 10, aa|a|a = 2^2+2^3 = 12, a|a|aa = 2^1+2^2 = 6)
+    val p = Map("aa" -> 0.3, "a" -> 0.2)
+    val (pieces, score, mask) = TextSearch.uniViterbi("aaaa", p)
+    assert(score === 0.3 * 0.3 || score === 0.2 * 0.3 * 0.2) // whichever maximizes
+    // 0.3*0.3 (aa|aa, mask 4) = 0.09 > 0.2*0.2*0.3 = 0.012: aa|aa wins outright
+    assert(pieces === Seq("aa", "aa") && mask === 4L)
+    // force the tie case: only 3 a's -> {aa,a} in some order, equal products
+    val (p3, s3, m3) = TextSearch.uniViterbi("aaa", p)
+    assert(s3 === 0.3 * 0.2)
+    assert(m3 === 4L && p3 === Seq("aa", "a"), s"got $p3 mask $m3") // 2^2 beats 2^1
+  }
+
+  test("unigram tokenizer: uncovered and oversized words fall back opaque") {
+    val p = Map("a" -> 1.0)
+    assert(TextSearch.uniViterbi("ax", p)._2 === 0.0)
+    val long = "a" * 70
+    val (pieces, score, _) = TextSearch.uniViterbi(long, p)
+    assert(pieces === Seq(long) && score === 0.0)
+  }
+
+  test("unigram tokenizer: every corpus word segments with positive score") {
+    val out = TextSearch.qUnigramLm(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(4) > 0.0, s"word ${r.getString(0)} unsegmented")
+      assert(r.getString(2).split("\\|").mkString === r.getString(0),
+        s"pieces must reassemble the word: ${r.getString(2)}")
+    }
+    // multi-char pieces actually learned (not a char-spray degenerate)
+    assert(out.exists(r => r.getLong(3) < r.getString(0).length.toLong))
+  }
+
   test("mix plan: water-filling respects caps and spends the budget exactly") {
     val docs = Seq(
       (1L, Seq.fill(10)("w").mkString(" "), "small"),
