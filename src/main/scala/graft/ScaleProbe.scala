@@ -505,6 +505,12 @@ object ScaleProbe {
           .reduce(_ + _)
       }
       time("url_filter", nDocs) { UrlOps.urlVerdicts(docs.repartition(64, col("doc_id"))).count() }
+      time("cdc_chunks", nDocs) { Dedup.cdcChunks(docs).count() }
+      time("compress_ratio", nDocs) {
+        TextAnalysis.compressionSignals(
+          docs.repartition(64, col("doc_id"))).count()
+      }
+      time("unigram_lm", nDocs) { TextSearch.unigramSegment(docs).count() }
       val pqBooks = Similarity.pqTrainCodebooks(emb, 2)
       time("pq_adc_topk", nEmb) {
         // FIXED 20-query panel: the growth axis is the corpus (encode +

@@ -138,6 +138,9 @@ object SparkEntry {
     "q_stream_window" -> (graft.streaming.StreamingJobs.qStreamWindow _), // event-time watermark + late-data gate
     "q_stream_session" -> (graft.streaming.StreamingJobs.qStreamSession _), // session windows merging across micro-batches
     "q_stream_dedup" -> (graft.streaming.StreamingJobs.qStreamDedup _), // bounded-state dedup: drop inside the window, re-admit after expiry
+    "q_stream_join" -> (graft.streaming.StreamingJobs.qStreamJoin _), // watermarked stream-stream interval join
+    "q_cdc_chunks" -> (Dedup.qCdcChunks _), // content-defined chunking + chunk-level dedup signal
+    "q_compress_ratio" -> (TextAnalysis.qCompressRatio _), // deflate quality screen, tolerance-gated
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1)
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
@@ -779,6 +782,52 @@ object SparkEntry {
         "FROM documents WHERE doc_id % 3 = 0 " +
         "ORDER BY doc_id, ts"),
     "q_logistic" -> logisticOracleSql,
+    // stream-stream attribution join: the oracle is the equivalent batch
+    // interval join — an inner watermarked join emits each match exactly
+    // once, so the streaming replay must reproduce it verbatim
+    "q_stream_join" ->
+      ("SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id " +
+        "FROM events v JOIN events c ON v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND c.event_type = 'click' " +
+        "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY view_id, click_id"),
+    // content-defined chunking: the oracle recomputes every rolling-hash
+    // boundary, chunk fingerprint and cross-doc share flag in closed
+    // form (windowed SQL, no sequential scan) — a boundary off-by-one,
+    // a fingerprint drift or a broken resynchronization on the planted
+    // shifted copies all hash-mismatch
+    "q_cdc_chunks" ->
+      ("WITH cd0 AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 3000000, 'edited: ' || text " +
+        "FROM documents WHERE doc_id % 25 = 0), " +
+        "cdp AS (SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i " +
+        "FROM cd0 WHERE length(text) >= 8), " +
+        "cdh AS (SELECT doc_id, text, i, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(i - 7, i), k -> CAST(ascii(text[k]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS h FROM cdp), " +
+        "cdb AS (SELECT doc_id, text, i AS b FROM cdh WHERE h % 64 = 0 " +
+        "UNION SELECT doc_id, text, length(text) AS b FROM cd0 WHERE length(text) > 0), " +
+        "cdc AS (SELECT doc_id, text, b, " +
+        "coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS prev, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY b) AS chunk_no FROM cdb), " +
+        "cdk AS (SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, " +
+        "CAST(prev + 1 AS INTEGER) AS start, CAST(b - prev AS INTEGER) AS chunk_len, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(prev + 1, b), k -> CAST(ascii(text[k]) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS chunk_fp FROM cdc), " +
+        "cshare AS (SELECT chunk_fp, count(DISTINCT doc_id) AS nd FROM cdk GROUP BY 1) " +
+        "SELECT k.doc_id, k.chunk_no, k.start, k.chunk_len, k.chunk_fp, " +
+        "s.nd > 1 AS shared FROM cdk k JOIN cshare s USING (chunk_fp) " +
+        "ORDER BY doc_id, chunk_no"),
+    // deflate ratios are zlib-build-dependent, so the gate is the
+    // tolerance pattern: exact UTF-8 byte counts + booleans the engine
+    // must prove (stored-block expansion bound; repetition-collapse
+    // property for quadrupled text inside the LZ77 window)
+    "q_compress_ratio" ->
+      ("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "TRUE AS compress_ok, TRUE AS rep_detected " +
+        "FROM documents ORDER BY doc_id"),
     "q_dedup_minhash" -> minhashOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,

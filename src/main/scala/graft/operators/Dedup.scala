@@ -1061,4 +1061,94 @@ object Dedup {
       .select((col("doc_id") + 2000000L).as("doc_id"), upper(col("text")).as("text"))
     keepBest(base.unionByName(variants)).orderBy("doc_id")
   }
+
+  // --------------------------------- content-defined chunking (CDC)
+
+  /** Content-defined chunking: split each document where a rolling hash
+    * of the trailing [[CdcWindow]] chars hits the [[CdcMask]] residue —
+    * the Rabin-chunking baseline (LBFS, Muthitacharoen et al. 2001)
+    * behind chunk-level dedup and delta storage. Because boundaries are
+    * functions of CONTENT, an insertion early in a document shifts only
+    * the chunk it lands in: all later chunks keep their fingerprints,
+    * which is exactly what makes chunk-level dedup robust where
+    * fixed-size blocks break. (The FastCDC min/max-length normalization
+    * is a deployment knob on the same anchor stream; the gate keeps the
+    * stateless anchor rule so the oracle stays a windowed aggregation,
+    * not a sequential scan.)
+    *
+    * Boundary rule: after char i (1-based, i >= window) when the
+    * polynomial hash (base 31, mod 1e9+7) of chars [i-7..i] is divisible
+    * by [[CdcMask]]. Chunk fingerprints reuse the same fold over the
+    * chunk's chars. All integer math — engine and oracle agree exactly. */
+  val CdcWindow = 8
+  val CdcMask = 64L
+
+  private[graft] def cdcBoundaries(text: String): Seq[Int] = {
+    val n = text.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = CdcWindow
+    while (i <= n) {
+      var h = 0L
+      var j = i - CdcWindow
+      while (j < i) { h = (h * 31L + text.charAt(j).toInt) % 1000000007L; j += 1 }
+      if (h % CdcMask == 0L) out += i
+      i += 1
+    }
+    if (out.isEmpty || out.last != n) out += n
+    out.toSeq
+  }
+
+  private[graft] def polyFp(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * 31L + s.charAt(i).toInt) % 1000000007L; i += 1 }
+    h
+  }
+
+  /** Per-chunk rows: (doc_id, chunk_no, start, chunk_len, chunk_fp,
+    * shared) — `shared` marks fingerprints seen in MORE THAN ONE doc
+    * (the chunk-dedup signal). Chunking is a narrow per-row pass; the
+    * only shuffle is the fingerprint-keyed share count (scalar keys). */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val t = if (text == null) "" else text
+          // empty/null docs chunk to NOTHING (matching the oracle's
+          // length(text) > 0 guard) — a zero-length chunk row would also
+          // make all empty docs "share" the empty fingerprint
+          if (t.isEmpty) Iterator.empty
+          else {
+            val bounds = cdcBoundaries(t)
+            val starts = 0 +: bounds.dropRight(1)
+            starts.zip(bounds).zipWithIndex.iterator.map { case ((a, b), k) =>
+              (id, k + 1, a + 1, b - a, polyFp(t.substring(a, b)))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_no", "start", "chunk_len", "chunk_fp")
+    val share = chunks.groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(share, Seq("chunk_fp"))
+      .withColumn("shared", col("n_docs") > 1)
+      .select("doc_id", "chunk_no", "start", "chunk_len", "chunk_fp", "shared")
+  }
+
+  /** Oracle-gated CDC over the corpus plus planted shifted copies (every
+    * 25th doc re-planted with a 7-char prefix injected): fixed-size
+    * blocking would desynchronize EVERY block of the copy, but CDC
+    * boundaries resynchronize after the edit, so most of the copy's
+    * chunks stay `shared` — the property the oracle's closed-form
+    * replica verifies chunk by chunk. */
+  def qCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val shifted = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("edited: "), col("text")).as("text"))
+    cdcChunks(base.unionByName(shifted))
+      .orderBy("doc_id", "chunk_no")
+  }
 }

@@ -631,6 +631,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------ compression-ratio quality signal
+
+  /** Deflate length of `bytes` at fixed settings (level 6, zlib wrapper)
+    * — pure JDK, deterministic for a given input on a given deflater
+    * build. */
+  def deflateLen(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+
+  /** Compression-ratio quality screen — the cheap degenerate-text
+    * detector production pipelines run alongside the Gopher repetition
+    * ratios (highly repetitive/templated text compresses far better
+    * than natural text; both extremes get filtered). The RATIO itself
+    * cannot cross the hash gate (deflate output depends on the zlib
+    * build), so the declared surface is the [[qApproxDistinct]]
+    * tolerance pattern: exact byte counts plus booleans the oracle pins
+    * TRUE —
+    *   - `compress_ok`: 0 < deflate(text) <= n_bytes + 64 (the deflate
+    *     stored-block expansion bound);
+    *   - `rep_detected`: for docs >= 64 bytes, deflate(text x 4) <
+    *     2 * deflate(text) — the three appended copies land inside the
+    *     32 KB LZ77 window and MUST collapse to matches; a ratio that
+    *     fails this means the codec is not seeing repetition at all.
+    * Narrow per-row pass; nothing shuffles. */
+  def compressionSignals(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t0) =>
+          val t = if (t0 == null) "" else t0
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length
+          val dl = deflateLen(bytes)
+          val compressOk = dl > 0 && dl <= n + 64
+          val repDetected = n < 64 || {
+            val quad = (t * 4).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflateLen(quad) < 2 * dl
+          }
+          (id, n.toLong, compressOk, repDetected)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "compress_ok", "rep_detected")
+  }
+
+  def qCompressRatio(s: SparkSession, d: String): DataFrame =
+    compressionSignals(Tables.rebalance(documents(s, d), "doc_id"))
+      .orderBy("doc_id")
+
   /** Corpus stats rollup: per (lang, source-bucket) aggregate of the
     * quality signals — the "dataset card" numbers of a training corpus. */
   def qTextStats(s: SparkSession, d: String): DataFrame =

@@ -243,6 +243,83 @@ object StreamingJobs {
       .orderBy("user_id", "session_start")
   }
 
+  private lazy val streamJoinDir: String = Dedup.processTempDir("graft_stream_join")
+
+  /** Stream-STREAM interval join, driver-gated: click events join view
+    * events of the same user within 30 minutes AFTER the view — the
+    * attribution join every event pipeline runs, as two WATERMARKED
+    * streams rather than a batch self-join. Both sides split at the
+    * global midpoint timestamp into two time-ordered waves, so
+    * cross-wave matches (a wave-2 click against a wave-1 view) must come
+    * out of the JOIN STATE STORE; an inner stream-stream join emits each
+    * match exactly once as it arrives, and the watermark bounds both
+    * sides' state (a view's state is droppable once the click-side
+    * watermark passes view_ts + 30min — no valid match can be lost
+    * because any wave-2 click is newer than every evictable view; see
+    * the eviction-margin argument in the session-window scaladoc).
+    * Oracle: the equivalent batch interval join in closed form. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.engine.Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    replayStreamJoin(s, streamJoinDir,
+      Seq(views.filter(unix_micros(col("view_ts")) < midUs),
+        views.filter(unix_micros(col("view_ts")) >= midUs)),
+      Seq(clicks.filter(unix_micros(col("click_ts")) < midUs),
+        clicks.filter(unix_micros(col("click_ts")) >= midUs)))
+      .orderBy("view_id", "click_id")
+  }
+
+  /** Replay two wave sequences through one watermarked stream-stream
+    * interval join; returns the append output (view_id, click_id,
+    * user_id). */
+  private[graft] def replayStreamJoin(s: SparkSession, root: String,
+      viewWaves: Seq[DataFrame], clickWaves: Seq[DataFrame]): DataFrame = {
+    Dedup.rmTree(new java.io.File(root))
+    val (srcV, srcC, out, ck) = (s"$root/views", s"$root/clicks", s"$root/out", s"$root/ck")
+    val t0 = System.currentTimeMillis() - 60000
+    viewWaves.zipWithIndex.foreach { case (w, i) =>
+      stageWave(w, srcV, f"v$i%02d.parquet", t0 + i * 10000L)
+    }
+    clickWaves.zipWithIndex.foreach { case (w, i) =>
+      stageWave(w, srcC, f"c$i%02d.parquet", t0 + i * 10000L)
+    }
+    val vSchema = StructType(Seq(StructField("view_id", LongType),
+      StructField("v_user", LongType), StructField("view_ts", TimestampType)))
+    val cSchema = StructType(Seq(StructField("click_id", LongType),
+      StructField("c_user", LongType), StructField("click_ts", TimestampType)))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    // 2 state partitions: a stream-stream join runs FOUR state stores per
+    // partition, and the replay's cost is per-(store x partition x batch)
+    // fixed overhead, not rows (probe: 8 partitions 26s, 2 partitions 6s
+    // for the same 40k rows); a production deployment sizes this to its
+    // actual key cardinality
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val v = s.readStream.schema(vSchema).option("maxFilesPerTrigger", "1")
+        .parquet(srcV).withWatermark("view_ts", "1 hour")
+      val c = s.readStream.schema(cSchema).option("maxFilesPerTrigger", "1")
+        .parquet(srcC).withWatermark("click_ts", "1 hour")
+      val q = v.join(c,
+          col("v_user") === col("c_user") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(out)
+  }
+
   private lazy val streamDedupDir: String = Dedup.processTempDir("graft_stream_dedup")
 
   /** Streaming exact dedup with BOUNDED state, driver-gated:

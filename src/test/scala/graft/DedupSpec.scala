@@ -258,4 +258,38 @@ class DedupSpec extends SparkSpec {
     assert(kept2 === Seq("h1", "h2", "h3", "z1", "z2", "z3", "z4", "z5"),
       s"doc 2 kept: $kept2")
   }
+
+  test("CDC: boundaries resynchronize after an edit; chunks tile the doc") {
+    import spark.implicits._
+    val text = ("the quick brown fox jumps over the lazy dog and then " * 8).trim
+    val edited = "INSERTED! " + text
+    val bounds = graft.operators.Dedup.cdcBoundaries(text)
+    val boundsE = graft.operators.Dedup.cdcBoundaries(edited)
+    assert(bounds.length > 2, "fixture must produce several chunks")
+    // every original boundary reappears shifted by the insertion length —
+    // the content-defined property fixed-size blocking lacks
+    val shift = "INSERTED! ".length
+    val resync = bounds.count(b => boundsE.contains(b + shift))
+    assert(resync >= bounds.length - 1, s"resync $resync of ${bounds.length}")
+
+    // end-to-end: a shifted copy shares all but its edited head chunks
+    val docs = Seq((0L, text),
+      (50L, ("unrelated content entirely different words here " * 6).trim))
+      .toDF("doc_id", "text")
+    val shifted = Seq((3000000L, "edited: " + text)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.cdcChunks(docs.unionByName(shifted)).collect()
+    val copyChunks = out.filter(_.getLong(0) == 3000000L)
+    assert(copyChunks.count(_.getBoolean(5)) >= copyChunks.length - 2,
+      s"shifted copy must share all but its edited head chunk: " +
+        s"${copyChunks.count(_.getBoolean(5))}/${copyChunks.length}")
+    // chunk lists tile each document exactly (no gaps, no overlaps)
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      var expectStart = 1
+      sorted.foreach { r =>
+        assert(r.getInt(2) === expectStart, s"doc $id chunk ${r.getInt(1)} gap")
+        expectStart += r.getInt(3)
+      }
+    }
+  }
 }

@@ -521,6 +521,31 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._3 == -1L), "flush user must never emit")
   }
 
+  test("stream-stream join: cross-wave matches come out of the state store") {
+    import spark.implicits._
+    def vwave(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("view_id", "v_user", "t")
+        .select(col("view_id"), col("v_user"), to_timestamp(col("t")).as("view_ts"))
+    def cwave(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("click_id", "c_user", "t")
+        .select(col("click_id"), col("c_user"), to_timestamp(col("t")).as("click_ts"))
+    // view in wave 1; its matching click arrives in wave 2 -> only join
+    // state can produce the pair. The 31-minute click must NOT match.
+    val v1 = vwave((100L, 1L, "2024-01-01 10:00:00"), (101L, 2L, "2024-01-01 10:00:00"))
+    val v2 = vwave((102L, 1L, "2024-01-01 12:00:00"))
+    val c1 = cwave((200L, 1L, "2024-01-01 10:10:00"))
+    val c2 = cwave((201L, 1L, "2024-01-01 10:29:00"), // cross-wave, in window
+      (202L, 2L, "2024-01-01 10:31:00"),              // 31 min: out of window
+      (203L, 1L, "2024-01-01 12:05:00"))              // matches wave-2 view
+    val root = Files.createTempDirectory("graft_ss_join").toString
+    val got = StreamingJobs.replayStreamJoin(spark, root, Seq(v1, v2), Seq(c1, c2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (100L, 200L, 1L),  // same-wave match
+      (100L, 201L, 1L),  // CROSS-WAVE: view state survived into batch 2
+      (102L, 203L, 1L))) // wave-2 x wave-2
+  }
+
   test("watermarked dedup: in-window re-sends drop, expired keys re-admit") {
     import spark.implicits._
     def wave(rows: (Long, String)*) =

@@ -189,6 +189,25 @@ class TextSearchSpec extends SparkSpec {
     assert(w.toSeq === w2.toSeq)
   }
 
+  test("compression signal: repetitive text compresses far better than varied text") {
+    import graft.operators.TextAnalysis.deflateLen
+    val rep = ("spam " * 200).getBytes("UTF-8")
+    val varied = (0 until 200).map(i => s"w${i * 7919}").mkString(" ").getBytes("UTF-8")
+    val repRatio = deflateLen(rep).toDouble / rep.length
+    val varRatio = deflateLen(varied).toDouble / varied.length
+    info(f"deflate ratio: repetitive $repRatio%.3f vs varied $varRatio%.3f")
+    assert(repRatio < varRatio / 3, "repetition must collapse under deflate")
+    // the declared booleans hold on adversarial inputs too
+    val out = graft.operators.TextAnalysis.compressionSignals(
+      Seq((1L, "spam " * 200), (2L, (0 until 200).map(i => s"w${i * 7919}").mkString(" ")),
+        (3L, ""), (4L, null: String), (5L, "short"))
+        .toDF("doc_id", "text")).collect()
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"doc ${r.getLong(0)} compress_ok")
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} rep_detected")
+    }
+  }
+
   test("unigram tokenizer: Viterbi picks the max-probability segmentation") {
     val p = Map("ab" -> 0.4, "a" -> 0.1, "b" -> 0.1, "c" -> 0.4)
     // 'abc': ab|c (0.4*0.4=0.16) beats a|b|c (0.1*0.1*0.4=0.004)
