@@ -145,6 +145,7 @@ object SparkEntry {
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip
+    "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
@@ -1139,6 +1140,12 @@ object SparkEntry {
     // with hex CID strings and a ToUnicode CMap, so any defect in the
     // CMap parse, range expansion or 2-byte decode hash-mismatches
     "q_pdf_cid" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // the encrypted round trip: staged RC4-128 standard-security PDFs
+    // must decrypt (file key from /O,/P,/ID; per-object keys) and then
+    // extract to EXACTLY the source text — RC4 under any wrong key is
+    // pseudo-random bytes that cannot even inflate
+    "q_pdf_encrypted" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the PNG round trip: the engine decodes REAL staged PNGs (ImageIO)
     // and reports measured geometry + a position-weighted pixel sum; the

@@ -97,12 +97,20 @@ object BinaryIngest {
     *    back to 1-byte Latin-1 (the simple-font hex case). Driver-gated
     *    end-to-end by q_pdf_cid on staged composite-font PDFs.
     *
+    *  - RC4-128 standard-security ENCRYPTION (round 6): /Encrypt files
+    *    derive the file key from /O,/P,/ID (empty user password — the
+    *    encryption-for-permissions case), verify /U, and decrypt every
+    *    stream under its per-object key before inflating
+    *    ([[PdfCrypto]]); a passworded file extracts empty, never
+    *    garbage. Driver-gated end-to-end by q_pdf_encrypted.
+    *
     * Out of scope (documented): per-font CMap scoping (one merged map
     * per document — exact whenever fonts don't reuse the same code for
     * different glyphs, which generated single-font PDFs never do),
-    * /Differences remaps, object streams (/ObjStm), encryption — a
-    * glyph-accurate binding (fitz-class) remains the production swap-in,
-    * through the SAME seam.
+    * /Differences remaps, object streams (/ObjStm — cannot contain
+    * streams, so the text layer never hides there), AES (/V 4+)
+    * encryption — a glyph-accurate binding (fitz-class) remains the
+    * production swap-in, through the SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -110,6 +118,34 @@ object BinaryIngest {
   def pdfExtract(bytes: Array[Byte]): String = {
     if (bytes == null) return null
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // Standard-security-handler decryption (round 6): when /Encrypt is
+    // present, derive the file key from /O, /P and /ID (empty user
+    // password — the encryption-for-permissions case; a passworded file
+    // yields no key and extracts empty rather than garbage, verified via
+    // the /U check), and decrypt each stream under its PER-OBJECT key
+    // before any inflate. Object numbers come from one pass over the
+    // "N G obj" headers; each stream decrypts under the closest header
+    // above it.
+    val encKey: Option[Array[Byte]] =
+      if (!raw.contains("/Encrypt")) None
+      else for {
+        o <- """/O\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+        p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+        id0 <- """/ID\s*\[\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+        key = PdfCrypto.fileKey(o, p, id0)
+        // wrong/absent password: /U's first 16 bytes won't reproduce
+        uOk = """/U\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+          .forall(u => java.util.Arrays.equals(u.take(16),
+            PdfCrypto.computeU(key, id0).take(16)))
+        k <- if (uOk) Some(key) else None
+      } yield k
+    val objHeaders: IndexedSeq[(Int, Int, Int)] =
+      if (encKey.isEmpty) IndexedSeq.empty
+      else """(\d+)\s+(\d+)\s+obj\b""".r.findAllMatchIn(raw)
+        .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toIndexedSeq
     // pass 1 collects decoded stream CONTENTS in file order; text runs
     // are extracted afterwards, once the document's ToUnicode map (built
     // from any CMap streams) is known — hex CID strings in stream 1 may
@@ -152,9 +188,23 @@ object BinaryIngest {
               e
           }
           if (!dict.contains("/Image") && !dict.contains("/FontFile")) {
-            val content: Option[String] =
-              if (dict.contains("/FlateDecode")) inflateRange(bytes, dataStart, dataEnd)
-              else Some(raw.substring(dataStart, dataEnd))
+            val content: Option[String] = encKey match {
+              case Some(fk) =>
+                val anchor = if (dictStart >= 0) dictStart else idx
+                val hdr = objHeaders.lastIndexWhere(_._1 < anchor)
+                if (hdr < 0) None
+                else {
+                  val (_, objNum, gen) = objHeaders(hdr)
+                  val dec = PdfCrypto.rc4(PdfCrypto.objKey(fk, objNum, gen),
+                    java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+                  if (dict.contains("/FlateDecode")) inflateRange(dec, 0, dec.length)
+                  else Some(new String(dec,
+                    java.nio.charset.StandardCharsets.ISO_8859_1))
+                }
+              case None =>
+                if (dict.contains("/FlateDecode")) inflateRange(bytes, dataStart, dataEnd)
+                else Some(raw.substring(dataStart, dataEnd))
+            }
             content.foreach(contents += _)
           }
           next = endIdx + 9
@@ -512,6 +562,46 @@ object BinaryIngest {
     bos.toByteArray
   }
 
+  /** Build one ENCRYPTED single-page PDF (Standard Security Handler,
+    * V=2 R=3, RC4-128, empty passwords): the Flate-compressed content
+    * stream is RC4-encrypted under its per-object key, with real /O and
+    * /U values ([[PdfCrypto]] algorithms 3 and 5) and a deterministic
+    * /ID derived from the text. The staging side of the q_pdf_encrypted
+    * round trip — an extractor that skips key derivation, derives the
+    * wrong per-object key, or decrypts before locating the object
+    * number produces garbage, never an accidental pass (RC4 with any
+    * wrong key is pseudo-random bytes that cannot inflate). */
+  def buildPdfEncrypted(text: String): Array[Byte] = {
+    val esc = Option(text).getOrElse("").flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = s"BT /F1 12 Tf 72 712 Td ($esc) Tj ET"
+    val id0 = PdfCrypto.md5(
+      Option(text).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val o = PdfCrypto.computeO()
+    val p = -4
+    val key = PdfCrypto.fileKey(o, p, id0)
+    val u = PdfCrypto.computeU(key, id0)
+    val encData = PdfCrypto.rc4(PdfCrypto.objKey(key, 4, 0), deflateBytes(content))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${encData.length} /Filter /FlateDecode >> stream\n")
+    bos.write(encData)
+    w("\nendstream endobj\n" +
+      "5 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P $p /O <${PdfCrypto.toHex(o)}> /U <${PdfCrypto.toHex(u)}> >> endobj\n" +
+      "trailer << /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${PdfCrypto.toHex(id0)}> <${PdfCrypto.toHex(id0)}>] >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Stage real COMPRESSED-PDF uploads: one .pdf file per document,
     * written from the EXECUTORS (mapPartitions — document bytes never
     * pass through the driver; in local mode /tmp is the shared FS, on a
@@ -559,6 +649,21 @@ object BinaryIngest {
     * the CMap cannot accidentally pass. */
   def qPdfCid(s: SparkSession, d: String): DataFrame = {
     val fix = stagePdfFixture(s, d, kind = "pdfcid_fixture", build = buildPdfCid)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked ENCRYPTED-PDF round trip (the r5 verdict's remaining
+    * named PDF gap after CID): documents staged as RC4-128
+    * standard-security PDFs ([[buildPdfEncrypted]]) through the SAME
+    * extractor slot — key derivation from /O,/P,/ID, /U verification,
+    * per-object decryption, THEN inflate — exact text equality against
+    * the source table. */
+  def qPdfEncrypted(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfenc_fixture", build = buildPdfEncrypted)
     readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
       .withColumn("doc_id",
         regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))

@@ -1,0 +1,108 @@
+package graft.sources
+
+/** PDF Standard Security Handler, V=2 R=3 (RC4-128) — PDF 32000-1:2008
+  * §7.6.3, the legacy encryption layer a large share of archival PDF
+  * corpora still carries. This is FORMAT support on the decryption side
+  * (a pipeline must READ such files; the reference gets it free from
+  * fitz, data_ingestion.py:116-122) — RC4/MD5 here are the format's
+  * required primitives, long obsolete as cryptography.
+  *
+  * Implemented algorithms (spec numbering): 2 (file key from the padded
+  * password, 50-fold MD5 strengthening), 3 (/O owner value), 5 (/U
+  * verification value, R3 form), 1 (per-object key: MD5 of file key +
+  * 3 LE object-number bytes + 2 LE generation bytes). Only the empty
+  * user/owner password path is wired — the overwhelmingly common case
+  * for crawl-encountered encrypted PDFs (encryption-for-permissions,
+  * not secrecy). */
+object PdfCrypto {
+
+  /** The spec's 32-byte padding string (Table 24 context, §7.6.3.3). */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** 128-bit file keys (/Length 128, n = 16). */
+  val KeyLen = 16
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Plain RC4 (the format primitive). */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xFF
+      y = (y + s(x)) & 0xFF
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xFF)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def pLe(p: Int): Array[Byte] = Array(
+    (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+    ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
+
+  private def strengthen(h0: Array[Byte]): Array[Byte] = {
+    var h = h0
+    var i = 0
+    while (i < 50) { h = md5(h.take(KeyLen)); i += 1 }
+    h
+  }
+
+  private def xorKey(key: Array[Byte], i: Int): Array[Byte] =
+    key.map(b => (b ^ i).toByte)
+
+  /** Algorithm 3: the /O entry, empty owner AND user passwords. */
+  def computeO(): Array[Byte] = {
+    val key = strengthen(md5(Pad)).take(KeyLen)
+    var o = rc4(key, Pad)
+    var i = 1
+    while (i <= 19) { o = rc4(xorKey(key, i), o); i += 1 }
+    o
+  }
+
+  /** Algorithm 2: the file encryption key for the EMPTY user password. */
+  def fileKey(o: Array[Byte], p: Int, id0: Array[Byte]): Array[Byte] =
+    strengthen(md5(Pad, o, pLe(p), id0)).take(KeyLen)
+
+  /** Algorithm 5 (R3): the /U entry — 16 verification bytes + 16 bytes
+    * of padding (arbitrary per spec; zeros here). */
+  def computeU(key: Array[Byte], id0: Array[Byte]): Array[Byte] = {
+    var u = rc4(key, md5(Pad, id0))
+    var i = 1
+    while (i <= 19) { u = rc4(xorKey(key, i), u); i += 1 }
+    u ++ new Array[Byte](16)
+  }
+
+  /** Algorithm 1: the per-object key (min(n+5, 16) bytes). */
+  def objKey(key: Array[Byte], objNum: Int, gen: Int): Array[Byte] = {
+    val extra = Array(
+      (objNum & 0xFF).toByte, ((objNum >> 8) & 0xFF).toByte,
+      ((objNum >> 16) & 0xFF).toByte,
+      (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
+    md5(key, extra).take(math.min(KeyLen + 5, 16))
+  }
+
+  def toHex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
+  def fromHex(h: String): Array[Byte] = {
+    val p = if (h.length % 2 == 1) h + "0" else h
+    p.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+}

@@ -336,6 +336,30 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(null) === null)
   }
 
+  test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
+    import graft.sources.{BinaryIngest, PdfCrypto}
+    // public RC4 known-answer vector: key "Key", plaintext "Plaintext"
+    val ct = PdfCrypto.rc4("Key".getBytes("US-ASCII"), "Plaintext".getBytes("US-ASCII"))
+    assert(PdfCrypto.toHex(ct) === "BBF316E8D940AF0AD3")
+    assert(new String(PdfCrypto.rc4("Key".getBytes("US-ASCII"), ct),
+      "US-ASCII") === "Plaintext") // RC4 is its own inverse
+
+    // full encrypted round trip through the extractor: derive file key
+    // from /O,/P,/ID, verify /U, per-object decrypt, inflate, extract
+    val text = """balanced \(parens\) inside a secret payload"""
+    val pdf = BinaryIngest.buildPdfEncrypted(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // the on-disk bytes must actually be encrypted (no plaintext run)
+    assert(!new String(pdf, "ISO-8859-1").contains("secret"))
+
+    // a tampered /U (the wrong-password signature) must extract EMPTY —
+    // refusing is correct; RC4-ing with an unverified key emits garbage
+    val s = new String(pdf, "ISO-8859-1")
+    val bad = s.replaceAll("/U <[0-9A-F]+>", "/U <" + ("00" * 32) + ">")
+    assert(bad !== s, "tamper must hit")
+    assert(BinaryIngest.pdfExtract(bad.getBytes("ISO-8859-1")) === "")
+  }
+
   test("PDF CID/ToUnicode: hex strings, bfchar/bfrange forms, fallbacks") {
     import graft.sources.BinaryIngest
     // full composite-font round trip through the fixture builder —
