@@ -490,7 +490,10 @@ object ScaleProbe {
       // crossJoin of a one-split file) — narrow per-row operators would
       // serialize on one core, which is the finding-2 trap, not a
       // measurement; spread like Tables.rebalance does for engine paths
-      val docsWide = docs.select(col("doc_id"), col("text"))
+      // lazy: materialized only when a probe in this block actually runs
+      // (a filtered invocation like `ScaleProbe 30 anomaly` must not pay
+      // the 64-partition re-spread or the PQ training below)
+      lazy val docsWide = docs.select(col("doc_id"), col("text"))
         .repartition(64, col("doc_id")).as[(Long, String)].localCheckpoint()
       time("html_extract", nDocs) {
         docsWide.map { case (id, t) =>
@@ -511,7 +514,7 @@ object ScaleProbe {
           docs.repartition(64, col("doc_id"))).count()
       }
       time("unigram_lm", nDocs) { TextSearch.unigramSegment(docs).count() }
-      val pqBooks = Similarity.pqTrainCodebooks(emb, 2)
+      lazy val pqBooks = Similarity.pqTrainCodebooks(emb, 2)
       time("pq_adc_topk", nEmb) {
         // FIXED 20-query panel: the growth axis is the corpus (encode +
         // rank are linear in N per query); serving QPS scales by adding

@@ -148,6 +148,7 @@ object SparkEntry {
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
+    "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
@@ -404,7 +405,7 @@ object SparkEntry {
     * the usage recount. The oracle replays TRAINING + SEGMENTATION in
     * full; it shares no code with the engine's Viterbi. */
   private lazy val unigramOracleSql: String = {
-    import graft.operators.TextSearch.{UniMaxPieceLen => L, UniVocabK => K}
+    import graft.operators.TextSearch.{UniMaxPieceLen => L, UniVocabK => K, UniMaxWordLen => W}
     def recur(segName: String, probName: String): String =
       s"$segName AS (" +
         "SELECT word, freq, 0 AS pos, CAST(1.0 AS DOUBLE) AS score, " +
@@ -424,7 +425,7 @@ object SparkEntry {
     "WITH RECURSIVE " +
       "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) " +
-      "WHERE length(word) > 0 GROUP BY word), " +
+      s"WHERE length(word) > 0 AND length(word) <= $W GROUP BY word), " +
       "us1 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS s FROM uw), " +
       s"us2 AS (SELECT word, freq, s, unnest(generate_series(1, " +
       s"least($L, length(word) - s + 1))) AS l FROM us1), " +
@@ -1159,6 +1160,18 @@ object SparkEntry {
         "CAST(list_sum([(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) * (i + 1) " +
         "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
         "FROM g ORDER BY doc_id"),
+    // real resize: decode the staged PNG, nearest-neighbor resample into
+    // a 16-px box (sx = x*w div ow — pure integer math), report measured
+    // geometry + weighted pixel sum; the oracle recomputes every output
+    // pixel's source coordinate in closed form
+    "q_image_resize" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h, " +
+        "least(doc_id % 40 + 8, 16) AS ow, least(doc_id % 23 + 8, 16) AS oh " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h, " +
+        "CAST(list_sum([((((i % ow) * w // ow) * 7 + ((i // ow) * h // oh) * 13 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, ow * oh - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM g ORDER BY doc_id"),
     // the WAV round trip: the engine decodes REAL staged RIFF/WAVE files
     // through the JDK's own audio codec (AudioSystem) and reports the
     // measured format + a position-weighted sample sum; the oracle
@@ -1197,8 +1210,10 @@ object SparkEntry {
     // leakage, surviving comments, attribute-'>' truncation or an entity
     // mis-decode all hash-mismatch
     "q_html_ingest" ->
-      ("WITH t AS (SELECT doc_id, regexp_replace(trim(coalesce(text, '')), " +
-        "'\\s+', ' ', 'g') AS body FROM documents WHERE doc_id < 200) " +
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        // the extractor collapses NBSP with the whitespace run (RE2 \s
+        // is ASCII-only, hence the explicit \x{00A0})
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200) " +
         "SELECT doc_id, 'Doc ' || doc_id || ' Home | About Doc #' || doc_id || " +
         "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
         "' © 2026 Graft' AS text_clean FROM t ORDER BY doc_id"),
@@ -1224,8 +1239,8 @@ object SparkEntry {
     // and keep only the HTTP-200 response bodies) extract to exactly the
     // q_html_ingest closed form plus each doc's crawl URI
     "q_warc_ingest" ->
-      ("WITH t AS (SELECT doc_id, regexp_replace(trim(coalesce(text, '')), " +
-        "'\\s+', ' ', 'g') AS body FROM documents WHERE doc_id < 200) " +
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200) " +
         "SELECT doc_id, 'http://example.com/doc/' || doc_id AS url, " +
         "'Doc ' || doc_id || ' Home | About Doc #' || doc_id || " +
         "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +

@@ -263,6 +263,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL image resize: decode the staged PNG and NEAREST-NEIGHBOR
+    * resample into a bounding box — chosen over Graphics2D scaling
+    * because AWT interpolation is implementation-dependent while NN
+    * sampling is pure integer math the oracle replays in closed form
+    * (src_x = x·w div out_w — the standard box-free NN mapping).
+    * Upgrades the third multimodal stub (resize geometry) to a real
+    * decode + real resample; output is the resized image's geometry +
+    * position-weighted pixel sum. */
+  val ResizeBox = 16
+
+  def resizePng(bytes: Array[Byte], box: Int): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val ow = math.min(w, box); val oh = math.min(h, box)
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          val sy = y * h / oh
+          var x = 0
+          while (x < ow) {
+            val sx = x * w / ow
+            sum += (img.getRGB(sx, sy) & 0xFF).toLong * (y.toLong * ow + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        Some((ow, oh, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** Oracle-checked REAL resize round trip over the SAME staged PNGs as
+    * q_image_ingest: decode -> NN resample into a 16-px box -> exact
+    * geometry + weighted-sum equality against the oracle's closed-form
+    * recomputation (every output pixel's source coordinate is integer
+    * arithmetic over the deterministic image function). */
+  def qImageResize(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stagePngFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "img(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          resizePng(bytes, ResizeBox) match {
+            case Some((ow, oh, sum)) => (id, ow, oh, sum)
+            case None => (id, -1, -1, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "pixel_sum")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------- REAL audio decode (WAV)
 
   /** Deterministic PCM parameters for `docId`'s test clip: rate, channel

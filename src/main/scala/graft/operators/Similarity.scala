@@ -1127,7 +1127,10 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        it.map { case (id, v) =>
+        it.flatMap { case (id, v) =>
+          if (v == null || v.length < PqM * PqSub) None
+          else Some((id, v))
+        }.map { case (id, v) =>
           val lut = new Array[Double](PqM * PqK)
           var m = 0
           while (m < PqM) {

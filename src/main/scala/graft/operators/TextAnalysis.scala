@@ -613,7 +613,8 @@ object TextAnalysis {
     w
   }
 
-  /** Oracle-gated train + score: 5 GD iterations on the documents table,
+  /** Oracle-gated train + score: [[LogitIters]] GD iterations on the
+    * documents table,
     * then every doc scored with the learned weights. The oracle REPLAYS
     * TRAINING ITSELF (unrolled MATERIALIZED CTE iterations generated
     * from the same constants — the q_pagerank/q_bpe_train pattern), so a
@@ -672,8 +673,14 @@ object TextAnalysis {
           val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val n = bytes.length
           val dl = deflateLen(bytes)
-          val compressOk = dl > 0 && dl <= n + 64
-          val repDetected = n < 64 || {
+          // expansion bound per the deflate spec: 5 bytes of stored-block
+          // header per 64 KB block + zlib wrapper — NOT a flat 64, which
+          // an incompressible multi-block doc would exceed
+          val compressOk = dl > 0 && dl <= n + 11 + 5 * (n / 65535 + 1) + 64
+          // the quad-repetition property only holds while all four copies
+          // fit match distances inside the 32 KB LZ77 window: assert it
+          // only for 64 B <= n <= 8 KB (4n <= 32 KB), TRUE outside
+          val repDetected = n < 64 || n > 8192 || {
             val quad = (t * 4).getBytes(java.nio.charset.StandardCharsets.UTF_8)
             deflateLen(quad) < 2 * dl
           }

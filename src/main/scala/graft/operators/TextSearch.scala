@@ -698,10 +698,19 @@ object TextSearch {
     * the same IEEE operation sequence in the engine DP and in the
     * oracle's path enumeration, so scores are bit-identical. Ties
     * (genuinely equal products — e.g. 'aaaa' as a|aa|a vs aa|a|a, the
-    * same piece multiset) break on the larger BOUNDARY BITMASK
-    * (bit j = a piece starts at char j); the (score, mask) pair is
-    * DP-composable because extending two prefixes at the same position
-    * multiplies both scores by the same factor and adds the same bit.
+    * same piece multiset, whose products are IDENTICAL doubles because
+    * IEEE multiplication is commutative) break on the larger BOUNDARY
+    * BITMASK (bit j = a piece starts at char j); the (score, mask) pair
+    * is DP-composable because extending two prefixes at the same
+    * position multiplies both scores by the same factor and adds the
+    * same bit. Caveat (documented, not defended): fl-multiplication is
+    * monotone but not STRICTLY so — two prefixes 1 ulp apart can in
+    * principle collapse to equal full products, where the DP (which
+    * discarded the lower prefix) and a full-path enumeration could
+    * tie-break differently; this needs two DISTINCT piece multisets
+    * with products within 1 ulp, which the c/total probability grid
+    * does not produce on any tested corpus (tri-scale + 4-vs-16-core
+    * certified), and is accepted like the other last-ulp registers.
     *
     * Scale shape: the corpus collapses once to its (word, freq) table
     * (the bpeTrainLocal discipline); substring counting, segmentation
@@ -712,11 +721,20 @@ object TextSearch {
   val UniVocabK = 64
   val UniIters = 2
 
-  /** (word, freq) table of the corpus. */
+  /** Words longer than this are excluded from the tokenizer entirely —
+    * URLs/base64 runs, which a production vocab treats as unknowns. The
+    * cap is load-bearing for the GATE, not just hygiene: the oracle
+    * enumerates every segmentation of every word (~1.9^n paths) and its
+    * boundary-mask shift is a BIGINT, so both sides must agree on the
+    * cutoff (the engine DP's own 63-bit mask guard stays as defense in
+    * depth behind it). */
+  val UniMaxWordLen = 16
+
+  /** (word, freq) table of the corpus, capped at [[UniMaxWordLen]]. */
   def uniWordFreq(docs: DataFrame): DataFrame =
     Tables.rebalance(docs, "doc_id")
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 && length(col("word")) <= UniMaxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Seed piece counts: every substring of length 1..max, with word

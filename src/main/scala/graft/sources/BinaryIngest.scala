@@ -128,20 +128,27 @@ object BinaryIngest {
     // above it.
     val encKey: Option[Array[Byte]] =
       if (!raw.contains("/Encrypt")) None
-      else for {
-        o <- """/O\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
-          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
-        p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
-        id0 <- """/ID\s*\[\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
-          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
-        key = PdfCrypto.fileKey(o, p, id0)
-        // wrong/absent password: /U's first 16 bytes won't reproduce
-        uOk = """/U\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
-          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
-          .forall(u => java.util.Arrays.equals(u.take(16),
-            PdfCrypto.computeU(key, id0).take(16)))
-        k <- if (uOk) Some(key) else None
-      } yield k
+      else try {
+        for {
+          o <- """/O\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+            .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+          // .toLong.toInt: several producers write /P as the UNSIGNED
+          // 32-bit decimal (4294963392) instead of the negative two's
+          // complement — the truncation recovers the intended bits either
+          // way, and the outer try keeps any other malformed field on the
+          // extract-empty path, never an executor crash
+          p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong.toInt)
+          id0 <- """/ID\s*\[\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+            .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+          key = PdfCrypto.fileKey(o, p, id0)
+          // wrong/absent password: /U's first 16 bytes won't reproduce
+          uOk = """/U\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+            .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+            .forall(u => java.util.Arrays.equals(u.take(16),
+              PdfCrypto.computeU(key, id0).take(16)))
+          k <- if (uOk) Some(key) else None
+        } yield k
+      } catch { case _: Exception => None }
     val objHeaders: IndexedSeq[(Int, Int, Int)] =
       if (encKey.isEmpty) IndexedSeq.empty
       else """(\d+)\s+(\d+)\s+obj\b""".r.findAllMatchIn(raw)

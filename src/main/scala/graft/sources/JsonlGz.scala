@@ -40,7 +40,9 @@ object JsonlGz {
     s"""{"doc_id":$id,"lang":"${jsonEscape(lang)}","source":"${jsonEscape(source)}","text":"${jsonEscape(text)}"}"""
 
   /** Stage the documents table as 8 gzipped JSONL shards (doc_id % 8),
-    * executor-written, versioned + atomically published. */
+    * executor-written, versioned + atomically published. Shard naming
+    * relies on the hash-co-partitioning invariant documented at
+    * [[WarcIngest.stageWarcFixture]] — keep the two in sync. */
   def stageJsonlGzFixture(s: SparkSession, d: String): String = {
     val fix = BinaryIngest.fixtureRoot("jsonlgz_fixture", d)
     BinaryIngest.publishFixture(fix) { tmp =>

@@ -148,7 +148,15 @@ object WarcIngest {
   // ------------------------------------------------------------- fixture
 
   /** Stage a small crawl: 8 multi-record WARC files (docs sharded by
-    * doc_id % 8), executor-written, versioned + atomically published. */
+    * doc_id % 8), executor-written, versioned + atomically published.
+    *
+    * Shard-naming invariant (shared with [[JsonlGz.stageJsonlGzFixture]]
+    * — keep in sync): `repartition(n, doc_id % n)` hash-co-partitions,
+    * so a residue class is never split across partitions; naming each
+    * partition's single output file by its HEAD row's shard is therefore
+    * collision-free even when two residue classes hash into one
+    * partition (that partition writes one file containing both; the
+    * other classes' partitions are empty). */
   def stageWarcFixture(s: SparkSession, d: String): String = {
     val fix = BinaryIngest.fixtureRoot("warc_fixture", d)
     BinaryIngest.publishFixture(fix) { tmp =>

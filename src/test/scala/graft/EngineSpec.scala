@@ -358,6 +358,14 @@ class EngineSpec extends SparkSpec {
     val bad = s.replaceAll("/U <[0-9A-F]+>", "/U <" + ("00" * 32) + ">")
     assert(bad !== s, "tamper must hit")
     assert(BinaryIngest.pdfExtract(bad.getBytes("ISO-8859-1")) === "")
+
+    // review finding: some producers write /P as the UNSIGNED 32-bit
+    // decimal — must recover the same key bits, not throw
+    val unsignedP = s.replace("/P -4", "/P 4294967292") // 2^32 - 4
+    assert(BinaryIngest.pdfExtract(unsignedP.getBytes("ISO-8859-1")) === text)
+    // truly malformed /P: extract-empty, never an executor crash
+    val junkP = s.replace("/P -4", "/P 99999999999999999999")
+    assert(BinaryIngest.pdfExtract(junkP.getBytes("ISO-8859-1")) === "")
   }
 
   test("PDF CID/ToUnicode: hex strings, bfchar/bfrange forms, fallbacks") {

@@ -53,6 +53,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(full.take(20)).isEmpty)
   }
 
+  test("NN resize recovers the closed-form resampled pixels") {
+    for (id <- Seq(0L, 7L, 39L)) {
+      val (w, h) = Multimodal.imageDims(id)
+      val Some((ow, oh, sum)) = Multimodal.resizePng(Multimodal.buildPng(id), 16)
+      assert(ow === math.min(w, 16) && oh === math.min(h, 16))
+      var expect = 0L
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val sx = x * w / ow; val sy = y * h / oh
+        expect += ((sx * 7 + sy * 13 + id) % 256) * (y.toLong * ow + x + 1)
+      }
+      assert(sum === expect, s"doc $id")
+    }
+    assert(Multimodal.resizePng("junk".getBytes, 16).isEmpty)
+  }
+
   test("WAV encode/decode round trip recovers exact format and samples") {
     for (id <- Seq(0L, 1L, 7L, 42L, 199L)) {
       val (rate, channels, frames) = Multimodal.audioParams(id)

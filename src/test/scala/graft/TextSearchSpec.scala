@@ -206,6 +206,23 @@ class TextSearchSpec extends SparkSpec {
       assert(r.getBoolean(2), s"doc ${r.getLong(0)} compress_ok")
       assert(r.getBoolean(3), s"doc ${r.getLong(0)} rep_detected")
     }
+    // review findings: booleans must hold OUTSIDE the assertion windows
+    // too — a varied doc past the 8 KB quad window (each copy lands
+    // beyond the 32 KB LZ77 distance) and a large incompressible doc
+    // whose stored-block overhead exceeds a flat 64 bytes
+    val big = (0 until 3000).map(i => s"tok${i * 104729}").mkString(" ") // ~25 KB varied
+    val incompressible = {
+      val r = new scala.util.Random(42)
+      val sb = new StringBuilder
+      while (sb.length < 900000) sb.append(r.nextPrintableChar())
+      sb.toString
+    }
+    val out2 = graft.operators.TextAnalysis.compressionSignals(
+      Seq((10L, big), (11L, incompressible)).toDF("doc_id", "text")).collect()
+    out2.foreach { r =>
+      assert(r.getBoolean(2), s"doc ${r.getLong(0)} compress_ok (expansion bound)")
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} rep_detected (window guard)")
+    }
   }
 
   test("unigram tokenizer: Viterbi picks the max-probability segmentation") {
@@ -238,6 +255,15 @@ class TextSearchSpec extends SparkSpec {
     val long = "a" * 70
     val (pieces, score, _) = TextSearch.uniViterbi(long, p)
     assert(pieces === Seq(long) && score === 0.0)
+    // review finding: words past UniMaxWordLen are EXCLUDED up front on
+    // both engine and oracle sides (the oracle enumerates ~1.9^n paths
+    // and shifts a 63-bit mask — a long word must never reach it)
+    import spark.implicits._
+    val docs = Seq((1L, "short words here"), (2L, "b" * 40))
+      .toDF("doc_id", "text")
+    val words = TextSearch.uniWordFreq(docs).collect().map(_.getString(0))
+    assert(!words.exists(_.length > TextSearch.UniMaxWordLen))
+    assert(words.contains("short"))
   }
 
   test("unigram tokenizer: every corpus word segments with positive score") {
