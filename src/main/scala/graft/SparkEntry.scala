@@ -146,6 +146,7 @@ object SparkEntry {
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip
+    "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
@@ -1147,6 +1148,10 @@ object SparkEntry {
     // extract to EXACTLY the source text — RC4 under any wrong key is
     // pseudo-random bytes that cannot even inflate
     "q_pdf_encrypted" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // AESV2: same exact-equality oracle; a wrong salted key fails CBC
+    // padding and the stream drops — garbage cannot pass
+    "q_pdf_aes" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the PNG round trip: the engine decodes REAL staged PNGs (ImageIO)
     // and reports measured geometry + a position-weighted pixel sum; the

@@ -149,6 +149,10 @@ object BinaryIngest {
           k <- if (uOk) Some(key) else None
         } yield k
       } catch { case _: Exception => None }
+    // V=4 crypt filters: /AESV2 switches the stream cipher (salted
+    // per-object key + AES-128-CBC with a prepended IV); anything else
+    // under /Encrypt is the V=2 RC4 path
+    val encAes = encKey.isDefined && raw.contains("/AESV2")
     val objHeaders: IndexedSeq[(Int, Int, Int)] =
       if (encKey.isEmpty) IndexedSeq.empty
       else """(\d+)\s+(\d+)\s+obj\b""".r.findAllMatchIn(raw)
@@ -202,11 +206,17 @@ object BinaryIngest {
                 if (hdr < 0) None
                 else {
                   val (_, objNum, gen) = objHeaders(hdr)
-                  val dec = PdfCrypto.rc4(PdfCrypto.objKey(fk, objNum, gen),
-                    java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
-                  if (dict.contains("/FlateDecode")) inflateRange(dec, 0, dec.length)
-                  else Some(new String(dec,
-                    java.nio.charset.StandardCharsets.ISO_8859_1))
+                  val ct = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+                  val dec: Option[Array[Byte]] =
+                    if (encAes)
+                      PdfCrypto.aesDecrypt(
+                        PdfCrypto.objKey(fk, objNum, gen, aes = true), ct)
+                    else Some(PdfCrypto.rc4(PdfCrypto.objKey(fk, objNum, gen), ct))
+                  dec.flatMap { d =>
+                    if (dict.contains("/FlateDecode")) inflateRange(d, 0, d.length)
+                    else Some(new String(d,
+                      java.nio.charset.StandardCharsets.ISO_8859_1))
+                  }
                 }
               case None =>
                 if (dict.contains("/FlateDecode")) inflateRange(bytes, dataStart, dataEnd)
@@ -609,6 +619,49 @@ object BinaryIngest {
     bos.toByteArray
   }
 
+  /** Build one AES-encrypted single-page PDF (V=4 R=4, /AESV2 crypt
+    * filter — the modern standard-security variant post-PDF-1.6): the
+    * Flate-compressed content stream is AES-128-CBC encrypted under the
+    * salted per-object key with a deterministic IV prepended
+    * ([[PdfCrypto.aesEncrypt]]; real writers use random IVs — a fixture
+    * must be reproducible, and IV choice does not affect decryption
+    * correctness). O/U/P/ID are the same R3-form values (the spec reuses
+    * algorithms 2/3/5 for R4). */
+  def buildPdfAes(text: String): Array[Byte] = {
+    val esc = Option(text).getOrElse("").flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = s"BT /F1 12 Tf 72 712 Td ($esc) Tj ET"
+    val tBytes = Option(text).getOrElse("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val id0 = PdfCrypto.md5(tBytes)
+    val iv = PdfCrypto.md5(tBytes, "iv".getBytes("US-ASCII")).take(16)
+    val o = PdfCrypto.computeO()
+    val p = -4
+    val key = PdfCrypto.fileKey(o, p, id0)
+    val u = PdfCrypto.computeU(key, id0)
+    val encData = PdfCrypto.aesEncrypt(
+      PdfCrypto.objKey(key, 4, 0, aes = true), iv, deflateBytes(content))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${encData.length} /Filter /FlateDecode >> stream\n")
+    bos.write(encData)
+    w("\nendstream endobj\n" +
+      "5 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P $p /O <${PdfCrypto.toHex(o)}> /U <${PdfCrypto.toHex(u)}> >> endobj\n" +
+      "trailer << /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${PdfCrypto.toHex(id0)}> <${PdfCrypto.toHex(id0)}>] >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Stage real COMPRESSED-PDF uploads: one .pdf file per document,
     * written from the EXECUTORS (mapPartitions — document bytes never
     * pass through the driver; in local mode /tmp is the shared FS, on a
@@ -671,6 +724,21 @@ object BinaryIngest {
     * the source table. */
   def qPdfEncrypted(s: SparkSession, d: String): DataFrame = {
     val fix = stagePdfFixture(s, d, kind = "pdfenc_fixture", build = buildPdfEncrypted)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked AES round trip: documents staged as /V 4 /AESV2
+    * PDFs ([[buildPdfAes]]) — salted per-object keys, AES-128-CBC with
+    * prepended IVs — through the same seam; exact text equality. With
+    * this, BOTH standard-security generations (RC4 V2 and AES V4) are
+    * first-class; only /V 5 (AES-256, PDF 2.0) remains the documented
+    * swap-in. */
+  def qPdfAes(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfaes_fixture", build = buildPdfAes)
     readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
       .withColumn("doc_id",
         regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))

@@ -91,14 +91,41 @@ object PdfCrypto {
     u ++ new Array[Byte](16)
   }
 
-  /** Algorithm 1: the per-object key (min(n+5, 16) bytes). */
-  def objKey(key: Array[Byte], objNum: Int, gen: Int): Array[Byte] = {
+  /** Algorithm 1: the per-object key (min(n+5, 16) bytes). For AESV2
+    * (V=4 crypt filters) the spec appends the constant salt "sAlT"
+    * before hashing. */
+  def objKey(key: Array[Byte], objNum: Int, gen: Int,
+      aes: Boolean = false): Array[Byte] = {
     val extra = Array(
       (objNum & 0xFF).toByte, ((objNum >> 8) & 0xFF).toByte,
       ((objNum >> 16) & 0xFF).toByte,
       (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
-    md5(key, extra).take(math.min(KeyLen + 5, 16))
+    val salted = if (aes) extra ++ Array[Byte](0x73, 0x41, 0x6C, 0x54) else extra
+    md5(key, salted).take(math.min(KeyLen + 5, 16))
   }
+
+  /** AESV2 stream encryption: 16-byte IV prepended to AES-128-CBC
+    * ciphertext with PKCS#5 padding (PDF 1.7 §7.6.2). */
+  def aesEncrypt(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(data)
+  }
+
+  /** AESV2 decryption; None on malformed input (short/bad padding). */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (data.length < 32) None
+      else {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        Some(c.doFinal(data, 16, data.length - 16))
+      }
+    } catch { case _: Exception => None }
 
   def toHex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
   def fromHex(h: String): Array[Byte] = {

@@ -366,6 +366,16 @@ class EngineSpec extends SparkSpec {
     // truly malformed /P: extract-empty, never an executor crash
     val junkP = s.replace("/P -4", "/P 99999999999999999999")
     assert(BinaryIngest.pdfExtract(junkP.getBytes("ISO-8859-1")) === "")
+
+    // AESV2 (V=4): same text through the salted-key AES-CBC path
+    val aesPdf = BinaryIngest.buildPdfAes(text)
+    assert(BinaryIngest.pdfExtract(aesPdf) === text)
+    assert(!new String(aesPdf, "ISO-8859-1").contains("secret"))
+    // a corrupted ciphertext byte fails CBC padding -> stream drops,
+    // document extracts empty, never garbage or a crash
+    val idx = new String(aesPdf, "ISO-8859-1").indexOf("stream\n") + 40
+    val corrupt = aesPdf.clone(); corrupt(idx) = (corrupt(idx) ^ 0x55).toByte
+    assert(BinaryIngest.pdfExtract(corrupt) === "")
   }
 
   test("PDF CID/ToUnicode: hex strings, bfchar/bfrange forms, fallbacks") {
