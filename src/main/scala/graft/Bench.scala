@@ -7,10 +7,30 @@ object Bench {
     // lets the failure path be exercised cheaply without a full run
     val only: Set[String] =
       if (args.nonEmpty) args(0).split(",").map(_.trim).toSet else Set.empty
-    val spark = graft.engine.GraftSession.local(cpus, "graft-bench")
+    // Session-state hygiene (VERDICT r6 "What's wrong" #2): a 166-query
+    // single-JVM session accumulates state that can charge UNCHANGED
+    // queries 2-6x their isolated cost on a loaded host. Bound every
+    // growth source up front:
+    //  - periodicGC 60s (default 30min): the ContextCleaner frees shuffle
+    //    files / broadcasts only when weak refs are GC'd — a big driver
+    //    heap can outrun a whole bench run without a single full GC;
+    //  - retained status data capped: AppStatus/SQLAppStatus listeners
+    //    retain per-execution plan graphs + metrics even with the UI off
+    //    (defaults keep 1000 executions/jobs/stages);
+    //  - codegen cache raised above the suite's fragment count (default
+    //    100 entries would thrash across 166 distinct plans, recompiling
+    //    previously-cached fragments mid-suite).
+    val spark = graft.engine.GraftSession.local(cpus, "graft-bench", Map(
+      "spark.cleaner.periodicGC.interval" -> "60s",
+      "spark.sql.ui.retainedExecutions" -> "25",
+      "spark.ui.retainedJobs" -> "200",
+      "spark.ui.retainedStages" -> "500",
+      "spark.ui.retainedTasks" -> "2000",
+      "spark.sql.codegen.cache.maxEntries" -> "2000"))
     // absorb JVM/session/codegen warmup so the first measured query isn't
     // charged ~5s of one-time cost
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    var sinceGc = 0
     // median of 3 runs per query: single-shot numbers swing 2-3x with
     // shared-host load; the median tracks the real plan cost.
     // A query that throws is reported as -1 (NOT a sub-second fake timing —
@@ -33,6 +53,14 @@ object Bench {
       // times(len/2) would report the MAX of the two survivors, skewing
       // flaky queries upward (the partial failure is already visible in
       // "errors")
+      // between-query hygiene, OUTSIDE the timed region: drop anything a
+      // query left cached, and every ~25 queries force a full GC so the
+      // ContextCleaner's weak-ref queue drains on a schedule tighter than
+      // the 60s periodicGC floor (cheap: <100ms against seconds of
+      // accumulated-state drag on a loaded host)
+      spark.sharedState.cacheManager.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 25) { System.gc(); sinceGc = 0 }
       name -> (if (times.isEmpty) -1.0 else times((times.length - 1) / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

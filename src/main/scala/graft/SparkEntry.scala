@@ -130,8 +130,8 @@ object SparkEntry {
     "q_retention" -> (EventAnalytics.qRetention _),
     "q_anomaly" -> (EventAnalytics.qAnomaly _),
     "q_transitions" -> (EventAnalytics.qTransitions _),
-    // --- multimodal plumbing extension
-    "q_multimodal" -> (Multimodal.qMultimodalDecode _),
+    // --- multimodal plumbing extension (in-table binary payload layout)
+    "q_multimodal" -> (Multimodal.qMultimodalDecode _), // real in-table PNG decode + patch grid
     // --- command dispatch (SURVEY §2.9)
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_dedup_gate" -> (graft.streaming.StreamingJobs.qDedupGate _),
@@ -180,8 +180,8 @@ object SparkEntry {
     "q_corr" -> (Advanced.qCorr _),
     "q_histogram" -> (Advanced.qHistogram _),
     "q_json" -> (Advanced.qJson _),
-    "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _),
-    "q_multimodal_resize" -> (Multimodal.qMultimodalResize _),
+    "q_multimodal_frames" -> (Multimodal.qMultimodalFrames _), // real in-table GIF, stride-2 frame sampling
+    "q_multimodal_resize" -> (Multimodal.qMultimodalResize _), // real in-table PNG, NN resize 12-px box
     // --- text normalization + heuristic filtering
     "q_normalize" -> (TextNormalize.qNormalize _),
     "q_c4_filters" -> (TextNormalize.qC4Filters _),
@@ -426,7 +426,10 @@ object SparkEntry {
     "WITH RECURSIVE " +
       "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) " +
-      s"WHERE length(word) > 0 AND length(word) <= $W GROUP BY word), " +
+      // NOT contains '|': mirrors uniWordFreq's separator exclusion (the
+      // segmentation path serializes '|'-joined on both sides)
+      s"WHERE length(word) > 0 AND length(word) <= $W " +
+      "AND NOT contains(word, '|') GROUP BY word), " +
       "us1 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS s FROM uw), " +
       s"us2 AS (SELECT word, freq, s, unnest(generate_series(1, " +
       s"least($L, length(word) - s + 1))) AS l FROM us1), " +
@@ -1097,14 +1100,19 @@ object SparkEntry {
       ("WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2) " +
         "SELECT event_type, CAST(row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS BIGINT) AS rank, user_id, n " +
         "FROM c QUALIFY rank <= 3 ORDER BY event_type, rank"),
+    // REAL decode over the in-table PNG payload layout: the oracle
+    // recomputes geometry, the 16-px patch-grid count and the
+    // position-weighted pixel sum in closed form from the deterministic
+    // image function (Multimodal.buildPng) — it never runs a codec, so
+    // any decode defect (or a sentinel -1 row) hash-mismatches
     "q_multimodal" ->
-      ("WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))), " +
-        "(a, c) -> (a * 31 + c) % 1000000007) AS checksum FROM documents) " +
-        "SELECT doc_id, n_bytes, n_bytes % 64 + 1 AS width, n_bytes // 64 + 1 AS height, " +
-        "((n_bytes % 64 + 1) * (n_bytes // 64 + 1)) // 256 + 1 AS n_patches, checksum " +
-        "FROM m ORDER BY doc_id"),
+      ("WITH g AS (SELECT doc_id, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(((w + 15) // 16) * ((h + 15) // 16) AS BIGINT) AS n_patches, " +
+        "CAST(list_sum([(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM g ORDER BY doc_id"),
     "q_dispatch" ->
       ("SELECT document_id, category_id FROM (" +
         "SELECT doc_id AS document_id, CAST(doc_id % 5 AS INTEGER) AS category_id FROM documents " +
@@ -1342,32 +1350,30 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 30 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    // REAL stride-2 frame sampling over the in-table animated-GIF layout:
+    // the oracle keeps every 2nd frame of the closed-form frame function
+    // (Multimodal.gifPixel) — a dropped/extra frame, wrong stride phase or
+    // decode failure all hash-mismatch
     "q_multimodal_frames" ->
-      ("WITH m AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents), " +
-        "fr AS (SELECT doc_id, text, unnest(generate_series(0, CAST((n_bytes - 1) // 64 AS BIGINT))) AS frame_no, n_bytes FROM m) " +
+      ("WITH g AS (SELECT doc_id, doc_id % 21 + 6 AS w, doc_id % 13 + 6 AS h, " +
+        "doc_id % 4 + 2 AS nf FROM documents WHERE doc_id < 200), " +
+        "f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_no FROM g) " +
         "SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, " +
-        "CAST(least(64, n_bytes - frame_no * 64) AS BIGINT) AS frame_bytes, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(1, CAST(least(64, n_bytes - frame_no * 64) AS BIGINT)), " +
-        "i -> CAST(ascii(text[CAST(frame_no * 64 + i AS INTEGER)]) AS BIGINT))), " +
-        "(a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum " +
-        "FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(list_sum([(((i % w) * 5 + (i // w) * 11 + frame_no * 17 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM f WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no"),
+    // REAL NN-resize over the in-table PNG layout, 12-px box (the
+    // fixture-scan twin q_image_resize pins the 16-px map): every output
+    // pixel's source coordinate is integer arithmetic the oracle replays
     "q_multimodal_resize" ->
-      ("WITH g AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), " +
-        "geo AS (SELECT doc_id, text, n, n % 64 + 1 AS width, n // 64 + 1 AS height, " +
-        "greatest(n % 64 + 1, n // 64 + 1) AS m FROM g), " +
-        "sc AS (SELECT doc_id, text, n, width, height, " +
-        "CASE WHEN m <= 48 THEN 1000 ELSE greatest(1, 48 * 1000 // m) END AS scale_pm, " +
-        "greatest(1, (m + 47) // 48) AS k FROM geo) " +
-        "SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, " +
-        "CAST(greatest(1, width * scale_pm // 1000) AS BIGINT) AS out_w, " +
-        "CAST(greatest(1, height * scale_pm // 1000) AS BIGINT) AS out_h, " +
-        "CAST(scale_pm AS BIGINT) AS scale_pm, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(1, CAST(n AS BIGINT), CAST(k AS BIGINT)), " +
-        "i -> CAST(ascii(text[CAST(i AS INTEGER)]) AS BIGINT))), " +
-        "(a, c) -> (a * 31 + c) % 1000000007) AS out_checksum " +
-        "FROM sc ORDER BY doc_id"),
+      ("WITH g AS (SELECT doc_id, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h, " +
+        "least(doc_id % 40 + 8, 12) AS ow, least(doc_id % 23 + 8, 12) AS oh " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h, " +
+        "CAST(list_sum([((((i % ow) * w // ow) * 7 + ((i // ow) * h // oh) * 13 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, ow * oh - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM g ORDER BY doc_id"),
     "q_resample" ->
       ("WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM events), " +
         "spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM b), " +

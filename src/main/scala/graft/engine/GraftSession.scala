@@ -24,14 +24,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session with `cores` threads, UI off, WARN logs — what the
-    * driver mains (Smoke/Verify/Bench/ScaleProbe) and tests run on. */
-  def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = configure(
-      SparkSession.builder()
-        .appName(appName)
-        .master(s"local[$cores]")
-        .config("spark.ui.enabled", "false"),
-      cores).getOrCreate()
+    * driver mains (Smoke/Verify/Bench/ScaleProbe) and tests run on.
+    * `extraConf` lets a long-lived harness (Bench) bound session-state
+    * growth without those knobs leaking into every test session. */
+  def local(cores: Int, appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = configure(b, cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -7,151 +7,129 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by batch-shaped per-partition decode.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs)
-  * with a deterministic fake that derives "decoded" features purely from
-  * the byte length — but the Spark-side plumbing is real and tested: binary
-  * column handling, typed Dataset encoders, `mapPartitions` batching (the
-  * Scala analog of `mapInPandas`: one iterator per partition so a real
-  * decoder would amortize model/codec init per partition, exactly like the
-  * reference should have done with its per-call spaCy reload,
-  * data_ingestion.py:171 / SURVEY §4).
-  *
-  * At 100 TB: binary payloads stay columnar in Parquet; the decode is a
-  * narrow partition-local pass; feature outputs are small typed columns, so
-  * downstream shuffles never move raw media bytes.
+  * Every decode here is REAL pure-JDK codec work (ImageIO PNG/GIF/JPEG,
+  * AudioSystem RIFF/WAVE, a hand-rolled RIFF/AVI container walk) over two
+  * payload layouts:
+  *  - `binaryFile` fixture scans (q_image_ingest / q_audio_ingest /
+  *    q_gif_frames / q_video_frames): media as files, the crawl-upload
+  *    first mile;
+  *  - in-table binary columns (q_multimodal / q_multimodal_frames /
+  *    q_multimodal_resize): media bytes columnar in Parquet next to their
+  *    metadata — the 100 TB steady-state layout.
+  * Both decode in `mapPartitions` (the Scala analog of `mapInPandas`: one
+  * iterator per partition, codec init amortized per partition — exactly
+  * what the reference should have done with its per-call spaCy reload,
+  * data_ingestion.py:171 / SURVEY §4), and in both the feature outputs are
+  * small typed columns so downstream shuffles never move raw media bytes.
   */
 object Multimodal {
   import Tables._
 
-  /** One media row: id + raw bytes + source metadata. */
-  case class MediaRecord(doc_id: Long, media: Array[Byte], mime: String, source: String)
-
-  /** Fake-decoded features; every field derives deterministically from the
-    * payload length so the pipeline is oracle-checkable end to end. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long, height: Long,
-      n_patches: Long, checksum: Long)
-
-  /** STUB decode: a real implementation would parse the codec here
-    * (JPEG/PNG/WAV...). Deterministic fake: dimensions from length,
-    * checksum = polynomial hash of the bytes. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.media.length.toLong
-    val width = n % 64L + 1L
-    val height = n / 64L + 1L
-    var ck = 0L
-    r.media.foreach { b => ck = (ck * 31L + (b & 0xFF)) % 1000000007L }
-    MediaFeatures(r.doc_id, n, width, height, ((width * height) / 256L) + 1L, ck)
-  }
-
-  /** documents.text encoded as the stand-in binary payload (the test data
-    * ships no real media; the cast is the "storage format"). */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.rebalance(documents(s, d), "doc_id").select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      lit("text/plain").as("mime"),
-      col("source"))
-
-  /** The decode pass: typed, partition-batched. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRecord]
+  /** In-table REAL PNG payloads: one encoded image per document
+    * (doc_id < 200, the fixture queries' bound), built per-partition and
+    * carried as a binary column — bytes never pass through the driver and
+    * never shuffle (the decode that follows is partition-local). */
+  def mediaTablePng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
-        // per-partition init point for a real codec/model
-        it.map(decodeStub)
+        it.map { case (id, src) => (id, buildPng(id), "image/png", src) }
       }
-      .toDF()
+      .toDF("doc_id", "media", "mime", "source")
   }
 
-  /** Oracle-checked query: decode features over the media table. The
-    * checksum doubles as a bytes-level fingerprint, so this also verifies
-    * binary round-tripping (string -> utf8 bytes -> features). */
-  def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
-    decodeFeatures(mediaTable(s, d)).orderBy("doc_id")
-
-  /** One "frame" per FrameBytes-sized chunk of the payload. */
-  case class Frame(doc_id: Long, frame_no: Int, frame_bytes: Long, frame_checksum: Long)
-
-  val FrameBytes = 64
-
-  /** STUB frame-sampler ("video" -> frames): chunk the payload, emit one
-    * row per sampled frame (every `stride`-th chunk) with a per-frame
-    * checksum — the real Spark shape of frame extraction: a typed
-    * flatMap-style mapPartitions generator whose output rows are small
-    * even when payloads are huge. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRecord]
+  /** In-table REAL animated-GIF payloads (same layout as [[mediaTablePng]]). */
+  def mediaTableGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { r =>
-          r.media.grouped(FrameBytes).zipWithIndex
-            .filter { case (_, i) => i % stride == 0 }
-            .map { case (chunk, i) =>
-              var ck = 0L
-              chunk.foreach { b => ck = (ck * 31L + (b & 0xFF)) % 1000000007L }
-              Frame(r.doc_id, i, chunk.length.toLong, ck)
-            }
+        it.map { case (id, src) => (id, buildGif(id), "image/gif", src) }
+      }
+      .toDF("doc_id", "media", "mime", "source")
+  }
+
+  /** ViT-style patch grid count for a decoded image: ceil(w/16)*ceil(h/16)
+    * — the feature a training pipeline actually derives from geometry. */
+  val PatchDim = 16L
+
+  /** Oracle-checked REAL decode over the IN-TABLE payload layout: the
+    * binary column is decoded by ImageIO in a second, partition-local pass
+    * (build and decode share no code: encode goes through ImageIO.write,
+    * decode through ImageIO.read). Output is measured geometry, the
+    * 16-px patch-grid count, and the position-weighted pixel sum the
+    * oracle recomputes in closed form from the deterministic image
+    * function — the fixture-scan twin is [[qImageIngest]]. */
+  def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTablePng(s, d)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePng(bytes) match {
+            case Some((w, h, sum)) =>
+              val patches = ((w + PatchDim - 1) / PatchDim) * ((h + PatchDim - 1) / PatchDim)
+              (id, w, h, patches, sum)
+            case None => (id, -1, -1, -1L, -1L)
+          }
         }
       }
-      .toDF()
+      .toDF("doc_id", "width", "height", "n_patches", "pixel_sum")
+      .orderBy("doc_id")
   }
 
-  /** Oracle-checked: every 2nd 64-byte frame of each payload with
-    * per-frame checksums (ascii text -> bytes == char codes, so the
-    * oracle can recompute the chunking on the string side). */
-  def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
-    sampleFrames(mediaTable(s, d), 2).orderBy("doc_id", "frame_no")
+  /** Frame-SAMPLING stride: a video pipeline rarely featurizes every
+    * frame; every 2nd real decoded frame is kept (frame 0 always — GIF
+    * clips here have >= 2 frames, so no sampled clip is empty). */
+  val FrameStride = 2
 
-  /** Aspect-preserving resize geometry + a decimated-payload fingerprint. */
-  case class Resized(doc_id: Long, width: Long, height: Long,
-      out_w: Long, out_h: Long, scale_pm: Long, out_checksum: Long)
-
-  val ResizeMaxDim = 48L
-
-  /** STUB resize ("image" -> bounded-dimension image): compute the
-    * aspect-preserving target geometry in EXACT integer milli-scale
-    * (floats would round differently across engines) and fingerprint a
-    * decimated byte stream (every k-th byte, k = ceil(maxDim-overshoot))
-    * as the stand-in for the resampled payload. A real implementation
-    * swaps the body for a codec call; the Spark shape — typed
-    * mapPartitions, small typed outputs, payloads never shuffled — is
-    * the part that survives the swap. */
-  def resizeStub(r: MediaRecord, maxDim: Long): Resized = {
-    val n = r.media.length.toLong
-    val w = n % 64L + 1L
-    val h = n / 64L + 1L
-    val m = math.max(w, h)
-    // scale floor 1: past a 1000x downscale the milli-scale would floor
-    // to 0 and collapse EVERY geometry to 1x1 (payloads >= ~3 MB under
-    // this stub's dims) — clamped, the long edge maps to >= maxDim/1000
-    val scalePm = if (m <= maxDim) 1000L else math.max(1L, maxDim * 1000L / m)
-    val outW = math.max(1L, w * scalePm / 1000L)
-    val outH = math.max(1L, h * scalePm / 1000L)
-    val k = math.max(1L, (m + maxDim - 1L) / maxDim).toInt
-    var ck = 0L
-    var i = 0
-    while (i < r.media.length) {
-      ck = (ck * 31L + (r.media(i) & 0xFF)) % 1000000007L
-      i += k
-    }
-    Resized(r.doc_id, w, h, outW, outH, scalePm, ck)
+  /** Oracle-checked REAL frame sampling over the IN-TABLE payload layout:
+    * decode every frame of the in-table animated GIF (ImageIO reader over
+    * the container), keep every [[FrameStride]]-th — the sampling
+    * semantics of a video featurizer over real decoded rasters. The
+    * all-frames fixture-scan twin is [[qGifFrames]]. */
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTableGif(s, d)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = decodeGifFrames(bytes)
+          if (frames.isEmpty) Seq((id, -1, -1, -1, -1L))
+          else frames.collect {
+            case (f, w, h, sum) if f % FrameStride == 0 => (id, f, w, h, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "pixel_sum")
+      .orderBy("doc_id", "frame_no")
   }
 
-  def resize(media: DataFrame, maxDim: Long = ResizeMaxDim): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRecord]
-      .mapPartitions(it => it.map(resizeStub(_, maxDim)))
-      .toDF()
-  }
+  /** Thumbnail box for the in-table resize path — intentionally different
+    * from the fixture-scan [[ResizeBox]] so the two queries pin different
+    * source-coordinate maps. */
+  val ThumbBox = 12
 
-  /** Oracle-checked: resize every payload's stub geometry into a
-    * 48-pixel bounding box (integer milli-scale; the decimated checksum
-    * recomputes on the string side like the frame sampler). */
-  def qMultimodalResize(s: SparkSession, d: String): DataFrame =
-    resize(mediaTable(s, d)).orderBy("doc_id")
+  /** Oracle-checked REAL resize over the IN-TABLE payload layout: decode
+    * the binary column and NEAREST-NEIGHBOR resample into a 12-px box
+    * (integer source-coordinate math the oracle replays in closed form).
+    * The fixture-scan twin is [[qImageResize]] (16-px box). */
+  def qMultimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTablePng(s, d)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          resizePng(bytes, ThumbBox) match {
+            case Some((ow, oh, sum)) => (id, ow, oh, sum)
+            case None => (id, -1, -1, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "pixel_sum")
+      .orderBy("doc_id")
+  }
 
   // --------------------------------------------- REAL image decode (PNG)
 

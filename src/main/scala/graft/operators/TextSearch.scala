@@ -734,7 +734,14 @@ object TextSearch {
   def uniWordFreq(docs: DataFrame): DataFrame =
     Tables.rebalance(docs, "doc_id")
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0 && length(col("word")) <= UniMaxWordLen)
+      // the '|' exclusion exists because segmentations serialize with '|'
+      // as the piece separator (uniSegment / the oracle's path column): a
+      // word containing the separator would desync n_pieces between the
+      // engine's Viterbi mask and the oracle's string_split, and inject
+      // empty pieces into the hard-EM recount — excluded like the
+      // UniMaxWordLen cap, mirrored in the oracle's uw CTE
+      .filter(length(col("word")) > 0 && length(col("word")) <= UniMaxWordLen &&
+        !col("word").contains("|"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Seed piece counts: every substring of length 1..max, with word

@@ -18,13 +18,74 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Multi-part public suffixes the registrable-domain heuristic knows.
-    * A deployment swaps in the full public-suffix list; the heuristic
-    * (last two labels, or three when the last two are a listed suffix)
-    * is the standard shape either way. */
-  val MultiPartSuffixes: Set[String] = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "co.in", "co.kr", "com.br", "com.cn", "com.mx")
+  /** Vendored public-suffix rules in the list's own file format
+    * (publicsuffix.org — public-domain data; one rule per line, `*.`
+    * wildcard rules, `!` exception rules). This is a curated SUBSET of
+    * the real list (the container is zero-egress); a deployment swaps in
+    * the full vendored snapshot — the parser and matcher below implement
+    * the complete algorithm, including the implicit `*` default rule, so
+    * only this data seq changes. Multi-label ccTLD registries, the
+    * canonical wildcard/exception family (`*.ck` / `!www.ck`, the
+    * Japanese city wildcards), and the private-section hosting domains a
+    * per-domain corpus quota most needs (github.io, blogspot.com, ...)
+    * are all represented. */
+  val PslRules: Seq[String] = Seq(
+    // ICANN section — United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // Japan (+ the geographic wildcards with their city exceptions)
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    // India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // Korea
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    // Mexico, South Africa, Singapore, Hong Kong, Taiwan
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    // Argentina, Turkey, Israel, Ukraine, Poland
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    // Cook Islands: the canonical wildcard + exception pair
+    "*.ck", "!www.ck",
+    // ---- private section (hosting platforms: each customer site is its
+    // own "registrable domain" for crawl quotas and dedup keying)
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "herokuapp.com", "appspot.com", "azurewebsites.net", "netlify.app",
+    "vercel.app", "pages.dev", "web.app", "firebaseapp.com", "fly.dev",
+    "onrender.com", "glitch.me", "neocities.org", "readthedocs.io",
+    "s3.amazonaws.com", "cloudfront.net")
+
+  // rule index, built once at class load: exact rules, wildcard bases
+  // ('*.ck' -> 'ck'), exception targets ('!www.ck' -> 'www.ck')
+  private val pslException: Set[String] =
+    PslRules.filter(_.startsWith("!")).map(_.substring(1)).toSet
+  private val pslWildcardBase: Set[String] =
+    PslRules.filter(_.startsWith("*.")).map(_.substring(2)).toSet
+  private val pslExact: Set[String] =
+    PslRules.filterNot(r => r.startsWith("!") || r.startsWith("*.")).toSet
 
   /** Tracking parameters stripped during canonicalization. */
   val TrackingParams: Set[String] = Set("fbclid", "gclid", "msclkid", "igshid", "mc_eid")
@@ -54,16 +115,37 @@ object UrlOps {
     val (hostPath, query) =
       if (qAt < 0) (beforeFrag, "") else (beforeFrag.substring(0, qAt), beforeFrag.substring(qAt + 1))
     val slashAt = hostPath.indexOf('/')
-    val (hostPort, path) =
+    val (authority0, path) =
       if (slashAt < 0) (hostPath, "") else (hostPath.substring(0, slashAt), hostPath.substring(slashAt))
-    val colonAt = hostPort.lastIndexOf(':')
+    // userinfo ('user:pass@host') strips at the LAST '@' of the
+    // authority — RFC 3986 §3.2.1: '@' cannot appear in a host, so
+    // everything before it is userinfo (its ':' must not be mistaken
+    // for the port separator)
+    val atAt = authority0.lastIndexOf('@')
+    val hostPort = if (atAt < 0) authority0 else authority0.substring(atAt + 1)
     val (host, port) =
-      if (colonAt < 0) (hostPort, -1)
-      else {
-        val p = hostPort.substring(colonAt + 1)
-        if (p.nonEmpty && p.forall(_.isDigit) && p.length <= 5)
-          (hostPort.substring(0, colonAt), p.toInt)
-        else (hostPort, -1)
+      if (hostPort.startsWith("[")) {
+        // IPv6 literal ('[::1]:8080'): colons inside the brackets are the
+        // address; the port separator is only the ':' after ']'
+        val close = hostPort.indexOf(']')
+        if (close < 0) return None // unterminated bracket: reject-table row
+        val h = hostPort.substring(0, close + 1)
+        val after = hostPort.substring(close + 1)
+        if (after.isEmpty) (h, -1)
+        else if (after.startsWith(":")) {
+          val p = after.substring(1)
+          if (p.nonEmpty && p.forall(_.isDigit) && p.length <= 5) (h, p.toInt)
+          else return None
+        } else return None
+      } else {
+        val colonAt = hostPort.lastIndexOf(':')
+        if (colonAt < 0) (hostPort, -1)
+        else {
+          val p = hostPort.substring(colonAt + 1)
+          if (p.nonEmpty && p.forall(_.isDigit) && p.length <= 5)
+            (hostPort.substring(0, colonAt), p.toInt)
+          else (hostPort, -1)
+        }
       }
     if (host.isEmpty) None
     else Some(ParsedUrl(scheme, host, port, path, query, frag))
@@ -113,17 +195,45 @@ object UrlOps {
       s"$scheme://$host$port$p$q"
     }
 
-  /** Registrable-domain heuristic: last two labels, or three when the
-    * last two are a listed multi-part suffix. Bare/short hosts return
-    * themselves. */
-  def registrableDomain(host: String): String = {
-    val labels = host.toLowerCase(java.util.Locale.ROOT).split("\\.", -1).filter(_.nonEmpty)
-    if (labels.length <= 2) labels.mkString(".")
-    else {
-      val last2 = labels.takeRight(2).mkString(".")
-      if (MultiPartSuffixes.contains(last2)) labels.takeRight(3).mkString(".")
-      else last2
+  /** Public-suffix length in labels for a lowercased label array — the
+    * full publicsuffix.org algorithm: every matching rule is considered,
+    * an exception rule beats all others (its suffix is the rule minus the
+    * leading label), otherwise the LONGEST match wins, and the implicit
+    * `*` default rule makes any unknown TLD a 1-label suffix. */
+  private def publicSuffixLen(labels: Array[String]): Int = {
+    var best = 1 // implicit default rule '*'
+    var exception = -1
+    var i = 0
+    while (i < labels.length) {
+      val cand = labels.drop(i).mkString(".")
+      if (pslException.contains(cand))
+        exception = math.max(exception, labels.length - i - 1)
+      if (pslExact.contains(cand))
+        best = math.max(best, labels.length - i)
+      // wildcard '*.<base>' matches any candidate of >= 2 labels whose
+      // tail after the first label is <base>
+      if (labels.length - i >= 2 &&
+          pslWildcardBase.contains(labels.drop(i + 1).mkString(".")))
+        best = math.max(best, labels.length - i)
+      i += 1
     }
+    if (exception >= 0) exception else best
+  }
+
+  /** Registrable domain per the public-suffix list: the public suffix
+    * plus one label. A host that IS a public suffix (or shorter) returns
+    * itself; IP-literal hosts (bracketed IPv6, all-numeric IPv4) have no
+    * registrable domain and return themselves — the PSL algorithm is
+    * defined over DNS names only. */
+  def registrableDomain(host: String): String = {
+    val lower = host.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("[")) return lower
+    val labels = lower.split("\\.", -1).filter(_.nonEmpty)
+    if (labels.nonEmpty && labels.forall(_.forall(_.isDigit)))
+      return labels.mkString(".")
+    val psLen = publicSuffixLen(labels)
+    if (labels.length <= psLen) labels.mkString(".")
+    else labels.takeRight(psLen + 1).mkString(".")
   }
 
   /** Deterministic raw-URL generator for the gate: five families that

@@ -36,8 +36,15 @@ object JsonlGz {
     sb.toString
   }
 
-  def docJsonLine(id: Long, lang: String, source: String, text: String): String =
-    s"""{"doc_id":$id,"lang":"${jsonEscape(lang)}","source":"${jsonEscape(source)}","text":"${jsonEscape(text)}"}"""
+  /** NULL fields serialize as JSON `null` (not ""): the native json
+    * reader maps it back to SQL NULL, so a nullable documents column
+    * round-trips exactly instead of collapsing to empty string and
+    * hash-mismatching the oracle's raw NULL. */
+  def docJsonLine(id: Long, lang: String, source: String, text: String): String = {
+    def field(v: String): String =
+      if (v == null) "null" else "\"" + jsonEscape(v) + "\""
+    s"""{"doc_id":$id,"lang":${field(lang)},"source":${field(source)},"text":${field(text)}}"""
+  }
 
   /** Stage the documents table as 8 gzipped JSONL shards (doc_id % 8),
     * executor-written, versioned + atomically published. Shard naming
@@ -60,10 +67,7 @@ object JsonlGz {
               java.nio.file.Files.newOutputStream(
                 java.nio.file.Paths.get(tmp, f"shard-$shard%02d.jsonl.gz")))
             try docs.foreach { case (id, lang, source, text) =>
-              os.write((docJsonLine(id,
-                if (lang == null) "" else lang,
-                if (source == null) "" else source,
-                if (text == null) "" else text) + "\n")
+              os.write((docJsonLine(id, lang, source, text) + "\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             } finally os.close()
             Iterator.single(shard)

@@ -13,6 +13,11 @@ import org.apache.spark.sql.types._
   * StreamingSpec. */
 object StreamingJobs {
 
+  /** Schema-typed empty frame — the early return for gate queries whose
+    * wave anchors (min/max event time) are NULL on an empty input. */
+  private def emptyFrame(s: SparkSession, schema: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** events parquet physical schema for the streaming file source, which
     * requires the schema declared up front. The `ts` encoding has drifted
     * across environments (INT64 nanos under nanosAsLong vs native
@@ -187,7 +192,13 @@ object StreamingJobs {
     val ev = graft.engine.Tables.events(s, d)
     val wave1 = ev.filter(col("event_id") % 3 =!= 0).select(col("ts"), col("event_type"))
     val us = 1000000L
-    val mxUs = wave1.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val mxRow = wave1.agg(max(unix_micros(col("ts")))).head()
+    // empty events: max() is NULL — return the empty result frame instead
+    // of staging waves around a null anchor (EmptyInputSpec discipline)
+    if (mxRow.isNullAt(0))
+      return emptyFrame(s, StructType(Seq(StructField("hour", TimestampType),
+        StructField("event_type", StringType), StructField("n", LongType))))
+    val mxUs = mxRow.getLong(0)
     val lateWave = ev.filter(col("event_id") % 3 === 0)
       .select(timestamp_micros(when(col("event_id") % 2 === 0, mxUs - 1800 * us)
         .otherwise(mxUs - 18000 * us)).as("ts"), col("event_type"))
@@ -224,6 +235,12 @@ object StreamingJobs {
     val ev = graft.engine.Tables.events(s, d).select(col("user_id"), col("ts"))
     val us = 1000000L
     val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    // empty events: min/max are NULL — empty result frame, never an NPE
+    if (bounds.isNullAt(0))
+      return emptyFrame(s, StructType(Seq(
+        StructField("session_start", TimestampType),
+        StructField("session_end_gap", TimestampType),
+        StructField("user_id", LongType), StructField("n_events", LongType))))
     val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
     val midUs = (mnUs + mxUs) / 2
     val wave1 = ev.filter(unix_micros(col("ts")) < midUs)
@@ -267,6 +284,10 @@ object StreamingJobs {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
     val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    // empty events: min/max are NULL — empty result frame, never an NPE
+    if (bounds.isNullAt(0))
+      return emptyFrame(s, StructType(Seq(StructField("view_id", LongType),
+        StructField("click_id", LongType), StructField("user_id", LongType))))
     val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
     replayStreamJoin(s, streamJoinDir,
       Seq(views.filter(unix_micros(col("view_ts")) < midUs),

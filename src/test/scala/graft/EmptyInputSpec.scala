@@ -147,6 +147,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventAnalytics.sessionize(ev, 30).count() === 0)
   }
 
+  test("watermarked streaming gates on an empty events table return empty, not NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.streaming.StreamingJobs.qStreamWindow(spark, dir).count() === 0)
+    assert(graft.streaming.StreamingJobs.qStreamSession(spark, dir).count() === 0)
+    assert(graft.streaming.StreamingJobs.qStreamJoin(spark, dir).count() === 0)
+  }
+
   test("dispatch with an empty command batch is a no-op") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
