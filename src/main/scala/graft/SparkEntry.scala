@@ -151,6 +151,7 @@ object SparkEntry {
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
+    "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
@@ -1214,6 +1215,23 @@ object SparkEntry {
         "SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, " +
         "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
         "CAST(list_sum([(((i % w) * 5 + (i // w) * 11 + frame_no * 17 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM f ORDER BY doc_id, frame_no"),
+    // the AVI round trip: the engine walks REAL staged RIFF/AVI clips
+    // (independent chunk parser: hdrl/strl/strf capture, movi frame
+    // chunks, bottom-up 24-bit DIB bits with 4-byte-padded rows) and the
+    // oracle recomputes each frame's geometry + weighted pixel sum in
+    // closed form from the deterministic frame function
+    // (Multimodal.aviPixel) — a missed bottom-up flip, a stride-padding
+    // slip, a dropped frame or a failed walk (sentinel -1s) all
+    // hash-mismatch
+    "q_video_frames" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 19 + 6 AS w, doc_id % 11 + 6 AS h, " +
+        "doc_id % 3 + 2 AS nf FROM documents WHERE doc_id < 200), " +
+        "f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_no FROM g) " +
+        "SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(list_sum([(((i % w) * 3 + (i // w) * 7 + frame_no * 13 + doc_id) % 256) * (i + 1) " +
         "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
         "FROM f ORDER BY doc_id, frame_no"),
     // the HTML round trip: staged real pages wrap each document's text in

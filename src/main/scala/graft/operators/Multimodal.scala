@@ -400,9 +400,8 @@ object Multimodal {
     * RIFF/WAVE files -> binaryFile scan -> JDK AudioSystem decode
     * (mapPartitions, per-partition codec reuse) -> exact format geometry
     * + position-weighted sample sum against the oracle's closed-form
-    * recomputation. Completes the modality set the brief enumerates:
-    * text (q_pdf_ingest), image (q_image_ingest), audio (here) are all
-    * REAL decodes; only video remains a documented stub (no JDK codec). */
+    * recomputation. Text (q_pdf_ingest), image (q_image_ingest), audio
+    * (here) and video ([[qVideoFrames]]) are all REAL decodes. */
   def qAudioIngest(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -541,6 +540,298 @@ object Multimodal {
     * This upgrades the frame-sampling stub (sampleFrames) to a REAL
     * container-parsing path — the video modality's Spark shape with a
     * real (if humble) codec behind it. */
+  // --------------------------------------- REAL video decode (RIFF/AVI)
+
+  /** Deterministic geometry for `docId`'s AVI clip: widths are chosen so
+    * the 24-bit row stride is often NOT 4-byte aligned (w*3 % 4 != 0) —
+    * the DIB padding rule is part of what the gate pins. */
+  def aviDims(docId: Long): (Int, Int, Int) =
+    ((docId % 19 + 6).toInt, (docId % 11 + 6).toInt, (docId % 3 + 2).toInt)
+
+  /** Gray value of pixel (x, y) in frame `frame` — top-down logical
+    * coordinates; the encoder stores them bottom-up as BI_RGB demands. */
+  def aviPixel(docId: Long, frame: Int, x: Int, y: Int): Int =
+    ((x * 3 + y * 7 + frame * 13 + docId) % 256).toInt
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Hand-rolled RIFF/AVI writer: LIST hdrl (avih + LIST strl (strh 'vids'
+    * + strf BITMAPINFOHEADER)) then LIST movi with one '00db' chunk per
+    * frame — uncompressed bottom-up 24-bit BI_RGB DIB bits, rows padded
+    * to 4 bytes. Written BY HAND on purpose (the WAV discipline,
+    * [[buildWav]]): the decode side is an independent parser, so a defect
+    * in either breaks the closed-form oracle instead of cancelling out.
+    * Uncompressed DIB frames keep the gate EXACT (JPEG would be lossy);
+    * the MJPEG '00dc' path goes through ImageIO and is spec-covered with
+    * tolerance instead ([[buildAviMjpeg]]). */
+  def buildAvi(docId: Long): Array[Byte] = {
+    val (w, h, nFrames) = aviDims(docId)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2 // RIFF chunks are word-aligned
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(id)).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(tpe: String, children: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + children.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("LIST")).putInt(4 + children.length).put(fourcc(tpe))
+        .put(children)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(100000)          // usec per frame (10 fps)
+        .putInt(frameBytes * 10) // max bytes/sec
+        .putInt(0)               // padding granularity
+        .putInt(0x10)            // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags: keep simple
+        .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("vids")).put(fourcc("DIB ")) // uncompressed handler
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(10)   // scale/rate = 10 fps
+        .putInt(0).putInt(nFrames).putInt(frameBytes).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+        .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+        .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val frames = (0 until nFrames).map { f =>
+      val bits = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        val fileRow = h - 1 - y // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val v = aviPixel(docId, f, x, y).toByte
+          val off = fileRow * stride + x * 3
+          bits(off) = v; bits(off + 1) = v; bits(off + 2) = v // B,G,R
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", bits)
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.reduce(_ ++ _))
+    val payload = fourcc("AVI ") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(payload.length).put(payload)
+    bb.array()
+  }
+
+  /** MJPEG variant for the spec: same container, '00dc' chunks each
+    * holding one complete ImageIO-encoded JPEG (the common capture
+    * layout). Lossy, so the gate stays on [[buildAvi]]; this path is
+    * spec-checked with a pixel tolerance. */
+  def buildAviMjpeg(docId: Long): Array[Byte] = {
+    val (w, h, nFrames) = aviDims(docId)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(id)).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(tpe: String, children: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + children.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("LIST")).putInt(4 + children.length).put(fourcc(tpe)).put(children)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put(fourcc("MJPG")).putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("vids")).put(fourcc("MJPG"))
+        .putInt(0).putInt(0).putInt(0).putInt(1).putInt(10)
+        .putInt(0).putInt(nFrames).putInt(w * h * 3).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(100000).putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = aviPixel(docId, f, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      chunk("00dc", bos.toByteArray)
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.reduce(_ ++ _))
+    val payload = fourcc("AVI ") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(payload.length).put(payload)
+    bb.array()
+  }
+
+  /** REAL video-frame extraction: an independent RIFF chunk walk (shares
+    * no code with the writers above) that captures the stream format
+    * (BITMAPINFOHEADER from 'strf') and decodes every movi frame chunk —
+    * '..db' uncompressed DIB bits (bottom-up BGR rows, 4-byte-padded
+    * stride, flipped back to top-down here) or '..dc' MJPEG via the JDK's
+    * own JPEG codec. Returns one (frame_no, w, h, weighted gray-pixel
+    * sum) per frame; empty on anything malformed (reject-table rows,
+    * never an executor crash). This makes the last modality REAL: the
+    * container walk + per-frame raster decode is exactly the shape a
+    * production video path has, with the codec behind a per-partition
+    * seam. */
+  def decodeAviFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return Seq.empty
+      var fmt: Option[(Int, Int, Int, Boolean)] = None // (w, h, bpp, isMjpeg)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = cc(pos)
+          val size = bb.getInt(pos + 4)
+          if (size < 0 || pos + 8 + size > end) return // malformed: stop
+          if (id == "LIST" && size >= 4) walk(pos + 12, pos + 8 + size)
+          else if (id == "strf" && size >= 40 && fmt.isEmpty) {
+            val biW = bb.getInt(pos + 12)
+            val biH = bb.getInt(pos + 16)
+            val bpp = bb.getShort(pos + 22).toInt
+            val compression = cc(pos + 24)
+            val isM = compression == "MJPG"
+            if (biW > 0 && biH > 0) fmt = Some((biW, biH, bpp, isM))
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
+            frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+          }
+          pos += 8 + size + (size % 2) // word alignment
+        }
+      }
+      walk(12, bytes.length)
+      fmt match {
+        case None => Seq.empty
+        case Some((w, h, bpp, isMjpeg)) =>
+          frames.toSeq.zipWithIndex.flatMap { case (bits, f) =>
+            if (isMjpeg) {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bits))
+              if (img == null) None
+              else {
+                var sum = 0L; var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sum += (img.getRGB(x, y) & 0xFF).toLong *
+                      (y.toLong * img.getWidth + x + 1)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some((f, img.getWidth, img.getHeight, sum))
+              }
+            } else if (bpp == 24) {
+              val stride = ((w * 3 + 3) / 4) * 4
+              if (bits.length < stride * h) None
+              else {
+                var sum = 0L; var y = 0
+                while (y < h) {
+                  val fileRow = h - 1 - y // bottom-up -> top-down
+                  var x = 0
+                  while (x < w) {
+                    sum += (bits(fileRow * stride + x * 3) & 0xFF).toLong *
+                      (y.toLong * w + x + 1)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some((f, w, h, sum))
+              }
+            } else None
+          }
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** Stage real AVI uploads, one clip per document. */
+  def stageAviFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("avi_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"clip$id%05d.avi"),
+              buildAvi(id))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked REAL video-frame extraction: documents staged as
+    * actual RIFF/AVI clips -> binaryFile scan -> independent container
+    * walk + per-frame DIB decode -> exact frame count, geometry and
+    * per-frame weighted pixel sums against the oracle's closed-form
+    * recomputation (a missed bottom-up flip, a stride-padding slip or a
+    * dropped frame all hash-mismatch). Completes the modality set: text,
+    * image, audio, animation and video are now ALL real decodes. */
+  def qVideoFrames(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageAviFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avi")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "clip(\\d+)\\.avi", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = decodeAviFrames(bytes)
+          if (frames.isEmpty) Seq((id, -1, -1, -1, -1L))
+          else frames.map { case (f, w, h, sum) => (id, f, w, h, sum) }
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "pixel_sum")
+      .orderBy("doc_id", "frame_no")
+  }
+
   def qGifFrames(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._

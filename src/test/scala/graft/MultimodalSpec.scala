@@ -139,6 +139,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGifFrames(Array.emptyByteArray).isEmpty)
   }
 
+  test("AVI encode/decode round trip recovers every DIB frame exactly") {
+    for (id <- Seq(0L, 3L, 7L, 20L, 199L)) {
+      val (w, h, nFrames) = Multimodal.aviDims(id)
+      val frames = Multimodal.decodeAviFrames(Multimodal.buildAvi(id))
+      assert(frames.length === nFrames, s"doc $id frame count")
+      frames.foreach { case (f, dw, dh, sum) =>
+        assert(dw === w && dh === h, s"doc $id frame $f dims")
+        var expect = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          expect += Multimodal.aviPixel(id, f, x, y).toLong * (y.toLong * w + x + 1)
+        assert(sum === expect, s"doc $id frame $f pixels")
+      }
+    }
+  }
+
+  test("AVI stride padding is exercised (widths with w*3 % 4 != 0)") {
+    // the generator must produce unpadded-stride widths, or the padding
+    // rule is untested
+    val widths = (0L until 200L).map(id => Multimodal.aviDims(id)._1)
+    assert(widths.exists(w => w * 3 % 4 != 0))
+    assert(widths.exists(w => w * 3 % 4 == 0))
+  }
+
+  test("MJPEG AVI decodes through the same walker with JPEG tolerance") {
+    for (id <- Seq(1L, 5L, 42L)) {
+      val (w, h, nFrames) = Multimodal.aviDims(id)
+      val frames = Multimodal.decodeAviFrames(Multimodal.buildAviMjpeg(id))
+      assert(frames.length === nFrames, s"doc $id frame count")
+      frames.foreach { case (f, dw, dh, sum) =>
+        assert(dw === w && dh === h, s"doc $id frame $f dims")
+        // JPEG is lossy: compare the weighted sum within a per-pixel
+        // error budget of +/-8 gray levels
+        var expect = 0L
+        var budget = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          expect += Multimodal.aviPixel(id, f, x, y).toLong * (y.toLong * w + x + 1)
+          budget += 8L * (y.toLong * w + x + 1)
+        }
+        assert(math.abs(sum - expect) <= budget, s"doc $id frame $f pixels drifted")
+      }
+    }
+  }
+
+  test("undecodable AVI bytes return empty, not an exception") {
+    assert(Multimodal.decodeAviFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.emptyByteArray).isEmpty)
+    // truncated mid-frame: the walker stops at the malformed chunk
+    val full = Multimodal.buildAvi(5L)
+    assert(Multimodal.decodeAviFrames(full.take(40)).isEmpty)
+  }
+
   test("q_image_ingest decodes every staged PNG with real dimensions") {
     val out = SparkEntry.queries("q_image_ingest")(spark, sf0001).collect()
     assert(out.nonEmpty)
