@@ -147,6 +147,8 @@ object SparkEntry {
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip
+    "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip
+    "q_pdf_objstm" -> (graft.sources.BinaryIngest.qPdfObjStm _), // xref-stream + ObjStm layout, stale-generation rewrite
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
@@ -1161,6 +1163,17 @@ object SparkEntry {
     // AESV2: same exact-equality oracle; a wrong salted key fails CBC
     // padding and the stream drops — garbage cannot pass
     "q_pdf_aes" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // AES-256 (V5/R6): same exact-equality oracle; a wrong Algorithm-2.B
+    // hash or /UE unwrap yields a key that fails CBC padding
+    "q_pdf_aes256" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // xref-stream + ObjStm layout: exact equality REQUIRES the semantic
+    // page-tree walk — the staged files carry a freed STALE content
+    // generation that any scan-all-streams extractor would resurrect
+    // ('STALE ...' prefix), and the live stream's /Length integer lives
+    // inside the ObjStm
+    "q_pdf_objstm" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the PNG round trip: the engine decodes REAL staged PNGs (ImageIO)
     // and reports measured geometry + a position-weighted pixel sum; the

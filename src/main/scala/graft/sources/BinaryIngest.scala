@@ -104,13 +104,25 @@ object BinaryIngest {
     *    ([[PdfCrypto]]); a passworded file extracts empty, never
     *    garbage. Driver-gated end-to-end by q_pdf_encrypted.
     *
+    *  - AESV2 (V=4) and AES-256 (V=5 R=6, round 7): the remaining
+    *    standard-security generations — salted AES-128-CBC per-object
+    *    keys, and the 2.B-hash /UE key unwrap with streams under the
+    *    32-byte file key directly. Driver-gated by q_pdf_aes and
+    *    q_pdf_aes256.
+    *
+    *  - Cross-reference streams + /ObjStm (round 7, [[PdfXref]]): when
+    *    startxref targets an xref STREAM, the page tree is walked
+    *    semantically and only referenced streams extract — rewritten
+    *    files with freed stale generations cannot leak dead text.
+    *    Driver-gated by q_pdf_objstm.
+    *
     * Out of scope (documented): per-font CMap scoping (one merged map
     * per document — exact whenever fonts don't reuse the same code for
     * different glyphs, which generated single-font PDFs never do),
-    * /Differences remaps, object streams (/ObjStm — cannot contain
-    * streams, so the text layer never hides there), AES (/V 4+)
-    * encryption — a glyph-accurate binding (fitz-class) remains the
-    * production swap-in, through the SAME seam.
+    * /Differences remaps, encrypted xref-stream files (each layer is
+    * gated separately; their combination routes to the legacy path) — a
+    * glyph-accurate binding (fitz-class) remains the production swap-in,
+    * through the SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -118,6 +130,19 @@ object BinaryIngest {
   def pdfExtract(bytes: Array[Byte]): String = {
     if (bytes == null) return null
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // Post-1.5 layout FIRST: when startxref points at a cross-reference
+    // STREAM, follow the object table semantically (/Root -> page tree ->
+    // referenced /Contents + /ToUnicode only — see [[PdfXref]]). A
+    // rewritten file carries STALE generations of edited pages as dead
+    // bytes marked free in the xref; the scanning fallback below would
+    // resurrect them. None => not that layout => scan as before.
+    PdfXref.contentStreams(bytes) match {
+      case Some(streams) =>
+        val (cmapS, textS) = streams.partition(_.contains("begincmap"))
+        val cm = cmapS.map(parseToUnicode).foldLeft(Map.empty[Int, String])(_ ++ _)
+        return textS.flatMap(c => showTextRuns(c, cm)).mkString(" ")
+      case None => ()
+    }
     // Standard-security-handler decryption (round 6): when /Encrypt is
     // present, derive the file key from /O, /P and /ID (empty user
     // password — the encryption-for-permissions case; a passworded file
@@ -126,8 +151,22 @@ object BinaryIngest {
     // before any inflate. Object numbers come from one pass over the
     // "N G obj" headers; each stream decrypts under the closest header
     // above it.
+    // AES-256 (V=5 R=6 /AESV3): the file key comes from the /U + /UE
+    // wrap under the empty user password (PdfCrypto.fileKeyR6) and
+    // encrypts every stream DIRECTLY — no per-object keys in V5
+    val v5Key: Option[Array[Byte]] =
+      if (!raw.contains("/AESV3")) None
+      else try {
+        for {
+          u <- """/U\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+            .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+          ue <- """/UE\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
+            .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+          k <- PdfCrypto.fileKeyR6(u, ue)
+        } yield k
+      } catch { case _: Exception => None }
     val encKey: Option[Array[Byte]] =
-      if (!raw.contains("/Encrypt")) None
+      if (v5Key.isDefined || !raw.contains("/Encrypt")) None
       else try {
         for {
           o <- """/O\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(raw)
@@ -199,7 +238,15 @@ object BinaryIngest {
               e
           }
           if (!dict.contains("/Image") && !dict.contains("/FontFile")) {
-            val content: Option[String] = encKey match {
+            val content: Option[String] = if (v5Key.isDefined) {
+              // V5: decrypt under the file key itself, then inflate
+              val ct = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+              PdfCrypto.aesDecrypt(v5Key.get, ct).flatMap { dd =>
+                if (dict.contains("/FlateDecode")) inflateRange(dd, 0, dd.length)
+                else Some(new String(dd,
+                  java.nio.charset.StandardCharsets.ISO_8859_1))
+              }
+            } else encKey match {
               case Some(fk) =>
                 val anchor = if (dictStart >= 0) dictStart else idx
                 val hdr = objHeaders.lastIndexWhere(_._1 < anchor)
@@ -503,9 +550,12 @@ object BinaryIngest {
     bos.toByteArray
   }
 
-  private def deflateBytes(s: String): Array[Byte] = {
+  private def deflateBytes(s: String): Array[Byte] =
+    deflateRaw(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  private def deflateRaw(b: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
-    defl.setInput(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    defl.setInput(b)
     defl.finish()
     val buf = new Array[Byte](8192)
     val out = new java.io.ByteArrayOutputStream()
@@ -662,6 +712,159 @@ object BinaryIngest {
     bos.toByteArray
   }
 
+  /** Build one AES-256 single-page PDF (V=5 R=6 /AESV3 — ISO 32000-2,
+    * the current encryption generation): the 32-byte file key encrypts
+    * the Flate-compressed content stream DIRECTLY (V5 has no per-object
+    * keys), and the password layer wraps that key in /UE under the
+    * Algorithm-2.B hash of the empty user password ([[PdfCrypto.hash2B]]).
+    * /O//OE carry the empty-OWNER-password wrap (hashed over the 48-byte
+    * /U per spec) and /Perms the ECB-encrypted permissions block — all
+    * deterministic so the fixture is reproducible. A reader that applies
+    * the V4 salted-MD5 object key, skips the 2.B hash, or uses the wrong
+    * salt slice of /U gets a key that fails CBC padding — garbage cannot
+    * pass the exact-text oracle. */
+  def buildPdfAes256(text: String): Array[Byte] = {
+    val esc = Option(text).getOrElse("").flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val content = s"BT /F1 12 Tf 72 712 Td ($esc) Tj ET"
+    val tBytes = Option(text).getOrElse("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val empty = Array.emptyByteArray
+    val vs = PdfCrypto.md5(tBytes, "vs".getBytes("US-ASCII")).take(8)
+    val ks = PdfCrypto.md5(tBytes, "ks".getBytes("US-ASCII")).take(8)
+    val fileKey = PdfCrypto.sha2("SHA-256", tBytes, "filekey".getBytes("US-ASCII"))
+    val u = PdfCrypto.hash2B(empty, vs, empty) ++ vs ++ ks
+    val ue = PdfCrypto.aesCbcNoPad(PdfCrypto.hash2B(empty, ks, empty),
+      new Array[Byte](16), fileKey, encrypt = true)
+    val ovs = PdfCrypto.md5(tBytes, "ovs".getBytes("US-ASCII")).take(8)
+    val oks = PdfCrypto.md5(tBytes, "oks".getBytes("US-ASCII")).take(8)
+    val o = PdfCrypto.hash2B(empty, ovs, u) ++ ovs ++ oks
+    val oe = PdfCrypto.aesCbcNoPad(PdfCrypto.hash2B(empty, oks, u),
+      new Array[Byte](16), fileKey, encrypt = true)
+    val p = -4
+    // /Perms: P (4 LE) + 0xFFFFFFFF + 'T' (EncryptMetadata) + 'adb' + 4
+    // arbitrary bytes, AES-ECB under the file key (§7.6.4.4.9)
+    val permsPlain = Array[Byte](
+      (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+      ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      'T'.toByte, 'a'.toByte, 'd'.toByte, 'b'.toByte, 0, 0, 0, 0)
+    val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    val perms = ecb.doFinal(permsPlain)
+    val iv = PdfCrypto.md5(tBytes, "iv".getBytes("US-ASCII")).take(16)
+    val encData = PdfCrypto.aesEncrypt(fileKey, iv, deflateBytes(content))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-2.0\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${encData.length} /Filter /FlateDecode >> stream\n")
+    bos.write(encData)
+    w("\nendstream endobj\n" +
+      "5 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/P $p /O <${PdfCrypto.toHex(o)}> /U <${PdfCrypto.toHex(u)}> " +
+      s"/OE <${PdfCrypto.toHex(oe)}> /UE <${PdfCrypto.toHex(ue)}> " +
+      s"/Perms <${PdfCrypto.toHex(perms)}> >> endobj\n" +
+      "trailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Build one POST-1.5-LAYOUT PDF (cross-reference stream + /ObjStm,
+    * ISO 32000-1 §7.5.7-8) that models a REWRITTEN file: a STALE
+    * generation of the page's content stream survives as dead bytes
+    * (object 4, marked free in the xref) next to the live one (object
+    * 7, whose /Length is an INDIRECT reference to an integer packed in
+    * the ObjStm — the detail that defeats offset-free scanners). The
+    * catalog/pages/page dicts live in the ObjStm; the xref stream is
+    * W=[1 4 2] packed and PNG-Up-predicted (/Predictor 12), the layout
+    * most producers emit. An extractor that scans instead of following
+    * the table resurrects "STALE ..." into the text and hash-mismatches;
+    * one that cannot decode the predictor or the ObjStm pair table
+    * extracts nothing. */
+  def buildPdfObjStm(text: String): Array[Byte] = {
+    def escape(t: String): String = t.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+    val t = Option(text).getOrElse("")
+    val stale = deflateBytes(s"BT /F1 12 Tf 72 712 Td (STALE ${escape(t)}) Tj ET")
+    val content = deflateBytes(s"BT /F1 12 Tf 72 712 Td (${escape(t)}) Tj ET")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    // dead bytes: the pre-rewrite content generation (free in the xref)
+    w(s"4 0 obj << /Length ${stale.length} /Filter /FlateDecode >> stream\n")
+    bos.write(stale)
+    w("\nendstream endobj\n")
+    val off7 = bos.size
+    w(s"7 0 obj << /Length 8 0 R /Filter /FlateDecode >> stream\n")
+    bos.write(content)
+    w("\nendstream endobj\n")
+    // ObjStm: catalog, pages, page, and the live stream's /Length integer
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+      8 -> content.length.toString)
+    val bodies = objs.map(_._2)
+    val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = objs.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val objstm = deflateBytes(header + bodies.mkString("\n"))
+    val off9 = bos.size
+    w(s"9 0 obj << /Type /ObjStm /N ${objs.length} /First ${header.length} " +
+      s"/Length ${objstm.length} /Filter /FlateDecode >> stream\n")
+    bos.write(objstm)
+    w("\nendstream endobj\n")
+    val off10 = bos.size
+    // xref rows 0..10, W=[1 4 2]: type byte, 4-byte offset/objstm-num,
+    // 2-byte gen/index; PNG Up predictor (filter byte 2 per row)
+    val entries: Seq[(Int, Long, Int)] = Seq(
+      (0, 0L, 0xFFFF),          // 0: free head
+      (2, 9L, 0), (2, 9L, 1), (2, 9L, 2), // 1-3: packed in ObjStm 9
+      (0, 0L, 0xFFFF),          // 4: the STALE generation — freed
+      (0, 0L, 0xFFFF), (0, 0L, 0xFFFF),  // 5-6: free
+      (1, off7.toLong, 0),      // 7: live content stream
+      (2, 9L, 3),               // 8: its /Length integer, in ObjStm 9
+      (1, off9.toLong, 0),      // 9: the ObjStm
+      (1, off10.toLong, 0))     // 10: this xref stream
+    val cols = 7
+    val rows = entries.map { case (tp, a, b) => Array(
+      tp.toByte,
+      ((a >> 24) & 0xFF).toByte, ((a >> 16) & 0xFF).toByte,
+      ((a >> 8) & 0xFF).toByte, (a & 0xFF).toByte,
+      ((b >> 8) & 0xFF).toByte, (b & 0xFF).toByte)
+    }
+    val predicted = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { r =>
+      predicted.write(2) // Up filter
+      var i = 0
+      while (i < cols) { predicted.write((r(i) - prev(i)) & 0xFF); i += 1 }
+      prev = r
+    }
+    val xdata = deflateRaw(predicted.toByteArray)
+    w(s"10 0 obj << /Type /XRef /Size 11 /W [1 4 2] /Index [0 11] " +
+      "/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xdata.length} >> stream\n")
+    bos.write(xdata)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$off10\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Stage real COMPRESSED-PDF uploads: one .pdf file per document,
     * written from the EXECUTORS (mapPartitions — document bytes never
     * pass through the driver; in local mode /tmp is the shared FS, on a
@@ -733,12 +936,41 @@ object BinaryIngest {
 
   /** Oracle-checked AES round trip: documents staged as /V 4 /AESV2
     * PDFs ([[buildPdfAes]]) — salted per-object keys, AES-128-CBC with
-    * prepended IVs — through the same seam; exact text equality. With
-    * this, BOTH standard-security generations (RC4 V2 and AES V4) are
-    * first-class; only /V 5 (AES-256, PDF 2.0) remains the documented
-    * swap-in. */
+    * prepended IVs — through the same seam; exact text equality. */
   def qPdfAes(s: SparkSession, d: String): DataFrame = {
     val fix = stagePdfFixture(s, d, kind = "pdfaes_fixture", build = buildPdfAes)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked AES-256 round trip: documents staged as /V 5 /R 6
+    * /AESV3 PDFs ([[buildPdfAes256]]) — Algorithm-2.B password hash,
+    * /UE key unwrap, streams under the file key directly — through the
+    * same seam; exact text equality. With this, ALL THREE
+    * standard-security generations (RC4 V2, AES V4, AES-256 V5) are
+    * first-class. */
+  def qPdfAes256(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfaes256_fixture", build = buildPdfAes256)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked POST-1.5-LAYOUT round trip: documents staged as
+    * cross-reference-stream + /ObjStm PDFs that carry a freed STALE
+    * generation of the content stream as dead bytes
+    * ([[buildPdfObjStm]]). Exact text equality pins the SEMANTIC walk
+    * ([[PdfXref]]): a scanner that inflates every stream in the file
+    * resurrects "STALE ..." into the output and hash-mismatches; a
+    * reader that cannot decode the PNG-predicted xref rows, the ObjStm
+    * pair table, or the indirect-/Length-in-ObjStm extracts nothing. */
+  def qPdfObjStm(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfobjstm_fixture", build = buildPdfObjStm)
     readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
       .withColumn("doc_id",
         regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))

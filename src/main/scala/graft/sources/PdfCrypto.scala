@@ -1,11 +1,12 @@
 package graft.sources
 
-/** PDF Standard Security Handler, V=2 R=3 (RC4-128) — PDF 32000-1:2008
-  * §7.6.3, the legacy encryption layer a large share of archival PDF
-  * corpora still carries. This is FORMAT support on the decryption side
-  * (a pipeline must READ such files; the reference gets it free from
-  * fitz, data_ingestion.py:116-122) — RC4/MD5 here are the format's
-  * required primitives, long obsolete as cryptography.
+/** PDF Standard Security Handler — all three generations: V=2 R=3
+  * (RC4-128, PDF 32000-1:2008 §7.6.3), V=4 (/AESV2 crypt filters), and
+  * V=5 R=6 (/AESV3 AES-256, ISO 32000-2 §7.6.4). This is FORMAT support
+  * on the decryption side (a pipeline must READ such files; the
+  * reference gets it free from fitz, data_ingestion.py:116-122) —
+  * RC4/MD5 here are the format's required primitives, long obsolete as
+  * cryptography; the R6 layer is SHA-2/AES-256.
   *
   * Implemented algorithms (spec numbering): 2 (file key from the padded
   * password, 50-fold MD5 strengthening), 3 (/O owner value), 5 (/U
@@ -124,6 +125,83 @@ object PdfCrypto {
           new javax.crypto.spec.SecretKeySpec(key, "AES"),
           new javax.crypto.spec.IvParameterSpec(data.take(16)))
         Some(c.doFinal(data, 16, data.length - 16))
+      }
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------------ AES-256 (V=5, R=6)
+  // ISO 32000-2 §7.6.4 — the current encryption generation (PDF 2.0,
+  // also emitted by Acrobat X+ as "AES-256"). Unlike V<=4 there is NO
+  // per-object key: strings and streams encrypt directly under the
+  // 32-byte file key; the password layer wraps that key via /UE (user)
+  // and /OE (owner) using the SHA-2 family hash below.
+
+  def sha2(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** AES-CBC without padding (the R6 key-wrap primitive; data is always
+    * block-aligned). 32-byte key => AES-256, 16-byte => AES-128. */
+  def aesCbcNoPad(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+      encrypt: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+           else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B (§7.6.4.3.4): the R6 password hash. Iterated
+    * SHA-256/384/512 selected by the AES output mod 3 — the first 16
+    * encrypted bytes as a big-endian integer mod 3 equals their byte sum
+    * mod 3 (256 ≡ 1 mod 3), which is how every implementation computes
+    * it. At least 64 rounds; stops when the last encrypted byte is <=
+    * round - 32. `udata` is empty for the user-password hash and the
+    * full 48-byte /U value for the owner-password hash. */
+  def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha2("SHA-256", password, salt, udata)
+    var round = 0
+    var done = false
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1
+      }
+      val e = aesCbcNoPad(k.take(16), k.slice(16, 32), k1, encrypt = true)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xFF; i += 1 }
+      k = (sum % 3) match {
+        case 0 => sha2("SHA-256", e)
+        case 1 => sha2("SHA-384", e)
+        case _ => sha2("SHA-512", e)
+      }
+      round += 1
+      if (round >= 64 && (e(e.length - 1) & 0xFF) <= round - 32) done = true
+    }
+    k.take(32)
+  }
+
+  /** Recover the 32-byte file key from /U + /UE for the EMPTY user
+    * password (the crawl case, same policy as the V<=4 path): verify the
+    * /U hash against its validation salt, then unwrap /UE under the
+    * intermediate key from the key salt (zero IV per spec). None on a
+    * passworded file — extract-empty, never garbage. */
+  def fileKeyR6(u: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (u.length < 48 || ue.length < 32) None
+      else {
+        val vs = java.util.Arrays.copyOfRange(u, 32, 40)
+        val ks = java.util.Arrays.copyOfRange(u, 40, 48)
+        val empty = Array.emptyByteArray
+        if (!java.util.Arrays.equals(hash2B(empty, vs, empty), u.take(32))) None
+        else Some(aesCbcNoPad(hash2B(empty, ks, empty),
+          new Array[Byte](16), ue.take(32), encrypt = false))
       }
     } catch { case _: Exception => None }
 

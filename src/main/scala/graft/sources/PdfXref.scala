@@ -1,0 +1,346 @@
+package graft.sources
+
+/** Cross-reference-STREAM PDF layout (PDF 1.5+, ISO 32000-1 §7.5.8):
+  * `startxref` points at a `/Type /XRef` stream object whose W-packed
+  * binary rows (optionally PNG-predictor-filtered, §7.4.4.4) form the
+  * object table, with non-stream objects packed into `/Type /ObjStm`
+  * compressed object streams (§7.5.7). This is the layout most post-1.5
+  * producers emit — the reference reads it for free through fitz
+  * (data_ingestion.py:116-122).
+  *
+  * The loader here is SEMANTIC, not a byte scan: it follows
+  * /Root -> /Pages -> /Kids -> /Contents and decodes exactly the
+  * referenced content streams (plus any /ToUnicode CMaps reachable from
+  * the page fonts). That distinction is what the q_pdf_objstm gate pins:
+  * a REWRITTEN file legitimately carries stale generations of edited
+  * pages as dead bytes (marked free in the xref), and a scanner that
+  * inflates every stream in the file resurrects the stale text — the
+  * xref walk cannot.
+  *
+  * Returns None on anything that isn't this layout (no startxref, a
+  * classic `xref` table, an encrypted trailer, malformed fields), so
+  * [[BinaryIngest.pdfExtract]] falls back to its scanning path — the
+  * correct posture for a crawl: never crash, degrade to the laxer
+  * parser.
+  *
+  * Out of scope (documented): encrypted xref-stream files (the /Encrypt
+  * check below routes them to the legacy path, which handles the
+  * non-xref-stream encrypted generations), /Prev incremental chains
+  * beyond 8 hops, and non-Flate xref filters (LZW is not emitted by
+  * modern producers). */
+object PdfXref {
+
+  /** One object-table row: tpe 0 free / 1 at byte offset / 2 packed in
+    * an ObjStm. */
+  private final case class Entry(tpe: Int, a: Long, b: Int)
+
+  private val RefRe = """(\d+)\s+\d+\s+R""".r
+
+  private def keyRef(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote("/" + key) + """\s+(\d+)\s+\d+\s+R""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  private def keyInt(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote("/" + key) + """\s+(\d+)""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  private def keyIntArray(dict: String, key: String): Option[Seq[Long]] =
+    (java.util.regex.Pattern.quote("/" + key) + """\s*\[([-\d\s]+)\]""").r
+      .findFirstMatchIn(dict)
+      .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).toSeq.map(_.toLong))
+
+  /** Balanced `<< ... >>` scan from the first `<<` at/after `from`. */
+  private def dictAt(raw: String, from: Int): Option[(String, Int)] = {
+    val start = raw.indexOf("<<", from)
+    if (start < 0) return None
+    var depth = 0
+    var i = start
+    while (i < raw.length - 1) {
+      if (raw.regionMatches(i, "<<", 0, 2)) { depth += 1; i += 2 }
+      else if (raw.regionMatches(i, ">>", 0, 2)) {
+        depth -= 1; i += 2
+        if (depth == 0) return Some((raw.substring(start, i), i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** PNG predictor inverse (§7.4.4.4; bpp = 1 for xref rows): each row
+    * is a filter-type byte then `columns` filtered bytes. */
+  private def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int): Option[Array[Byte]] = {
+    if (predictor < 10) return Some(data)
+    val rowLen = columns + 1
+    if (columns <= 0 || data.length % rowLen != 0) return None
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    var prev = new Array[Byte](columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xFF
+      val row = java.util.Arrays.copyOfRange(
+        data, r * rowLen + 1, r * rowLen + 1 + columns)
+      var i = 0
+      ft match {
+        case 0 => // None
+        case 1 => // Sub
+          i = 1
+          while (i < columns) { row(i) = (row(i) + row(i - 1)).toByte; i += 1 }
+        case 2 => // Up
+          while (i < columns) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
+        case 3 => // Average
+          while (i < columns) {
+            val left = if (i > 0) row(i - 1) & 0xFF else 0
+            row(i) = (row(i) + ((left + (prev(i) & 0xFF)) / 2)).toByte
+            i += 1
+          }
+        case 4 => // Paeth
+          while (i < columns) {
+            val a = if (i > 0) row(i - 1) & 0xFF else 0
+            val b = prev(i) & 0xFF
+            val c = if (i > 0) prev(i - 1) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            row(i) = (row(i) + pred).toByte
+            i += 1
+          }
+        case _ => return None
+      }
+      System.arraycopy(row, 0, out, r * columns, columns)
+      prev = row
+      r += 1
+    }
+    Some(out)
+  }
+
+  private def inflate(b: Array[Byte], from: Int, until: Int): Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b, from, until - from)
+      val buf = new Array[Byte](8192)
+      val bos = new java.io.ByteArrayOutputStream()
+      var guard = true
+      while (guard && !inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) bos.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) guard = false
+        if (bos.size() > (16 << 20)) guard = false // zip-bomb cap
+      }
+      val ok = inf.finished()
+      inf.end()
+      if (ok) Some(bos.toByteArray) else None
+    } catch { case _: Exception => None }
+
+  /** Parse the stream object at byte offset `off`: (objNum, dict text,
+    * dataStart, rawLengthFromDict). The /Length here must be DIRECT —
+    * true of xref streams by spec (the table that would resolve an
+    * indirect length is the one being parsed) and of ObjStm fixtures;
+    * content streams resolve indirect lengths via [[resolveLength]]. */
+  private def streamObjAt(raw: String, off: Int): Option[(Int, String, Int, Option[Int])] = {
+    val m = """(\d+)\s+(\d+)\s+obj""".r.findPrefixMatchOf(
+      raw.substring(off, math.min(raw.length, off + 64)))
+    m.flatMap { hm =>
+      dictAt(raw, off + hm.end).flatMap { case (dict, dictEnd) =>
+        val sk = raw.indexOf("stream", dictEnd)
+        if (sk < 0) None
+        else {
+          var ds = sk + 6
+          if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+          if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+          val len = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
+            .findFirstMatchIn(dict).map(_.group(1).toInt)
+          Some((hm.group(1).toInt, dict, ds, len))
+        }
+      }
+    }
+  }
+
+  /** Decode one xref stream at `off` into (entries, trailer dict). */
+  private def xrefStreamAt(raw: String, bytes: Array[Byte],
+      off: Int): Option[(Map[Int, Entry], String)] =
+    streamObjAt(raw, off).flatMap { case (_, dict, ds, lenOpt) =>
+      if (!dict.contains("/XRef")) None
+      else for {
+        len <- lenOpt
+        w <- keyIntArray(dict, "W").filter(_.length >= 3)
+        size <- keyInt(dict, "Size")
+        if dict.contains("/FlateDecode")
+        inflated <- inflate(bytes, ds, ds + len)
+        predictor = """/Predictor\s+(\d+)""".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        cols = w.map(_.toInt).sum
+        rows <- unpredict(inflated, predictor, cols)
+      } yield {
+        val index = keyIntArray(dict, "Index")
+          .getOrElse(Seq(0L, size.toLong))
+        val (w0, w1, w2) = (w(0).toInt, w(1).toInt, w(2).toInt)
+        val rowLen = w0 + w1 + w2
+        val entries = scala.collection.mutable.Map.empty[Int, Entry]
+        var row = 0
+        index.grouped(2).foreach {
+          case Seq(start, count) =>
+            var k = 0
+            while (k < count && (row + 1) * rowLen <= rows.length) {
+              val base = row * rowLen
+              def field(o: Int, n: Int): Long = {
+                var v = 0L
+                var i = 0
+                while (i < n) { v = (v << 8) | (rows(base + o + i) & 0xFF); i += 1 }
+                v
+              }
+              // W[0] = 0 means "type defaults to 1" per spec
+              val tpe = if (w0 == 0) 1 else field(0, w0).toInt
+              entries((start + k).toInt) =
+                Entry(tpe, field(w0, w1), field(w0 + w1, w2).toInt)
+              row += 1; k += 1
+            }
+          case _ =>
+        }
+        (entries.toMap, dict)
+      }
+    }
+
+  /** Load the body text of object `num` via the table: type-1 objects
+    * parse at their byte offset, type-2 objects come out of their
+    * ObjStm's pair table. Non-stream objects only (dicts / numbers). */
+  private def objectBody(raw: String, bytes: Array[Byte],
+      table: Map[Int, Entry], num: Int,
+      objstmCache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]]): Option[String] =
+    table.get(num).flatMap {
+      case Entry(1, off, _) =>
+        """(\d+)\s+(\d+)\s+obj""".r.findPrefixMatchOf(
+          raw.substring(off.toInt, math.min(raw.length, off.toInt + 64)))
+          .flatMap { hm =>
+            val bodyStart = off.toInt + hm.end
+            val end = raw.indexOf("endobj", bodyStart)
+            if (end < 0) None else Some(raw.substring(bodyStart, end).trim)
+          }
+      case Entry(2, stmNum, idx) =>
+        val loaded = objstmCache.getOrElseUpdate(stmNum.toInt, {
+          for {
+            Entry(1, off, _) <- table.get(stmNum.toInt)
+            (_, dict, ds, lenOpt) <- streamObjAt(raw, off.toInt)
+            if dict.contains("/ObjStm")
+            len <- lenOpt
+            n <- keyInt(dict, "N")
+            first <- keyInt(dict, "First")
+            data <- if (dict.contains("/FlateDecode")) inflate(bytes, ds, ds + len)
+                    else Some(java.util.Arrays.copyOfRange(bytes, ds, ds + len))
+          } yield {
+            val text = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+            val nums = text.substring(0, math.min(first, text.length))
+              .trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)
+            val pairs = nums.grouped(2).collect { case Array(a, b) => (a, b) }
+              .toSeq.take(n)
+            (text, pairs, first)
+          }
+        })
+        loaded.flatMap { case (text, pairs, first) =>
+          if (idx >= pairs.length) None
+          else {
+            val (_, objOff) = pairs(idx)
+            val from = first + objOff
+            val until =
+              if (idx + 1 < pairs.length) first + pairs(idx + 1)._2 else text.length
+            if (from > text.length) None
+            else Some(text.substring(from, math.min(until, text.length)).trim)
+          }
+        }
+      case _ => None // free entry
+    }
+
+  /** Resolve a /Length that may be a direct int or an indirect ref whose
+    * integer object lives anywhere the table can reach (typically an
+    * ObjStm — the layout detail that defeats offset-free scanners). */
+  private def resolveLength(dict: String, raw: String, bytes: Array[Byte],
+      table: Map[Int, Entry],
+      cache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]]): Option[Int] =
+    """/Length\s+(\d++)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
+      .map(m => m.group(1).toInt)
+      .orElse {
+        """/Length\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict).flatMap { m =>
+          objectBody(raw, bytes, table, m.group(1).toInt, cache)
+            .flatMap(b => """\d+""".r.findFirstIn(b).map(_.toInt))
+        }
+      }
+
+  /** Decode the stream object `num` (type-1 by construction: streams
+    * cannot live inside an ObjStm) to its inflated content string. */
+  private def streamContent(raw: String, bytes: Array[Byte],
+      table: Map[Int, Entry], num: Int,
+      cache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]]): Option[String] =
+    table.get(num).collect { case Entry(1, off, _) => off }.flatMap { off =>
+      streamObjAt(raw, off.toInt).flatMap { case (_, dict, ds, _) =>
+        resolveLength(dict, raw, bytes, table, cache).flatMap { len =>
+          if (ds + len > bytes.length) None
+          else if (dict.contains("/FlateDecode"))
+            inflate(bytes, ds, ds + len).map(d =>
+              new String(d, java.nio.charset.StandardCharsets.ISO_8859_1))
+          else Some(raw.substring(ds, ds + len))
+        }
+      }
+    }
+
+  /** The xref-stream entry point: when the file's `startxref` points at
+    * a cross-reference STREAM, walk /Root -> /Pages -> /Kids ->
+    * /Contents and return exactly the referenced content streams (plus
+    * any /ToUnicode CMap streams reachable through the page fonts), in
+    * page order. None = not this layout / malformed -> caller falls back
+    * to the scanner. */
+  def contentStreams(bytes: Array[Byte]): Option[Seq[String]] =
+    try {
+      if (bytes == null) return None
+      val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sx = raw.lastIndexOf("startxref")
+      if (sx < 0) return None
+      val off = """\d+""".r.findFirstIn(raw.substring(sx + 9)).map(_.toInt)
+        .getOrElse(return None)
+      if (off <= 0 || off >= raw.length) return None
+      // follow /Prev chains (incremental updates): later sections win,
+      // so earlier (newer) entries are kept on merge. Hop cap 8.
+      var table = Map.empty[Int, Entry]
+      var trailer = ""
+      var at = off
+      var hops = 0
+      while (at > 0 && hops < 8) {
+        xrefStreamAt(raw, bytes, at) match {
+          case Some((entries, dict)) =>
+            table = entries ++ table // existing (newer) entries win
+            if (trailer.isEmpty) trailer = dict
+            at = """/Prev\s+(\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt).getOrElse(0)
+          case None =>
+            if (hops == 0) return None // startxref target isn't an xref stream
+            at = 0
+        }
+        hops += 1
+      }
+      if (trailer.contains("/Encrypt")) return None // legacy path decrypts
+      val cache = scala.collection.mutable.Map
+        .empty[Int, Option[(String, Seq[(Int, Int)], Int)]]
+      def body(num: Int): Option[String] =
+        objectBody(raw, bytes, table, num, cache)
+      for {
+        rootRef <- keyRef(trailer, "Root")
+        catalog <- body(rootRef)
+        pagesRef <- keyRef(catalog, "Pages")
+        pages <- body(pagesRef)
+        kids <- ("""/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(pages)
+          .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq))
+      } yield {
+        val pageDicts = kids.flatMap(body)
+        val contentRefs = pageDicts.flatMap { pd =>
+          keyRef(pd, "Contents").toSeq ++
+            ("""/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pd).toSeq
+              .flatMap(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt)))
+        }
+        // /ToUnicode CMaps via the page fonts (composite-font pages)
+        val fontRefs = pageDicts.flatMap(pd =>
+          """/F\w*\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(pd).map(_.group(1).toInt))
+        val cmapRefs = fontRefs.flatMap(body).flatMap(fd => keyRef(fd, "ToUnicode"))
+        (contentRefs ++ cmapRefs).distinct
+          .flatMap(n => streamContent(raw, bytes, table, n, cache))
+      }
+    } catch { case _: Exception => None }
+}

@@ -378,6 +378,74 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(corrupt) === "")
   }
 
+  test("AES-256 (V5/R6) round trip: 2.B hash, /UE unwrap, file-key streams") {
+    import graft.sources.{BinaryIngest, PdfCrypto}
+    // hash2B self-consistency: deterministic, 32 bytes, salt-sensitive
+    val h1 = PdfCrypto.hash2B(Array.emptyByteArray, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
+      Array.emptyByteArray)
+    val h2 = PdfCrypto.hash2B(Array.emptyByteArray, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
+      Array.emptyByteArray)
+    val h3 = PdfCrypto.hash2B(Array.emptyByteArray, Array[Byte](8, 7, 6, 5, 4, 3, 2, 1),
+      Array.emptyByteArray)
+    assert(h1.length === 32)
+    assert(java.util.Arrays.equals(h1, h2))
+    assert(!java.util.Arrays.equals(h1, h3))
+
+    val text = """aes256 \(secret\) payload with balanced parens"""
+    val pdf = BinaryIngest.buildPdfAes256(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // on-disk bytes actually encrypted
+    assert(!new String(pdf, "ISO-8859-1").contains("secret"))
+
+    // a tampered /U validation hash must extract EMPTY (key refused)
+    val s = new String(pdf, "ISO-8859-1")
+    val uHex = """/U <([0-9A-F]+)>""".r.findFirstMatchIn(s).get.group(1)
+    val badU = "00" * 32 + uHex.substring(64) // zero the hash, keep the salts
+    val bad = s.replace("/U <" + uHex + ">", "/U <" + badU + ">")
+    assert(bad !== s, "tamper must hit")
+    assert(BinaryIngest.pdfExtract(bad.getBytes("ISO-8859-1")) === "")
+
+    // a corrupted /UE cannot unwrap the right key -> CBC padding fails
+    // on the stream -> extract-empty, never garbage
+    val ueHex = """/UE <([0-9A-F]+)>""".r.findFirstMatchIn(s).get.group(1)
+    val badUe = s.replace("/UE <" + ueHex + ">",
+      "/UE <" + ("00" * (ueHex.length / 2)) + ">")
+    assert(BinaryIngest.pdfExtract(badUe.getBytes("ISO-8859-1")) === "")
+    // empty text round-trips
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfAes256("")) === "")
+  }
+
+  test("xref-stream + ObjStm layout: semantic walk, stale generation stays dead") {
+    import graft.sources.{BinaryIngest, PdfXref}
+    val text = """rewritten \(page\) current generation"""
+    val pdf = BinaryIngest.buildPdfObjStm(text)
+    // the STALE generation is physically present in the file...
+    val streams = PdfXref.contentStreams(pdf)
+    assert(streams.isDefined, "xref-stream layout must be recognized")
+    // ...but the semantic walk extracts ONLY the live content
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    assert(streams.get.length === 1)
+    assert(!streams.get.head.contains("STALE"))
+
+    // empty and pathological texts round-trip
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfObjStm("")) === "")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfObjStm("(x) \\y")) === "(x) \\y")
+
+    // a corrupted xref stream (bad predictor rows) falls back to the
+    // scanner rather than crashing — degraded, not dead
+    val s = new String(pdf, "ISO-8859-1")
+    val xrefAt = s.lastIndexOf("10 0 obj")
+    val corrupt = pdf.clone()
+    corrupt(xrefAt + 120) = (corrupt(xrefAt + 120) ^ 0x55).toByte
+    val fallback = BinaryIngest.pdfExtract(corrupt)
+    assert(fallback != null) // no crash; scanner output may include STALE
+
+    // classic-layout files (no startxref) are not claimed by the walk
+    assert(PdfXref.contentStreams(BinaryIngest.buildPdf("plain")).isEmpty)
+    assert(PdfXref.contentStreams("junk".getBytes).isEmpty)
+    assert(PdfXref.contentStreams(Array.emptyByteArray).isEmpty)
+  }
+
   test("PDF CID/ToUnicode: hex strings, bfchar/bfrange forms, fallbacks") {
     import graft.sources.BinaryIngest
     // full composite-font round trip through the fixture builder —
