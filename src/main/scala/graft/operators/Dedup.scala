@@ -473,17 +473,19 @@ object Dedup {
           .withColumn("is_corpus", lit(true)))
       case None => batchSh.withColumn("is_corpus", lit(false))
     }
-    val lp = batchSh.select(col("doc_id").as("doc_a"), explode(col("sh")).as("shingle"))
+    // set sizes RIDE THE POSTINGS (8 bytes a row) instead of joining back
+    // after the count: the two size-joins this replaces were each a full
+    // extra shuffle stage over the pair list — first() is exact because
+    // sa/sb are constant within a (doc, is_corpus) group
+    val lp = batchSh.select(col("doc_id").as("doc_a"),
+      size(col("sh")).cast("long").as("sa"), explode(col("sh")).as("shingle"))
     val rp = right.select(col("doc_id").as("doc_b"), col("is_corpus"),
-      explode(col("sh")).as("shingle"))
-    val common = lp.join(rp, Seq("shingle"))
+      size(col("sh")).cast("long").as("sb"), explode(col("sh")).as("shingle"))
+    lp.join(rp, Seq("shingle"))
       .filter(col("is_corpus") || col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "is_corpus").agg(count(lit(1)).as("common"))
-    common
-      .join(batchSh.select(col("doc_id").as("doc_a"),
-        size(col("sh")).cast("long").as("sa")), Seq("doc_a"))
-      .join(right.select(col("doc_id").as("doc_b"), col("is_corpus"),
-        size(col("sh")).cast("long").as("sb")), Seq("doc_b", "is_corpus"))
+      .groupBy("doc_a", "doc_b", "is_corpus")
+      .agg(count(lit(1)).as("common"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sa") + col("sb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -533,9 +535,15 @@ object Dedup {
   def writeIndex(docs: DataFrame, path: String): Unit =
     sigsOf(shingleIndex(docs)).write.mode("overwrite").parquet(path)
 
-  /** Append newly-accepted docs to the persisted index. */
-  def appendIndex(docs: DataFrame, path: String): Unit =
-    sigsOf(shingleIndex(docs)).write.mode("append").parquet(path)
+  /** Append newly-accepted docs to the persisted index. `withSigs=false`
+    * writes the (doc_id, sh) postings only — for an EXACT-pairs-mode
+    * gate directory, where MinHash signatures are never read back (both
+    * probe paths prune to (doc_id, sh)) and would cost 128 permutations
+    * per doc to build. An index directory is mode-consistent by
+    * construction: the gate pins one mode per dir. */
+  def appendIndex(docs: DataFrame, path: String, withSigs: Boolean = true): Unit =
+    if (withSigs) sigsOf(shingleIndex(docs)).write.mode("append").parquet(path)
+    else shingleIndex(docs).select("doc_id", "sh").write.mode("append").parquet(path)
 
   /** Probe the persisted index: (incoming doc -> indexed doc) near-dup
     * pairs with Jaccard >= threshold. The incoming micro-batch is signed
@@ -604,8 +612,22 @@ object Dedup {
     * still alive). Delete ONLY when a pid parsed AND is provably dead — a
     * non-numeric suffix is some other tool's directory, never ours to
     * remove. */
+  /** Root for process-scoped scratch: prefer tmpfs (/dev/shm) when
+    * present and writable. Every [[processTempDir]] consumer is
+    * ephemeral by construction (PID-scoped name, shutdown-hook cleanup,
+    * stale-PID reaping), and the streaming-gate replays are FSYNC-bound
+    * on a disk-backed /tmp — each micro-batch commits state-store
+    * deltas, offset/commit logs and sink files. A production deployment
+    * keeps its real checkpoint/publish directories on durable storage;
+    * this only relocates the harness scratch. */
+  private lazy val scratchRoot: java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm
+    else new java.io.File(System.getProperty("java.io.tmpdir"))
+  }
+
   private[graft] def processTempDir(base: String): String = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tmp = scratchRoot
     val prefix = s"${base}_${System.getProperty("user.name")}_"
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
@@ -682,29 +704,38 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame,
       driverEdgeBudget: Long = 1L << 20): DataFrame = {
     val s = pairs.sparkSession
-    val pe = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
-    if (pe.count() <= driverEdgeBudget) {
-      import s.implicits._
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
+    val peLazy = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // ONE probing job decides the regime AND fetches the edges: take
+    // (budget+1) either returns every edge (fits -> driver union-find,
+    // no checkpoint/count/collect triple) or proves overflow (row
+    // budget+1 exists -> distributed loop; the probe's work is bounded
+    // by the budget and discarded). Three jobs became one on the
+    // in-budget path every micro-batch gate hits.
+    if (driverEdgeBudget < Int.MaxValue - 1) {
+      val taken = peLazy.take(driverEdgeBudget.toInt + 1)
+      if (taken.length.toLong <= driverEdgeBudget) {
+        import s.implicits._
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        taken.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN: the smaller root stays root, so every root is
+          // its component's minimum id — the loop's fixpoint semantics
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+          .toDF("id", "label")
       }
-      pe.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN: the smaller root stays root, so every root is its
-        // component's minimum id — the loop's fixpoint semantics
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
-        .toDF("id", "label")
     }
+    val pe = peLazy.localCheckpoint()
     val edges = pe
       .unionByName(pe.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()

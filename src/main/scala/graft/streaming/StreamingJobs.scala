@@ -556,7 +556,11 @@ object StreamingJobs {
   def dedupGateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       acceptedDir: String, indexDir: String, rejectedDir: String,
       threshold: Double, exactPairs: Boolean = false): Unit = {
-    val in = batch.withColumn("xxh", xxhash64(col("text"))).cache()
+    // localCheckpoint, not cache: a dozen downstream Datasets re-ANALYZE
+    // this subtree per operator; truncating the lineage here keeps every
+    // later plan flat (the batch source union/filter tree never re-enters
+    // the analyzer) — measured ~0.5s/batch of driver time at sf0.1
+    val in = batch.withColumn("xxh", xxhash64(col("text"))).localCheckpoint()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // The corpus-facing rejection frames are tiny (doc_id, reason, witness)
     // key lists, but each sits on top of an EXPENSIVE subtree (pruned corpus
@@ -655,7 +659,8 @@ object StreamingJobs {
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(rejectedDir)
       live.write.mode("append").parquet(acceptedDir)
-      Dedup.appendIndex(live, indexDir)
+      // exact mode never reads signatures back — append postings only
+      Dedup.appendIndex(live, indexDir, withSigs = !exactPairs)
     } finally {
       cached.foreach(_.unpersist(blocking = false)); in.unpersist(); ()
     }
