@@ -158,6 +158,10 @@ object SparkEntry {
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
     "q_jsonl_ingest" -> (graft.sources.JsonlGz.qJsonlIngest _), // gzipped-JSONL shards via the native json source
+    "q_zip_ingest" -> (graft.sources.ZipIngest.qZipIngest _), // ZIP archive shards, per-partition unpack
+    "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL
+    "q_charset" -> (graft.sources.CharsetSniff.qCharset _), // BOM/UTF-8-validate/Latin-1 encoding detection
+    "q_span_corrupt" -> (Curation.qSpanCorrupt _), // T5-style span corruption with sentinel runs
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
     // --- advanced relational ops (SURVEY §2 "absent" rows)
@@ -1261,6 +1265,55 @@ object SparkEntry {
         "SELECT doc_id, 'Doc ' || doc_id || ' Home | About Doc #' || doc_id || " +
         "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
         "' © 2026 Graft' AS text_clean FROM t ORDER BY doc_id"),
+    // the ZIP round trip: staged archive shards (ZipOutputStream) read
+    // back through an independent ZipInputStream walk must reproduce the
+    // documents table exactly; NULL text stages as an empty entry, so
+    // the oracle coalesces the same way
+    "q_zip_ingest" ->
+      "SELECT doc_id, coalesce(text, '') AS text FROM documents ORDER BY doc_id",
+    // robots.txt: the oracle states each rawUrl family's RFC 9309
+    // verdict in closed form (longest-match allow-over-disallow,
+    // specific-agent override, deny-all, '*'+'$' pattern, absent-file
+    // default) — it never runs the parser
+    "q_robots" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'www.example.com' " +
+        "WHEN 1 THEN 'blog.example.org' WHEN 2 THEN 'ads.spam-site.co.uk' " +
+        "WHEN 3 THEN 'docs.example.com' ELSE 'example.com' END AS domain, " +
+        "CAST(doc_id % 5 AS INTEGER) IN (0, 1, 4) AS allowed, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE -1 END AS BIGINT) AS crawl_delay " +
+        "FROM documents ORDER BY doc_id"),
+    // charset detection: five encoding families by doc_id; the oracle
+    // states label + decoded text in closed form (the appended marker's
+    // non-ASCII chars make families distinguishable and Latin-1 bytes
+    // invalid UTF-8) — a misrouted family corrupts the marker and
+    // hash-mismatches
+    "q_charset" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom' " +
+        "WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be' ELSE 'iso-8859-1' END AS charset, " +
+        s"coalesce(text, '') || '${graft.sources.CharsetSniff.Marker}' AS text " +
+        "FROM documents ORDER BY doc_id"),
+    // span corruption: the oracle rebuilds sentinel numbering with a
+    // gaps-and-islands window over the same deterministic mask rule
+    // ((doc_id*31 + i*17) % 5 = 0), then string_aggs input/target in
+    // token order — run off-by-ones, mask-phase and numbering defects
+    // all hash-mismatch
+    "q_span_corrupt" ->
+      ("WITH l AS (SELECT doc_id, list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS token, unnest(generate_series(0, len(toks) - 1)) AS i FROM l WHERE len(toks) > 0), " +
+        "m AS (SELECT doc_id, token, i, (doc_id * 31 + i * 17) % 5 = 0 AS msk FROM tok), " +
+        "r AS (SELECT *, CASE WHEN msk AND NOT coalesce(lag(msk) OVER (PARTITION BY doc_id ORDER BY i), false) THEN 1 ELSE 0 END AS new_run FROM m), " +
+        "k AS (SELECT *, sum(new_run) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS run_k FROM r), " +
+        "agg AS (SELECT doc_id, " +
+        "string_agg(CASE WHEN NOT msk THEN token WHEN new_run = 1 THEN '<extra_id_' || run_k || '>' END, ' ' ORDER BY i) AS input_text, " +
+        "string_agg(CASE WHEN msk THEN (CASE WHEN new_run = 1 THEN '<extra_id_' || run_k || '> ' ELSE '' END) || token END, ' ' ORDER BY i) AS target_text, " +
+        "CAST(coalesce(sum(CASE WHEN msk THEN 1 END), 0) AS BIGINT) AS n_masked " +
+        "FROM k GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.input_text, '') AS input_text, " +
+        "coalesce(a.target_text, '') AS target_text, " +
+        "coalesce(a.n_masked, CAST(0 AS BIGINT)) AS n_masked " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"),
     // URL canonicalization: the engine PARSES each generated URL (hand
     // parser + RFC 3986 dot-segment removal + tracking-param strip +
     // suffix-aware domain); the oracle states each of the five

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** robots.txt crawl governance — RFC 9309 (Robots Exclusion Protocol)
+  * semantics, the gate every crawl first mile must pass BEFORE a URL is
+  * fetched (the reference ingests already-fetched uploads; a production
+  * pipeline decides fetching, and decides it per-URL at corpus scale):
+  *
+  *  - GROUPS: runs of `User-agent:` lines followed by rules; if any
+  *    group names our product token, ONLY those groups apply (merged),
+  *    else the `*` groups — the specific-agent override.
+  *  - RULES: `Allow`/`Disallow` path patterns with `*` wildcards and a
+  *    `$` end anchor, matched against path+query; the LONGEST matching
+  *    pattern (octet length) wins, ties break toward Allow (the RFC's
+  *    least-restrictive tie-break). An empty Disallow value matches
+  *    nothing. No applicable rule => allowed.
+  *  - `Crawl-delay`: non-standard but ubiquitous; surfaced per group.
+  *
+  * Scale shape: policies are a per-DOMAIN dim (thousands of rows per
+  * billion URLs) — parsed once per distinct domain and broadcast; the
+  * verdict pass is a narrow per-partition map over URLs, no shuffle.
+  */
+object CrawlPolicy {
+
+  /** One rule group: lowercased agent tokens + (isAllow, pattern) rules
+    * in file order + optional crawl delay. */
+  final case class RobotsGroup(agents: Seq[String], rules: Seq[(Boolean, String)],
+      crawlDelay: Option[Long])
+
+  /** Parse a robots.txt body into groups. Line-oriented; `#` comments
+    * strip; unknown directives are ignored per RFC; a rule line before
+    * any User-agent line is ignored (no open group). */
+  def parseRobots(txt: String): Seq[RobotsGroup] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[RobotsGroup]
+    var agents = List.empty[String]
+    var rules = List.empty[(Boolean, String)]
+    var delay: Option[Long] = None
+    var inAgents = false // consecutive User-agent lines build ONE group
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += RobotsGroup(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None
+    }
+    Option(txt).getOrElse("").linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) flush() // a new group starts
+            agents ::= value.toLowerCase(java.util.Locale.ROOT)
+            inAgents = true
+          case "allow" if agents.nonEmpty =>
+            inAgents = false
+            if (value.nonEmpty) rules ::= (true, value)
+          case "disallow" if agents.nonEmpty =>
+            inAgents = false
+            // empty Disallow = "allow all": a rule that matches nothing
+            if (value.nonEmpty) rules ::= (false, value)
+          case "crawl-delay" if agents.nonEmpty =>
+            inAgents = false
+            delay = scala.util.Try(value.toLong).toOption.orElse(delay)
+          case _ => inAgents = false // unknown directive: ignored
+        }
+      }
+    }
+    flush()
+    groups.toSeq
+  }
+
+  /** `*`/`$` pattern match against a path(+query) — compiled to an
+    * anchored regex with quoted literals (matches() anchors the start;
+    * a non-`$` pattern gets a trailing `.*`). */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val body = pat.split("\\*", -1)
+      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+      .mkString(".*")
+    path.matches("(?s)" + body + (if (anchored) "" else ".*"))
+  }
+
+  /** The verdict for `agent` fetching `pathQuery` under `groups`:
+    * (allowed, crawlDelay or -1). */
+  def verdict(groups: Seq[RobotsGroup], agent: String,
+      pathQuery: String): (Boolean, Long) = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val mine = groups.filter(_.agents.contains(a))
+    val applicable = if (mine.nonEmpty) mine else groups.filter(_.agents.contains("*"))
+    val rules = applicable.flatMap(_.rules)
+    val delay = applicable.flatMap(_.crawlDelay).headOption.getOrElse(-1L)
+    val best = rules.filter { case (_, pat) => patternMatches(pat, pathQuery) }
+      // longest pattern wins; tie -> Allow (true sorts before false here)
+      .sortBy { case (isAllow, pat) => (-pat.length, !isAllow) }
+      .headOption
+    (best.forall(_._1), delay)
+  }
+
+  /** Our crawler's product token. */
+  val Agent = "graftbot"
+
+  /** Deterministic per-domain robots policies for the gate — one per
+    * [[UrlOps.rawUrl]] family, jointly exercising longest-match
+    * allow-over-disallow, the specific-agent override, deny-all, `*`+`$`
+    * patterns, crawl-delay, and the absent-file default. */
+  def robotsFor(host: String): String = host match {
+    case "www.example.com" =>
+      "# corporate site\nUser-agent: *\nDisallow: /a/\nAllow: /a/c/\nCrawl-delay: 2\n"
+    case "blog.example.org" =>
+      // the specific-agent group OVERRIDES the deny-all * group
+      "User-agent: graftbot\nDisallow: /posts/\nAllow: /posts/*?id=\n\n" +
+        "User-agent: *\nDisallow: /\n"
+    case "ads.spam-site.co.uk" =>
+      "User-agent: *\nDisallow: /\n"
+    case "docs.example.com" =>
+      "User-agent: *\nDisallow: /*b$\n"
+    case _ => "" // no robots.txt: everything allowed
+  }
+
+  /** Oracle-checked robots gate over one generated URL per document:
+    * canonicalize ([[UrlOps]]), split path+query, evaluate the domain's
+    * policy for [[Agent]]. The oracle states each family's verdict in
+    * closed form — it never runs the parser, so any rule-precedence or
+    * pattern defect hash-mismatches. */
+  def qRobots(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.rebalance(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // per-partition policy cache: at scale this is the broadcast dim
+        val cache = scala.collection.mutable.Map.empty[String, Seq[RobotsGroup]]
+        it.map { id =>
+          val raw = UrlOps.rawUrl(id)
+          val u = UrlOps.parseUrl(raw).get
+          val host = u.host.toLowerCase(java.util.Locale.ROOT)
+          val norm = UrlOps.normalizeUrl(raw).getOrElse("")
+          // robots patterns match path+query of the CANONICAL form
+          val pathQuery = norm.substring(norm.indexOf('/', norm.indexOf("://") + 3))
+          val groups = cache.getOrElseUpdate(host, parseRobots(robotsFor(host)))
+          val (allowed, delay) = verdict(groups, Agent, pathQuery)
+          (id, host, allowed, delay)
+        }
+      }
+      .toDF("doc_id", "domain", "allowed", "crawl_delay")
+      .orderBy("doc_id")
+  }
+}

@@ -553,4 +553,66 @@ object Curation {
   def qKanon(s: SparkSession, d: String): DataFrame =
     kAnonymityAudit(customer(s, d), Seq("c_nationkey", "c_mktsegment"), 10L)
       .orderBy("c_nationkey", "c_mktsegment")
+
+  // ------------------------------------------- span corruption (T5-style)
+
+  /** Deterministic mask rule for token `i` of doc `docId` — a pure
+    * function of (doc, position), so the corruption is reproducible
+    * across runs, partitionings and engines (the property a training
+    * pipeline needs for resumable preprocessing; ~20% corruption rate). */
+  def spanMasked(docId: Long, i: Int): Boolean =
+    (docId * 31L + i * 17L) % 5L == 0L
+
+  /** T5-style span corruption: contiguous masked-token runs collapse to
+    * `<extra_id_k>` sentinels in the input; the target lists each
+    * sentinel followed by the tokens it hides. Per-doc local work in one
+    * narrow mapPartitions — tokens never explode into a shuffle (the
+    * window-over-exploded-tokens formulation would shuffle every token
+    * of a 100 TB corpus just to renumber runs). */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          val input = new StringBuilder
+          val target = new StringBuilder
+          var k = -1
+          var prevMasked = false
+          var nMasked = 0L
+          var i = 0
+          while (i < toks.length) {
+            val m = spanMasked(id, i)
+            if (m) {
+              nMasked += 1
+              if (!prevMasked) {
+                k += 1
+                if (input.nonEmpty) input.append(' ')
+                input.append(s"<extra_id_$k>")
+                if (target.nonEmpty) target.append(' ')
+                target.append(s"<extra_id_$k>")
+              }
+              target.append(' ').append(toks(i))
+            } else {
+              if (input.nonEmpty) input.append(' ')
+              input.append(toks(i))
+            }
+            prevMasked = m
+            i += 1
+          }
+          (id, input.toString, target.toString, nMasked)
+        }
+      }
+      .toDF("doc_id", "input_text", "target_text", "n_masked")
+  }
+
+  /** Oracle-checked span corruption over the documents table — the
+    * DuckDB oracle rebuilds the sentinel numbering with a gaps-and-
+    * islands pass over the same mask rule, so an off-by-one in run
+    * detection, sentinel order or mask phase hash-mismatches. */
+  def qSpanCorrupt(s: SparkSession, d: String): DataFrame =
+    spanCorrupt(Tables.rebalance(documents(s, d), "doc_id"))
+      .orderBy("doc_id")
 }

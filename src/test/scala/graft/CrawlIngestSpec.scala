@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{CrawlPolicy, Curation}
+import graft.sources.{CharsetSniff, ZipIngest}
+
+/** Round-7 crawl first-mile widening: ZIP archives, robots.txt (RFC
+  * 9309), charset detection, span corruption — per-rule pins behind the
+  * oracle gates. */
+class CrawlIngestSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- robots
+
+  import CrawlPolicy._
+
+  test("robots: longest match wins; tie goes to Allow") {
+    val g = parseRobots("User-agent: *\nDisallow: /a/\nAllow: /a/c/\n")
+    assert(verdict(g, "anybot", "/a/c/x")._1 === true)   // allow longer
+    assert(verdict(g, "anybot", "/a/b/x")._1 === false)  // only disallow matches
+    assert(verdict(g, "anybot", "/other")._1 === true)   // no rule matches
+    // exact tie: same length, Allow wins
+    val tie = parseRobots("User-agent: *\nDisallow: /dir/\nAllow: /dir/\n")
+    assert(verdict(tie, "anybot", "/dir/page")._1 === true)
+  }
+
+  test("robots: specific-agent group overrides the * group") {
+    val g = parseRobots(
+      "User-agent: graftbot\nAllow: /\n\nUser-agent: *\nDisallow: /\n")
+    assert(verdict(g, "graftbot", "/x")._1 === true)
+    assert(verdict(g, "otherbot", "/x")._1 === false)
+    // agent match is case-insensitive
+    assert(verdict(g, "GraftBot", "/x")._1 === true)
+  }
+
+  test("robots: wildcards, $ anchor, empty Disallow, comments, crawl-delay") {
+    assert(patternMatches("/*.php", "/index.php") === true)
+    assert(patternMatches("/*.php$", "/index.php") === true)
+    assert(patternMatches("/*.php$", "/index.php?x=1") === false) // anchored
+    assert(patternMatches("/a*c", "/abc/d") === true)
+    assert(patternMatches("/abc$", "/abc") === true)
+    assert(patternMatches("/abc$", "/abcd") === false)
+    // regex metacharacters in patterns are literals
+    assert(patternMatches("/a.c", "/abc") === false)
+    assert(patternMatches("/a.c", "/a.c") === true)
+    val g = parseRobots(
+      "# hello\nUser-agent: * # trailing comment\nDisallow:\nCrawl-delay: 7\n")
+    assert(verdict(g, "anybot", "/anything") === ((true, 7L)))
+    // consecutive User-agent lines form ONE group
+    val multi = parseRobots("User-agent: a\nUser-agent: b\nDisallow: /\n")
+    assert(verdict(multi, "a", "/x")._1 === false)
+    assert(verdict(multi, "b", "/x")._1 === false)
+    assert(verdict(multi, "c", "/x")._1 === true) // no * group -> allowed
+  }
+
+  test("robots: absent file and malformed lines never throw") {
+    assert(verdict(parseRobots(""), "anybot", "/x") === ((true, -1L)))
+    assert(verdict(parseRobots(null), "anybot", "/x") === ((true, -1L)))
+    val junk = parseRobots("Disallow: /early\nnonsense line\nUser-agent *\n")
+    assert(verdict(junk, "anybot", "/early")._1 === true) // rule before any group ignored
+  }
+
+  // ------------------------------------------------------------ charset
+
+  test("charset: every family detects and round-trips") {
+    val text = "plain ascii body"
+    val expect = text + CharsetSniff.Marker
+    val labels = Seq("utf-8", "utf-8-bom", "utf-16le", "utf-16be", "iso-8859-1")
+    for (fam <- 0 until 5) {
+      val (cs, decoded) = CharsetSniff.sniff(CharsetSniff.encodePayload(fam.toLong, text))
+      assert(cs === labels(fam), s"family $fam label")
+      assert(decoded === expect, s"family $fam round trip")
+    }
+  }
+
+  test("charset: strict UTF-8 validation rejects Latin-1 bytes (no U+FFFD damage)") {
+    val latin1 = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (cs, decoded) = CharsetSniff.sniff(latin1)
+    assert(cs === "iso-8859-1")
+    assert(decoded === "café")
+    assert(!decoded.contains('�'))
+    // pure ASCII is valid UTF-8
+    assert(CharsetSniff.sniff("plain".getBytes)._1 === "utf-8")
+    // degenerate inputs
+    assert(CharsetSniff.sniff(Array.emptyByteArray) === (("utf-8", "")))
+    assert(CharsetSniff.sniff(null) === (("utf-8", "")))
+    // BOM-only payloads decode to empty with the BOM's label
+    assert(CharsetSniff.sniff(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)) ===
+      (("utf-8-bom", "")))
+  }
+
+  // ---------------------------------------------------------------- zip
+
+  test("zip: entries round-trip; truncated archives keep the readable prefix") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    for (i <- 0 until 3) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(f"doc$i%07d.txt"))
+      zos.write(s"text $i".getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val full = bos.toByteArray
+    assert(ZipIngest.unzipEntries(full).map(_._2) === Seq("text 0", "text 1", "text 2"))
+    // truncation mid-archive: readable prefix survives, no throw
+    val cut = ZipIngest.unzipEntries(full.take(full.length / 2))
+    assert(cut.length < 3)
+    // garbage and empty: no entries, no throw
+    assert(ZipIngest.unzipEntries("not a zip".getBytes).isEmpty)
+    assert(ZipIngest.unzipEntries(Array.emptyByteArray).isEmpty)
+    // oversized entries drop under the cap; others survive
+    val big = new java.io.ByteArrayOutputStream()
+    val z2 = new java.util.zip.ZipOutputStream(big)
+    z2.putNextEntry(new java.util.zip.ZipEntry("big.txt"))
+    z2.write(new Array[Byte](2048))
+    z2.closeEntry()
+    z2.putNextEntry(new java.util.zip.ZipEntry("small.txt"))
+    z2.write("ok".getBytes("UTF-8"))
+    z2.closeEntry()
+    z2.close()
+    val capped = ZipIngest.unzipEntries(big.toByteArray, maxEntryBytes = 1024)
+    assert(capped.map(_._1) === Seq("small.txt"))
+  }
+
+  // ---------------------------------------------------- span corruption
+
+  test("span corruption: sentinel runs, numbering, and edge docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, ""),
+      (2L, null.asInstanceOf[String]),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Curation.spanCorrupt(docs).orderBy("doc_id").collect()
+    // doc 0: mask rule (0*31 + i*17) % 5 == 0 -> i = 0 and 5 masked
+    assert(out(0).getString(1) === "<extra_id_0> b c d e <extra_id_1> g h i j")
+    assert(out(0).getString(2) === "<extra_id_0> a <extra_id_1> f")
+    assert(out(0).getLong(3) === 2L)
+    // empty / null text
+    assert(out(1).getString(1) === "" && out(1).getString(2) === "" && out(1).getLong(3) === 0L)
+    assert(out(2).getString(1) === "" && out(2).getString(2) === "" && out(2).getLong(3) === 0L)
+    // doc 3: (3*31 + 0) % 5 = 93 % 5 = 3 -> unmasked
+    assert(out(3).getString(1) === "solo" && out(3).getString(2) === "" && out(3).getLong(3) === 0L)
+    // contiguous masked tokens share ONE sentinel
+    val run = Curation.spanCorrupt(
+      Seq((5L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")).collect()(0)
+    // doc 5: (155 + 17 i) % 5 == 0 -> i = 0, 5 masked; same shape as doc 0
+    assert(run.getString(1) === "<extra_id_0> t1 t2 t3 t4 <extra_id_1> t6 t7 t8 t9")
+  }
+}
