@@ -161,6 +161,7 @@ object SparkEntry {
     "q_zip_ingest" -> (graft.sources.ZipIngest.qZipIngest _), // ZIP archive shards, per-partition unpack
     "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL
     "q_charset" -> (graft.sources.CharsetSniff.qCharset _), // BOM/UTF-8-validate/Latin-1 encoding detection
+    "q_links" -> (graft.sources.HtmlIngest.qLinks _), // href extraction + RFC 3986 reference resolution
     "q_span_corrupt" -> (Curation.qSpanCorrupt _), // T5-style span corruption with sentinel runs
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
@@ -197,6 +198,8 @@ object SparkEntry {
     "q_bpe_pairs" -> (TextSearch.qBpePairs _),
     "q_bpe_train" -> (TextSearch.qBpeTrain _),
     "q_unigram_lm" -> (TextSearch.qUnigramLm _), // SentencePiece-family hard-EM tokenizer
+    "q_wordpiece" -> (TextSearch.qWordpiece _), // WordPiece greedy longest-match encode
+    "q_sitemap" -> (graft.sources.SitemapIngest.qSitemap _), // sitemapindex -> gzipped urlset shards walk
     "q_bpe_encode" -> (TextSearch.qBpeEncode _),
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_budget_select" -> (Curation.qBudgetSelect _),
@@ -412,6 +415,51 @@ object SparkEntry {
     * accumulation), ties on the larger boundary bitmask — followed by
     * the usage recount. The oracle replays TRAINING + SEGMENTATION in
     * full; it shares no code with the engine's Viterbi. */
+  /** Shared seed-vocab CTE chain (corpus word table + top-K multi-char
+    * substrings + all single chars) — the common prefix of the unigram
+    * and WordPiece oracles, mirroring [[graft.operators.TextSearch
+    * .uniSeedVocab]] exactly. */
+  private lazy val uniSeedCtes: String = {
+    import graft.operators.TextSearch.{UniMaxPieceLen => L, UniVocabK => K, UniMaxWordLen => W}
+    "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) " +
+      // NOT contains '|': mirrors uniWordFreq's separator exclusion (the
+      // segmentation path serializes '|'-joined on both sides)
+      s"WHERE length(word) > 0 AND length(word) <= $W " +
+      "AND NOT contains(word, '|') GROUP BY word), " +
+      "us1 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS s FROM uw), " +
+      s"us2 AS (SELECT word, freq, s, unnest(generate_series(1, " +
+      s"least($L, length(word) - s + 1))) AS l FROM us1), " +
+      "usub AS (SELECT substr(word, s, l) AS piece, sum(freq) AS c FROM us2 GROUP BY 1), " +
+      s"uv0 AS MATERIALIZED (SELECT piece, c FROM " +
+      s"(SELECT piece, c FROM usub WHERE length(piece) > 1 ORDER BY c DESC, piece LIMIT $K) " +
+      "UNION ALL SELECT piece, c FROM usub WHERE length(piece) = 1), "
+  }
+
+  /** DuckDB replica of WordPiece greedy encoding: the longest-match
+    * step function is precomputed per (word, position) with a window
+    * argmax over the matching vocab pieces, then a recursive CTE just
+    * FOLLOWS the chain — no window inside the recursion, no engine
+    * code. '##' continuation prefixes render in the walk. */
+  private lazy val wordpieceOracleSql: String =
+    "WITH RECURSIVE " + uniSeedCtes +
+      "vp AS MATERIALIZED (SELECT DISTINCT piece FROM uv0), " +
+      "poss AS (SELECT word, unnest(generate_series(1, length(word))) AS pos FROM uw), " +
+      "cand AS (SELECT p.word, p.pos, v.piece FROM poss p JOIN vp v " +
+      "ON length(v.piece) <= length(p.word) - p.pos + 1 " +
+      "AND substr(p.word, p.pos, length(v.piece)) = v.piece), " +
+      "step AS MATERIALIZED (SELECT word, pos, piece FROM " +
+      "(SELECT word, pos, piece, row_number() OVER " +
+      "(PARTITION BY word, pos ORDER BY length(piece) DESC) AS rn FROM cand) " +
+      "WHERE rn = 1), " +
+      "walk AS (SELECT word, freq, 1 AS pos, '' AS path, 0 AS np FROM uw " +
+      "UNION ALL SELECT g.word, g.freq, g.pos + length(s.piece), " +
+      "g.path || CASE WHEN g.pos = 1 THEN s.piece ELSE '|##' || s.piece END, " +
+      "g.np + 1 FROM walk g JOIN step s ON s.word = g.word AND s.pos = g.pos " +
+      "WHERE g.pos <= length(g.word)) " +
+      "SELECT word, freq, path AS pieces, CAST(np AS BIGINT) AS n_pieces " +
+      "FROM walk WHERE pos = length(word) + 1 ORDER BY word"
+
   private lazy val unigramOracleSql: String = {
     import graft.operators.TextSearch.{UniMaxPieceLen => L, UniVocabK => K, UniMaxWordLen => W}
     def recur(segName: String, probName: String): String =
@@ -430,20 +478,7 @@ object SparkEntry {
       s"$bestName AS MATERIALIZED (SELECT word, freq, path, score, " +
         "row_number() OVER (PARTITION BY word ORDER BY score DESC, mask DESC) AS rn " +
         s"FROM $segName WHERE pos = length(word)), "
-    "WITH RECURSIVE " +
-      "uw AS MATERIALIZED (SELECT word, count(*) AS freq FROM " +
-      "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) " +
-      // NOT contains '|': mirrors uniWordFreq's separator exclusion (the
-      // segmentation path serializes '|'-joined on both sides)
-      s"WHERE length(word) > 0 AND length(word) <= $W " +
-      "AND NOT contains(word, '|') GROUP BY word), " +
-      "us1 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS s FROM uw), " +
-      s"us2 AS (SELECT word, freq, s, unnest(generate_series(1, " +
-      s"least($L, length(word) - s + 1))) AS l FROM us1), " +
-      "usub AS (SELECT substr(word, s, l) AS piece, sum(freq) AS c FROM us2 GROUP BY 1), " +
-      s"uv0 AS MATERIALIZED (SELECT piece, c FROM " +
-      s"(SELECT piece, c FROM usub WHERE length(piece) > 1 ORDER BY c DESC, piece LIMIT $K) " +
-      "UNION ALL SELECT piece, c FROM usub WHERE length(piece) = 1), " +
+    "WITH RECURSIVE " + uniSeedCtes +
       "ut0 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uv0), " +
       "up0 AS MATERIALIZED (SELECT piece, CAST(c AS DOUBLE) / t AS p FROM uv0, ut0), " +
       recur("useg0", "up0") +
@@ -1294,6 +1329,28 @@ object SparkEntry {
         "WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be' ELSE 'iso-8859-1' END AS charset, " +
         s"coalesce(text, '') || '${graft.sources.CharsetSniff.Marker}' AS text " +
         "FROM documents ORDER BY doc_id"),
+    // link extraction: each staged page carries five hrefs (quoted,
+    // single-quoted, unquoted, entity-encoded '&amp;', rooted, relative,
+    // '../', query-bearing); the oracle states every resolved canonical
+    // URL + registrable domain in closed form per family — it never runs
+    // the extractor or the RFC 3986 resolver
+    "q_links" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'www.example.com' " +
+        "WHEN 1 THEN 'blog.example.org' WHEN 2 THEN 'ads.spam-site.co.uk' " +
+        "WHEN 3 THEN 'docs.example.com' ELSE 'example.com' END AS host, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 1 THEN 'example.org' " +
+        "WHEN 2 THEN 'spam-site.co.uk' ELSE 'example.com' END AS dom " +
+        "FROM documents WHERE doc_id < 200), " +
+        "l AS (SELECT doc_id, dom, unnest([" +
+        "'http://' || host || '/home', " +
+        "'http://' || host || '/about?x=1&y=2', " +
+        "'http://' || host || '/pages/sub/item/' || doc_id || '?ref=nav', " +
+        "'http://' || host || '/pages/up/' || doc_id, " +
+        "'http://' || host || '/pages/sub/plain' || doc_id || '.html']) AS url, " +
+        "unnest([1, 2, 3, 4, 5]) AS link_no FROM h) " +
+        "SELECT doc_id, CAST(link_no AS INTEGER) AS link_no, url, dom AS domain " +
+        "FROM l ORDER BY doc_id, link_no"),
     // span corruption: the oracle rebuilds sentinel numbering with a
     // gaps-and-islands window over the same deterministic mask rule
     // ((doc_id*31 + i*17) % 5 = 0), then string_aggs input/target in
@@ -1837,6 +1894,17 @@ object SparkEntry {
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
     "q_bpe_train" -> bpeTrainOracleSql(TextSearch.BpeMerges),
     "q_unigram_lm" -> unigramOracleSql,
+    "q_wordpiece" -> wordpieceOracleSql,
+    // two-level sitemap walk: every field stated in closed form from the
+    // deterministic generators (URL with entity-encoded query for odd
+    // ids, lastmod date, priority decimal) — the oracle never parses XML
+    "q_sitemap" ->
+      ("SELECT doc_id, 'https://example.com/docs/' || doc_id || " +
+        "CASE WHEN doc_id % 2 = 1 THEN '?a=1&b=2' ELSE '' END AS url, " +
+        "CAST('2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || " +
+        "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE) AS lastmod, " +
+        "CAST(doc_id % 11 AS DOUBLE) / 10 AS priority " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
     "q_bpe_encode" -> bpeEncodeOracleSql(TextSearch.BpeMerges),
     "q_vocab_coverage" ->
       ("WITH tf AS (SELECT tok, count(*) AS tf FROM " +

@@ -855,4 +855,54 @@ object TextSearch {
       .select(col("word"), col("freq"), col("pieces"),
         col("n_pieces").cast("long").as("n_pieces"), col("score"))
       .orderBy("word")
+
+  // -------------------------------------------- WordPiece greedy encode
+
+  /** Greedy longest-match-first segmentation of one word over a piece
+    * set — the WordPiece/BERT inference rule (MaxMatch), the third
+    * tokenizer family next to BPE (merge replay) and unigram (Viterbi).
+    * Continuation pieces render with the '##' prefix; the vocab is the
+    * SAME seed the unigram trainer starts from (top-K multi-char
+    * substrings + all single chars), so every position always matches
+    * at least a single char — the [UNK] branch exists for chars outside
+    * the corpus alphabet, which a corpus-derived vocab never hits. */
+  def wordpieceEncode(word: String, vocab: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      var l = math.min(UniMaxPieceLen, word.length - pos)
+      var hit = -1
+      while (l >= 1 && hit < 0) {
+        if (vocab.contains(word.substring(pos, pos + l))) hit = l else l -= 1
+      }
+      if (hit < 0) return Seq("[UNK]") // char outside the vocab alphabet
+      val piece = word.substring(pos, pos + hit)
+      out += (if (pos == 0) piece else "##" + piece)
+      pos += hit
+    }
+    out.toSeq
+  }
+
+  /** Oracle-gated WordPiece tokenizer over the corpus word table: per
+    * distinct word, the greedy segmentation, '|'-joined with '##'
+    * continuation prefixes. The DuckDB oracle precomputes the
+    * longest-match step function per (word, position) with a window
+    * argmax, then FOLLOWS it with a recursive chain walk — it never
+    * runs the engine's loop. */
+  def qWordpiece(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = uniWordFreq(documents(s, d)).localCheckpoint()
+    val vocab = uniSeedVocab(words).map(_._1).toSet
+    val bc = s.sparkContext.broadcast(vocab)
+    words.select(col("word"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (w, f) =>
+          val pieces = wordpieceEncode(w, v)
+          (w, f, pieces.mkString("|"), pieces.length.toLong)
+        }
+      }
+      .toDF("word", "freq", "pieces", "n_pieces")
+      .orderBy("word")
+  }
 }

@@ -236,6 +236,38 @@ object UrlOps {
     else labels.takeRight(psLen + 1).mkString(".")
   }
 
+  /** RFC 3986 §5.2 reference resolution (the crawl-frontier primitive:
+    * every href on a page is a reference against that page's URL):
+    * absolute refs pass through; `//authority` adopts the base scheme;
+    * `/rooted` paths replace the base path; `?query` keeps the base
+    * path; everything else merges onto the base path's directory. The
+    * resolved URL then canonicalizes through [[normalizeUrl]]. None on
+    * an unparseable base. */
+  def resolveRef(base: String, ref: String): Option[String] = {
+    if (ref == null) return None
+    val r = ref.trim
+    if (r.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) return normalizeUrl(r)
+    parseUrl(base).flatMap { b =>
+      val scheme = b.scheme.toLowerCase(java.util.Locale.ROOT)
+      val port = if (b.port < 0) "" else ":" + b.port
+      val authority = b.host + port
+      val resolved =
+        if (r.startsWith("//")) s"$scheme:$r"
+        else if (r.startsWith("/")) s"$scheme://$authority$r"
+        else if (r.startsWith("?")) {
+          val p = if (b.path.isEmpty) "/" else b.path
+          s"$scheme://$authority$p$r"
+        } else if (r.isEmpty) base
+        else {
+          // merge: replace everything after the base path's last '/'
+          val p = if (b.path.isEmpty) "/" else b.path
+          val dir = p.substring(0, p.lastIndexOf('/') + 1)
+          s"$scheme://$authority$dir$r"
+        }
+      normalizeUrl(resolved) // dot segments resolve in canonicalization
+    }
+  }
+
   /** Deterministic raw-URL generator for the gate: five families that
     * jointly exercise every canonicalization rule (case-mixed host +
     * default port + dot-segments + utm + fragment; '//' collapse +

@@ -473,7 +473,7 @@ object BinaryIngest {
     * it whenever [[buildPdf]], the doc selection, or the escaping changes
     * so a stale cache from a previous build can never be verified against
     * (the old paths simply stop being looked at). */
-  private val FixtureVersion = 2
+  private val FixtureVersion = 3 // v3: buildHtml gained empty-anchor outlinks (q_links)
 
   /** Versioned fixture root for sf dir `d`: deterministic per (builder
     * version, sf dir), so a builder change = a fresh path. */

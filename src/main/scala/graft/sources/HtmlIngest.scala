@@ -133,6 +133,7 @@ object HtmlIngest {
 </head>
 <body class="m>ain">
 <nav><a href="/home">Home</a> | <a href="/about?x=1&amp;y=2">About</a></nav>
+<a href="item/$docId?ref=nav"></a><a href='../up/$docId'></a><a href=plain$docId.html></a>
 <!-- hidden <p>comment</p> -->
 <h1>Doc &#35;$docId</h1>
 <p id='p>1'>${escapeHtml(text)}</p>
@@ -184,5 +185,125 @@ object HtmlIngest {
       }
       .toDF("doc_id", "text_clean")
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------- link extraction
+
+  /** Decode HTML entities anywhere in a string (attribute values carry
+    * them too: `href="/about?x=1&amp;y=2"`). Unknown entities pass
+    * through verbatim, like the text extractor. */
+  def decodeEntities(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val dec =
+          if (semi > i && semi - i <= 12) decodeEntity(s.substring(i + 1, semi))
+          else None
+        dec match {
+          case Some(v) => sb.append(v); i = semi + 1
+          case None => sb.append('&'); i += 1
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** All `<a href=...>` values of a page, in document order —
+    * double-quoted, single-quoted and unquoted attribute forms, quoted
+    * `>` honored inside values (the same attribute discipline as the
+    * text extractor's tag skipper), entities decoded. One O(n) pass. */
+  def extractHrefs(html: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < html.length) {
+      // an anchor open tag: '<a' followed by whitespace or '>'
+      if (html.charAt(i) == '<' && i + 2 < html.length &&
+          (html.charAt(i + 1) == 'a' || html.charAt(i + 1) == 'A') &&
+          (html.charAt(i + 2).isWhitespace || html.charAt(i + 2) == '>')) {
+        // scan the tag body, honoring quoted attribute values
+        var j = i + 2
+        var href: Option[String] = None
+        while (j < html.length && html.charAt(j) != '>') {
+          if (html.regionMatches(true, j, "href", 0, 4)) {
+            var k = j + 4
+            while (k < html.length && html.charAt(k).isWhitespace) k += 1
+            if (k < html.length && html.charAt(k) == '=') {
+              k += 1
+              while (k < html.length && html.charAt(k).isWhitespace) k += 1
+              if (k < html.length && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                val q = html.charAt(k)
+                val end = html.indexOf(q, k + 1)
+                if (end > k) { href = href.orElse(Some(html.substring(k + 1, end))); j = end }
+                else j = html.length
+              } else {
+                var e = k
+                while (e < html.length && !html.charAt(e).isWhitespace &&
+                  html.charAt(e) != '>') e += 1
+                href = href.orElse(Some(html.substring(k, e)))
+                j = e - 1
+              }
+            }
+            j += 1
+          } else if (html.charAt(j) == '"' || html.charAt(j) == '\'') {
+            val q = html.charAt(j)
+            val end = html.indexOf(q, j + 1)
+            j = if (end > j) end + 1 else html.length
+          } else j += 1
+        }
+        href.foreach(h => out += decodeEntities(h))
+        i = j + 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** The base URL of a staged page: host from the doc's
+    * [[graft.operators.UrlOps.rawUrl]] family, nested path so relative
+    * and `../` refs resolve non-trivially. */
+  def pageBaseUrl(docId: Long): String = {
+    val host = (docId % 5) match {
+      case 0 => "www.example.com"
+      case 1 => "blog.example.org"
+      case 2 => "ads.spam-site.co.uk"
+      case 3 => "docs.example.com"
+      case _ => "example.com"
+    }
+    s"http://$host/pages/sub/page$docId.html"
+  }
+
+  /** Oracle-checked LINK extraction — the crawl-frontier step after
+    * fetch: every staged page's hrefs (quoted/unquoted/entity-encoded)
+    * resolve against the page's base URL (RFC 3986 §5.2: rooted,
+    * relative, `../`, query-bearing refs) into canonical absolute URLs
+    * + registrable domains. The oracle states all five links' closed
+    * forms per family — it never runs the extractor or the resolver. */
+  def qLinks(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.UrlOps
+    val spark = s
+    import spark.implicits._
+    val fix = stageHtmlFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.html")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "page(\\d+)\\.html", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val base = pageBaseUrl(id)
+          extractHrefs(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .zipWithIndex.flatMap { case (href, k) =>
+              UrlOps.resolveRef(base, href).map { abs =>
+                val host = UrlOps.parseUrl(abs).map(_.host).getOrElse("")
+                (id, k + 1, abs, UrlOps.registrableDomain(host))
+              }
+            }
+        }
+      }
+      .toDF("doc_id", "link_no", "url", "domain")
+      .orderBy("doc_id", "link_no")
   }
 }

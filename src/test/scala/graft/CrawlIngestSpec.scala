@@ -120,6 +120,70 @@ class CrawlIngestSpec extends SparkSpec {
     assert(capped.map(_._1) === Seq("small.txt"))
   }
 
+  // ------------------------------------------------------ link extract
+
+  test("href extraction: quoted, single-quoted, unquoted, entities, order") {
+    import graft.sources.HtmlIngest
+    val html = """<a href="/a">x</a> <A HREF='/b'>y</A> <a href=/c>z</a>
+      <a class="k" href="/d?x=1&amp;y=2"></a> <a>no href</a> <p href="/not-a-link"></p>"""
+    assert(HtmlIngest.extractHrefs(html) === Seq("/a", "/b", "/c", "/d?x=1&y=2"))
+    // quoted '>' inside an attribute value does not end the tag
+    assert(HtmlIngest.extractHrefs("""<a title="a>b" href="/e">t</a>""") === Seq("/e"))
+    assert(HtmlIngest.extractHrefs("") === Seq.empty)
+    // unterminated tag: no crash
+    assert(HtmlIngest.extractHrefs("""<a href="/f""") === Seq.empty)
+  }
+
+  test("RFC 3986 reference resolution") {
+    import graft.operators.UrlOps.resolveRef
+    val base = "http://h.example/pages/sub/page7.html"
+    assert(resolveRef(base, "/home") === Some("http://h.example/home"))
+    assert(resolveRef(base, "item/9?r=1") === Some("http://h.example/pages/sub/item/9?r=1"))
+    assert(resolveRef(base, "../up/9") === Some("http://h.example/pages/up/9"))
+    assert(resolveRef(base, "plain.html") === Some("http://h.example/pages/sub/plain.html"))
+    assert(resolveRef(base, "https://other.example/x") === Some("https://other.example/x"))
+    assert(resolveRef(base, "//cdn.example/y") === Some("http://cdn.example/y"))
+    assert(resolveRef(base, "?q=2") === Some("http://h.example/pages/sub/page7.html?q=2"))
+    assert(resolveRef(base, "") === Some("http://h.example/pages/sub/page7.html"))
+    // '..' past root clamps like normalizePath
+    assert(resolveRef("http://h.example/a", "../../x") === Some("http://h.example/x"))
+    assert(resolveRef("not a url", "/x").isEmpty)
+  }
+
+  // ----------------------------------------------------------- sitemap
+
+  test("sitemap parsing: urlset entries, entity decode, truncation") {
+    import graft.sources.SitemapIngest
+    val xml = """<?xml version="1.0"?><urlset>
+      <url><loc>https://e.example/a?x=1&amp;y=2</loc><lastmod>2026-01-02</lastmod><priority>0.5</priority></url>
+      <url><loc>https://e.example/b</loc><lastmod>2026-03-04</lastmod><priority>1.0</priority></url>
+      <url><loc>https://e.example/incomplete</loc></url>
+      </urlset>"""
+    val parsed = SitemapIngest.parseUrlset(xml)
+    assert(parsed === Seq(
+      ("https://e.example/a?x=1&y=2", "2026-01-02", "0.5"),
+      ("https://e.example/b", "2026-03-04", "1.0")))
+    // truncation mid-entry keeps the readable prefix, no throw
+    val cut = SitemapIngest.parseUrlset(xml.substring(0, xml.indexOf("/b")))
+    assert(cut.length === 1)
+    assert(SitemapIngest.parseUrlset("").isEmpty)
+    assert(SitemapIngest.tagValues("<loc>x</loc><loc>y</loc>", "loc") === Seq("x", "y"))
+  }
+
+  // --------------------------------------------------------- wordpiece
+
+  test("wordpiece: greedy longest-match with ## continuations") {
+    import graft.operators.TextSearch.wordpieceEncode
+    val vocab = Set("a", "b", "c", "ab", "abc", "bc")
+    // longest match first: 'abcb' -> abc + ##b (not ab + ##c + ##b)
+    assert(wordpieceEncode("abcb", vocab) === Seq("abc", "##b"))
+    assert(wordpieceEncode("bcab", vocab) === Seq("bc", "##ab"))
+    assert(wordpieceEncode("a", vocab) === Seq("a"))
+    // char outside the alphabet: whole word [UNK]
+    assert(wordpieceEncode("axb", vocab) === Seq("[UNK]"))
+    assert(wordpieceEncode("", vocab) === Seq.empty)
+  }
+
   // ---------------------------------------------------- span corruption
 
   test("span corruption: sentinel runs, numbering, and edge docs") {
