@@ -535,6 +535,44 @@ object ScaleProbe {
           graft.operators.Dedup.processTempDir("graft_scale_sess"),
           waves, "1 hour", "30 minutes").count()
       }
+
+      // ---- round-7 widening: span corruption, WordPiece, charset, robots
+      time("span_corrupt", nDocs) {
+        Curation.spanCorrupt(docsWide.toDF("doc_id", "text"))
+          .agg(sum(col("n_masked"))).head(); nDocs
+      }
+      time("wordpiece", nDocs) {
+        // corpus collapses to the bounded (word, freq) table before any
+        // encoding — the BPE/unigram trainer discipline
+        val words = TextSearch.uniWordFreq(docsWide.toDF("doc_id", "text"))
+          .localCheckpoint()
+        val vocab = TextSearch.uniSeedVocab(words).map(_._1).toSet
+        val bc = spark.sparkContext.broadcast(vocab)
+        words.select(col("word"), col("freq")).as[(String, Long)]
+          .mapPartitions { it =>
+            val v = bc.value
+            it.map { case (w, _) => TextSearch.wordpieceEncode(w, v).length }
+          }.count()
+      }
+      time("charset_sniff", nDocs) {
+        import graft.sources.CharsetSniff
+        docsWide.map { case (id, t) =>
+          CharsetSniff.sniff(CharsetSniff.encodePayload(id, t))._1.length
+        }.agg(sum(col("value"))).head(); nDocs
+      }
+      time("robots_verdict", nDocs) {
+        docsWide.mapPartitions { it =>
+          val cache = scala.collection.mutable.Map
+            .empty[String, Seq[CrawlPolicy.RobotsGroup]]
+          it.map { case (id, _) =>
+            val host = graft.sources.HtmlIngest.pageBaseUrl(id)
+            val groups = cache.getOrElseUpdate(host,
+              CrawlPolicy.parseRobots(CrawlPolicy.robotsFor(
+                UrlOps.parseUrl(host).map(_.host).getOrElse(""))))
+            if (CrawlPolicy.verdict(groups, CrawlPolicy.Agent, "/x/" + id)._1) 1L else 0L
+          }
+        }.agg(sum(col("value"))).head(); nDocs
+      }
     }
     spark.stop()
   }

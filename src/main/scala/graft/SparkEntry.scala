@@ -159,6 +159,7 @@ object SparkEntry {
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
     "q_jsonl_ingest" -> (graft.sources.JsonlGz.qJsonlIngest _), // gzipped-JSONL shards via the native json source
     "q_zip_ingest" -> (graft.sources.ZipIngest.qZipIngest _), // ZIP archive shards, per-partition unpack
+    "q_tar_ingest" -> (graft.sources.TarIngest.qTarIngest _), // hand-rolled POSIX ustar .tar.gz shards
     "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL
     "q_charset" -> (graft.sources.CharsetSniff.qCharset _), // BOM/UTF-8-validate/Latin-1 encoding detection
     "q_links" -> (graft.sources.HtmlIngest.qLinks _), // href extraction + RFC 3986 reference resolution
@@ -1305,6 +1306,11 @@ object SparkEntry {
     // documents table exactly; NULL text stages as an empty entry, so
     // the oracle coalesces the same way
     "q_zip_ingest" ->
+      "SELECT doc_id, coalesce(text, '') AS text FROM documents ORDER BY doc_id",
+    // the tar round trip: hand-rolled ustar writer vs an independent
+    // header-walking reader (octal sizes, 512-block padding, SPACE-
+    // blanked checksums) — same exact-reproduction oracle as zip
+    "q_tar_ingest" ->
       "SELECT doc_id, coalesce(text, '') AS text FROM documents ORDER BY doc_id",
     // robots.txt: the oracle states each rawUrl family's RFC 9309
     // verdict in closed form (longest-match allow-over-disallow,

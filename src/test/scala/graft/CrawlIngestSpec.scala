@@ -184,6 +184,36 @@ class CrawlIngestSpec extends SparkSpec {
     assert(wordpieceEncode("", vocab) === Seq.empty)
   }
 
+  // ---------------------------------------------------------------- tar
+
+  test("tar: ustar round trip, checksum verification, truncation") {
+    import graft.sources.TarIngest
+    val entries = Seq(
+      ("doc0000001.txt", "first entry".getBytes("UTF-8")),
+      // 512-boundary edge: exactly one block of data
+      ("doc0000002.txt", Array.fill[Byte](512)('x')),
+      ("doc0000003.txt", Array.emptyByteArray))
+    val tar = TarIngest.buildTar(entries)
+    assert(tar.length % 512 === 0)
+    val back = TarIngest.untarEntries(tar)
+    assert(back.map(_._1) === entries.map(_._1))
+    assert(back.map(_._2.toSeq) === entries.map(_._2.toSeq))
+    // a corrupted header byte fails the checksum -> readable prefix only
+    val corrupt = tar.clone()
+    corrupt(512 + 512 + 0) = 'Z' // first name byte of entry 2's header
+    assert(TarIngest.untarEntries(corrupt).map(_._1) === Seq("doc0000001.txt"))
+    // truncation mid-data: entry dropped, no throw
+    assert(TarIngest.untarEntries(tar.take(700)).isEmpty ||
+      TarIngest.untarEntries(tar.take(700)).map(_._1) === Seq("doc0000001.txt"))
+    assert(TarIngest.untarEntries("not a tar".getBytes).isEmpty)
+    assert(TarIngest.untarEntries(Array.emptyByteArray).isEmpty)
+    // GNU tar interop: the header parses with the system tar if present
+    // (pure JDK on both sides here; this is a layout sanity pin)
+    val hdr = TarIngest.tarHeader("a.txt", 7L)
+    assert(new String(hdr, 257, 5, java.nio.charset.StandardCharsets.US_ASCII) === "ustar")
+    assert(hdr(262) === 0) // NUL after magic
+  }
+
   // ---------------------------------------------------- span corruption
 
   test("span corruption: sentinel runs, numbering, and edge docs") {
