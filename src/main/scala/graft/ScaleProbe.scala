@@ -562,13 +562,16 @@ object ScaleProbe {
       }
       time("robots_verdict", nDocs) {
         docsWide.mapPartitions { it =>
+          // cache keyed by the parsed HOST (the per-domain dim), not the
+          // per-document URL — a URL key would never hit and grow one
+          // entry per row (review finding, round 7)
           val cache = scala.collection.mutable.Map
             .empty[String, Seq[CrawlPolicy.RobotsGroup]]
           it.map { case (id, _) =>
-            val host = graft.sources.HtmlIngest.pageBaseUrl(id)
+            val host = UrlOps.parseUrl(graft.sources.HtmlIngest.pageBaseUrl(id))
+              .map(_.host).getOrElse("")
             val groups = cache.getOrElseUpdate(host,
-              CrawlPolicy.parseRobots(CrawlPolicy.robotsFor(
-                UrlOps.parseUrl(host).map(_.host).getOrElse(""))))
+              CrawlPolicy.parseRobots(CrawlPolicy.robotsFor(host)))
             if (CrawlPolicy.verdict(groups, CrawlPolicy.Agent, "/x/" + id)._1) 1L else 0L
           }
         }.agg(sum(col("value"))).head(); nDocs

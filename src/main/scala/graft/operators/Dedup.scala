@@ -622,18 +622,27 @@ object Dedup {
     * this only relocates the harness scratch. */
   private lazy val scratchRoot: java.io.File = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) shm
+    // capacity gate: Docker's default shm is 64 MB — a gate run writes
+    // hundreds of MB of state/publishes, so tmpfs only qualifies when it
+    // can actually hold a run (review finding, round 7)
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (8L << 30)) shm
     else new java.io.File(System.getProperty("java.io.tmpdir"))
   }
 
   private[graft] def processTempDir(base: String): String = {
     val tmp = scratchRoot
     val prefix = s"${base}_${System.getProperty("user.name")}_"
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .filter(f => scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
-        .exists(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
-      .foreach(rmTree)
+    // reap stale dead-PID dirs in BOTH candidate roots: a host where the
+    // root choice flips (shm shrank/grew between runs) must not leak the
+    // other root's leftovers forever
+    Seq(tmp, new java.io.File(System.getProperty("java.io.tmpdir")))
+      .distinct.foreach { root =>
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+          .filter(f => scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
+            .exists(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
+          .foreach(rmTree)
+      }
     val dir = s"$tmp/$prefix${ProcessHandle.current().pid()}"
     sys.addShutdownHook(rmTree(new java.io.File(dir)))
     dir

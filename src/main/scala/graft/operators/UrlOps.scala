@@ -247,6 +247,10 @@ object UrlOps {
     if (ref == null) return None
     val r = ref.trim
     if (r.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) return normalizeUrl(r)
+    // same-document reference (§5.2: a fragment-only ref resolves to the
+    // base itself) — the ubiquitous href="#..." pattern must not emit
+    // the base DIRECTORY into the frontier
+    if (r.startsWith("#")) return normalizeUrl(base)
     parseUrl(base).flatMap { b =>
       val scheme = b.scheme.toLowerCase(java.util.Locale.ROOT)
       val port = if (b.port < 0) "" else ":" + b.port

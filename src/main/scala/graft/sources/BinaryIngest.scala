@@ -136,7 +136,7 @@ object BinaryIngest {
     // rewritten file carries STALE generations of edited pages as dead
     // bytes marked free in the xref; the scanning fallback below would
     // resurrect them. None => not that layout => scan as before.
-    PdfXref.contentStreams(bytes) match {
+    PdfXref.contentStreams(bytes, raw) match {
       case Some(streams) =>
         val (cmapS, textS) = streams.partition(_.contains("begincmap"))
         val cm = cmapS.map(parseToUnicode).foldLeft(Map.empty[Int, String])(_ ++ _)

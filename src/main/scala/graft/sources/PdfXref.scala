@@ -288,10 +288,20 @@ object PdfXref {
     * any /ToUnicode CMap streams reachable through the page fonts), in
     * page order. None = not this layout / malformed -> caller falls back
     * to the scanner. */
-  def contentStreams(bytes: Array[Byte]): Option[Seq[String]] =
+  def contentStreams(bytes: Array[Byte]): Option[Seq[String]] = {
+    if (bytes == null) return None
+    contentStreams(bytes,
+      new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  /** Variant reusing the caller's already-decoded ISO-8859-1 view — the
+    * extractor has one in hand for every document, and re-decoding a
+    * whole PDF just to look for `startxref` is a second full-size char[]
+    * copy per file (review finding, round 7). */
+  private[sources] def contentStreams(bytes: Array[Byte],
+      raw: String): Option[Seq[String]] =
     try {
       if (bytes == null) return None
-      val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       val sx = raw.lastIndexOf("startxref")
       if (sx < 0) return None
       val off = """\d+""".r.findFirstIn(raw.substring(sx + 9)).map(_.toInt)

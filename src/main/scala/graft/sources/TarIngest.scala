@@ -92,9 +92,15 @@ object TarIngest {
           }
           val stored = parseOctal(bytes, pos + 148, 8)
           val size = parseOctal(bytes, pos + 124, 12)
-          if (!magicOk || stored != sum || size < 0 || size > maxEntryBytes ||
+          if (!magicOk || stored != sum || size < 0 ||
               pos + Block + size > bytes.length) done = true
-          else {
+          else if (size > maxEntryBytes) {
+            // oversized entry: the header is sound, so SKIP it and keep
+            // walking (the zip path's per-entry cap semantics — aborting
+            // here would silently drop every document behind one big
+            // entry; review finding, round 7)
+            pos += Block + (((size + Block - 1) / Block) * Block).toInt
+          } else {
             val nameEnd = {
               var e = pos
               while (e < pos + 100 && bytes(e) != 0) e += 1

@@ -556,11 +556,13 @@ object StreamingJobs {
   def dedupGateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       acceptedDir: String, indexDir: String, rejectedDir: String,
       threshold: Double, exactPairs: Boolean = false): Unit = {
-    // localCheckpoint, not cache: a dozen downstream Datasets re-ANALYZE
-    // this subtree per operator; truncating the lineage here keeps every
-    // later plan flat (the batch source union/filter tree never re-enters
-    // the analyzer) — measured ~0.5s/batch of driver time at sf0.1
-    val in = batch.withColumn("xxh", xxhash64(col("text"))).localCheckpoint()
+    // cache, not localCheckpoint: unpersist() in the finally below frees
+    // cached data DETERMINISTICALLY per batch, while a localCheckpoint's
+    // RDD blocks have no public release API and would pile up across a
+    // long-running stream's micro-batches until a GC + ContextCleaner
+    // pass (review finding, round 7 — a checkpoint was briefly tried for
+    // its flatter analyzer trees and measured no faster)
+    val in = batch.withColumn("xxh", xxhash64(col("text"))).cache()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // The corpus-facing rejection frames are tiny (doc_id, reason, witness)
     // key lists, but each sits on top of an EXPENSIVE subtree (pruned corpus

@@ -80,142 +80,6 @@ object GateProbe3 {
     spark.stop()
   }
 }
-object GateProbe4 {
-  def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.engine.GraftSession.local(32, "gate-probe4")
-    import graft.operators.Dedup
-    spark.read.parquet(s"$d/region.parquet").count()
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[gp4] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    graft.streaming.StreamingJobs.qDedupGate(spark, d).count() // warm
-    val gateDir = Dedup.processTempDir("graft_gp4")
-    Dedup.rmTree(new java.io.File(gateDir))
-    val docs = graft.engine.Tables.documents(spark, d).select("doc_id", "text")
-    val all = docs
-      .unionByName(docs.filter(col("doc_id") % 20 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
-      .unionByName(docs.filter(col("doc_id") % 30 === 0).withColumn("doc_id", col("doc_id") + 1000001L))
-    val (acc, idx, rej) = (s"$gateDir/accepted", s"$gateDir/index", s"$gateDir/rejected")
-    val threshold = 0.5
-    Seq(0L, 1L).foreach { batchId =>
-      println(s"[gp4] ===== batch $batchId")
-      val batch = all.filter(col("doc_id") % 2 === batchId)
-      val in = batch.withColumn("xxh", xxhash64(col("text"))).cache()
-      val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("xxh")).orderBy(col("doc_id"))
-      val ranked = in.withColumn("__rn", row_number().over(wx))
-      val exactBatchRej = ranked.filter(col("__rn") > 1)
-        .join(ranked.filter(col("__rn") === 1).select(col("xxh"), col("doc_id").as("witness")), Seq("xxh"))
-        .select(col("doc_id"), lit("exact_batch").as("reason"), col("witness"))
-      var live = ranked.filter(col("__rn") === 1).drop("__rn")
-      def exists(p: String) = { val hp = new org.apache.hadoop.fs.Path(p); hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp) }
-      val exactCorpusRej = (
-        if (!exists(acc)) spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("reason"), lit(0L).as("witness")).limit(0)
-        else {
-          val seen = spark.read.parquet(acc).select(col("xxh"), col("doc_id"))
-            .join(broadcast(live.select("xxh").distinct()), Seq("xxh"))
-            .groupBy("xxh").agg(min(col("doc_id")).as("witness"))
-          live.join(seen, Seq("xxh")).select(col("doc_id"), lit("exact_corpus").as("reason"), col("witness"))
-        }).cache()
-      live = live.join(exactCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
-      val sigs = t("signedIndexOf")(Dedup.signedIndexOf(live))
-      val idxOpt = if (exists(idx)) Some(idx) else None
-      val fused = t("fused ckpt")(Dedup.gateFusedExactPairs(spark, idxOpt, sigs, threshold).localCheckpoint())
-      val ncr = fused.filter(col("is_corpus")).groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("doc_b")).as("witness"))
-        .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness"))
-      val pairs = fused.filter(!col("is_corpus"))
-        .join(ncr.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-        .join(ncr.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-        .select("doc_a", "doc_b")
-      live = live.join(ncr.select("doc_id"), Seq("doc_id"), "left_anti")
-      val nearBatchRej = t("clusters")(Dedup.nearDupClusters(pairs)
-        .filter(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"), lit("near_dup_batch").as("reason"), col("label").as("witness")).cache())
-      live = live.join(nearBatchRej.select("doc_id"), Seq("doc_id"), "left_anti")
-      val liveCk = t("live ckpt")(live.localCheckpoint())
-      t("rejected write")(exactBatchRej.unionByName(exactCorpusRej).unionByName(ncr)
-        .unionByName(nearBatchRej).withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(rej))
-      t("accepted write")(liveCk.write.mode("append").parquet(acc))
-      t("appendIndex")(Dedup.appendIndex(liveCk, idx))
-      in.unpersist(); exactCorpusRej.unpersist(); nearBatchRej.unpersist()
-    }
-    spark.stop()
-  }
-}
-object GateProbe5 {
-  def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.engine.GraftSession.local(32, "gate-probe5")
-    import graft.operators.Dedup
-    spark.read.parquet(s"$d/region.parquet").count()
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[gp5] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    graft.streaming.StreamingJobs.qDedupGate(spark, d).count() // warm
-    val gateDir = Dedup.processTempDir("graft_gp5")
-    Dedup.rmTree(new java.io.File(gateDir))
-    val docs = graft.engine.Tables.documents(spark, d).select("doc_id", "text")
-    val all = docs
-      .unionByName(docs.filter(col("doc_id") % 20 === 0).withColumn("doc_id", col("doc_id") + 1000000L))
-      .unionByName(docs.filter(col("doc_id") % 30 === 0).withColumn("doc_id", col("doc_id") + 1000001L))
-    val (acc, idx, rej) = (s"$gateDir/accepted", s"$gateDir/index", s"$gateDir/rejected")
-    val threshold = 0.5
-    val tAll0 = System.nanoTime()
-    Seq(0L, 1L).foreach { batchId =>
-      println(s"[gp5] ===== batch $batchId")
-      val batch = all.filter(col("doc_id") % 2 === batchId)
-      // CHANGE 1: checkpoint the hashed batch up front — every downstream
-      // Dataset analyzes against a flat scan instead of the growing tree
-      val in = t("in ckpt")(batch.withColumn("xxh", xxhash64(col("text"))).localCheckpoint())
-      val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("xxh")).orderBy(col("doc_id"))
-      val ranked = in.withColumn("__rn", row_number().over(wx))
-      val exactBatchRej = ranked.filter(col("__rn") > 1)
-        .join(ranked.filter(col("__rn") === 1).select(col("xxh"), col("doc_id").as("witness")), Seq("xxh"))
-        .select(col("doc_id"), lit("exact_batch").as("reason"), col("witness"))
-      var live = ranked.filter(col("__rn") === 1).drop("__rn")
-      def exists(p: String) = { val hp = new org.apache.hadoop.fs.Path(p); hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp) }
-      val exactCorpusRej = (
-        if (!exists(acc)) spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("reason"), lit(0L).as("witness")).limit(0)
-        else {
-          val seen = spark.read.parquet(acc).select(col("xxh"), col("doc_id"))
-            .join(broadcast(live.select("xxh").distinct()), Seq("xxh"))
-            .groupBy("xxh").agg(min(col("doc_id")).as("witness"))
-          live.join(seen, Seq("xxh")).select(col("doc_id"), lit("exact_corpus").as("reason"), col("witness"))
-        }).cache()
-      live = live.join(exactCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
-      val sigs = t("signedIndexOf+ckpt")(Dedup.signedIndexOf(live).localCheckpoint())
-      val idxOpt = if (exists(idx)) Some(idx) else None
-      val fused = t("fused ckpt")(Dedup.gateFusedExactPairs(spark, idxOpt, sigs, threshold).localCheckpoint())
-      val ncr = fused.filter(col("is_corpus")).groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("doc_b")).as("witness"))
-        .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness"))
-      val pairs = fused.filter(!col("is_corpus"))
-        .join(ncr.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-        .join(ncr.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-        .select("doc_a", "doc_b")
-      live = live.join(ncr.select("doc_id"), Seq("doc_id"), "left_anti")
-      val nearBatchRej = t("clusters")(Dedup.nearDupClusters(pairs)
-        .filter(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"), lit("near_dup_batch").as("reason"), col("label").as("witness")).cache())
-      live = live.join(nearBatchRej.select("doc_id"), Seq("doc_id"), "left_anti")
-      val liveCk = t("live ckpt")(live.localCheckpoint())
-      t("rejected write")(exactBatchRej.unionByName(exactCorpusRej).unionByName(ncr)
-        .unionByName(nearBatchRej).withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(rej))
-      t("accepted write")(liveCk.write.mode("append").parquet(acc))
-      // CHANGE 2: append the index from the ALREADY-COMPUTED signatures
-      t("appendIndexSigs")(Dedup.appendIndexSigs(
-        sigs.join(liveCk.select("doc_id"), Seq("doc_id"), "left_semi"), idx))
-      in.unpersist(); exactCorpusRej.unpersist(); nearBatchRej.unpersist()
-    }
-    println(f"[gp5] TWO BATCHES TOTAL: ${(System.nanoTime() - tAll0) / 1e9}%.2f s")
-    spark.stop()
-  }
-}
 object GateProbe6 {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

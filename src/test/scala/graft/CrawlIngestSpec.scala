@@ -145,6 +145,8 @@ class CrawlIngestSpec extends SparkSpec {
     assert(resolveRef(base, "//cdn.example/y") === Some("http://cdn.example/y"))
     assert(resolveRef(base, "?q=2") === Some("http://h.example/pages/sub/page7.html?q=2"))
     assert(resolveRef(base, "") === Some("http://h.example/pages/sub/page7.html"))
+    // fragment-only = same-document reference (§5.2), NOT the directory
+    assert(resolveRef(base, "#top") === Some("http://h.example/pages/sub/page7.html"))
     // '..' past root clamps like normalizePath
     assert(resolveRef("http://h.example/a", "../../x") === Some("http://h.example/x"))
     assert(resolveRef("not a url", "/x").isEmpty)
@@ -207,6 +209,14 @@ class CrawlIngestSpec extends SparkSpec {
       TarIngest.untarEntries(tar.take(700)).map(_._1) === Seq("doc0000001.txt"))
     assert(TarIngest.untarEntries("not a tar".getBytes).isEmpty)
     assert(TarIngest.untarEntries(Array.emptyByteArray).isEmpty)
+    // an OVERSIZED entry is skipped, not archive-fatal: entries behind it
+    // still extract (the zip path's per-entry cap semantics)
+    val mixed = TarIngest.buildTar(Seq(
+      ("small1.txt", "a".getBytes("UTF-8")),
+      ("big.txt", new Array[Byte](2048)),
+      ("small2.txt", "b".getBytes("UTF-8"))))
+    assert(TarIngest.untarEntries(mixed, maxEntryBytes = 1024).map(_._1) ===
+      Seq("small1.txt", "small2.txt"))
     // GNU tar interop: the header parses with the system tar if present
     // (pure JDK on both sides here; this is a layout sanity pin)
     val hdr = TarIngest.tarHeader("a.txt", 7L)
