@@ -103,6 +103,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (TextSearch.qHeavyHitters _), // CMS gated via tolerance booleans vs exact top-k
     "q_kanon" -> (Curation.qKanon _),
     "q_pagerank" -> (Graph.qPagerank _), // domain-centrality power iteration
+    "q_frontier" -> (Graph.qFrontier _), // hop-limited BFS crawl-frontier expansion
 
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
@@ -154,13 +155,16 @@ object SparkEntry {
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
+    "q_image_dhash" -> (Multimodal.qImageDhash _), // perceptual-hash (dHash) image near-dup, banded Hamming LSH
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
     "q_jsonl_ingest" -> (graft.sources.JsonlGz.qJsonlIngest _), // gzipped-JSONL shards via the native json source
     "q_zip_ingest" -> (graft.sources.ZipIngest.qZipIngest _), // ZIP archive shards, per-partition unpack
+    "q_orc_ingest" -> (graft.sources.OrcIngest.qOrcIngest _), // native vectorized ORC round trip
     "q_tar_ingest" -> (graft.sources.TarIngest.qTarIngest _), // hand-rolled POSIX ustar .tar.gz shards
     "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL
+    "q_crawl_schedule" -> (CrawlPolicy.qCrawlSchedule _), // per-domain politeness fetch queue
     "q_charset" -> (graft.sources.CharsetSniff.qCharset _), // BOM/UTF-8-validate/Latin-1 encoding detection
     "q_links" -> (graft.sources.HtmlIngest.qLinks _), // href extraction + RFC 3986 reference resolution
     "q_span_corrupt" -> (Curation.qSpanCorrupt _), // T5-style span corruption with sentinel runs
@@ -652,6 +656,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // domain-centrality power iteration over the nation trade graph
     "q_pagerank" -> pagerankOracle(5),
+    // BFS frontier: the oracle's recursive CTE enumerates every path of
+    // length <= 5 from the seeds through the same affine edge maps and
+    // takes min(hop) per node — first-reach depth in the engine's
+    // iterative join chain must equal the declarative shortest-hop
+    "q_frontier" ->
+      ("WITH RECURSIVE r(node, hop) AS (" +
+        "SELECT doc_id, 0 FROM documents WHERE doc_id < 3 " +
+        "UNION ALL SELECT dst, hop + 1 FROM (" +
+        "SELECT unnest([(node * 31 + 7) % 400, (node * 17 + 3) % 400]) AS dst, hop " +
+        "FROM r) WHERE hop < 5) " +
+        "SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(hop) AS BIGINT) AS hop " +
+        "FROM r GROUP BY node ORDER BY doc_id"),
     // greedy k-center coreset selection, rounds unrolled
     "q_coreset" -> coresetOracle(8),
     // Efraimidis-Spirakis weighted sampling: key = -ln(u)/w, k smallest;
@@ -1287,6 +1303,45 @@ object SparkEntry {
         "CAST(list_sum([(((i % w) * 3 + (i // w) * 7 + frame_no * 13 + doc_id) % 256) * (i + 1) " +
         "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
         "FROM f ORDER BY doc_id, frame_no"),
+    // perceptual-hash image near-dup: the engine REALLY decodes every
+    // staged PNG (bases doc_id < 200 + brightness-shifted planted copies
+    // under ids 1000+id), dHashes the raster, and finds Hamming<=3 pairs
+    // through the banded LSH join (exact by pigeonhole: 4 bands > 3
+    // differing bits). The oracle recomputes every hash bit in closed
+    // form from the pixel formula and brute-forces ALL pairs — a decode
+    // defect, a sampling off-by-one, a band packing slip or a missed
+    // candidate bucket all hash-mismatch
+    "q_image_dhash" ->
+      ("WITH m AS (SELECT doc_id AS mid, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h, " +
+        "doc_id * 11 AS t FROM documents WHERE doc_id < 200 " +
+        "UNION ALL SELECT 1000 + doc_id, doc_id % 40 + 8, doc_id % 23 + 8, " +
+        "doc_id * 11 + 3 FROM documents WHERE doc_id < 20), " +
+        "g AS (SELECT mid, t, (y * 8 + x) AS bi, " +
+        "((x * w) // 9) AS s0, (((x + 1) * w) // 9) AS s1, ((y * h) // 8) AS sy " +
+        "FROM m, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)), " +
+        "bits AS (SELECT mid, bi, " +
+        "CASE WHEN ((s1 * s1 * 3 + sy * sy * 5 + s1 * sy * 7 + t) % 256) > " +
+        "((s0 * s0 * 3 + sy * sy * 5 + s0 * sy * 7 + t) % 256) THEN 1 ELSE 0 END AS b " +
+        "FROM g), " +
+        "bands AS (SELECT mid, " +
+        "CAST(sum(CASE WHEN bi // 16 = 0 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b0, " +
+        "CAST(sum(CASE WHEN bi // 16 = 1 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN bi // 16 = 2 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b2, " +
+        "CAST(sum(CASE WHEN bi // 16 = 3 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM bits GROUP BY mid), " +
+        "pr AS (SELECT a.mid AS ida, c.mid AS idb, " +
+        "CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + " +
+        "bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS BIGINT) AS hamming " +
+        "FROM bands a JOIN bands c ON a.mid < c.mid), " +
+        "cl AS (SELECT * FROM pr WHERE hamming <= 3), " +
+        "sym AS (SELECT ida AS mid, idb AS nbr, hamming FROM cl " +
+        "UNION ALL SELECT idb, ida, hamming FROM cl), " +
+        "mh AS (SELECT mid, min(hamming) AS min_hamming FROM sym GROUP BY mid), " +
+        "best AS (SELECT s.mid, min(s.nbr) AS dup_of, mh.min_hamming " +
+        "FROM sym s JOIN mh ON s.mid = mh.mid AND s.hamming = mh.min_hamming " +
+        "GROUP BY s.mid, mh.min_hamming) " +
+        "SELECT b.mid AS doc_id, b.b0, b.b1, b.b2, b.b3, best.dup_of, best.min_hamming " +
+        "FROM bands b LEFT JOIN best ON b.mid = best.mid ORDER BY doc_id"),
     // the HTML round trip: staged real pages wrap each document's text in
     // boilerplate (nav, script, style, comments, entities — see
     // HtmlIngest.buildHtml); the extractor must reproduce EXACTLY the
@@ -1307,6 +1362,11 @@ object SparkEntry {
     // the oracle coalesces the same way
     "q_zip_ingest" ->
       "SELECT doc_id, coalesce(text, '') AS text FROM documents ORDER BY doc_id",
+    // the ORC round trip: Spark's native vectorized ORC source must
+    // reproduce the documents table exactly (true null encoding — no
+    // coalesce on either side)
+    "q_orc_ingest" ->
+      "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
     // the tar round trip: hand-rolled ustar writer vs an independent
     // header-walking reader (octal sizes, 512-block padding, SPACE-
     // blanked checksums) — same exact-reproduction oracle as zip
@@ -1324,6 +1384,21 @@ object SparkEntry {
         "CAST(doc_id % 5 AS INTEGER) IN (0, 1, 4) AS allowed, " +
         "CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE -1 END AS BIGINT) AS crawl_delay " +
         "FROM documents ORDER BY doc_id"),
+    // politeness scheduling: the oracle replays the robots verdicts in
+    // closed form and the per-domain fetch queue as the same
+    // row_number window — a wrong delay default, a filtered-late window
+    // or a cross-domain slot leak all hash-mismatch
+    "q_crawl_schedule" ->
+      ("WITH v AS (SELECT doc_id, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'www.example.com' " +
+        "WHEN 1 THEN 'blog.example.org' WHEN 2 THEN 'ads.spam-site.co.uk' " +
+        "WHEN 3 THEN 'docs.example.com' ELSE 'example.com' END AS domain, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS delay_s " +
+        "FROM documents WHERE CAST(doc_id % 5 AS INTEGER) IN (0, 1, 4)) " +
+        "SELECT doc_id, domain, " +
+        "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1 AS BIGINT) AS fetch_slot, " +
+        "CAST((row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1) * delay_s AS BIGINT) AS fetch_at_s " +
+        "FROM v ORDER BY doc_id"),
     // charset detection: five encoding families by doc_id; the oracle
     // states label + decoded text in closed form (the appended marker's
     // non-ASCII chars make families distinguishable and Latin-1 bytes

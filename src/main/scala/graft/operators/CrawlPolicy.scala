@@ -148,4 +148,30 @@ object CrawlPolicy {
       .toDF("doc_id", "domain", "allowed", "crawl_delay")
       .orderBy("doc_id")
   }
+
+  /** Fallback politeness interval (seconds) for domains that publish no
+    * Crawl-delay — every polite crawler rate-limits per host regardless. */
+  val DefaultDelayS = 1L
+
+  /** Politeness scheduling — the per-domain fetch queue downstream of the
+    * robots gate: allowed URLs are ordered within their domain and each
+    * gets a queue slot and a start offset of slot x max(Crawl-delay,
+    * [[DefaultDelayS]]) seconds. This is THE frontier-to-fetcher step: a
+    * billion-URL frontier shuffles once on domain, and each domain's
+    * queue is inherently SEQUENTIAL under politeness — the per-domain
+    * window is the semantics, not a skew accident (a domain with 10M
+    * pages takes 10M·delay seconds no matter how many executors exist;
+    * the parallelism is ACROSS domains). The oracle replays the verdicts
+    * closed-form and the queue as the same window. */
+  def qCrawlSchedule(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("domain").orderBy("doc_id")
+    qRobots(s, d)
+      .filter(col("allowed"))
+      .withColumn("delay_s", greatest(col("crawl_delay"), lit(DefaultDelayS)))
+      .withColumn("fetch_slot", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("domain"), col("fetch_slot"),
+        (col("fetch_slot") * col("delay_s")).as("fetch_at_s"))
+      .orderBy("doc_id")
+  }
 }

@@ -86,4 +86,63 @@ object Graph {
     pageRank(nationTradeEdges(s, d), 5, 0.85)
       .withColumn("node", col("node").cast("long"))
       .orderBy("node")
+
+  // ------------------------------------ hop-limited BFS frontier expansion
+
+  /** Hop-limited breadth-first frontier expansion — the OTHER iterative
+    * graph primitive a crawl pipeline runs: from a seed set, which pages
+    * are reachable within N hops of the link graph, and at what depth
+    * (crawlers budget by depth; dataset docs report "N hops from seeds").
+    *
+    * Scale shape: the per-wave cost is one keyed join (frontier x edges)
+    * plus one anti-join against the visited set — both bounded by the
+    * FRONTIER, not the graph, and the wave result is localCheckpoint'ed
+    * so lineage never compounds across hops. The hop cap bounds the
+    * iteration count; an empty frontier exits early (one bounded
+    * existence probe per wave — the BFS termination test itself). BFS
+    * first-reach depth IS min-hop, which is what the oracle's recursive
+    * CTE computes — so the iterative join chain is hash-gated against a
+    * declarative replay. */
+  def bfsFrontier(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var visited = seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = visited.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) return visited
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    visited
+  }
+
+  /** Node universe bound for the gate's synthetic link graph (dense ids,
+    * present at every scale) and the crawl depth budget. */
+  val FrontierNodes = 400L
+  val FrontierHops = 5
+
+  /** Deterministic two-out-degree link graph over doc ids < 400: each
+    * node links to (31n+7) mod 400 and (17n+3) mod 400 — affine maps
+    * whose orbits interleave enough that 5 hops from 3 seeds reach an
+    * irregular subset (not all, not a chain), giving the min-hop gate
+    * something to get wrong. Closed form, so the oracle enumerates every
+    * path recursively. */
+  def frontierEdges(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < FrontierNodes)
+      .select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 31 + 7) % FrontierNodes,
+          (col("doc_id") * 17 + 3) % FrontierNodes)).as("dst"))
+
+  /** Declared query: BFS from seeds {0,1,2} to depth 5 over the synthetic
+    * link graph; output every reached node with its first-reach depth. */
+  def qFrontier(s: SparkSession, d: String): DataFrame = {
+    val seeds = documents(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("node"))
+    bfsFrontier(frontierEdges(s, d), seeds, FrontierHops)
+      .select(col("node").as("doc_id"), col("hop"))
+      .orderBy("doc_id")
+  }
 }

@@ -853,4 +853,172 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "width", "height", "pixel_sum")
       .orderBy("doc_id", "frame_no")
   }
+
+  // ------------------- perceptual-hash image near-dup (dHash + banded LSH)
+
+  /** dHash grid: sample to a (GridW+1=9)-column x GridH=8-row raster and
+    * compare horizontal neighbors -> 64 bits. The de-facto standard
+    * difference hash: robust to re-encoding and brightness shifts (a
+    * global +delta only flips bits where the mod-256 gray wraps), which
+    * is exactly the near-dup class byte-level dedup misses on images. */
+  val DhashGridW = 8
+  val DhashGridH = 8
+
+  /** Accept pairs at Hamming distance <= this. With the 64-bit hash split
+    * into 4 x 16-bit bands, any pair within 3 differing bits has at least
+    * one band identical (pigeonhole: 3 < 4), so the banded join below is
+    * EXACT — never a recall trade-off like MinHash-LSH. */
+  val DhashHammingMax = 3
+
+  /** TEXTURED test image for the dHash gate — the linear [[buildPng]]
+    * gradient is the degenerate case for a difference hash (horizontal
+    * diffs all positive -> every image hashes near all-ones and
+    * everything "matches" everything), so the near-dup fixture uses a
+    * quadratic formula whose horizontal differences wrap mod 256 many
+    * times across the raster: measured popcounts center on 32 and
+    * exactly one unrelated base pair lands within Hamming 3. Still a
+    * pure integer function of (x, y, docId), so the oracle replays every
+    * bit. `delta` is a global brightness shift (the planted-copy family):
+    * dHash is invariant to it except where a sampled pair straddles the
+    * mod-256 wrap — 18 of the 20 planted copies land at Hamming <= 3,
+    * and BOTH engine and oracle compute the same verdict for the two
+    * that drift past the threshold. */
+  def buildPngTextured(docId: Long, delta: Int): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * x * 3 + y * y * 5 + x * y * 7 + docId * 11 + delta) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Offset separating planted copy ids from base ids in the dHash media
+    * table (bases are doc_id < 200). */
+  val DhashCopyBase = 1000L
+  /** Brightness shift of the planted copies: +3 gray levels flips a bit
+    * only where the sampled pair straddles the 256 wrap — expected
+    * Hamming ~1.5 of 64, i.e. a genuine NEAR duplicate. */
+  val DhashCopyDelta = 3
+
+  /** In-table media set for the near-dup gate: every base image
+    * (doc_id < 200) plus a brightness-shifted copy of each doc_id < 20,
+    * under copy ids DhashCopyBase+id. Built per-partition; bytes never
+    * shuffle (the decode that follows is partition-local). */
+  def mediaTableDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, buildPngTextured(id, 0))))
+    val copies = documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (DhashCopyBase + id, buildPngTextured(id, DhashCopyDelta))))
+    base.union(copies).toDF("doc_id", "media")
+  }
+
+  /** Decode + dHash: NN-sample the decoded raster onto a 9x8 grid
+    * (sx = x·w div 9, sy = y·h div 8 — the same integer source map the
+    * resize path pins), then bit(y*8+x) = gray(x+1) > gray(x), packed
+    * into four 16-bit bands (b0 = bits 0-15 .. b3 = bits 48-63). The
+    * bands, not a single 64-bit value, are the representation: they are
+    * the LSH bucketing keys AND sidestep sign-bit trouble at bit 63 in
+    * engines without unsigned 64-bit ints. Null on undecodable bytes. */
+  def dhashBands(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val bands = new Array[Int](4)
+        var y = 0
+        while (y < DhashGridH) {
+          val sy = y * h / DhashGridH
+          var x = 0
+          while (x < DhashGridW) {
+            val g0 = img.getRGB(x * w / (DhashGridW + 1), sy) & 0xFF
+            val g1 = img.getRGB((x + 1) * w / (DhashGridW + 1), sy) & 0xFF
+            if (g1 > g0) {
+              val bi = y * DhashGridW + x
+              bands(bi / 16) |= 1 << (bi % 16)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some((bands(0), bands(1), bands(2), bands(3)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Oracle-checked perceptual-hash image near-dup: REAL PNG decode ->
+    * dHash bands -> banded self-join (each 16-bit band value is an LSH
+    * bucket; 4 bands over Hamming <= 3 is EXACT by pigeonhole) -> exact
+    * Hamming verify via bit_count(xor) -> per-image best-match verdict.
+    * The brightness-shifted planted copies land at small positive
+    * Hamming — the class exact/byte dedup cannot see.
+    *
+    * Scale shape: hashes are 4 ints per image (media bytes never pass the
+    * band exchange); candidate generation is one shuffle on
+    * (band_idx, band_val); the verify join carries 8 ints per side. A
+    * crawl-scale corpus adds an occupancy cap on degenerate buckets
+    * (band value 0 = flat strips), the same discipline as the MinHash
+    * band buckets in Dedup. The oracle recomputes every hash closed-form
+    * from the pixel formula and brute-forces all pairs — feasible at
+    * gate scale, while the engine's banded plan is the 100 TB path. */
+  def qImageDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTableDhash(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          dhashBands(bytes) match {
+            case Some((b0, b1, b2, b3)) =>
+              (id, b0.toLong, b1.toLong, b2.toLong, b3.toLong)
+            case None => (id, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+      // reused three times below (banding + both verify sides); at scale
+      // this re-decodes the corpus per use — materialize once
+      .localCheckpoint()
+    val ok = hashes.filter(col("b0") >= 0)
+    val banded = ok.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3")))
+      .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = cand
+      .join(ok.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+      .join(ok.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= DhashHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("hamming"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("hamming")))
+    val best = sym.groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("nbr"))).as("m"))
+      .select(col("doc_id"), col("m.nbr").as("dup_of"), col("m.hamming").as("min_hamming"))
+    hashes.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("dup_of"), col("min_hamming"))
+      .orderBy("doc_id")
+  }
 }

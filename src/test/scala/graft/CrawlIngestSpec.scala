@@ -58,6 +58,23 @@ class CrawlIngestSpec extends SparkSpec {
     assert(verdict(junk, "anybot", "/early")._1 === true) // rule before any group ignored
   }
 
+  test("crawl schedule: dense per-domain slots, delay-scaled offsets") {
+    val rows = graft.operators.CrawlPolicy.qCrawlSchedule(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // disallowed families (2, 3) never appear in the fetch queue
+    assert(rows.forall(r => r.getLong(0) % 5 != 2 && r.getLong(0) % 5 != 3))
+    val byDomain = rows.groupBy(_.getString(1))
+    byDomain.foreach { case (dom, rs) =>
+      // slots are dense 0..n-1 within the domain, ordered by doc_id
+      val ordered = rs.sortBy(_.getLong(0))
+      assert(ordered.map(_.getLong(2)).toSeq === (0L until rs.length).toSeq, dom)
+      // offsets scale by the domain's effective delay (2s for the
+      // crawl-delay domain, the 1s default elsewhere)
+      val delay = if (dom == "www.example.com") 2L else 1L
+      assert(ordered.forall(r => r.getLong(3) === r.getLong(2) * delay), dom)
+    }
+  }
+
   // ------------------------------------------------------------ charset
 
   test("charset: every family detects and round-trips") {

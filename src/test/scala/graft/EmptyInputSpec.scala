@@ -133,6 +133,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.decodeGifFrames(Array.emptyByteArray).isEmpty)
   }
 
+  test("round-7 graph operators on empty/degenerate inputs") {
+    import spark.implicits._
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    // no seeds: nothing visited, no wasted waves
+    assert(graft.operators.Graph.bfsFrontier(
+      e, Seq.empty[Long].toDF("node"), 5).count() === 0)
+    // no edges: the seed set alone at hop 0 (early exit on wave 1)
+    assert(graft.operators.Graph.bfsFrontier(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), Seq(1L).toDF("node"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 0L)))
+  }
+
   test("similarity on an empty query set") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val noQueries = emb.filter(col("vec_id") < 0)

@@ -75,4 +75,29 @@ class GraphSpec extends SparkSpec {
     // every edge weight positive; node ids are nation keys
     assert(e.filter(col("w") <= 0).count() === 0)
   }
+
+  test("bfsFrontier matches a driver-side BFS replay on the gate graph") {
+    val got = Graph.qFrontier(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: classic queue BFS over the same affine maps
+    val expect = scala.collection.mutable.Map(0L -> 0L, 1L -> 0L, 2L -> 0L)
+    var frontier = Set(0L, 1L, 2L)
+    for (h <- 1L to Graph.FrontierHops.toLong) {
+      frontier = frontier.flatMap(n =>
+          Seq((n * 31 + 7) % Graph.FrontierNodes, (n * 17 + 3) % Graph.FrontierNodes))
+        .filterNot(expect.contains)
+      frontier.foreach(n => expect(n) = h)
+    }
+    assert(got === expect.toMap)
+  }
+
+  test("bfsFrontier exits early when the frontier drains") {
+    // a 3-cycle reached from a chain: after the cycle closes there is
+    // nothing new; hops beyond that must not loop to the cap
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsFrontier(e, seeds, 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
 }

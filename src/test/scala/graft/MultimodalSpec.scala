@@ -201,4 +201,53 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(3) > 0L, s"doc $id decode failed (sentinel)")
     }
   }
+
+  test("dhash bands match a direct bit computation on the decoded raster") {
+    for (id <- Seq(0L, 7L, 42L, 137L)) {
+      val bytes = Multimodal.buildPngTextured(id, 0)
+      val Some((b0, b1, b2, b3)) = Multimodal.dhashBands(bytes)
+      // independent recomputation straight from the pixel formula
+      val (w, h) = Multimodal.imageDims(id)
+      def gray(sx: Int, sy: Int): Int =
+        ((sx * sx * 3 + sy * sy * 5 + sx * sy * 7 + id * 11) % 256).toInt
+      val bands = new Array[Int](4)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        if (gray((x + 1) * w / 9, sy) > gray(x * w / 9, sy)) {
+          val bi = y * 8 + x
+          bands(bi / 16) |= 1 << (bi % 16)
+        }
+      }
+      assert((b0, b1, b2, b3) === ((bands(0), bands(1), bands(2), bands(3))),
+        s"doc $id bands")
+    }
+    // undecodable bytes -> None, never a throw
+    assert(Multimodal.dhashBands("not a png".getBytes).isEmpty)
+    assert(Multimodal.dhashBands(Array.emptyByteArray).isEmpty)
+  }
+
+  test("dhash banded LSH recovers the brightness-shifted planted copies") {
+    val out = SparkEntry.queries("q_image_dhash")(spark, sf0001).collect()
+    assert(out.length === 220) // 200 bases + 20 planted copies
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // every planted copy within the Hamming threshold points at its base
+    var recovered = 0
+    for (id <- 0L until 20L) {
+      val copy = byId(Multimodal.DhashCopyBase + id)
+      if (!copy.isNullAt(5)) {
+        assert(copy.getLong(5) === id, s"copy of $id matched the wrong base")
+        assert(copy.getLong(6) <= Multimodal.DhashHammingMax)
+        recovered += 1
+      }
+    }
+    // dHash is brightness-robust by design: the +3 shift leaves >= 15 of
+    // 20 copies within Hamming 3 (deterministically 18 on this fixture)
+    assert(recovered >= 15, s"only $recovered of 20 planted copies recovered")
+    // the hash is NOT degenerate: popcounts spread around 32, so
+    // unrelated bases almost never collide (pigeonhole banding is exact,
+    // so any "miss" would be an oracle mismatch, not a recall gap)
+    val unrelated = out.count(r => r.getLong(0) < Multimodal.DhashCopyBase &&
+      r.getLong(0) >= 20 && !r.isNullAt(5))
+    assert(unrelated <= 4, s"$unrelated unrelated bases matched — degenerate hash?")
+  }
 }

@@ -22,6 +22,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
   }
 
+  test("filters and pruning reach the ORC scan like the parquet one") {
+    val fix = graft.sources.OrcIngest.stageOrcFixture(spark, sf0001)
+    val p = spark.read.orc(fix)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+    // narrow projection: the text column must not be read off the stripes
+    assert(!p.contains("text"), s"ORC scan should not read text:\n$p")
+  }
+
   test("dim join broadcasts (no shuffle of the fact side)") {
     val p = plan("q_join_dim")
     assert(p.contains("BroadcastHashJoin"), p)
