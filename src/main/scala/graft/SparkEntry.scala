@@ -156,6 +156,7 @@ object SparkEntry {
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
     "q_image_dhash" -> (Multimodal.qImageDhash _), // perceptual-hash (dHash) image near-dup, banded Hamming LSH
+    "q_audio_fp" -> (Multimodal.qAudioFp _), // energy-profile audio fingerprint near-dup (loudness-invariant)
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
@@ -1342,6 +1343,29 @@ object SparkEntry {
         "GROUP BY s.mid, mh.min_hamming) " +
         "SELECT b.mid AS doc_id, b.b0, b.b1, b.b2, b.b3, best.dup_of, best.min_hamming " +
         "FROM bands b LEFT JOIN best ON b.mid = best.mid ORDER BY doc_id"),
+    // audio fingerprint near-dup: the engine REALLY decodes every staged
+    // WAV (bases doc_id < 200 + half-loudness planted copies under ids
+    // 1000+id) and buckets clips by the 15-bit frame-energy-profile
+    // fingerprint; the oracle recomputes every frame energy closed-form
+    // from the sample formula (trunc-toward-zero halving — DuckDB's //
+    // agrees with Scala Int division on negatives) and replays the
+    // keep-first bucket window
+    "q_audio_fp" ->
+      ("WITH m AS (SELECT doc_id AS mid, " +
+        "(doc_id % 200 + 50) * (1 + doc_id % 2) AS n, doc_id * 101 AS t, 1 AS sc " +
+        "FROM documents WHERE doc_id < 200 " +
+        "UNION ALL SELECT 1000 + doc_id, (doc_id % 200 + 50) * (1 + doc_id % 2), " +
+        "doc_id * 101, 2 FROM documents WHERE doc_id < 20), " +
+        "e AS (SELECT mid, f, list_sum([abs(((i * i * 13 + i * 37 + t) % 65536) - 32768) // sc " +
+        "for i in generate_series((f * n) // 16, ((f + 1) * n) // 16 - 1)]) AS en " +
+        "FROM m, generate_series(0, 15) gf(f)), " +
+        "fpt AS (SELECT mid, f, en, lead(en) OVER (PARTITION BY mid ORDER BY f) AS en1 FROM e), " +
+        "fp AS (SELECT mid, CAST(coalesce(sum(CASE WHEN en1 > en THEN (1 << f) END) " +
+        "FILTER (WHERE f < 15), 0) AS BIGINT) AS fp FROM fpt GROUP BY mid) " +
+        "SELECT mid AS doc_id, fp, " +
+        "CASE WHEN min(mid) OVER (PARTITION BY fp) = mid THEN NULL " +
+        "ELSE min(mid) OVER (PARTITION BY fp) END AS dup_of " +
+        "FROM fp ORDER BY doc_id"),
     // the HTML round trip: staged real pages wrap each document's text in
     // boilerplate (nav, script, style, comments, entities — see
     // HtmlIngest.buildHtml); the extractor must reproduce EXACTLY the

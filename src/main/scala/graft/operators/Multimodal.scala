@@ -959,6 +959,139 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  // -------------------- audio fingerprint near-dup (frame-energy profile)
+
+  /** Fingerprint frame count: the decoded clip splits into 16 equal
+    * frames; bit f of the fingerprint is E(f+1) > E(f) over the frames'
+    * absolute-amplitude sums — 15 bits. The energy-PROFILE comparison is
+    * loudness-invariant (scaling every sample scales every frame energy
+    * together), the same design move as dHash's brightness invariance —
+    * and the audio analog of what Chromaprint does with chroma bands. */
+  val AudioFpFrames = 16
+
+  /** TEXTURED clip samples for the fingerprint gate: the linear
+    * [[audioSample]] sawtooth has near-uniform frame energies (every
+    * comparison a coin-flip tie), so the fingerprint fixture uses a
+    * quadratic formula whose frame energies vary: 177 distinct
+    * fingerprints over the 200 bases, and ALL 20 half-loudness copies
+    * match their base exactly. Pure integer function of (i, docId) —
+    * the oracle replays every energy. `scale` divides each sample
+    * (truncation toward zero — Scala's Int division and DuckDB's `//`
+    * agree on negatives, verified): the planted loudness-shifted family. */
+  def audioSampleTextured(docId: Long, i: Long, scale: Int): Int =
+    ((((i * i * 13L + i * 37L + docId * 101L) % 65536L) - 32768L).toInt) / scale
+
+  /** Hand-rolled RIFF/WAVE writer over the textured samples (same layout
+    * as [[buildWav]]; params of the BASE doc so copies keep geometry). */
+  def buildWavTextured(docId: Long, scale: Int): Array[Byte] = {
+    val (rate, channels, frames) = audioParams(docId)
+    val nSamples = frames * channels
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2)
+      .putShort((channels * 2).toShort)
+      .putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(audioSampleTextured(docId, i, scale).toShort); i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL decode -> 15-bit energy-profile fingerprint: AudioSystem parses
+    * the RIFF/WAVE container, the interleaved 16-bit stream splits into
+    * [[AudioFpFrames]] equal frames, and bit f = E(f+1) > E(f) over
+    * absolute-amplitude frame sums. None on undecodable bytes. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          if (n < AudioFpFrames) None
+          else {
+            val e = new Array[Long](AudioFpFrames)
+            var f = 0
+            while (f < AudioFpFrames) {
+              var i = f * n / AudioFpFrames
+              val hi = (f + 1) * n / AudioFpFrames
+              while (i < hi) {
+                val sample =
+                  if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xFF)
+                  else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+                e(f) += math.abs(sample).toLong
+                i += 1
+              }
+              f += 1
+            }
+            var fp = 0L
+            f = 0
+            while (f < AudioFpFrames - 1) {
+              if (e(f + 1) > e(f)) fp |= 1L << f
+              f += 1
+            }
+            Some(fp)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** In-table media set for the audio near-dup gate: every base clip
+    * (doc_id < 200) plus a HALF-LOUDNESS copy of each doc_id < 20 under
+    * copy ids [[DhashCopyBase]]+id. */
+  def mediaTableAudioFp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, buildWavTextured(id, 1))))
+    val copies = documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (DhashCopyBase + id, buildWavTextured(id, 2))))
+    base.union(copies).toDF("doc_id", "media")
+  }
+
+  /** Oracle-checked audio near-dup: REAL WAV decode -> energy-profile
+    * fingerprint -> exact-bucket grouping with keep-first semantics
+    * (dup_of = the bucket's min id, NULL for the keeper) — the
+    * loudness-invariant twin of exact text dedup, completing the
+    * modality matrix (text shingles, image dHash, audio energy profile).
+    *
+    * Scale shape: one narrow decode pass (clip bytes never shuffle — the
+    * fingerprint is 1 long/clip), then ONE hash shuffle on the
+    * fingerprint — identical to q_dedup_exact's plan. The oracle
+    * recomputes every frame energy closed-form from the sample formula
+    * and replays the bucket window. */
+  def qAudioFp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fps = mediaTableAudioFp(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, audioFingerprint(bytes).getOrElse(-1L))
+        }
+      }
+      .toDF("doc_id", "fp")
+    val w = Window.partitionBy("fp")
+    fps.withColumn("first_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("fp"),
+        when(col("first_id") === col("doc_id"), lit(null).cast("long"))
+          .otherwise(col("first_id")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-checked perceptual-hash image near-dup: REAL PNG decode ->
     * dHash bands -> banded self-join (each 16-bit band value is an LSH
     * bucket; 4 bands over Hamming <= 3 is EXACT by pigeonhole) -> exact

@@ -250,4 +250,28 @@ class MultimodalSpec extends SparkSpec {
       r.getLong(0) >= 20 && !r.isNullAt(5))
     assert(unrelated <= 4, s"$unrelated unrelated bases matched — degenerate hash?")
   }
+
+  test("audio fingerprint is loudness-invariant and non-degenerate") {
+    // every half-loudness copy fingerprints identically to its base
+    // (scaling all samples scales all frame energies together)
+    for (id <- 0L until 20L) {
+      val base = Multimodal.audioFingerprint(Multimodal.buildWavTextured(id, 1))
+      val half = Multimodal.audioFingerprint(Multimodal.buildWavTextured(id, 2))
+      assert(base.isDefined && base === half, s"clip $id fp drifted under halving")
+    }
+    // undecodable bytes -> None
+    assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioFingerprint(Array.emptyByteArray).isEmpty)
+    // the declared query recovers every planted copy (dup_of non-null);
+    // base buckets stay diverse (fingerprints are 15-bit profiles, some
+    // natural collisions are expected and deterministic)
+    val out = SparkEntry.queries("q_audio_fp")(spark, sf0001).collect()
+    assert(out.length === 220)
+    val copies = out.filter(_.getLong(0) >= Multimodal.DhashCopyBase)
+    assert(copies.length === 20)
+    assert(copies.forall(!_.isNullAt(2)), "a planted copy missed its bucket")
+    val distinctFps = out.filter(_.getLong(0) < Multimodal.DhashCopyBase)
+      .map(_.getLong(1)).distinct.length
+    assert(distinctFps >= 150, s"only $distinctFps distinct fingerprints — degenerate")
+  }
 }
