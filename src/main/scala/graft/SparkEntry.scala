@@ -150,6 +150,7 @@ object SparkEntry {
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip
     "q_pdf_objstm" -> (graft.sources.BinaryIngest.qPdfObjStm _), // xref-stream + ObjStm layout, stale-generation rewrite
+    "q_ocr_ingest" -> (graft.sources.OcrEngine.qOcrIngest _), // scanned (image-only) PDFs through REAL template-matching OCR
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
@@ -1304,6 +1305,20 @@ object SparkEntry {
         "CAST(list_sum([(((i % w) * 3 + (i // w) * 7 + frame_no * 13 + doc_id) % 256) * (i + 1) " +
         "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
         "FROM f ORDER BY doc_id, frame_no"),
+    // the OCR round trip: scanned (image-only, NO text layer) PDFs route
+    // through needs_ocr to the template-matching OCR engine, which must
+    // recover each document's normalized text EXACTLY (the font's
+    // min-pairwise-distance margin makes recovery provable under the
+    // 1-bit-per-cell noise). The oracle replays the normalization in
+    // closed form and pins needs_ocr TRUE — a text-layer leak, a routing
+    // slip or one misread glyph hash-mismatches
+    "q_ocr_ingest" ->
+      ("SELECT doc_id, true AS needs_ocr, " +
+        "rtrim(left(trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "translate(coalesce(text, ''), 'abcdefghijklmnopqrstuvwxyz', " +
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), '[\\t\\n\\r\\f]', ' ', 'g'), " +
+        "'[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g')), 120)) AS text " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
     // perceptual-hash image near-dup: the engine REALLY decodes every
     // staged PNG (bases doc_id < 200 + brightness-shifted planted copies
     // under ids 1000+id), dHashes the raster, and finds Hamming<=3 pairs

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *    the Flate codec). A glyph-accurate library binding (encryption,
   *    /ObjStm) remains a drop-in through the same slot.
   *
-  * No OCR engine exists in this container (SURVEY §2.1), so the OCR
-  * fallback below keeps its deterministic stand-in. Everything
-  * downstream of extraction — document assembly, pagination, snippet
-  * windows — is the ordinary ingest pipeline
-  * ([[graft.operators.Ingest.buildDocuments]]).
+  * The OCR fallback routes through [[readWithOcrFallback]]'s `ocr` slot;
+  * since round 7 a REAL template-matching engine fills it
+  * ([[OcrEngine]], gated by q_ocr_ingest) — [[ocrStub]] survives only as
+  * the routing spec's baseline. Everything downstream of extraction —
+  * document assembly, pagination, snippet windows — is the ordinary
+  * ingest pipeline ([[graft.operators.Ingest.buildDocuments]]).
   */
 object BinaryIngest {
 
@@ -437,10 +438,11 @@ object BinaryIngest {
     c => u(c)
   }
 
-  /** Deterministic OCR stand-in: no OCR engine exists in this container
-    * (SURVEY §2.1 S2), so the text is derived from the page bytes' CRC —
-    * stable, clearly marked, and swappable for a real engine without
-    * touching the routing below. */
+  /** Deterministic OCR stand-in, kept as the routing spec's baseline
+    * (text derived from the page bytes' CRC — stable and clearly
+    * marked). The REAL engine for this slot is
+    * [[OcrEngine.ocrExtractor]] (template-matching over scanned-PDF
+    * rasters, q_ocr_ingest). */
   def ocrStub(content: Column): Column =
     concat(lit("[ocr] page "), crc32(content), lit(" end"))
 
