@@ -576,6 +576,44 @@ object ScaleProbe {
           }
         }.agg(sum(col("value"))).head(); nDocs
       }
+
+      // ---- round-7 batch 2: media near-dup, OCR, BFS frontier
+      // media sets grow with mult (ids are dense, every image/clip
+      // distinct); encode+decode are per-row narrow work, the near-dup
+      // joins are the growth axis under test
+      val nMedia = 200L * mult
+      time("image_dhash", nMedia) {
+        Multimodal.dhashNearDups(
+          spark.range(nMedia).select(col("id").as("doc_id"))
+            .repartition(64, col("doc_id")).as[Long]
+            .mapPartitions(it => it.map(id => (id, Multimodal.buildPngTextured(id, 0))))
+            .toDF("doc_id", "media")).count()
+      }
+      time("audio_fp", nMedia) {
+        Multimodal.audioFpVerdicts(
+          spark.range(nMedia).select(col("id").as("doc_id"))
+            .repartition(64, col("doc_id")).as[Long]
+            .mapPartitions(it => it.map(id => (id, Multimodal.buildWavTextured(id, 1))))
+            .toDF("doc_id", "media")).count()
+      }
+      time("ocr_roundtrip", nMedia) {
+        // render + template-match decode per document: embarrassingly
+        // parallel narrow work, the probe pins per-row cost flat
+        docsWide.filter(col("doc_id") < nMedia).map { case (id, t) =>
+          graft.sources.OcrEngine.ocrExtractPdf(
+            graft.sources.OcrEngine.buildPdfScanned(t)).length.toLong
+        }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("bfs_frontier", 400L * mult) {
+        // node universe grows with mult; seeds and hop budget fixed —
+        // per-wave cost tracks the FRONTIER, not the graph
+        val bound = 400L * mult
+        val edges = spark.range(bound).select(col("id").as("src"),
+          explode(array((col("id") * 31 + 7) % bound,
+            (col("id") * 17 + 3) % bound)).as("dst")).localCheckpoint()
+        val seeds = spark.range(3).select(col("id").as("node"))
+        graft.operators.Graph.bfsFrontier(edges, seeds, 5).count()
+      }
     }
     spark.stop()
   }

@@ -1073,10 +1073,16 @@ object Multimodal {
     * fingerprint — identical to q_dedup_exact's plan. The oracle
     * recomputes every frame energy closed-form from the sample formula
     * and replays the bucket window. */
-  def qAudioFp(s: SparkSession, d: String): DataFrame = {
+  def qAudioFp(s: SparkSession, d: String): DataFrame =
+    audioFpVerdicts(mediaTableAudioFp(s, d))
+
+  /** The fingerprint-bucket core over any (doc_id, media) frame — split
+    * out so the scale probe can run it on a grown media set. */
+  def audioFpVerdicts(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val fps = mediaTableAudioFp(s, d)
+    val fps = media
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1107,9 +1113,15 @@ object Multimodal {
     * band buckets in Dedup. The oracle recomputes every hash closed-form
     * from the pixel formula and brute-forces all pairs — feasible at
     * gate scale, while the engine's banded plan is the 100 TB path. */
-  def qImageDhash(s: SparkSession, d: String): DataFrame = {
+  def qImageDhash(s: SparkSession, d: String): DataFrame =
+    dhashNearDups(mediaTableDhash(s, d))
+
+  /** The dHash near-dup core over any (doc_id, media) frame — split out
+    * so the scale probe can run it on a grown media set. */
+  def dhashNearDups(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
-    val hashes = mediaTableDhash(s, d)
+    val hashes = media
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
