@@ -126,7 +126,13 @@ object CrawlPolicy {
     * policy for [[Agent]]. The oracle states each family's verdict in
     * closed form — it never runs the parser, so any rule-precedence or
     * pattern defect hash-mismatches. */
-  def qRobots(s: SparkSession, d: String): DataFrame = {
+  def qRobots(s: SparkSession, d: String): DataFrame =
+    robotsVerdicts(s, d).orderBy("doc_id")
+
+  /** The verdict pass without the gate's total order — downstream
+    * operators ([[qCrawlSchedule]]'s domain window) re-partition anyway,
+    * so they must not pay a wasted global range exchange first. */
+  def robotsVerdicts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.rebalance(Tables.documents(s, d), "doc_id")
       .select(col("doc_id")).as[Long]
@@ -146,7 +152,6 @@ object CrawlPolicy {
         }
       }
       .toDF("doc_id", "domain", "allowed", "crawl_delay")
-      .orderBy("doc_id")
   }
 
   /** Fallback politeness interval (seconds) for domains that publish no
@@ -166,7 +171,7 @@ object CrawlPolicy {
   def qCrawlSchedule(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("domain").orderBy("doc_id")
-    qRobots(s, d)
+    robotsVerdicts(s, d)
       .filter(col("allowed"))
       .withColumn("delay_s", greatest(col("crawl_delay"), lit(DefaultDelayS)))
       .withColumn("fetch_slot", (row_number().over(w) - 1).cast("long"))

@@ -1093,7 +1093,10 @@ object Multimodal {
     val w = Window.partitionBy("fp")
     fps.withColumn("first_id", min("doc_id").over(w))
       .select(col("doc_id"), col("fp"),
-        when(col("first_id") === col("doc_id"), lit(null).cast("long"))
+        // fp < 0 is the undecodable sentinel: failed decodes share the
+        // -1 bucket but are NOT duplicates of each other
+        when(col("fp") < 0 || col("first_id") === col("doc_id"),
+          lit(null).cast("long"))
           .otherwise(col("first_id")).as("dup_of"))
       .orderBy("doc_id")
   }

@@ -262,6 +262,13 @@ class MultimodalSpec extends SparkSpec {
     // undecodable bytes -> None
     assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
     assert(Multimodal.audioFingerprint(Array.emptyByteArray).isEmpty)
+    // undecodable clips share the -1 sentinel bucket but are NOT
+    // duplicates of each other
+    import spark.implicits._
+    val junk = Seq((1L, "xx".getBytes), (2L, "yy".getBytes)).toDF("doc_id", "media")
+    val jr = Multimodal.audioFpVerdicts(junk).collect()
+    assert(jr.length === 2)
+    assert(jr.forall(r => r.getLong(1) === -1L && r.isNullAt(2)))
     // the declared query recovers every planted copy (dup_of non-null);
     // base buckets stay diverse (fingerprints are 15-bit profiles, some
     // natural collisions are expected and deterministic)
