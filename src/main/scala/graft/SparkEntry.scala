@@ -158,6 +158,7 @@ object SparkEntry {
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
     "q_image_dhash" -> (Multimodal.qImageDhash _), // perceptual-hash (dHash) image near-dup, banded Hamming LSH
     "q_audio_fp" -> (Multimodal.qAudioFp _), // energy-profile audio fingerprint near-dup (loudness-invariant)
+    "q_dhash_incremental" -> (Multimodal.qDhashIncremental _), // persisted dHash index + probe batch (streaming image dedup)
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_zip_ingest" -> (graft.sources.ZipIngest.qZipIngest _), // ZIP archive shards, per-partition unpack
     "q_orc_ingest" -> (graft.sources.OrcIngest.qOrcIngest _), // native vectorized ORC round trip
     "q_tar_ingest" -> (graft.sources.TarIngest.qTarIngest _), // hand-rolled POSIX ustar .tar.gz shards
+    "q_wds_ingest" -> (graft.sources.WebDataset.qWdsIngest _), // WebDataset tar shards: text+image paired by key
     "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL
     "q_crawl_schedule" -> (CrawlPolicy.qCrawlSchedule _), // per-domain politeness fetch queue
     "q_charset" -> (graft.sources.CharsetSniff.qCharset _), // BOM/UTF-8-validate/Latin-1 encoding detection
@@ -1358,6 +1360,42 @@ object SparkEntry {
         "GROUP BY s.mid, mh.min_hamming) " +
         "SELECT b.mid AS doc_id, b.b0, b.b1, b.b2, b.b3, best.dup_of, best.min_hamming " +
         "FROM bands b LEFT JOIN best ON b.mid = best.mid ORDER BY doc_id"),
+    // incremental image dedup: even bases persist as the dHash index,
+    // the probe batch (odd bases + all planted copies) joins the STORED
+    // 4-int rows; the oracle replays both sides' hashes closed-form and
+    // brute-forces probe x index with the same <=3 verdicts
+    "q_dhash_incremental" ->
+      ("WITH m AS (SELECT 'p' AS side, doc_id AS mid, doc_id % 40 + 8 AS w, " +
+        "doc_id % 23 + 8 AS h, doc_id * 11 AS t FROM documents " +
+        "WHERE doc_id < 200 AND doc_id % 2 = 1 " +
+        "UNION ALL SELECT 'p', 1000 + doc_id, doc_id % 40 + 8, doc_id % 23 + 8, " +
+        "doc_id * 11 + 3 FROM documents WHERE doc_id < 20 " +
+        "UNION ALL SELECT 'i', doc_id, doc_id % 40 + 8, doc_id % 23 + 8, " +
+        "doc_id * 11 FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0), " +
+        "g AS (SELECT side, mid, t, (y * 8 + x) AS bi, " +
+        "((x * w) // 9) AS s0, (((x + 1) * w) // 9) AS s1, ((y * h) // 8) AS sy " +
+        "FROM m, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)), " +
+        "bits AS (SELECT side, mid, bi, " +
+        "CASE WHEN ((s1 * s1 * 3 + sy * sy * 5 + s1 * sy * 7 + t) % 256) > " +
+        "((s0 * s0 * 3 + sy * sy * 5 + s0 * sy * 7 + t) % 256) THEN 1 ELSE 0 END AS b " +
+        "FROM g), " +
+        "bands AS (SELECT side, mid, " +
+        "CAST(sum(CASE WHEN bi // 16 = 0 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b0, " +
+        "CAST(sum(CASE WHEN bi // 16 = 1 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN bi // 16 = 2 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b2, " +
+        "CAST(sum(CASE WHEN bi // 16 = 3 THEN b * (1 << (bi % 16)) ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM bits GROUP BY side, mid), " +
+        "cl AS (SELECT p.mid AS pid, i.mid AS iid, " +
+        "CAST(bit_count(xor(p.b0, i.b0)) + bit_count(xor(p.b1, i.b1)) + " +
+        "bit_count(xor(p.b2, i.b2)) + bit_count(xor(p.b3, i.b3)) AS BIGINT) AS hamming " +
+        "FROM bands p JOIN bands i ON p.side = 'p' AND i.side = 'i') , " +
+        "clf AS (SELECT * FROM cl WHERE hamming <= 3), " +
+        "mh AS (SELECT pid, min(hamming) AS min_hamming FROM clf GROUP BY pid), " +
+        "best AS (SELECT c.pid, min(c.iid) AS dup_of, mh.min_hamming " +
+        "FROM clf c JOIN mh ON c.pid = mh.pid AND c.hamming = mh.min_hamming " +
+        "GROUP BY c.pid, mh.min_hamming) " +
+        "SELECT m.mid AS doc_id, best.dup_of, best.min_hamming " +
+        "FROM m LEFT JOIN best ON m.mid = best.pid WHERE m.side = 'p' ORDER BY doc_id"),
     // audio fingerprint near-dup: the engine REALLY decodes every staged
     // WAV (bases doc_id < 200 + half-loudness planted copies under ids
     // 1000+id) and buckets clips by the 15-bit frame-energy-profile
@@ -1411,6 +1449,18 @@ object SparkEntry {
     // blanked checksums) — same exact-reproduction oracle as zip
     "q_tar_ingest" ->
       "SELECT doc_id, coalesce(text, '') AS text FROM documents ORDER BY doc_id",
+    // the WebDataset round trip: tar shards pair <key>.txt and <key>.png
+    // entries per sample; the engine must walk the shards, pair by key
+    // and REALLY decode both modalities — the oracle states text and
+    // image geometry + weighted pixel sum in closed form
+    "q_wds_ingest" ->
+      ("WITH g AS (SELECT doc_id, coalesce(text, '') AS text, " +
+        "doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, text, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(list_sum([(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) * (i + 1) " +
+        "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
+        "FROM g ORDER BY doc_id"),
     // robots.txt: the oracle states each rawUrl family's RFC 9309
     // verdict in closed form (longest-match allow-over-disallow,
     // specific-agent override, deny-all, '*'+'$' pattern, absent-file

@@ -1119,13 +1119,12 @@ object Multimodal {
   def qImageDhash(s: SparkSession, d: String): DataFrame =
     dhashNearDups(mediaTableDhash(s, d))
 
-  /** The dHash near-dup core over any (doc_id, media) frame — split out
-    * so the scale probe can run it on a grown media set. */
-  def dhashNearDups(media: DataFrame): DataFrame = {
+  /** Decode + hash any (doc_id, media) frame into (doc_id, b0..b3);
+    * failed decodes carry the -1 sentinel. */
+  def dhashHashes(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    val hashes = media
-      .as[(Long, Array[Byte])]
+    media.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           dhashBands(bytes) match {
@@ -1136,6 +1135,14 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The dHash near-dup core over any (doc_id, media) frame — split out
+    * so the scale probe can run it on a grown media set. */
+  def dhashNearDups(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val hashes = dhashHashes(media)
       // reused three times below (banding + both verify sides); at scale
       // this re-decodes the corpus per use — materialize once
       .localCheckpoint()
@@ -1168,5 +1175,74 @@ object Multimodal {
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("dup_of"), col("min_hamming"))
       .orderBy("doc_id")
+  }
+
+  // ------------------- persisted dHash index + probe (incremental path)
+
+  /** Persist a media set's dHash bands as the corpus-side index — the
+    * per-micro-batch shape of STREAMING image dedup: the corpus hashes
+    * once, each arriving batch probes the stored 4-int rows (never the
+    * stored images). Banding keys are derivable from the stored bands,
+    * so the index is just the hash table. */
+  def writeDhashIndex(media: DataFrame, path: String): Unit =
+    dhashHashes(media).filter(col("b0") >= 0)
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a stored index with a new media batch: banded candidate join
+    * (exact by pigeonhole at Hamming <= [[DhashHammingMax]]) + exact
+    * verify + per-probe best match. Every probe row comes back, matched
+    * or not. */
+  def dhashProbeIndex(s: SparkSession, path: String, media: DataFrame): DataFrame = {
+    val probe = dhashHashes(media).localCheckpoint()
+    val idx = s.read.parquet(path)
+    def banded(df: DataFrame, side: String) =
+      df.select(col("doc_id").as(side), posexplode(
+        array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val ok = probe.filter(col("b0") >= 0)
+    val cand = banded(ok, "p").join(banded(idx, "i"), Seq("band_idx", "band_val"))
+      .select("p", "i").distinct()
+    val pairs = cand
+      .join(ok.select(col("doc_id").as("p"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("p"))
+      .join(idx.select(col("doc_id").as("i"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("i"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= DhashHammingMax)
+    val best = pairs.groupBy(col("p").as("doc_id"))
+      .agg(min(struct(col("hamming"), col("i"))).as("m"))
+      .select(col("doc_id"), col("m.i").as("dup_of"), col("m.hamming").as("min_hamming"))
+    probe.select("doc_id").join(best, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
+  private lazy val dhashIdxDir: String =
+    Dedup.processTempDir("graft_dhash_idx")
+
+  /** Oracle-checked incremental image dedup: EVEN base images persist as
+    * the index; the probe batch is the ODD bases plus all 20 planted
+    * copies — copies of even bases must hit their stored base, copies of
+    * odd bases and unmatched probes come back null. The oracle replays
+    * both sides' hashes closed-form and brute-forces probe x index. */
+  def qDhashIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val even = documents(s, d).filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, buildPngTextured(id, 0))))
+      .toDF("doc_id", "media")
+    writeDhashIndex(even, dhashIdxDir)
+    val odd = documents(s, d)
+      .filter(col("doc_id") < 200 && col("doc_id") % 2 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, buildPngTextured(id, 0))))
+      .toDF("doc_id", "media")
+    val copies = documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (DhashCopyBase + id, buildPngTextured(id, DhashCopyDelta))))
+      .toDF("doc_id", "media")
+    dhashProbeIndex(s, dhashIdxDir, odd.unionByName(copies))
   }
 }

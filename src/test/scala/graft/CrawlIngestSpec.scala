@@ -243,6 +243,36 @@ class CrawlIngestSpec extends SparkSpec {
 
   // ---------------------------------------------------- span corruption
 
+  test("webdataset: key pairing, missing modality, unpaired entries") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.sources.TarIngest
+    val tar = TarIngest.buildTar(Seq(
+      "000000007.txt" -> "seven".getBytes("UTF-8"),
+      "000000007.png" -> Multimodal.buildPng(7L),
+      // a text-only sample: image decode must yield the sentinel, not throw
+      "000000009.txt" -> "nine".getBytes("UTF-8")))
+    val out = spark.createDataset(Seq(tar)).toDF("content")
+      .as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { t =>
+          TarIngest.untarEntries(t).groupBy(_._1.takeWhile(_ != '.')).toSeq
+            .map { case (key, entries) =>
+              val byExt = entries.map { case (n, b) => n.dropWhile(_ != '.') -> b }.toMap
+              val text = byExt.get(".txt").map(new String(_, "UTF-8")).getOrElse("")
+              val (w, h, s) = byExt.get(".png").flatMap(Multimodal.decodePng)
+                .getOrElse((-1, -1, -1L))
+              (key.toLong, text, w, h, s)
+            }
+        }
+      }.collect().sortBy(_._1)
+    assert(out.length === 2)
+    assert(out(0)._1 === 7L && out(0)._2 === "seven")
+    val (w7, h7) = Multimodal.imageDims(7L)
+    assert(out(0)._3 === w7 && out(0)._4 === h7)
+    assert(out(1) === ((9L, "nine", -1, -1, -1L)))
+  }
+
   test("span corruption: sentinel runs, numbering, and edge docs") {
     import spark.implicits._
     val docs = Seq(

@@ -251,6 +251,25 @@ class MultimodalSpec extends SparkSpec {
     assert(unrelated <= 4, s"$unrelated unrelated bases matched — degenerate hash?")
   }
 
+  test("dhash index probe: stored bases match, unseen probes come back null") {
+    val out = SparkEntry.queries("q_dhash_incremental")(spark, sf0001).collect()
+    assert(out.length === 120) // 100 odd bases + 20 planted copies
+    // copies of EVEN (indexed) bases within the threshold hit that base
+    var hit = 0
+    for (r <- out if r.getLong(0) >= Multimodal.DhashCopyBase &&
+        (r.getLong(0) - Multimodal.DhashCopyBase) % 2 == 0 && !r.isNullAt(1)) {
+      assert(r.getLong(1) === r.getLong(0) - Multimodal.DhashCopyBase)
+      assert(r.getLong(2) <= Multimodal.DhashHammingMax)
+      hit += 1
+    }
+    assert(hit >= 7, s"only $hit even-base copies hit the index")
+    // copies of ODD bases probe an index that does NOT contain their
+    // base — near-misses against unrelated stored images stay rare
+    val oddCopyHits = out.count(r => r.getLong(0) >= Multimodal.DhashCopyBase &&
+      (r.getLong(0) - Multimodal.DhashCopyBase) % 2 == 1 && !r.isNullAt(1))
+    assert(oddCopyHits <= 2, s"$oddCopyHits odd-base copies matched — degenerate?")
+  }
+
   test("audio fingerprint is loudness-invariant and non-degenerate") {
     // every half-loudness copy fingerprints identically to its base
     // (scaling all samples scales all frame energies together)
