@@ -107,6 +107,7 @@ object SparkEntry {
 
     "q_novelty" -> (TextAnalysis.qNovelty _),
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
+    "q_blocklist" -> (TextAnalysis.qBlocklist _), // Aho-Corasick multi-pattern banned-phrase scan
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_percentiles" -> (Advanced.qPercentiles _),
     // --- similarity search extensions
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_audio_fp" -> (Multimodal.qAudioFp _), // energy-profile audio fingerprint near-dup (loudness-invariant)
     "q_dhash_incremental" -> (Multimodal.qDhashIncremental _), // persisted dHash index + probe batch (streaming image dedup)
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
+    "q_boilerplate" -> (graft.sources.Boilerplate.qBoilerplate _), // block-level link-density main-content extraction
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
     "q_jsonl_ingest" -> (graft.sources.JsonlGz.qJsonlIngest _), // gzipped-JSONL shards via the native json source
@@ -211,6 +213,7 @@ object SparkEntry {
     "q_sitemap" -> (graft.sources.SitemapIngest.qSitemap _), // sitemapindex -> gzipped urlset shards walk
     "q_bpe_encode" -> (TextSearch.qBpeEncode _),
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
+    "q_kneser_ney" -> (TextSearch.qKneserNey _), // interpolated-KN bigram LM (the KenLM filter shape)
     "q_budget_select" -> (Curation.qBudgetSelect _),
     "q_split_safe" -> (Curation.qSplitSafe _),
     "q_negatives" -> (Curation.qNegatives _),
@@ -1433,6 +1436,22 @@ object SparkEntry {
         "SELECT doc_id, 'Doc ' || doc_id || ' Home | About Doc #' || doc_id || " +
         "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
         "' © 2026 Graft' AS text_clean FROM t ORDER BY doc_id"),
+    // boilerplate removal: the staged pages bury each document's text in
+    // nav / tag-cloud / teaser / footer noise (Boilerplate.buildBpPage);
+    // the oracle states the content verdicts in closed form from the
+    // fixture's construction — title/nav/tag-cloud/teaser/footer are
+    // dropped (length or 3·anchor > length), the body survives iff its
+    // collapsed length >= 25, the one-link prose block always survives
+    "q_boilerplate" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200), " +
+        "s AS (SELECT doc_id, body, 'Doc ' || doc_id || " +
+        "' keeps long plain prose flowing around one inline link to stay below the density cutoff.' AS prose FROM t) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN body = '' THEN 6 ELSE 7 END AS BIGINT) AS n_blocks, " +
+        "CAST(CASE WHEN length(body) >= 25 THEN 2 ELSE 1 END AS BIGINT) AS n_content, " +
+        "CASE WHEN length(body) >= 25 THEN body || ' ' || prose ELSE prose END AS main_text " +
+        "FROM s ORDER BY doc_id"),
     // the ZIP round trip: staged archive shards (ZipOutputStream) read
     // back through an independent ZipInputStream walk must reproduce the
     // documents table exactly; NULL text stages as an empty entry, so
@@ -1840,6 +1859,23 @@ object SparkEntry {
         s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
         s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS masked " +
         "FROM customer ORDER BY c_custkey"),
+    // Aho-Corasick blocklist: the dictionary is interpolated from the
+    // engine's BlocklistPatterns (source of truth); the oracle counts by
+    // POSITION SCAN (every i where substr(t,i,|p|) = p), i.e. every
+    // occurrence including overlaps and patterns nested inside other
+    // patterns' matches ('park' inside 'spark' — visible to the engine
+    // only through the automaton's fail links)
+    "q_blocklist" ->
+      ("WITH p AS (SELECT unnest([" +
+        TextAnalysis.BlocklistPatterns.map(p => s"'$p'").mkString(", ") +
+        "]) AS pattern), " +
+        "d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), " +
+        "m AS (SELECT doc_id, pattern, CAST(list_sum(" +
+        "[CASE WHEN substr(t, i, length(pattern)) = pattern THEN 1 ELSE 0 END " +
+        "for i in generate_series(1, length(t) - length(pattern) + 1)]) AS BIGINT) AS n_hits " +
+        "FROM d, p WHERE length(t) >= length(pattern)) " +
+        "SELECT doc_id, pattern, n_hits FROM m WHERE n_hits > 0 " +
+        "ORDER BY doc_id, pattern"),
     "q_chunk" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, words FROM w), " +
@@ -2105,6 +2141,23 @@ object SparkEntry {
         "v AS (SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(w) AS tok FROM t)) " +
         "SELECT w1, w2, n, round((n + 0.5) / (n1 + 0.5 * vs), 6) AS p " +
         "FROM c12 JOIN c1 USING (w1), v ORDER BY n DESC, w1, w2 LIMIT 100"),
+    // interpolated Kneser-Ney: every N1+ statistic is a window over the
+    // distinct-bigram table itself (each c12 row IS one distinct pair),
+    // so the oracle's counts are definitionally the engine's; the
+    // probability combines exact integers in the same double expression
+    // shape, rounded to 6 places (the bigram_lm discipline)
+    "q_kneser_ney" ->
+      ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT unnest([struct_pack(w1 := w[i], w2 := w[i+1]) " +
+        "for i in generate_series(1, len(w) - 1)]) AS z FROM t WHERE len(w) >= 2), " +
+        "c12 AS (SELECT z.w1 AS w1, z.w2 AS w2, count(*) AS n FROM bg GROUP BY 1, 2), " +
+        "st AS (SELECT w1, w2, n, sum(n) OVER (PARTITION BY w1) AS n1, " +
+        "count(*) OVER (PARTITION BY w1) AS d1, " +
+        "count(*) OVER (PARTITION BY w2) AS c2, " +
+        "count(*) OVER () AS db FROM c12) " +
+        "SELECT w1, w2, n, round(greatest(n - 0.75, 0.0) / n1 + " +
+        "((0.75 * d1) / n1) * (c2 / CAST(db AS DOUBLE)), 6) AS p_kn " +
+        "FROM st ORDER BY n DESC, w1, w2 LIMIT 100"),
     "q_budget_select" ->
       ("WITH t AS (SELECT doc_id, text, length(text) AS len, " +
         "string_split_regex(trim(text), '\\s+') AS w FROM documents), " +

@@ -694,6 +694,57 @@ object TextAnalysis {
     compressionSignals(Tables.rebalance(documents(s, d), "doc_id"))
       .orderBy("doc_id")
 
+  // ----------------------------- multi-pattern blocklist scan (Aho-Corasick)
+
+  /** The phrase blocklist for the gate: fixed phrases from the corpus
+    * vocabulary, INCLUDING a pattern ("park") that only ever occurs as a
+    * proper suffix inside another token ("spark") — matched exclusively
+    * through the automaton's fail links, which a naive trie-restart
+    * scanner misses. No pattern has a non-empty border (proper
+    * prefix = suffix), and the oracle counts by position scan anyway, so
+    * overlap semantics cannot diverge. */
+  val BlocklistPatterns: Seq[String] =
+    Seq("batch window", "fast table", "park", "slow filter", "spark", "value part")
+
+  /** Multi-pattern blocklist scan — the toxicity/banned-phrase filter
+    * every ingestion pipeline runs before training. One Aho-Corasick
+    * automaton over the whole dictionary gives a SINGLE O(n) pass per
+    * document regardless of dictionary size — per-pattern `contains`
+    * scans are O(n·|dict|) and melt at a 10k-phrase blocklist.
+    *
+    * Scale shape: the automaton is the broadcast dim (built once at the
+    * driver from the tiny dictionary, shipped in the task closure like
+    * the tokenizer vocabs); the corpus is touched by ONE narrow
+    * mapPartitions — no shuffle until the output sort. A 10k-phrase
+    * production list changes only the automaton size (~Σ|pattern|
+    * nodes), not the plan. */
+  def blocklistHits(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pats = patterns.toArray
+    val ac = AhoCorasick.build(pats)
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val counts = ac.countMatches(t)
+          counts.iterator.zipWithIndex.collect {
+            case (c, i) if c > 0 => (id, pats(i), c.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "pattern", "n_hits")
+  }
+
+  /** Oracle-checked blocklist scan: per (doc, pattern) occurrence counts
+    * over the fixed dictionary (all occurrences, overlapping included —
+    * the automaton reports every match end; the oracle counts every
+    * matching position). */
+  def qBlocklist(s: SparkSession, d: String): DataFrame =
+    blocklistHits(documents(s, d), BlocklistPatterns)
+      .orderBy("doc_id", "pattern")
+
   /** Corpus stats rollup: per (lang, source-bucket) aggregate of the
     * quality signals — the "dataset card" numbers of a training corpus. */
   def qTextStats(s: SparkSession, d: String): DataFrame =

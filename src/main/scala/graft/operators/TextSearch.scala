@@ -677,6 +677,68 @@ object TextSearch {
       .select(col("w1"), col("w2"), col("n"), col("p"))
   }
 
+  /** Interpolated Kneser-Ney bigram model — the smoothing the KenLM
+    * quality filters of the CCNet/CommonCrawl lineage actually run
+    * (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.24), next to the
+    * Lidstone table of [[bigramLm]]:
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+    *               + (D · N1+(w1,·)/c(w1·)) · (N1+(·,w2)/N1+(··))
+    *
+    * with absolute discount D = 0.75. The novelty over add-k is the
+    * CONTINUATION distribution: a word's unigram weight is how many
+    * distinct contexts it follows, not how often it occurs — the "San
+    * Francisco" correction (frequent but single-context words stop
+    * leaking probability into unseen pairs).
+    *
+    * Scale shape: identical to [[bigramLm]] — one explode + one (w1,w2)
+    * count; every N1+ statistic is a window over the DISTINCT-bigram
+    * table itself (each c12 row IS one distinct pair, so partition row
+    * counts are exactly the N1+ values; pair and continuation counts can
+    * never disagree). Two keyed exchanges over a vocabulary-bounded
+    * table; the corpus is touched once. `nDistinctBigrams` arrives as a
+    * caller-side literal (the nDocs pattern — no 1-row cross join).
+    * Determinism: exact integer counts combined in double arithmetic
+    * with the SAME expression shape as the oracle, rounded to 6 places
+    * (the house bigramLm discipline). */
+  def kneserNey(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
+    val D = 0.75
+    val pairs = Tables.rebalance(docs, "doc_id")
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
+        .as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val byW1 = Window.partitionBy("w1")
+    val byW2 = Window.partitionBy("w2")
+    c12
+      .withColumn("n1", sum(col("n")).over(byW1))        // c(w1·)
+      .withColumn("d1", count(lit(1)).over(byW1))        // N1+(w1,·)
+      .withColumn("c2", count(lit(1)).over(byW2))        // N1+(·,w2)
+      .withColumn("p_kn", round(
+        greatest(col("n") - lit(D), lit(0.0)) / col("n1") +
+          ((lit(D) * col("d1")) / col("n1")) *
+            (col("c2") / lit(nDistinctBigrams.toDouble)), 6))
+  }
+
+  /** Top-100 bigrams by count with their interpolated-KN probabilities
+    * (ties break on the pair strings — the bigramLm rank discipline). */
+  def qKneserNey(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = docs
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
+        .as("z"))
+    val db = pairs.select(col("z.w1"), col("z.w2")).distinct().count()
+    kneserNey(docs, db)
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(100)
+      .select(col("w1"), col("w2"), col("n"), col("p_kn"))
+  }
+
   // ------------------------------------------- unigram-LM tokenizer
 
   /** Unigram-LM tokenizer (the SentencePiece family, Kudo 2018) in its

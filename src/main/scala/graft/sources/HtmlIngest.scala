@@ -29,7 +29,7 @@ object HtmlIngest {
   def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  private def decodeEntity(ent: String): Option[String] = ent match {
+  private[sources] def decodeEntity(ent: String): Option[String] = ent match {
     case "amp"  => Some("&")
     case "lt"   => Some("<")
     case "gt"   => Some(">")
@@ -50,7 +50,7 @@ object HtmlIngest {
     case _ => None
   }
 
-  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+  private[sources] def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
     var i = math.max(from, 0)
     val last = hay.length - needle.length
     while (i <= last) {
