@@ -604,6 +604,55 @@ object ScaleProbe {
             graft.sources.OcrEngine.buildPdfScanned(t)).length.toLong
         }.agg(sum(col("value"))).head(); nMedia
       }
+      // ---- round-7 batch 3: markdown prose, audio resample, shot cuts
+      // all narrow per-row decode/extract work (media bytes never
+      // shuffle); probes pin per-row cost flat in corpus size
+      time("md_extract", nDocs) {
+        import graft.sources.MarkdownIngest
+        docsWide.map { case (id, t) =>
+          MarkdownIngest.mdToText(
+            MarkdownIngest.buildMd(id, if (t == null) "" else t)).length.toLong
+        }.agg(sum(col("value"))).head(); nDocs
+      }
+      time("wiki_extract", nDocs) {
+        import graft.sources.WikiIngest
+        docsWide.map { case (id, t) =>
+          WikiIngest.wikiToText(
+            WikiIngest.buildWiki(id, if (t == null) "" else t)).length.toLong
+        }.agg(sum(col("value"))).head(); nDocs
+      }
+      time("tex_extract", nDocs) {
+        import graft.sources.LatexIngest
+        docsWide.map { case (id, t) =>
+          LatexIngest.texToText(
+            LatexIngest.buildTex(id, if (t == null) "" else t)).length.toLong
+        }.agg(sum(col("value"))).head(); nDocs
+      }
+      time("audio_resample", nMedia) {
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.decodeWavSamples(Multimodal.buildWavTextured(id, 1)) match {
+              case Some((rate, ch, samples)) =>
+                Multimodal.resampleLinear(samples, ch, rate,
+                  Multimodal.ResampleRate).length.toLong
+              case None => 0L
+            }
+          }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("video_shots", nMedia) {
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .map { id =>
+            val dims = ((id % 19 + 6).toInt, (id % 11 + 6).toInt, Multimodal.ShotFrames)
+            Multimodal.decodeAviGray(
+              Multimodal.buildAviDib(dims, Multimodal.shotPixel(id))) match {
+              case Some((w, h, rs)) =>
+                Multimodal.shotBoundaries(w, h, rs).count(_._3).toLong
+              case None => 0L
+            }
+          }.agg(sum(col("value"))).head(); nMedia
+      }
       time("bfs_frontier", 400L * mult) {
         // node universe grows with mult; seeds and hop budget fixed —
         // per-wave cost tracks the FRONTIER, not the graph

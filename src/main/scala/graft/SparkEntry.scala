@@ -154,19 +154,27 @@ object SparkEntry {
     "q_ocr_ingest" -> (graft.sources.OcrEngine.qOcrIngest _), // scanned (image-only) PDFs through REAL template-matching OCR
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
+    "q_audio_resample" -> (Multimodal.qAudioResample _), // integer-exact linear resample to 16 kHz
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
+    "q_video_shots" -> (Multimodal.qVideoShots _), // MAD shot-boundary detection over decoded rasters
     "q_image_dhash" -> (Multimodal.qImageDhash _), // perceptual-hash (dHash) image near-dup, banded Hamming LSH
     "q_audio_fp" -> (Multimodal.qAudioFp _), // energy-profile audio fingerprint near-dup (loudness-invariant)
     "q_dhash_incremental" -> (Multimodal.qDhashIncremental _), // persisted dHash index + probe batch (streaming image dedup)
     "q_html_ingest" -> (graft.sources.HtmlIngest.qHtmlIngest _), // HTML boilerplate-strip round trip
     "q_boilerplate" -> (graft.sources.Boilerplate.qBoilerplate _), // block-level link-density main-content extraction
+    "q_markdown" -> (graft.sources.MarkdownIngest.qMarkdown _), // markdown -> prose extraction (fences/markers/links)
     "q_url_filter" -> (UrlOps.qUrlFilter _), // URL canonicalize + registrable domain + blocklist
     "q_warc_ingest" -> (graft.sources.WarcIngest.qWarcIngest _), // WARC record walk -> HTTP -> HTML -> text
     "q_jsonl_ingest" -> (graft.sources.JsonlGz.qJsonlIngest _), // gzipped-JSONL shards via the native json source
     "q_zip_ingest" -> (graft.sources.ZipIngest.qZipIngest _), // ZIP archive shards, per-partition unpack
     "q_orc_ingest" -> (graft.sources.OrcIngest.qOrcIngest _), // native vectorized ORC round trip
+    "q_csv_ingest" -> (graft.sources.CsvIngest.qCsvIngest _), // hand-rolled RFC 4180 shards via the native csv source
+    "q_avro_ingest" -> (graft.sources.AvroIngest.qAvroIngest _), // hand-rolled Avro OCF shards via the native avro source
+    "q_xml_ingest" -> (graft.sources.WikiIngest.qXmlIngest _), // mediawiki dump via the native xml source (rowTag=page)
+    "q_wikitext" -> (graft.sources.WikiIngest.qWikitext _), // wikitext -> prose over the staged dump pages
+    "q_latex" -> (graft.sources.LatexIngest.qLatex _), // LaTeX -> prose (preamble/math/cite/float machinery out)
     "q_tar_ingest" -> (graft.sources.TarIngest.qTarIngest _), // hand-rolled POSIX ustar .tar.gz shards
     "q_wds_ingest" -> (graft.sources.WebDataset.qWdsIngest _), // WebDataset tar shards: text+image paired by key
     "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL
@@ -1310,6 +1318,19 @@ object SparkEntry {
         "CAST(list_sum([(((i % w) * 3 + (i // w) * 7 + frame_no * 13 + doc_id) % 256) * (i + 1) " +
         "for i in generate_series(0, w * h - 1)]) AS BIGINT) AS pixel_sum " +
         "FROM f ORDER BY doc_id, frame_no"),
+    // shot-boundary detection: staged clips plant scene cuts every
+    // segLen frames with BOUNDED pixel values, so every pixel moves by
+    // the same delta between consecutive frames — +1 inside a scene,
+    // 41-seg (even->odd scene) or -(39+seg) (odd->even) at a cut — and
+    // the engine's real decode+diff MAD equals that |delta| exactly.
+    // The oracle states every frame's MAD and cut verdict in closed form
+    "q_video_shots" ->
+      ("WITH m AS (SELECT doc_id, doc_id % 3 + 3 AS seg FROM documents WHERE doc_id < 200), " +
+        "f AS (SELECT doc_id, seg, unnest(generate_series(1, 11)) AS fi FROM m), " +
+        "v AS (SELECT doc_id, fi, CASE WHEN fi % seg != 0 THEN 1 " +
+        "WHEN (fi // seg) % 2 = 1 THEN 41 - seg ELSE 39 + seg END AS mad FROM f) " +
+        "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, CAST(mad AS BIGINT) AS mad, " +
+        "mad > 10 AS is_cut FROM v ORDER BY doc_id, frame_idx"),
     // the OCR round trip: scanned (image-only, NO text layer) PDFs route
     // through needs_ocr to the template-matching OCR engine, which must
     // recover each document's normalized text EXACTLY (the font's
@@ -1399,6 +1420,25 @@ object SparkEntry {
         "GROUP BY c.pid, mh.min_hamming) " +
         "SELECT m.mid AS doc_id, best.dup_of, best.min_hamming " +
         "FROM m LEFT JOIN best ON m.mid = best.pid WHERE m.side = 'p' ORDER BY doc_id"),
+    // resample-to-16k: the engine really decodes each staged WAV and
+    // linear-interpolates to 16 kHz in integer math; the oracle replays
+    // interpolation, tail clamp and trunc-toward-zero division from the
+    // closed-form sample formula ((i*37 + doc_id*11) % 65536 - 32768)
+    "q_audio_resample" ->
+      ("WITH m AS (SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS r, " +
+        "1 + doc_id % 2 AS c, doc_id % 200 + 50 AS f FROM documents WHERE doc_id < 200), " +
+        "p AS (SELECT doc_id, r, c, f, (f * 16000) // r AS nout FROM m), " +
+        "kk AS (SELECT doc_id, r, c, f, nout, unnest(generate_series(0, nout - 1)) AS k FROM p), " +
+        "cc AS (SELECT doc_id, r, c, f, nout, k, unnest(generate_series(0, c - 1)) AS ch FROM kk), " +
+        "v AS (SELECT doc_id, c, k, ch, (k * r) // 16000 AS idx, (k * r) % 16000 AS rem, f FROM cc), " +
+        "w AS (SELECT doc_id, c, k, ch, rem, " +
+        "((idx * c + ch) * 37 + doc_id * 11) % 65536 - 32768 AS s0, " +
+        "((least(idx + 1, f - 1) * c + ch) * 37 + doc_id * 11) % 65536 - 32768 AS s1 FROM v), " +
+        "x AS (SELECT doc_id, (s0 + ((s1 - s0) * rem) // 16000) * (k * c + ch + 1) AS term FROM w), " +
+        "agg AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS sample_sum FROM x GROUP BY doc_id) " +
+        "SELECT p.doc_id, CAST(16000 AS INTEGER) AS out_rate, CAST(p.c AS INTEGER) AS channels, " +
+        "CAST(p.nout AS BIGINT) AS n_out_frames, agg.sample_sum " +
+        "FROM p JOIN agg USING (doc_id) ORDER BY doc_id"),
     // audio fingerprint near-dup: the engine REALLY decodes every staged
     // WAV (bases doc_id < 200 + half-loudness planted copies under ids
     // 1000+id) and buckets clips by the 15-bit frame-energy-profile
@@ -1452,6 +1492,18 @@ object SparkEntry {
         "CAST(CASE WHEN length(body) >= 25 THEN 2 ELSE 1 END AS BIGINT) AS n_content, " +
         "CASE WHEN length(body) >= 25 THEN body || ' ' || prose ELSE prose END AS main_text " +
         "FROM s ORDER BY doc_id"),
+    // markdown extraction: staged .md pages wrap each document's text in
+    // heading/byline/list/fence/blockquote/inline structure
+    // (MarkdownIngest.buildMd); the oracle states the expected prose in
+    // closed form — a leaked marker, surfaced fence code or a kept link
+    // URL all hash-mismatch
+    "q_markdown" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, 'Doc ' || doc_id || ' Posted on 2026-01-01 by author ' || doc_id || " +
+        "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
+        "' item alpha item beta quoted wisdom line Inline code span and under emphasis close.' AS text_md " +
+        "FROM t ORDER BY doc_id"),
     // the ZIP round trip: staged archive shards (ZipOutputStream) read
     // back through an independent ZipInputStream walk must reproduce the
     // documents table exactly; NULL text stages as an empty entry, so
@@ -1463,6 +1515,54 @@ object SparkEntry {
     // coalesce on either side)
     "q_orc_ingest" ->
       "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
+    // the CSV round trip: hand-rolled RFC 4180 shards (quote doubling,
+    // backslash-doubled `\N` null sentinel — the reader null-matches
+    // post-unquote, so only write-side escaping protects literal
+    // sentinels; quoted-empty vs unquoted-empty carries ''-vs-NULL) read
+    // through the native csv source + the pair-collapse unescape must
+    // reproduce the documents table exactly, true NULLs included
+    "q_csv_ingest" ->
+      "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
+    // the Avro round trip: hand-rolled object container files (zigzag
+    // varint longs, length-prefixed UTF-8, null-union branch indexes,
+    // multi-block shards with sync markers) read through the native avro
+    // source must reproduce the documents table exactly — unions carry
+    // nullability natively, so true NULLs round-trip with no sentinel
+    "q_avro_ingest" ->
+      "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
+    // the XML-dump round trip: hand-written mediawiki export shards
+    // (entity-escaped) read through the native xml source with
+    // rowTag=page + a declared two-level nested schema; every scalar
+    // field is stated in closed form (the <text> payload is gated by
+    // q_wikitext instead)
+    "q_xml_ingest" ->
+      ("SELECT doc_id, 'Doc ' || doc_id AS title, CAST(0 AS BIGINT) AS ns, " +
+        "doc_id + 1000000 AS rev_id, '2026-01-01T00:00:00Z' AS rev_ts, " +
+        "'author' || doc_id AS username " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // wikitext extraction over the SAME staged dump: heading fences,
+    // emphasis ticks, template, ref body, link targets, category tag and
+    // external URL all out; link labels and prose kept — the oracle
+    // states the expected prose in closed form
+    "q_wikitext" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, 'Doc ' || doc_id || ' Posted on 2026-01-01 by author ' || doc_id || " +
+        "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
+        "' item alpha item beta external label and a plain link.' AS text_wiki " +
+        "FROM t ORDER BY doc_id"),
+    // LaTeX extraction: staged papers wrap each document's text in
+    // preamble/math/citation/float machinery; the oracle states the
+    // surviving prose in closed form — a leaked equation body, citation
+    // key, caption or preamble line all hash-mismatch
+    "q_latex" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, 'Doc ' || doc_id || ' author ' || doc_id || ' Introduction' || " +
+        "CASE WHEN body = '' THEN '' ELSE ' ' || body END || " +
+        "' The bound holds, and too; see . closing remarks keep 100% of prose. " +
+        "item alpha item beta' AS text_tex " +
+        "FROM t ORDER BY doc_id"),
     // the tar round trip: hand-rolled ustar writer vs an independent
     // header-walking reader (octal sizes, 512-block padding, SPACE-
     // blanked checksums) — same exact-reproduction oracle as zip

@@ -375,6 +375,107 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** REAL decode returning the interleaved 16-bit samples themselves
+    * (decodeWav's machinery, kept separate so the feature queries stay
+    * allocation-free). Null on undecodable bytes. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xFF)
+              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Target rate for the resample gate — what speech pipelines (Whisper,
+    * wav2vec) normalize to before feature extraction. */
+  val ResampleRate = 16000
+
+  /** Linear-interpolation resample of an interleaved PCM stream, in
+    * INTEGER arithmetic so the result is exactly reproducible in SQL:
+    * output frame k sits at source position k·srcRate/dstRate; with
+    * idx = ⌊k·srcRate/dstRate⌋ and rem = k·srcRate mod dstRate, each
+    * channel interpolates s0 + ((s1-s0)·rem)/dstRate (trunc-toward-zero
+    * division — DuckDB's `//` agrees with Scala on negatives, verified
+    * like the audio-fp halving). The last source frame clamps (s1 = s0
+    * at the tail), and nOut = ⌊frames·dstRate/srcRate⌋ keeps idx+rem in
+    * range by construction. */
+  def resampleLinear(samples: Array[Int], channels: Int,
+      srcRate: Int, dstRate: Int): Array[Int] = {
+    val frames = samples.length / channels
+    if (frames == 0) return new Array[Int](0)
+    val nOut = ((frames.toLong * dstRate) / srcRate).toInt
+    val out = new Array[Int](nOut * channels)
+    var k = 0
+    while (k < nOut) {
+      val srcPos = k.toLong * srcRate
+      val idx = (srcPos / dstRate).toInt
+      val rem = (srcPos % dstRate).toInt
+      var c = 0
+      while (c < channels) {
+        val s0 = samples(idx * channels + c)
+        val s1 = samples(math.min(idx + 1, frames - 1) * channels + c)
+        out(k * channels + c) = s0 + (((s1 - s0).toLong * rem) / dstRate).toInt
+        c += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Oracle-checked resample-to-16k: the staged WAV clips (rates
+    * 8000-16000 by construction) REALLY decode, linear-resample to
+    * [[ResampleRate]] in integer math, and report output geometry + the
+    * position-weighted sample sum — which the oracle recomputes in
+    * closed form from the sample formula (interpolation, tail clamp and
+    * trunc division replayed in SQL). The 16000->16000 clips pin the
+    * identity path (rem = 0 everywhere).
+    *
+    * Scale shape: narrow per-row decode+resample (clip bytes never
+    * shuffle); the resampled stream stays inside the task — only the
+    * 4-scalar feature row leaves, the multimodal house posture. */
+  def qAudioResample(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageWavFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "clip(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavSamples(bytes) match {
+            case Some((rate, ch, samples)) =>
+              val out = resampleLinear(samples, ch, rate, ResampleRate)
+              var sum = 0L
+              var i = 0
+              while (i < out.length) { sum += out(i).toLong * (i + 1); i += 1 }
+              (id, ResampleRate, ch, (out.length / ch).toLong, sum)
+            case None => (id, -1, -1, -1L, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "out_rate", "channels", "n_out_frames", "sample_sum")
+      .orderBy("doc_id")
+  }
+
   /** Stage real WAV uploads, one file per document — executor-written,
     * versioned + atomically published like the PDF/PNG fixtures. */
   def stageWavFixture(s: SparkSession, d: String): String = {
@@ -564,8 +665,13 @@ object Multimodal {
     * Uncompressed DIB frames keep the gate EXACT (JPEG would be lossy);
     * the MJPEG '00dc' path goes through ImageIO and is spec-covered with
     * tolerance instead ([[buildAviMjpeg]]). */
-  def buildAvi(docId: Long): Array[Byte] = {
-    val (w, h, nFrames) = aviDims(docId)
+  def buildAvi(docId: Long): Array[Byte] =
+    buildAviDib(aviDims(docId), aviPixel(docId, _, _, _))
+
+  /** The DIB writer itself, parameterized on geometry + pixel function so
+    * the shot-detection fixture ([[buildAviShots]]) shares one encoder. */
+  def buildAviDib(dims: (Int, Int, Int), pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val (w, h, nFrames) = dims
     val stride = ((w * 3 + 3) / 4) * 4
     val frameBytes = stride * h
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
@@ -615,7 +721,7 @@ object Multimodal {
         val fileRow = h - 1 - y // bottom-up storage
         var x = 0
         while (x < w) {
-          val v = aviPixel(docId, f, x, y).toByte
+          val v = pixel(f, x, y).toByte
           val off = fileRow * stride + x * 3
           bits(off) = v; bits(off + 1) = v; bits(off + 2) = v // B,G,R
           x += 1
@@ -711,39 +817,48 @@ object Multimodal {
     * container walk + per-frame raster decode is exactly the shape a
     * production video path has, with the codec behind a per-partition
     * seam. */
+  /** Shared RIFF/AVI container walk: stream format from the first 'strf'
+    * + the raw bytes of every movi frame chunk, or None on anything
+    * malformed. Both feature extraction ([[decodeAviFrames]]) and shot
+    * detection ([[decodeAviGray]]) build on this one walker. */
+  private def aviWalk(bytes: Array[Byte])
+      : Option[((Int, Int, Int, Boolean), Seq[Array[Byte]])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    var fmt: Option[(Int, Int, Int, Boolean)] = None // (w, h, bpp, isMjpeg)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = cc(pos)
+        val size = bb.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > end) return // malformed: stop
+        if (id == "LIST" && size >= 4) walk(pos + 12, pos + 8 + size)
+        else if (id == "strf" && size >= 40 && fmt.isEmpty) {
+          val biW = bb.getInt(pos + 12)
+          val biH = bb.getInt(pos + 16)
+          val bpp = bb.getShort(pos + 22).toInt
+          val compression = cc(pos + 24)
+          val isM = compression == "MJPG"
+          if (biW > 0 && biH > 0) fmt = Some((biW, biH, bpp, isM))
+        } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
+          frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+        }
+        pos += 8 + size + (size % 2) // word alignment
+      }
+    }
+    walk(12, bytes.length)
+    fmt.map(f => (f, frames.toSeq))
+  }
+
   def decodeAviFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] =
     try {
-      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def cc(off: Int): String =
-        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return Seq.empty
-      var fmt: Option[(Int, Int, Int, Boolean)] = None // (w, h, bpp, isMjpeg)
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      def walk(start: Int, end: Int): Unit = {
-        var pos = start
-        while (pos + 8 <= end) {
-          val id = cc(pos)
-          val size = bb.getInt(pos + 4)
-          if (size < 0 || pos + 8 + size > end) return // malformed: stop
-          if (id == "LIST" && size >= 4) walk(pos + 12, pos + 8 + size)
-          else if (id == "strf" && size >= 40 && fmt.isEmpty) {
-            val biW = bb.getInt(pos + 12)
-            val biH = bb.getInt(pos + 16)
-            val bpp = bb.getShort(pos + 22).toInt
-            val compression = cc(pos + 24)
-            val isM = compression == "MJPG"
-            if (biW > 0 && biH > 0) fmt = Some((biW, biH, bpp, isM))
-          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-              id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')) {
-            frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
-          }
-          pos += 8 + size + (size % 2) // word alignment
-        }
-      }
-      walk(12, bytes.length)
-      fmt match {
+      aviWalk(bytes) match {
         case None => Seq.empty
-        case Some((w, h, bpp, isMjpeg)) =>
+        case Some(((w, h, bpp, isMjpeg), frames)) =>
           frames.toSeq.zipWithIndex.flatMap { case (bits, f) =>
             if (isMjpeg) {
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bits))
@@ -830,6 +945,120 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_no", "width", "height", "pixel_sum")
       .orderBy("doc_id", "frame_no")
+  }
+
+  // ------------------------------- shot-boundary detection (scene cuts)
+
+  /** Decode a DIB-frame AVI into top-down gray rasters (one Int array per
+    * frame) — the full-pixel view shot detection needs, over the same
+    * [[aviWalk]] container walk as the feature decoder. None on malformed
+    * bytes or a non-24bpp stream. */
+  def decodeAviGray(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
+    try {
+      aviWalk(bytes).flatMap { case ((w, h, bpp, isMjpeg), frames) =>
+        if (isMjpeg || bpp != 24) None
+        else {
+          val stride = ((w * 3 + 3) / 4) * 4
+          val rasters = frames.flatMap { bits =>
+            if (bits.length < stride * h) None
+            else {
+              val px = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val fileRow = h - 1 - y
+                var x = 0
+                while (x < w) { px(y * w + x) = bits(fileRow * stride + x * 3) & 0xFF; x += 1 }
+                y += 1
+              }
+              Some(px)
+            }
+          }
+          if (rasters.length != frames.length) None else Some((w, h, rasters))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Shot geometry for docId's clip: 12 frames, scene length 3-5. Pixel
+    * values are BOUNDED (never wrap mod 256) so consecutive-frame
+    * differences are the same for every pixel: +1 drift within a scene,
+    * ±40 - (segLen-1) at a cut — the closed form the oracle states. */
+  val ShotFrames = 12
+  def shotSegLen(docId: Long): Int = (docId % 3 + 3).toInt
+  def shotPixel(docId: Long)(f: Int, x: Int, y: Int): Int = {
+    val seg = shotSegLen(docId)
+    val scene = f / seg
+    ((x * 3 + y * 7 + docId) % 200).toInt + (f % seg) + (scene % 2) * 40
+  }
+
+  /** Stage shot-detection clips: the [[buildAviDib]] encoder with planted
+    * scene cuts every segLen frames. */
+  def stageAviShotsFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("avishots_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"shots$id%05d.avi"),
+              buildAviDib(((id % 19 + 6).toInt, (id % 11 + 6).toInt, ShotFrames),
+                shotPixel(id)))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Mean-absolute-difference shot boundaries over decoded rasters:
+    * mad(f) = Σ|p_f - p_(f-1)| / (w·h) in integer division, cut iff
+    * mad > [[ShotMadThreshold]] — the classic pixel-domain scene-cut
+    * detector (the first stage of keyframe selection in video training
+    * pipelines; histogram/feature variants swap in at the same seam). */
+  val ShotMadThreshold = 10
+  def shotBoundaries(w: Int, h: Int, rasters: Seq[Array[Int]]): Seq[(Int, Long, Boolean)] =
+    (1 until rasters.length).map { f =>
+      val a = rasters(f - 1)
+      val b = rasters(f)
+      var sad = 0L
+      var i = 0
+      while (i < a.length) { sad += math.abs(b(i) - a(i)); i += 1 }
+      val mad = sad / (w.toLong * h)
+      (f, mad, mad > ShotMadThreshold)
+    }
+
+  /** Oracle-checked shot-boundary detection: staged clips plant scene
+    * cuts every segLen frames (bounded pixel values — every pixel moves
+    * by the same delta between frames, so MAD is exactly the planted
+    * delta); the engine REALLY decodes and differences rasters, the
+    * oracle states every frame's MAD and cut verdict in closed form.
+    *
+    * Scale shape: narrow per-row decode+diff (frame rasters never leave
+    * the task; 11 scalar rows per clip exit). */
+  def qVideoShots(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageAviShotsFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avi")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "shots(\\d+)\\.avi", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAviGray(bytes) match {
+            case Some((w, h, rasters)) =>
+              shotBoundaries(w, h, rasters).map { case (f, mad, cut) => (id, f, mad, cut) }
+            case None => Seq((id, -1, -1L, false))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "mad", "is_cut")
+      .orderBy("doc_id", "frame_idx")
   }
 
   def qGifFrames(s: SparkSession, d: String): DataFrame = {

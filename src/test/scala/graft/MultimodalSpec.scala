@@ -300,4 +300,66 @@ class MultimodalSpec extends SparkSpec {
       .map(_.getLong(1)).distinct.length
     assert(distinctFps >= 150, s"only $distinctFps distinct fingerprints — degenerate")
   }
+
+  test("resampleLinear: identity at equal rates, exact doubling, tail clamp") {
+    // identity: rem = 0 at every output frame, so samples pass through
+    val mono = Array(100, -200, 32767, -32768, 5)
+    assert(Multimodal.resampleLinear(mono, 1, 16000, 16000).toSeq === mono.toSeq)
+    // doubling 8k->16k: even k copies source, odd k is the trunc-toward-
+    // zero midpoint; the final output frame clamps s1 to the last source
+    // frame and lands ON it (rem = 8000, (s0-s0) interpolation)
+    val out = Multimodal.resampleLinear(mono, 1, 8000, 16000)
+    assert(out.length === 10)
+    assert(out(0) === 100 && out(2) === -200 && out(4) === 32767)
+    assert(out(1) === 100 + (-200 - 100) / 2)      // -50 (trunc toward zero)
+    assert(out(3) === -200 + (32767 + 200) / 2)     // midpoint up
+    assert(out(9) === 5, "tail clamp must repeat the last source frame")
+    // stereo: channels interpolate independently (interleaved layout)
+    val stereo = Array(10, -10, 30, -30) // frames (10,-10),(30,-30)
+    val so = Multimodal.resampleLinear(stereo, 2, 8000, 16000)
+    assert(so.toSeq === Seq(10, -10, 20, -20, 30, -30, 30, -30))
+    // empty input
+    assert(Multimodal.resampleLinear(Array.emptyByteArray.map(_.toInt), 1, 8000, 16000).isEmpty)
+  }
+
+  test("decodeWavSamples recovers the exact interleaved PCM stream") {
+    for (id <- Seq(0L, 3L, 7L)) {
+      val (rate, channels, frames) = Multimodal.audioParams(id)
+      val Some((dr, dc, samples)) = Multimodal.decodeWavSamples(Multimodal.buildWav(id))
+      assert(dr === rate && dc === channels)
+      assert(samples.length === frames * channels)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s === Multimodal.audioSample(id, i), s"clip $id sample $i")
+      }
+    }
+    assert(Multimodal.decodeWavSamples("not audio".getBytes).isEmpty)
+  }
+
+  test("shot detection: decoded MADs match the planted scene-cut deltas") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 199L)) {
+      val seg = Multimodal.shotSegLen(id)
+      val dims = ((id % 19 + 6).toInt, (id % 11 + 6).toInt, Multimodal.ShotFrames)
+      val bytes = Multimodal.buildAviDib(dims, Multimodal.shotPixel(id))
+      val Some((w, h, rasters)) = Multimodal.decodeAviGray(bytes)
+      assert(w === dims._1 && h === dims._2 && rasters.length === Multimodal.ShotFrames)
+      Multimodal.shotBoundaries(w, h, rasters).foreach { case (f, mad, cut) =>
+        val expect =
+          if (f % seg != 0) 1L
+          else if ((f / seg) % 2 == 1) (41 - seg).toLong
+          else (39 + seg).toLong
+        assert(mad === expect, s"clip $id frame $f MAD")
+        assert(cut === (expect > Multimodal.ShotMadThreshold), s"clip $id frame $f verdict")
+      }
+    }
+  }
+
+  test("decodeAviGray rejects MJPEG streams and malformed bytes") {
+    assert(Multimodal.decodeAviGray("not an avi".getBytes).isEmpty)
+    assert(Multimodal.decodeAviGray(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAviGray(Multimodal.buildAviMjpeg(5L)).isEmpty,
+      "gray decode is DIB-exact only; MJPEG stays on the tolerance path")
+    // truncated mid-frame: the walker stops, frame count mismatches, None
+    val full = Multimodal.buildAviDib((8, 6, 3), (f, x, y) => (x + y + f) % 200)
+    assert(Multimodal.decodeAviGray(java.util.Arrays.copyOf(full, 60)).isEmpty)
+  }
 }

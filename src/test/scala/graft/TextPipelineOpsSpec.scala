@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{AhoCorasick, TextAnalysis, TextSearch}
+import graft.sources.Boilerplate
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 text-pipeline trio: the Aho-Corasick blocklist
+  * automaton, jusText-style boilerplate removal, and the Kneser-Ney
+  * bigram table. The oracle gates (q_blocklist / q_boilerplate /
+  * q_kneser_ney) cover the distributed paths; these pin the pure
+  * functions and the semantics the gates rely on. */
+class TextPipelineOpsSpec extends SparkSpec {
+
+  // --------------------------------------------------- Aho-Corasick
+
+  private def naiveCounts(text: String, patterns: Array[String]): Array[Int] =
+    patterns.map { p =>
+      var c = 0; var from = 0
+      var i = text.indexOf(p, from)
+      while (i >= 0) { c += 1; from = i + 1; i = text.indexOf(p, from) }
+      c
+    }
+
+  test("automaton counts equal a naive position scan on generated text") {
+    val pats = TextAnalysis.BlocklistPatterns.toArray
+    val ac = AhoCorasick.build(pats)
+    val words = Array("spark", "park", "batch", "window", "fast", "table",
+      "slow", "filter", "value", "part", "x")
+    for (seed <- 0 until 20) {
+      val text = (0 until 60)
+        .map(i => words(((i * 31 + seed * 17) % words.length + words.length) % words.length))
+        .mkString(" ")
+      assert(ac.countMatches(text).toSeq === naiveCounts(text, pats).toSeq, s"seed $seed")
+    }
+  }
+
+  test("nested pattern surfaces only through fail links") {
+    val pats = TextAnalysis.BlocklistPatterns.toArray
+    val ac = AhoCorasick.build(pats)
+    val counts = ac.countMatches("a spark flew")
+    // "park" ends inside the "spark" match — a trie-restart scanner that
+    // jumps back to the root after 's' misses it
+    assert(counts(pats.indexOf("spark")) === 1)
+    assert(counts(pats.indexOf("park")) === 1)
+  }
+
+  test("overlapping occurrences all count (every match end reports)") {
+    val ac = AhoCorasick.build(Array("aa", "aba"))
+    assert(ac.countMatches("aaa").toSeq === Seq(2, 0))
+    assert(ac.countMatches("ababa").toSeq === Seq(0, 2))
+    assert(ac.countMatches("").toSeq === Seq(0, 0))
+  }
+
+  test("blocklistHits emits only matched (doc, pattern) rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the spark park is open"),  // spark 1, park 2 (one nested)
+      (2L, "nothing here"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistHits(docs, TextAnalysis.BlocklistPatterns)
+      .orderBy("doc_id", "pattern")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "park", 2L), (1L, "spark", 1L)))
+  }
+
+  // --------------------------------------------------- boilerplate
+
+  test("link-density rule is fractional, at the exact 1/3 boundary") {
+    // 3·anchorChars <= len keeps; one char over drops
+    assert(Boilerplate.Block("x" * 30, 10).isContent)
+    assert(!Boilerplate.Block("x" * 30, 11).isContent)
+    // short blocks drop regardless of density
+    assert(!Boilerplate.Block("x" * (Boilerplate.MinContentLen - 1), 0).isContent)
+    assert(Boilerplate.Block("x" * Boilerplate.MinContentLen, 0).isContent)
+  }
+
+  test("staged page classifies exactly: nav/tags/teaser/footer drop, prose keeps") {
+    val body = "This body sentence is comfortably long enough to keep."
+    val blocks = Boilerplate.htmlBlocks(Boilerplate.buildBpPage(7L, body))
+    val content = blocks.filter(_.isContent).map(_.text)
+    assert(content.length === 2)
+    assert(content.head === body)
+    assert(content(1).contains("inline link"))
+    // nav text must be a parsed block (dropped by DENSITY, not lost)
+    assert(blocks.exists(b => b.text.contains("Home") && !b.isContent))
+    // script/style content never becomes a block
+    assert(!blocks.exists(_.text.contains("fake")))
+    assert(Boilerplate.htmlBlocks(null).isEmpty)
+  }
+
+  test("extractMain joins content blocks and counts both totals") {
+    val body = "Another sufficiently long body sentence for the keep rule."
+    val (main, nb, nc) = Boilerplate.extractMain(Boilerplate.buildBpPage(3L, body))
+    assert(nc === 2 && nb >= 6)
+    assert(main.startsWith(body) && main.contains("inline link"))
+    // short body: only the prose block survives
+    val (main2, _, nc2) = Boilerplate.extractMain(Boilerplate.buildBpPage(3L, "tiny"))
+    assert(nc2 === 1 && !main2.contains("tiny"))
+  }
+
+  // --------------------------------------------------- Kneser-Ney
+
+  test("kneserNey matches hand-computed interpolated-KN values") {
+    import spark.implicits._
+    // corpus: "a b a b", "a c" -> c12: (a,b)=2 (b,a)=1 (a,c)=1, nDB=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextSearch.kneserNey(docs, 3L)
+      .select("w1", "w2", "n", "p_kn")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // p(b|a) = (2-.75)/3 + (.75*2/3)*(1/3) = 0.583333
+    assert(got(("a", "b")) === ((2L, 0.583333)))
+    // p(c|a) = (1-.75)/3 + (.75*2/3)*(1/3) = 0.25
+    assert(got(("a", "c")) === ((1L, 0.25)))
+    // p(a|b) = (1-.75)/1 + (.75*1/1)*(1/3) = 0.5
+    assert(got(("b", "a")) === ((1L, 0.5)))
+    assert(got.size === 3)
+  }
+
+  test("kneserNey discount never yields a negative first term") {
+    import spark.implicits._
+    // every observed bigram appears once: max(1-0.75, 0) stays positive,
+    // and the continuation term dominates — all probabilities in (0, 1)
+    val docs = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    val vals = TextSearch.kneserNey(docs, 3L)
+      .select("p_kn").as[Double].collect()
+    assert(vals.length === 3)
+    assert(vals.forall(v => v > 0 && v < 1))
+  }
+}
