@@ -653,6 +653,52 @@ object ScaleProbe {
             }
           }.agg(sum(col("value"))).head(); nMedia
       }
+      time("audio_vad", nMedia) {
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.decodeWavSamples(Multimodal.buildWavVad(id)) match {
+              case Some((_, _, samples)) => Multimodal.vadSegments(samples).length.toLong
+              case None                  => 0L
+            }
+          }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("png_meta", nMedia) {
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.pngTextChunks(Multimodal.addTextChunks(
+              Multimodal.buildPng(id), Multimodal.pngMetaFor(id))) match {
+              case Some((_, _, kvs)) => kvs.length.toLong
+              case None              => 0L
+            }
+          }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("bitext_align", nMedia) {
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .map { id =>
+            val n = Bitext.nSrcSentences(id)
+            Bitext.align(Array.tabulate(n)(Bitext.srcLen(id, _)),
+              Bitext.tgtLens(id).toArray).length.toLong
+          }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("code_scan", nDocs) {
+        import graft.sources.CodeIngest
+        docsWide.map { case (id, t) =>
+          val code = CodeIngest.buildCode(id, if (t == null) "" else t)
+          val sc = CodeIngest.scanComments(code)
+          val (_, via) = CodeIngest.detectLicense(code)
+          sc.nLine.toLong + sc.nBlock + CodeIngest.secretCounts(code).length + via.length
+        }.agg(sum(col("value"))).head(); nDocs
+      }
+      time("chat_parse", nDocs) {
+        import graft.sources.ChatIngest
+        docsWide.map { case (id, t) =>
+          ChatIngest.parseChat(
+            ChatIngest.buildChat(id, if (t == null) "" else t)).length.toLong
+        }.agg(sum(col("value"))).head(); nDocs
+      }
       time("bfs_frontier", 400L * mult) {
         // node universe grows with mult; seeds and hop budget fixed —
         // per-wave cost tracks the FRONTIER, not the graph

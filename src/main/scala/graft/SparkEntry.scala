@@ -155,6 +155,13 @@ object SparkEntry {
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_audio_resample" -> (Multimodal.qAudioResample _), // integer-exact linear resample to 16 kHz
+    "q_audio_vad" -> (Multimodal.qAudioVad _), // energy VAD -> maximal active segments over real decode
+    "q_png_meta" -> (Multimodal.qPngMeta _), // tEXt provenance chunks via an independent chunk walk
+    "q_bitext" -> (graft.operators.Bitext.qBitext _), // Gale-Church length-based sentence alignment
+    "q_license" -> (graft.sources.CodeIngest.qLicense _), // SPDX tag / header-phrase license screen
+    "q_code_comments" -> (graft.sources.CodeIngest.qCodeComments _), // quote-aware comment scan + docstring
+    "q_secrets" -> (graft.sources.CodeIngest.qSecrets _), // credential rules + integer high-entropy screen
+    "q_chat_turns" -> (graft.sources.ChatIngest.qChatTurns _), // ChatML-style turn parse + assistant-only loss mask
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
@@ -1439,6 +1446,105 @@ object SparkEntry {
         "SELECT p.doc_id, CAST(16000 AS INTEGER) AS out_rate, CAST(p.c AS INTEGER) AS channels, " +
         "CAST(p.nout AS BIGINT) AS n_out_frames, agg.sample_sum " +
         "FROM p JOIN agg USING (doc_id) ORDER BY doc_id"),
+    // voice-activity detection: staged clips plant silence in a
+    // quadratic-residue pattern ((f^2 + doc_id) % 7 < 3 -> all-zero
+    // samples; active frames provably nonzero since 37 is coprime to
+    // 65536), the engine really decodes + frames + merges active runs,
+    // and the oracle replays the runs as a gaps-and-islands window over
+    // the closed-form silence predicate
+    "q_audio_vad" ->
+      ("WITH m AS (SELECT doc_id, 30 + doc_id % 20 AS nf FROM documents WHERE doc_id < 200), " +
+        "f AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS fr FROM m), " +
+        "a AS (SELECT doc_id, fr FROM f WHERE (fr * fr + doc_id) % 7 >= 3), " +
+        "g AS (SELECT doc_id, fr, fr - row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS grp FROM a), " +
+        "s AS (SELECT doc_id, grp, min(fr) AS start_frame, count(*) AS n_frames " +
+        "FROM g GROUP BY doc_id, grp) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 " +
+        "AS INTEGER) AS seg_idx, CAST(start_frame AS INTEGER) AS start_frame, " +
+        "CAST(n_frames AS BIGINT) AS n_frames FROM s ORDER BY doc_id, seg_idx"),
+    // PNG provenance metadata: staged images carry spliced CRC-correct
+    // tEXt chunks; the independent chunk walk must surface IHDR geometry
+    // + every key/value exactly as stated here in closed form
+    "q_png_meta" ->
+      ("WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "k AS (SELECT doc_id, unnest([" +
+        "struct_pack(meta_key := 'Author', meta_value := 'author ' || doc_id), " +
+        "struct_pack(meta_key := 'Software', meta_value := 'graft ' || (doc_id % 7)), " +
+        "struct_pack(meta_key := 'Title', meta_value := 'Doc ' || doc_id)]) AS z FROM m) " +
+        "SELECT doc_id, CAST(doc_id % 40 + 8 AS INTEGER) AS width, " +
+        "CAST(doc_id % 23 + 8 AS INTEGER) AS height, " +
+        "z.meta_key AS meta_key, z.meta_value AS meta_value " +
+        "FROM k ORDER BY doc_id, meta_key"),
+    // chat-turn parsing + SFT loss masking: staged transcripts embed the
+    // document body as the user turn among closed-form turns, an
+    // unknown-role <|tool|> turn and pre-marker garbage (both must
+    // vanish); assistant turns alone carry in_loss
+    "q_chat_turns" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200), " +
+        "u AS (SELECT doc_id, 0 AS turn_idx, 'system' AS role, " +
+        "'You are assistant ' || doc_id || '.' AS content, " +
+        "CAST(4 AS BIGINT) AS n_tokens, false AS in_loss FROM t " +
+        "UNION ALL SELECT doc_id, 1, 'user', body, " +
+        "CAST(CASE WHEN body = '' THEN 0 ELSE len(string_split(body, ' ')) END AS BIGINT), false FROM t " +
+        "UNION ALL SELECT doc_id, 2, 'assistant', 'Reply one for doc ' || doc_id || '.', 5, true FROM t " +
+        "UNION ALL SELECT doc_id, 3, 'user', 'Follow-up ' || doc_id || '?', 2, false FROM t " +
+        "UNION ALL SELECT doc_id, 4, 'assistant', 'Reply two.', 2, true FROM t) " +
+        "SELECT doc_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, content, " +
+        "n_tokens, in_loss FROM u ORDER BY doc_id, turn_idx"),
+    // license screen: the staged code fixture assigns licenses by
+    // doc_id % 5 (SPDX tags for 0/2, header phrases for 1/3, none for
+    // 4); the oracle states every verdict + detection route closed-form
+    "q_license" ->
+      ("SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'MIT' WHEN 1 THEN 'MIT' " +
+        "WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'Apache-2.0' ELSE 'NONE' END AS license, " +
+        "CASE WHEN doc_id % 5 IN (0, 2) THEN 'spdx' " +
+        "WHEN doc_id % 5 IN (1, 3) THEN 'header' ELSE 'none' END AS via " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // comment scan: fixed template counts per license slot (+1 line for
+    // SPDX tags, +1 block for header licenses over the base 2+2), and
+    // the /** docstring must recover the document body exactly — a
+    // scanner fooled by the planted //-in-string or /*-in-string traps
+    // changes the counts and hash-mismatches
+    "q_code_comments" ->
+      ("WITH t AS (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS body FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, " +
+        "CAST(2 + CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END AS INTEGER) AS n_line_comments, " +
+        "CAST(2 + CASE WHEN doc_id % 5 IN (1, 3) THEN 1 ELSE 0 END AS INTEGER) AS n_block_comments, " +
+        "body AS docstring FROM t ORDER BY doc_id"),
+    // secret screen: planted AKIA / 40-hex / high-entropy tokens by
+    // doc_id residue; the decoys (short hex, URL, 32-char single-char
+    // run) must NOT flag — an extra row hash-mismatches as surely as a
+    // missed one
+    "q_secrets" ->
+      ("WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "k AS (SELECT doc_id, 'aws' AS kind FROM m WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, 'entropy' FROM m WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT doc_id, 'hex40' FROM m WHERE doc_id % 3 = 0) " +
+        "SELECT doc_id, kind, CAST(1 AS BIGINT) AS n_found FROM k ORDER BY doc_id, kind"),
+    // bitext alignment: staged parallel files plant 2-1 merges at
+    // (k+doc_id)%4==1 and 1-2 splits at %4==3 (disjoint, non-overlapping
+    // by spacing); target lengths scale by floor(3/2), so true beads
+    // cost <=1 while any misalignment pays a full sentence length — the
+    // oracle restates the plant in closed form, never running a DP
+    "q_bitext" ->
+      ("WITH m AS (SELECT doc_id, 6 + doc_id % 5 AS n FROM documents WHERE doc_id < 200), " +
+        "k AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS kk FROM m), " +
+        "t AS (SELECT doc_id, kk, CASE " +
+        "WHEN (kk + doc_id) % 4 = 1 AND kk + 1 < n THEN 'm' " +
+        "WHEN kk >= 1 AND (kk - 1 + doc_id) % 4 = 1 THEN 'c' " +
+        "WHEN (kk + doc_id) % 4 = 3 THEN 's' ELSE 'p' END AS ty FROM k), " +
+        "g AS (SELECT doc_id, kk, CASE WHEN ty = 'm' THEN 2 ELSE 1 END AS n_src, " +
+        "CASE WHEN ty = 's' THEN 2 ELSE 1 END AS n_tgt FROM t WHERE ty != 'c'), " +
+        "r AS (SELECT doc_id, kk, n_src, n_tgt, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY kk) - 1 AS align_idx, " +
+        "coalesce(sum(n_tgt) OVER (PARTITION BY doc_id ORDER BY kk " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tgt_start FROM g) " +
+        "SELECT doc_id, CAST(align_idx AS INTEGER) AS align_idx, " +
+        "CAST(kk AS INTEGER) AS src_start, CAST(n_src AS INTEGER) AS n_src, " +
+        "CAST(tgt_start AS INTEGER) AS tgt_start, CAST(n_tgt AS INTEGER) AS n_tgt " +
+        "FROM r ORDER BY doc_id, align_idx"),
     // audio fingerprint near-dup: the engine REALLY decodes every staged
     // WAV (bases doc_id < 200 + half-loudness planted copies under ids
     // 1000+id) and buckets clips by the 15-bit frame-energy-profile

@@ -476,6 +476,242 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- PNG textual metadata (tEXt)
+
+  /** Deterministic metadata for docId's image — the provenance fields a
+    * multimodal corpus tracks (PNG tEXt registered keywords). */
+  def pngMetaFor(docId: Long): Seq[(String, String)] = Seq(
+    ("Author", s"author $docId"),
+    ("Software", s"graft ${docId % 7}"),
+    ("Title", s"Doc $docId"))
+
+  /** Splice tEXt chunks (keyword NUL value, Latin-1) into an encoded PNG
+    * immediately after IHDR, with a correct CRC32 over type+data — the
+    * file stays a valid PNG every decoder accepts. The WRITE side of the
+    * metadata round trip; [[pngTextChunks]] walks independently. */
+  def addTextChunks(png: Array[Byte], kvs: Seq[(String, String)]): Array[Byte] = {
+    // signature(8) + IHDR: len(4) type(4) data(13) crc(4) = 33
+    val cut = 8 + 4 + 4 + 12 + 4 + 1 // IHDR data is 13 bytes -> offset 33
+    val out = new java.io.ByteArrayOutputStream(png.length + 256)
+    out.write(png, 0, cut)
+    kvs.foreach { case (k, v) =>
+      val data = (k + "\u0000" + v).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val tpe = "tEXt".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val lenBuf = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(lenBuf, 0, 4)
+      out.write(tpe, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    out.write(png, cut, png.length - cut)
+    out.toByteArray
+  }
+
+  /** Independent chunk walk: IHDR geometry + every tEXt key/value pair.
+    * Big-endian lengths per the PNG spec; stops cleanly at IEND or any
+    * malformed length. None on a missing signature/IHDR. */
+  def pngTextChunks(bytes: Array[Byte]): Option[(Int, Int, Seq[(String, String)])] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 8 || !sig.indices.forall(i => (bytes(i) & 0xFF) == sig(i)))
+      return None
+    val bb = java.nio.ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    var w = -1; var h = -1
+    val kvs = Seq.newBuilder[(String, String)]
+    var pos = 8
+    while (pos + 8 <= bytes.length) {
+      val len = bb.getInt(pos)
+      val tpe = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (len < 0 || pos + 12 + len > bytes.length) return if (w > 0) Some((w, h, kvs.result())) else None
+      tpe match {
+        case "IHDR" if len >= 8 => w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+        case "tEXt" =>
+          val data = new String(bytes, pos + 8, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val nul = data.indexOf('\u0000')
+          if (nul > 0) kvs += ((data.substring(0, nul), data.substring(nul + 1)))
+        case "IEND" => return if (w > 0) Some((w, h, kvs.result())) else None
+        case _ => ()
+      }
+      pos += 12 + len
+    }
+    if (w > 0) Some((w, h, kvs.result())) else None
+  }
+
+  def stagePngMetaFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("pngmeta_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"meta$id%05d.png"),
+              addTextChunks(buildPng(id), pngMetaFor(id)))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked metadata extraction: staged PNGs carry spliced tEXt
+    * provenance chunks (CRC-correct — ImageIO still decodes them,
+    * spec-pinned); the independent chunk walk must surface IHDR geometry
+    * plus every key/value exactly as the oracle states them in closed
+    * form. The provenance-harvest step of multimodal ingestion — the
+    * same shape EXIF/XMP extraction has, behind the same per-partition
+    * seam. */
+  def qPngMeta(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stagePngMetaFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "meta(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          pngTextChunks(bytes) match {
+            case Some((w, h, kvs)) => kvs.map { case (k, v) => (id, w, h, k, v) }
+            case None              => Seq((id, -1, -1, "", ""))
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "meta_key", "meta_value")
+      .orderBy("doc_id", "meta_key")
+  }
+
+  // --------------------------------------- voice-activity detection (VAD)
+
+  /** VAD frame size in samples (100 @ 8 kHz = 12.5 ms — the classic VAD
+    * granularity ballpark). */
+  val VadFrameLen = 100
+
+  /** VAD fixture geometry: mono 8 kHz, `30 + docId%20` frames; frame f
+    * is SILENT iff (f² + docId) % 7 < 3 — a quadratic residue pattern
+    * that produces variable-length runs (a linear pattern would make
+    * every run the same length and leave run-merging untested). Active
+    * frames reuse [[audioSample]]; 37 is coprime to 65536, so at most
+    * ONE sample per 100-sample frame can be zero — active-frame energy
+    * is provably nonzero, which is what lets silence mean exactly
+    * sum|s| = 0. */
+  def vadFrames(docId: Long): Int = (30 + docId % 20).toInt
+  def vadSilent(docId: Long, f: Int): Boolean = (f.toLong * f + docId) % 7 < 3
+
+  def buildWavVad(docId: Long): Array[Byte] = {
+    val nf = vadFrames(docId)
+    val dataLen = nf * VadFrameLen * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(8000 * 2).putShort(2.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < nf) {
+      var i = 0
+      while (i < VadFrameLen) {
+        bb.putShort(
+          if (vadSilent(docId, f)) 0.toShort
+          else audioSample(docId, f.toLong * VadFrameLen + i).toShort)
+        i += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Maximal ACTIVE runs over a decoded sample stream: frame f is active
+    * iff its abs-sum energy exceeds zero (the staged clips make silence
+    * exactly zero; a production deployment raises the threshold through
+    * the same seam). Runs computed locally per clip — no window shuffle;
+    * only (seg_idx, start, len) rows leave the task. */
+  def vadSegments(samples: Array[Int]): Seq[(Int, Int, Long)] = {
+    val nf = samples.length / VadFrameLen
+    val segs = Seq.newBuilder[(Int, Int, Long)]
+    var segIdx = 0
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var i = f * VadFrameLen
+      val end = i + VadFrameLen
+      while (i < end) { e += math.abs(samples(i)); i += 1 }
+      if (e > 0L) {
+        val start = f
+        var run = 1
+        var ok = true
+        while (ok && f + 1 < nf) {
+          var e2 = 0L
+          var j = (f + 1) * VadFrameLen
+          val end2 = j + VadFrameLen
+          while (j < end2) { e2 += math.abs(samples(j)); j += 1 }
+          if (e2 > 0L) { run += 1; f += 1 } else ok = false
+        }
+        segs += ((segIdx, start, run.toLong))
+        segIdx += 1
+      }
+      f += 1
+    }
+    segs.result()
+  }
+
+  def stageWavVadFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("wavvad_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"vad$id%05d.wav"), buildWavVad(id))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked voice-activity detection: staged clips plant silence
+    * in a quadratic-residue pattern (variable-length runs); the engine
+    * REALLY decodes each WAV, frames it, and emits maximal active
+    * segments — which the oracle recomputes as a gaps-and-islands window
+    * over the closed-form silence predicate. The speech-segmentation
+    * front door of an ASR data pipeline (silence trimming before
+    * transcription/feature extraction). */
+  def qAudioVad(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageWavVadFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "vad(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavSamples(bytes) match {
+            case Some((_, _, samples)) =>
+              vadSegments(samples).map { case (seg, start, len) => (id, seg, start, len) }
+            case None => Seq((id, -1, -1, -1L))
+          }
+        }
+      }
+      .toDF("doc_id", "seg_idx", "start_frame", "n_frames")
+      .orderBy("doc_id", "seg_idx")
+  }
+
   /** Stage real WAV uploads, one file per document — executor-written,
     * versioned + atomically published like the PDF/PNG fixtures. */
   def stageWavFixture(s: SparkSession, d: String): String = {
