@@ -162,6 +162,7 @@ object SparkEntry {
     "q_code_comments" -> (graft.sources.CodeIngest.qCodeComments _), // quote-aware comment scan + docstring
     "q_secrets" -> (graft.sources.CodeIngest.qSecrets _), // credential rules + integer high-entropy screen
     "q_chat_turns" -> (graft.sources.ChatIngest.qChatTurns _), // ChatML-style turn parse + assistant-only loss mask
+    "q_kn_score" -> (TextSearch.qKnScore _), // KenLM-style per-doc perplexity under the KN bigram model
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
@@ -1475,6 +1476,25 @@ object SparkEntry {
         "CAST(doc_id % 23 + 8 AS INTEGER) AS height, " +
         "z.meta_key AS meta_key, z.meta_value AS meta_value " +
         "FROM k ORDER BY doc_id, meta_key"),
+    // KN-perplexity filter: per-doc score under the corpus's own
+    // interpolated-KN bigram model. p_kn stays an exact integer rational
+    // ((4n-3)db + 3·d1·c2) / (4·n1·db); the only doubles are one IEEE
+    // division and ln() rounded 6dp per DISTINCT bigram (the
+    // q_perplexity discipline), summed as DECIMAL per document
+    "q_kn_score" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, unnest([struct_pack(w1 := w[i], w2 := w[i+1]) " +
+        "for i in generate_series(1, len(w) - 1)]) AS z FROM t WHERE len(w) >= 2), " +
+        "p AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM bg), " +
+        "c12 AS (SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "st AS (SELECT w1, w2, n, sum(n) OVER (PARTITION BY w1) AS n1, " +
+        "count(*) OVER (PARTITION BY w1) AS d1, " +
+        "count(*) OVER (PARTITION BY w2) AS c2, count(*) OVER () AS db FROM c12), " +
+        "lp AS (SELECT w1, w2, CAST(round(ln(CAST((4 * n - 3) * db + 3 * d1 * c2 AS DOUBLE) / " +
+        "CAST(4 * n1 * db AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp FROM st) " +
+        "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(exp(-CAST(sum(lp.lp) AS DOUBLE) / count(*)), 4) AS kn_ppl " +
+        "FROM p JOIN lp USING (w1, w2) GROUP BY p.doc_id ORDER BY doc_id"),
     // chat-turn parsing + SFT loss masking: staged transcripts embed the
     // document body as the user turn among closed-form turns, an
     // unknown-role <|tool|> turn and pre-marker garbage (both must

@@ -739,6 +739,66 @@ object TextSearch {
       .select(col("w1"), col("w2"), col("n"), col("p_kn"))
   }
 
+  /** KenLM-style document scoring under the corpus's own interpolated-KN
+    * bigram model — the LM-perplexity quality filter (CCNet trains a
+    * 5-gram KenLM and filters on perplexity; this is the same pipeline
+    * shape with the in-corpus bigram model, chaining [[kneserNey]] into
+    * a per-document score the way [[TextAnalysis.perplexity]] chains the
+    * unigram MLE).
+    *
+    * Determinism (the SCALE.md finding-16 discipline): p_kn is kept as
+    * an EXACT integer rational — with discount 3/4,
+    * p = ((4n-3)·db + 3·d1·c2) / (4·n1·db) — so the only doubles are
+    * one correctly-rounded IEEE division and one ln() rounded to 6 dp
+    * per DISTINCT bigram (the q_perplexity pattern), summed as DECIMAL
+    * per document. Numerators stay under ~4·n·db ≈ 1e12 « 2^63.
+    *
+    * Scale: the corpus explodes once to (doc_id, w1, w2) scalars; the
+    * model is vocabulary-bounded windows over the distinct-bigram table;
+    * the score join shuffles bigram keys, never text. Every document
+    * bigram is in-model by construction (trained on the same corpus) —
+    * an OOV backoff slots in where train and score corpora differ. */
+  def knScore(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
+    val pairs = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
+        .as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val byW1 = Window.partitionBy("w1")
+    val byW2 = Window.partitionBy("w2")
+    val lp = c12
+      .withColumn("n1", sum(col("n")).over(byW1))
+      .withColumn("d1", count(lit(1)).over(byW1))
+      .withColumn("c2", count(lit(1)).over(byW2))
+      .withColumn("lp", round(log(
+        ((lit(4L) * col("n") - 3L) * nDistinctBigrams + lit(3L) * col("d1") * col("c2"))
+          .cast("double") /
+          (lit(4L) * col("n1") * nDistinctBigrams).cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .select("w1", "w2", "lp")
+    pairs.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+      .withColumn("kn_ppl",
+        round(exp(-col("sum_lp").cast("double") / col("n_bigrams")), 4))
+      .select("doc_id", "n_bigrams", "kn_ppl")
+  }
+
+  def qKnScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = docs
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
+        .as("z"))
+    val db = pairs.select(col("z.w1"), col("z.w2")).distinct().count()
+    knScore(docs, db).orderBy("doc_id")
+  }
+
   // ------------------------------------------- unigram-LM tokenizer
 
   /** Unigram-LM tokenizer (the SentencePiece family, Kudo 2018) in its

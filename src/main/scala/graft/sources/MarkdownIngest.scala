@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object MarkdownIngest {
 
-  /** Strip one leading block marker from a trimmed line. */
+  /** Strip one leading block marker from a trimmed line. ATX headings
+    * follow CommonMark: the `#` run must be followed by a space or end
+    * the line — `#hashtag` is content, not a heading. */
   private def stripMarker(line: String): String = {
     val t = line.trim
-    if (t.startsWith("#")) t.dropWhile(_ == '#').trim
+    val hashes = t.takeWhile(_ == '#').length
+    if (hashes > 0 && (t.length == hashes || t.charAt(hashes) == ' '))
+      t.substring(hashes).trim
     else if (t.startsWith("- ") || t.startsWith("* ")) t.substring(2)
     else if (t.startsWith("> ")) t.substring(2)
     else t

@@ -117,6 +117,25 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("knScore: repetitive text scores lower perplexity than rare text") {
+    import spark.implicits._
+    // doc 1 repeats ONE bigram; doc 2 is all unique bigrams; doc 3 has
+    // a single word (no bigrams -> absent from the output)
+    val docs = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "p q r s t u v w"),
+      (3L, "alone")).toDF("doc_id", "text")
+    val db = 1L + 2L + 7L // (x,y),(y,x) + p..w chain
+    val rows = graft.operators.TextSearch.knScore(docs, db)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    assert(rows(0)._2 === 7L && rows(1)._2 === 7L)
+    assert(rows.forall(_._3 >= 1.0), "perplexity is >= 1 by construction")
+    assert(rows(0)._3 < rows(1)._3,
+      "the filtering signal: common-bigram text must score lower than rare-bigram text")
+  }
+
   test("kneserNey discount never yields a negative first term") {
     import spark.implicits._
     // every observed bigram appears once: max(1-0.75, 0) stays positive,

@@ -12,6 +12,8 @@ class TextSourcesSpec extends SparkSpec {
   test("mdToText strips block markers and keeps prose") {
     assert(MarkdownIngest.mdToText("# Heading\nbody line") === "Heading body line")
     assert(MarkdownIngest.mdToText("### Deep heading") === "Deep heading")
+    // CommonMark: no space after the run -> content, not a heading
+    assert(MarkdownIngest.mdToText("#hashtag stays") === "#hashtag stays")
     assert(MarkdownIngest.mdToText("- item one\n* item two") === "item one item two")
     assert(MarkdownIngest.mdToText("> quoted line") === "quoted line")
     assert(MarkdownIngest.mdToText(null) === "")
