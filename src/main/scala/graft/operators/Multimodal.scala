@@ -511,8 +511,11 @@ object Multimodal {
 
   /** Independent chunk walk: IHDR geometry + every tEXt key/value pair.
     * Big-endian lengths per the PNG spec; stops cleanly at IEND or any
-    * malformed length. None on a missing signature/IHDR. */
-  def pngTextChunks(bytes: Array[Byte]): Option[(Int, Int, Seq[(String, String)])] = {
+    * malformed length — the length guard runs in LONG arithmetic so a
+    * hostile 2^31-ish declared length cannot wrap the bound check (a
+    * review-caught crash), and the whole walk is exception-guarded like
+    * every sibling decoder. None on a missing signature/IHDR. */
+  def pngTextChunks(bytes: Array[Byte]): Option[(Int, Int, Seq[(String, String)])] = try {
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
     if (bytes.length < 8 || !sig.indices.forall(i => (bytes(i) & 0xFF) == sig(i)))
       return None
@@ -523,7 +526,8 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val len = bb.getInt(pos)
       val tpe = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (len < 0 || pos + 12 + len > bytes.length) return if (w > 0) Some((w, h, kvs.result())) else None
+      if (len < 0 || pos.toLong + 12L + len > bytes.length)
+        return if (w > 0) Some((w, h, kvs.result())) else None
       tpe match {
         case "IHDR" if len >= 8 => w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
         case "tEXt" =>
@@ -536,7 +540,7 @@ object Multimodal {
       pos += 12 + len
     }
     if (w > 0) Some((w, h, kvs.result())) else None
-  }
+  } catch { case _: Exception => None }
 
   def stagePngMetaFixture(s: SparkSession, d: String): String = {
     import graft.sources.BinaryIngest

@@ -701,15 +701,21 @@ object TextSearch {
     * Determinism: exact integer counts combined in double arithmetic
     * with the SAME expression shape as the oracle, rounded to 6 places
     * (the house bigramLm discipline). */
-  def kneserNey(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
-    val D = 0.75
-    val pairs = Tables.rebalance(docs, "doc_id")
-      .select(split(trim(col("text")), "\\s+").as("words"))
+  /** Per-occurrence corpus bigrams, doc-keyed — the ONE explode both KN
+    * surfaces (the table and the scorer) build on. */
+  def bigramPairs(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
         .as("z"))
-      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+
+  /** Distinct-bigram table with the KN count statistics attached: pair
+    * count n, left-context total n1 = c(w1·), and the N1+ continuation
+    * counts d1/c2 as WINDOWS over the distinct-bigram table itself. */
+  def bigramKnStats(pairs: DataFrame): DataFrame = {
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     val byW1 = Window.partitionBy("w1")
     val byW2 = Window.partitionBy("w2")
@@ -717,6 +723,11 @@ object TextSearch {
       .withColumn("n1", sum(col("n")).over(byW1))        // c(w1·)
       .withColumn("d1", count(lit(1)).over(byW1))        // N1+(w1,·)
       .withColumn("c2", count(lit(1)).over(byW2))        // N1+(·,w2)
+  }
+
+  def kneserNey(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
+    val D = 0.75
+    bigramKnStats(bigramPairs(docs))
       .withColumn("p_kn", round(
         greatest(col("n") - lit(D), lit(0.0)) / col("n1") +
           ((lit(D) * col("d1")) / col("n1")) *
@@ -724,16 +735,12 @@ object TextSearch {
   }
 
   /** Top-100 bigrams by count with their interpolated-KN probabilities
-    * (ties break on the pair strings — the bigramLm rank discipline). */
+    * (ties break on the pair strings — the bigramLm rank discipline).
+    * The distinct-bigram count comes from the c12 aggregate, not a
+    * second corpus explode. */
   def qKneserNey(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = docs
-      .select(split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
-        .as("z"))
-    val db = pairs.select(col("z.w1"), col("z.w2")).distinct().count()
+    val db = bigramPairs(docs).groupBy("w1", "w2").count().count()
     kneserNey(docs, db)
       .orderBy(col("n").desc, col("w1"), col("w2")).limit(100)
       .select(col("w1"), col("w2"), col("n"), col("p_kn"))
@@ -759,20 +766,8 @@ object TextSearch {
     * bigram is in-model by construction (trained on the same corpus) —
     * an OOV backoff slots in where train and score corpora differ. */
   def knScore(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
-    val pairs = Tables.rebalance(docs, "doc_id")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
-        .as("z"))
-      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val byW1 = Window.partitionBy("w1")
-    val byW2 = Window.partitionBy("w2")
-    val lp = c12
-      .withColumn("n1", sum(col("n")).over(byW1))
-      .withColumn("d1", count(lit(1)).over(byW1))
-      .withColumn("c2", count(lit(1)).over(byW2))
+    val pairs = bigramPairs(docs)
+    val lp = bigramKnStats(pairs)
       .withColumn("lp", round(log(
         ((lit(4L) * col("n") - 3L) * nDistinctBigrams + lit(3L) * col("d1") * col("c2"))
           .cast("double") /
@@ -789,13 +784,7 @@ object TextSearch {
 
   def qKnScore(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = docs
-      .select(split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))"))
-        .as("z"))
-    val db = pairs.select(col("z.w1"), col("z.w2")).distinct().count()
+    val db = bigramPairs(docs).groupBy("w1", "w2").count().count()
     knScore(docs, db).orderBy("doc_id")
   }
 

@@ -85,6 +85,7 @@ object CodeIngest {
       "  var u = \"https://example.com/path\";\n" +
       "  var d1 = \"beef1234\";\n" +
       "  var d2 = \"" + "a" * 32 + "\";\n" +
+      s"""  var d3 = "${hexToken(docId + 1)}0";\n""" + // 41 hex: boundary-fails the 40-hex rule
       secrets +
       "  /* block\n     part */\n" +
       s"  return $docId; // tail\n" +
@@ -92,7 +93,10 @@ object CodeIngest {
   }
 
   def stageCodeFixture(s: SparkSession, d: String): String = {
-    val fix = BinaryIngest.fixtureRoot("code_fixture", d)
+    // own v2 suffix: the 41-hex boundary decoy joined the template after
+    // first staging; a CSV-style kind bump avoids rebuilding every other
+    // fixture for a code-only change
+    val fix = BinaryIngest.fixtureRoot("code_v2_fixture", d)
     BinaryIngest.publishFixture(fix) { tmp =>
       import s.implicits._
       Tables.documents(s, d).filter(col("doc_id") < 200)

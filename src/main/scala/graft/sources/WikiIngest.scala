@@ -81,7 +81,11 @@ $text
         if (close < 0) i = n // unterminated tag: drop to EOF
         else {
           val tag = wiki.substring(i + 1, close)
-          if (tag.toLowerCase.startsWith("ref") && !tag.endsWith("/")) {
+          // the ref rule keys on the tag NAME, not a prefix — <references>
+          // / <reflist> are ordinary tags whose bodies must survive
+          // (review-caught: a prefix match dropped article tails to EOF)
+          val name = tag.takeWhile(_.isLetter).toLowerCase
+          if (name == "ref" && !tag.endsWith("/")) {
             val end = wiki.toLowerCase.indexOf("</ref>", close)
             i = if (end < 0) n else end + 6
           } else i = close + 1 // self-closing ref or any other tag: marker only

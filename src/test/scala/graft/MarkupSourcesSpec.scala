@@ -70,6 +70,11 @@ class MarkupSourcesSpec extends SparkSpec {
   test("wikiToText: refs, emphasis and heading/list markers strip") {
     assert(WikiIngest.wikiToText("keep<ref>gone</ref> this") === "keep this")
     assert(WikiIngest.wikiToText("a<ref name=x/> b") === "a b")
+    // the ref rule keys on the tag NAME: <references> is an ordinary tag
+    // whose body survives (a prefix match used to drop tails to EOF)
+    assert(WikiIngest.wikiToText("keep<references></references> tail prose")
+      === "keep tail prose")
+    assert(WikiIngest.wikiToText("a <reflist item> b") === "a b")
     assert(WikiIngest.wikiToText("'''bold''' and ''italic''") === "bold and italic")
     assert(WikiIngest.wikiToText("it's a contraction") === "it's a contraction")
     assert(WikiIngest.wikiToText("== Head ==\nbody") === "Head body")

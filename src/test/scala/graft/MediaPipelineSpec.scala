@@ -65,6 +65,20 @@ class MediaPipelineSpec extends SparkSpec {
     assert((dw, dh, sum) === ((ow, oh, osum)))
   }
 
+  test("chunk walk survives a hostile 2^31-ish chunk length (review fix)") {
+    // a declared length of 0x7FFFFFF0 used to wrap the Int bound check
+    // and throw from the String constructor instead of returning None
+    val png = Multimodal.buildPng(3L)
+    val evil = java.util.Arrays.copyOf(png, png.length)
+    // overwrite the chunk header right after IHDR (offset 33) with a
+    // huge length + a tEXt type
+    val bb = java.nio.ByteBuffer.wrap(evil)
+    bb.putInt(33, 0x7FFFFFF0)
+    evil(37) = 't'; evil(38) = 'E'; evil(39) = 'X'; evil(40) = 't'
+    val got = Multimodal.pngTextChunks(evil)
+    assert(got.isDefined && got.get._3.isEmpty, "walk must stop cleanly, not throw")
+  }
+
   test("chunk walk rejects junk and reads metadata-free images as empty") {
     assert(Multimodal.pngTextChunks("not a png".getBytes).isEmpty)
     assert(Multimodal.pngTextChunks(Array.emptyByteArray).isEmpty)
