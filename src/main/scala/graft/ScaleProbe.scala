@@ -699,6 +699,25 @@ object ScaleProbe {
             ChatIngest.buildChat(id, if (t == null) "" else t)).length.toLong
         }.agg(sum(col("value"))).head(); nDocs
       }
+      time("blur_screen", nMedia) {
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .map { id =>
+            val bytes = if (id % 4 == 0) Multimodal.buildPngBlur(id)
+              else Multimodal.buildPngTextured(id, 0)
+            Multimodal.decodePngGray(bytes) match {
+              case Some((w, h, px)) => Multimodal.lapEnergy(w, h, px)
+              case None             => -1L
+            }
+          }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("json_validate", nDocs) {
+        import graft.sources.JsonContract
+        docsWide.map { case (id, t) =>
+          JsonContract.validate(JsonContract.parseFlat(
+            JsonContract.buildLine(id, "en", "src", t)))._1.length.toLong
+        }.agg(sum(col("value"))).head(); nDocs
+      }
       time("bfs_frontier", 400L * mult) {
         // node universe grows with mult; seeds and hop budget fixed —
         // per-wave cost tracks the FRONTIER, not the graph

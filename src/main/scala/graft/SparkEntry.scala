@@ -163,6 +163,8 @@ object SparkEntry {
     "q_secrets" -> (graft.sources.CodeIngest.qSecrets _), // credential rules + integer high-entropy screen
     "q_chat_turns" -> (graft.sources.ChatIngest.qChatTurns _), // ChatML-style turn parse + assistant-only loss mask
     "q_kn_score" -> (TextSearch.qKnScore _), // KenLM-style per-doc perplexity under the KN bigram model
+    "q_blur_screen" -> (Multimodal.qBlurScreen _), // Laplacian-energy image QC over real decode
+    "q_json_validate" -> (graft.sources.JsonContract.qJsonValidate _), // data-contract verdicts per JSONL row
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
@@ -1495,6 +1497,38 @@ object SparkEntry {
         "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "round(exp(-CAST(sum(lp.lp) AS DOUBLE) / count(*)), 4) AS kn_ppl " +
         "FROM p JOIN lp USING (w1, w2) GROUP BY p.doc_id ORDER BY doc_id"),
+    // blur screen: every fourth staged image is an exact linear ramp
+    // (Laplacian identically 0 — a provable identity the oracle states
+    // directly), the rest the textured quadratic whose curvature (16 per
+    // interior pixel between wraps) clears the threshold; the oracle
+    // replays the Laplacian sum from the pixel formula
+    "q_blur_screen" ->
+      ("WITH m AS (SELECT doc_id, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h " +
+        "FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, w, h, unnest(generate_series(1, w - 2)) AS x FROM m " +
+        "WHERE doc_id % 4 != 0), " +
+        "gg AS (SELECT doc_id, w, h, x, unnest(generate_series(1, h - 2)) AS y FROM g), " +
+        "dd AS (SELECT doc_id, " +
+        "4 * ((x*x*3 + y*y*5 + x*y*7 + doc_id*11) % 256) " +
+        "- (((x-1)*(x-1)*3 + y*y*5 + (x-1)*y*7 + doc_id*11) % 256) " +
+        "- (((x+1)*(x+1)*3 + y*y*5 + (x+1)*y*7 + doc_id*11) % 256) " +
+        "- ((x*x*3 + (y-1)*(y-1)*5 + x*(y-1)*7 + doc_id*11) % 256) " +
+        "- ((x*x*3 + (y+1)*(y+1)*5 + x*(y+1)*7 + doc_id*11) % 256) AS d FROM gg), " +
+        "e AS (SELECT doc_id, CAST(sum(d * d) AS BIGINT) AS lap FROM dd GROUP BY doc_id) " +
+        "SELECT m.doc_id, CAST(coalesce(e.lap, 0) AS BIGINT) AS lap_energy, " +
+        "coalesce(e.lap, 0) < 64 * (m.w - 2) * (m.h - 2) AS is_blurry " +
+        "FROM m LEFT JOIN e ON m.doc_id = e.doc_id ORDER BY m.doc_id"),
+    // data-contract validation: staged JSONL shards plant one violation
+    // family per doc_id % 7 (missing key / string-typed id / enum
+    // breach / unknown field / null required); the oracle states every
+    // verdict + offending field in closed form
+    "q_json_validate" ->
+      ("SELECT doc_id, CASE doc_id % 7 WHEN 1 THEN 'missing_required' " +
+        "WHEN 2 THEN 'wrong_type' WHEN 3 THEN 'enum_violation' " +
+        "WHEN 4 THEN 'unknown_field' WHEN 5 THEN 'null_required' ELSE 'ok' END AS verdict, " +
+        "CASE doc_id % 7 WHEN 1 THEN 'lang' WHEN 2 THEN 'doc_id' WHEN 3 THEN 'lang' " +
+        "WHEN 4 THEN 'extra' WHEN 5 THEN 'lang' ELSE '' END AS detail " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
     // chat-turn parsing + SFT loss masking: staged transcripts embed the
     // document body as the user turn among closed-form turns, an
     // unknown-role <|tool|> turn and pre-marker garbage (both must

@@ -591,6 +591,126 @@ object Multimodal {
       .orderBy("doc_id", "meta_key")
   }
 
+  // ---------------------------------------------- blur screen (image QC)
+
+  /** Decode a PNG into a top-down gray raster — the full-pixel view the
+    * blur screen needs (decodePng's weighted sum stays allocation-free
+    * for the geometry gates). None on undecodable bytes. */
+  def decodePngGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xFF; x += 1 }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: Exception => None }
+
+  /** Laplacian energy: Σ over interior pixels of (4p − left − right −
+    * up − down)², in exact Long arithmetic — the variance-of-Laplacian
+    * blur detector (the LAION-style image-QC screen) with the variance
+    * replaced by raw energy so the statistic stays integer-exact. */
+  def lapEnergy(w: Int, h: Int, px: Array[Int]): Long = {
+    var e = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val d = 4 * px(y * w + x) - px(y * w + x - 1) - px(y * w + x + 1) -
+          px((y - 1) * w + x) - px((y + 1) * w + x)
+        e += d.toLong * d
+        x += 1
+      }
+      y += 1
+    }
+    e
+  }
+
+  /** Blurry iff mean squared Laplacian < 64: the planted blurred images
+    * (an exact linear ramp — Laplacian identically zero) sit at 0, the
+    * textured ones at >= 256 per interior pixel (quadratic curvature
+    * contributes 16² even between mod-wraps), a 4× margin each side. */
+  val BlurThresholdPerPixel = 64L
+
+  /** A smooth (exactly-linear, never wrapping: max 40+23+63 < 256) image
+    * — the planted BLURRY family. */
+  def buildPngBlur(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = x + y + (docId % 64).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def stageBlurFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("blur_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"blur$id%05d.png"),
+              if (id % 4 == 0) buildPngBlur(id) else buildPngTextured(id, 0))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked blur screen: every fourth staged image is an exact
+    * linear ramp (Laplacian identically zero — provably blurry under
+    * the threshold), the rest are the textured quadratic whose
+    * curvature alone clears it; the engine REALLY decodes and
+    * differences rasters, and the oracle replays the Laplacian sum from
+    * the pixel formulas in closed form. */
+  def qBlurScreen(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageBlurFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "blur(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePngGray(bytes) match {
+            case Some((w, h, px)) =>
+              val e = lapEnergy(w, h, px)
+              (id, e, e < BlurThresholdPerPixel * (w - 2) * (h - 2))
+            case None => (id, -1L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "lap_energy", "is_blurry")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------- voice-activity detection (VAD)
 
   /** VAD frame size in samples (100 @ 8 kHz = 12.5 ms — the classic VAD
