@@ -718,6 +718,18 @@ object ScaleProbe {
             JsonContract.buildLine(id, "en", "src", t)))._1.length.toLong
         }.agg(sum(col("value"))).head(); nDocs
       }
+      time("hnsw_topk", nEmb) {
+        // per-shard graph build + 20-query fan-out; the growth axis is
+        // shard size (graph build ~ n·M·efC per shard). The multiplied
+        // emb's perturbation arithmetic promoted to array<double> —
+        // cast back to the table's float element type
+        val embF = emb.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        val panel = embF.filter(col("vec_id") < 20)
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        Hnsw.hnswTopK(embF, panel, 10).count()
+      }
       time("bfs_frontier", 400L * mult) {
         // node universe grows with mult; seeds and hop budget fixed —
         // per-wave cost tracks the FRONTIER, not the graph

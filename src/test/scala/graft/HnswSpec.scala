@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Hnsw
+import org.apache.spark.sql.functions._
+
+/** Specs for the sharded HNSW graph index. */
+class HnswSpec extends SparkSpec {
+
+  private def loadEmb(): Array[(Long, Array[Float])] =
+    graft.engine.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      s += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("levelOf is deterministic, capped, and produces a real hierarchy") {
+    val levels = (0L until 2000L).map(Hnsw.levelOf)
+    assert(levels.forall(l => l >= 0 && l <= Hnsw.MaxLevel))
+    assert(levels.count(_ >= 1) > 500, "about half the nodes should rise above layer 0")
+    assert(levels.count(_ >= 2) > 200)
+    assert(levels === (0L until 2000L).map(Hnsw.levelOf), "pure function of the id")
+  }
+
+  test("single graph: high recall vs brute force, deterministic across builds") {
+    val emb = loadEmb()
+    def build(): Hnsw.Graph = {
+      val g = new Hnsw.Graph(emb.head._2.length)
+      emb.foreach { case (id, v) => g.insert(id, v) }
+      g
+    }
+    val g1 = build()
+    val g2 = build()
+    val k = 10
+    var hits = 0
+    var total = 0
+    emb.take(20).foreach { case (qId, qv) =>
+      val got = g1.search(qv, k + 1).map(_._1).filter(_ != qId).take(k)
+      assert(got === g2.search(qv, k + 1).map(_._1).filter(_ != qId).take(k),
+        s"query $qId: two identical builds disagreed")
+      val exact = emb.filter(_._1 != qId)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      hits += got.count(exact.contains)
+      total += k
+    }
+    val recall = hits.toDouble / total
+    info(f"single-graph recall@10 over ${emb.length} vectors: $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below the single-graph bar")
+  }
+
+  test("every node is reachable from the entry at layer 0 (no orphans)") {
+    val emb = loadEmb().take(500)
+    val g = new Hnsw.Graph(emb.head._2.length)
+    emb.foreach { case (id, v) => g.insert(id, v) }
+    // reachability via search: every stored id must be findable as its
+    // own nearest neighbor (self-similarity 1.0 beats everything)
+    emb.foreach { case (id, v) =>
+      val top = g.search(v, 1)
+      assert(top.nonEmpty && top.head._1 === id, s"node $id unreachable from entry")
+    }
+  }
+
+  test("declared recall gate passes with headroom (measured, not just boolean)") {
+    val out = SparkEntry.queries("q_hnsw_recall")(spark, sf0001).collect()(0)
+    assert(out.getLong(0) === 200L)
+    assert(out.getBoolean(1), "recall fell below the 0.7 gate")
+  }
+}

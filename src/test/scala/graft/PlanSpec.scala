@@ -156,7 +156,12 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall" -> ("ivfTopK's probe-selection window partitions the " +
         "(query x centroid) frame by q_id with q_emb in flight — bounded " +
         "by the 20-query panel x |lists|, never corpus-sized (the corpus " +
-        "side of the fine stage joins against a BROADCAST of this frame)"))
+        "side of the fine stage joins against a BROADCAST of this frame)"),
+      "q_hnsw_recall" -> ("the ONE shard-build repartition: vectors must " +
+        "co-locate with their shard's graph, so each embedding crosses " +
+        "the exchange exactly once at BUILD time (the vector-store " +
+        "sharding model, Hnsw scaladoc); every per-query exchange after " +
+        "it carries only (q_id, n_id, sim) scalars"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -181,7 +186,9 @@ class PlanSpec extends SparkSpec {
       // incremental gate additionally certifies the persisted probe
       // against the same fixed-panel baseline, and the PQ gate certifies
       // the ADC serving path against it (panel-bounded: 20 queries)
-      "q_ann_recall", "q_ann_incremental", "q_pq_search")
+      "q_ann_recall", "q_ann_incremental", "q_pq_search",
+      // the HNSW gate embeds the same panel-bounded brute-force baseline
+      "q_hnsw_recall")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
