@@ -48,7 +48,9 @@ object Hnsw {
   def levelOf(id: Long): Int =
     math.min(java.lang.Long.numberOfTrailingZeros(mix(id) | (1L << MaxLevel)), MaxLevel)
 
-  /** One shard's graph. Arrays indexed by local node ordinal. */
+  /** One shard's graph. Arrays indexed by local node ordinal. `dim` is
+    * enforced at insert — a ragged corpus fails loudly here instead of
+    * deep inside a dot-product loop (review fix). */
   final class Graph(dim: Int) {
     private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -162,6 +164,7 @@ object Hnsw {
     }
 
     def insert(id: Long, vec: Array[Float]): Unit = {
+      require(vec.length == dim, s"vector $id has ${vec.length} dims, graph expects $dim")
       val lvl = levelOf(id)
       val node = ids.length
       ids += id; vecs += vec; norms += norm(vec); levels += lvl

@@ -142,7 +142,10 @@ object Multimodal {
   def imageDims(docId: Long): (Int, Int) =
     ((docId % 40 + 8).toInt, (docId % 23 + 8).toInt)
 
-  def buildPng(docId: Long): Array[Byte] = {
+  /** Shared gray-PNG encoder: one scaffold for every fixture builder so
+    * the encode path (image type, channel packing) lives in ONE place
+    * (review cleanup — three verbatim copies had to stay in sync). */
+  def pngOf(docId: Long)(pixel: (Int, Int) => Int): Array[Byte] = {
     val (w, h) = imageDims(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -150,7 +153,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = ((x * 7 + y * 13 + docId) % 256).toInt
+        val v = pixel(x, y)
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
@@ -160,6 +163,9 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  def buildPng(docId: Long): Array[Byte] =
+    pngOf(docId)((x, y) => ((x * 7 + y * 13 + docId) % 256).toInt)
 
   /** REAL image decode in pure JDK — `javax.imageio.ImageIO` ships with
     * the JRE and decodes PNG/JPEG/BMP/GIF, the same no-dependency move
@@ -642,24 +648,8 @@ object Multimodal {
 
   /** A smooth (exactly-linear, never wrapping: max 40+23+63 < 256) image
     * — the planted BLURRY family. */
-  def buildPngBlur(docId: Long): Array[Byte] = {
-    val (w, h) = imageDims(docId)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = x + y + (docId % 64).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  def buildPngBlur(docId: Long): Array[Byte] =
+    pngOf(docId)((x, y) => x + y + (docId % 64).toInt)
 
   def stageBlurFixture(s: SparkSession, d: String): String = {
     import graft.sources.BinaryIngest
@@ -1472,24 +1462,9 @@ object Multimodal {
     * mod-256 wrap — 18 of the 20 planted copies land at Hamming <= 3,
     * and BOTH engine and oracle compute the same verdict for the two
     * that drift past the threshold. */
-  def buildPngTextured(docId: Long, delta: Int): Array[Byte] = {
-    val (w, h) = imageDims(docId)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = ((x * x * 3 + y * y * 5 + x * y * 7 + docId * 11 + delta) % 256).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  def buildPngTextured(docId: Long, delta: Int): Array[Byte] =
+    pngOf(docId)((x, y) =>
+      ((x * x * 3 + y * y * 5 + x * y * 7 + docId * 11 + delta) % 256).toInt)
 
   /** Offset separating planted copy ids from base ids in the dHash media
     * table (bases are doc_id < 200). */

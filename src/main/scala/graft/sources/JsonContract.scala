@@ -28,6 +28,11 @@ object JsonContract {
     * objects/arrays are syntax errors by design — the documents
     * contract is flat, and a nested value failing loudly is the
     * correct contract behavior. */
+  /** RFC 8259 number grammar: -?(0|[1-9][0-9]*)(.[0-9]+)?([eE][+-]?[0-9]+)? */
+  private val NumberRe = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   def parseFlat(line: String): Option[Map[String, JVal]] = {
     val n = line.length
     var i = 0
@@ -50,9 +55,13 @@ object JsonContract {
               case 'r'  => sb.append('\r'); i += 2
               case 'b'  => sb.append('\b'); i += 2
               case 'f'  => sb.append('\f'); i += 2
-              case 'u' if i + 5 < n =>
-                try { sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar); i += 6 }
-                catch { case _: NumberFormatException => return None }
+              case 'u' if i + 5 < n &&
+                  (2 to 5).forall(o => isHex(line.charAt(i + o))) =>
+                // explicit hex check: Integer.parseInt(_, 16) accepts
+                // '+'/'-' prefixes, which would map invalid escapes to
+                // garbage chars instead of a parse error (review fix)
+                sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+                i += 6
               case _ => return None
             }
           } else { sb.append(c); i += 1 }
@@ -64,8 +73,10 @@ object JsonContract {
     i += 1
     val out = Map.newBuilder[String, JVal]
     skipWs()
-    if (i < n && line.charAt(i) == '}') return { i += 1; Some(out.result()) }
-    var more = true
+    // '{}' falls through to the SAME trailing-garbage check as the
+    // non-empty path ('{} junk' must be a parse error — review fix)
+    var more = !(i < n && line.charAt(i) == '}') // empty object: the
+    // shared tail below consumes the '}' and runs the trailing check
     while (more) {
       skipWs()
       val key = parseString().getOrElse(return fail)
@@ -83,8 +94,11 @@ object JsonContract {
           val start = i
           if (c == '-') i += 1
           while (i < n && (line.charAt(i).isDigit || "+-.eE".indexOf(line.charAt(i)) >= 0)) i += 1
-          if (i == start || (i == start + 1 && c == '-')) return fail
-          ('n', line.substring(start, i))
+          val raw = line.substring(start, i)
+          // full-grammar check: the greedy scan accepts '--1'/'1e'/'1.2.3'
+          // shapes that RFC 8259 does not (review fix)
+          if (!NumberRe.pattern.matcher(raw).matches()) return fail
+          ('n', raw)
         case _ => return fail // nested object/array or junk: contract is flat
       }
       out += ((key, v))

@@ -29,6 +29,21 @@ class ContractBlurSpec extends SparkSpec {
     assert(JsonContract.parseFlat("""{"a": [1]}""").isEmpty)
     assert(JsonContract.parseFlat("""{"a": 1} trailing""").isEmpty)
     assert(JsonContract.parseFlat("""{"a": "unterminated}""").isEmpty)
+    // review fixes: the empty object runs the same trailing check, the
+    // number grammar is RFC 8259 (no '--1'/'1e'/'1.2.3'), and \u escapes
+    // require four real hex digits (parseInt would take a sign prefix)
+    assert(JsonContract.parseFlat("""{} trailing""").isEmpty)
+    assert(JsonContract.parseFlat("""{"a": --1}""").isEmpty)
+    assert(JsonContract.parseFlat("""{"a": 1e}""").isEmpty)
+    assert(JsonContract.parseFlat("""{"a": 1.2.3}""").isEmpty)
+    assert(JsonContract.parseFlat("""{"a": 01}""").isEmpty)
+    val bsU = "\\" + "u" // dodge the Scala lexer's own unicode escapes
+    assert(JsonContract.parseFlat("{\"a\": \"" + bsU + "-123\"}").isEmpty)
+    assert(JsonContract.parseFlat("{\"a\": \"" + bsU + "ZZZZ\"}").isEmpty)
+    // the valid shapes those rules must NOT reject
+    assert(JsonContract.parseFlat("""{"a": -1.5e+3}""").isDefined)
+    assert(JsonContract.parseFlat("""{"a": 0}""").isDefined)
+    assert(JsonContract.parseFlat("{\"a\": \"" + bsU + "0041\"}").get("a") === (('s', "A")))
   }
 
   test("validate applies rules in the fixed audit order") {
