@@ -73,4 +73,18 @@ class HnswSpec extends SparkSpec {
     assert(out.getLong(0) === 200L)
     assert(out.getBoolean(1), "recall fell below the 0.7 gate")
   }
+
+  test("sharded fan-out recall is measured, not just gated") {
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val panel = loadEmb().take(20)
+    val hnsw = Hnsw.hnswTopK(emb, panel, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 10)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = exact.count(hnsw.contains).toDouble / exact.length
+    info(f"sharded recall@10 (8 shards, ${emb.count()} vectors): $recall%.3f")
+    assert(recall >= 0.85, f"sharded recall $recall%.3f lost too much vs the single graph")
+  }
 }
