@@ -156,6 +156,7 @@ object SparkEntry {
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip
     "q_audio_resample" -> (Multimodal.qAudioResample _), // integer-exact linear resample to 16 kHz
     "q_audio_vad" -> (Multimodal.qAudioVad _), // energy VAD -> maximal active segments over real decode
+    "q_audio_clip" -> (Multimodal.qAudioClip _), // at-rail clipping ratio over real decode (audio QC)
     "q_png_meta" -> (Multimodal.qPngMeta _), // tEXt provenance chunks via an independent chunk walk
     "q_bitext" -> (graft.operators.Bitext.qBitext _), // Gale-Church length-based sentence alignment
     "q_license" -> (graft.sources.CodeIngest.qLicense _), // SPDX tag / header-phrase license screen
@@ -1450,6 +1451,19 @@ object SparkEntry {
         "SELECT p.doc_id, CAST(16000 AS INTEGER) AS out_rate, CAST(p.c AS INTEGER) AS channels, " +
         "CAST(p.nout AS BIGINT) AS n_out_frames, agg.sample_sum " +
         "FROM p JOIN agg USING (doc_id) ORDER BY doc_id"),
+    // clipping detection: every third staged clip plants 20% of samples
+    // at the positive rail; the oracle replays the FULL sample formula
+    // (incidental rail hits from the base signal included) + the 5%
+    // threshold in closed form
+    "q_audio_clip" ->
+      ("WITH m AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents WHERE doc_id < 200), " +
+        "i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM m), " +
+        "s AS (SELECT doc_id, n, CASE WHEN doc_id % 3 = 0 AND (k + doc_id) % 10 < 2 THEN 32767 " +
+        "ELSE (k * 37 + doc_id * 11) % 65536 - 32768 END AS v FROM i), " +
+        "c AS (SELECT doc_id, n, CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS nc FROM s GROUP BY doc_id, n) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_samples, nc AS n_clipped, " +
+        "nc * 20 > n AS is_clipped FROM c ORDER BY doc_id"),
     // voice-activity detection: staged clips plant silence in a
     // quadratic-residue pattern ((f^2 + doc_id) % 7 < 3 -> all-zero
     // samples; active frames provably nonzero since 37 is coprime to

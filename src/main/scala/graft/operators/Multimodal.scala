@@ -701,6 +701,87 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ clipping detection (audio QC)
+
+  /** Clip fixture: mono 8 kHz, 200 + docId%100 samples; every third
+    * clip plants 20% of samples AT THE POSITIVE RAIL (32767), the rest
+    * use the [[audioSample]] formula — which can incidentally hit either
+    * rail, so the oracle replays the full sample formula rather than
+    * assuming only the plant clips. */
+  def clipSamples(docId: Long): Int = (200 + docId % 100).toInt
+  def clipSample(docId: Long, i: Int): Int =
+    if (docId % 3 == 0 && (i + docId) % 10 < 2) 32767
+    else audioSample(docId, i.toLong)
+
+  def buildWavClip(docId: Long): Array[Byte] = {
+    val n = clipSamples(docId)
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(8000 * 2).putShort(2.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) { bb.putShort(clipSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  def stageWavClipFixture(s: SparkSession, d: String): String = {
+    import graft.sources.BinaryIngest
+    val fix = BinaryIngest.fixtureRoot("wavclip_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"clip$id%05d.wav"), buildWavClip(id))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked clipping detection — the audio-QC sibling of the
+    * blur screen (a clipped recording distorts features downstream the
+    * way a blurry image poisons visual embeddings): count samples at
+    * either 16-bit rail over the REAL decode, flag clips whose at-rail
+    * fraction exceeds 5%. The oracle replays the sample formula and the
+    * threshold in closed form — incidental formula rail-hits included. */
+  def qAudioClip(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fix = stageWavClipFixture(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "clip(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavSamples(bytes) match {
+            case Some((_, _, samples)) =>
+              var nc = 0L
+              var i = 0
+              while (i < samples.length) {
+                if (samples(i) == 32767 || samples(i) == -32768) nc += 1
+                i += 1
+              }
+              (id, samples.length.toLong, nc, nc * 20 > samples.length)
+            case None => (id, -1L, -1L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "is_clipped")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------- voice-activity detection (VAD)
 
   /** VAD frame size in samples (100 @ 8 kHz = 12.5 ms — the classic VAD

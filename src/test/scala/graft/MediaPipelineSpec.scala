@@ -51,6 +51,24 @@ class MediaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("clip fixture round trip: at-rail counts match the sample formula") {
+    for (id <- Seq(0L, 1L, 3L, 7L, 199L)) {
+      val Some((rate, ch, samples)) =
+        Multimodal.decodeWavSamples(Multimodal.buildWavClip(id))
+      assert(rate === 8000 && ch === 1)
+      assert(samples.length === Multimodal.clipSamples(id))
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s === Multimodal.clipSample(id, i), s"clip $id sample $i")
+      }
+      val nc = samples.count(s => s == 32767 || s == -32768)
+      val planted = id % 3 == 0
+      // the 20% plant always clears the 5% bar; unplanted clips carry
+      // only incidental formula rail-hits (37 coprime to 65536: at most
+      // a handful per 300 samples), which never reach it
+      assert((nc * 20 > samples.length) === planted, s"clip $id verdict (nc=$nc)")
+    }
+  }
+
   // -------------------------------------------------------- PNG tEXt
 
   test("tEXt splice round-trips through the independent chunk walk") {
