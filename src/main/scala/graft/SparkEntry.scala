@@ -253,6 +253,10 @@ object SparkEntry {
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
     "q_span_dedup" -> (Dedup.qSpanDedup _),
     "q_skew_stats" -> (Advanced.qSkewStats _),
+    // --- storage-layer schema evolution (merged-footer parquet read)
+    "q_schema_evolve" -> (graft.sources.SchemaEvolve.qSchemaEvolve _),
+    // --- preference-pair construction (DPO/RLHF prep over the scored pool)
+    "q_dpo_pairs" -> (Curation.qDpoPairs _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -2623,5 +2627,37 @@ object SparkEntry {
         "round(quantile_cont(freq, 0.99), 6) AS p99_freq, " +
         "round(CAST(max(freq) AS DOUBLE) * count(*) / sum(freq), 6) AS skew_ratio " +
         "FROM f GROUP BY event_type ORDER BY event_type"),
+    // schema evolution: even doc_ids were written under the OLD 3-column
+    // schema (no source), odd under the new one; the merged-footer read
+    // must surface old rows with source NULL and the generation partition
+    "q_schema_evolve" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "CASE WHEN doc_id % 2 = 1 THEN source END AS source, " +
+        "CAST(doc_id % 2 AS BIGINT) AS gen FROM documents ORDER BY doc_id"),
+    // preference pairs: replay the q_quality score, both ranking windows
+    // (ties on doc_id), the disjoint-ends rank-to-rank pairing (k=2 needs
+    // n_cand >= 4) and the 0.05 margin floor in closed form
+    "q_dpo_pairs" ->
+      ("WITH t AS (SELECT doc_id, lang, source, text, length(text) AS len, " +
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL), " +
+        "q AS (SELECT doc_id, lang, source, doc_id % 25 AS bucket, " +
+        "round(least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5 + " +
+        "(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)) * 0.3 + " +
+        "(1.0 - (CAST(len AS DOUBLE) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / len) * 0.2, 6) AS qs " +
+        "FROM t WHERE len(w) >= 5), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang, source, bucket ORDER BY qs DESC, doc_id ASC) AS rb, " +
+        "row_number() OVER (PARTITION BY lang, source, bucket ORDER BY qs ASC, doc_id ASC) AS rw, " +
+        "count(*) OVER (PARTITION BY lang, source, bucket) AS n_cand " +
+        "FROM q WHERE qs IS NOT NULL), " +
+        "f AS (SELECT * FROM r WHERE n_cand >= 4), " +
+        "c AS (SELECT lang, source, bucket, rb AS pair_idx, doc_id AS chosen_id, qs AS chosen_score FROM f WHERE rb <= 2), " +
+        "j AS (SELECT lang, source, bucket, rw AS pair_idx, doc_id AS rejected_id, qs AS rejected_score FROM f WHERE rw <= 2), " +
+        "p AS (SELECT c.lang, c.source, c.bucket, CAST(c.pair_idx AS INTEGER) AS pair_idx, " +
+        "chosen_id, rejected_id, chosen_score, rejected_score, " +
+        "round(chosen_score - rejected_score, 6) AS margin " +
+        "FROM c JOIN j ON c.lang = j.lang AND c.source = j.source " +
+        "AND c.bucket = j.bucket AND c.pair_idx = j.pair_idx) " +
+        "SELECT * FROM p WHERE margin >= CAST(0.05 AS DOUBLE) " +
+        "ORDER BY lang, source, bucket, pair_idx"),
   )
 }

@@ -615,4 +615,72 @@ object Curation {
   def qSpanCorrupt(s: SparkSession, d: String): DataFrame =
     spanCorrupt(Tables.rebalance(documents(s, d), "doc_id"))
       .orderBy("doc_id")
+
+  // -------------------------------------- preference pairs (DPO/RLHF prep)
+
+  /** Pairs taken from each end of a candidate pool's quality ranking. */
+  val DpoPairsPerGroup = 2
+  /** Minimum chosen-minus-rejected score gap: pairs the ranking cannot
+    * separate cleanly carry no preference signal and are dropped — the
+    * standard margin filter preference-set builders apply. */
+  val DpoMinMargin = 0.05
+
+  /** Preference-pair construction — the step that turns a SCORED candidate
+    * pool into DPO/RLHF training rows. Responses group by their candidate
+    * pool (here (lang, source, doc_id%25): the synthetic stand-in for a
+    * prompt id, the same grouping stand-in the curation suite uses); within
+    * each pool the quality ranking ([[TextAnalysis.withQuality]]'s score,
+    * the repo's oracle-proven scorer) yields the pairing "best vs worst,
+    * 2nd best vs 2nd worst, ..." up to [[DpoPairsPerGroup]], and only pairs
+    * whose score margin clears [[DpoMinMargin]] survive. Ties break on
+    * doc_id, so the pairing is a pure function of the corpus.
+    *
+    * Scale shape: ONE shuffle on the group key feeds both ranking windows
+    * (they share the partition key, so Catalyst plans a single exchange +
+    * two sorts); the pair join is rank-to-rank WITHIN the group — never a
+    * candidate cross product. Pools are prompt-sized (tens of candidates),
+    * so no window partition can outgrow an executor; a corpus with
+    * mega-pools would salt the group key the way the anomaly router does. */
+  def dpoPairs(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.withQuality(
+      Tables.rebalance(docs, "doc_id")
+        .filter(col("text").isNotNull))
+      .filter(col("n_tokens") >= 5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("doc_id") % 25).as("bucket"), col("quality_score"))
+      .filter(col("quality_score").isNotNull)
+    val grp = Seq(col("lang"), col("source"), col("bucket"))
+    val best = Window.partitionBy(grp: _*)
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val worst = Window.partitionBy(grp: _*)
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("rb", row_number().over(best))
+      .withColumn("rw", row_number().over(worst))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      // disjoint ends only: a pool must hold 2k candidates for k pairs
+      .filter(col("n_cand") >= 2 * DpoPairsPerGroup)
+    val chosen = ranked.filter(col("rb") <= DpoPairsPerGroup)
+      .select(col("lang"), col("source"), col("bucket"),
+        col("rb").as("pair_idx"), col("doc_id").as("chosen_id"),
+        col("quality_score").as("chosen_score"))
+    val rejected = ranked.filter(col("rw") <= DpoPairsPerGroup)
+      .select(col("lang"), col("source"), col("bucket"),
+        col("rw").as("pair_idx"), col("doc_id").as("rejected_id"),
+        col("quality_score").as("rejected_score"))
+    chosen.join(rejected, Seq("lang", "source", "bucket", "pair_idx"))
+      .withColumn("margin",
+        round(col("chosen_score") - col("rejected_score"), 6))
+      .filter(col("margin") >= DpoMinMargin)
+      .select("lang", "source", "bucket", "pair_idx",
+        "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin")
+  }
+
+  /** Oracle-checked preference pairs: the DuckDB oracle replays the
+    * quality score, both ranking windows, the rank-to-rank pairing and
+    * the margin filter in closed form — a tie-break slip, an overlapping
+    * chosen/rejected set or a margin boundary error all hash-mismatch. */
+  def qDpoPairs(s: SparkSession, d: String): DataFrame =
+    dpoPairs(documents(s, d))
+      .orderBy("lang", "source", "bucket", "pair_idx")
 }

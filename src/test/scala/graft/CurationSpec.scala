@@ -61,4 +61,27 @@ class CurationSpec extends SparkSpec {
     val again = Curation.weightedSample(docs.repartition(13), 50).collect()
     assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("DPO pairs: disjoint ends, margin floor, partition-stable") {
+    val pairs = Curation.dpoPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("chosen_id") !== r.getAs[Long]("rejected_id"))
+      assert(r.getAs[Double]("margin") >= Curation.DpoMinMargin)
+      assert(r.getAs[Double]("chosen_score") > r.getAs[Double]("rejected_score"))
+      assert(r.getAs[Int]("pair_idx") >= 1 &&
+        r.getAs[Int]("pair_idx") <= Curation.DpoPairsPerGroup)
+    }
+    // a doc never plays both roles across the set (the n_cand >= 2k gate
+    // keeps the top-k and bottom-k rank sets disjoint within each pool)
+    val chosenIds = pairs.map(_.getAs[Long]("chosen_id")).toSet
+    val rejectedIds = pairs.map(_.getAs[Long]("rejected_id")).toSet
+    assert(chosenIds.intersect(rejectedIds).isEmpty)
+    // pure function of the rows, not the partitioning
+    val again = Curation.dpoPairs(docs.repartition(13))
+      .orderBy("lang", "source", "bucket", "pair_idx").collect()
+    val first = Curation.dpoPairs(docs)
+      .orderBy("lang", "source", "bucket", "pair_idx").collect()
+    assert(first.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
