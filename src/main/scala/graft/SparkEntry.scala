@@ -255,6 +255,12 @@ object SparkEntry {
     "q_skew_stats" -> (Advanced.qSkewStats _),
     // --- storage-layer schema evolution (merged-footer parquet read)
     "q_schema_evolve" -> (graft.sources.SchemaEvolve.qSchemaEvolve _),
+    // --- header-only JPEG audit (SOF marker walk, no decode)
+    "q_jpeg_meta" -> (Multimodal.qJpegMeta _),
+    // --- anchor-text aggregation per link target (web-graph signal)
+    "q_anchor_text" -> (graft.sources.HtmlIngest.qAnchorText _),
+    // --- video near-dup via per-frame dHash signatures (banded LSH)
+    "q_video_dedup" -> (Multimodal.qVideoDedup _),
     // --- preference-pair construction (DPO/RLHF prep over the scored pool)
     "q_dpo_pairs" -> (Curation.qDpoPairs _),
   )
@@ -2634,6 +2640,74 @@ object SparkEntry {
       ("SELECT doc_id, lang, n_chars, " +
         "CASE WHEN doc_id % 2 = 1 THEN source END AS source, " +
         "CAST(doc_id % 2 AS BIGINT) AS gen FROM documents ORDER BY doc_id"),
+    // video near-dup: per-frame dHash signatures over REAL AVI decodes;
+    // the oracle replays every frame hash from the textured pixel formula
+    // and brute-forces all equal-length pairs at total Hamming <= 7
+    "q_video_dedup" ->
+      ("WITH m AS (SELECT doc_id AS mid, doc_id % 19 + 6 AS w, doc_id % 11 + 6 AS h, " +
+        "doc_id % 3 + 2 AS nf, doc_id * 11 AS t FROM documents WHERE doc_id < 200 " +
+        "UNION ALL SELECT 1000 + doc_id, doc_id % 19 + 6, doc_id % 11 + 6, " +
+        "doc_id % 3 + 2, doc_id * 11 + 3 FROM documents WHERE doc_id < 20), " +
+        "fr AS (SELECT mid, w, h, nf, t, unnest(generate_series(0, nf - 1)) AS f FROM m), " +
+        "g AS (SELECT mid, nf, t, f, (y * 8 + x) AS bi, " +
+        "((x * w) // 9) AS s0, (((x + 1) * w) // 9) AS s1, ((y * h) // 8) AS sy " +
+        "FROM fr, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)), " +
+        "bits AS (SELECT mid, nf, f, bi, " +
+        "CASE WHEN ((s1 * s1 * 3 + sy * sy * 5 + s1 * sy * 7 + f * 13 + t) % 256) > " +
+        "((s0 * s0 * 3 + sy * sy * 5 + s0 * sy * 7 + f * 13 + t) % 256) THEN 1 ELSE 0 END AS b " +
+        "FROM g), " +
+        "pr AS (SELECT a.mid AS ida, c.mid AS idb, " +
+        "CAST(sum(CASE WHEN ba.b <> bc.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
+        "FROM m a JOIN m c ON a.mid < c.mid AND a.nf = c.nf " +
+        "JOIN bits ba ON ba.mid = a.mid " +
+        "JOIN bits bc ON bc.mid = c.mid AND bc.f = ba.f AND bc.bi = ba.bi " +
+        "GROUP BY 1, 2), " +
+        "cl AS (SELECT * FROM pr WHERE hamming <= 7), " +
+        "sym AS (SELECT ida AS mid, idb AS nbr, hamming FROM cl " +
+        "UNION ALL SELECT idb, ida, hamming FROM cl), " +
+        "mh AS (SELECT mid, min(hamming) AS min_hamming FROM sym GROUP BY mid), " +
+        "best AS (SELECT s.mid, min(s.nbr) AS dup_of, mh.min_hamming " +
+        "FROM sym s JOIN mh ON s.mid = mh.mid AND s.hamming = mh.min_hamming " +
+        "GROUP BY s.mid, mh.min_hamming) " +
+        "SELECT m.mid AS doc_id, CAST(m.nf AS INTEGER) AS n_frames, " +
+        "best.dup_of, best.min_hamming " +
+        "FROM m LEFT JOIN best ON m.mid = best.mid ORDER BY doc_id"),
+    // header-only JPEG audit: real JDK-encoded JPEGs (gray for even ids,
+    // RGB for odd), geometry + SOF facts stated in closed form — the
+    // walker never runs the entropy decoder
+    "q_jpeg_meta" ->
+      ("SELECT doc_id, CAST(doc_id % 40 + 8 AS INTEGER) AS width, " +
+        "CAST(doc_id % 23 + 8 AS INTEGER) AS height, " +
+        "CAST(8 AS INTEGER) AS sample_precision, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, " +
+        "FALSE AS progressive, TRUE AS has_jfif " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // anchor-text aggregation: each staged hub page carries five anchor-
+    // bearing links (plus one text-less anchor aggregation must drop);
+    // the oracle replays the link graph, both per-target aggregates and
+    // the (count desc, text asc) top-anchor pick in closed form
+    "q_anchor_text" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'www.example.com' " +
+        "WHEN 1 THEN 'blog.example.org' WHEN 2 THEN 'ads.spam-site.co.uk' " +
+        "WHEN 3 THEN 'docs.example.com' ELSE 'example.com' END AS host, " +
+        "CASE CAST(doc_id % 5 AS INTEGER) WHEN 1 THEN 'example.org' " +
+        "WHEN 2 THEN 'spam-site.co.uk' ELSE 'example.com' END AS dom " +
+        "FROM documents WHERE doc_id < 200), " +
+        "l AS (SELECT doc_id, host, dom, unnest(generate_series(0, 4)) AS j FROM h), " +
+        "x AS (SELECT doc_id, dom, " +
+        "'http://' || host || '/doc/' || ((doc_id * 7 + j * 13) % 200) AS url, " +
+        "CASE WHEN j = 2 THEN 'ref&' || ((doc_id * 7 + j * 13) % 200) " +
+        "WHEN j = 4 THEN 'manual ' || ((doc_id * 7 + j * 13) % 200) " +
+        "ELSE 'guide ' || ((doc_id * 7 + j * 13) % 200) END AS anchor FROM l), " +
+        "g AS (SELECT url, dom, anchor, count(*) AS n FROM x GROUP BY 1, 2, 3), " +
+        "t AS (SELECT url, anchor AS top_anchor, n AS top_n, " +
+        "row_number() OVER (PARTITION BY url ORDER BY n DESC, anchor ASC) AS rn FROM g), " +
+        "s AS (SELECT url, dom, count(*) AS n_refs, count(DISTINCT doc_id) AS n_pages " +
+        "FROM x GROUP BY 1, 2) " +
+        "SELECT s.url, s.dom AS domain, CAST(s.n_refs AS BIGINT) AS n_refs, " +
+        "CAST(s.n_pages AS BIGINT) AS n_pages, t.top_anchor, CAST(t.top_n AS BIGINT) AS top_n " +
+        "FROM s JOIN t ON s.url = t.url AND t.rn = 1 ORDER BY s.url"),
     // preference pairs: replay the q_quality score, both ranking windows
     // (ties on doc_id), the disjoint-ends rank-to-rank pairing (k=2 needs
     // n_cand >= 4) and the 0.05 margin floor in closed form

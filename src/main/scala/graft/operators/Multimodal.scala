@@ -597,6 +597,100 @@ object Multimodal {
       .orderBy("doc_id", "meta_key")
   }
 
+  // ------------------------------------- JPEG header metadata (SOF walk)
+
+  /** Encode the [[pngDims]]-family test raster as a REAL JPEG through the
+    * JDK's own encoder — grayscale (1 component) for even ids, RGB
+    * (3 components) for odd — so the metadata walker below runs against
+    * genuine entropy-coded files, not hand-built headers. */
+  def buildJpeg(docId: Long): Array[Byte] = {
+    val w = (docId % 40 + 8).toInt
+    val h = (docId % 23 + 8).toInt
+    val tpe =
+      if (docId % 2 == 0) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, tpe)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x * 7 + y * 13 + docId) % 256).toInt
+        img.setRGB(x, y, g * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Header-only JPEG metadata: an independent JFIF/ITU-T.81 marker walk —
+    * SOI, then length-prefixed segments up to SOS — that surfaces the
+    * frame geometry (width, height, sample precision, component count),
+    * whether the scan is progressive (SOF2 vs baseline SOF0) and whether
+    * a JFIF APP0 is present. This is the 100 TB audit path: corpus-wide
+    * image stats WITHOUT decoding — the walk touches a few hundred header
+    * bytes per file and never runs the entropy decoder. None on anything
+    * malformed (truncated segment, missing SOI, desynced marker). */
+  def jpegMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Boolean, Boolean)] =
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+        return None
+      var i = 2
+      var hasJfif = false
+      while (i + 4 <= bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF) return None // marker desync
+        val m = bytes(i + 1) & 0xFF
+        if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
+        else {
+          val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+          if (len < 2 || i + 2 + len > bytes.length) return None
+          if (m == 0xE0 && len >= 7 &&
+              new String(bytes, i + 4, 5, java.nio.charset.StandardCharsets.US_ASCII)
+                .startsWith("JFIF"))
+            hasJfif = true
+          // SOF0-SOF15 carry the frame header; C4/C8/CC are DHT/JPG/DAC
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (len < 8) return None
+            val prec = bytes(i + 4) & 0xFF
+            val h = ((bytes(i + 5) & 0xFF) << 8) | (bytes(i + 6) & 0xFF)
+            val w = ((bytes(i + 7) & 0xFF) << 8) | (bytes(i + 8) & 0xFF)
+            val nc = bytes(i + 9) & 0xFF
+            return Some((w, h, prec, nc, m == 0xC2, hasJfif))
+          }
+          if (m == 0xDA) return None // SOS before any SOF: malformed
+          i += 2 + len
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+  /** Oracle-checked header-only JPEG audit: documents rendered as real
+    * JDK-encoded JPEGs in-table (bytes never shuffle — the walk emits six
+    * scalars per image), geometry/precision/component-count/progressive/
+    * JFIF facts pinned against the closed-form staging formula. The DQT
+    * table count (1 gray / 2 color) is asserted in the spec rather than
+    * the oracle — it is an encoder-implementation fact, not a format
+    * guarantee. */
+  def qJpegMeta(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          jpegMeta(buildJpeg(id)) match {
+            case Some((w, h, prec, nc, prog, jfif)) => (id, w, h, prec, nc, prog, jfif)
+            case None => (id, -1, -1, -1, -1, false, false)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "sample_precision", "n_components",
+        "progressive", "has_jfif")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------- blur screen (image QC)
 
   /** Decode a PNG into a top-down gray raster — the full-pixel view the
@@ -1890,4 +1984,155 @@ object Multimodal {
       .toDF("doc_id", "media")
     dhashProbeIndex(s, dhashIdxDir, odd.unionByName(copies))
   }
+
+  // --------------------- video near-dup (per-frame dHash signatures)
+
+  /** Textured pixel formula for the video near-dup fixture — the same
+    * quadratic family as [[buildPngTextured]] (the linear [[aviPixel]] is
+    * the degenerate case for a difference hash), with a per-FRAME term so
+    * the signature really is a sequence, not one hash repeated. `delta`
+    * is the global brightness shift of the planted-copy family. */
+  def videoPixelTextured(docId: Long, delta: Int)(f: Int, x: Int, y: Int): Int =
+    ((x * x * 3 + y * y * 5 + x * y * 7 + f * 13 + docId * 11 + delta) % 256).toInt
+
+  /** Accept video pairs at TOTAL aligned-frame Hamming <= this. Every
+    * clip has >= 2 frames = >= 8 bands, so 7 < 8 makes the per-(frame,
+    * band) bucket join below EXACT by pigeonhole: a pair within the
+    * threshold differs in at most 7 of its >= 8 bands and must share one. */
+  val VideoHammingMax = 7
+
+  /** In-table clip set for the video near-dup gate: every base clip
+    * (doc_id < 200, [[aviDims]] geometry) plus a brightness-shifted copy
+    * of each doc_id < 20 under copy ids [[DhashCopyBase]]+id (base
+    * geometry, +[[DhashCopyDelta]] gray levels — dHash flips only where a
+    * sampled pair straddles the mod-256 wrap, so copies land at small
+    * positive total Hamming: the near-dup class byte dedup cannot see). */
+  def mediaTableVideo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, buildAviDib(aviDims(id), videoPixelTextured(id, 0)))))
+    val copies = documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (DhashCopyBase + id, buildAviDib(aviDims(id), videoPixelTextured(id, DhashCopyDelta)))))
+    base.union(copies).toDF("doc_id", "media")
+  }
+
+  /** dHash of one gray raster (row-major, w x h) — the same 9x8 integer
+    * source map as [[dhashBands]], shared by the video path where the
+    * raster comes from the AVI walk rather than ImageIO. */
+  def dhashBandsOfRaster(w: Int, h: Int, px: Array[Int]): (Int, Int, Int, Int) = {
+    val bands = new Array[Int](4)
+    var y = 0
+    while (y < DhashGridH) {
+      val sy = y * h / DhashGridH
+      var x = 0
+      while (x < DhashGridW) {
+        val g0 = px(sy * w + x * w / (DhashGridW + 1))
+        val g1 = px(sy * w + (x + 1) * w / (DhashGridW + 1))
+        if (g1 > g0) {
+          val bi = y * DhashGridW + x
+          bands(bi / 16) |= 1 << (bi % 16)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Decode + per-frame dHash: one (doc_id, frame_idx, n_frames, b0..b3)
+    * row per frame — clip bytes never leave the decoding task, 6 scalars
+    * per frame do. Undecodable clips emit one sentinel row. */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAviGray(bytes) match {
+            case Some((w, h, rasters)) if rasters.nonEmpty =>
+              rasters.zipWithIndex.map { case (px, f) =>
+                val (b0, b1, b2, b3) = dhashBandsOfRaster(w, h, px)
+                (id, f, rasters.length, b0.toLong, b1.toLong, b2.toLong, b3.toLong)
+              }
+            case _ => Seq((id, -1, -1, -1L, -1L, -1L, -1L))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "b0", "b1", "b2", "b3")
+  }
+
+  /** Video near-dup over any (doc_id, media) clip table: per-frame dHash
+    * signatures, banded candidate generation on (frame_idx, band_idx,
+    * band_val) — exact by pigeonhole at [[VideoHammingMax]] (see there) —
+    * then an aligned-frame verify join that sums per-frame Hamming and
+    * requires EQUAL frame counts (a trimmed or re-cut clip is a different
+    * video; offset-tolerant matching is a documented swap-in at the
+    * alignment join). Verdict per clip: best match (min total Hamming,
+    * ties to the smaller id) or null.
+    *
+    * Scale shape: signatures are 4 ints per FRAME (clip bytes never pass
+    * an exchange — the PlanSpec array audit holds); candidates shuffle on
+    * (frame_idx, band_idx, band_val) buckets; the verify join carries
+    * 8 ints per frame pair and collapses to one row per pair. At crawl
+    * scale the degenerate buckets take the same occupancy cap as the
+    * image path. The oracle recomputes every frame hash closed-form and
+    * brute-forces all equal-length pairs — feasible at gate scale, while
+    * the banded plan is the 100 TB path. */
+  def videoNearDups(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val hashes = videoFrameHashes(media)
+      // reused by banding + both verify sides: materialize the decode once
+      .localCheckpoint()
+    val ok = hashes.filter(col("b0") >= 0)
+    val banded = ok.select(col("doc_id"), col("frame_idx"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3")))
+      .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.frame_idx") === col("r.frame_idx") &&
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = cand
+      .join(ok.select(col("doc_id").as("doc_a"), col("frame_idx"),
+        col("n_frames").as("nf_a"), col("b0").as("a0"), col("b1").as("a1"),
+        col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+      .join(ok.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("n_frames").as("nf_b"), col("b0").as("c0"), col("b1").as("c1"),
+        col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b", "frame_idx"))
+      .filter(col("nf_a") === col("nf_b"))
+      .withColumn("fh",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .groupBy("doc_a", "doc_b", "nf_a")
+      .agg(sum(col("fh")).as("hamming"), count(lit(1)).as("n_aligned"))
+      // every frame must align (equal counts checked row-wise above, the
+      // aggregate re-checks none went missing in the join)
+      .filter(col("n_aligned") === col("nf_a") &&
+        col("hamming") <= VideoHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("hamming"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("hamming")))
+    val best = sym.groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("nbr"))).as("m"))
+      .select(col("doc_id"), col("m.nbr").as("dup_of"), col("m.hamming").as("min_hamming"))
+    ok.groupBy("doc_id").agg(first(col("n_frames")).as("n_frames"))
+      .join(best, Seq("doc_id"), "left")
+      .select("doc_id", "n_frames", "dup_of", "min_hamming")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked video near-dup: REAL AVI decode -> per-frame dHash
+    * signature -> banded LSH + aligned-frame verify. The brightness-
+    * shifted planted copies land at small positive total Hamming; the
+    * oracle replays every frame hash from the pixel formula and
+    * brute-forces all pairs. */
+  def qVideoDedup(s: SparkSession, d: String): DataFrame =
+    videoNearDups(mediaTableVideo(s, d))
 }

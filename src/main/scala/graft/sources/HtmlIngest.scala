@@ -306,4 +306,171 @@ object HtmlIngest {
       .toDF("doc_id", "link_no", "url", "domain")
       .orderBy("doc_id", "link_no")
   }
+
+  // ------------------------------------------- anchor-text aggregation
+
+  /** All `<a href=...>inner text</a>` pairs of a page, in document
+    * order — the href under the same attribute discipline as
+    * [[extractHrefs]], the inner text with nested tags stripped,
+    * entities decoded and whitespace collapsed (the anchor-text
+    * normalization a web-graph pipeline applies before aggregation).
+    * Anchors without an href, and anchors whose normalized text is
+    * empty, are omitted. */
+  def extractAnchors(html: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < html.length) {
+      if (html.charAt(i) == '<' && i + 2 < html.length &&
+          (html.charAt(i + 1) == 'a' || html.charAt(i + 1) == 'A') &&
+          (html.charAt(i + 2).isWhitespace || html.charAt(i + 2) == '>')) {
+        // tag body: same quoted-value discipline as extractHrefs
+        var j = i + 2
+        var href: Option[String] = None
+        while (j < html.length && html.charAt(j) != '>') {
+          if (html.regionMatches(true, j, "href", 0, 4)) {
+            var k = j + 4
+            while (k < html.length && html.charAt(k).isWhitespace) k += 1
+            if (k < html.length && html.charAt(k) == '=') {
+              k += 1
+              while (k < html.length && html.charAt(k).isWhitespace) k += 1
+              if (k < html.length && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                val q = html.charAt(k)
+                val end = html.indexOf(q, k + 1)
+                if (end > k) { href = href.orElse(Some(html.substring(k + 1, end))); j = end }
+                else j = html.length
+              } else {
+                var e = k
+                while (e < html.length && !html.charAt(e).isWhitespace &&
+                  html.charAt(e) != '>') e += 1
+                href = href.orElse(Some(html.substring(k, e)))
+                j = e - 1
+              }
+            }
+            j += 1
+          } else if (html.charAt(j) == '"' || html.charAt(j) == '\'') {
+            val q = html.charAt(j)
+            val end = html.indexOf(q, j + 1)
+            j = if (end > j) end + 1 else html.length
+          } else j += 1
+        }
+        // inner text up to the closing </a>: nested tags (HTML forbids
+        // nested anchors, so the next </a> closes ours) are stripped with
+        // the same quoted-'>' honor as the outer scan
+        var p = j + 1
+        val sb = new StringBuilder
+        var closed = false
+        while (p < html.length && !closed) {
+          if (html.regionMatches(true, p, "</a", 0, 3)) closed = true
+          else if (html.charAt(p) == '<') {
+            var q = p + 1
+            while (q < html.length && html.charAt(q) != '>') {
+              if (html.charAt(q) == '"' || html.charAt(q) == '\'') {
+                val c = html.charAt(q)
+                val end = html.indexOf(c, q + 1)
+                q = if (end > q) end else html.length
+              }
+              q += 1
+            }
+            p = q + 1
+          } else { sb.append(html.charAt(p)); p += 1 }
+        }
+        val text = decodeEntities(sb.toString).replaceAll("\\s+", " ").trim
+        href.filter(_ => text.nonEmpty).foreach(h => out += ((decodeEntities(h), text)))
+        i = p
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Hub page for the anchor-text gate: five rooted links to targets
+    * `(docId*7 + j*13) % 200` with anchor text exercising the normalizer
+    * (nested tag, entity, ragged whitespace), plus one TEXT-LESS anchor
+    * that aggregation must drop. Separate fixture from [[buildHtml]] so
+    * the q_links / q_html_ingest oracles stay untouched. */
+  def buildAnchorPage(docId: Long): String = {
+    def t(j: Int): Long = (docId * 7 + j * 13) % 200
+    s"""<html><body>
+<h1>Hub $docId</h1>
+<p><a href="/doc/${t(0)}">guide ${t(0)}</a></p>
+<p><a href='/doc/${t(1)}'><b>guide</b> ${t(1)}</a></p>
+<p><a href=/doc/${t(2)}>ref&amp;${t(2)}</a></p>
+<p><a href="/doc/${t(3)}">  guide
+   ${t(3)}  </a></p>
+<p><a href="/doc/${t(4)}">manual ${t(4)}</a></p>
+<p><a href="/doc/${t(0)}"></a> trailing prose keeps the parser honest.</p>
+</body></html>"""
+  }
+
+  /** Stage the anchor-hub fixture (same versioned atomic-publish pattern
+    * as every binary fixture). */
+  def stageAnchorFixture(s: SparkSession, d: String): String = {
+    val fix = BinaryIngest.fixtureRoot("anchor_fixture", d)
+    BinaryIngest.publishFixture(fix) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"hub$id%05d.html"),
+              buildAnchorPage(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            id
+          }
+        }.count()
+    }
+    fix
+  }
+
+  /** Oracle-checked anchor-text aggregation — the web-graph signal
+    * pretraining pipelines mine (anchor text is a human-written label for
+    * the TARGET page): extract (href, text) pairs, resolve to canonical
+    * target URLs, then aggregate per target into reference counts,
+    * distinct referrer counts and the most frequent anchor (ties
+    * lexicographic). Text-less anchors are dropped — they label nothing.
+    *
+    * Scale shape: the per-(url, anchor) tally and the per-url totals are
+    * both map-side-combinable aggregations keyed by target; the top-anchor
+    * pick is one ranking window over the ALREADY-collapsed tally (never
+    * over raw links), so a popular page costs |distinct anchors|, not
+    * |backlinks|, in the window. The oracle replays the link graph and
+    * both aggregates in closed form — it never runs the parser. */
+  def qAnchorText(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.UrlOps
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    import spark.implicits._
+    val fix = stageAnchorFixture(s, d)
+    val links = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.html")
+      .load(fix)
+      .select(
+        regexp_extract(col("path"), "hub(\\d+)\\.html", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val base = pageBaseUrl(id)
+          extractAnchors(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .flatMap { case (href, text) =>
+              UrlOps.resolveRef(base, href).map { abs =>
+                val host = UrlOps.parseUrl(abs).map(_.host).getOrElse("")
+                (id, abs, UrlOps.registrableDomain(host), text)
+              }
+            }
+        }
+      }
+      .toDF("doc_id", "url", "domain", "anchor")
+    val tally = links.groupBy("url", "domain", "anchor")
+      .agg(count(lit(1)).as("n"))
+    val top = tally
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("url").orderBy(col("n").desc, col("anchor").asc)))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("anchor").as("top_anchor"), col("n").as("top_n"))
+    links.groupBy("url", "domain")
+      .agg(count(lit(1)).as("n_refs"), countDistinct(col("doc_id")).as("n_pages"))
+      .join(top, Seq("url"))
+      .select("url", "domain", "n_refs", "n_pages", "top_anchor", "top_n")
+      .orderBy("url")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.HtmlIngest.{buildHtml, escapeHtml, htmlToText}
+import graft.sources.HtmlIngest.{buildAnchorPage, buildHtml, escapeHtml, extractAnchors, htmlToText}
 
 /** The HTML extractor's state machine, pinned on the adversarial cases
   * the oracle gate (q_html_ingest) can't isolate individually. */
@@ -67,5 +67,34 @@ class HtmlIngestSpec extends SparkSpec {
     assert(htmlToText("") === "")
     // `<<<>` consumes as one malformed tag; the rest is literal text
     assert(htmlToText("<<<>>>&&&;;;") === ">>&&&;;;")
+  }
+
+  test("extractAnchors: inner-text normalization and the drop rules") {
+    // nested tag stripped, entity decoded, whitespace collapsed
+    assert(extractAnchors("""<a href="/x"><b>guide</b>  7 </a>""") ===
+      Seq(("/x", "guide 7")))
+    assert(extractAnchors("""<a href=/y>ref&amp;3</a>""") === Seq(("/y", "ref&3")))
+    // text-less anchors and href-less anchors are dropped
+    assert(extractAnchors("""<a href="/x"></a><a name="top">here</a>""").isEmpty)
+    // quoted '>' inside an inner tag's attribute does not end the capture
+    assert(extractAnchors("""<a href='/z'>a <span title=">">b</span> c</a>""") ===
+      Seq(("/z", "a b c")))
+    // unclosed anchor: capture runs to EOF, never throws
+    assert(extractAnchors("""<a href="/w">tail text""") === Seq(("/w", "tail text")))
+    // multiple anchors keep document order
+    assert(extractAnchors("""<a href="/1">one</a><p/><a href="/2">two</a>""")
+      .map(_._1) === Seq("/1", "/2"))
+  }
+
+  test("buildAnchorPage reduces to exactly the oracle's closed form") {
+    val id = 42L
+    def t(j: Int): Long = (id * 7 + j * 13) % 200
+    val got = extractAnchors(buildAnchorPage(id))
+    assert(got === Seq(
+      (s"/doc/${t(0)}", s"guide ${t(0)}"),
+      (s"/doc/${t(1)}", s"guide ${t(1)}"),
+      (s"/doc/${t(2)}", s"ref&${t(2)}"),
+      (s"/doc/${t(3)}", s"guide ${t(3)}"),
+      (s"/doc/${t(4)}", s"manual ${t(4)}")))
   }
 }

@@ -362,4 +362,89 @@ class MultimodalSpec extends SparkSpec {
     val full = Multimodal.buildAviDib((8, 6, 3), (f, x, y) => (x + y + f) % 200)
     assert(Multimodal.decodeAviGray(java.util.Arrays.copyOf(full, 60)).isEmpty)
   }
+
+  test("dhashBandsOfRaster agrees with the ImageIO dHash on the same image") {
+    for (id <- Seq(3L, 17L, 42L)) {
+      val png = Multimodal.buildPngTextured(id, 0)
+      val fromPng = Multimodal.dhashBands(png).get
+      val w = (id % 40 + 8).toInt
+      val h = (id % 23 + 8).toInt
+      val px = Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        ((x.toLong * x * 3 + y.toLong * y * 5 + x.toLong * y * 7 + id * 11) % 256).toInt
+      }
+      assert(Multimodal.dhashBandsOfRaster(w, h, px) === fromPng)
+    }
+  }
+
+  test("video near-dup: planted brightness copies match their own base") {
+    import spark.implicits._
+    val base = spark.range(40).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (id, Multimodal.buildAviDib(Multimodal.aviDims(id),
+          Multimodal.videoPixelTextured(id, 0)))))
+    val copies = spark.range(8).as[Long]
+      .mapPartitions(it => it.map(id =>
+        (Multimodal.DhashCopyBase + id, Multimodal.buildAviDib(Multimodal.aviDims(id),
+          Multimodal.videoPixelTextured(id, Multimodal.DhashCopyDelta)))))
+    val out = Multimodal.videoNearDups(base.union(copies).toDF("doc_id", "media"))
+      .collect()
+    assert(out.length === 48)
+    val matchedCopies = out.filter(r =>
+      r.getAs[Long]("doc_id") >= Multimodal.DhashCopyBase &&
+        !r.isNullAt(r.fieldIndex("dup_of")))
+    // +3 gray levels flips a bit only at a mod-256 wrap: most copies land
+    // within the threshold, and every match is the copy's OWN base (an
+    // unrelated clip sits ~32 bits/frame away)
+    assert(matchedCopies.length >= 4, s"only ${matchedCopies.length} copies matched")
+    matchedCopies.foreach { r =>
+      assert(r.getAs[Long]("dup_of") ===
+        r.getAs[Long]("doc_id") - Multimodal.DhashCopyBase)
+      assert(r.getAs[Long]("min_hamming") <= Multimodal.VideoHammingMax)
+    }
+    // clips with different frame counts never pair, whatever their pixels
+    out.filter(r => !r.isNullAt(r.fieldIndex("dup_of"))).foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      val other = out.find(_.getAs[Long]("doc_id") == r.getAs[Long]("dup_of")).get
+      assert(other.getAs[Int]("n_frames") === nf)
+    }
+  }
+
+  test("jpegMeta: geometry, component count, JFIF — plus the DQT counts") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 199L)) {
+      val bytes = Multimodal.buildJpeg(id)
+      val Some((w, h, prec, nc, prog, jfif)) = Multimodal.jpegMeta(bytes)
+      assert(w === (id % 40 + 8).toInt && h === (id % 23 + 8).toInt)
+      assert(prec === 8 && !prog && jfif)
+      assert(nc === (if (id % 2 == 0) 1 else 3))
+      // DQT table count is an encoder-implementation fact (1 gray /
+      // 2 color for the JDK writer) — pinned here, NOT in the oracle
+      var i = 2; var dqt = 0
+      var done = false
+      while (!done && i + 4 <= bytes.length) {
+        val m = bytes(i + 1) & 0xFF
+        if (m == 0xDB) dqt += 1
+        if (m == 0xDA) done = true
+        else i += 2 + (((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF))
+      }
+      assert(dqt === (if (id % 2 == 0) 1 else 2), s"DQT count for $id")
+    }
+  }
+
+  test("jpegMeta: progressive flag, marker desync, SOS-before-SOF reject") {
+    // hand-built minimal header with an SOF2 (progressive) frame segment
+    def sof(marker: Int): Array[Byte] = Array[Byte](
+      0xFF.toByte, 0xD8.toByte, // SOI
+      0xFF.toByte, marker.toByte, 0, 11, 8, 0, 9, 0, 17, 1, 0x11, 0, 0)
+    assert(Multimodal.jpegMeta(sof(0xC2)) === Some((17, 9, 8, 1, true, false)))
+    assert(Multimodal.jpegMeta(sof(0xC0)) === Some((17, 9, 8, 1, false, false)))
+    assert(Multimodal.jpegMeta("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegMeta(Array.emptyByteArray).isEmpty)
+    // truncated mid-segment
+    val full = Multimodal.buildJpeg(3L)
+    assert(Multimodal.jpegMeta(java.util.Arrays.copyOf(full, 10)).isEmpty)
+    // SOS with no preceding SOF is malformed, not a zero-dim frame
+    val sos = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDA.toByte, 0, 4, 0, 0)
+    assert(Multimodal.jpegMeta(sos).isEmpty)
+  }
 }
