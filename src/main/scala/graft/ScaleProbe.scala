@@ -740,6 +740,55 @@ object ScaleProbe {
         val seeds = spark.range(3).select(col("id").as("node"))
         graft.operators.Graph.bfsFrontier(edges, seeds, 5).count()
       }
+
+      // ---- round-7 batch 10: video near-dup, anchor text, DPO, JPEG walk
+      time("video_dedup", nMedia) {
+        // clips grow with mult; the (frame, band) bucket join is the
+        // growth axis (decode + per-frame hashing is per-row narrow)
+        Multimodal.videoNearDups(
+          spark.range(nMedia).select(col("id").as("doc_id"))
+            .repartition(64, col("doc_id")).as[Long]
+            .mapPartitions(it => it.map(id =>
+              (id, Multimodal.buildAviDib(Multimodal.aviDims(id),
+                Multimodal.videoPixelTextured(id, 0)))))
+            .toDF("doc_id", "media")).count()
+      }
+      time("anchor_text", nMedia * 5) {
+        // hub pages grow with mult (5 links each); both aggregates are
+        // map-side combinable on the target key, the top-anchor window
+        // runs over the collapsed tally
+        import graft.sources.HtmlIngest
+        import org.apache.spark.sql.expressions.Window
+        val links = spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.flatMap { id =>
+              val base = HtmlIngest.pageBaseUrl(id)
+              HtmlIngest.extractAnchors(HtmlIngest.buildAnchorPage(id))
+                .flatMap { case (href, text) =>
+                  UrlOps.resolveRef(base, href).map(abs => (id, abs, text))
+                }
+            }
+          }.toDF("doc_id", "url", "anchor")
+        val tally = links.groupBy("url", "anchor").agg(count(lit(1)).as("n"))
+        tally.withColumn("rn", row_number().over(
+            Window.partitionBy("url").orderBy(col("n").desc, col("anchor").asc)))
+          .filter(col("rn") === 1).count()
+      }
+      time("dpo_pairs", nDocs) {
+        // pools stay prompt-sized as the corpus grows (the bucket key
+        // spreads); one exchange feeds both ranking windows
+        Curation.dpoPairs(docs).count()
+      }
+      time("jpeg_meta", nMedia) {
+        // header-only walk: per-row narrow, no decode — should scale
+        // with encode cost (the probe's own fixture generation)
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .mapPartitions(it => it.map(id =>
+            if (Multimodal.jpegMeta(Multimodal.buildJpeg(id)).isDefined) 1L else 0L))
+          .agg(sum(col("value"))).head(); nMedia
+      }
     }
     spark.stop()
   }
