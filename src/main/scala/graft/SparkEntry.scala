@@ -263,6 +263,10 @@ object SparkEntry {
     "q_video_dedup" -> (Multimodal.qVideoDedup _),
     // --- preference-pair construction (DPO/RLHF prep over the scored pool)
     "q_dpo_pairs" -> (Curation.qDpoPairs _),
+    // --- ROUGE n-gram overlap (generation-eval metric, clipped counts)
+    "q_rouge" -> (TextAnalysis.qRouge _),
+    // --- HITS hubs & authorities (the second link-centrality signal)
+    "q_hits" -> (Graph.qHits _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -646,6 +650,40 @@ object SparkEntry {
     * round's per-edge contribution is rounded to 6dp, summed as
     * DECIMAL(18,6) and the damped update re-rounded, replaying the
     * engine's order-independent iteration discipline exactly. */
+  /** HITS oracle: every half-step (authority update, L1 normalize, hub
+    * update, L1 normalize) unrolled as materialized CTEs with the same
+    * decimal-sum/rounded-division recipe as [[pagerankOracle]]. */
+  private def hitsOracle(iterations: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // half-step references its predecessor twice (the total + the join),
+    // so inlining re-expands the lineitem join ~2^(2k) times — the exact
+    // plan blowup the engine's per-iteration localCheckpoint prevents
+    val head =
+      "WITH e0 AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), " +
+        "e AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM e0), " +
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), " +
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)"
+    val iters = (1 to iterations).map { k =>
+      s"sa$k AS MATERIALIZED (SELECT e.dst, sum(CAST(round(h.h * e.w, 6) AS DECIMAL(18,6))) AS sa " +
+        s"FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1), " +
+        s"ta$k AS MATERIALIZED (SELECT sum(sa) AS t FROM sa$k), " +
+        s"a$k AS MATERIALIZED (SELECT nodes.node, round(CAST(coalesce(sa$k.sa, 0) AS DOUBLE) / " +
+        s"CAST(ta$k.t AS DOUBLE), 6) AS a " +
+        s"FROM nodes CROSS JOIN ta$k LEFT JOIN sa$k ON nodes.node = sa$k.dst), " +
+        s"sh$k AS MATERIALIZED (SELECT e.src, sum(CAST(round(a.a * e.w, 6) AS DECIMAL(18,6))) AS sh " +
+        s"FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1), " +
+        s"th$k AS MATERIALIZED (SELECT sum(sh) AS t FROM sh$k), " +
+        s"h$k AS MATERIALIZED (SELECT nodes.node, round(CAST(coalesce(sh$k.sh, 0) AS DOUBLE) / " +
+        s"CAST(th$k.t AS DOUBLE), 6) AS h " +
+        s"FROM nodes CROSS JOIN th$k LEFT JOIN sh$k ON nodes.node = sh$k.src)"
+    }.mkString(", ")
+    s"$head, $iters SELECT CAST(a.node AS BIGINT) AS node, a.a AS authority, h.h AS hub " +
+      s"FROM a$iterations a JOIN h$iterations h ON a.node = h.node ORDER BY node"
+  }
+
   private def pagerankOracle(iterations: Int): String = {
     val head =
       "WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w " +
@@ -693,6 +731,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // domain-centrality power iteration over the nation trade graph
     "q_pagerank" -> pagerankOracle(5),
+    // HITS: 4 iterations of authority/hub half-steps with L1
+    // normalization, unrolled like pagerank — the gate replays every
+    // half-step's decimal sums and rounded divisions
+    "q_hits" -> hitsOracle(4),
     // BFS frontier: the oracle's recursive CTE enumerates every path of
     // length <= 5 from the seeds through the same affine edge maps and
     // takes min(hop) per node — first-reach depth in the engine's
@@ -2733,5 +2775,48 @@ object SparkEntry {
         "AND c.bucket = j.bucket AND c.pair_idx = j.pair_idx) " +
         "SELECT * FROM p WHERE margin >= CAST(0.05 AS DOUBLE) " +
         "ORDER BY lang, source, bucket, pair_idx"),
+    // ROUGE: replay pair formation (consecutive docs per lang), the
+    // CLIPPED per-gram min-count overlaps, single-division round(6)
+    // precision/recall, and F1 in the portable floor(x*1e6+0.5)/1e6 form
+    // (SCALE finding 16 — chained doubles must not use round())
+    "q_rouge" ->
+      ("WITH b AS (SELECT doc_id, lang, " +
+        "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "f AS (SELECT doc_id, lang, toks, len(toks) AS n FROM b WHERE len(toks) >= 2), " +
+        "r AS (SELECT doc_id, lang, toks, n, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn FROM f), " +
+        "rr AS (SELECT doc_id, lang, toks, n, rn // 2 AS pair_id, rn % 2 AS role FROM r), " +
+        "u1 AS (SELECT lang, pair_id, role, unnest(toks) AS gram FROM rr), " +
+        "g1 AS (SELECT lang, pair_id, role, gram, count(*) AS c FROM u1 GROUP BY 1, 2, 3, 4), " +
+        "ov1 AS (SELECT a.lang, a.pair_id, CAST(sum(least(a.c, x.c)) AS BIGINT) AS o1 " +
+        "FROM g1 a JOIN g1 x ON a.lang = x.lang AND a.pair_id = x.pair_id " +
+        "AND a.gram = x.gram AND a.role = 0 AND x.role = 1 GROUP BY 1, 2), " +
+        "u2 AS (SELECT lang, pair_id, role, " +
+        "unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM rr), " +
+        "g2 AS (SELECT lang, pair_id, role, gram, count(*) AS c FROM u2 GROUP BY 1, 2, 3, 4), " +
+        "ov2 AS (SELECT a.lang, a.pair_id, CAST(sum(least(a.c, x.c)) AS BIGINT) AS o2 " +
+        "FROM g2 a JOIN g2 x ON a.lang = x.lang AND a.pair_id = x.pair_id " +
+        "AND a.gram = x.gram AND a.role = 0 AND x.role = 1 GROUP BY 1, 2), " +
+        "p AS (SELECT c.lang, c.pair_id, c.doc_id AS cand_id, x.doc_id AS ref_id, " +
+        "c.n AS n_cand, x.n AS n_ref FROM rr c JOIN rr x ON c.lang = x.lang " +
+        "AND c.pair_id = x.pair_id AND c.role = 0 AND x.role = 1), " +
+        "m AS (SELECT p.*, coalesce(ov1.o1, 0) AS o1, coalesce(ov2.o2, 0) AS o2 " +
+        "FROM p LEFT JOIN ov1 USING (lang, pair_id) LEFT JOIN ov2 USING (lang, pair_id)) " +
+        "SELECT lang, CAST(pair_id AS BIGINT) AS pair_id, cand_id, ref_id, " +
+        "CAST(n_cand AS INTEGER) AS n_cand, CAST(n_ref AS INTEGER) AS n_ref, " +
+        "CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2, " +
+        "round(CAST(o1 AS DOUBLE) / n_cand, 6) AS r1_precision, " +
+        "round(CAST(o1 AS DOUBLE) / n_ref, 6) AS r1_recall, " +
+        "CASE WHEN o1 = 0 THEN 0.0 ELSE floor((2.0 * (CAST(o1 AS DOUBLE) / n_cand) * " +
+        "(CAST(o1 AS DOUBLE) / n_ref) / ((CAST(o1 AS DOUBLE) / n_cand) + " +
+        "(CAST(o1 AS DOUBLE) / n_ref))) * 1e6 + 0.5) / 1e6 END AS r1_f1, " +
+        "round(CAST(o2 AS DOUBLE) / (n_cand - 1), 6) AS r2_precision, " +
+        "round(CAST(o2 AS DOUBLE) / (n_ref - 1), 6) AS r2_recall, " +
+        "CASE WHEN o2 = 0 THEN 0.0 ELSE floor((2.0 * (CAST(o2 AS DOUBLE) / (n_cand - 1)) * " +
+        "(CAST(o2 AS DOUBLE) / (n_ref - 1)) / ((CAST(o2 AS DOUBLE) / (n_cand - 1)) + " +
+        "(CAST(o2 AS DOUBLE) / (n_ref - 1)))) * 1e6 + 0.5) / 1e6 END AS r2_f1 " +
+        "FROM m ORDER BY lang, pair_id"),
   )
 }

@@ -758,6 +758,98 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("lang")
+
+  // ----------------------------------- ROUGE n-gram overlap (eval metric)
+
+  /** ROUGE-N overlap between candidate/reference text pairs — the n-gram
+    * eval metric every summarization/generation harness computes, here as
+    * a distributed operator: pairs form within each lang (consecutive
+    * docs in doc_id order, role 0 = candidate / role 1 = reference — the
+    * synthetic stand-in for a (generation, gold) table), overlaps are
+    * CLIPPED multiset intersections (sum of per-gram min counts, the
+    * ROUGE definition), and precision/recall are exact integer divisions.
+    * F1 chains doubles, so it rounds via floor(x*1e6 + 0.5)/1e6 — the
+    * engine-portable form (SCALE finding 16: `round` on a chained double
+    * computation is NOT portable; single-division results are).
+    *
+    * Scale shape: texts never pair up — each side collapses to per-doc
+    * n-gram COUNTS first (one narrow explode), and the overlap is a
+    * (lang, pair, gram)-keyed join of those counts with map-side partial
+    * aggregation, the contamination-join discipline. The ranking window
+    * that forms pairs runs over two slim columns. */
+  def rougePairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = Tables.rebalance(docs, "doc_id")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        filter(split(trim(col("text")), "\\s+"), w => w =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // pair formation over slim columns only (doc_id, lang)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val roles = base.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .select(col("doc_id"), col("lang"),
+        (col("rn") / 2).cast("long").as("pair_id"), (col("rn") % 2).as("role"))
+    val toks = base.join(roles, Seq("doc_id", "lang"))
+    def gramCounts(n: Int) = {
+      val grams =
+        if (n == 1) explode(col("toks")).as("gram")
+        else explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("gram")
+      toks.select(col("lang"), col("pair_id"), col("role"), col("doc_id"),
+          size(col("toks")).as("n_toks"), grams)
+        .groupBy("lang", "pair_id", "role", "doc_id", "n_toks", "gram")
+        .agg(count(lit(1)).as("c"))
+    }
+    def overlap(n: Int, name: String) = {
+      val g = gramCounts(n)
+      val cand = g.filter(col("role") === 0)
+        .select(col("lang"), col("pair_id"), col("gram"), col("c").as("ca"))
+      val ref = g.filter(col("role") === 1)
+        .select(col("lang"), col("pair_id"), col("gram"), col("c").as("cr"))
+      cand.join(ref, Seq("lang", "pair_id", "gram"))
+        .groupBy("lang", "pair_id")
+        .agg(sum(least(col("ca"), col("cr"))).as(name))
+    }
+    val pairs = roles.filter(col("role") === 0)
+      .select(col("lang"), col("pair_id"), col("doc_id").as("cand_id"))
+      .join(roles.filter(col("role") === 1)
+        .select(col("lang"), col("pair_id"), col("doc_id").as("ref_id")),
+        Seq("lang", "pair_id")) // inner: odd tail docs have no reference
+    val lens = base.select(col("doc_id"), size(col("toks")).as("n"))
+    // F1's 2PR/(P+R) is a chained double computation: identical IEEE ops
+    // on identical inputs in both engines, then the portable floor-round
+    def f1(o: Column, na: Column, nr: Column): Column = {
+      val p = o.cast("double") / na
+      val r = o.cast("double") / nr
+      when(o === 0, lit(0.0))
+        .otherwise(floor((lit(2.0) * p * r / (p + r)) * 1e6 + 0.5) / 1e6)
+    }
+    pairs
+      .join(lens.select(col("doc_id").as("cand_id"), col("n").as("n_cand")), Seq("cand_id"))
+      .join(lens.select(col("doc_id").as("ref_id"), col("n").as("n_ref")), Seq("ref_id"))
+      .join(overlap(1, "o1"), Seq("lang", "pair_id"), "left")
+      .join(overlap(2, "o2"), Seq("lang", "pair_id"), "left")
+      .na.fill(0L, Seq("o1", "o2"))
+      .select(col("lang"), col("pair_id"), col("cand_id"), col("ref_id"),
+        col("n_cand"), col("n_ref"), col("o1"), col("o2"),
+        round(col("o1").cast("double") / col("n_cand"), 6).as("r1_precision"),
+        round(col("o1").cast("double") / col("n_ref"), 6).as("r1_recall"),
+        f1(col("o1"), col("n_cand"), col("n_ref")).as("r1_f1"),
+        round(col("o2").cast("double") / (col("n_cand") - 1), 6).as("r2_precision"),
+        round(col("o2").cast("double") / (col("n_ref") - 1), 6).as("r2_recall"),
+        f1(col("o2"), col("n_cand") - 1, col("n_ref") - 1).as("r2_f1"))
+  }
+
+  /** Oracle-checked ROUGE: the DuckDB oracle replays pair formation, the
+    * clipped-count overlap joins and every metric (single-division
+    * round(6); F1 in the portable floor form) — a clipping slip, an
+    * off-by-one bigram window or a zero-overlap NaN all hash-mismatch. */
+  def qRouge(s: SparkSession, d: String): DataFrame =
+    rougePairs(documents(s, d))
+      .orderBy("lang", "pair_id")
 }
 
 /** Marker/stopword sets used by quality + language-ID scoring. */

@@ -100,4 +100,31 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
+
+  test("HITS separates hubs from authorities on a directed star") {
+    // 3 hub nodes all point at node 100; one back-edge keeps every node
+    // in both supports. The star center must dominate AUTHORITY while
+    // the pointers share HUB mass — the asymmetry PageRank collapses.
+    val e = Seq((0L, 100L, 1L), (1L, 100L, 1L), (2L, 100L, 1L), (100L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.hits(e, 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(100L)._1 > 0.9, s"star center authority ${got(100L)._1}")
+    assert(got(100L)._2 < 0.1, s"star center hub ${got(100L)._2}")
+    Seq(0L, 1L, 2L).foreach { n =>
+      assert(got(n)._2 > 0.2, s"pointer $n hub ${got(n)._2}")
+    }
+    // L1 normalization: each score vector sums to ~1 (6dp rounding slack)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("HITS is a pure function of the edge rows, not the partitioning") {
+    val e = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12, i % 3 + 1))
+      .toDF("src", "dst", "w")
+    val a = Graph.hits(e, 4).orderBy("node").collect().map(_.toSeq).toSeq
+    val b = Graph.hits(e.repartition(13), 4).orderBy("node").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(Graph.hits(e.limit(0), 4).count() === 0) // empty-input discipline
+  }
 }

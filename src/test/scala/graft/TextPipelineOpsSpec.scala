@@ -146,4 +146,29 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(vals.length === 3)
     assert(vals.forall(v => v > 0 && v < 1))
   }
+
+  test("ROUGE: identical pair scores 1, disjoint pair 0, clipping clips") {
+    import spark.implicits._
+    // one lang = one pair per consecutive doc_id duo
+    val docs = Seq(
+      (0L, "en", "a b c d"), (1L, "en", "a b c d"),        // identical
+      (2L, "en", "p q r s"), (3L, "en", "w x y z"),        // disjoint
+      // candidate repeats 'k' 3x, reference has it once: clipped to 1
+      (4L, "en", "k k k"), (5L, "en", "k m")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.rougePairs(docs).orderBy("pair_id").collect()
+    assert(got.length === 3)
+    val ident = got(0)
+    assert(ident.getAs[Double]("r1_f1") === 1.0 &&
+      ident.getAs[Double]("r2_f1") === 1.0)
+    val disj = got(1)
+    assert(disj.getAs[Long]("o1") === 0L &&
+      disj.getAs[Double]("r1_f1") === 0.0)
+    val clip = got(2)
+    assert(clip.getAs[Long]("o1") === 1L, "multiset overlap must clip at min count")
+    // P = 1/3, R = 1/2, F1 = 2PR/(P+R) = 0.4
+    assert(clip.getAs[Double]("r1_precision") === 0.333333)
+    assert(clip.getAs[Double]("r1_recall") === 0.5)
+    assert(clip.getAs[Double]("r1_f1") === 0.4)
+  }
 }
