@@ -780,6 +780,20 @@ object ScaleProbe {
         // spreads); one exchange feeds both ranking windows
         Curation.dpoPairs(docs).count()
       }
+      time("rouge", nDocs) {
+        // pairs double with the corpus; overlap joins are (pair, gram)
+        // keyed with map-side partials — the contamination-join shape
+        TextAnalysis.rougePairs(docs).count()
+      }
+      time("hits", nLi) {
+        // the edge list is nation x nation however big lineitem grows —
+        // the probe measures the trade-edge aggregation (corpus-sized)
+        // + 4 iterations of |nodes|-sized joins
+        graft.operators.Graph.hits(
+          li.select(col("l_orderkey") % 25, (col("l_orderkey") * 7) % 25, lit(1L))
+            .toDF("src", "dst", "w")
+            .groupBy("src", "dst").agg(sum("w").as("w")), 4).count()
+      }
       time("jpeg_meta", nMedia) {
         // header-only walk: per-row narrow, no decode — should scale
         // with encode cost (the probe's own fixture generation)
