@@ -267,6 +267,8 @@ object SparkEntry {
     "q_rouge" -> (TextAnalysis.qRouge _),
     // --- HITS hubs & authorities (the second link-centrality signal)
     "q_hits" -> (Graph.qHits _),
+    // --- matryoshka truncated-dimension serving recall
+    "q_mrl_recall" -> (Similarity.qMrlRecall _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -2362,6 +2364,30 @@ object SparkEntry {
         "TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok, " +
         "TRUE AS ivf_hier_recall_ok " +
         "FROM embeddings WHERE vec_id < 20"),
+    // matryoshka serving recall — an EXACT gate, not tolerance booleans:
+    // the oracle replays all three brute-force rankings (full/half/
+    // quarter width; q_topk already proves the round-6dp cosine and the
+    // (score desc, id) tie-break engine-equal) and the hit counts must
+    // match. Measured: half 0.26-0.37, quarter 0.09-0.2 — synthetic
+    // non-MRL embeddings spread information uniformly; the gate pins the
+    // truncate-and-rerank mechanism and quantifies the loss
+    "q_mrl_recall" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "fx AS (SELECT q.vec_id AS q, c.vec_id AS n, row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rk " +
+        "FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id), " +
+        "f AS (SELECT q, n FROM fx WHERE rk <= 10), " +
+        "hx AS (SELECT q.vec_id AS q, c.vec_id AS n, row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY round(list_cosine_similarity(q.v[1:32], c.v[1:32]), 6) DESC, c.vec_id) AS rk " +
+        "FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id), " +
+        "h AS (SELECT q, n FROM hx WHERE rk <= 10), " +
+        "qx AS (SELECT q.vec_id AS q, c.vec_id AS n, row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY round(list_cosine_similarity(q.v[1:16], c.v[1:16]), 6) DESC, c.vec_id) AS rk " +
+        "FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id), " +
+        "qq AS (SELECT q, n FROM qx WHERE rk <= 10) " +
+        "SELECT (SELECT count(*) FROM f) AS n_exact, " +
+        "(SELECT count(*) FROM f JOIN h USING (q, n)) AS half_hits, " +
+        "(SELECT count(*) FROM f JOIN qq USING (q, n)) AS quarter_hits"),
     // same coupling as q_ann_recall: n_exact = k(10) * the vec_id < 20
     // panel; the booleans pin the PQ serving path's measured recalls
     // (ADC 0.33-0.43 >= 0.25, ADC+rerank 0.82-0.93 >= 0.6)

@@ -642,7 +642,9 @@ object Multimodal {
       while (i + 4 <= bytes.length) {
         if ((bytes(i) & 0xFF) != 0xFF) return None // marker desync
         val m = bytes(i + 1) & 0xFF
-        if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
+        if (m == 0xFF) i += 1 // fill byte: 0xFF padding before a marker
+        else if (m == 0xD9) return None // EOI before any SOF: no frame
+        else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
         else {
           val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
           if (len < 2 || i + 2 + len > bytes.length) return None

@@ -170,6 +170,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.StreamingJobs.qStreamJoin(spark, dir).count() === 0)
   }
 
+  test("round-7 batch 10/11 operators on an empty corpus") {
+    import spark.implicits._
+    assert(Curation.dpoPairs(emptyDocs).count() === 0)
+    assert(TextAnalysis.rougePairs(emptyDocs).count() === 0)
+    val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "media")
+    assert(Multimodal.videoNearDups(emptyMedia).count() === 0)
+    assert(graft.sources.HtmlIngest.extractAnchors("") === Seq.empty)
+    assert(Multimodal.jpegMeta(Array.emptyByteArray).isEmpty)
+  }
+
   test("dispatch with an empty command batch is a no-op") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))

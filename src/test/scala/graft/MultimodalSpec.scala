@@ -446,5 +446,12 @@ class MultimodalSpec extends SparkSpec {
     // SOS with no preceding SOF is malformed, not a zero-dim frame
     val sos = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xDA.toByte, 0, 4, 0, 0)
     assert(Multimodal.jpegMeta(sos).isEmpty)
+    // EOI before any SOF is a frameless file, and 0xFF fill bytes before
+    // a marker are padding, not a segment with a bogus length
+    val eoi = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
+    assert(Multimodal.jpegMeta(eoi).isEmpty)
+    val fill = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 11, 8, 0, 9, 0, 17, 1, 0x11, 0, 0)
+    assert(Multimodal.jpegMeta(fill) === Some((17, 9, 8, 1, false, false)))
   }
 }

@@ -188,7 +188,11 @@ class PlanSpec extends SparkSpec {
       // the ADC serving path against it (panel-bounded: 20 queries)
       "q_ann_recall", "q_ann_incremental", "q_pq_search",
       // the HNSW gate embeds the same panel-bounded brute-force baseline
-      "q_hnsw_recall")
+      "q_hnsw_recall",
+      // the matryoshka gate IS three panel-bounded brute-force rankings
+      // (full/half/quarter width) — all-pairs against the 20-query
+      // broadcast panel by definition
+      "q_mrl_recall")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
