@@ -180,15 +180,14 @@ object Graph {
       // each half-step's sum frame feeds BOTH its total and the join —
       // without truncation every iteration would re-nest the previous
       // tree several times over (the plan grows ~3^k and analysis blew
-      // past minutes at k=4 when first written lazily). The frames are
-      // |nodes|-sized, so eager localCheckpoints cost microseconds and
-      // keep the per-iteration plan flat — the Lloyd/PageRank-loop
-      // discipline applied to plan DEPTH rather than job count.
+      // past minutes at k=4 when first written lazily). Checkpointing
+      // ONLY the score frames keeps the plan flat (the sum subtrees are
+      // one join over two checkpointed inputs, cheap to evaluate twice)
+      // at half the eager jobs of checkpointing every half-step.
       val sa = e.join(hubs, e("src") === hubs("node"))
         .select(col("dst"),
           round(col("h") * col("w"), 6).cast("decimal(18,6)").as("c"))
         .groupBy("dst").agg(sum("c").as("sa"))
-        .localCheckpoint()
       val ta = sa.agg(sum("sa").as("t"))
       auths = nodes.join(sa, nodes("node") === sa("dst"), "left").crossJoin(ta)
         .select(col("node"),
@@ -199,7 +198,6 @@ object Graph {
         .select(col("src"),
           round(col("a") * col("w"), 6).cast("decimal(18,6)").as("c"))
         .groupBy("src").agg(sum("c").as("sh"))
-        .localCheckpoint()
       val th = sh.agg(sum("sh").as("t"))
       hubs = nodes.join(sh, nodes("node") === sh("src"), "left").crossJoin(th)
         .select(col("node"),
