@@ -794,6 +794,28 @@ object ScaleProbe {
             .toDF("src", "dst", "w")
             .groupBy("src", "dst").agg(sum("w").as("w")), 4).count()
       }
+      time("html_tables", nMedia) {
+        // pages grow with mult; the walk is one O(len) pass per page,
+        // 5 scalars per cell exit
+        import graft.sources.HtmlIngest
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .mapPartitions(it => it.map(id =>
+            HtmlIngest.extractTables(HtmlIngest.buildTablePage(id)).length.toLong))
+          .agg(sum(col("value"))).head(); nMedia
+      }
+      time("caption_check", nMedia) {
+        // per-pair decode + parse, one verdict row exits
+        spark.range(nMedia).select(col("id").as("doc_id"))
+          .repartition(64, col("doc_id")).as[Long]
+          .mapPartitions(it => it.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(Multimodal.buildPng(id)))
+            if (img != null && Multimodal.captionFor(id)
+                .startsWith(s"image ${img.getWidth}x")) 1L else 0L
+          })
+          .agg(sum(col("value"))).head(); nMedia
+      }
       time("jpeg_meta", nMedia) {
         // header-only walk: per-row narrow, no decode — should scale
         // with encode cost (the probe's own fixture generation)

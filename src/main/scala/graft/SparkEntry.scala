@@ -269,6 +269,10 @@ object SparkEntry {
     "q_hits" -> (Graph.qHits _),
     // --- matryoshka truncated-dimension serving recall
     "q_mrl_recall" -> (Similarity.qMrlRecall _),
+    // --- web-table extraction (structured-data harvest from HTML)
+    "q_html_tables" -> (graft.sources.HtmlIngest.qHtmlTables _),
+    // --- caption-image consistency screen (pair-level multimodal QC)
+    "q_caption_check" -> (Multimodal.qCaptionCheck _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -2750,6 +2754,40 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, " +
         "FALSE AS progressive, TRUE AS has_jfif " +
         "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // caption-image consistency: the engine really decodes each PNG and
+    // really parses each caption; the oracle states both geometries and
+    // the verdict in closed form (every 7th caption plants width+1)
+    "q_caption_check" ->
+      ("SELECT doc_id, " +
+        "CAST(doc_id % 40 + 8 AS INTEGER) AS img_w, " +
+        "CAST(doc_id % 23 + 8 AS INTEGER) AS img_h, " +
+        "CAST(doc_id % 40 + 8 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS cap_w, " +
+        "CAST(doc_id % 23 + 8 AS INTEGER) AS cap_h, " +
+        "doc_id % 7 <> 0 AS consistent " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // web-table extraction: every cell stated in closed form — header
+    // labels, the data-cell value formula, and the second table's
+    // nested-tag/unclosed-cell normalizations; the decoy's &lt;tr&gt;
+    // entity must NOT become a row
+    "q_html_tables" ->
+      ("WITH m AS (SELECT doc_id, doc_id % 4 + 2 AS r, doc_id % 3 + 2 AS c " +
+        "FROM documents WHERE doc_id < 200), " +
+        "h0 AS (SELECT doc_id, 0 AS table_idx, 0 AS row_idx, " +
+        "unnest(generate_series(0, c - 1)) AS col_idx, TRUE AS is_header FROM m), " +
+        "h1 AS (SELECT *, 'h' || col_idx AS cell FROM h0), " +
+        "d0 AS (SELECT doc_id, 0 AS table_idx, unnest(generate_series(1, r)) AS row_idx, c FROM m), " +
+        "d1 AS (SELECT doc_id, table_idx, row_idx, " +
+        "unnest(generate_series(0, c - 1)) AS col_idx, FALSE AS is_header FROM d0), " +
+        "d2 AS (SELECT *, 'v' || ((doc_id * 31 + row_idx * 7 + col_idx * 3) % 100) AS cell FROM d1), " +
+        "t2 AS (SELECT doc_id, 1 AS table_idx, 0 AS row_idx, " +
+        "unnest([0, 1]) AS col_idx, FALSE AS is_header FROM m), " +
+        "t3 AS (SELECT doc_id, table_idx, row_idx, col_idx, is_header, " +
+        "CASE col_idx WHEN 0 THEN 'x ' || doc_id ELSE 'y ' || doc_id END AS cell FROM t2) " +
+        "SELECT doc_id, CAST(table_idx AS INTEGER) AS table_idx, " +
+        "CAST(row_idx AS INTEGER) AS row_idx, CAST(col_idx AS INTEGER) AS col_idx, " +
+        "is_header, cell FROM " +
+        "(SELECT * FROM h1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM t3) " +
+        "ORDER BY doc_id, table_idx, row_idx, col_idx"),
     // anchor-text aggregation: each staged hub page carries five anchor-
     // bearing links (plus one text-less anchor aggregation must drop);
     // the oracle replays the link graph, both per-target aggregates and

@@ -2137,4 +2137,46 @@ object Multimodal {
     * brute-forces all pairs. */
   def qVideoDedup(s: SparkSession, d: String): DataFrame =
     videoNearDups(mediaTableVideo(s, d))
+
+  // ----------------- caption-image consistency screen (pair-level QC)
+
+  /** Caption for docId's image — every 7th pair is CORRUPTED (the
+    * caption states width+1), the planted inconsistency class. */
+  def captionFor(docId: Long): String = {
+    val w = (docId % 40 + 8) + (if (docId % 7 == 0) 1 else 0)
+    s"image ${w}x${docId % 23 + 8} gray"
+  }
+
+  /** Oracle-checked caption-image consistency — the pair-level QC every
+    * image-text corpus runs before training (the LAION filter shape: a
+    * learned CLIP score thresholds agreement; here the checkable
+    * deterministic core — claims the caption makes about the image are
+    * verified against the REAL decode — with the scorer a documented
+    * swap-in at the same verdict column). Each (caption, png) pair
+    * decodes the image (real geometry), parses the caption's stated
+    * geometry, and flags disagreement; every 7th staged caption plants a
+    * width off by one. Scale shape: narrow per-row decode+parse, one
+    * verdict row per pair, media bytes never shuffle. */
+  def qCaptionCheck(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dims = "image (\\d+)x(\\d+) gray".r
+        it.map { id =>
+          val caption = captionFor(id)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buildPng(id)))
+          val (iw, ih) = if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+          val (cw, ch) = caption match {
+            case dims(w, h) => (w.toInt, h.toInt)
+            case _          => (-1, -1)
+          }
+          (id, iw, ih, cw, ch, iw == cw && ih == ch && iw > 0)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "cap_w", "cap_h", "consistent")
+      .orderBy("doc_id")
+  }
 }

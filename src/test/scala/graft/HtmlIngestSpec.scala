@@ -86,6 +86,37 @@ class HtmlIngestSpec extends SparkSpec {
       .map(_._1) === Seq("/1", "/2"))
   }
 
+  test("extractTables: nesting, unclosed cells, decoys, truncation") {
+    import graft.sources.HtmlIngest.extractTables
+    // entity-encoded <tr> in prose must not open a row
+    assert(extractTables("<p>decoy &lt;tr&gt; prose</p>").isEmpty)
+    // unclosed cells flush at the next cell/row/table boundary
+    assert(extractTables("<table><tr><td>a<td>b</table>") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 1, false, "b")))
+    // th vs td, nested tag stripped, whitespace collapsed, entity decoded
+    assert(extractTables("<table><tr><th> H&amp;M </th><td><i>x</i>  1</td></table>") ===
+      Seq((0, 0, 0, true, "H&M"), (0, 0, 1, false, "x 1")))
+    // a second table restarts row numbering and bumps table_idx
+    assert(extractTables("<table><tr><td>a</td></tr></table><table><tr><td>b</td></tr></table>")
+      .map(t => (t._1, t._2)) === Seq((0, 0), (1, 0)))
+    // truncated mid-cell: the open cell still flushes (browser behavior)
+    assert(extractTables("<table><tr><td>tail") === Seq((0, 0, 0, false, "tail")))
+    // td outside any table is ignored
+    assert(extractTables("<td>stray</td>").isEmpty)
+  }
+
+  test("buildTablePage reduces to exactly the oracle's closed form") {
+    import graft.sources.HtmlIngest.{buildTablePage, extractTables}
+    val id = 42L
+    val (rows, cols) = ((id % 4 + 2).toInt, (id % 3 + 2).toInt)
+    val got = extractTables(buildTablePage(id))
+    val header = (0 until cols).map(c => (0, 0, c, true, s"h$c"))
+    val data = for (r <- 1 to rows; c <- 0 until cols)
+      yield (0, r, c, false, s"v${(id * 31 + r * 7 + c * 3) % 100}")
+    val second = Seq((1, 0, 0, false, s"x $id"), (1, 0, 1, false, s"y $id"))
+    assert(got === header ++ data ++ second)
+  }
+
   test("buildAnchorPage reduces to exactly the oracle's closed form") {
     val id = 42L
     def t(j: Int): Long = (id * 7 + j * 13) % 200

@@ -410,6 +410,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("caption check: corrupted captions flag, clean ones verify") {
+    for (id <- Seq(0L, 7L, 14L)) // % 7 == 0: planted width+1
+      assert(Multimodal.captionFor(id) ===
+        s"image ${id % 40 + 9}x${id % 23 + 8} gray")
+    for (id <- Seq(1L, 13L))
+      assert(Multimodal.captionFor(id) ===
+        s"image ${id % 40 + 8}x${id % 23 + 8} gray")
+    val out = Multimodal.qCaptionCheck(spark, sf0001).collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("consistent") === (id % 7 != 0))
+      assert(r.getAs[Int]("img_w") === (id % 40 + 8).toInt,
+        "image geometry must come from the REAL decode")
+    }
+  }
+
   test("jpegMeta: geometry, component count, JFIF — plus the DQT counts") {
     for (id <- Seq(0L, 1L, 7L, 42L, 199L)) {
       val bytes = Multimodal.buildJpeg(id)
