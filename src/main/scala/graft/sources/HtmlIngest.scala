@@ -429,7 +429,11 @@ object HtmlIngest {
     * nesting (quoted attribute values honored, tags inside cells
     * stripped, entities decoded, whitespace collapsed); unclosed cells
     * flush at the next cell/row/table boundary the way browsers close
-    * them. Emits (table_idx, row_idx, col_idx, is_header, cell_text). */
+    * them. NESTED tables enumerate FLAT: a table inside a cell flushes
+    * the host cell's text-so-far and becomes its own table_idx — the
+    * usual web-table-corpus choice (each relational island is a row set
+    * of its own; cell text after the inner table is layout residue and
+    * drops). Emits (table_idx, row_idx, col_idx, is_header, cell_text). */
   def extractTables(html: String): Seq[(Int, Int, Int, Boolean, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Boolean, String)]
     var i = 0

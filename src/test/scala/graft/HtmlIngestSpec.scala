@@ -103,6 +103,11 @@ class HtmlIngestSpec extends SparkSpec {
     assert(extractTables("<table><tr><td>tail") === Seq((0, 0, 0, false, "tail")))
     // td outside any table is ignored
     assert(extractTables("<td>stray</td>").isEmpty)
+    // nested tables enumerate FLAT (the pinned contract): the host cell
+    // flushes its text-so-far, the inner table gets its own table_idx
+    assert(extractTables(
+      "<table><tr><td>pre <table><tr><td>in</td></tr></table> post</td></tr></table>") ===
+      Seq((0, 0, 0, false, "pre"), (1, 0, 0, false, "in")))
   }
 
   test("buildTablePage reduces to exactly the oracle's closed form") {
