@@ -273,6 +273,8 @@ object SparkEntry {
     "q_html_tables" -> (graft.sources.HtmlIngest.qHtmlTables _),
     // --- caption-image consistency screen (pair-level multimodal QC)
     "q_caption_check" -> (Multimodal.qCaptionCheck _),
+    // --- Cohen's kappa (chance-corrected classifier/annotator agreement)
+    "q_kappa" -> (TextAnalysis.qKappa _),
   )
 
   /** DuckDB replica of the full MinHash-LSH pipeline, GENERATED from the
@@ -2754,6 +2756,31 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_components, " +
         "FALSE AS progressive, TRUE AS has_jfif " +
         "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // Cohen's kappa: confusion totals + the two exact integer divisions
+    // (po, pe) + the floor-form chance-corrected statistic (kappa chains
+    // doubles — SCALE finding 16)
+    "q_kappa" ->
+      ("WITH t AS (SELECT lang, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "h AS (SELECT lang, " +
+        "CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en, " +
+        "CAST(len(list_filter(w, x -> x IN ('el','la','de','y','en','es','un'))) AS BIGINT) AS es, " +
+        "CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de, " +
+        "CAST(len(list_filter(w, x -> x IN ('le','la','et','de','un','est','en'))) AS BIGINT) AS fr FROM t), " +
+        "m AS (SELECT lang AS truth, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und' " +
+        "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
+        "WHEN es >= de AND es >= fr THEN 'es' WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred FROM h), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(coalesce(sum(CASE WHEN truth = pred THEN 1 END), 0) AS BIGINT) AS n_agree FROM m), " +
+        "rt AS (SELECT truth AS lbl, count(*) AS nt FROM m GROUP BY 1), " +
+        "ct AS (SELECT pred AS lbl, count(*) AS np FROM m GROUP BY 1), " +
+        "pn AS (SELECT CAST(coalesce(sum(nt * np), 0) AS BIGINT) AS pe_num " +
+        "FROM rt JOIN ct USING (lbl)) " +
+        "SELECT n, n_agree, round(CAST(n_agree AS DOUBLE) / n, 6) AS po, " +
+        "round(CAST(pe_num AS DOUBLE) / (n * n), 6) AS pe, " +
+        "CASE WHEN pe_num = n * n THEN 0.0 ELSE " +
+        "floor(((CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (n * n)) / " +
+        "(1.0 - CAST(pe_num AS DOUBLE) / (n * n))) * 1e6 + 0.5) / 1e6 END AS kappa " +
+        "FROM a CROSS JOIN pn"),
     // caption-image consistency: the engine really decodes each PNG and
     // really parses each caption; the oracle states both geometries and
     // the verdict in closed form (every 7th caption plants width+1)

@@ -850,6 +850,49 @@ object TextAnalysis {
   def qRouge(s: SparkSession, d: String): DataFrame =
     rougePairs(documents(s, d))
       .orderBy("lang", "pair_id")
+
+  // ------------------------- Cohen's kappa (classifier/annotator agreement)
+
+  /** Cohen's kappa between the corpus labels and the lang-ID prediction —
+    * the chance-corrected agreement statistic annotation-QC and
+    * classifier-eval pipelines report next to raw accuracy (a skewed
+    * label distribution makes accuracy flatter itself; kappa does not).
+    * Observed agreement po and expected agreement pe are each ONE exact
+    * integer division (diag / N and Σ rowTotal·colTotal / N² — counts
+    * stay in Long, so both engines divide identical integers); kappa
+    * chains those doubles and therefore rounds via the portable
+    * floor(x·1e6 + 0.5)/1e6 form (SCALE finding 16). pe = 1 (a single
+    * label on both sides) is defined as kappa 0.
+    *
+    * Scale shape: two map-side-combined aggregations over scalar label
+    * columns plus a |labels|-sized totals join — the corpus contributes
+    * one narrow pass. */
+  def kappa(labeled: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val base = labeled.select(col(truthCol).as("t"), col(predCol).as("p"))
+    val agg1 = base.agg(count(lit(1)).as("n"),
+      sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_agree"))
+    val rt = base.groupBy("t").agg(count(lit(1)).as("nt"))
+    val ct = base.groupBy("p").agg(count(lit(1)).as("np"))
+    val peNum = rt.join(ct, col("t") === col("p"))
+      .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("pe_num"))
+    agg1.crossJoin(peNum)
+      .select(col("n"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n"), 6).as("po"),
+        round(col("pe_num").cast("double") / (col("n") * col("n")), 6).as("pe"),
+        when(col("pe_num") === col("n") * col("n"), lit(0.0))
+          .otherwise(floor(
+            ((col("n_agree").cast("double") / col("n") -
+              col("pe_num").cast("double") / (col("n") * col("n"))) /
+              (lit(1.0) - col("pe_num").cast("double") / (col("n") * col("n"))))
+              * 1e6 + 0.5) / 1e6)
+          .as("kappa"))
+  }
+
+  /** Oracle-checked kappa over (lang, lang_pred) — the oracle replays the
+    * confusion totals, both exact divisions and the floor-form kappa. */
+  def qKappa(s: SparkSession, d: String): DataFrame =
+    kappa(withLangId(Tables.rebalance(documents(s, d), "doc_id")),
+      "lang", "lang_pred")
 }
 
 /** Marker/stopword sets used by quality + language-ID scoring. */

@@ -147,6 +147,25 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(vals.forall(v => v > 0 && v < 1))
   }
 
+  test("kappa: hand-computed value, perfect and degenerate agreement") {
+    import spark.implicits._
+    // 2x2 example: n=100, agree=60, row totals 50/50, col totals 60/40
+    // -> po=0.6, pe=0.5*0.6+0.5*0.4=0.5, kappa=(0.6-0.5)/0.5=0.2
+    val labeled = (
+      Seq.fill(35)(("a", "a")) ++ Seq.fill(15)(("a", "b")) ++
+      Seq.fill(25)(("b", "a")) ++ Seq.fill(25)(("b", "b"))
+    ).toDF("t", "p")
+    val r = TextAnalysis.kappa(labeled, "t", "p").head()
+    assert(r.getAs[Long]("n") === 100L && r.getAs[Long]("n_agree") === 60L)
+    assert(r.getAs[Double]("po") === 0.6 && r.getAs[Double]("pe") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.2)
+    // perfect agreement -> kappa 1; single-label degenerate (pe=1) -> 0
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("t", "p")
+    assert(TextAnalysis.kappa(perfect, "t", "p").head().getAs[Double]("kappa") === 1.0)
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("t", "p")
+    assert(TextAnalysis.kappa(degen, "t", "p").head().getAs[Double]("kappa") === 0.0)
+  }
+
   test("ROUGE: identical pair scores 1, disjoint pair 0, clipping clips") {
     import spark.implicits._
     // one lang = one pair per consecutive doc_id duo
