@@ -869,16 +869,23 @@ object TextAnalysis {
     * one narrow pass. */
   def kappa(labeled: DataFrame, truthCol: String, predCol: String): DataFrame = {
     val base = labeled.select(col(truthCol).as("t"), col(predCol).as("p"))
+    // coalesce: sum over ZERO rows is NULL, and the oracle states 0 —
+    // the empty corpus must agree too (EmptyInputSpec discipline)
     val agg1 = base.agg(count(lit(1)).as("n"),
-      sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_agree"))
+      coalesce(sum(when(col("t") === col("p"), 1L).otherwise(0L)), lit(0L))
+        .as("n_agree"))
     val rt = base.groupBy("t").agg(count(lit(1)).as("nt"))
     val ct = base.groupBy("p").agg(count(lit(1)).as("np"))
     val peNum = rt.join(ct, col("t") === col("p"))
       .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("pe_num"))
     agg1.crossJoin(peNum)
       .select(col("n"), col("n_agree"),
-        round(col("n_agree").cast("double") / col("n"), 6).as("po"),
-        round(col("pe_num").cast("double") / (col("n") * col("n")), 6).as("pe"),
+        // n = 0 guards: ANSI mode makes division by zero THROW (Spark 4
+        // default), and the empty corpus must return a zero row, not err
+        when(col("n") === 0, lit(0.0))
+          .otherwise(round(col("n_agree").cast("double") / col("n"), 6)).as("po"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(round(col("pe_num").cast("double") / (col("n") * col("n")), 6)).as("pe"),
         when(col("pe_num") === col("n") * col("n"), lit(0.0))
           .otherwise(floor(
             ((col("n_agree").cast("double") / col("n") -

@@ -178,6 +178,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.videoNearDups(emptyMedia).count() === 0)
     assert(graft.sources.HtmlIngest.extractAnchors("") === Seq.empty)
     assert(Multimodal.jpegMeta(Array.emptyByteArray).isEmpty)
+    // kappa on an empty corpus: one row, zero counts, kappa pinned 0
+    // (pe_num = n*n = 0 takes the degenerate branch)
+    val k = TextAnalysis.kappa(emptyDocs.select(
+      col("lang").as("t"), col("source").as("p")), "t", "p").head()
+    assert(k.getAs[Long]("n") === 0L && k.getAs[Long]("n_agree") === 0L)
+    assert(k.getAs[Double]("kappa") === 0.0)
   }
 
   test("dispatch with an empty command batch is a no-op") {
