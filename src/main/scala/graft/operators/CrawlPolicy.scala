@@ -26,9 +26,25 @@ import org.apache.spark.sql.functions._
 object CrawlPolicy {
 
   /** One rule group: lowercased agent tokens + (isAllow, pattern) rules
-    * in file order + optional crawl delay. */
+    * in file order + optional crawl delay. Each rule's regex compiles
+    * ONCE per group (lazily, on first verdict) — a billion-URL scan must
+    * not re-compile every applicable rule's pattern per URL. */
   final case class RobotsGroup(agents: Seq[String], rules: Seq[(Boolean, String)],
-      crawlDelay: Option[Long])
+      crawlDelay: Option[Long]) {
+    @transient lazy val compiledRules: Seq[(Boolean, String, java.util.regex.Pattern)] =
+      rules.map { case (isAllow, pat) => (isAllow, pat, CrawlPolicy.compilePattern(pat)) }
+  }
+
+  /** Compile a `*`/`$` robots path pattern to an anchored regex (quoted
+    * literals; matches-anchoring via `\A...\z`-equivalent full match). */
+  def compilePattern(pattern: String): java.util.regex.Pattern = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val body = pat.split("\\*", -1)
+      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+      .mkString(".*")
+    java.util.regex.Pattern.compile("(?s)" + body + (if (anchored) "" else ".*"))
+  }
 
   /** Parse a robots.txt body into groups. Line-oriented; `#` comments
     * strip; unknown directives are ignored per RFC; a rule line before
@@ -72,17 +88,11 @@ object CrawlPolicy {
     groups.toSeq
   }
 
-  /** `*`/`$` pattern match against a path(+query) — compiled to an
-    * anchored regex with quoted literals (matches() anchors the start;
-    * a non-`$` pattern gets a trailing `.*`). */
-  def patternMatches(pattern: String, path: String): Boolean = {
-    val anchored = pattern.endsWith("$")
-    val pat = if (anchored) pattern.dropRight(1) else pattern
-    val body = pat.split("\\*", -1)
-      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
-      .mkString(".*")
-    path.matches("(?s)" + body + (if (anchored) "" else ".*"))
-  }
+  /** `*`/`$` pattern match against a path(+query). One-shot convenience
+    * over [[compilePattern]]; the verdict hot path uses the per-group
+    * precompiled patterns instead. */
+  def patternMatches(pattern: String, path: String): Boolean =
+    compilePattern(pattern).matcher(path).matches()
 
   /** The verdict for `agent` fetching `pathQuery` under `groups`:
     * (allowed, crawlDelay or -1). */
@@ -91,11 +101,11 @@ object CrawlPolicy {
     val a = agent.toLowerCase(java.util.Locale.ROOT)
     val mine = groups.filter(_.agents.contains(a))
     val applicable = if (mine.nonEmpty) mine else groups.filter(_.agents.contains("*"))
-    val rules = applicable.flatMap(_.rules)
+    val rules = applicable.flatMap(_.compiledRules)
     val delay = applicable.flatMap(_.crawlDelay).headOption.getOrElse(-1L)
-    val best = rules.filter { case (_, pat) => patternMatches(pat, pathQuery) }
+    val best = rules.filter { case (_, _, re) => re.matcher(pathQuery).matches() }
       // longest pattern wins; tie -> Allow (true sorts before false here)
-      .sortBy { case (isAllow, pat) => (-pat.length, !isAllow) }
+      .sortBy { case (isAllow, pat, _) => (-pat.length, !isAllow) }
       .headOption
     (best.forall(_._1), delay)
   }

@@ -247,6 +247,12 @@ object UrlOps {
     if (ref == null) return None
     val r = ref.trim
     if (r.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) return normalizeUrl(r)
+    // non-hierarchical absolute refs (mailto:, javascript:, data:, tel:,
+    // …) — a scheme NOT followed by `//`. RFC 3986 §4.2 forbids a colon
+    // in a relative ref's first segment precisely so these are
+    // unambiguous; merging one onto the base dir would mint bogus
+    // frontier URLs like http://host/pages/mailto:user@x.com.
+    if (r.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) return None
     // same-document reference (§5.2: a fragment-only ref resolves to the
     // base itself) — the ubiquitous href="#..." pattern must not emit
     // the base DIRECTORY into the frontier

@@ -67,6 +67,12 @@ object Boilerplate {
       sb.append(s)
       if (anchorDepth > 0) anchorChars += s.length
     }
+    // single-char fast path: the corpus-wide per-character hot loop must
+    // not allocate a String per input character
+    def appendCh(ch: Char): Unit = {
+      sb.append(ch)
+      if (anchorDepth > 0) anchorChars += 1
+    }
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
@@ -121,7 +127,7 @@ object Boilerplate {
             case None      => append("&"); i += 1
           }
         } else { append("&"); i += 1 }
-      } else { append(c.toString); i += 1 }
+      } else { appendCh(c); i += 1 }
     }
     flush()
     out.result()

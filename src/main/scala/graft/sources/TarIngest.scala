@@ -26,6 +26,12 @@ object TarIngest {
   private def octal(v: Long, width: Int): Array[Byte] = {
     // zero-padded octal, NUL-terminated (the historical ustar form)
     val s = java.lang.Long.toOctalString(v)
+    // entries needing more octal digits than the field holds (>= 8 GiB
+    // sizes in the 12-byte field) require the GNU base-256 extension;
+    // fail loudly instead of silently overflowing into the next field
+    // and corrupting the header checksum
+    require(s.length <= width - 1,
+      s"ustar octal field overflow: value $v needs ${s.length} digits, field holds ${width - 1}")
     val padded = ("0" * (width - 1 - s.length)) + s
     padded.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](0)
   }

@@ -167,6 +167,14 @@ class CrawlIngestSpec extends SparkSpec {
     // '..' past root clamps like normalizePath
     assert(resolveRef("http://h.example/a", "../../x") === Some("http://h.example/x"))
     assert(resolveRef("not a url", "/x").isEmpty)
+    // non-hierarchical absolute refs (scheme without //) must NOT merge
+    // onto the base directory as relative paths — frontier poison
+    assert(resolveRef(base, "mailto:user@x.example").isEmpty)
+    assert(resolveRef(base, "javascript:void(0)").isEmpty)
+    assert(resolveRef(base, "data:text/plain;base64,aGk=").isEmpty)
+    assert(resolveRef(base, "tel:+1-555-0100").isEmpty)
+    // but a colon AFTER the first path segment stays a relative ref
+    assert(resolveRef(base, "a/b:c") === Some("http://h.example/pages/sub/a/b:c"))
   }
 
   // ----------------------------------------------------------- sitemap
@@ -239,6 +247,11 @@ class CrawlIngestSpec extends SparkSpec {
     val hdr = TarIngest.tarHeader("a.txt", 7L)
     assert(new String(hdr, 257, 5, java.nio.charset.StandardCharsets.US_ASCII) === "ustar")
     assert(hdr(262) === 0) // NUL after magic
+    // a size that overflows the 12-byte octal field (>= 8 GiB) must fail
+    // LOUDLY, not overflow into mtime and corrupt the checksum
+    intercept[IllegalArgumentException] { TarIngest.tarHeader("huge.bin", 8L * 1024 * 1024 * 1024) }
+    // the largest encodable size (11 octal digits) still round-trips
+    assert(TarIngest.tarHeader("max.bin", 8L * 1024 * 1024 * 1024 - 1).length === 512)
   }
 
   // ---------------------------------------------------- span corruption
