@@ -30,8 +30,8 @@ object UrlOps {
     * per-domain corpus quota most needs (github.io, blogspot.com, ...)
     * are all represented. */
   val PslRules: Seq[String] = Seq(
-    // ICANN section — United Kingdom
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    // ICANN section — United Kingdom (incl. the *.sch.uk school wildcard)
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "*.sch.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
     // Australia
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
@@ -46,8 +46,18 @@ object UrlOps {
     // New Zealand
     "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
     "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
-    // Brazil
+    // Brazil — the registry's sectoral second-levels plus the *.nom.br
+    // personal-name wildcard (surname.forename.nom.br registrations:
+    // the multi-label-suffix family a crawl quota must group correctly)
     "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    "adv.br", "agr.br", "arq.br", "bio.br", "cnt.br", "coop.br", "ecn.br",
+    "eco.br", "emp.br", "eng.br", "esp.br", "eti.br", "far.br", "flog.br",
+    "fm.br", "fnd.br", "fot.br", "g12.br", "imb.br", "ind.br", "inf.br",
+    "jor.br", "jus.br", "leg.br", "mat.br", "med.br", "mil.br", "mp.br",
+    "mus.br", "not.br", "ntr.br", "odo.br", "ppg.br", "pro.br", "psc.br",
+    "psi.br", "qsl.br", "radio.br", "rec.br", "slg.br", "srv.br",
+    "taxi.br", "teo.br", "tmp.br", "trd.br", "tur.br", "tv.br", "vet.br",
+    "vlog.br", "wiki.br", "zlg.br", "*.nom.br",
     // India
     "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
     "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
@@ -68,14 +78,44 @@ object UrlOps {
     "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
     "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
     "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
-    // Cook Islands: the canonical wildcard + exception pair
-    "*.ck", "!www.ck",
+    // Thailand, Indonesia, Malaysia, Philippines, Vietnam
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "mi.th", "net.th",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id", "my.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    // Egypt, Nigeria, Kenya, Saudi Arabia, UAE
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg", "eun.eg",
+    "mil.eg", "name.eg",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "i.ng", "mil.ng",
+    "mobi.ng", "name.ng", "sch.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "pub.sa",
+    "sch.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae", "mil.ae",
+    // France, Spain, Greece, Portugal, Russia
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt",
+    "nome.pt",
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru",
+    // Canada (federal + provincial second-levels)
+    "gc.ca", "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
+    "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    // entire-TLD wildcards (registries that delegate only at the third
+    // level), incl. the canonical Cook Islands wildcard+exception pair
+    "*.bd", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
+    "*.ye", "*.ck", "!www.ck",
     // ---- private section (hosting platforms: each customer site is its
     // own "registrable domain" for crawl quotas and dedup keying)
     "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
     "herokuapp.com", "appspot.com", "azurewebsites.net", "netlify.app",
-    "vercel.app", "pages.dev", "web.app", "firebaseapp.com", "fly.dev",
-    "onrender.com", "glitch.me", "neocities.org", "readthedocs.io",
+    "vercel.app", "pages.dev", "workers.dev", "web.app", "firebaseapp.com",
+    "fly.dev", "onrender.com", "glitch.me", "neocities.org",
+    "readthedocs.io", "bitbucket.io", "cloudfunctions.net",
     "s3.amazonaws.com", "cloudfront.net")
 
   // rule index, built once at class load: exact rules, wildcard bases

@@ -61,6 +61,20 @@ class UrlOpsSpec extends SparkSpec {
     // multi-label suffixes absent from the old hardcoded set
     assert(registrableDomain("shop.example.com.tw") === "example.com.tw")
     assert(registrableDomain("a.b.example.gob.mx") === "example.gob.mx")
+    // *.nom.br-class multi-label wildcard: forename.nom.br is itself a
+    // public suffix, so surname.forename.nom.br is the registrable unit
+    assert(registrableDomain("silva.maria.nom.br") === "silva.maria.nom.br")
+    assert(registrableDomain("www.silva.maria.nom.br") === "silva.maria.nom.br")
+    assert(registrableDomain("maria.nom.br") === "maria.nom.br") // IS a suffix
+    // *.sch.uk school wildcard (an exact rule in the old subset)
+    assert(registrableDomain("pupils.stmarys.sch.uk") === "pupils.stmarys.sch.uk")
+    assert(registrableDomain("www.pupils.stmarys.sch.uk") === "pupils.stmarys.sch.uk")
+    // entire-TLD wildcard registries (*.bd, *.np, ...): any second-level
+    // zone (com.bd, edu.np, ...) is a public suffix
+    assert(registrableDomain("site.example.com.bd") === "example.com.bd")
+    assert(registrableDomain("example.com.np") === "example.com.np")
+    // Canadian provincial second-levels
+    assert(registrableDomain("www.toronto.on.ca") === "toronto.on.ca")
     // a host that IS a public suffix returns itself
     assert(registrableDomain("co.uk") === "co.uk")
     assert(registrableDomain("github.io") === "github.io")
