@@ -2140,11 +2140,31 @@ object Multimodal {
 
   // ----------------- caption-image consistency screen (pair-level QC)
 
-  /** Caption for docId's image — every 7th pair is CORRUPTED (the
-    * caption states width+1), the planted inconsistency class. */
+  /** Floor-mean gray level of docId's staged image, from the SAME pixel
+    * formula [[buildPng]] rasterizes — the caption generator's source of
+    * truth for the content claim (fixture staging; the engine recomputes
+    * the mean from the DECODED raster, the oracle replays this formula
+    * in SQL, so all three sides are independent). */
+  def pngMeanGray(docId: Long): Int = {
+    val (w, h) = imageDims(docId)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (x * 7 + y * 13 + docId) % 256; x += 1 }
+      y += 1
+    }
+    (sum / (w.toLong * h)).toInt
+  }
+
+  /** Caption for docId's image, claiming GEOMETRY and CONTENT (mean
+    * brightness). Two planted corruption classes: every 7th pair states
+    * width+1 (geometry lie), every 11th states mean+2 (content lie —
+    * the caption describes a brighter image than the bytes decode to). */
   def captionFor(docId: Long): String = {
     val w = (docId % 40 + 8) + (if (docId % 7 == 0) 1 else 0)
-    s"image ${w}x${docId % 23 + 8} gray"
+    val m = pngMeanGray(docId) + (if (docId % 11 == 0) 2 else 0)
+    s"image ${w}x${docId % 23 + 8} gray mean $m"
   }
 
   /** Oracle-checked caption-image consistency — the pair-level QC every
@@ -2153,30 +2173,46 @@ object Multimodal {
     * deterministic core — claims the caption makes about the image are
     * verified against the REAL decode — with the scorer a documented
     * swap-in at the same verdict column). Each (caption, png) pair
-    * decodes the image (real geometry), parses the caption's stated
-    * geometry, and flags disagreement; every 7th staged caption plants a
-    * width off by one. Scale shape: narrow per-row decode+parse, one
-    * verdict row per pair, media bytes never shuffle. */
+    * decodes the image and checks BOTH claim classes: geometry (stated
+    * WxH vs decoded dims; every 7th caption plants width+1) and content
+    * (stated mean brightness vs the decoded raster's actual floor-mean
+    * gray; every 11th caption plants mean+2) — `consistent` means the
+    * caption's claims about the pixels hold, not merely its dimensions.
+    * Scale shape: narrow per-row decode+parse, one verdict row per pair,
+    * media bytes never shuffle. */
   def qCaptionCheck(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     documents(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
-        val dims = "image (\\d+)x(\\d+) gray".r
+        val dims = "image (\\d+)x(\\d+) gray mean (\\d+)".r
         it.map { id =>
           val caption = captionFor(id)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(buildPng(id)))
-          val (iw, ih) = if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
-          val (cw, ch) = caption match {
-            case dims(w, h) => (w.toInt, h.toInt)
-            case _          => (-1, -1)
+          val (iw, ih, im) =
+            if (img == null) (-1, -1, -1)
+            else {
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+                y += 1
+              }
+              (img.getWidth, img.getHeight,
+                (sum / (img.getWidth.toLong * img.getHeight)).toInt)
+            }
+          val (cw, ch, cm) = caption match {
+            case dims(w, h, m) => (w.toInt, h.toInt, m.toInt)
+            case _             => (-1, -1, -1)
           }
-          (id, iw, ih, cw, ch, iw == cw && ih == ch && iw > 0)
+          (id, iw, ih, im, cw, ch, cm,
+            iw == cw && ih == ch && im == cm && iw > 0)
         }
       }
-      .toDF("doc_id", "img_w", "img_h", "cap_w", "cap_h", "consistent")
+      .toDF("doc_id", "img_w", "img_h", "img_mean", "cap_w", "cap_h", "cap_mean", "consistent")
       .orderBy("doc_id")
   }
 }

@@ -411,19 +411,24 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("caption check: corrupted captions flag, clean ones verify") {
-    for (id <- Seq(0L, 7L, 14L)) // % 7 == 0: planted width+1
+    for (id <- Seq(7L, 14L)) // % 7 == 0: planted width+1
       assert(Multimodal.captionFor(id) ===
-        s"image ${id % 40 + 9}x${id % 23 + 8} gray")
+        s"image ${id % 40 + 9}x${id % 23 + 8} gray mean ${Multimodal.pngMeanGray(id)}")
+    for (id <- Seq(11L, 22L)) // % 11 == 0: planted mean+2 (content lie)
+      assert(Multimodal.captionFor(id) ===
+        s"image ${id % 40 + 8}x${id % 23 + 8} gray mean ${Multimodal.pngMeanGray(id) + 2}")
     for (id <- Seq(1L, 13L))
       assert(Multimodal.captionFor(id) ===
-        s"image ${id % 40 + 8}x${id % 23 + 8} gray")
+        s"image ${id % 40 + 8}x${id % 23 + 8} gray mean ${Multimodal.pngMeanGray(id)}")
     val out = Multimodal.qCaptionCheck(spark, sf0001).collect()
     assert(out.length === 200)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      assert(r.getAs[Boolean]("consistent") === (id % 7 != 0))
+      assert(r.getAs[Boolean]("consistent") === (id % 7 != 0 && id % 11 != 0))
       assert(r.getAs[Int]("img_w") === (id % 40 + 8).toInt,
         "image geometry must come from the REAL decode")
+      assert(r.getAs[Int]("img_mean") === Multimodal.pngMeanGray(id),
+        "mean brightness must come from the DECODED raster")
     }
   }
 
