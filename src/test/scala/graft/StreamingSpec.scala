@@ -176,6 +176,64 @@ class StreamingSpec extends SparkSpec {
     assert(afterAll.docs.select("document_name").as[String].collect().toSet === Set("doc_a"))
   }
 
+  test("rate-source command stream (non-file front door) reaches the batch-identical state") {
+    import spark.implicits._
+    // T2's dispatch loop is source-agnostic: any DataFrame-producing
+    // readStream can front it (the production seam for a Kafka-class
+    // broker). The rate source is the in-box non-file stand-in — commands
+    // are synthesized from its monotone `value`, arrive over TIME across
+    // an arbitrary micro-batch segmentation, and must land on the SAME
+    // final state as one-shot batch dispatch of the same command list.
+    val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha beta", "Active"))
+      .toDF("document_id", "document_name", "category_id", "category_name", "text", "document_status")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    def toCommands(values: org.apache.spark.sql.DataFrame) = values.select(
+      when(col("value") === 0, 2).when(col("value") === 3, 0)
+        .otherwise(1).cast("int").as("action_code"),
+      when(col("value") === 1, 2L).when(col("value") === 2, 3L)
+        .cast("long").as("document_id"),
+      when(col("value") === 1, "doc_b").when(col("value") === 2, "doc_a")
+        .when(col("value") === 3, "doc_a").as("document_name"),
+      when(col("value") === 0, 3).when(col("value").isin(1, 2), 1)
+        .cast("int").as("category_id"),
+      when(col("value") === 0, "Cat3").as("category_name"),
+      when(col("value") === 1, "one two three four five six")
+        .when(col("value") === 2, "dup name rejected").as("text"))
+
+    // the oracle for the stream: the same four commands as ONE batch
+    val (batchFinal, _) = CommandDispatch.dispatch(
+      EngineState(docs0, snippets0, cats0),
+      toCommands(Seq(0L, 1L, 2L, 3L).toDF("value")))
+    val expectDocs = batchFinal.docs.select("document_name").as[String].collect().toSet
+    val expectCats = batchFinal.categories.select("category_name").as[String].collect().toSet
+    val expectSnippets = batchFinal.snippets.count()
+
+    val commands = toCommands(
+      spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .filter(col("value") < 4))
+    val stateDir = Files.createTempDirectory("graft_dispatch_rate").toString
+    @volatile var latest: Option[EngineState] = None
+    val query = CommandDispatch.runStream(spark, commands,
+      EngineState(docs0, snippets0, cats0), stateDir,
+      (_, st) => latest = Some(st))
+    try {
+      def settled(): Boolean = latest.exists { st =>
+        st.docs.select("document_name").as[String].collect().toSet == expectDocs &&
+          st.categories.count() == expectCats.size
+      }
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!settled() && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(settled(), "rate-source stream never reached the batch-dispatch state")
+    } finally query.stop()
+    val st = latest.get
+    assert(st.docs.select("document_name").as[String].collect().toSet === expectDocs)
+    assert(st.categories.select("category_name").as[String].collect().toSet === expectCats)
+    assert(st.snippets.count() === expectSnippets)
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState) == batch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
