@@ -30,6 +30,25 @@ object Bench {
     // absorb JVM/session/codegen warmup so the first measured query isn't
     // charged ~5s of one-time cost
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Host-load calibration sentinel (VERDICT r7 "Next" #1): one FROZEN
+    // reference job — a canonical 1e7-row aggregate, no I/O, plan constant
+    // forever — timed (median of 3) at the start, middle, and end of the
+    // suite and emitted as "calibration":[a,b,c]. A reader can normalize
+    // any round's numbers by the sentinel ratio or machine-reject a loaded
+    // run (r7's driver artifact showed an 11x phantom regression that only
+    // a judge-side isolated re-run could disprove; clean-host reference
+    // value is documented in CHANGES.md).
+    def sentinel(): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(10000000L).selectExpr("sum(id % 97)").head()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(1)
+    }
+    sentinel() // warm the sentinel's own codegen so [a,b,c] are comparable
+    val calStart = sentinel()
+    var calMiddle = -1.0
     var sinceGc = 0
     // median of 3 runs per query: single-shot numbers swing 2-3x with
     // shared-host load; the median tracks the real plan cost.
@@ -37,9 +56,12 @@ object Bench {
     // round 4's 16 broken queries masqueraded as ~0.1s rows) plus an entry
     // in "errors", and the process exits nonzero so the driver sees red.
     val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+    val midpoint = benched.length / 2
+    val results = benched.zipWithIndex
+      .map { case ((name, fn), idx) =>
+      if (idx == midpoint) calMiddle = sentinel()
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -70,9 +92,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val calEnd = sentinel()
     val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
+        s""""calibration":[$calStart,$calMiddle,$calEnd],"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full JSON: the driver's capture keeps only a 2000-char
     // tail of stdout (ADVICE r4 — 73 of 142 timings silently lost), so the
