@@ -825,6 +825,15 @@ object ScaleProbe {
             if (Multimodal.jpegMeta(Multimodal.buildJpeg(id)).isDefined) 1L else 0L))
           .agg(sum(col("value"))).head(); nMedia
       }
+      time("langid_trained", nDocs) {
+        // two trigram explodes over the corpus; profiles are a 3K-row
+        // broadcast; the label-space completion is |classes| = 3 rows
+        import graft.operators.TrainedLangId
+        val corpus = TrainedLangId.labeledCorpus(docs)
+        val prof = TrainedLangId.trainProfiles(corpus.filter(col("doc_id") % 2 === 0))
+        TrainedLangId.classify(
+          corpus.filter(col("doc_id") % 2 === 1).select("doc_id", "t"), prof).count()
+      }
     }
     spark.stop()
   }

@@ -55,6 +55,8 @@ private[graft] object TextEntries {
     "q_rouge" -> (TextAnalysis.qRouge _),
     // --- Cohen's kappa (chance-corrected classifier/annotator agreement)
     "q_kappa" -> (TextAnalysis.qKappa _),
+    // --- trained char-n-gram langid (Cavnar-Trenkle rank profiles)
+    "q_langid_trained" -> (TrainedLangId.qLangIdTrained _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -447,6 +449,42 @@ private[graft] object TextEntries {
         "floor(((CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (n * n)) / " +
         "(1.0 - CAST(pe_num AS DOUBLE) / (n * n))) * 1e6 + 0.5) / 1e6 END AS kappa " +
         "FROM a CROSS JOIN pn"),
+    // trained Cavnar-Trenkle langid: the oracle replays the ENTIRE chain
+    // — per-class substitution cipher (translate), trigram multiset,
+    // top-40 rank profiles on (count DESC, trigram ASC), the |rank
+    // diff|-or-penalty distance, argmin with ties to the smaller class.
+    // All integer arithmetic: hash-exact.
+    "q_langid_trained" ->
+      ("WITH corpus AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS cls, " +
+        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN lower(text) " +
+        "WHEN 1 THEN translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', 'hijklmnopqrstuvwxyzabcdefg') " +
+        "ELSE translate(lower(text), 'abcdefghijklmnopqrstuvwxyz', 'opqrstuvwxyzabcdefghijklmn') END AS t " +
+        "FROM documents), " +
+        "tr AS (SELECT cls, unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tri " +
+        "FROM corpus WHERE length(t) >= 3 AND doc_id % 2 = 0), " +
+        "cp0 AS (SELECT cls, tri, count(*) AS n FROM tr GROUP BY cls, tri), " +
+        "cp AS (SELECT cls, tri, rank FROM (SELECT cls, tri, " +
+        "CAST(row_number() OVER (PARTITION BY cls ORDER BY n DESC, tri) AS BIGINT) AS rank FROM cp0) " +
+        "WHERE rank <= 40), " +
+        "dt AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS tri " +
+        "FROM corpus WHERE length(t) >= 3 AND doc_id % 2 = 1), " +
+        "dp0 AS (SELECT doc_id, tri, count(*) AS n FROM dt GROUP BY doc_id, tri), " +
+        "dpk AS (SELECT doc_id, tri, r_doc FROM (SELECT doc_id, tri, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tri) AS BIGINT) AS r_doc FROM dp0) " +
+        "WHERE r_doc <= 40), " +
+        "nd AS (SELECT doc_id, count(*) AS n_doc FROM dpk GROUP BY doc_id), " +
+        "mt AS (SELECT dpk.doc_id, cp.cls, sum(abs(dpk.r_doc - cp.rank)) AS matched_dist, " +
+        "count(*) AS n_matched FROM dpk JOIN cp ON dpk.tri = cp.tri GROUP BY dpk.doc_id, cp.cls), " +
+        "allc AS (SELECT nd.doc_id, c.cls, CAST(coalesce(mt.matched_dist, 0) + " +
+        "(nd.n_doc - coalesce(mt.n_matched, 0)) * 40 AS BIGINT) AS dist " +
+        "FROM nd CROSS JOIN (SELECT unnest([0, 1, 2]) AS cls) c " +
+        "LEFT JOIN mt ON mt.doc_id = nd.doc_id AND mt.cls = c.cls), " +
+        "pr AS (SELECT doc_id, cls, dist, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY dist, cls) AS rn FROM allc) " +
+        "SELECT pr.doc_id, CAST(pr.doc_id % 3 AS INTEGER) AS lang_cls, " +
+        "CAST(pr.cls AS INTEGER) AS lang_pred, pr.dist AS dist, " +
+        "pr.doc_id % 3 = pr.cls AS correct " +
+        "FROM pr WHERE pr.rn = 1 ORDER BY pr.doc_id"),
     // ROUGE: replay pair formation (consecutive docs per lang), the
     // CLIPPED per-gram min-count overlaps, single-division round(6)
     // precision/recall, and F1 in the portable floor(x*1e6+0.5)/1e6 form

@@ -197,7 +197,10 @@ class PlanSpec extends SparkSpec {
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
       "q_nb_classify" -> ("crossJoin of the per-class defaults frame: " +
-        "|classes| rows by construction (a label-space, not a data-space)"))
+        "|classes| rows by construction (a label-space, not a data-space)"),
+      "q_langid_trained" -> ("crossJoin of the 3-row class dim completes the " +
+        "rank-distance matrix over the label space (classes a doc's profile " +
+        "never matched still score n_doc * K)"))
     // An unpartitioned WindowExec funnels its ENTIRE input through one
     // task — the budget-select trap, generalized. It is legitimate only
     // when the window's input is bounded by DESIGN (an aggregate over a

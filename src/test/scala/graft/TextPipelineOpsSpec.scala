@@ -190,4 +190,42 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(clip.getAs[Double]("r1_recall") === 0.5)
     assert(clip.getAs[Double]("r1_f1") === 0.4)
   }
+
+  // ------------------------------------- trained Cavnar-Trenkle langid
+
+  test("trained langid: rank profiles, distance arithmetic, held-out accuracy") {
+    import graft.operators.TrainedLangId
+    import spark.implicits._
+    // the cipher is a bijection with period-26 rotation
+    assert(TrainedLangId.rot(0) === "abcdefghijklmnopqrstuvwxyz")
+    assert(TrainedLangId.rot(1) === "hijklmnopqrstuvwxyzabcdefg")
+    assert(TrainedLangId.rot(2) === "opqrstuvwxyzabcdefghijklmn")
+
+    // hand-checkable micro corpus: profiles are the trigram multisets of
+    // one short doc per class
+    val labeled = Seq((0L, 0, "aaab"), (1L, 1, "bbbc"), (2L, 2, "cccd"))
+      .toDF("doc_id", "cls", "t")
+    val prof = TrainedLangId.trainProfiles(labeled)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // "aaab" -> trigrams aaa, aab (counts 1,1): rank by (n DESC, tri ASC)
+    assert(prof.filter(_._1 == 0) === Set((0, "aaa", 1L), (0, "aab", 2L)))
+    assert(prof.filter(_._1 == 1) === Set((1, "bbb", 1L), (1, "bbc", 2L)))
+
+    // a doc matching class 0's profile exactly scores 0 against class 0
+    // and n_doc * K against the others
+    val scored = TrainedLangId.classify(Seq((9L, "aaab")).toDF("doc_id", "t"),
+        TrainedLangId.trainProfiles(labeled))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(scored(0L) === 0L)
+    assert(scored(1L) === 2L * TrainedLangId.K)
+    assert(scored(2L) === 2L * TrainedLangId.K)
+
+    // end to end on the real corpus: the three cipher inventories are
+    // (near-)disjoint, so held-out accuracy must be PERFECT — the gate
+    // pins exact distances, this pins that the model actually learned
+    val out = TrainedLangId.qLangIdTrained(spark, sf0001).collect()
+    assert(out.length === 250) // the odd-doc_id half of 500
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      "trained langid must classify every held-out transliterated doc")
+  }
 }
