@@ -604,6 +604,25 @@ object ScaleProbe {
             graft.sources.OcrEngine.buildPdfScanned(t)).length.toLong
         }.agg(sum(col("value"))).head(); nMedia
       }
+      time("ocr_trained", nMedia) {
+        // training is corpus-independent (37 glyphs x 8 samples); the
+        // per-doc recognition is the same narrow walk as the fixed font
+        import graft.sources.{OcrEngine, OcrTrained}
+        val learned = OcrTrained.trainTemplates(OcrTrained.trainingSamples(spark))
+        val fontB = OcrTrained.FontB.toMap
+        docsWide.filter(col("doc_id") < nMedia).map { case (id, t) =>
+          val (w, h, img) = OcrEngine.renderRasterWith(fontB)(OcrEngine.ocrNormalize(t))
+          OcrTrained.ocrExtractPdfWith(learned)(
+            OcrEngine.buildScannedPdf(w, h, img)).length.toLong
+        }.agg(sum(col("value"))).head(); nMedia
+      }
+      time("doremi", nDocs) {
+        // one map-side-combined corpus aggregation; the MW loop runs on
+        // the |domains|-sized collected table
+        graft.operators.Doremi.reweight(
+          graft.operators.Doremi.domainLoss(docs)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq).size.toLong
+      }
       // ---- round-7 batch 3: markdown prose, audio resample, shot cuts
       // all narrow per-row decode/extract work (media bytes never
       // shuffle); probes pin per-row cost flat in corpus size

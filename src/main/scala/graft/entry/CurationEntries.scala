@@ -19,6 +19,8 @@ private[graft] object CurationEntries {
     "q_split" -> (Curation.qSplit _),
     "q_chunk" -> (Curation.qChunk _),
     "q_mixture" -> (Curation.qMixture _),
+    // --- DoReMi-style multiplicative-weights mixture optimization
+    "q_doremi" -> (Doremi.qDoremi _),
     "q_curriculum" -> (Curation.qCurriculum _),
     "q_mix_plan" -> (Curation.qMixPlan _),
     "q_export_manifest" -> (Curation.qExportManifest _),
@@ -173,6 +175,10 @@ private[graft] object CurationEntries {
         "CAST(sum(n_chars) AS BIGINT) AS n_bytes, " +
         "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
+    // DoReMi reweighting: loss + all five MW iterations unrolled in
+    // HUGEINT (scaled-integer, round-half-up divisions) — bit-exact vs
+    // the engine's BigInt loop
+    "q_doremi" -> doremiOracle(5),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

@@ -23,6 +23,7 @@ private[graft] object MediaEntries {
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip,
     "q_pdf_objstm" -> (graft.sources.BinaryIngest.qPdfObjStm _), // xref-stream + ObjStm layout, stale-generation rewrite,
     "q_ocr_ingest" -> (graft.sources.OcrEngine.qOcrIngest _), // scanned (image-only) PDFs through REAL template-matching OCR,
+    "q_ocr_trained" -> (graft.sources.OcrTrained.qOcrTrained _), // TRAINED-font OCR: majority-vote-learned templates over a second font,
     "q_image_ingest" -> (Multimodal.qImageIngest _), // real PNG decode (ImageIO) round trip,
     "q_audio_ingest" -> (Multimodal.qAudioIngest _), // real WAV decode (AudioSystem) round trip,
     "q_audio_resample" -> (Multimodal.qAudioResample _), // integer-exact linear resample to 16 kHz,
@@ -196,6 +197,19 @@ private[graft] object MediaEntries {
     // closed form and pins needs_ocr TRUE — a text-layer leak, a routing
     // slip or one misread glyph hash-mismatches
     "q_ocr_ingest" ->
+      ("SELECT doc_id, true AS needs_ocr, " +
+        "rtrim(left(trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "translate(coalesce(text, ''), 'abcdefghijklmnopqrstuvwxyz', " +
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), '[\\t\\n\\r\\f]', ' ', 'g'), " +
+        "'[^A-Z0-9 ]', '', 'g'), ' +', ' ', 'g')), 120)) AS text " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+    // trained-font OCR: identical closed-form oracle — the LEARNED model
+    // must recover exactly what the fixed engine recovers from its own
+    // font (recovery is provable: XOR-mask fonts preserve the distance
+    // margin, majority-vote training is exact under <= 1 flip per bit
+    // per glyph sample set); a one-bit training slip on one glyph
+    // hash-mismatches every doc containing it
+    "q_ocr_trained" ->
       ("SELECT doc_id, true AS needs_ocr, " +
         "rtrim(left(trim(regexp_replace(regexp_replace(regexp_replace(" +
         "translate(coalesce(text, ''), 'abcdefghijklmnopqrstuvwxyz', " +

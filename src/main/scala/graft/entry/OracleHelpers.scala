@@ -469,4 +469,29 @@ private[graft] object OracleHelpers {
       "CAST(2.0 AS DOUBLE) AS d_min " +
       s"UNION ALL $sel) ORDER BY sel_rank"
   }
+
+  /** DoReMi mixture-reweighting oracle: the per-domain proxy loss and
+    * every multiplicative-weights iteration unrolled as MATERIALIZED
+    * CTEs in HUGEINT (scaled-integer arithmetic end to end — micros for
+    * weights/losses, 10^12 mixture scale, 10^13 factor scale,
+    * round-half-up integer division; mirrors Doremi.reweight step for
+    * step). */
+  def doremiOracle(iterations: Int): String = {
+    val head =
+      "WITH l AS (SELECT source, CAST((2 * sum(len(string_split_regex(trim(text), '\\s+'))) * 1000000 " +
+        "+ 500 * count(*)) // (1000 * count(*)) AS HUGEINT) AS loss6 FROM documents GROUP BY source), " +
+        "w0 AS MATERIALIZED (SELECT source, loss6, " +
+        "CAST(1000000 // (SELECT count(*) FROM l) AS HUGEINT) AS w6 FROM l)"
+    val iters = (1 to iterations).map { t =>
+      val p = s"w${t - 1}"
+      s"mix$t AS (SELECT CAST(sum(w6 * loss6) AS HUGEINT) AS m FROM $p), " +
+        s"r$t AS MATERIALIZED (SELECT source, loss6, CAST(w6 * (10000000000000 + " +
+        s"5 * (loss6 * 1000000 - (SELECT m FROM mix$t))) AS HUGEINT) AS raw FROM $p), " +
+        s"z$t AS (SELECT CAST(sum(raw) AS HUGEINT) AS z FROM r$t), " +
+        s"w$t AS MATERIALIZED (SELECT source, loss6, CAST((2 * raw * 1000000 + " +
+        s"(SELECT z FROM z$t)) // (2 * (SELECT z FROM z$t)) AS HUGEINT) AS w6 FROM r$t)"
+    }.mkString(", ")
+    s"$head, $iters SELECT source, CAST(loss6 AS BIGINT) AS loss_micros, " +
+      s"CAST(w6 AS BIGINT) AS weight_micros FROM w$iterations ORDER BY source"
+  }
 }

@@ -122,12 +122,17 @@ object OcrEngine {
     * 0xFF paper), wrapped at [[PageCols]], with ONE deterministically
     * flipped pixel per glyph cell (cell-index keyed) — the noise that
     * forces the decoder to actually template-match. */
-  def renderRaster(norm: String): (Int, Int, Array[Byte]) = {
+  def renderRaster(norm: String): (Int, Int, Array[Byte]) =
+    renderRasterWith(Templates.toMap)(norm)
+
+  /** [[renderRaster]] parameterized by the font — the trained-OCR gate
+    * ([[OcrTrained]]) renders its fixtures in a SECOND font through the
+    * same geometry and noise model. */
+  def renderRasterWith(sigOf: Map[Char, Long])(norm: String): (Int, Int, Array[Byte]) = {
     val lines = math.max(1, (norm.length + PageCols - 1) / PageCols)
     val w = PageCols * CellW
     val h = lines * CellH
     val img = Array.fill[Byte](w * h)(0xFF.toByte)
-    val sigOf = Templates.toMap
     var cell = 0
     while (cell < lines * PageCols) {
       val ch = if (cell < norm.length) norm.charAt(cell) else ' '
@@ -148,7 +153,14 @@ object OcrEngine {
   /** Decode a glyph-grid raster by nearest-template classification:
     * every [[CellW]]x[[CellH]] cell's 35-bit ink signature (threshold
     * 128) is matched to the template with MINIMUM Hamming distance. */
-  def decodeRaster(w: Int, h: Int, img: Array[Byte]): String = {
+  def decodeRaster(w: Int, h: Int, img: Array[Byte]): String =
+    decodeRasterWith(Templates)(w, h, img)
+
+  /** [[decodeRaster]] with a caller-supplied template set — the kernel a
+    * TRAINED model plugs into (the learned font is just another template
+    * array; see [[OcrTrained]]). */
+  def decodeRasterWith(templates: Array[(Char, Long)])(
+      w: Int, h: Int, img: Array[Byte]): String = {
     val cols = w / CellW
     val lines = h / CellH
     val sb = new StringBuilder
@@ -165,9 +177,9 @@ object OcrEngine {
       var bestCh = ' '
       var bestD = Integer.MAX_VALUE
       var t = 0
-      while (t < Templates.length) {
-        val d = java.lang.Long.bitCount(sig ^ Templates(t)._2)
-        if (d < bestD) { bestD = d; bestCh = Templates(t)._1 }
+      while (t < templates.length) {
+        val d = java.lang.Long.bitCount(sig ^ templates(t)._2)
+        if (d < bestD) { bestD = d; bestCh = templates(t)._1 }
         t += 1
       }
       sb += bestCh
@@ -200,6 +212,13 @@ object OcrEngine {
     * scanner-produced PDF has, and the layout that must route to OCR. */
   def buildPdfScanned(text: String): Array[Byte] = {
     val (w, h, img) = renderRaster(ocrNormalize(text))
+    buildScannedPdf(w, h, img)
+  }
+
+  /** The scanned-PDF container for any glyph-grid raster (factored out
+    * so [[OcrTrained]] stages second-font fixtures through the identical
+    * no-text-layer layout). */
+  def buildScannedPdf(w: Int, h: Int, img: Array[Byte]): Array[Byte] = {
     val data = deflate(img)
     val content = s"q $w 0 0 $h 0 0 cm /Im1 Do Q"
     val bos = new java.io.ByteArrayOutputStream()
@@ -224,31 +243,41 @@ object OcrEngine {
     * mismatch) — a scanned page we cannot read contributes no text, it
     * never throws. */
   def ocrExtractPdf(bytes: Array[Byte]): String =
+    extractScanRaster(bytes) match {
+      case Some((w, h, img)) => decodeRaster(w, h, img)
+      case None => ""
+    }
+
+  /** The raster walk half of [[ocrExtractPdf]]: locate the first /Image
+    * XObject, inflate it, validate the glyph-grid geometry. None on
+    * anything malformed — shared with the trained engine, which decodes
+    * the same raster through learned templates. */
+  def extractScanRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
-      if (bytes == null) return ""
+      if (bytes == null) return None
       val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       val imgAt = raw.indexOf("/Subtype /Image")
-      if (imgAt < 0) return ""
+      if (imgAt < 0) return None
       val dictStart = raw.lastIndexOf("<<", imgAt)
       val streamAt = raw.indexOf("stream", imgAt)
-      if (dictStart < 0 || streamAt < 0) return ""
+      if (dictStart < 0 || streamAt < 0) return None
       val dict = raw.substring(dictStart, streamAt)
       def intField(key: String): Option[Int] =
         (java.util.regex.Pattern.quote(key) + """\s+(\d+)""").r
           .findFirstMatchIn(dict).map(_.group(1).toInt)
       val (w, h, len) = (intField("/Width"), intField("/Height"), intField("/Length")) match {
         case (Some(a), Some(b), Some(c)) => (a, b, c)
-        case _ => return ""
+        case _ => return None
       }
       // stream data begins after the EOL following the `stream` keyword
       var dataAt = streamAt + "stream".length
       if (dataAt < raw.length && raw.charAt(dataAt) == '\r') dataAt += 1
       if (dataAt < raw.length && raw.charAt(dataAt) == '\n') dataAt += 1
-      if (dataAt + len > bytes.length) return ""
+      if (dataAt + len > bytes.length) return None
       val img = inflate(java.util.Arrays.copyOfRange(bytes, dataAt, dataAt + len))
-      if (img.length != w * h || w % CellW != 0 || h % CellH != 0) return ""
-      decodeRaster(w, h, img)
-    } catch { case _: Exception => "" }
+      if (img.length != w * h || w % CellW != 0 || h % CellH != 0) return None
+      Some((w, h, img))
+    } catch { case _: Exception => None }
 
   /** [[ocrExtractPdf]] as the `ocr` slot Column for
     * [[BinaryIngest.readWithOcrFallback]]. */

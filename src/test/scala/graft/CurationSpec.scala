@@ -84,4 +84,27 @@ class CurationSpec extends SparkSpec {
       .orderBy("lang", "source", "bucket", "pair_idx").collect()
     assert(first.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("doremi: hand-checked MW iteration, invariants, loss-monotone weights") {
+    import graft.operators.Doremi
+    // two domains, losses 0.1 / 0.3 (micros), one iteration by hand:
+    // mix = 0.5*0.1 + 0.5*0.3 = 0.2; factors 1 + 0.5*(-0.1) = 0.95 and
+    // 1 + 0.5*(+0.1) = 1.05; weights 0.475 / 0.525 exactly
+    val one = Doremi.reweight(Seq(("a", 100000L), ("b", 300000L)), iterations = 1)
+    assert(one === Seq(("a", 100000L, 475000L), ("b", 300000L, 525000L)))
+    // five iterations: weights stay a distribution (within per-domain
+    // half-up rounding of the sum) and order by loss
+    val five = Doremi.reweight(Seq(("a", 100000L), ("b", 300000L), ("c", 200000L)))
+    val total = five.map(_._3).sum
+    assert(math.abs(total - 1000000L) <= five.size)
+    assert(five.sortBy(_._2).map(_._3) === five.map(_._3).sorted,
+      "higher proxy loss must receive higher weight")
+    // end to end on the corpus: the gate pins exactness; this pins the
+    // semantics (sum-to-one and loss-monotonicity over real sources)
+    val out = graft.operators.Doremi.qDoremi(spark, sf0001).collect()
+    assert(out.length >= 2)
+    val w = out.map(r => (r.getLong(1), r.getLong(2)))
+    assert(math.abs(w.map(_._2).sum - 1000000L) <= out.length)
+    assert(w.sortBy(_._1).map(_._2) === w.map(_._2).sorted)
+  }
 }

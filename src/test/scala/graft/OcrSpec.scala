@@ -73,4 +73,26 @@ class OcrSpec extends SparkSpec {
     for (i <- at until math.min(at + 20, broken.length)) broken(i) = 0x55
     assert(OcrEngine.ocrExtractPdf(broken) === "")
   }
+
+  test("trained OCR: Font B preserves the margin, training recovers it exactly, " +
+      "the fixed engine cannot read it") {
+    import graft.sources.OcrTrained
+    // XOR with a constant preserves pairwise distances -> margin stays 3
+    val sigs = OcrTrained.FontB.map(_._2)
+    val minPair = (for (i <- sigs.indices; j <- sigs.indices if i < j)
+      yield java.lang.Long.bitCount(sigs(i) ^ sigs(j))).min
+    assert(minPair >= 3)
+    // majority-vote training recovers EVERY Font-B template bit-exactly
+    val learned = OcrTrained.trainTemplates(OcrTrained.trainingSamples(spark))
+    assert(learned.toMap === OcrTrained.FontB.toMap,
+      "training must recover the exact font from noisy labeled samples")
+    // a Font-B page decodes exactly through the learned templates...
+    val norm = OcrEngine.ocrNormalize("the quick brown fox 42")
+    val (w, h, img) = OcrEngine.renderRasterWith(OcrTrained.FontB.toMap)(norm)
+    assert(OcrEngine.decodeRasterWith(learned)(w, h, img) === norm)
+    // ...and the FIXED engine misreads it (negative control: without the
+    // trained model the second font is unreadable, so the gate really
+    // exercises training, not the shipped font)
+    assert(OcrEngine.decodeRaster(w, h, img) !== norm)
+  }
 }
