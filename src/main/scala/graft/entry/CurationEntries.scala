@@ -21,6 +21,8 @@ private[graft] object CurationEntries {
     "q_mixture" -> (Curation.qMixture _),
     // --- DoReMi-style multiplicative-weights mixture optimization
     "q_doremi" -> (Doremi.qDoremi _),
+    // --- l-diversity audit (k-anonymity's sensitive-attribute companion)
+    "q_ldiversity" -> (Curation.qLdiversity _),
     "q_curriculum" -> (Curation.qCurriculum _),
     "q_mix_plan" -> (Curation.qMixPlan _),
     "q_export_manifest" -> (Curation.qExportManifest _),
@@ -175,6 +177,13 @@ private[graft] object CurationEntries {
         "CAST(sum(n_chars) AS BIGINT) AS n_bytes, " +
         "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
+    // l-diversity: count-distinct of the bucketed sensitive attribute
+    // per QI group; the bucket is floor of one IEEE division (portable)
+    "q_ldiversity" ->
+      ("SELECT c_nationkey, c_mktsegment, count(*) AS n, " +
+        "CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS n_sensitive, " +
+        "count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3 AS at_risk " +
+        "FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment"),
     // DoReMi reweighting: loss + all five MW iterations unrolled in
     // HUGEINT (scaled-integer, round-half-up divisions) — bit-exact vs
     // the engine's BigInt loop

@@ -529,6 +529,27 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", col("n") < k)
 
+  /** l-diversity audit — k-anonymity's companion (Machanavajjhala et al.
+    * 2007): a group can be large (k-anonymous) yet still leak if every
+    * member shares one SENSITIVE value; a group is at risk unless it
+    * contains >= l distinct sensitive values. One grouped aggregation
+    * (count + count-distinct), map-side combinable on the QI key. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitive: org.apache.spark.sql.Column, l: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+
+  /** Oracle-checked l-diversity over the customer table: QI =
+    * (nation, segment) — the q_kanon groups — sensitive = the account
+    * balance in 1000-unit buckets (floor of ONE IEEE division: portable).
+    * l = 3. */
+  def qLdiversity(s: SparkSession, d: String): DataFrame =
+    lDiversityAudit(customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** Suppression: null the quasi columns of every row in an under-k
     * group, keep everything else verbatim. The match is NULL-SAFE
     * (`<=>` per column): a NULL quasi value forms a group like any

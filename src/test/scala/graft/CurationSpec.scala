@@ -85,6 +85,23 @@ class CurationSpec extends SparkSpec {
     assert(first.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("l-diversity: homogeneous groups flag even when k-anonymous") {
+    import graft.operators.Curation
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group A: 4 rows, ONE sensitive value -> k-anonymous at k=3 yet
+    // 1-diverse (at risk at l=3); group B: 3 rows, 3 distinct -> safe
+    val df = Seq(
+      ("A", 10L), ("A", 10L), ("A", 10L), ("A", 10L),
+      ("B", 1L), ("B", 2L), ("B", 3L)).toDF("qi", "sens")
+    val byQi = Curation.lDiversityAudit(df, Seq("qi"), col("sens"), 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byQi("A") === ((4L, 1L, true)))
+    assert(byQi("B") === ((3L, 3L, false)))
+    val e2e = Curation.qLdiversity(spark, sf0001).collect()
+    assert(e2e.nonEmpty)
+  }
+
   test("doremi: hand-checked MW iteration, invariants, loss-monotone weights") {
     import graft.operators.Doremi
     // two domains, losses 0.1 / 0.3 (micros), one iteration by hand:
