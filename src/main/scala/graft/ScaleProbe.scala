@@ -616,6 +616,11 @@ object ScaleProbe {
             OcrEngine.buildScannedPdf(w, h, img)).length.toLong
         }.agg(sum(col("value"))).head(); nMedia
       }
+      time("pca", nEmb) {
+        // d^2 Long accumulators ride the scan (one narrow pass per
+        // partial); the iteration is d-sized driver work
+        graft.operators.Spectral.topComponent(emb).count()
+      }
       time("doremi", nDocs) {
         // one map-side-combined corpus aggregation; the MW loop runs on
         // the |domains|-sized collected table

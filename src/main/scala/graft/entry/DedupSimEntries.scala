@@ -50,6 +50,10 @@ private[graft] object DedupSimEntries {
     "q_span_dedup" -> (Dedup.qSpanDedup _),
     // --- HITS hubs & authorities (the second link-centrality signal)
     "q_hits" -> (Graph.qHits _),
+    // --- top principal component via power iteration (spectral family)
+    "q_pca" -> (Spectral.qPca _),
+    // --- All-but-the-Top common-component removal over the learned fit
+    "q_abtt" -> (Spectral.qAbtt _),
     // --- matryoshka truncated-dimension serving recall
     "q_mrl_recall" -> (Similarity.qMrlRecall _),
   )
@@ -61,6 +65,12 @@ private[graft] object DedupSimEntries {
     // normalization, unrolled like pagerank — the gate replays every
     // half-step's decimal sums and rounded divisions
     "q_hits" -> hitsOracle(4),
+    // power-iteration PCA: exact integer scatter + unrolled power steps
+    // with ordered-fold norms (see OracleHelpers.pcaOracle)
+    "q_pca" -> pcaOracle(6),
+    // ABTT: the shared PCA chain + per-vector exact projection and
+    // half-away-divided residuals, ordered-fold residual norms
+    "q_abtt" -> abttOracle(6),
     // BFS frontier: the oracle's recursive CTE enumerates every path of
     // length <= 5 from the seeds through the same affine edge maps and
     // takes min(hop) per node — first-reach depth in the engine's

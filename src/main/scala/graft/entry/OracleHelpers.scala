@@ -470,6 +470,73 @@ private[graft] object OracleHelpers {
       s"UNION ALL $sel) ORDER BY sel_rank"
   }
 
+  /** Power-iteration PCA oracle: quantize embeddings to HUGEINT micros,
+    * exact integer mean/centering (sign-symmetric half-away division),
+    * the exact 64x64 scatter, then every power step unrolled — u = S·v
+    * in exact HUGEINT, the L2 norm as an ORDERED fold of the squared
+    * doubles (list_reduce over list(... ORDER BY dim) — bit-identical
+    * to the engine's foldLeft), renormalization as floor(u/‖u‖·1e6+0.5).
+    * Final Rayleigh quotient in exact integers with one rounded
+    * division. */
+  /** Sign-symmetric round-half-away-from-zero integer division as a SQL
+    * fragment (b > 0) — mirrors Spectral.halfDiv. */
+  private def sqlHalfDiv(a: String, b: String): String =
+    s"CASE WHEN ($a) >= 0 THEN (2 * ($a) + ($b)) // (2 * ($b)) " +
+      s"ELSE -((2 * -($a) + ($b)) // (2 * ($b))) END"
+
+  def pcaOracle(iterations: Int): String =
+    s"${pcaChain(iterations)} " +
+      s"uf AS (SELECT sc.j AS dim, CAST(sum(sc.sv * v.v) AS HUGEINT) AS u " +
+      s"FROM sc JOIN v$iterations v ON sc.k = v.dim GROUP BY sc.j), " +
+      "ray AS (SELECT CAST(sum(v.v * uf.u) AS HUGEINT) AS num, " +
+      s"CAST(sum(v.v * v.v) AS HUGEINT) AS den FROM v$iterations v JOIN uf ON v.dim = uf.dim) " +
+      "SELECT v.dim, CAST(v.v AS BIGINT) AS loading_micros, " +
+      "CAST(floor(CAST((SELECT num FROM ray) AS DOUBLE) / " +
+      "CAST((SELECT den FROM ray) AS DOUBLE) + 0.5) AS BIGINT) AS scatter_eig " +
+      s"FROM v$iterations v ORDER BY v.dim"
+
+  /** All-but-the-Top oracle: the shared PCA chain, then per-vector
+    * projection (exact HUGEINT), component-wise residual through the
+    * sign-symmetric half-away division, ordered-fold residual norm. */
+  def abttOracle(iterations: Int): String = {
+    val vf = s"v$iterations"
+    s"${pcaChain(iterations)} " +
+      s"dn AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM $vf), " +
+      s"pr AS MATERIALIZED (SELECT c.vec_id, CAST(sum(c.cv * v.v) AS HUGEINT) AS num " +
+      s"FROM c JOIN $vf v ON c.dim = v.dim GROUP BY c.vec_id), " +
+      "resid AS (SELECT c.vec_id, c.dim, " +
+      s"c.cv - ${sqlHalfDiv("pr.num * v.v", "(SELECT den FROM dn)")} AS r " +
+      s"FROM c JOIN $vf v ON c.dim = v.dim JOIN pr ON c.vec_id = pr.vec_id), " +
+      "rn AS (SELECT vec_id, sqrt(list_reduce(list(CAST(r AS DOUBLE) * CAST(r AS DOUBLE) " +
+      "ORDER BY dim), (a, b) -> a + b)) AS nrm FROM resid GROUP BY vec_id) " +
+      s"SELECT pr.vec_id, CAST(${sqlHalfDiv("pr.num * 1000000", "(SELECT den FROM dn)")} AS BIGINT) AS proj_micros, " +
+      "CAST(floor(rn.nrm + 0.5) AS BIGINT) AS resid_norm_micros " +
+      "FROM pr JOIN rn ON pr.vec_id = rn.vec_id ORDER BY pr.vec_id"
+  }
+
+  private def pcaChain(iterations: Int): String = {
+    val head =
+      "WITH e AS (SELECT vec_id, " +
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS x6, " +
+        "CAST(unnest(generate_series(0, len(embedding) - 1)) AS INTEGER) AS dim FROM embeddings), " +
+        "m AS (SELECT dim, CASE WHEN sum(x6) >= 0 " +
+        "THEN (2 * sum(x6) + count(*)) // (2 * count(*)) " +
+        "ELSE -((2 * -sum(x6) + count(*)) // (2 * count(*))) END AS m6 FROM e GROUP BY dim), " +
+        "c AS MATERIALIZED (SELECT vec_id, e.dim, x6 - m6 AS cv FROM e JOIN m ON e.dim = m.dim), " +
+        "sc AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k, CAST(sum(a.cv * b.cv) AS HUGEINT) AS sv " +
+        "FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2), " +
+        "v0 AS (SELECT DISTINCT j AS dim, CAST(1000000 AS HUGEINT) AS v FROM sc)"
+    val iters = (1 to iterations).map { t =>
+      s"u$t AS MATERIALIZED (SELECT sc.j AS dim, CAST(sum(sc.sv * v.v) AS HUGEINT) AS u " +
+        s"FROM sc JOIN v${t - 1} v ON sc.k = v.dim GROUP BY sc.j), " +
+        s"n$t AS (SELECT sqrt(list_reduce(list(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) ORDER BY dim), " +
+        s"(a, b) -> a + b)) AS nrm FROM u$t), " +
+        s"v$t AS MATERIALIZED (SELECT dim, CAST(floor(CAST(u AS DOUBLE) / (SELECT nrm FROM n$t) " +
+        s"* 1000000 + 0.5) AS HUGEINT) AS v FROM u$t)"
+    }.mkString(", ")
+    s"$head, $iters,"
+  }
+
   /** DoReMi mixture-reweighting oracle: the per-domain proxy loss and
     * every multiplicative-weights iteration unrolled as MATERIALIZED
     * CTEs in HUGEINT (scaled-integer arithmetic end to end — micros for

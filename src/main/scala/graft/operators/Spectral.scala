@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top principal component of the embedding corpus by POWER ITERATION —
+  * the spectral primitive behind embedding whitening, ABTT-style
+  * common-component removal (Mu & Viswanath 2018, "All-but-the-Top")
+  * and PCA-based semantic dedup: corpora with one dominant direction
+  * waste cosine resolution on it; the pipeline measures and removes it.
+  *
+  * Exactness protocol (the PageRank/DoReMi recipes combined):
+  *  - embeddings quantize to integer MICROS (floor(x·1e6 + 0.5) — one
+  *    IEEE multiply+floor, identical on any engine);
+  *  - mean and centering are exact integer arithmetic (the one division
+  *    per dim is sign-symmetric round-half-away-from-zero);
+  *  - the 64x64 SCATTER matrix Σ c·cᵀ is exact integers (1e12 scale);
+  *  - each power step u = S·v is exact integers; the L2 norm converts
+  *    u to doubles and folds the 64 squares IN DIM ORDER (engine:
+  *    foldLeft; oracle: list_reduce over list(... ORDER BY dim) — the
+  *    ordered fold both engines replay bit-for-bit), sqrt is IEEE-exact;
+  *  - the renormalized v is floor(u/‖u‖·1e6 + 0.5) micros.
+  *
+  * Scale shape: per-partition Long scatter partials (d² accumulators
+  * riding the scan, safe to ~9e6 rows/partition before Long pressure),
+  * one bounded collect of (numPartitions x d²), then the iteration runs
+  * on the d-sized vector driver-side. At 100 TB the partial collect
+  * becomes a treeAggregate; d² stays 4096 either way.
+  */
+object Spectral {
+
+  val Dim = 64
+  val Iterations = 6
+  private val M = BigInt(1000000L)
+
+  /** Sign-symmetric round-half-away-from-zero integer division (b > 0)
+    * — portable where floor-division (DuckDB) and truncation (JVM)
+    * disagree on negatives. */
+  def halfDiv(a: BigInt, b: BigInt): BigInt =
+    if (a.signum >= 0) (2 * a + b) / (2 * b) else -((2 * (-a) + b) / (2 * b))
+
+  /** Integer micros of one component (float widens exactly). */
+  def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** The driver-side iteration over an exact BigInt scatter matrix.
+    * Returns (loadings in micros, scatter eigenvalue estimate). */
+  def powerIteration(scatter: Array[BigInt], iterations: Int = Iterations): (Array[Long], Long) = {
+    var v = Array.fill(Dim)(M)
+    var t = 0
+    while (t < iterations) {
+      val u = Array.tabulate(Dim) { j =>
+        var acc = BigInt(0); var k = 0
+        while (k < Dim) { acc += scatter(j * Dim + k) * v(k); k += 1 }
+        acc
+      }
+      // ordered fold of the 64 squared doubles — both engines replay it
+      val norm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      v = u.map(x => BigInt(math.floor(x.toDouble / norm * 1e6 + 0.5).toLong))
+      t += 1
+    }
+    // Rayleigh quotient of the final direction: vᵀSv / vᵀv, exact
+    // integers then ONE rounded division (half-up at integer scale)
+    var num = BigInt(0); var den = BigInt(0)
+    var j = 0
+    while (j < Dim) {
+      var acc = BigInt(0); var k = 0
+      while (k < Dim) { acc += scatter(j * Dim + k) * v(k); k += 1 }
+      num += v(j) * acc
+      den += v(j) * v(j)
+      j += 1
+    }
+    val eig = math.floor(num.toDouble / den.toDouble + 0.5).toLong
+    (v.map(_.toLong), eig)
+  }
+
+  /** Oracle-checked top component: quantize -> exact integer mean/center
+    * -> exact scatter -> 6 power steps -> (dim, loading_micros,
+    * scatter_eig). The oracle replays every step in HUGEINT with the
+    * same ordered-fold norms. */
+  def qPca(s: SparkSession, d: String): DataFrame =
+    topComponent(Tables.rebalance(Tables.embeddings(s, d), "vec_id"))
+
+  /** [[qPca]] over any frame carrying an `embedding` column. */
+  def topComponent(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val (_, loadings, eig) = fit(embeddings)
+    (0 until Dim).map(j => (j, loadings(j), eig))
+      .toDF("dim", "loading_micros", "scatter_eig")
+      .orderBy("dim")
+  }
+
+  /** Quantize -> exact mean -> exact scatter -> power iteration; returns
+    * (mean micros, loading micros, scatter eigenvalue). */
+  def fit(embeddings: DataFrame): (Array[Long], Array[Long], Long) = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val rows = embeddings
+      .select(col("embedding").cast("array<double>")).as[Array[Double]]
+      .map(_.map(micros))
+    // per-partition (sums, count) partials: one narrow pass
+    val sumParts = rows.mapPartitions { it =>
+      val acc = new Array[Long](Dim); var n = 0L
+      it.foreach { v => var j = 0; while (j < Dim) { acc(j) += v(j); j += 1 }; n += 1 }
+      if (n == 0) Iterator.empty else Iterator.single((acc, n))
+    }.collect()
+    val n = sumParts.map(_._2).sum
+    val mean = Array.tabulate(Dim) { j =>
+      halfDiv(sumParts.map(p => BigInt(p._1(j))).sum, BigInt(n)).toLong
+    }
+    // per-partition scatter partials (Long-safe: |c| <= ~2e6 so each
+    // product <= 4e12; ~9e6 rows/partition before overflow pressure)
+    val meanB = s.sparkContext.broadcast(mean)
+    val scatterParts = rows.mapPartitions { it =>
+      val m = meanB.value
+      val acc = new Array[Long](Dim * Dim)
+      var any = false
+      it.foreach { v =>
+        any = true
+        val c = new Array[Long](Dim)
+        var j = 0
+        while (j < Dim) { c(j) = v(j) - m(j); j += 1 }
+        var a = 0
+        while (a < Dim) {
+          val ca = c(a); var b = 0
+          while (b < Dim) { acc(a * Dim + b) += ca * c(b); b += 1 }
+          a += 1
+        }
+      }
+      if (any) Iterator.single(acc) else Iterator.empty
+    }.collect()
+    val scatter = Array.tabulate(Dim * Dim) { i =>
+      scatterParts.map(p => BigInt(p(i))).sum
+    }
+    val (loadings, eig) = powerIteration(scatter)
+    (mean, loadings, eig)
+  }
+
+  /** All-but-the-Top (Mu & Viswanath 2018) common-component removal:
+    * center each embedding, project out the learned top component, and
+    * report the scalar projection plus the residual norm — the QC frame
+    * a whitening pass emits (a corpus whose projections dominate its
+    * residuals is spending its cosine resolution on one direction).
+    * Same exactness protocol as the fit: integer micros end to end, the
+    * two divisions per value sign-symmetric half-away, the residual
+    * norm an ordered fold + IEEE sqrt. Narrow per-vector work; the
+    * component is a 64-long broadcast. */
+  def qAbtt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.rebalance(Tables.embeddings(s, d), "vec_id")
+    val (mean, loadings, _) = fit(emb)
+    val den = loadings.map(v => BigInt(v) * BigInt(v)).sum
+    val meanB = s.sparkContext.broadcast(mean)
+    val vB = s.sparkContext.broadcast(loadings)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, e) =>
+        val m = meanB.value; val v = vB.value
+        val c = Array.tabulate(Dim)(j => micros(e(j)) - m(j))
+        var num = BigInt(0)
+        var j = 0
+        while (j < Dim) { num += BigInt(c(j)) * BigInt(v(j)); j += 1 }
+        val proj = halfDiv(num * 1000000L, den).toLong
+        var acc = 0.0
+        j = 0
+        while (j < Dim) {
+          val r = (BigInt(c(j)) - halfDiv(num * BigInt(v(j)), den)).toDouble
+          acc += r * r // ordered fold: ascending dim
+          j += 1
+        }
+        (id, proj, math.floor(math.sqrt(acc) + 0.5).toLong)
+      }
+      .toDF("vec_id", "proj_micros", "resid_norm_micros")
+      .orderBy("vec_id")
+  }
+}

@@ -439,4 +439,56 @@ class SimilaritySpec extends SparkSpec {
     assert(snap.currentVersion() === Some("v_1"))
     Dedup.rmTree(new java.io.File(root))
   }
+
+  test("pca: power iteration finds the dominant axis of a diagonal scatter") {
+    import graft.operators.Spectral
+    // scatter = diag(5e6, 1e6, 0...): the top component is e0; after 6
+    // steps the off-axis residue is (1/5)^6 of the start
+    val scatter = Array.fill(Spectral.Dim * Spectral.Dim)(BigInt(0))
+    scatter(0) = BigInt(5000000L)
+    scatter(Spectral.Dim + 1) = BigInt(1000000L)
+    val (v, eig) = Spectral.powerIteration(scatter)
+    assert(v(0) === 1000000L)
+    assert(v(1) > 0L && v(1) < 100L, s"off-axis residue too large: ${v(1)}")
+    assert(v.drop(2).forall(_ === 0L))
+    assert(eig >= 4999990L && eig <= 5000000L, s"eig=$eig")
+    // sign-symmetric integer division
+    assert(Spectral.halfDiv(BigInt(7), BigInt(2)) === BigInt(4))
+    assert(Spectral.halfDiv(BigInt(-7), BigInt(2)) === BigInt(-4))
+    assert(Spectral.halfDiv(BigInt(-6), BigInt(4)) === BigInt(-2))
+    // end to end: a unit-ish direction comes back (||v|| within rounding
+    // of 1e6) and the eigenvalue is positive
+    val out = graft.operators.Spectral.qPca(spark, sf0001).collect()
+    assert(out.length === Spectral.Dim)
+    val norm2 = out.map(r => r.getLong(1) * r.getLong(1)).sum
+    assert(math.abs(norm2 - 1000000000000L) < 3000000000L, s"norm2=$norm2")
+    assert(out.head.getLong(2) > 0L)
+  }
+
+  test("abtt: projection removal is pythagorean and shrinks every vector") {
+    import graft.operators.Spectral
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val (mean, loadings, _) = Spectral.fit(
+      graft.engine.Tables.rebalance(emb, "vec_id"))
+    val den = loadings.map(v => BigInt(v) * BigInt(v)).sum
+    val out = Spectral.qAbtt(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(out.size === vecs.length)
+    vecs.foreach { case (id, e) =>
+      val c = Array.tabulate(Spectral.Dim)(j => Spectral.micros(e(j).toDouble) - mean(j))
+      val cNorm2 = c.map(x => x.toDouble * x.toDouble).sum
+      val (proj, resid) = out(id)
+      // ||c||^2 == proj^2 + resid^2 within per-component rounding noise
+      val lhs = proj.toDouble * proj + resid.toDouble * resid
+      assert(math.abs(lhs - cNorm2) <= 0.02 * cNorm2 + 1e6,
+        s"vec $id not pythagorean: $lhs vs $cNorm2")
+      // removal never grows the vector
+      assert(resid.toDouble <= math.sqrt(cNorm2) + 1.0)
+    }
+    // the corpus projects NON-trivially on its own top component
+    assert(vecs.map(v => math.abs(out(v._1)._1)).max > 0L)
+  }
 }
