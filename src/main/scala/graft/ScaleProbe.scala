@@ -621,6 +621,11 @@ object ScaleProbe {
         // partial); the iteration is d-sized driver work
         graft.operators.Spectral.topComponent(emb).count()
       }
+      time("distinct_n", nDocs) {
+        // three positional explodes, each collapsing map-side to a
+        // distinct-gram count — the stopword_df shape
+        graft.operators.TextAnalysis.distinctN(docs).count()
+      }
       time("doremi", nDocs) {
         // one map-side-combined corpus aggregation; the MW loop runs on
         // the |domains|-sized collected table

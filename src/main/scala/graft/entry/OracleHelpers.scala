@@ -545,7 +545,7 @@ private[graft] object OracleHelpers {
     * step). */
   def doremiOracle(iterations: Int): String = {
     val head =
-      "WITH l AS (SELECT source, CAST((2 * sum(len(string_split_regex(trim(text), '\\s+'))) * 1000000 " +
+      "WITH l AS (SELECT source, CAST((2 * coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) * 1000000 " +
         "+ 500 * count(*)) // (1000 * count(*)) AS HUGEINT) AS loss6 FROM documents GROUP BY source), " +
         "w0 AS MATERIALIZED (SELECT source, loss6, " +
         "CAST(1000000 // (SELECT count(*) FROM l) AS HUGEINT) AS w6 FROM l)"

@@ -57,6 +57,8 @@ private[graft] object TextEntries {
     "q_kappa" -> (TextAnalysis.qKappa _),
     // --- trained char-n-gram langid (Cavnar-Trenkle rank profiles)
     "q_langid_trained" -> (TrainedLangId.qLangIdTrained _),
+    // --- distinct-n corpus diversity (mode-collapse detector)
+    "q_distinct_n" -> (TextAnalysis.qDistinctN _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -449,6 +451,22 @@ private[graft] object TextEntries {
         "floor(((CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (n * n)) / " +
         "(1.0 - CAST(pe_num AS DOUBLE) / (n * n))) * 1e6 + 0.5) / 1e6 END AS kappa " +
         "FROM a CROSS JOIN pn"),
+    // distinct-n diversity: positional n-grams WITH multiplicity per n,
+    // exact counts, one rounded division each
+    "q_distinct_n" ->
+      ("WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g1 AS (SELECT unnest(words) AS g FROM w WHERE len(words) >= 1), " +
+        "g2 AS (SELECT unnest([words[i] || ' ' || words[i+1] " +
+        "for i in generate_series(1, len(words) - 1)]) AS g FROM w WHERE len(words) >= 2), " +
+        "g3 AS (SELECT unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+        "for i in generate_series(1, len(words) - 2)]) AS g FROM w WHERE len(words) >= 3) " +
+        "SELECT 1 AS n, count(*) AS total, count(DISTINCT g) AS n_distinct, " +
+        "round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio FROM g1 " +
+        "UNION ALL SELECT 2, count(*), count(DISTINCT g), " +
+        "round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) FROM g2 " +
+        "UNION ALL SELECT 3, count(*), count(DISTINCT g), " +
+        "round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) FROM g3 ORDER BY n"),
     // trained Cavnar-Trenkle langid: the oracle replays the ENTIRE chain
     // — per-class substitution cipher (translate), trigram multiset,
     // top-40 rank profiles on (count DESC, trigram ASC), the |rank

@@ -41,7 +41,7 @@ object Doremi {
     Tables.rebalance(docs, "doc_id")
       .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
       .groupBy("source")
-      .agg(sum(col("t")).as("toks"), count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("toks"), count(lit(1)).as("n"))
       .select(col("source"),
         expr("(2 * toks * 1000000 + 500 * n) div (1000 * n)").as("loss_micros"))
 

@@ -56,6 +56,9 @@ object Spectral {
       }
       // ordered fold of the 64 squared doubles — both engines replay it
       val norm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      // degenerate scatter (empty/constant corpus): no dominant
+      // direction — report the zero vector instead of NaN junk
+      if (norm == 0.0) return (Array.fill(Dim)(0L), 0L)
       v = u.map(x => BigInt(math.floor(x.toDouble / norm * 1e6 + 0.5).toLong))
       t += 1
     }
@@ -70,7 +73,8 @@ object Spectral {
       den += v(j) * v(j)
       j += 1
     }
-    val eig = math.floor(num.toDouble / den.toDouble + 0.5).toLong
+    val eig = if (den.signum == 0) 0L
+      else math.floor(num.toDouble / den.toDouble + 0.5).toLong
     (v.map(_.toLong), eig)
   }
 
@@ -106,6 +110,7 @@ object Spectral {
       if (n == 0) Iterator.empty else Iterator.single((acc, n))
     }.collect()
     val n = sumParts.map(_._2).sum
+    if (n == 0) return (Array.fill(Dim)(0L), Array.fill(Dim)(0L), 0L)
     val mean = Array.tabulate(Dim) { j =>
       halfDiv(sumParts.map(p => BigInt(p._1(j))).sum, BigInt(n)).toLong
     }
@@ -148,12 +153,14 @@ object Spectral {
     * component is a 64-long broadcast. */
   def qAbtt(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.rebalance(Tables.embeddings(s, d), "vec_id")
-    val (mean, loadings, _) = fit(emb)
+    val (mean, loadings, _) = fit(Tables.rebalance(Tables.embeddings(s, d), "vec_id"))
     val den = loadings.map(v => BigInt(v) * BigInt(v)).sum
     val meanB = s.sparkContext.broadcast(mean)
     val vB = s.sparkContext.broadcast(loadings)
-    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+    // the per-vector pass is NARROW — it rides the scan unrebalanced, so
+    // no exchange ever carries the embedding array (the fit's internal
+    // exchanges execute eagerly above and are not part of this plan)
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, e) =>
         val m = meanB.value; val v = vB.value
@@ -161,11 +168,13 @@ object Spectral {
         var num = BigInt(0)
         var j = 0
         while (j < Dim) { num += BigInt(c(j)) * BigInt(v(j)); j += 1 }
-        val proj = halfDiv(num * 1000000L, den).toLong
+        // degenerate component (zero vector): nothing to remove
+        val proj = if (den.signum == 0) 0L else halfDiv(num * 1000000L, den).toLong
         var acc = 0.0
         j = 0
         while (j < Dim) {
-          val r = (BigInt(c(j)) - halfDiv(num * BigInt(v(j)), den)).toDouble
+          val r = (BigInt(c(j)) -
+            (if (den.signum == 0) BigInt(0) else halfDiv(num * BigInt(v(j)), den))).toDouble
           acc += r * r // ordered fold: ascending dim
           j += 1
         }

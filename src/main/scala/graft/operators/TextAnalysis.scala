@@ -900,6 +900,37 @@ object TextAnalysis {
   def qKappa(s: SparkSession, d: String): DataFrame =
     kappa(withLangId(Tables.rebalance(documents(s, d), "doc_id")),
       "lang", "lang_pred")
+
+  /** Corpus-level distinct-n diversity (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models"): for n = 1..3, the count of distinct word n-grams over the
+    * count of all n-gram tokens — the degenerate-corpus detector a
+    * generation pipeline reports next to ROUGE (mode collapse drives it
+    * toward 0). Positional n-grams WITH multiplicity (the repetition-op
+    * discipline: word_ngrams would dedup); one explode per n, each
+    * collapsing map-side; the ratio is a single integer division
+    * rounded 6dp (portable). */
+  def distinctN(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val base = Tables.rebalance(docs, "doc_id")
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 1)
+    (1 to maxN).map { n =>
+      val grams = base.filter(size(col("words")) >= n)
+        .select(explode(transform(sequence(lit(1), size(col("words")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(col("words"), i + k)): _*))).as("g"))
+      grams.agg(
+        lit(n).as("n"),
+        count(lit(1)).as("total"),
+        countDistinct(col("g")).as("n_distinct"))
+        .select(col("n"), col("total"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("total"), 6).as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Oracle-checked distinct-n over the documents table. */
+  def qDistinctN(s: SparkSession, d: String): DataFrame =
+    distinctN(documents(s, d)).orderBy("n")
 }
 
 /** Marker/stopword sets used by quality + language-ID scoring. */

@@ -186,6 +186,33 @@ class EmptyInputSpec extends SparkSpec {
     assert(k.getAs[Double]("kappa") === 0.0)
   }
 
+  test("round-8 operators on an empty corpus") {
+    import spark.implicits._
+    // spectral: zero vectors -> zero component, zero eigenvalue, no NaN
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val (mean, v, eig) = Spectral.fit(emptyEmb)
+    assert(mean.forall(_ === 0L) && v.forall(_ === 0L) && eig === 0L)
+    assert(Spectral.topComponent(emptyEmb).count() === Spectral.Dim)
+    // degenerate (all-zero) scatter mid-iteration: zero vector, not NaN
+    val (vz, ez) = Spectral.powerIteration(Array.fill(Spectral.Dim * Spectral.Dim)(BigInt(0)))
+    assert(vz.forall(_ === 0L) && ez === 0L)
+    // doremi: empty domain table -> empty weights; all-null-text source
+    // -> loss 0, never a null crash
+    assert(Doremi.reweight(Seq.empty).isEmpty)
+    val nullDocs = Seq((1L, null: String, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dl = Doremi.domainLoss(nullDocs).collect()
+    assert(dl.length === 1 && dl.head.getLong(1) === 0L)
+    // trained langid: empty corpus -> empty profiles and predictions
+    val emptyLabeled = Seq.empty[(Long, Int, String)].toDF("doc_id", "cls", "t")
+    assert(TrainedLangId.trainProfiles(emptyLabeled).count() === 0)
+    assert(TrainedLangId.classify(emptyLabeled.select(col("doc_id"), col("t")),
+      TrainedLangId.trainProfiles(emptyLabeled)).count() === 0)
+    // l-diversity: empty frame -> empty audit
+    assert(Curation.lDiversityAudit(emptyDocs, Seq("lang"), col("n_chars"), 3L).count() === 0)
+  }
+
   test("dispatch with an empty command batch is a no-op") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))

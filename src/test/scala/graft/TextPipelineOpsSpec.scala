@@ -191,6 +191,20 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(clip.getAs[Double]("r1_f1") === 0.4)
   }
 
+  // ------------------------------------------------ distinct-n diversity
+
+  test("distinct-n: hand-counted ratios with multiplicity") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq((1L, "a b a", "en", "w", 5L), (2L, "a b", "en", "w", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.distinctN(docs).orderBy("n").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1, 5L, 2L, 0.4)))       // a b a a b
+    assert(out(1) === ((2, 3L, 2L, 0.666667)))  // "a b" x2, "b a"
+    assert(out(2) === ((3, 1L, 1L, 1.0)))       // "a b a"
+  }
+
   // ------------------------------------- trained Cavnar-Trenkle langid
 
   test("trained langid: rank profiles, distance arithmetic, held-out accuracy") {
