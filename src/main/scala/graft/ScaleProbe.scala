@@ -621,6 +621,24 @@ object ScaleProbe {
         // partial); the iteration is d-sized driver work
         graft.operators.Spectral.topComponent(emb).count()
       }
+      time("luhn", nDocs) {
+        // narrow per-row construct + codegen'd declarative checksum
+        import org.apache.spark.sql.functions.{reverse => frev}
+        docs.select(col("doc_id")).as[Long]
+          .mapPartitions(it => it.map(id =>
+            (id, graft.operators.TextAnalysis.panFor(id))))
+          .toDF("doc_id", "pan")
+          .withColumn("rev", frev(col("pan")))
+          .withColumn("ok", expr(
+            "aggregate(transform(sequence(0, length(rev) - 1), i -> " +
+              "CASE WHEN i % 2 = 1 THEN " +
+              "IF(2 * (ascii(substring(rev, i + 1, 1)) - 48) > 9, " +
+              "2 * (ascii(substring(rev, i + 1, 1)) - 48) - 9, " +
+              "2 * (ascii(substring(rev, i + 1, 1)) - 48)) " +
+              "ELSE ascii(substring(rev, i + 1, 1)) - 48 END), " +
+              "0, (acc, x) -> acc + x) % 10 = 0"))
+          .filter(col("ok")).count()
+      }
       time("distinct_n", nDocs) {
         // three positional explodes, each collapsing map-side to a
         // distinct-gram count — the stopword_df shape

@@ -59,6 +59,8 @@ private[graft] object TextEntries {
     "q_langid_trained" -> (TrainedLangId.qLangIdTrained _),
     // --- distinct-n corpus diversity (mode-collapse detector)
     "q_distinct_n" -> (TextAnalysis.qDistinctN _),
+    // --- Luhn checksum screen (checksum-validated PII precision)
+    "q_luhn" -> (TextAnalysis.qLuhn _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -451,6 +453,26 @@ private[graft] object TextEntries {
         "floor(((CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (n * n)) / " +
         "(1.0 - CAST(pe_num AS DOUBLE) / (n * n))) * 1e6 + 0.5) / 1e6 END AS kappa " +
         "FROM a CROSS JOIN pn"),
+    // Luhn screen: the oracle replays the NUMBER CONSTRUCTION (prefix
+    // derivation + the SQL Luhn closure for the check digit) and states
+    // the verdict closed-form by id parity; the engine VALIDATES the
+    // final string declaratively — independent sides, either side's
+    // checksum slip hash-mismatches
+    "q_luhn" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "'4' || lpad(CAST((doc_id * 37) % 100000000000000 AS VARCHAR), 14, '0') AS prefix " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, prefix, CAST(list_sum(list_transform(generate_series(1, 15), i -> " +
+        "CASE WHEN i % 2 = 1 THEN " +
+        "IF(2 * (ascii(substr(prefix, i, 1)) - 48) > 9, " +
+        "2 * (ascii(substr(prefix, i, 1)) - 48) - 9, " +
+        "2 * (ascii(substr(prefix, i, 1)) - 48)) " +
+        "ELSE ascii(substr(prefix, i, 1)) - 48 END)) AS BIGINT) AS base FROM p) " +
+        "SELECT doc_id, prefix || CAST(CASE WHEN doc_id % 2 = 0 " +
+        "THEN (10 - base % 10) % 10 " +
+        "ELSE ((10 - base % 10) % 10 + 1) % 10 END AS VARCHAR) AS pan, " +
+        "doc_id % 2 = 0 AS luhn_valid " +
+        "FROM b ORDER BY doc_id"),
     // distinct-n diversity: positional n-grams WITH multiplicity per n,
     // exact counts, one rounded division each
     "q_distinct_n" ->

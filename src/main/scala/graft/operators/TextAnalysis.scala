@@ -428,6 +428,74 @@ object TextAnalysis {
       .select(col("c_custkey"), maskPii(col("contact")).as("masked"))
       .orderBy("c_custkey")
 
+  // ---------------------------------------- Luhn checksum validation
+
+  /** Luhn sum of a digit string (rightmost digit NOT doubled; every
+    * second digit from the right doubled, minus 9 when > 9) — the
+    * card-number checksum (ISO/IEC 7812). Staging-side helper; the
+    * ENGINE validates declaratively in [[qLuhn]], so builder and checker
+    * share no code path. */
+  def luhnSum(digits: String): Int = {
+    var sum = 0
+    var i = digits.length - 1
+    var pos = 0 // 0-based from the right
+    while (i >= 0) {
+      val d = digits.charAt(i) - '0'
+      sum += (if (pos % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d)
+      i -= 1
+      pos += 1
+    }
+    sum
+  }
+
+  /** Deterministic 16-digit PAN-shaped fixture for docId: a '4' prefix,
+    * 14 derived digits, and a closing digit that SATISFIES Luhn for even
+    * ids and violates it for odd ids — the planted precision test: a
+    * pattern-only PII detector flags all of them, the checksum keeps
+    * only the valid half. */
+  def panFor(docId: Long): String = {
+    val prefix = "4" + f"${(docId * 37) % 100000000000000L}%014d"
+    // closing digit c makes luhnSum(prefix + c) % 10 == 0: c sits at the
+    // rightmost (undoubled) position, so c = (10 - luhnSum-with-shift) —
+    // compute via the defining property
+    val base = luhnSum(prefix + "0")
+    val c = (10 - base % 10) % 10
+    val digit = if (docId % 2 == 0) c else (c + 1) % 10
+    prefix + digit
+  }
+
+  /** Oracle-checked Luhn screen — checksum VALIDATION behind the PII
+    * pattern scan (at corpus scale the regex alone floods the redaction
+    * queue with false positives; the checksum is the precision lever):
+    * each staged card-shaped number is validated by a fully declarative
+    * codegen'd Luhn — reversed digit string bound as a COLUMN first (the
+    * lambda-re-evaluation pitfall), one transform + aggregate, parity by
+    * index. The oracle replays the NUMBER construction (including the
+    * SQL Luhn closure for the check digit) and states the verdict in
+    * closed form (doc_id parity) — engine validation and oracle
+    * construction are independent, so a slip in either side's Luhn
+    * arithmetic hash-mismatches. */
+  def qLuhn(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val staged = Tables.rebalance(documents(s, d), "doc_id")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, panFor(id))))
+      .toDF("doc_id", "pan")
+    staged
+      .withColumn("rev", reverse(col("pan")))
+      .withColumn("luhn_valid", expr(
+        "aggregate(transform(sequence(0, length(rev) - 1), i -> " +
+          "CASE WHEN i % 2 = 1 THEN " +
+          "IF(2 * (ascii(substring(rev, i + 1, 1)) - 48) > 9, " +
+          "2 * (ascii(substring(rev, i + 1, 1)) - 48) - 9, " +
+          "2 * (ascii(substring(rev, i + 1, 1)) - 48)) " +
+          "ELSE ascii(substring(rev, i + 1, 1)) - 48 END), " +
+          "0, (acc, x) -> acc + x) % 10 = 0"))
+      .select("doc_id", "pan", "luhn_valid")
+      .orderBy("doc_id")
+  }
+
   /** Classifier CALIBRATION sweep: bucket a score column, then report
     * per-threshold precision / recall / F1 against a binary label — the
     * threshold-picking step every classifier-based quality or language

@@ -191,6 +191,28 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(clip.getAs[Double]("r1_f1") === 0.4)
   }
 
+  // ----------------------------------------------------- Luhn checksum
+
+  test("luhn: known card numbers, planted parity, declarative == scalar") {
+    import graft.operators.TextAnalysis
+    // the canonical test PAN 4539 1488 0343 6467 is Luhn-valid; flipping
+    // its last digit breaks it
+    assert(TextAnalysis.luhnSum("4539148803436467") % 10 === 0)
+    assert(TextAnalysis.luhnSum("4539148803436468") % 10 !== 0)
+    assert(TextAnalysis.luhnSum("79927398713") % 10 === 0) // classic example
+    // staged fixtures: even ids validate, odd ids fail — by construction
+    for (id <- 0L until 40L)
+      assert((TextAnalysis.luhnSum(TextAnalysis.panFor(id)) % 10 == 0) === (id % 2 == 0))
+    // the engine's declarative validation agrees with the scalar kernel
+    val out = TextAnalysis.qLuhn(spark, sf0001).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === TextAnalysis.panFor(id))
+      assert(r.getBoolean(2) === (id % 2 == 0))
+    }
+  }
+
   // ------------------------------------------------ distinct-n diversity
 
   test("distinct-n: hand-counted ratios with multiplicity") {
