@@ -187,7 +187,7 @@ private[graft] object CurationEntries {
     // DoReMi reweighting: loss + all five MW iterations unrolled in
     // HUGEINT (scaled-integer, round-half-up divisions) — bit-exact vs
     // the engine's BigInt loop
-    "q_doremi" -> doremiOracle(5),
+    "q_doremi" -> doremiOracle(Doremi.Iterations),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

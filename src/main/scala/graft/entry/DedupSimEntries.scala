@@ -54,6 +54,8 @@ private[graft] object DedupSimEntries {
     "q_pca" -> (Spectral.qPca _),
     // --- All-but-the-Top common-component removal over the learned fit
     "q_abtt" -> (Spectral.qAbtt _),
+    // --- top-k components by rounded rank-1 deflation (ABTT's "top D")
+    "q_pca_k" -> (Spectral.qPcaK _),
     // --- matryoshka truncated-dimension serving recall
     "q_mrl_recall" -> (Similarity.qMrlRecall _),
   )
@@ -67,10 +69,13 @@ private[graft] object DedupSimEntries {
     "q_hits" -> hitsOracle(4),
     // power-iteration PCA: exact integer scatter + unrolled power steps
     // with ordered-fold norms (see OracleHelpers.pcaOracle)
-    "q_pca" -> pcaOracle(6),
+    "q_pca" -> pcaOracle(Spectral.Iterations),
     // ABTT: the shared PCA chain + per-vector exact projection and
     // half-away-divided residuals, ordered-fold residual norms
-    "q_abtt" -> abttOracle(6),
+    "q_abtt" -> abttOracle(Spectral.Iterations),
+    // top-k deflated PCA: k·6 power steps + 2 deflation joins unrolled;
+    // the integer Rayleigh + rounded rank-1 subtraction replay bit-exact
+    "q_pca_k" -> pcaKOracle(Spectral.Iterations, Spectral.TopK),
     // BFS frontier: the oracle's recursive CTE enumerates every path of
     // length <= 5 from the seeds through the same affine edge maps and
     // takes min(hop) per node — first-reach depth in the engine's

@@ -486,61 +486,126 @@ private[graft] object OracleHelpers {
 
   def pcaOracle(iterations: Int): String =
     s"${pcaChain(iterations)} " +
-      s"uf AS (SELECT sc.j AS dim, CAST(sum(sc.sv * v.v) AS HUGEINT) AS u " +
-      s"FROM sc JOIN v$iterations v ON sc.k = v.dim GROUP BY sc.j), " +
-      "ray AS (SELECT CAST(sum(v.v * uf.u) AS HUGEINT) AS num, " +
-      s"CAST(sum(v.v * v.v) AS HUGEINT) AS den FROM v$iterations v JOIN uf ON v.dim = uf.dim) " +
+      s"${scTimesV("uf", "sc", s"v$iterations")}, " +
+      s"${rayleigh("ray", "uf", s"v$iterations")} " +
       "SELECT v.dim, CAST(v.v AS BIGINT) AS loading_micros, " +
-      "CAST(floor(CAST((SELECT num FROM ray) AS DOUBLE) / " +
-      "CAST((SELECT den FROM ray) AS DOUBLE) + 0.5) AS BIGINT) AS scatter_eig " +
+      // den = 0 (empty/constant corpus) mirrors the engine's norm==0
+      // early return: eigenvalue 0, not NaN
+      "CASE WHEN (SELECT den FROM ray) = 0 THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(floor(CAST((SELECT num FROM ray) AS DOUBLE) / " +
+      "CAST((SELECT den FROM ray) AS DOUBLE) + 0.5) AS BIGINT) END AS scatter_eig " +
       s"FROM v$iterations v ORDER BY v.dim"
+
+  /** u = S·v, completed over the dims frame so an empty/degenerate
+    * scatter still yields all 64 dims (with u = 0) — the engine's
+    * short-circuit paths emit full-width zero vectors. */
+  private def scTimesV(name: String, sc: String, v: String): String =
+    s"$name AS MATERIALIZED (SELECT d.dim, CAST(coalesce(sum(q.p), 0) AS HUGEINT) AS u " +
+      s"FROM dims d LEFT JOIN (SELECT s.j AS dim, s.sv * v.v AS p " +
+      s"FROM $sc s JOIN $v v ON s.k = v.dim) q ON q.dim = d.dim GROUP BY d.dim)"
+
+  /** Exact integer Rayleigh pieces num = vᵀ(Sv), den = vᵀv. */
+  private def rayleigh(name: String, u: String, v: String): String =
+    s"$name AS (SELECT CAST(coalesce(sum(v.v * u.u), 0) AS HUGEINT) AS num, " +
+      s"CAST(coalesce(sum(v.v * v.v), 0) AS HUGEINT) AS den " +
+      s"FROM $v v JOIN $u u ON v.dim = u.dim)"
 
   /** All-but-the-Top oracle: the shared PCA chain, then per-vector
     * projection (exact HUGEINT), component-wise residual through the
     * sign-symmetric half-away division, ordered-fold residual norm. */
   def abttOracle(iterations: Int): String = {
     val vf = s"v$iterations"
+    // den = 0 (zero component: empty/constant corpus) mirrors the
+    // engine's den.signum == 0 branches — nothing is removed (proj 0,
+    // residual = the centered vector), never a division by zero
+    val guardedResid = "CASE WHEN (SELECT den FROM dn) = 0 THEN 0 ELSE " +
+      sqlHalfDiv("pr.num * v.v", "(SELECT den FROM dn)") + " END"
+    val guardedProj = "CASE WHEN (SELECT den FROM dn) = 0 THEN 0 ELSE " +
+      sqlHalfDiv("pr.num * 1000000", "(SELECT den FROM dn)") + " END"
     s"${pcaChain(iterations)} " +
-      s"dn AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM $vf), " +
+      s"dn AS (SELECT CAST(coalesce(sum(v * v), 0) AS HUGEINT) AS den FROM $vf), " +
       s"pr AS MATERIALIZED (SELECT c.vec_id, CAST(sum(c.cv * v.v) AS HUGEINT) AS num " +
       s"FROM c JOIN $vf v ON c.dim = v.dim GROUP BY c.vec_id), " +
       "resid AS (SELECT c.vec_id, c.dim, " +
-      s"c.cv - ${sqlHalfDiv("pr.num * v.v", "(SELECT den FROM dn)")} AS r " +
+      s"c.cv - $guardedResid AS r " +
       s"FROM c JOIN $vf v ON c.dim = v.dim JOIN pr ON c.vec_id = pr.vec_id), " +
       "rn AS (SELECT vec_id, sqrt(list_reduce(list(CAST(r AS DOUBLE) * CAST(r AS DOUBLE) " +
       "ORDER BY dim), (a, b) -> a + b)) AS nrm FROM resid GROUP BY vec_id) " +
-      s"SELECT pr.vec_id, CAST(${sqlHalfDiv("pr.num * 1000000", "(SELECT den FROM dn)")} AS BIGINT) AS proj_micros, " +
+      s"SELECT pr.vec_id, CAST($guardedProj AS BIGINT) AS proj_micros, " +
       "CAST(floor(rn.nrm + 0.5) AS BIGINT) AS resid_norm_micros " +
       "FROM pr JOIN rn ON pr.vec_id = rn.vec_id ORDER BY pr.vec_id"
   }
 
-  private def pcaChain(iterations: Int): String = {
-    val head =
-      "WITH e AS (SELECT vec_id, " +
-        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS x6, " +
-        "CAST(unnest(generate_series(0, len(embedding) - 1)) AS INTEGER) AS dim FROM embeddings), " +
-        "m AS (SELECT dim, CASE WHEN sum(x6) >= 0 " +
-        "THEN (2 * sum(x6) + count(*)) // (2 * count(*)) " +
-        "ELSE -((2 * -sum(x6) + count(*)) // (2 * count(*))) END AS m6 FROM e GROUP BY dim), " +
-        "c AS MATERIALIZED (SELECT vec_id, e.dim, x6 - m6 AS cv FROM e JOIN m ON e.dim = m.dim), " +
-        "sc AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k, CAST(sum(a.cv * b.cv) AS HUGEINT) AS sv " +
-        "FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2), " +
-        "v0 AS (SELECT DISTINCT j AS dim, CAST(1000000 AS HUGEINT) AS v FROM sc)"
-    val iters = (1 to iterations).map { t =>
-      s"u$t AS MATERIALIZED (SELECT sc.j AS dim, CAST(sum(sc.sv * v.v) AS HUGEINT) AS u " +
-        s"FROM sc JOIN v${t - 1} v ON sc.k = v.dim GROUP BY sc.j), " +
-        s"n$t AS (SELECT sqrt(list_reduce(list(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) ORDER BY dim), " +
-        s"(a, b) -> a + b)) AS nrm FROM u$t), " +
-        s"v$t AS MATERIALIZED (SELECT dim, CAST(floor(CAST(u AS DOUBLE) / (SELECT nrm FROM n$t) " +
-        s"* 1000000 + 0.5) AS HUGEINT) AS v FROM u$t)"
+  /** Top-k deflated PCA oracle (mirrors [[Spectral.deflatedComponents]]):
+    * component 0 runs the shared power chain on sc; each next component
+    * runs on scD{c} = previous − round(λ·v·vᵀ/1e12) with λ the INTEGER
+    * Rayleigh quotient (sign-symmetric half-away divisions both sides).
+    * All k·iterations power steps and k−1 deflation joins unroll as
+    * MATERIALIZED HUGEINT CTEs. */
+  def pcaKOracle(iterations: Int, k: Int): String = {
+    val parts = (0 until k).map { c =>
+      val scName = if (c == 0) "sc" else s"scD$c"
+      val pfx = s"d${c}_"
+      val vf = s"${pfx}v$iterations"
+      val steps = s"${pfx}v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims), " +
+        powerSteps(scName, pfx, iterations)
+      val ray = s"${scTimesV(s"${pfx}uf", scName, vf)}, " +
+        s"${rayleigh(s"${pfx}ray", s"${pfx}uf", vf)}, " +
+        s"${pfx}eig AS (SELECT CASE WHEN den = 0 THEN CAST(0 AS HUGEINT) " +
+        s"ELSE ${sqlHalfDiv("num", "den")} END AS e FROM ${pfx}ray)"
+      val deflate = if (c == k - 1) "" else {
+        s", scD${c + 1} AS MATERIALIZED (SELECT s.j, s.k, " +
+          s"CAST(s.sv - ${sqlHalfDiv(s"(SELECT e FROM ${pfx}eig) * va.v * vb.v", "1000000000000")} AS HUGEINT) AS sv " +
+          s"FROM $scName s JOIN $vf va ON s.j = va.dim JOIN $vf vb ON s.k = vb.dim)"
+      }
+      s"$steps, $ray$deflate"
     }.mkString(", ")
-    s"$head, $iters,"
+    val sel = (0 until k).map { c =>
+      s"SELECT CAST($c AS INTEGER) AS component, v.dim, CAST(v.v AS BIGINT) AS loading_micros, " +
+        s"CAST((SELECT e FROM d${c}_eig) AS BIGINT) AS scatter_eig FROM d${c}_v$iterations v"
+    }.mkString(" UNION ALL ")
+    s"${pcaHead()}, $parts SELECT * FROM ($sel) ORDER BY component, dim"
   }
+
+  /** Shared quantize/center/scatter head: dims (the 0..63 frame every
+    * degenerate path completes over — an empty corpus must still emit
+    * 64 zero rows like the engine's n==0 short-circuit), integer-micros
+    * e, half-away mean, centered c, exact HUGEINT scatter sc. */
+  private def pcaHead(): String =
+    "WITH dims AS (SELECT CAST(t.r AS INTEGER) AS dim FROM range(64) t(r)), " +
+      "e AS (SELECT vec_id, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS x6, " +
+      "CAST(unnest(generate_series(0, len(embedding) - 1)) AS INTEGER) AS dim FROM embeddings), " +
+      "m AS (SELECT dim, CASE WHEN sum(x6) >= 0 " +
+      "THEN (2 * sum(x6) + count(*)) // (2 * count(*)) " +
+      "ELSE -((2 * -sum(x6) + count(*)) // (2 * count(*))) END AS m6 FROM e GROUP BY dim), " +
+      "c AS MATERIALIZED (SELECT vec_id, e.dim, x6 - m6 AS cv FROM e JOIN m ON e.dim = m.dim), " +
+      "sc AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k, CAST(sum(a.cv * b.cv) AS HUGEINT) AS sv " +
+      "FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2)"
+
+  /** Power steps t = 1..n on scatter `sc`, CTE names prefixed: u = S·v
+    * (dims-completed), ordered-fold norm, renormalize with an nrm = 0
+    * guard mirroring the engine's zero-vector early return. */
+  private def powerSteps(sc: String, pfx: String, iterations: Int): String =
+    (1 to iterations).map { t =>
+      s"${scTimesV(s"${pfx}u$t", sc, s"${pfx}v${t - 1}")}, " +
+        s"${pfx}n$t AS (SELECT sqrt(list_reduce(list(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) ORDER BY dim), " +
+        s"(a, b) -> a + b)) AS nrm FROM ${pfx}u$t), " +
+        s"${pfx}v$t AS MATERIALIZED (SELECT dim, " +
+        s"CASE WHEN (SELECT nrm FROM ${pfx}n$t) = 0 THEN CAST(0 AS HUGEINT) " +
+        s"ELSE CAST(floor(CAST(u AS DOUBLE) / (SELECT nrm FROM ${pfx}n$t) " +
+        s"* 1000000 + 0.5) AS HUGEINT) END AS v FROM ${pfx}u$t)"
+    }.mkString(", ")
+
+  private def pcaChain(iterations: Int): String =
+    s"${pcaHead()}, v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims), " +
+      s"${powerSteps("sc", "", iterations)},"
 
   /** DoReMi mixture-reweighting oracle: the per-domain proxy loss and
     * every multiplicative-weights iteration unrolled as MATERIALIZED
     * CTEs in HUGEINT (scaled-integer arithmetic end to end — micros for
-    * weights/losses, 10^12 mixture scale, 10^13 factor scale,
+    * weights/losses, 10^12 mixture scale, 10^13 factor scale with the
+    * same positive greatest() clamp as [[Doremi.FactorFloor]],
     * round-half-up integer division; mirrors Doremi.reweight step for
     * step). */
   def doremiOracle(iterations: Int): String = {
@@ -552,8 +617,8 @@ private[graft] object OracleHelpers {
     val iters = (1 to iterations).map { t =>
       val p = s"w${t - 1}"
       s"mix$t AS (SELECT CAST(sum(w6 * loss6) AS HUGEINT) AS m FROM $p), " +
-        s"r$t AS MATERIALIZED (SELECT source, loss6, CAST(w6 * (10000000000000 + " +
-        s"5 * (loss6 * 1000000 - (SELECT m FROM mix$t))) AS HUGEINT) AS raw FROM $p), " +
+        s"r$t AS MATERIALIZED (SELECT source, loss6, CAST(w6 * greatest(10000000000000 + " +
+        s"${Doremi.Eta5x} * (loss6 * 1000000 - (SELECT m FROM mix$t)), ${Doremi.FactorFloor}) AS HUGEINT) AS raw FROM $p), " +
         s"z$t AS (SELECT CAST(sum(raw) AS HUGEINT) AS z FROM r$t), " +
         s"w$t AS MATERIALIZED (SELECT source, loss6, CAST((2 * raw * 1000000 + " +
         s"(SELECT z FROM z$t)) // (2 * (SELECT z FROM z$t)) AS HUGEINT) AS w6 FROM r$t)"

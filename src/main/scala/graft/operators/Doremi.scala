@@ -32,6 +32,14 @@ object Doremi {
 
   val Eta5x: Long = 5 // η = 0.5 as x10 fixed-point (factor scale below)
   val Iterations = 5
+  /** Positive floor for the linearized MW factor (10^-4 at the 10^13
+    * factor scale). The linearization 1 + η·(ℓ−mix) goes NEGATIVE once a
+    * domain's loss sits more than 1/η below the mixture average —
+    * negative weights are broken MW semantics, and the round-half-up
+    * division below silently diverges from the oracle's floor division
+    * on negatives. Clamping at a small positive floor is the standard
+    * linearized-MW guard; the oracle applies the identical greatest(). */
+  val FactorFloor: BigInt = BigInt(10).pow(9)
   private val M = BigInt(1000000L) // micros
 
   /** Per-domain integer proxy loss in micros: round-half-up of
@@ -57,8 +65,9 @@ object Doremi {
     while (t < iterations) {
       val mix12 = w.zip(loss).map { case (wi, li) => wi * li }.sum // 10^12 scale
       val raw = w.zip(loss).map { case (wi, li) =>
-        // factor at 10^13 scale: 10^13 + 5 * (loss·10^6 − mix)
-        wi * (BigInt(10).pow(13) + Eta5x * (li * M - mix12))
+        // factor at 10^13 scale: 10^13 + 5 * (loss·10^6 − mix), clamped
+        // at the positive FactorFloor (see above)
+        wi * (BigInt(10).pow(13) + Eta5x * (li * M - mix12)).max(FactorFloor)
       }
       val z = raw.sum
       // round-half-up((raw / z) · 10^6): all terms positive

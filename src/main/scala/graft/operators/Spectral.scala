@@ -23,15 +23,27 @@ import org.apache.spark.sql.functions._
   *  - the renormalized v is floor(u/‖u‖·1e6 + 0.5) micros.
   *
   * Scale shape: per-partition Long scatter partials (d² accumulators
-  * riding the scan, safe to ~9e6 rows/partition before Long pressure),
-  * one bounded collect of (numPartitions x d²), then the iteration runs
-  * on the d-sized vector driver-side. At 100 TB the partial collect
-  * becomes a treeAggregate; d² stays 4096 either way.
+  * riding the scan; a loud per-partition row-count guard fails BEFORE
+  * Long wraparound — see [[MaxRowsPerPartition]]), combined via
+  * treeAggregate into exact BigInt totals (driver memory O(d²)
+  * regardless of partition count — the 100 TB form), then the
+  * iteration runs on the d-sized vector driver-side.
   */
 object Spectral {
 
   val Dim = 64
   val Iterations = 6
+  /** Deflated components reported by [[qPcaK]] (Mu & Viswanath remove
+    * the top D ≈ d/100 components; d=64 here, so D=3 exercises the
+    * multi-component path at fixture scale). */
+  val TopK = 3
+  /** Per-partition row cap for the Long scatter accumulators: each
+    * row adds at most (2e6)² = 4e12 per cell (|centered micros| ≤ 2e6
+    * for inputs in [-1, 1]), and Long.MaxValue ≈ 9.22e18, so wraparound
+    * starts near 9.22e18 / 4e12 ≈ 2.3e6 rows/partition. The guard
+    * throws loudly at the bound instead of silently wrapping into a
+    * hash mismatch; repartition the input to stay under it. */
+  val MaxRowsPerPartition: Long = 2300000L
   private val M = BigInt(1000000L)
 
   /** Sign-symmetric round-half-away-from-zero integer division (b > 0)
@@ -98,31 +110,54 @@ object Spectral {
   /** Quantize -> exact mean -> exact scatter -> power iteration; returns
     * (mean micros, loading micros, scatter eigenvalue). */
   def fit(embeddings: DataFrame): (Array[Long], Array[Long], Long) = {
+    val (mean, scatter, n) = meanAndScatter(embeddings)
+    if (n == 0) return (Array.fill(Dim)(0L), Array.fill(Dim)(0L), 0L)
+    val (loadings, eig) = powerIteration(scatter)
+    (mean, loadings, eig)
+  }
+
+  /** The two exact passes shared by every spectral query: quantize to
+    * micros, exact integer mean, exact BigInt scatter. Per-partition
+    * Long partials (guarded against wraparound — [[MaxRowsPerPartition]])
+    * combine via treeAggregate, so driver memory stays O(d²) however
+    * many partitions the scan has. Returns (mean micros, d² scatter,
+    * row count); on an empty corpus the scatter is all zeros. */
+  def meanAndScatter(embeddings: DataFrame): (Array[Long], Array[BigInt], Long) = {
     val s = embeddings.sparkSession
     import s.implicits._
     val rows = embeddings
       .select(col("embedding").cast("array<double>")).as[Array[Double]]
       .map(_.map(micros))
-    // per-partition (sums, count) partials: one narrow pass
-    val sumParts = rows.mapPartitions { it =>
+    // pass 1: per-partition (sums, count) partials, treeAggregate'd into
+    // exact BigInt totals
+    val (sums, n) = rows.mapPartitions { it =>
       val acc = new Array[Long](Dim); var n = 0L
       it.foreach { v => var j = 0; while (j < Dim) { acc(j) += v(j); j += 1 }; n += 1 }
       if (n == 0) Iterator.empty else Iterator.single((acc, n))
-    }.collect()
-    val n = sumParts.map(_._2).sum
-    if (n == 0) return (Array.fill(Dim)(0L), Array.fill(Dim)(0L), 0L)
-    val mean = Array.tabulate(Dim) { j =>
-      halfDiv(sumParts.map(p => BigInt(p._1(j))).sum, BigInt(n)).toLong
-    }
-    // per-partition scatter partials (Long-safe: |c| <= ~2e6 so each
-    // product <= 4e12; ~9e6 rows/partition before overflow pressure)
+    }.rdd.treeAggregate((Array.fill(Dim)(BigInt(0)), 0L))(
+      seqOp = { case ((acc, cnt), (p, pn)) =>
+        var j = 0; while (j < Dim) { acc(j) += BigInt(p(j)); j += 1 }; (acc, cnt + pn)
+      },
+      combOp = { case ((a, na), (b, nb)) =>
+        var j = 0; while (j < Dim) { a(j) += b(j); j += 1 }; (a, na + nb)
+      })
+    if (n == 0)
+      return (Array.fill(Dim)(0L), Array.fill(Dim * Dim)(BigInt(0)), 0L)
+    val mean = Array.tabulate(Dim)(j => halfDiv(sums(j), BigInt(n)).toLong)
+    // pass 2: per-partition scatter partials (Long-safe up to the
+    // guarded ~2.3e6 rows/partition — each product is <= 4e12)
     val meanB = s.sparkContext.broadcast(mean)
-    val scatterParts = rows.mapPartitions { it =>
+    val scatter = rows.mapPartitions { it =>
       val m = meanB.value
       val acc = new Array[Long](Dim * Dim)
-      var any = false
+      var rowsSeen = 0L
       it.foreach { v =>
-        any = true
+        rowsSeen += 1
+        if (rowsSeen > MaxRowsPerPartition)
+          throw new IllegalStateException(
+            s"Spectral scatter partial: partition exceeds $MaxRowsPerPartition rows — " +
+              "Long accumulators would wrap (each row adds up to 4e12/cell). " +
+              "Repartition the embedding scan to smaller partitions.")
         val c = new Array[Long](Dim)
         var j = 0
         while (j < Dim) { c(j) = v(j) - m(j); j += 1 }
@@ -133,13 +168,15 @@ object Spectral {
           a += 1
         }
       }
-      if (any) Iterator.single(acc) else Iterator.empty
-    }.collect()
-    val scatter = Array.tabulate(Dim * Dim) { i =>
-      scatterParts.map(p => BigInt(p(i))).sum
-    }
-    val (loadings, eig) = powerIteration(scatter)
-    (mean, loadings, eig)
+      if (rowsSeen > 0) Iterator.single(acc) else Iterator.empty
+    }.rdd.treeAggregate(Array.fill(Dim * Dim)(BigInt(0)))(
+      seqOp = { (acc, p) =>
+        var i = 0; while (i < Dim * Dim) { acc(i) += BigInt(p(i)); i += 1 }; acc
+      },
+      combOp = { (a, b) =>
+        var i = 0; while (i < Dim * Dim) { a(i) += b(i); i += 1 }; a
+      })
+    (mean, scatter, n)
   }
 
   /** All-but-the-Top (Mu & Viswanath 2018) common-component removal:
@@ -182,5 +219,65 @@ object Spectral {
       }
       .toDF("vec_id", "proj_micros", "resid_norm_micros")
       .orderBy("vec_id")
+  }
+
+  /** Top-k components by ROUNDED RANK-1 DEFLATION: after each power
+    * solve, subtract round(λ·v·vᵀ / 1e12) from the scatter (v is in
+    * micros, so v·vᵀ/1e12 is the unit outer product; λ is the INTEGER
+    * Rayleigh quotient halfDiv(vᵀSv, vᵀv)) and iterate on the residual
+    * matrix — Hotelling deflation with every step exactly replayable:
+    * the only roundings are the two sign-symmetric half-away divisions,
+    * so engine BigInt and oracle HUGEINT agree bit for bit. Returns
+    * (loadings micros, eigenvalue) per component, largest first. */
+  def deflatedComponents(scatter0: Array[BigInt], k: Int): Seq[(Array[Long], Long)] = {
+    val t12 = BigInt(10).pow(12)
+    val s = scatter0.clone()
+    (0 until k).map { _ =>
+      val (v, _) = powerIteration(s)
+      // exact integer Rayleigh quotient on the CURRENT (deflated) matrix
+      var num = BigInt(0); var den = BigInt(0)
+      var j = 0
+      while (j < Dim) {
+        var acc = BigInt(0); var kk = 0
+        while (kk < Dim) { acc += s(j * Dim + kk) * BigInt(v(kk)); kk += 1 }
+        num += BigInt(v(j)) * acc
+        den += BigInt(v(j)) * BigInt(v(j))
+        j += 1
+      }
+      val eig = if (den.signum == 0) BigInt(0) else halfDiv(num, den)
+      // deflate: S ← S − round(λ · v vᵀ / 1e12)
+      var a = 0
+      while (a < Dim) {
+        var b = 0
+        while (b < Dim) {
+          s(a * Dim + b) -= halfDiv(eig * BigInt(v(a)) * BigInt(v(b)), t12)
+          b += 1
+        }
+        a += 1
+      }
+      (v.clone(), eig.toLong)
+    }
+  }
+
+  /** Oracle-checked top-[[TopK]] principal components by power iteration
+    * + rounded rank-1 deflation — the multi-component form All-but-the-
+    * Top actually calls for (Mu & Viswanath remove the top D ≈ d/100
+    * directions, not just one). Output: (component, dim, loading_micros,
+    * scatter_eig); the eigenvalue column here is the INTEGER Rayleigh
+    * quotient (half-away division), unlike q_pca's double-rounded
+    * single-component estimate. The oracle unrolls all k·Iterations
+    * power steps plus the k−1 deflation joins in HUGEINT. */
+  def qPcaK(s: SparkSession, d: String): DataFrame =
+    topComponentsK(Tables.rebalance(Tables.embeddings(s, d), "vec_id"), TopK)
+
+  /** [[qPcaK]] over any frame carrying an `embedding` column. */
+  def topComponentsK(embeddings: DataFrame, k: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val (_, scatter, _) = meanAndScatter(embeddings)
+    deflatedComponents(scatter, k).zipWithIndex.flatMap { case ((v, eig), c) =>
+      (0 until Dim).map(j => (c, j, v(j), eig))
+    }.toDF("component", "dim", "loading_micros", "scatter_eig")
+      .orderBy("component", "dim")
   }
 }

@@ -87,7 +87,7 @@ object TrainedLangId {
     * hit its spill knee at the 30x probe: ~300M (doc, tri) rows through
     * one exchange; this emits ≤ K rows/doc with zero exchanges). Same
     * (count DESC, trigram ASC) order as the SQL window it replaces. */
-  private def docProfiles(docs: DataFrame): DataFrame = {
+  private[graft] def docProfiles(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("t")).as[(Long, String)]
@@ -105,7 +105,14 @@ object TrainedLangId {
             java.util.Arrays.sort(arr, new java.util.Comparator[(String, Long)] {
               def compare(a: (String, Long), b: (String, Long)): Int = {
                 val byN = java.lang.Long.compare(b._2, a._2)
-                if (byN != 0) byN else a._1.compareTo(b._1)
+                // tie-break in BINARY UTF-8 order (what Spark's string
+                // sort and DuckDB's collation both use) — String
+                // .compareTo is UTF-16 code-unit order, which diverges
+                // for supplementary-plane vs U+E000..U+FFFF ties
+                if (byN != 0) byN
+                else java.util.Arrays.compareUnsigned(
+                  a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               }
             })
             (0 until math.min(K, arr.length)).iterator

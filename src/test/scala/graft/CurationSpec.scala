@@ -124,4 +124,26 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(w.map(_._2).sum - 1000000L) <= out.length)
     assert(w.sortBy(_._1).map(_._2) === w.map(_._2).sorted)
   }
+
+  test("doremi: MW factor clamps at the positive floor for far-below-mixture losses") {
+    import graft.operators.Doremi
+    // domain 'lo' sits ~5.0 loss units below the mixture average —
+    // far past the 1/η = 2.0 point where the linearized factor goes
+    // negative. The FactorFloor clamp must keep every weight positive
+    // and the distribution normalized through all iterations.
+    val skewed = Doremi.reweight(Seq(("lo", 100L), ("hi", 10000000L)))
+    assert(skewed.forall(_._3 >= 0L), s"clamped weights must never go negative: $skewed")
+    assert(math.abs(skewed.map(_._3).sum - 1000000L) <= skewed.size)
+    // the clamped low-loss domain collapses toward zero (may quantize to
+    // 0 micros under extreme gaps — but never below)
+    val lo = skewed.find(_._1 == "lo").get._3
+    val hi = skewed.find(_._1 == "hi").get._3
+    assert(lo < hi)
+    assert(lo < 10000L, s"clamped weight should be tiny, got $lo")
+    // a gap just past the 1/η threshold (2.2 loss units): clamp engages
+    // on iteration 1 but the weight stays strictly positive
+    val mild = Doremi.reweight(Seq(("lo", 100000L), ("hi", 2300000L)), iterations = 1)
+    assert(mild.forall(_._3 > 0L), s"mild-gap weights must stay positive: $mild")
+    assert(math.abs(mild.map(_._3).sum - 1000000L) <= mild.size)
+  }
 }

@@ -197,6 +197,11 @@ class EmptyInputSpec extends SparkSpec {
     // degenerate (all-zero) scatter mid-iteration: zero vector, not NaN
     val (vz, ez) = Spectral.powerIteration(Array.fill(Spectral.Dim * Spectral.Dim)(BigInt(0)))
     assert(vz.forall(_ === 0L) && ez === 0L)
+    // k-component deflation on the empty corpus: k·Dim zero rows, and
+    // the deflation of a zero matrix stays zero (no NaN, no div-by-0)
+    val kRows = Spectral.topComponentsK(emptyEmb, Spectral.TopK).collect()
+    assert(kRows.length === Spectral.TopK * Spectral.Dim)
+    assert(kRows.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
     // doremi: empty domain table -> empty weights; all-null-text source
     // -> loss 0, never a null crash
     assert(Doremi.reweight(Seq.empty).isEmpty)

@@ -491,4 +491,50 @@ class SimilaritySpec extends SparkSpec {
     // the corpus projects NON-trivially on its own top component
     assert(vecs.map(v => math.abs(out(v._1)._1)).max > 0L)
   }
+
+  test("pca_k: rank-1 deflation recovers a known spectrum in order") {
+    import graft.operators.Spectral
+    // scatter = diag(5e12, 2e12, 1e12, 0...): deflation must find e0,
+    // e1, e2 in decreasing-eigenvalue order, each axis-aligned
+    val scatter = Array.fill(Spectral.Dim * Spectral.Dim)(BigInt(0))
+    scatter(0) = BigInt(5000000000000L)
+    scatter(Spectral.Dim + 1) = BigInt(2000000000000L)
+    scatter(2 * Spectral.Dim + 2) = BigInt(1000000000000L)
+    val comps = Spectral.deflatedComponents(scatter, 3)
+    assert(comps.length === 3)
+    val eigs = comps.map(_._2)
+    assert(eigs(0) > eigs(1) && eigs(1) > eigs(2), s"eigs not decreasing: $eigs")
+    assert(math.abs(eigs(0) - 5000000000000L) < 1000000000L, s"eig0=${eigs(0)}")
+    assert(math.abs(eigs(1) - 2000000000000L) < 1000000000L, s"eig1=${eigs(1)}")
+    assert(math.abs(eigs(2) - 1000000000000L) < 1000000000L, s"eig2=${eigs(2)}")
+    // each component is (near-)axis-aligned on its own axis
+    Seq(0, 1, 2).foreach { c =>
+      val v = comps(c)._1
+      assert(math.abs(v(c)) > 990000L, s"component $c not on axis $c: ${v(c)}")
+      // 6 power steps leave a few percent of cross-axis residue (the
+      // deflation is rounded and the later gaps are smaller): <6% off-axis
+      (0 until Spectral.Dim).filter(_ != c).foreach(j =>
+        assert(math.abs(v(j)) < 60000L, s"component $c leaks onto dim $j: ${v(j)}"))
+    }
+    // end to end: component 0 of q_pca_k equals q_pca's direction
+    val k = Spectral.qPcaK(spark, sf0001).collect()
+    assert(k.length === 3 * Spectral.Dim)
+    val single = Spectral.qPca(spark, sf0001).collect().map(_.getLong(1))
+    val comp0 = k.filter(_.getInt(0) == 0).sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(comp0.toSeq === single.toSeq,
+      "q_pca_k component 0 must equal the single-component q_pca direction")
+    // the synthetic corpus has a near-FLAT spectrum (random embeddings),
+    // so strict ordering between near-tied eigenvalues isn't guaranteed
+    // by 6 power steps; the honest invariants are positivity, top-
+    // component dominance, and near-orthogonality of the recovered set
+    val kEigs = (0 until 3).map(c => k.filter(_.getInt(0) == c).head.getLong(3))
+    assert(kEigs.forall(_ > 0L), s"corpus eigs: $kEigs")
+    assert(kEigs(0) >= (kEigs.max * 0.95).toLong, s"component 0 must carry the top eig: $kEigs")
+    val vs = (0 until 3).map(c =>
+      k.filter(_.getInt(0) == c).sortBy(_.getInt(1)).map(_.getLong(2)))
+    for (i <- 0 until 3; j <- (i + 1) until 3) {
+      val dot = vs(i).zip(vs(j)).map { case (a, b) => a.toDouble * b }.sum / 1e12
+      assert(math.abs(dot) < 0.15, s"components $i,$j not near-orthogonal: $dot")
+    }
+  }
 }

@@ -264,4 +264,28 @@ class TextPipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("correct")),
       "trained langid must classify every held-out transliterated doc")
   }
+
+  test("trained langid: count ties break in BINARY UTF-8 order, not UTF-16 code units") {
+    import graft.operators.TrainedLangId
+    import spark.implicits._
+    // a supplementary-plane trigram (U+1F600, UTF-8 F0 9F 98 80) vs a
+    // private-use BMP trigram (U+E000, UTF-8 EE 80 80): UTF-16 code-unit
+    // order puts the surrogate pair (D83D DE00) FIRST, binary UTF-8
+    // order (= Spark string sort = DuckDB collation) puts it LAST. The
+    // doc profile must agree with the SQL window it replaces.
+    val emoji = "a\uD83D\uDE00" // a + U+1F600: 3 UTF-16 units -> one trigram
+    val pua = "a\uE000\uE000" // a + two U+E000: 3 UTF-16 units
+    assert(emoji.compareTo(pua) < 0, "precondition: UTF-16 order differs")
+    val t = emoji + " " + pua // every trigram occurs once: pure tie-break
+    val prof = TrainedLangId.docProfiles(Seq((1L, t)).toDF("doc_id", "t"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(prof(pua) < prof(emoji),
+      s"UTF-8 byte order must rank $pua before $emoji: $prof")
+    // and the engine rank must equal Spark's own (n DESC, tri ASC) window
+    val sparkOrder = Seq(emoji, pua).toDF("tri")
+      .orderBy(org.apache.spark.sql.functions.col("tri"))
+      .collect().map(_.getString(0))
+    assert(sparkOrder.head === pua,
+      "Spark's binary string sort itself puts the PUA trigram first")
+  }
 }
