@@ -651,6 +651,24 @@ object ScaleProbe {
           graft.operators.Doremi.domainLoss(docs)
             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq).size.toLong
       }
+      time("doremi_kn", nDocs) {
+        // the real proxy loss: one bigram explode (keys shuffle, text
+        // doesn't) + doc/source-keyed aggs feed the same MW loop
+        graft.operators.Doremi.reweight(
+          graft.operators.Doremi.domainLossKn(docs)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq).size.toLong
+      }
+      time("pca_k", nEmb) {
+        // the two scatter passes are shared with pca; deflation adds k
+        // d-sized driver solves, corpus-independent
+        graft.operators.Spectral.topComponentsK(
+          emb, graft.operators.Spectral.TopK).count()
+      }
+      time("caption_trained", nMedia) {
+        // bounded trainer panel (400 pairs) + narrow per-row scoring:
+        // the probe pins the whole train+classify cost flat in corpus
+        graft.operators.Multimodal.qCaptionTrained(spark, d).count()
+      }
       // ---- round-7 batch 3: markdown prose, audio resample, shot cuts
       // all narrow per-row decode/extract work (media bytes never
       // shuffle); probes pin per-row cost flat in corpus size

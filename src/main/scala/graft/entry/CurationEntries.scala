@@ -21,6 +21,7 @@ private[graft] object CurationEntries {
     "q_mixture" -> (Curation.qMixture _),
     // --- DoReMi-style multiplicative-weights mixture optimization
     "q_doremi" -> (Doremi.qDoremi _),
+    "q_doremi_kn" -> (Doremi.qDoremiKn _), // MW reweighting under the REAL KN log-perplexity proxy loss,
     // --- l-diversity audit (k-anonymity's sensitive-attribute companion)
     "q_ldiversity" -> (Curation.qLdiversity _),
     "q_curriculum" -> (Curation.qCurriculum _),
@@ -188,6 +189,11 @@ private[graft] object CurationEntries {
     // HUGEINT (scaled-integer, round-half-up divisions) — bit-exact vs
     // the engine's BigInt loop
     "q_doremi" -> doremiOracle(Doremi.Iterations),
+    // DoReMi under the real proxy loss: the full KN chain (one ln per
+    // distinct bigram, everything else exact integers) feeds the same
+    // unrolled MW iterations — weights shift toward the domains the
+    // in-repo LM finds hardest
+    "q_doremi_kn" -> doremiKnOracle(Doremi.Iterations),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

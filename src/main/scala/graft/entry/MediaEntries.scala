@@ -47,6 +47,7 @@ private[graft] object MediaEntries {
     "q_video_dedup" -> (Multimodal.qVideoDedup _),
     // --- caption-image consistency screen (pair-level multimodal QC)
     "q_caption_check" -> (Multimodal.qCaptionCheck _),
+    "q_caption_trained" -> (Multimodal.qCaptionTrained _), // GD-trained caption scorer over decode deltas; held-out classification,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -485,5 +486,10 @@ private[graft] object MediaEntries {
         "CAST(mm.mean_g + CASE WHEN m.doc_id % 11 = 0 THEN 2 ELSE 0 END AS INTEGER) AS cap_mean, " +
         "m.doc_id % 7 <> 0 AND m.doc_id % 11 <> 0 AS consistent " +
         "FROM m JOIN mm ON m.doc_id = mm.doc_id ORDER BY m.doc_id"),
+    // trained caption scorer: the oracle replays feature staging (plant
+    // rules + the pixel-formula mean over ids 0..399) AND the whole GD
+    // training loop unrolled, then scores the held-out odd half — the
+    // learned gate behind q_caption_check's deterministic one
+    "q_caption_trained" -> OracleHelpers.captionTrainedOracleSql,
   )
 }

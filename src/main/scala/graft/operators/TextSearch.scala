@@ -765,15 +765,21 @@ object TextSearch {
     * the score join shuffles bigram keys, never text. Every document
     * bigram is in-model by construction (trained on the same corpus) —
     * an OOV backoff slots in where train and score corpora differ. */
-  def knScore(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
-    val pairs = bigramPairs(docs)
-    val lp = bigramKnStats(pairs)
+  /** Per-distinct-bigram KN log-probabilities as exact DECIMAL(18,6):
+    * the one ln() per bigram, 6dp-rounded — shared by [[knScore]] and
+    * the DoReMi KN proxy loss. */
+  def knBigramLogProbs(pairs: DataFrame, nDistinctBigrams: Long): DataFrame =
+    bigramKnStats(pairs)
       .withColumn("lp", round(log(
         ((lit(4L) * col("n") - 3L) * nDistinctBigrams + lit(3L) * col("d1") * col("c2"))
           .cast("double") /
           (lit(4L) * col("n1") * nDistinctBigrams).cast("double")), 6)
         .cast("decimal(18,6)"))
       .select("w1", "w2", "lp")
+
+  def knScore(docs: DataFrame, nDistinctBigrams: Long): DataFrame = {
+    val pairs = bigramPairs(docs)
+    val lp = knBigramLogProbs(pairs, nDistinctBigrams)
     pairs.join(lp, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))

@@ -146,4 +146,34 @@ class CurationSpec extends SparkSpec {
     assert(mild.forall(_._3 > 0L), s"mild-gap weights must stay positive: $mild")
     assert(math.abs(mild.map(_._3).sum - 1000000L) <= mild.size)
   }
+
+  test("doremi_kn: KN log-perplexity proxy loss drives the reweighting") {
+    import graft.operators.{Doremi, TextSearch}
+    // the per-source loss is the mean per-doc KN log-perplexity — cross-
+    // check one source against an independent computation from knScore's
+    // own output (ppl -> ln(ppl) ~ loss/1e6 within quantization noise)
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+    val losses = Doremi.domainLossKn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(losses.nonEmpty)
+    assert(losses.values.forall(_ > 0L), "log-perplexity losses are positive")
+    val db = TextSearch.bigramPairs(docs).groupBy("w1", "w2").count().count()
+    val ppl = TextSearch.knScore(docs, db)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("kn_ppl")))
+    val bySrc = ppl.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(x => math.log(x._2)).sum / xs.length
+    }
+    bySrc.foreach { case (s, meanLn) =>
+      val got = losses(s) / 1e6
+      assert(math.abs(got - meanLn) < 0.01,
+        s"source $s: loss ${got} vs independent mean-ln-ppl $meanLn")
+    }
+    // end to end: a distribution, monotone in the loss
+    val out = Doremi.qDoremiKn(spark, sf0001).collect()
+    val w = out.map(r => (r.getLong(1), r.getLong(2)))
+    assert(math.abs(w.map(_._2).sum - 1000000L) <= out.length)
+    assert(w.sortBy(_._1).map(_._2) === w.map(_._2).sorted,
+      "higher KN log-perplexity must receive higher weight")
+  }
 }

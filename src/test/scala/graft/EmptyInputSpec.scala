@@ -209,6 +209,10 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dl = Doremi.domainLoss(nullDocs).collect()
     assert(dl.length === 1 && dl.head.getLong(1) === 0L)
+    // KN proxy loss: a no-bigram corpus contributes no domains at all
+    // (the q_kn_score population), never a division by zero
+    assert(Doremi.domainLossKn(nullDocs).count() === 0L)
+    assert(Doremi.domainLossKn(nullDocs.limit(0)).count() === 0L)
     // trained langid: empty corpus -> empty profiles and predictions
     val emptyLabeled = Seq.empty[(Long, Int, String)].toDF("doc_id", "cls", "t")
     assert(TrainedLangId.trainProfiles(emptyLabeled).count() === 0)

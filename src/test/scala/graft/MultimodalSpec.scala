@@ -432,6 +432,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("caption trained: perfect held-out accuracy; content lies the geometry check misses are caught") {
+    val out = Multimodal.qCaptionTrained(spark, sf0001).collect()
+    assert(out.length === 200) // odd half of the 400-pair universe
+    assert(out.forall(_.getAs[Boolean]("hit")),
+      "the trained scorer must classify every HELD-OUT pair correctly")
+    // negative control: pure content lies (id % 11 == 0, id % 7 != 0) —
+    // the untrained geometry check passes them, the learned model must
+    // reject them, and the label agrees with the model
+    val meanLies = out.filter { r =>
+      val id = r.getAs[Long]("doc_id"); id % 11 == 0 && id % 7 != 0
+    }
+    assert(meanLies.nonEmpty)
+    meanLies.foreach { r =>
+      assert(r.getAs[Boolean]("geom_said_ok"),
+        "geometry-only verdict must MISS a pure content lie")
+      assert(!r.getAs[Boolean]("pred") && r.getAs[Int]("y") === 0,
+        s"trained scorer must catch the content lie at doc ${r.getAs[Long]("doc_id")}")
+    }
+    // clean pairs score confidently above the lies
+    val cleanMin = out.filter(_.getAs[Int]("y") == 1).map(_.getAs[Double]("score")).min
+    val lieMax = out.filter(_.getAs[Int]("y") == 0).map(_.getAs[Double]("score")).max
+    assert(cleanMin > 0.5 && lieMax < 0.5,
+      s"margin collapsed: cleanMin=$cleanMin lieMax=$lieMax")
+    // the decode still feeds the features on the extended 200..399 range
+    out.foreach { r =>
+      assert(r.getAs[Int]("img_mean") ===
+        Multimodal.pngMeanGray(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("jpegMeta: geometry, component count, JFIF — plus the DQT counts") {
     for (id <- Seq(0L, 1L, 7L, 42L, 199L)) {
       val bytes = Multimodal.buildJpeg(id)
