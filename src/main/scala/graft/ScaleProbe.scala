@@ -664,6 +664,13 @@ object ScaleProbe {
         graft.operators.Spectral.topComponentsK(
           emb, graft.operators.Spectral.TopK).count()
       }
+      time("ann_auto", nEmb) {
+        // the router flips from exact (1x: 2000 vecs) to sharded HNSW
+        // (10x/30x: over AnnExactCorpusMax) — the probe exercises the
+        // crossover itself
+        graft.operators.Similarity.annTopKAutoTagged(
+          emb, emb.filter(col("vec_id") % 997 === 0), 10)._1.count()
+      }
       time("caption_trained", nMedia) {
         // bounded trainer panel (400 pairs) + narrow per-row scoring:
         // the probe pins the whole train+classify cost flat in corpus

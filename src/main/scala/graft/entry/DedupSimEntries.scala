@@ -32,6 +32,7 @@ private[graft] object DedupSimEntries {
     "q_sem_dedup" -> (Similarity.qSemDedup _),
     "q_sem_dedup_hier" -> (Similarity.qSemDedupHier _), // production two-level path, tolerance-gated,
     "q_ann_recall" -> (Similarity.qAnnRecall _), // LSH+IVF recall@10 vs brute force, tolerance-gated,
+    "q_ann_auto" -> (Similarity.qAnnAuto _), // ANN front door: router picks exact at gate scale; strategy column pinned,
     "q_pq_search" -> (Similarity.qPqSearch _), // PQ ADC + rerank recall@10, tolerance-gated,
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once,
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC,
@@ -166,6 +167,18 @@ private[graft] object DedupSimEntries {
         "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
         "FROM embeddings e, q WHERE e.vec_id <> q.q_id) " +
         "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, n_id, score " +
+        "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    // at every gate scale the corpus is under AnnExactCorpusMax, so the
+    // router provably picks brute force and the exact q_topk ranking
+    // applies; the pinned 'exact' literal makes a silent route flip a
+    // loud hash FAIL (the q_dedup_auto design)
+    "q_ann_auto" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, e.vec_id AS n_id, " +
+        "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.q_id) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, " +
+        "n_id, score, 'exact' AS strategy " +
         "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
     "q_hard_negatives" ->
       ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +

@@ -58,6 +58,95 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // --------------------------------------- ANN strategy auto-routing
+
+  sealed abstract class AnnStrategy(val name: String)
+  case object AnnExact extends AnnStrategy("exact")
+  case object AnnHnsw extends AnnStrategy("hnsw")
+  case object AnnIvf extends AnnStrategy("ivf")
+  case object AnnLsh extends AnnStrategy("lsh")
+
+  /** Below this corpus size brute force is exact AND fastest: index
+    * construction (a k-means pass, an LSH key explode, or per-shard
+    * graph builds) costs more than |corpus|·|panel| codegen'd cosines. */
+  val AnnExactCorpusMax = 10000L
+
+  /** ANN routing rule — the q_dedup_auto front door for the similarity
+    * family: pick the CHEAPEST family whose driver-gated recall floor
+    * meets the caller's target (floors are the measured q_ann_recall /
+    * q_hnsw_recall gates on the adversarially-uniform fixture):
+    *  - small corpus: exact brute force (see [[AnnExactCorpusMax]]);
+    *  - target ≤ 0.55: IVF nprobe=4 over learned lists (floor 0.55) —
+    *    cheapest SERVING (each query touches nprobe/k of the corpus);
+    *  - target ≤ 0.6: multi-probe LSH (floor 0.6) — no training pass at
+    *    all, keys hash straight off the scan;
+    *  - above: sharded HNSW (floor 0.7, measured 0.97-1.0 at gate
+    *    sizes) — the high-recall graph path. */
+  def chooseAnnStrategy(nCorpus: Long, recallTarget: Double,
+      exactCorpusMax: Long = AnnExactCorpusMax): AnnStrategy =
+    if (nCorpus <= exactCorpusMax) AnnExact
+    else if (recallTarget <= 0.55) AnnIvf
+    else if (recallTarget <= 0.6) AnnLsh
+    else AnnHnsw
+
+  /** ANN top-k with strategy auto-selection. The router decides from ONE
+    * cheap count before touching any index path, and only the chosen
+    * branch's plan is ever constructed — no speculative index builds
+    * (the match arms are lazy; nothing outside the taken arm runs).
+    * Queries are a bounded panel identified by vec_id within the corpus
+    * (every gate's shape); the HNSW arm collects that panel (documented
+    * bounded-panel driver collect, the q_hnsw_recall pattern) and, like
+    * every arm, RERANKS its candidates with the standard 6dp cosine so
+    * all four strategies emit the same deterministic
+    * (q_id, rank, n_id, score) frame. */
+  def annTopKAutoTagged(corpus: DataFrame, queries: DataFrame, k: Int,
+      recallTarget: Double = 0.9,
+      exactCorpusMax: Long = AnnExactCorpusMax): (DataFrame, AnnStrategy) = {
+    val n = corpus.count()
+    val strategy = chooseAnnStrategy(n, recallTarget, exactCorpusMax)
+    val out = strategy match {
+      case AnnExact => bruteForceTopK(corpus, queries, k)
+      case AnnLsh => lshTopK(corpus, queries, k)
+      case AnnIvf =>
+        val km = kmeansAssign(corpus, 10, 2)
+        val qk = km.join(queries.select("vec_id"), Seq("vec_id"), "left_semi")
+        ivfTopK(km, qk, "list_id", k, 4)
+      case AnnHnsw =>
+        // the graph arm normalizes to float arrays (an arbitrary numeric
+        // embedding column routes through unchanged semantics; the final
+        // rerank below scores from the ORIGINAL column either way)
+        val panel = queries
+          .select(col("vec_id"), col("embedding").cast("array<float>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        val cand = Hnsw.hnswTopK(
+          corpus.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+          panel, k) // (q_id, n_id) candidates
+        val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+        cand
+          .join(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("n_id"))
+          .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
+          .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+          .withColumn("rank", row_number().over(w))
+          .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+    }
+    (out, strategy)
+  }
+
+  /** Oracle-checked ANN front door (verdict Next #8): route by corpus
+    * statistics, tag the decision. At every gate scale the corpus sits
+    * under [[AnnExactCorpusMax]], so the router provably picks exact
+    * brute force and the q_topk pair oracle applies verbatim; the pinned
+    * 'exact' literal makes a silent branch flip a loud hash FAIL (the
+    * q_dedup_auto design). The approximate branches stay gated by their
+    * own recall queries (q_ann_recall / q_hnsw_recall / q_pq_search) and
+    * by the forced-route recall floors in SimilaritySpec. */
+  def qAnnAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val (out, strategy) = annTopKAutoTagged(emb, emb.filter(col("vec_id") < 5), 10)
+    out.withColumn("strategy", lit(strategy.name)).orderBy("q_id", "rank")
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most similar corpus vectors with a DIFFERENT
     * label — the negatives that sit right at the decision boundary,

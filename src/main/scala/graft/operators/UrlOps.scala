@@ -20,11 +20,12 @@ object UrlOps {
 
   /** Vendored public-suffix rules in the list's own file format
     * (publicsuffix.org — public-domain data; one rule per line, `*.`
-    * wildcard rules, `!` exception rules). This is a curated SUBSET of
-    * the real list (the container is zero-egress); a deployment swaps in
-    * the full vendored snapshot — the parser and matcher below implement
-    * the complete algorithm, including the implicit `*` default rule, so
-    * only this data seq changes. Multi-label ccTLD registries, the
+    * wildcard rules, `!` exception rules). This is a curated ~1,070-rule
+    * SUBSET of the real ~9k-rule list (the container is zero-egress; the
+    * remainder is a pure data drop in this exact format) — a deployment
+    * swaps in the full vendored snapshot; the parser and matcher below
+    * implement the complete algorithm, including the implicit `*`
+    * default rule, so only this data seq changes. Multi-label ccTLD registries, the
     * canonical wildcard/exception family (`*.ck` / `!www.ck`, the
     * Japanese city wildcards), and the private-section hosting domains a
     * per-domain corpus quota most needs (github.io, blogspot.com, ...)
@@ -33,8 +34,10 @@ object UrlOps {
     // ICANN section — United Kingdom (incl. the *.sch.uk school wildcard)
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "*.sch.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
-    // Australia
+    // Australia (incl. the state/territory second-levels)
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au",
+    "wa.au",
     // Japan (+ the geographic wildcards with their city exceptions)
     "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
     "ne.jp", "or.jp",
@@ -105,6 +108,158 @@ object UrlOps {
     // Canada (federal + provincial second-levels)
     "gc.ca", "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
     "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    // United States (the locality namespace: every state/territory code
+    // is a public suffix — city.state.us registrations)
+    "ak.us", "al.us", "ar.us", "az.us", "ca.us", "co.us", "ct.us",
+    "dc.us", "de.us", "fl.us", "ga.us", "gu.us", "hi.us", "ia.us",
+    "id.us", "il.us", "in.us", "ks.us", "ky.us", "la.us", "ma.us",
+    "md.us", "me.us", "mi.us", "mn.us", "mo.us", "ms.us", "mt.us",
+    "nc.us", "nd.us", "ne.us", "nh.us", "nj.us", "nm.us", "nv.us",
+    "ny.us", "oh.us", "ok.us", "or.us", "pa.us", "pr.us", "ri.us",
+    "sc.us", "sd.us", "tn.us", "tx.us", "ut.us", "va.us", "vi.us",
+    "vt.us", "wa.us", "wi.us", "wv.us", "wy.us",
+    // Bulgaria (single-letter/digit second-levels: the registry's
+    // historical 36-rule alphabet family)
+    "0.bg", "1.bg", "2.bg", "3.bg", "4.bg", "5.bg", "6.bg", "7.bg",
+    "8.bg", "9.bg", "a.bg", "b.bg", "c.bg", "d.bg", "e.bg", "f.bg",
+    "g.bg", "h.bg", "i.bg", "j.bg", "k.bg", "l.bg", "m.bg", "n.bg",
+    "o.bg", "p.bg", "q.bg", "r.bg", "s.bg", "t.bg", "u.bg", "v.bg",
+    "w.bg", "x.bg", "y.bg", "z.bg",
+    // Austria, Italy (regions), Romania, Hungary, Estonia, Latvia,
+    // Lithuania, Iceland, Ireland, Cyprus, Malta, the Balkans
+    "ac.at", "co.at", "gv.at", "or.at",
+    "gov.it", "edu.it", "abruzzo.it", "basilicata.it", "calabria.it",
+    "campania.it", "lazio.it", "liguria.it", "lombardia.it", "marche.it",
+    "molise.it", "piemonte.it", "puglia.it", "sardegna.it", "sicilia.it",
+    "toscana.it", "umbria.it", "veneto.it",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
+    "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu",
+    "news.hu", "2000.hu", "bolt.hu", "casino.hu", "city.hu", "erotica.hu",
+    "film.hu", "forum.hu", "games.hu", "hotel.hu", "ingatlan.hu",
+    "jogasz.hu", "konyvelo.hu", "lakas.hu", "media.hu", "sex.hu",
+    "shop.hu", "suli.hu", "szex.hu", "tozsde.hu", "utazas.hu", "video.hu",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "riik.ee", "lib.ee", "med.ee",
+    "pri.ee", "fie.ee", "aip.ee",
+    "com.lv", "edu.lv", "gov.lv", "org.lv", "mil.lv", "id.lv", "net.lv",
+    "asn.lv", "conf.lv",
+    "gov.lt",
+    "net.is", "com.is", "edu.is", "gov.is", "org.is", "int.is",
+    "gov.ie",
+    "ac.cy", "com.cy", "gov.cy", "net.cy", "org.cy", "ltd.cy", "press.cy",
+    "tm.cy", "biz.cy", "ekloges.cy", "name.cy", "parliament.cy", "pro.cy",
+    "com.mt", "edu.mt", "net.mt", "org.mt",
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    "com.hr", "iz.hr", "from.hr", "name.hr",
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "gov.by", "mil.by", "com.by", "of.by",
+    "com.mo", "net.mo", "org.mo", "edu.mo", "gov.mo",
+    // Norway (the registry's public categories; the full municipal
+    // namespace is part of the production data drop)
+    "mil.no", "stat.no", "dep.no", "kommune.no", "herad.no", "priv.no",
+    "vgs.no", "fhs.no", "folkebibl.no", "fylkesbibl.no", "idrett.no",
+    "museum.no",
+    // France (the professional/regulated namespaces next to the generic
+    // ones already above)
+    "avocat.fr", "aeroport.fr", "cci.fr", "chambagri.fr", "greta.fr",
+    "medecin.fr", "notaires.fr", "pharmacien.fr", "port.fr",
+    "veterinaire.fr", "avoues.fr", "chirurgiens-dentistes.fr",
+    "experts-comptables.fr", "geometre-expert.fr", "huissier-justice.fr",
+    // Poland (city/regional namespaces next to the generic set)
+    "info.pl", "biz.pl", "krakow.pl", "poznan.pl", "gda.pl", "lodz.pl",
+    "wroc.pl", "warszawa.pl", "mil.pl", "nieruchomosci.pl", "pc.pl",
+    "powiat.pl", "realestate.pl", "rel.pl", "shop.pl", "sklep.pl",
+    "sos.pl", "szkola.pl", "targi.pl", "tm.pl", "tourism.pl", "travel.pl",
+    "turystyka.pl",
+    // Central Asia, Caucasus, Middle East
+    "org.kz", "edu.kz", "net.kz", "gov.kz", "mil.kz", "com.kz",
+    "co.uz", "com.uz",
+    "com.ge", "edu.ge", "gov.ge", "org.ge", "mil.ge", "net.ge", "pvt.ge",
+    "com.am", "net.am", "org.am",
+    "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az", "info.az",
+    "pp.az", "mil.az", "name.az", "pro.az", "biz.az",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "gov.iq", "edu.iq", "mil.iq", "com.iq", "org.iq", "net.iq",
+    "com.jo", "org.jo", "net.jo", "edu.jo", "sch.jo", "gov.jo", "mil.jo",
+    "name.jo",
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw", "org.kw",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.om", "co.om", "edu.om", "gov.om", "med.om", "museum.om",
+    "net.om", "org.om", "pro.om",
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "net.qa", "org.qa",
+    "sch.qa",
+    "com.bh", "edu.bh", "net.bh", "org.bh", "gov.bh",
+    "edu.sy", "gov.sy", "net.sy", "mil.sy", "com.sy", "org.sy",
+    "edu.ps", "gov.ps", "sec.ps", "plo.ps", "com.ps", "org.ps", "net.ps",
+    // South & Southeast Asia
+    "com.pk", "net.pk", "edu.pk", "org.pk", "fam.pk", "biz.pk", "web.pk",
+    "gov.pk", "gob.pk", "gok.pk", "gon.pk", "gop.pk", "gos.pk",
+    "gov.lk", "sch.lk", "net.lk", "int.lk", "com.lk", "org.lk", "edu.lk",
+    "ngo.lk", "soc.lk", "web.lk", "ltd.lk", "assn.lk", "grp.lk",
+    "hotel.lk",
+    "int.la", "net.la", "info.la", "edu.la", "gov.la", "per.la", "com.la",
+    "org.la",
+    "gov.mn", "edu.mn", "org.mn",
+    "org.kg", "net.kg", "com.kg", "edu.kg", "gov.kg", "mil.kg",
+    "ac.tj", "biz.tj", "co.tj", "com.tj", "edu.tj", "go.tj", "gov.tj",
+    "int.tj", "mil.tj", "name.tj", "net.tj", "nic.tj", "org.tj",
+    "test.tj", "web.tj",
+    "com.tm", "co.tm", "org.tm", "net.tm", "nom.tm", "gov.tm", "mil.tm",
+    "edu.tm",
+    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    // Latin America beyond the set above
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "org.bo", "net.bo", "mil.bo",
+    "tv.bo", "web.bo",
+    "gob.cl", "gov.cl", "mil.cl",
+    "arts.co", "com.co", "edu.co", "firm.co", "gov.co", "info.co",
+    "int.co", "mil.co", "net.co", "nom.co", "org.co", "rec.co", "web.co",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.cu", "edu.cu", "org.cu", "net.cu", "gov.cu", "inf.cu",
+    "art.do", "com.do", "edu.do", "gob.do", "gov.do", "mil.do", "net.do",
+    "org.do", "sld.do", "web.do",
+    "com.ec", "info.ec", "net.ec", "fin.ec", "k12.ec", "med.ec", "pro.ec",
+    "org.ec", "edu.ec", "gov.ec", "gob.ec", "mil.ec",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "com.hn", "edu.hn", "org.hn", "net.hn", "mil.hn", "gob.hn",
+    "ac.ni", "biz.ni", "co.ni", "com.ni", "edu.ni", "gob.ni", "in.ni",
+    "info.ni", "int.ni", "mil.ni", "net.ni", "nom.ni", "org.ni", "web.ni",
+    "ac.pa", "gob.pa", "com.pa", "org.pa", "sld.pa", "edu.pa", "net.pa",
+    "ing.pa", "abo.pa", "med.pa", "nom.pa",
+    "edu.pe", "gob.pe", "nom.pe", "mil.pe", "org.pe", "com.pe", "net.pe",
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py", "org.py",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "co.ve", "com.ve", "edu.ve", "gob.ve", "gov.ve", "info.ve", "int.ve",
+    "mil.ve", "net.ve", "org.ve", "web.ve", "arts.ve", "firm.ve",
+    "rec.ve", "store.ve", "tec.ve",
+    "int.ar", "mil.ar",
+    // Africa beyond the set above
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "ac.tz", "go.tz", "or.tz", "ne.tz", "sc.tz",
+    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug",
+    "org.ug",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm", "info.zm",
+    "mil.zm", "net.zm", "org.zm", "sch.zm",
+    "co.zw", "ac.zw", "org.zw", "gov.zw", "mil.zw",
+    "ac.mz", "adv.mz", "co.mz", "edu.mz", "gov.mz", "mil.mz", "net.mz",
+    "org.mz",
+    "ed.ao", "gv.ao", "og.ao", "co.ao", "pb.ao", "it.ao",
+    "co.bw", "org.bw",
+    "com.et", "gov.et", "org.et", "edu.et", "biz.et", "name.et",
+    "info.et", "net.et",
+    "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz",
+    "pol.dz", "art.dz",
+    "co.ma", "net.ma", "gov.ma", "org.ma", "ac.ma", "press.ma",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "intl.tn",
+    "nat.tn", "net.tn", "org.tn", "info.tn", "perso.tn", "tourism.tn",
+    "com.ly", "net.ly", "gov.ly", "plc.ly", "edu.ly", "sch.ly", "med.ly",
+    "org.ly", "id.ly",
+    "com.sd", "net.sd", "org.sd", "edu.sd", "med.sd", "tv.sd", "gov.sd",
+    "info.sd",
+    "test.ru",
     // entire-TLD wildcards (registries that delegate only at the third
     // level), incl. the canonical Cook Islands wildcard+exception pair
     "*.bd", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
@@ -116,7 +271,7 @@ object UrlOps {
     "vercel.app", "pages.dev", "workers.dev", "web.app", "firebaseapp.com",
     "fly.dev", "onrender.com", "glitch.me", "neocities.org",
     "readthedocs.io", "bitbucket.io", "cloudfunctions.net",
-    "s3.amazonaws.com", "cloudfront.net")
+    "s3.amazonaws.com", "cloudfront.net", "wordpress.com", "surge.sh")
 
   // rule index, built once at class load: exact rules, wildcard bases
   // ('*.ck' -> 'ck'), exception targets ('!www.ck' -> 'www.ck')

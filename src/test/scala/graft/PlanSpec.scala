@@ -192,7 +192,12 @@ class PlanSpec extends SparkSpec {
       // the matryoshka gate IS three panel-bounded brute-force rankings
       // (full/half/quarter width) — all-pairs against the 20-query
       // broadcast panel by definition
-      "q_mrl_recall")
+      "q_mrl_recall",
+      // the ANN front door provably routes to exact brute force under
+      // AnnExactCorpusMax — at gate scale it IS the q_topk baseline
+      // (panel-bounded); above the threshold the router never goes
+      // all-pairs (forced-route specs gate the index branches)
+      "q_ann_auto")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(

@@ -492,6 +492,47 @@ class SimilaritySpec extends SparkSpec {
     assert(vecs.map(v => math.abs(out(v._1)._1)).max > 0L)
   }
 
+  test("ann auto-router: decision table, exact route equality, forced-route recall floors") {
+    import graft.operators.{Similarity => S}
+    import org.apache.spark.sql.functions.col
+    // decision table: cheapest family whose gated recall floor meets the
+    // target; small corpora always go exact
+    assert(S.chooseAnnStrategy(5000, 0.9) === S.AnnExact)
+    assert(S.chooseAnnStrategy(1000000, 0.5) === S.AnnIvf)
+    assert(S.chooseAnnStrategy(1000000, 0.58) === S.AnnLsh)
+    assert(S.chooseAnnStrategy(1000000, 0.9) === S.AnnHnsw)
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val panel = emb.filter(col("vec_id") < 20)
+    val k = 10
+    // the declared route at gate scale: exact, row-identical to q_topk's
+    // brute force
+    val (auto, tag) = S.annTopKAutoTagged(emb, panel, k)
+    assert(tag === S.AnnExact)
+    val exact = S.bruteForceTopK(emb, panel, k)
+    assert(auto.collect().toSet === exact.collect().toSet)
+    val truth = exact.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force each approximate route (exactCorpusMax = 0) and hold it to
+    // its own driver-gated recall floor against the same ground truth
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val (ivf, tIvf) = S.annTopKAutoTagged(emb, panel, k, 0.5, exactCorpusMax = 0)
+    assert(tIvf === S.AnnIvf)
+    assert(recall(ivf) >= 0.55, s"forced IVF recall ${recall(ivf)}")
+    val (lsh, tLsh) = S.annTopKAutoTagged(emb, panel, k, 0.58, exactCorpusMax = 0)
+    assert(tLsh === S.AnnLsh)
+    assert(recall(lsh) >= 0.6, s"forced LSH recall ${recall(lsh)}")
+    val (hnsw, tH) = S.annTopKAutoTagged(emb, panel, k, 0.9, exactCorpusMax = 0)
+    assert(tH === S.AnnHnsw)
+    assert(recall(hnsw) >= 0.7, s"forced HNSW recall ${recall(hnsw)}")
+    // every route emits the unified deterministic frame
+    Seq(auto, ivf, lsh, hnsw).foreach(df =>
+      assert(df.columns.toSeq === Seq("q_id", "rank", "n_id", "score")))
+  }
+
   test("pca_k: rank-1 deflation recovers a known spectrum in order") {
     import graft.operators.Spectral
     // scatter = diag(5e12, 2e12, 1e12, 0...): deflation must find e0,
