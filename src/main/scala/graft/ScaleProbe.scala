@@ -664,6 +664,10 @@ object ScaleProbe {
         graft.operators.Spectral.topComponentsK(
           emb, graft.operators.Spectral.TopK).count()
       }
+      time("abtt_k", nEmb) {
+        // the shared fit + one narrow per-vector removal pass
+        graft.operators.Spectral.abttK(emb).count()
+      }
       time("ann_auto", nEmb) {
         // the router flips from exact (1x: 2000 vecs) to sharded HNSW
         // (10x/30x: over AnnExactCorpusMax) — the probe exercises the

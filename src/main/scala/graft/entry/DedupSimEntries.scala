@@ -57,6 +57,8 @@ private[graft] object DedupSimEntries {
     "q_abtt" -> (Spectral.qAbtt _),
     // --- top-k components by rounded rank-1 deflation (ABTT's "top D")
     "q_pca_k" -> (Spectral.qPcaK _),
+    // --- full ABTT: sequential top-D removal per vector
+    "q_abtt_k" -> (Spectral.qAbttK _),
     // --- matryoshka truncated-dimension serving recall
     "q_mrl_recall" -> (Similarity.qMrlRecall _),
   )
@@ -77,6 +79,9 @@ private[graft] object DedupSimEntries {
     // top-k deflated PCA: k·6 power steps + 2 deflation joins unrolled;
     // the integer Rayleigh + rounded rank-1 subtraction replay bit-exact
     "q_pca_k" -> pcaKOracle(Spectral.Iterations, Spectral.TopK),
+    // full ABTT: the k-component chain + per-vector SEQUENTIAL removal
+    // (each projection taken on the residual the previous one left)
+    "q_abtt_k" -> abttKOracle(Spectral.Iterations, Spectral.TopK),
     // BFS frontier: the oracle's recursive CTE enumerates every path of
     // length <= 5 from the seeds through the same affine edge maps and
     // takes min(hop) per node — first-reach depth in the engine's

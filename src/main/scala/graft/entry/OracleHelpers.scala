@@ -597,8 +597,11 @@ private[graft] object OracleHelpers {
     * Rayleigh quotient (sign-symmetric half-away divisions both sides).
     * All k·iterations power steps and k−1 deflation joins unroll as
     * MATERIALIZED HUGEINT CTEs. */
-  def pcaKOracle(iterations: Int, k: Int): String = {
-    val parts = (0 until k).map { c =>
+  /** The shared k-component deflation CTE chain: per component c, the
+    * power steps on scD{c} (sc for c=0), the integer Rayleigh eig, and
+    * the rounded rank-1 deflation feeding the next component. */
+  private def pcaKParts(iterations: Int, k: Int): String =
+    (0 until k).map { c =>
       val scName = if (c == 0) "sc" else s"scD$c"
       val pfx = s"d${c}_"
       val vf = s"${pfx}v$iterations"
@@ -615,11 +618,44 @@ private[graft] object OracleHelpers {
       }
       s"$steps, $ray$deflate"
     }.mkString(", ")
+
+  def pcaKOracle(iterations: Int, k: Int): String = {
     val sel = (0 until k).map { c =>
       s"SELECT CAST($c AS INTEGER) AS component, v.dim, CAST(v.v AS BIGINT) AS loading_micros, " +
         s"CAST((SELECT e FROM d${c}_eig) AS BIGINT) AS scatter_eig FROM d${c}_v$iterations v"
     }.mkString(" UNION ALL ")
-    s"${pcaHead()}, $parts SELECT * FROM ($sel) ORDER BY component, dim"
+    s"${pcaHead()}, ${pcaKParts(iterations, k)} SELECT * FROM ($sel) ORDER BY component, dim"
+  }
+
+  /** Full ABTT oracle (mirrors [[Spectral.qAbttK]]): the shared
+    * k-component chain, then per vector the SEQUENTIAL removal — for
+    * each component in order, the exact HUGEINT projection on the
+    * CURRENT residual and the half-away-divided coordinate update —
+    * and the ordered-fold residual norm at the end. */
+  def abttKOracle(iterations: Int, k: Int): String = {
+    val removal = (0 until k).map { i =>
+      val vf = s"d${i}_v$iterations"
+      s"adn$i AS (SELECT CAST(coalesce(sum(v * v), 0) AS HUGEINT) AS den FROM $vf), " +
+        s"ap$i AS MATERIALIZED (SELECT c.vec_id, CAST(sum(c.cv * v.v) AS HUGEINT) AS num " +
+        s"FROM ac$i c JOIN $vf v ON c.dim = v.dim GROUP BY c.vec_id), " +
+        s"ac${i + 1} AS MATERIALIZED (SELECT c.vec_id, c.dim, " +
+        s"CAST(c.cv - CASE WHEN (SELECT den FROM adn$i) = 0 THEN 0 " +
+        s"ELSE ${sqlHalfDiv(s"ap$i.num * v.v", s"(SELECT den FROM adn$i)")} END AS HUGEINT) AS cv " +
+        s"FROM ac$i c JOIN $vf v ON c.dim = v.dim JOIN ap$i ON c.vec_id = ap$i.vec_id)"
+    }.mkString(", ")
+    val projCols = (0 until k).map { i =>
+      s"CAST(CASE WHEN (SELECT den FROM adn$i) = 0 THEN 0 " +
+        s"ELSE ${sqlHalfDiv(s"ap$i.num * 1000000", s"(SELECT den FROM adn$i)")} END AS BIGINT) AS proj${i}_micros"
+    }.mkString(", ")
+    val joins = (1 until k).map(i => s"JOIN ap$i USING (vec_id) ").mkString
+    s"${pcaHead()}, ${pcaKParts(iterations, k)}, " +
+      "ac0 AS (SELECT vec_id, dim, cv FROM c), " +
+      s"$removal, " +
+      s"rn AS (SELECT vec_id, sqrt(list_reduce(list(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE) " +
+      s"ORDER BY dim), (a, b) -> a + b)) AS nrm FROM ac$k GROUP BY vec_id) " +
+      s"SELECT ap0.vec_id, $projCols, " +
+      "CAST(floor(rn.nrm + 0.5) AS BIGINT) AS resid_norm_micros " +
+      s"FROM ap0 ${joins}JOIN rn USING (vec_id) ORDER BY ap0.vec_id"
   }
 
   /** Shared quantize/center/scatter head: dims (the 0..63 frame every

@@ -259,6 +259,62 @@ object Spectral {
     }
   }
 
+  /** FULL All-but-the-Top (Mu & Viswanath 2018, the complete form):
+    * remove the top [[TopK]] deflated components from every centered
+    * vector IN ORDER — qAbtt removes only the top-1; the paper removes
+    * D ≈ d/100 directions, and with d-scale corpora that is a multi-
+    * component pass. Per vector: c ← c − round(⟨c,vᵢ⟩·vᵢ / ‖vᵢ‖²) for
+    * i = 0..k−1 (each update one sign-symmetric half-away division per
+    * coordinate, exactly replayable), reporting each scalar projection
+    * and the final residual norm (ordered fold + IEEE sqrt). Narrow
+    * per-vector work; the k components are a k·d broadcast. Output
+    * columns are fixed to TopK = 3 projections (coupled to the oracle's
+    * generated column list). */
+  def qAbttK(s: SparkSession, d: String): DataFrame =
+    abttK(Tables.embeddings(s, d))
+
+  /** [[qAbttK]] over any frame carrying (vec_id, embedding). */
+  def abttK(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val (mean, scatter, _) =
+      meanAndScatter(Tables.rebalance(embeddings, "vec_id"))
+    val comps = deflatedComponents(scatter, TopK).map(_._1).toArray
+    val dens = comps.map(v => v.map(x => BigInt(x) * BigInt(x)).sum)
+    val meanB = s.sparkContext.broadcast(mean)
+    val compB = s.sparkContext.broadcast(comps)
+    val denB = s.sparkContext.broadcast(dens)
+    // narrow per-vector pass, the qAbtt shape: the fit's exchanges ran
+    // eagerly above, no exchange here ever carries the embedding array
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, e) =>
+        val m = meanB.value; val vs = compB.value; val ds = denB.value
+        val c = Array.tabulate(Dim)(j => BigInt(micros(e(j)) - m(j)))
+        val projs = new Array[Long](vs.length)
+        var i = 0
+        while (i < vs.length) {
+          val v = vs(i); val den = ds(i)
+          var num = BigInt(0); var j = 0
+          while (j < Dim) { num += c(j) * BigInt(v(j)); j += 1 }
+          // degenerate component (zero vector): nothing to remove
+          projs(i) = if (den.signum == 0) 0L else halfDiv(num * 1000000L, den).toLong
+          if (den.signum != 0) {
+            j = 0
+            while (j < Dim) { c(j) -= halfDiv(num * BigInt(v(j)), den); j += 1 }
+          }
+          i += 1
+        }
+        var acc = 0.0
+        var j = 0
+        while (j < Dim) { val r = c(j).toDouble; acc += r * r; j += 1 } // ordered fold
+        (id, projs(0), projs(1), projs(2), math.floor(math.sqrt(acc) + 0.5).toLong)
+      }
+      .toDF("vec_id", "proj0_micros", "proj1_micros", "proj2_micros", "resid_norm_micros")
+      .orderBy("vec_id")
+  }
+
   /** Oracle-checked top-[[TopK]] principal components by power iteration
     * + rounded rank-1 deflation — the multi-component form All-but-the-
     * Top actually calls for (Mu & Viswanath remove the top D ≈ d/100

@@ -533,6 +533,38 @@ class SimilaritySpec extends SparkSpec {
       assert(df.columns.toSeq === Seq("q_id", "rank", "n_id", "score")))
   }
 
+  test("abtt_k: sequential top-3 removal is pythagorean and dominates top-1 removal") {
+    import graft.operators.Spectral
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val (mean, _, _) = Spectral.fit(
+      graft.engine.Tables.rebalance(emb, "vec_id"))
+    val one = Spectral.qAbtt(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = Spectral.qAbttK(spark, sf0001).collect()
+    assert(out.length === one.size)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // the FIRST removal is the same component qAbtt removes
+      assert(r.getLong(1) === one(id)._1,
+        s"vec $id: proj0 ${r.getLong(1)} != single-component proj ${one(id)._1}")
+      // removing three components never leaves MORE energy than one
+      assert(r.getLong(4) <= one(id)._2 + 2,
+        s"vec $id: 3-component residual ${r.getLong(4)} > top-1 residual ${one(id)._2}")
+      // pythagoras across the sequence: ||c||² == Σ projᵢ² + resid²
+      // within per-coordinate rounding noise of 3 sequential removals
+      val c = Array.tabulate(Spectral.Dim)(j =>
+        Spectral.micros(vecs(id)(j).toDouble) - mean(j))
+      val cNorm2 = c.map(x => x.toDouble * x.toDouble).sum
+      val lhs = (1 to 3).map(i => r.getLong(i).toDouble * r.getLong(i)).sum +
+        r.getLong(4).toDouble * r.getLong(4)
+      assert(math.abs(lhs - cNorm2) <= 0.05 * cNorm2 + 1e6,
+        s"vec $id not pythagorean: $lhs vs $cNorm2")
+    }
+  }
+
   test("pca_k: rank-1 deflation recovers a known spectrum in order") {
     import graft.operators.Spectral
     // scatter = diag(5e12, 2e12, 1e12, 0...): deflation must find e0,
