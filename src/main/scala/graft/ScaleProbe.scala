@@ -664,6 +664,10 @@ object ScaleProbe {
         graft.operators.Spectral.topComponentsK(
           emb, graft.operators.Spectral.TopK).count()
       }
+      time("alpha_sample", nDocs) {
+        // one keyed corpus aggregation + a |sources|-row scalar attach
+        graft.operators.Curation.alphaSample(docs).count()
+      }
       time("abtt_k", nEmb) {
         // the shared fit + one narrow per-vector removal pass
         graft.operators.Spectral.abttK(emb).count()

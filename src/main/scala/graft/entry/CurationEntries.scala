@@ -22,6 +22,7 @@ private[graft] object CurationEntries {
     // --- DoReMi-style multiplicative-weights mixture optimization
     "q_doremi" -> (Doremi.qDoremi _),
     "q_doremi_kn" -> (Doremi.qDoremiKn _), // MW reweighting under the REAL KN log-perplexity proxy loss,
+    "q_alpha_sample" -> (Curation.qAlphaSample _), // alpha=1/2 temperature-scaled domain sampling weights,
     // --- l-diversity audit (k-anonymity's sensitive-attribute companion)
     "q_ldiversity" -> (Curation.qLdiversity _),
     "q_curriculum" -> (Curation.qCurriculum _),
@@ -194,6 +195,19 @@ private[graft] object CurationEntries {
     // unrolled MW iterations — weights shift toward the domains the
     // in-repo LM finds hardest
     "q_doremi_kn" -> doremiKnOracle(Doremi.Iterations),
+    // alpha sampling: sqrt is IEEE-exact, the Σ is an exact DECIMAL sum,
+    // both divisions correctly rounded then 6dp-floored — hash-exact
+    "q_alpha_sample" ->
+      ("WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "s AS (SELECT source, n_docs, " +
+        "floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS s6 FROM c), " +
+        "t AS (SELECT CAST(sum(CAST(s6 AS DECIMAL(18,6))) AS DOUBLE) AS st, " +
+        "CAST(sum(n_docs) AS DOUBLE) AS nt FROM s), " +
+        "w AS (SELECT source, n_docs, " +
+        "floor(s6 / (SELECT st FROM t) * 1000000 + 0.5) / 1000000 AS w_alpha FROM s) " +
+        "SELECT source, n_docs, w_alpha, " +
+        "floor(w_alpha * (SELECT nt FROM t) / CAST(n_docs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS boost " +
+        "FROM w ORDER BY source"),
     "q_mixture" ->
       ("WITH per AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i, " +
         "CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1 AS DOUBLE) AS w_i " +

@@ -159,6 +159,39 @@ object Curation {
         round(col("n_kept").cast("double") / col("n_total"), 6).as("kept_frac"))
       .orderBy("source")
 
+  /** Temperature-scaled (α = 1/2) domain sampling weights — the
+    * multilingual "alpha sampling" rule (mBERT / XLM-R: wᵢ ∝ pᵢ^α with
+    * α < 1 flattens the domain distribution so low-resource domains are
+    * not drowned by head domains). α = 1/2 is both the classic choice
+    * AND the one temperature whose power function is IEEE-exact (sqrt —
+    * libm pow would not cross the hash gate): wᵢ = √nᵢ / Σ√nⱼ, with
+    * each √ rounded onto the 6dp grid before the Σ (an exact DECIMAL
+    * sum, order-free) and one correctly-rounded division after. The
+    * boost column wᵢ/pᵢ (> 1 = up-weighted) is the sampling multiplier
+    * a mixture executor applies per domain. Scale: one keyed
+    * aggregation over the corpus; the scalar totals attach via a
+    * broadcast 1-row frame. */
+  def qAlphaSample(s: SparkSession, d: String): DataFrame =
+    alphaSample(documents(s, d))
+
+  /** [[qAlphaSample]] over any frame carrying a `source` column. */
+  def alphaSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s6",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5) / 1e6)
+    val totals = counts.agg(
+      sum(col("s6").cast("decimal(18,6)")).as("st"),
+      sum(col("n_docs")).as("nt"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("w_alpha",
+        floor(col("s6") / col("st").cast("double") * 1e6 + 0.5) / 1e6)
+      .select(col("source"), col("n_docs"), col("w_alpha"),
+        (floor(col("w_alpha") * col("nt").cast("double") /
+          col("n_docs").cast("double") * 1e6 + 0.5) / 1e6).as("boost"))
+      .orderBy("source")
+  }
+
   /** Curriculum assignment: every document gets a quality DECILE from
     * exact grouped percentiles — the "order the corpus easy-to-hard"
     * step of curriculum training, without a global sort. The 9 decile

@@ -147,6 +147,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(mild.map(_._3).sum - 1000000L) <= mild.size)
   }
 
+  test("alpha sampling: a distribution that flattens toward the tail") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val docs = Seq.tabulate(130)(i =>
+      (i.toLong, "text", if (i < 100) "big" else if (i < 128) "mid" else "tiny"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.alphaSample(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // √100=10, √28≈5.291503, √2≈1.414214; Σ≈16.705717
+    assert(out("big")._1 === 100L && out("mid")._1 === 28L && out("tiny")._1 === 2L)
+    val ws = Seq("big", "mid", "tiny").map(out(_)._2)
+    assert(math.abs(ws.sum - 1.0) < 1e-5, s"weights must sum to 1: $ws")
+    assert(ws(0) > ws(1) && ws(1) > ws(2), "α<1 preserves the size ordering")
+    // flattening: the weight ratio is compressed vs the raw share ratio
+    assert(ws(0) / ws(2) < 100.0 / 2.0,
+      "α=1/2 must compress the head/tail ratio")
+    // boost: below-average-share domains are up-weighted, head is down
+    assert(out("tiny")._3 > 1.0 && out("big")._3 < 1.0)
+    // hand value: w(big) = 10 / 16.705717 = 0.598597
+    assert(math.abs(out("big")._2 - 0.598597) < 2e-6)
+    // end to end on the corpus
+    val e2e = Curation.qAlphaSample(spark, sf0001).collect()
+    assert(e2e.nonEmpty)
+    assert(math.abs(e2e.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+
   test("doremi_kn: KN log-perplexity proxy loss drives the reweighting") {
     import graft.operators.{Doremi, TextSearch}
     // the per-source loss is the mean per-doc KN log-perplexity — cross-
