@@ -664,6 +664,14 @@ object ScaleProbe {
         graft.operators.Spectral.topComponentsK(
           emb, graft.operators.Spectral.TopK).count()
       }
+      time("unicode_nfc", nDocs) {
+        // narrow per-row UAX#15 composition, the md_extract shape
+        docsWide.map { case (id, _) =>
+          java.text.Normalizer.normalize(
+            graft.operators.TextNormalize.nfdTextFor(id),
+            java.text.Normalizer.Form.NFC).length.toLong
+        }.agg(sum(col("value"))).head(); nDocs
+      }
       time("alpha_sample", nDocs) {
         // one keyed corpus aggregation + a |sources|-row scalar attach
         graft.operators.Curation.alphaSample(docs).count()

@@ -40,6 +40,7 @@ private[graft] object TextEntries {
     // --- nested document model + ingest pipeline (SURVEY §1.1, §3.1),
     "q_kn_score" -> (TextSearch.qKnScore _), // KenLM-style per-doc perplexity under the KN bigram model,
     "q_normalize" -> (TextNormalize.qNormalize _),
+    "q_unicode_nfc" -> (TextNormalize.qUnicodeNfc _), // UAX#15 canonical composition, two independent implementations gated,
     "q_c4_filters" -> (TextNormalize.qC4Filters _),
     // --- corpus statistics / tokenizer induction
     "q_stopword_df" -> (TextSearch.qStopwordDf _),
@@ -344,6 +345,20 @@ private[graft] object TextEntries {
         "CASE WHEN p_total > 0 THEN round(CAST(tp AS DOUBLE) / p_total, 6) END AS recall, " +
         "round(2.0 * tp / (pred_pos + p_total), 6) AS f1 " +
         "FROM c ORDER BY threshold"),
+    // NFC gate: the oracle builds the identical decomposed string via
+    // chr() and normalizes with utf8proc — an INDEPENDENT UAX#15
+    // implementation from the engine's java.text.Normalizer; composed
+    // bytes, code-point lengths and the changed flag must all agree
+    "q_unicode_nfc" ->
+      ("WITH n AS (SELECT doc_id, 'w' || CAST(doc_id % 7 AS VARCHAR) || ' ' || " +
+        "'cafe' || chr(769) || ' ' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(8491) || 'ngstro' || chr(776) || 'm ' ELSE '' END || " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'a' || chr(778) || 'r ' ELSE '' END || " +
+        "'plain' || CAST(doc_id % 5 AS VARCHAR) AS raw FROM documents) " +
+        "SELECT doc_id, raw, nfc_normalize(raw) AS nfc_text, " +
+        "CAST(length(raw) AS BIGINT) AS len_raw, " +
+        "CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc, " +
+        "raw <> nfc_normalize(raw) AS changed FROM n ORDER BY doc_id"),
     "q_normalize" ->
       ("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents) " +

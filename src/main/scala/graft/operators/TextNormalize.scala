@@ -35,6 +35,50 @@ object TextNormalize {
           .otherwise(size(split(col("norm_text"), " ")).cast("long")))
       .orderBy("doc_id")
 
+  /** Deterministic NON-NFC fixture text for a doc id — decomposed
+    * sequences NFC must compose ('e'+U+0301 combining acute -> é,
+    * 'a'+U+030A combining ring -> å) plus the U+212B ANGSTROM SIGN
+    * singleton (composes to U+00C5) — all BMP, so JVM UTF-16 length ==
+    * code points == DuckDB length. The corpus itself is ASCII (NFC is
+    * the identity on it), so the gate input is STAGED like every other
+    * fixture: the oracle constructs the identical string via chr(). */
+  def nfdTextFor(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append("w").append(id % 7).append(' ')
+    sb.append("cafe\u0301 ") // e + combining acute
+    if (id % 3 == 0) sb.append("\u212Bngstro\u0308m ") // ANGSTROM SIGN; o + diaeresis
+    if (id % 2 == 0) sb.append("a\u030Ar ") // a + combining ring
+    sb.append("plain").append(id % 5)
+    sb.toString
+  }
+
+  /** Oracle-checked Unicode NFC normalization — the FIRST transform of
+    * every real multilingual pipeline (dedup keys, tokenizer inputs and
+    * quality heuristics all assume one canonical form; a corpus mixing
+    * composed and decomposed spellings of the same word silently splits
+    * its statistics). Engine = java.text.Normalizer (ICU-class canonical
+    * composition); oracle = DuckDB's utf8proc nfc_normalize over the
+    * identically-constructed strings — two INDEPENDENT implementations
+    * of UAX#15 must agree byte-for-byte on composed output, lengths, and
+    * the changed flag. Narrow per-row map, no shuffle. */
+  def qUnicodeNfc(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val raw = nfdTextFor(id)
+          val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+          (id, raw, nfc,
+            raw.codePointCount(0, raw.length).toLong,
+            nfc.codePointCount(0, nfc.length).toLong,
+            raw != nfc)
+        }
+      }
+      .toDF("doc_id", "raw", "nfc_text", "len_raw", "len_nfc", "changed")
+      .orderBy("doc_id")
+  }
+
   /** C4/Gopher-style heuristic quality filters (Raffel et al. 2020 and
     * Rae et al. 2021, both public): every doc gets a keep/reject verdict
     * plus the FIRST failing rule, so the filter is auditable — a pipeline

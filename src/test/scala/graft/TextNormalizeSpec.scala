@@ -209,4 +209,28 @@ class TextNormalizeSpec extends SparkSpec {
     // dimension shift identity: b's bits land one position above a's
     assert(z(7, 9) === z(7, 0) + 2 * z(9, 0))
   }
+
+  test("unicode NFC: canonical composition, singleton, lengths, changed flag") {
+    import graft.operators.TextNormalize
+    // the staged fixture is genuinely DECOMPOSED (no silent source-file
+    // normalization): combining marks present pre-NFC, gone post-NFC
+    val raw = TextNormalize.nfdTextFor(6L) // hits all three branches
+    assert(raw.indexOf('\u0301') >= 0 && raw.indexOf('\u212B') >= 0 && raw.indexOf('\u030A') >= 0)
+    val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+    assert(nfc.contains("caf\u00E9"), "e + U+0301 must compose to U+00E9")
+    assert(nfc.contains("\u00C5ngstr\u00F6m"),
+      "U+212B must compose to U+00C5 (singleton) and o+U+0308 to ö")
+    assert(nfc.contains("\u00E5r"), "a + U+030A must compose to U+00E5")
+    assert(!nfc.exists(c => c == '\u0301' || c == '\u0308' || c == '\u030A'))
+    // each composition shortens by one code point; the singleton keeps 1
+    val out = TextNormalize.qUnicodeNfc(spark, sf0001).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expectShrink = 1L + (if (id % 3 == 0) 1L else 0L) + (if (id % 2 == 0) 1L else 0L)
+      assert(r.getLong(3) - r.getLong(4) === expectShrink,
+        s"doc $id: len ${r.getLong(3)} -> ${r.getLong(4)}")
+      assert(r.getBoolean(5), "every staged row decomposes, so all change")
+    }
+  }
 }
