@@ -664,6 +664,10 @@ object ScaleProbe {
         graft.operators.Spectral.topComponentsK(
           emb, graft.operators.Spectral.TopK).count()
       }
+      time("minhash_est", nDocs) {
+        // the dedup_minhash shape + one K-wide compare per candidate
+        graft.operators.Dedup.minhashEstimates(docs).count()
+      }
       time("unicode_nfc", nDocs) {
         // narrow per-row UAX#15 composition, the md_extract shape
         docsWide.map { case (id, _) =>

@@ -17,6 +17,7 @@ private[graft] object DedupSimEntries {
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_auto" -> (Dedup.qDedupAuto _),  // router picks exact-inverted at gate scale; strategy column pinned,
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
+    "q_minhash_est" -> (Dedup.qMinhashEst _), // estimator-vs-truth observability over the candidate set,
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
     "q_cross_dedup" -> (Dedup.qCrossDedup _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
@@ -126,6 +127,9 @@ private[graft] object DedupSimEntries {
         "s.nd > 1 AS shared FROM cdk k JOIN cshare s USING (chunk_fp) " +
         "ORDER BY doc_id, chunk_no"),
     "q_dedup_minhash" -> minhashOracleSql,
+    // estimate (match/K) AND truth (exact Jaccard) both replay from the
+    // generated signature chain; the abs error is floor-form 6dp
+    "q_minhash_est" -> minhashEstOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_exact" ->

@@ -42,6 +42,41 @@ private[graft] object OracleHelpers {
 
   lazy val minhashOracleSql: String = minhashOracleFor("a.doc_id < b.doc_id")
 
+  /** Estimator-observability oracle (mirrors [[Dedup.qMinhashEst]]): the
+    * same generated signature/band chain, but selecting BOTH sides of
+    * the estimate — component-match count, match/K, exact Jaccard, and
+    * the floor-form absolute error — over the unfiltered candidate set. */
+  lazy val minhashEstOracleSql: String = {
+    val k = Dedup.MinhashK
+    val sigTerms = Dedup.hashParams.map { case (a, b) =>
+      s"list_min(list_transform(cs, x -> ($a*x + $b) % ${Dedup.Prime}))"
+    }.mkString(", ")
+    val rpb = Dedup.RowsPerBand
+    "WITH allc AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, text FROM documents), " +
+      "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM allc), " +
+      "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+      "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+      "codes AS (SELECT doc_id, s, list_transform(s, sg -> list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(sg)), " +
+      "i -> CAST(ascii(sg[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)) AS cs FROM sh), " +
+      s"sigs AS (SELECT doc_id, s, [$sigTerms] AS sig FROM codes), " +
+      s"bands AS (SELECT doc_id, unnest(generate_series(0, ${Dedup.Bands - 1})) AS band, sig FROM sigs), " +
+      s"keys AS (SELECT doc_id, band, array_to_string(sig[band*$rpb+1 : band*$rpb+$rpb], ',') AS band_key FROM bands), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a " +
+      "JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+      "est AS (SELECT doc_a, doc_b, " +
+      s"CAST(len(list_filter(generate_series(1, $k), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS sig_match, " +
+      "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) " +
+      "/ (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j " +
+      "FROM cands JOIN sigs sa ON cands.doc_a = sa.doc_id " +
+      "JOIN sigs sb ON cands.doc_b = sb.doc_id) " +
+      s"SELECT doc_a, doc_b, sig_match, round(CAST(sig_match AS DOUBLE) / $k, 6) AS est, " +
+      "round(j, 6) AS jaccard, " +
+      s"floor(abs(round(CAST(sig_match AS DOUBLE) / $k, 6) - round(j, 6)) * 1000000 + 0.5) / 1000000 AS abs_err " +
+      "FROM est ORDER BY doc_a, doc_b"
+  }
+
   /** Incremental probe: incoming = odd ids, persisted index = even ids. */
   lazy val minhashIncrementalOracleSql: String =
     minhashOracleFor("a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")

@@ -395,6 +395,47 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
   }
 
+  /** Estimator-quality observability for the MinHash family: every
+    * band-bucket candidate pair carries its signature ESTIMATE
+    * (matching components / K — the classical E[match/K] = J identity)
+    * next to the exact verified Jaccard and the absolute error. This is
+    * the frame an operator of the LSH index watches to retune K/bands:
+    * a drifting error distribution means the signature params no longer
+    * fit the corpus. Both sides are deterministic, so the gate replays
+    * estimate AND truth — a defect in signature generation, banding, or
+    * the verifier hash-mismatches; the spec pins the estimator's error
+    * bound on planted exact duplicates (match = K, error = 0) and the
+    * K-point grid of the estimate. Scale shape: identical to
+    * qDedupMinhash (band-key shuffle; arrays join back after pair
+    * dedup) plus one K-wide comparison per pair. */
+  def qMinhashEst(s: SparkSession, d: String): DataFrame = {
+    // the q_dedup_exact planting: a verbatim copy of every doc at +1e6
+    // ids, so the estimator frame provably contains J = 1.0 pairs whose
+    // signatures must match on every component (err exactly 0)
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    minhashEstimates(base.unionByName(
+      base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+  }
+
+  /** [[qMinhashEst]]'s estimator frame over any (doc_id, text) corpus. */
+  def minhashEstimates(docs0: DataFrame): DataFrame = {
+    val sigs = sigsOf(shingleIndex(docs0))
+    minhashCandidatesSigs(sigs)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("sig_match", expr(
+        s"size(filter(sequence(0, ${MinhashK - 1}), i -> sig_a[i] = sig_b[i]))").cast("long"))
+      .withColumn("est", round(col("sig_match").cast("double") / MinhashK, 6))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      // chained doubles: the subtraction is one exactly-rounded IEEE op
+      // on identical inputs, then the floor-form 6dp grid (the SCALE.md
+      // finding-16 discipline — round() halfway semantics differ)
+      .withColumn("abs_err",
+        floor(abs(col("est") - col("jaccard")) * 1e6 + 0.5) / 1e6)
+      .select("doc_a", "doc_b", "sig_match", "est", "jaccard", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash-LSH near-dup detection: candidates from band buckets, then
     * exact-Jaccard verification. Same output shape as [[qDedupNgram]] so
     * the two paths are directly comparable. */

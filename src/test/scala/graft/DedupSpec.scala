@@ -33,6 +33,31 @@ class DedupSpec extends SparkSpec {
     assert(got === truth) // verification step makes precision exact too
   }
 
+  test("minhash estimator: exact duplicates hit match=K/err=0; estimates live on the K-grid") {
+    val out = graft.operators.Dedup.qMinhashEst(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val k = graft.operators.Dedup.MinhashK
+    out.foreach { r =>
+      val m = r.getLong(2)
+      assert(m >= 0 && m <= k)
+      // the estimate is exactly match/K on the 6dp grid
+      assert(math.abs(r.getDouble(3) - math.floor(m.toDouble / k * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // planted EXACT duplicates (the qDedupMinhash fixture family ships
+    // identical texts): full signature match, zero estimator error
+    val exact = out.filter(_.getDouble(4) == 1.0)
+    assert(exact.nonEmpty, "fixture must contain exact-duplicate candidates")
+    exact.foreach { r =>
+      assert(r.getLong(2) === k.toLong, "identical shingle sets must match every component")
+      assert(r.getDouble(5) === 0.0)
+    }
+    // the estimator is actually informative: mean error well under the
+    // 1/sqrt(K) standard-deviation scale
+    val meanErr = out.map(_.getDouble(5)).sum / out.length
+    assert(meanErr < 1.5 / math.sqrt(k.toDouble), s"mean |est-J| = $meanErr")
+  }
+
   test("ngram inverted-index join finds every true near-dup pair at J>=0.5") {
     val truth = bruteForcePairs(0.5)
     val got = Dedup.ngramNearDups(docs, 0.5)
