@@ -40,6 +40,7 @@ private[graft] object DedupSimEntries {
     "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection,
     "q_cdc_chunks" -> (Dedup.qCdcChunks _), // content-defined chunking + chunk-level dedup signal,
     "q_hnsw_recall" -> (graft.operators.Hnsw.qHnswRecall _), // sharded HNSW graph ANN vs brute-force ground truth,
+    "q_hnsw_incremental" -> (graft.operators.Hnsw.qHnswIncremental _), // persisted-graph probe recall, build-once,
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -210,6 +211,14 @@ private[graft] object DedupSimEntries {
     "q_hnsw_recall" ->
       ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
         "TRUE AS hnsw_recall_ok FROM embeddings WHERE vec_id < 20"),
+    // persisted-HNSW probe: the qAnnIncremental coupling — n_exact =
+    // k(10) x the odd panel; the boolean pins the snapshot restore +
+    // probe path (restore exactness is separately spec-pinned
+    // row-for-row against the fresh build)
+    "q_hnsw_incremental" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS hnsw_recall_ok " +
+        "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
     "q_centroids" ->
       ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
         "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +

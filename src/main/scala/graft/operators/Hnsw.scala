@@ -197,6 +197,27 @@ object Hnsw {
       efSearch(q, qn, cur, 0, math.max(EfSearch, k))
         .take(k).map { case (n, s) => (ids(n), s) }
     }
+
+    /** Serialized form: one row per node ordinal — (ord, id, level, vec,
+      * neighbor ordinals per layer). Ordinals ARE insertion order, so
+      * replaying rows in ord order through [[loadNode]] rebuilds the
+      * byte-identical structure (including the entry point, whose update
+      * rule is replayed verbatim). */
+    def dump(): IndexedSeq[(Int, Long, Int, Array[Float], Array[Array[Int]])] =
+      (0 until ids.length).map(n =>
+        (n, ids(n), levels(n), vecs(n), nbrs(n).map(_.toArray)))
+
+    /** Restore support: append a node VERBATIM — adjacency was computed
+      * at build time; no search, no trimming, just the entry-point
+      * replay. Rows must arrive in ord order. */
+    def loadNode(id: Long, level: Int, vec: Array[Float], ns: Array[Array[Int]]): Unit = {
+      require(vec.length == dim, s"vector $id has ${vec.length} dims, graph expects $dim")
+      require(ns.length == level + 1, s"node $id: ${ns.length} layers for level $level")
+      val node = ids.length
+      ids += id; vecs += vec; norms += norm(vec); levels += level
+      nbrs += ns.map(a => scala.collection.mutable.ArrayBuffer.empty[Int] ++= a)
+      if (entry < 0 || level > levels(entry)) entry = node
+    }
   }
 
   val Shards = 8
@@ -233,6 +254,108 @@ object Hnsw {
     perShard.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("q_id", "n_id")
+  }
+
+  /** Persist the sharded HNSW index as an atomic snapshot: one parquet
+    * partition directory per shard, ord-sorted within, each row carrying
+    * the node's id, level, vector and per-layer neighbor ORDINALS — the
+    * exact build-time adjacency, so a probe reloads graphs without any
+    * re-insertion work (graph construction is the expensive phase; the
+    * vector-store model builds once and serves many). Published via
+    * [[graft.engine.Snapshot]], so readers never see a half-written
+    * graph. Returns the version name. */
+  def writeHnswIndex(s: SparkSession, corpus: DataFrame, root: String): String = {
+    import s.implicits._
+    val dumped = corpus
+      .select(col("vec_id"), col("embedding"))
+      .repartition(Shards, pmod(col("vec_id"), lit(Shards)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val shard = (rows.head._1 % Shards).toInt
+          val g = new Graph(rows.head._2.length)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          g.dump().iterator.map { case (ord, id, lvl, vec, ns) =>
+            (shard, ord, id, lvl, vec, ns)
+          }
+        }
+      }
+      .toDF("shard", "ord", "vec_id", "level", "embedding", "nbrs")
+    new graft.engine.Snapshot(s, root).publishVia { v =>
+      dumped.repartition(col("shard")).sortWithinPartitions("shard", "ord")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$v/graphs")
+    }
+  }
+
+  /** Serve a query panel from the PERSISTED index: per shard the stored
+    * adjacency replays through [[Graph.loadNode]] (no insert-time search
+    * runs), the broadcast panel probes each graph, and the global
+    * (sim desc, id) merge picks top-k — identical semantics to
+    * [[hnswTopK]] built fresh, which the restore spec pins row-for-row.
+    * Hash partitioning may co-locate several shard directories in one
+    * task; rows group by shard so each graph restores from exactly its
+    * own ordinals. */
+  def probeHnswIndex(s: SparkSession, root: String,
+      queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    import s.implicits._
+    val path = new graft.engine.Snapshot(s, root).currentPath()
+    val qB = s.sparkContext.broadcast(queries)
+    val perShard = s.read.parquet(s"$path/graphs")
+      .select(col("shard").cast("int").as("shard"), col("ord").cast("int").as("ord"),
+        col("vec_id"), col("level").cast("int").as("level"),
+        col("embedding"), col("nbrs"))
+      .repartition(Shards, col("shard"))
+      .as[(Int, Int, Long, Int, Array[Float], Array[Array[Int]])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+          val rows = rs.sortBy(_._2)
+          val g = new Graph(rows.head._5.length)
+          rows.foreach { case (_, _, id, lvl, vec, ns) => g.loadNode(id, lvl, vec, ns) }
+          qB.value.iterator.flatMap { case (qId, qv) =>
+            g.search(qv, k + 1).map { case (nId, sim) => (qId, nId, sim) }
+          }
+        }
+      }
+      .toDF("q_id", "n_id", "sim")
+      .filter(col("q_id") =!= col("n_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    perShard.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id")
+  }
+
+  private lazy val hnswDir: String = graft.operators.Dedup.processTempDir("graft_ann_hnsw")
+
+  /** Driver-gated persisted-HNSW recall — the [[Similarity.qAnnIncremental]]
+    * pattern on the graph index: the EVEN-vec_id half builds and
+    * publishes ONCE via [[writeHnswIndex]]; the odd panel probes the
+    * snapshot with no graph construction, and recall@10 against brute
+    * force over the same indexed half is pinned by the oracle (0.7 bar;
+    * measured ~1.0 at gate sizes — the restore is exact, so persisted
+    * recall equals fresh-build recall BY CONSTRUCTION, which the spec
+    * separately pins row-for-row). n_exact = 10 · |odd panel| exactly
+    * (the indexed half always holds ≥ 10 vectors; parity split keeps
+    * query/corpus disjoint) — the oracle literal 10 is COUPLED to k. */
+  def qHnswIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 40)
+    val k = 10
+    graft.operators.Dedup.rmTree(new java.io.File(hnswDir))
+    writeHnswIndex(s, corpus, hnswDir)
+    val panel = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val probed = probeHnswIndex(s, hnswDir, panel, k)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k).select("q_id", "n_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(probed, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hnsw_hits")))
+      .select(col("n_exact"),
+        (col("hnsw_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.7).as("hnsw_recall_ok"))
   }
 
   /** Recall gate, the q_ann_recall pattern: fixed 20-query panel,

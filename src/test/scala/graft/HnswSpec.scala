@@ -87,4 +87,29 @@ class HnswSpec extends SparkSpec {
     info(f"sharded recall@10 (8 shards, ${emb.count()} vectors): $recall%.3f")
     assert(recall >= 0.85, f"sharded recall $recall%.3f lost too much vs the single graph")
   }
+
+  test("persisted graph restores EXACTLY: probe == fresh build, row for row") {
+    import graft.operators.Hnsw
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val panel = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val root = java.nio.file.Files.createTempDirectory("hnsw_restore").toString
+    try {
+      Hnsw.writeHnswIndex(spark, emb, root)
+      val fresh = Hnsw.hnswTopK(emb, panel, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val probed = Hnsw.probeHnswIndex(spark, root, panel, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the dump stores the exact build-time adjacency and the restore
+      // replays the entry rule, so the persisted answer IS the fresh one
+      assert(probed === fresh, "persisted probe diverged from the fresh build")
+      assert(probed.nonEmpty)
+      // second publish supersedes the first atomically: still identical
+      Hnsw.writeHnswIndex(spark, emb, root)
+      val again = Hnsw.probeHnswIndex(spark, root, panel, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again === fresh)
+    } finally graft.operators.Dedup.rmTree(new java.io.File(root))
+  }
 }

@@ -161,7 +161,12 @@ class PlanSpec extends SparkSpec {
         "co-locate with their shard's graph, so each embedding crosses " +
         "the exchange exactly once at BUILD time (the vector-store " +
         "sharding model, Hnsw scaladoc); every per-query exchange after " +
-        "it carries only (q_id, n_id, sim) scalars"))
+        "it carries only (q_id, n_id, sim) scalars"),
+      "q_hnsw_incremental" -> ("the ONE shard-restore repartition of the " +
+        "persisted graph rows (node vector + adjacency must co-locate " +
+        "with their shard's graph — same bound as q_hnsw_recall's build " +
+        "exchange, once per node per probe batch); per-query exchanges " +
+        "after it carry only scalars"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -187,8 +192,8 @@ class PlanSpec extends SparkSpec {
       // against the same fixed-panel baseline, and the PQ gate certifies
       // the ADC serving path against it (panel-bounded: 20 queries)
       "q_ann_recall", "q_ann_incremental", "q_pq_search",
-      // the HNSW gate embeds the same panel-bounded brute-force baseline
-      "q_hnsw_recall",
+      // the HNSW gates embed the same panel-bounded brute-force baseline
+      "q_hnsw_recall", "q_hnsw_incremental",
       // the matryoshka gate IS three panel-bounded brute-force rankings
       // (full/half/quarter width) — all-pairs against the 20-query
       // broadcast panel by definition
