@@ -49,6 +49,7 @@ private[graft] object TextEntries {
     "q_unigram_lm" -> (TextSearch.qUnigramLm _), // SentencePiece-family hard-EM tokenizer,
     "q_wordpiece" -> (TextSearch.qWordpiece _), // WordPiece greedy longest-match encode,
     "q_bpe_encode" -> (TextSearch.qBpeEncode _),
+    "q_tok_fertility" -> (TextSearch.qTokFertility _), // per-lang BPE tokens/word + chars/token equity report,
     "q_bigram_lm" -> (TextSearch.qBigramLm _),
     "q_kneser_ney" -> (TextSearch.qKneserNey _), // interpolated-KN bigram LM (the KenLM filter shape),
     "q_vocab_coverage" -> (TextSearch.qVocabCoverage _),
@@ -404,6 +405,18 @@ private[graft] object TextEntries {
     "q_unigram_lm" -> unigramOracleSql,
     "q_wordpiece" -> wordpieceOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql(TextSearch.BpeMerges),
+    // fertility: the FULL train+encode oracle chain as a subquery, then
+    // a lang-keyed aggregation with round-half-up integer divisions
+    // (DuckDB sum() widens to HUGEINT — every division CASTs back)
+    "q_tok_fertility" ->
+      ("SELECT w.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(e.n_bpe_tokens) AS BIGINT) AS toks, " +
+        "CAST((2 * sum(e.n_bpe_tokens) * 1000000 + sum(w.nw)) // (2 * sum(w.nw)) AS BIGINT) AS fertility_micros, " +
+        "CAST((2 * sum(w.nc) * 1000000 + sum(e.n_bpe_tokens)) // (2 * sum(e.n_bpe_tokens)) AS BIGINT) AS chars_per_tok_micros " +
+        s"FROM (${bpeEncodeOracleSql(TextSearch.BpeMerges).stripSuffix(" ORDER BY doc_id")}) e " +
+        "JOIN (SELECT doc_id, lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nw, " +
+        "CAST(length(text) AS BIGINT) AS nc FROM documents) w USING (doc_id) " +
+        "GROUP BY w.lang ORDER BY lang"),
     "q_vocab_coverage" ->
       ("WITH tf AS (SELECT tok, count(*) AS tf FROM " +
         "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +

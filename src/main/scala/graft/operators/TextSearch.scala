@@ -593,6 +593,37 @@ object TextSearch {
     bpeEncode(docs, merges).orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — the multilingual tokenizer-
+    * equity report (BPE tokens per word, chars per BPE token, by lang):
+    * a vocabulary trained on head languages inflates tail languages'
+    * token counts, silently taxing their context budget and training
+    * FLOPs — the reason XLM-R-class vocabularies get rebalanced, and
+    * the first table a multilingual data pipeline prints about its
+    * tokenizer. Exactness: token/word/char counts are exact integers;
+    * the two per-lang ratios are round-half-up integer divisions in
+    * micros (all terms positive — bpeEncode emits ≥ 1 token per doc).
+    * Scale: the q_bpe_encode shape (train once, one narrow encode pass)
+    * plus one lang-keyed aggregation. */
+  def tokFertility(docs: DataFrame): DataFrame = {
+    val merges = bpeTrainLocal(docs, BpeMerges).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = bpeEncode(docs, merges) // (doc_id, n_bpe_tokens)
+    docs.select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(enc, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("toks"),
+        sum("n_words").as("words"), sum("n_chars").as("chars"))
+      .select(col("lang"), col("n_docs"), col("toks"),
+        expr("(2 * toks * 1000000 + words) div (2 * words)").as("fertility_micros"),
+        expr("(2 * chars * 1000000 + toks) div (2 * toks)").as("chars_per_tok_micros"))
+      .orderBy("lang")
+  }
+
+  def qTokFertility(s: SparkSession, d: String): DataFrame =
+    tokFertility(documents(s, d))
+
   /** Vocabulary coverage curve: the smallest number of (most frequent)
     * vocabulary types needed to cover each target fraction of corpus
     * token mass — the measurement that sizes a tokenizer vocab or an

@@ -570,4 +570,30 @@ class TextSearchSpec extends SparkSpec {
     assert(gg === Map(3L -> ((2L, 0L))), "overlapping occurrences both count")
     assert(TextSearch.phraseSearch(docs, Seq("gamma", "delta")).count() === 0)
   }
+
+  test("tok fertility: ratios match an independent recomputation; fertility >= 1 token/word") {
+    val docs = graft.engine.Tables.documents(spark, sf0001)
+    val out = TextSearch.qTokFertility(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1000000L, "a word is at least one BPE token")
+      assert(r.getLong(4) >= 1000000L, "a token is at least one char")
+    }
+    // independent recomputation of one lang's ratios from bpeEncode's
+    // own per-doc counts (different aggregation path, same integers)
+    val merges = TextSearch.bpeTrainLocal(docs, TextSearch.BpeMerges)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextSearch.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = docs.select("doc_id", "lang", "text").collect()
+    val lang0 = out.head.getString(0)
+    val sel = rows.filter(_.getString(1) == lang0)
+    val toks = sel.map(r => enc(r.getLong(0))).sum
+    val words = sel.map(_.getString(2).trim.split("\\s+").length.toLong).sum
+    val chars = sel.map(_.getString(2).length.toLong).sum
+    assert(out.head.getLong(1) === sel.length.toLong)
+    assert(out.head.getLong(2) === toks)
+    assert(out.head.getLong(3) === (2 * toks * 1000000L + words) / (2 * words))
+    assert(out.head.getLong(4) === (2 * chars * 1000000L + toks) / (2 * toks))
+  }
 }
