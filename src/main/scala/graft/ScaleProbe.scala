@@ -664,6 +664,11 @@ object ScaleProbe {
         graft.operators.Spectral.topComponentsK(
           emb, graft.operators.Spectral.TopK).count()
       }
+      time("rep_span_max", nDocs) {
+        // ~7 linear passes (per-doc binary search, global counting);
+        // worst round = |open lengths| x corpus positions, cap-bounded
+        graft.operators.Dedup.longestRepeatedSpan(docs).count()
+      }
       time("minhash_est", nDocs) {
         // the dedup_minhash shape + one K-wide compare per candidate
         graft.operators.Dedup.minhashEstimates(docs).count()

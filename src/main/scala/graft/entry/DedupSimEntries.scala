@@ -50,6 +50,7 @@ private[graft] object DedupSimEntries {
     // --- containment dedup + exact repeated-span scan + skew diagnostics
     "q_containment" -> (Dedup.qContainment _),
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
+    "q_rep_span_max" -> (Dedup.qRepSpanMax _), // exact longest repeated span per doc via synchronized binary search,
     "q_span_dedup" -> (Dedup.qSpanDedup _),
     // --- HITS hubs & authorities (the second link-centrality signal)
     "q_hits" -> (Graph.qHits _),
@@ -405,6 +406,21 @@ private[graft] object DedupSimEntries {
         "CAST(count(*) AS BIGINT) AS n_occur, min(doc_id) AS first_doc " +
         "FROM e GROUP BY span_hash HAVING count(*) >= 2 " +
         "ORDER BY n_occur DESC, span_hash"),
+    // longest repeated span: the oracle brute-forces every (position,
+    // n <= cap) span corpus-wide and takes each doc's max over the
+    // repeated set — the closed form the engine's binary search must
+    // land on EXACTLY (a monotonicity slip, an off-by-one in the
+    // interval update, or a count that misses cross-length occurrences
+    // all hash-mismatch)
+    "q_rep_span_max" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id < 500), " +
+        "pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM w), " +
+        s"cand AS (SELECT doc_id, i, words, unnest(generate_series(1, least(${Dedup.RepSpanCap}, len(words) - i + 1))) AS n FROM pos), " +
+        "g AS (SELECT doc_id, n, array_to_string(words[i:i+n-1], ' ') AS gram FROM cand), " +
+        "rep AS (SELECT n, gram FROM g GROUP BY n, gram HAVING count(*) >= 2), " +
+        "m AS (SELECT g.doc_id, max(g.n) AS mx FROM g JOIN rep USING (n, gram) GROUP BY g.doc_id) " +
+        "SELECT w.doc_id, CAST(coalesce(m.mx, 0) AS BIGINT) AS max_rep_len " +
+        "FROM w LEFT JOIN m USING (doc_id) ORDER BY w.doc_id"),
     "q_span_dedup" ->
       ("WITH docs0 AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0 " +

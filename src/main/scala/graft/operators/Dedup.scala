@@ -1045,6 +1045,120 @@ object Dedup {
   def qRepeatedSpans(s: SparkSession, d: String): DataFrame =
     repeatedSpans(documents(s, d)).orderBy(col("n_occur").desc, col("span_hash"))
 
+  /** Cap for [[longestRepeatedSpan]]: beyond 64 shared tokens two texts
+    * are near-duplicates — the document-level dedup family's job, not a
+    * span diagnostic's. The cap also bounds the worst-round work at
+    * (distinct open lengths ≤ cap/2) × corpus positions. */
+  val RepSpanCap = 64
+
+  /** EXACT longest repeated token-span length per document (capped) —
+    * the max-length completion of [[repeatedSpans]]' fixed-K scan and
+    * the per-document diagnostic behind Lee et al. 2022's suffix-array
+    * dedup ("how much of this doc is copied from somewhere?"): for each
+    * doc, the largest n ≤ cap such that one of its n-token spans occurs
+    * at ≥ 2 positions corpus-wide (any doc, self-overlaps count).
+    *
+    * Algorithm — a SYNCHRONIZED PER-DOCUMENT BINARY SEARCH with global
+    * occurrence counting, instead of a suffix array: each doc carries
+    * (lo = longest confirmed, hi = shortest refuted); each round, the
+    * ≤ cap/2 distinct open midpoints are collected (a driver-bounded
+    * handful by construction), ONE pass explodes every document's spans
+    * at every open length (occurrences must be counted corpus-wide, not
+    * just over docs searching that length), repeated (length, span)
+    * keys are one grouped count, and each doc's interval halves. The
+    * predicate is monotone in n (an (n+1)-span repeat contains n-span
+    * repeats), so ⌈log2(cap)⌉ + 1 rounds decide every document —
+    * 7 linear passes at cap 64, never a pairwise comparison.
+    *
+    * Shuffle discipline (HASH-GROUP, VERIFY-EXACT — the minhash
+    * verifyPairs pattern): the counting shuffle carries only the
+    * codegen'd 8-byte rolling span hash per position (a joined string
+    * up to ~400 bytes per span measured 73 s at sf0.1; this form takes
+    * seconds); positions whose (length, hash) group holds ≥ 2 members
+    * — true repeats plus the rare mod-1e9+7 collisions — join their
+    * exact span strings back and the repeat verdict is decided on
+    * EXACT strings, so the semantics stay collision-free (a plain
+    * hashed count is NOT monotone in n when a collision manufactures a
+    * phantom repeat at one isolated length — measured: 12/500 docs
+    * diverged — which would also break the binary search itself).
+    * Cheap where it matters: at large lengths candidates are rare, at
+    * small lengths the verified strings are short. */
+  def longestRepeatedSpan(docs: DataFrame, cap: Int = RepSpanCap): DataFrame = {
+    val spark = docs.sparkSession
+    val w = Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .withColumn("len", size(col("words")))
+      .localCheckpoint() // re-read every round
+    // UNIFORM hi for every doc (not min(cap, len)+1): the search tree
+    // then has ≤ 2^round distinct midpoints per round — 63 corpus
+    // passes total over the whole search — where per-doc intervals
+    // produced 28-59 distinct lengths EVERY round (measured 511 s at
+    // sf0.1 vs ~60 s after this + the checkpoints below). A doc
+    // shorter than a probed length simply yields no spans there and
+    // its interval halves downward — same answer, fewer lengths.
+    var state = w.select(col("doc_id"), lit(0).as("lo"), lit(cap + 1).as("hi"))
+      .localCheckpoint()
+    var open = state.filter(col("hi") - col("lo") > 1)
+    while (!open.isEmpty) {
+      // the round's distinct midpoints: ≤ cap/2 values by construction
+      // (binary search over [0, cap]) — a bounded driver collect
+      val mids = open.select(((col("lo") + col("hi")) / 2).cast("int").as("mid"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      // one corpus pass per open length (≤ cap/2 unions, each a narrow
+      // codegen'd rolling-hash explode): every doc's POSITIONS at every
+      // open length — occurrences count corpus-wide
+      val grams = mids.map { m =>
+        w.filter(col("len") >= m)
+          .select(col("doc_id"), lit(m).as("mid"),
+            posexplode(graft.functions.GraftFunctions.span_hashes(col("words"), m))
+              .as(Seq("p", "h")))
+      }.reduce(_ unionByName _)
+        .localCheckpoint() // read by the count AND both verify joins
+      // hash-group candidates (supersets of the true repeats) ...
+      val candKeys = grams.groupBy("mid", "h")
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("mid", "h")
+      // ... then verify on EXACT strings, materialized only for
+      // candidate positions (an exact repeat always shares a hash, so
+      // nothing true is lost; a collision dies here)
+      val candStr = grams.join(candKeys, Seq("mid", "h"), "left_semi")
+        .join(w.select(col("doc_id"), col("words")), Seq("doc_id"))
+        .select(col("doc_id"), col("mid"),
+          concat_ws(" ", slice(col("words"), col("p") + 1, col("mid"))).as("gram"))
+        .localCheckpoint() // read by the repeat count AND the found join
+      val repeated = candStr.groupBy("mid", "gram")
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("mid", "gram")
+      val openMid = open.select(col("doc_id"),
+        ((col("lo") + col("hi")) / 2).cast("int").as("mid"))
+      val found = candStr.join(openMid, Seq("doc_id", "mid"))
+        .join(repeated, Seq("mid", "gram"), "left_semi")
+        .select("doc_id").distinct().withColumn("f", lit(true))
+      state = state
+        .join(openMid.join(found, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("mid"), coalesce(col("f"), lit(false)).as("f")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("mid").isNotNull && col("f"), col("mid")).otherwise(col("lo")).as("lo"),
+          when(col("mid").isNotNull && !col("f"), col("mid")).otherwise(col("hi")).as("hi"))
+        .localCheckpoint()
+      open = state.filter(col("hi") - col("lo") > 1)
+    }
+    state.select(col("doc_id"), col("lo").cast("long").as("max_rep_len"))
+  }
+
+  /** Oracle-checked: per-doc longest repeated span length over a FIXED
+    * 500-doc slice (the q_caption_check bounded-panel pattern — the
+    * whole suite's bench budget should not fund a ~63-pass diagnostic
+    * on the full corpus every round; the operator itself takes any
+    * frame and SCALE.md carries its full-corpus cost). The oracle
+    * brute-forces every (position, n ≤ cap) span slice-wide and takes
+    * each doc's max over the repeated set — the closed form the binary
+    * search must land on exactly. */
+  def qRepSpanMax(s: SparkSession, d: String): DataFrame =
+    longestRepeatedSpan(documents(s, d).filter(col("doc_id") < 500))
+      .orderBy("doc_id")
+
   /** Exact substring dedup WITH REMOVAL (the full Lee et al. 2022 step —
     * [[repeatedSpans]] only reports): every positional [[SpanK]]-token
     * span keeps its globally-first occurrence (min (doc_id, pos)); the

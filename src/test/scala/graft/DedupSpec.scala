@@ -75,6 +75,34 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("longest repeated span: hand-computed lengths, cross-doc, self-overlap, cap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val seventy = (1 to 70).map(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      // docs 1/2 share exactly the 8-token prefix (the tails diverge)
+      (1L, "a b c d e f g h x1 x2"),
+      (2L, "a b c d e f g h y1 y2"),
+      // self-overlap: "p q r p q r p q" repeats "p q r p q" at 1 and 4
+      (3L, "p q r p q r p q"),
+      // globally unique tokens: no repeated unigram anywhere
+      (4L, "u1 u2 u3 u4"),
+      // identical 70-token twins: true max 70, reported at the cap
+      (5L, seventy), (6L, seventy)
+    ).toDF("doc_id", "text")
+    val out = Dedup.longestRepeatedSpan(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 8L && out(2L) === 8L, s"shared prefix: $out")
+    assert(out(3L) === 5L, s"self-overlapping repeat: $out")
+    assert(out(4L) === 0L, s"unique tokens: $out")
+    assert(out(5L) === Dedup.RepSpanCap.toLong && out(6L) === Dedup.RepSpanCap.toLong,
+      s"cap must bound twin docs: $out")
+    // a tighter cap is honored
+    val capped = Dedup.longestRepeatedSpan(corpus, cap = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(1L) === 4L && capped(3L) === 4L && capped(4L) === 0L)
+  }
+
   test("exact dedup keeps lowest key per text") {
     import spark.implicits._
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")

@@ -222,6 +222,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.lDiversityAudit(emptyDocs, Seq("lang"), col("n_chars"), 3L).count() === 0)
   }
 
+  test("round-9 operators on an empty corpus") {
+    import spark.implicits._
+    // alpha sampling: no domains -> no weight rows, never a 0-div
+    assert(Curation.alphaSample(emptyDocs).count() === 0)
+    // minhash estimator: no candidates from an empty index
+    assert(Dedup.minhashEstimates(emptyDocs.select("doc_id", "text")).count() === 0)
+    // tokenizer fertility: empty train corpus -> zero merges -> no rows
+    assert(TextSearch.tokFertility(emptyDocs).count() === 0)
+    // full ABTT: zero component on an empty corpus -> zero output rows
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Spectral.abttK(emptyEmb).count() === 0)
+    // ANN router: an empty corpus routes exact and answers empty
+    val (out, tag) = Similarity.annTopKAutoTagged(emptyEmb, emptyEmb, 10)
+    assert(tag === Similarity.AnnExact && out.count() === 0)
+    // KN-loss DoReMi on empty: no domains at all (covered above for the
+    // null-text case; this is the zero-row case)
+    assert(Doremi.domainLossKn(emptyDocs).count() === 0)
+  }
+
   test("dispatch with an empty command batch is a no-op") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
