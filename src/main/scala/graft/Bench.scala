@@ -1,5 +1,10 @@
 package graft
 object Bench {
+  /** Prior full-suite runs kept in the baseline history: enough that one
+    * noisy run cannot own the floor, small enough that a legitimate
+    * plan-cost increase ages out of the min within a few rounds. */
+  val BenchHistoryKeep = 8
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -57,21 +62,24 @@ object Bench {
     // in "errors", and the process exits nonzero so the driver sees red.
     val errors = scala.collection.mutable.Map.empty[String, String]
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_local.json")
-    // previous round's per-query medians, read BEFORE this run overwrites
-    // the file — the baseline for the end-of-suite outlier re-run below
-    val prev: Map[String, Double] = try {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val qStart = txt.indexOf("\"queries\":{")
-      if (qStart < 0) Map.empty
-      else {
-        val rest = txt.substring(qStart + "\"queries\":{".length)
-        val body = rest.substring(0, rest.indexOf('}'))
-        "\"([A-Za-z0-9_]+)\":(-?[0-9.Ee+\\-]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    // Baseline for the end-of-suite outlier re-run: the per-query MIN
+    // across the last persisted run AND a bounded history of prior runs,
+    // read BEFORE this run overwrites the file. Min-across-history fixes
+    // the r9 blind spot (a noise-elevated median persisted intra-round
+    // became the baseline and "no outlier" followed); the balanced parse
+    // in BenchLogic fixes the silent-empty-on-format-drift hazard, and a
+    // present-but-unparsable file is LOGGED, not swallowed (ADVICE r9).
+    val histPath = outPath + ".history.jsonl"
+    def readFile(p: String): Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      catch { case _: Throwable => None }
+    val prevTexts: Seq[String] =
+      readFile(outPath).toSeq ++
+        readFile(histPath).toSeq.flatMap(_.linesIterator.toSeq.takeRight(BenchHistoryKeep))
+    val prev: Map[String, Double] = BenchLogic.baseline(prevTexts)
+    if (prevTexts.nonEmpty && prev.isEmpty)
+      System.err.println(s"[bench] $outPath/$histPath present but the queries " +
+        "map parsed EMPTY — format drift? The outlier re-run is disabled this run.")
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val midpoint = benched.length / 2
@@ -110,9 +118,8 @@ object Bench {
     // median-of-3 now, when the suite's allocation churn has settled;
     // the reported value is the MIN of the two medians — a plan's cost
     // is its floor, noise only ever adds.
-    val reruns: Map[String, Double] = results.collect {
-      case (name, v) if v > 0 && prev.get(name).exists(p => p > 0 && v > 2 * p) => name
-    }.toSeq.sorted.map { name =>
+    val reruns: Map[String, Double] =
+      BenchLogic.outliers(results, prev).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -149,6 +156,17 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    }
+    // roll the run into the bounded baseline history (FULL-suite runs
+    // only: a targeted `Bench q1,q2` run measures a cold-cache subset
+    // whose medians would poison the floor for full-suite runs)
+    if (only.isEmpty) try {
+      val hp = java.nio.file.Paths.get(histPath)
+      val lines = readFile(histPath).toSeq.flatMap(_.linesIterator) :+ json
+      java.nio.file.Files.writeString(hp,
+        lines.takeRight(BenchHistoryKeep).mkString("", "\n", "\n"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist $histPath: ${e.getMessage}")
     }
     spark.stop()
     if (errors.nonEmpty) {

@@ -1,0 +1,91 @@
+package graft
+
+/** Pure logic behind [[Bench]]'s end-of-suite outlier re-run, factored out
+  * so it is unit-testable without a SparkSession (VERDICT r9 Next #2/#8):
+  * the r9 driver artifact showed the re-run blinded by its own
+  * intra-round persistence (a noise-elevated median became the baseline
+  * and three 2-3x outliers sailed through with `"reruns":{}`), and the
+  * old hand-scan `rest.indexOf('}')` parse would silently yield an empty
+  * baseline on any format drift (ADVICE r9).
+  *
+  * Fixes, both pinned by BenchLogicSpec:
+  *  - the BASELINE is the per-query MIN across the last-persisted result
+  *    AND a bounded history of prior runs (a plan's true cost is its
+  *    floor; noise only ever adds), so one noisy persisted run can no
+  *    longer hide a later regression;
+  *  - the parse walks the balanced `"queries"` object (string- and
+  *    depth-aware), so reordered keys or a nested value can never
+  *    silently truncate the map, and [[Bench]] logs loudly when files
+  *    exist but parse empty. */
+object BenchLogic {
+
+  /** Extract the top-level numeric pairs of the `"queries"` object from a
+    * persisted bench JSON line. Balanced-brace scan (depth- and
+    * string-aware), not a first-'}' hand scan: nested values are skipped
+    * rather than truncating the parse, and a missing/malformed object
+    * returns empty instead of garbage. */
+  def parseQueries(txt: String): Map[String, Double] = {
+    val tag = "\"queries\":"
+    val at = txt.indexOf(tag)
+    if (at < 0) return Map.empty
+    var i = at + tag.length
+    while (i < txt.length && txt(i).isWhitespace) i += 1
+    if (i >= txt.length || txt(i) != '{') return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    var depth = 0
+    var inStr = false
+    var esc = false
+    val sb = new StringBuilder // current top-level "key":value slice
+    def flush(): Unit = {
+      val s = sb.toString
+      val c = s.indexOf("\":")
+      if (c > 0 && s.startsWith("\"")) {
+        val key = s.substring(1, c)
+        val v = s.substring(c + 2).trim
+        try out(key) = v.toDouble catch { case _: NumberFormatException => }
+      }
+      sb.clear()
+    }
+    while (i < txt.length) {
+      val ch = txt(i)
+      if (inStr) {
+        if (depth == 1) sb.append(ch)
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '{' =>
+          depth += 1
+          if (depth > 1 && depth == 2) sb.clear() // nested value: drop slice
+        case '}' =>
+          depth -= 1
+          if (depth == 0) { flush(); return out.toMap }
+        case ',' if depth == 1 => flush()
+        case '"' => inStr = true; if (depth == 1) sb.append(ch)
+        case c if depth == 1 => sb.append(c)
+        case _ =>
+      }
+      i += 1
+    }
+    Map.empty // unbalanced: refuse rather than return a truncated map
+  }
+
+  /** Per-query MIN across every parsable prior run: the re-run baseline.
+    * Non-positive medians (error sentinels) never form a baseline. */
+  def baseline(prevTexts: Seq[String]): Map[String, Double] =
+    prevTexts.map(parseQueries)
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) =>
+          if (v <= 0) a
+          else a.updatedWith(k)(old => Some(old.fold(v)(math.min(_, v))))
+        }
+      }
+
+  /** Queries whose fresh median landed > `factor` x their baseline floor. */
+  def outliers(current: Map[String, Double], base: Map[String, Double],
+      factor: Double = 2.0): Seq[String] =
+    current.collect {
+      case (name, v) if v > 0 && base.get(name).exists(p => v > factor * p) =>
+        name
+    }.toSeq.sorted
+}

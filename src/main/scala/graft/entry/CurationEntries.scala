@@ -108,7 +108,7 @@ private[graft] object CurationEntries {
         "CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und' " +
         "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
         "WHEN es >= de AND es >= fr THEN 'es' WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred FROM qs) " +
-        "SELECT doc_id, lang_pred, n_tokens, quality_score FROM lp " +
+        "SELECT doc_id, lang_pred, n_tokens, quality_score, 'inverted' AS strategy FROM lp " +
         "WHERE quality_score >= 0.5 AND lang_pred <> 'und' " +
         "AND doc_id NOT IN (SELECT doc_id FROM dropped) ORDER BY doc_id"),
     "q_split" ->
@@ -257,7 +257,8 @@ private[graft] object CurationEntries {
         "JOIN h hr ON hr.doc_id = l.cluster_id) " +
         "SELECT d.doc_id, coalesce(rep.cluster_id, d.doc_id) AS cluster_id, " +
         "CASE WHEN coalesce(rep.rep_r, h.own_r) = 0 THEN 'test' " +
-        "WHEN coalesce(rep.rep_r, h.own_r) = 1 THEN 'val' ELSE 'train' END AS split " +
+        "WHEN coalesce(rep.rep_r, h.own_r) = 1 THEN 'val' ELSE 'train' END AS split, " +
+        "'inverted' AS strategy " +
         "FROM documents d JOIN h USING (doc_id) LEFT JOIN rep ON rep.doc_id = d.doc_id " +
         "ORDER BY doc_id"),
     "q_negatives" ->

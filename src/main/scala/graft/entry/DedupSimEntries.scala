@@ -170,7 +170,8 @@ private[graft] object DedupSimEntries {
         "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
         "reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) " +
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src) " +
-        "SELECT src AS doc_id, min(lbl) AS cluster_id, min(lbl) = src AS survivor " +
+        "SELECT src AS doc_id, min(lbl) AS cluster_id, min(lbl) = src AS survivor, " +
+        "'inverted' AS strategy " +
         "FROM reach GROUP BY src ORDER BY doc_id"),
     "q_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +

@@ -338,11 +338,18 @@ object Curation {
       .drop("r")
   }
 
-  /** Oracle-checked: cluster-granular split assignment, one row per doc
-    * (exact pair path, pinned like [[qCurate]]). */
+  /** Oracle-checked: cluster-granular split assignment, one row per doc,
+    * with near-dup candidates from the ROUTED path (VERDICT r9 Next #1 —
+    * the production split must inherit the router's sub-quadratic scaling,
+    * not the exact O(pairs) scan's sf1 exponent 1.14). At gate scale the
+    * router provably picks the exact inverted strategy, so the exact-pair
+    * oracle applies verbatim; the pinned `strategy` literal makes a silent
+    * route flip a loud hash FAIL (the q_dedup_auto design). */
   def qSplitSafe(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.rebalance(documents(s, d), "doc_id")
-    splitSafe(docs, Dedup.ngramNearDups(docs, 0.5).select("doc_a", "doc_b"))
+    val (pairs, strategy) = Dedup.ngramNearDupsAutoTagged(docs, 0.5)
+    splitSafe(docs, pairs.select("doc_a", "doc_b"))
+      .withColumn("strategy", lit(strategy.name))
       .orderBy("doc_id")
   }
 
@@ -492,17 +499,23 @@ object Curation {
   def qCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.rebalance(documents(s, d), "doc_id")
     val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
-    // exact pair path, pinned like qDedupNgram: the oracle enumerates exact
-    // pairs, and skipping the auto-selection stats pass saves a full extra
-    // shingling of the corpus in this composite
-    val dropped = Dedup.nearDupClusters(
-      Dedup.ngramNearDups(docs, 0.5).select("doc_a", "doc_b"))
+    // ROUTED candidate path (VERDICT r9 Next #1): the end-to-end curation
+    // pipeline is exactly what runs on the full corpus, so its dedup stage
+    // must inherit the router's sub-quadratic strategies (sf1 exponent
+    // 0.57 routed vs 1.05 exact). The router's stats pass shares the
+    // shingle index with the chosen strategy under the sampling threshold,
+    // so the corpus is still shingled once. At gate scale the router
+    // provably picks the exact inverted strategy (oracle applies
+    // verbatim); the pinned literal makes a silent flip a loud hash FAIL.
+    val (pairs, strategy) = Dedup.ngramNearDupsAutoTagged(docs, 0.5)
+    val dropped = Dedup.nearDupClusters(pairs.select("doc_a", "doc_b"))
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     scored
       .join(dropped, Seq("doc_id"), "left_anti")
       .filter(col("quality_score") >= 0.5 && col("lang_pred") =!= "und")
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score"))
+      .withColumn("strategy", lit(strategy.name))
       .orderBy("doc_id")
   }
 

@@ -108,9 +108,12 @@ object Similarity {
       case AnnExact => bruteForceTopK(corpus, queries, k)
       case AnnLsh => lshTopK(corpus, queries, k)
       case AnnIvf =>
-        val km = kmeansAssign(corpus, 10, 2)
-        val qk = km.join(queries.select("vec_id"), Seq("vec_id"), "left_semi")
-        ivfTopK(km, qk, "list_id", k, 4)
+        // queries pass through UNFILTERED (ADVICE r9): ivfTopK routes each
+        // query to its nprobe nearest centroids directly off the broadcast
+        // centroid table, so an EXTERNAL query panel (vectors not present
+        // in the corpus) is served like every other arm — the old
+        // left_semi against the corpus assignment silently dropped them
+        ivfTopK(kmeansAssign(corpus, 10, 2), queries, "list_id", k, 4)
       case AnnHnsw =>
         // the graph arm normalizes to float arrays (an arbitrary numeric
         // embedding column routes through unchanged semantics; the final

@@ -616,8 +616,17 @@ object TextSearch {
       .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("toks"),
         sum("n_words").as("words"), sum("n_chars").as("chars"))
       .select(col("lang"), col("n_docs"), col("toks"),
-        expr("(2 * toks * 1000000 + words) div (2 * words)").as("fertility_micros"),
-        expr("(2 * chars * 1000000 + toks) div (2 * toks)").as("chars_per_tok_micros"))
+        // the scaled multiply widens to DECIMAL before the 1e6 shift
+        // (ADVICE r9): a single language can exceed ~4.6e12 tokens at the
+        // 100 TB ambition, where `2 * toks * 1000000` silently wraps in
+        // Spark's non-ANSI Long arithmetic while DuckDB's sum(BIGINT)
+        // side widens to HUGEINT. div on decimals is Catalyst
+        // IntegralDivide -> BIGINT, same round-toward-zero as the
+        // oracle's // on positives.
+        expr("(2 * CAST(toks AS DECIMAL(38,0)) * 1000000 + words) div (2 * words)")
+          .as("fertility_micros"),
+        expr("(2 * CAST(chars AS DECIMAL(38,0)) * 1000000 + toks) div (2 * toks)")
+          .as("chars_per_tok_micros"))
       .orderBy("lang")
   }
 

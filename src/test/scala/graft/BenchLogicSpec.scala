@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench outlier-re-run mechanism (VERDICT r9 Next #2/#8): the
+  * baseline must be the min across history (not just the last persisted
+  * file), and the queries-object parse must survive format drift instead
+  * of silently yielding an empty baseline (ADVICE r9). */
+class BenchLogicSpec extends AnyFunSuite {
+
+  private def line(qs: (String, Double)*): String =
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{${
+      qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    }},"errors":{},"reruns":{},"calibration":[0.1,0.1,0.1],"sf":"x"}"""
+
+  test("parseQueries reads a real bench line") {
+    val m = BenchLogic.parseQueries(line("q_a" -> 0.5, "q_b" -> 1.25e-1))
+    assert(m === Map("q_a" -> 0.5, "q_b" -> 0.125))
+  }
+
+  test("parseQueries survives reordered keys (queries not first)") {
+    val txt = """{"errors":{},"sf":"x","queries":{"q_a":2.0,"q_b":0.3},"value":9}"""
+    assert(BenchLogic.parseQueries(txt) === Map("q_a" -> 2.0, "q_b" -> 0.3))
+  }
+
+  test("parseQueries skips a nested value instead of truncating the map") {
+    // the r9 hand-scan stopped at the FIRST '}', losing every key after a
+    // nested object; the balanced parse keeps the scalars around it
+    val txt = """{"queries":{"q_a":1.5,"q_nested":{"x":1},"q_b":2.5},"sf":"x"}"""
+    assert(BenchLogic.parseQueries(txt) === Map("q_a" -> 1.5, "q_b" -> 2.5))
+  }
+
+  test("parseQueries refuses malformed input rather than returning garbage") {
+    assert(BenchLogic.parseQueries("""{"queries":{"q_a":1.5""") === Map.empty)
+    assert(BenchLogic.parseQueries("""no queries here""") === Map.empty)
+    assert(BenchLogic.parseQueries("""{"queries":[1,2]}""") === Map.empty)
+  }
+
+  test("baseline is the per-query MIN across history; error sentinels never bind") {
+    val base = BenchLogic.baseline(Seq(
+      line("q_a" -> 0.42, "q_b" -> 1.0), // noise-elevated most-recent run
+      line("q_a" -> 0.15, "q_b" -> -1.0), // clean older run; q_b errored
+      line("q_a" -> 0.20)))
+    assert(base === Map("q_a" -> 0.15, "q_b" -> 1.0))
+  }
+
+  test("r9 blind spot replay: noisy persisted run no longer hides the outlier") {
+    // Round 9: q_quality's clean cost was 0.15s (r8) but a noise-elevated
+    // 0.42s run got persisted intra-round; the final 0.42s median then
+    // compared against itself and "reruns":{} followed. With the min
+    // across history, the 0.15 floor survives and 0.42 > 2 x 0.15 fires.
+    val history = Seq(
+      line("q_quality" -> 0.42, "q_bpe_train" -> 1.09, "q_quantize" -> 0.22),
+      line("q_quality" -> 0.15, "q_bpe_train" -> 0.47, "q_quantize" -> 0.10))
+    val base = BenchLogic.baseline(history)
+    val current = Map("q_quality" -> 0.42, "q_bpe_train" -> 1.09,
+      "q_quantize" -> 0.22, "q_steady" -> 0.20)
+    assert(BenchLogic.outliers(current, base) ===
+      Seq("q_bpe_train", "q_quality", "q_quantize"))
+    // sanity: against ONLY the most recent (the old behavior) nothing fires
+    assert(BenchLogic.outliers(current,
+      BenchLogic.baseline(history.take(1))) === Seq.empty)
+  }
+
+  test("outliers ignores unknown and errored queries") {
+    val base = Map("q_a" -> 0.1)
+    assert(BenchLogic.outliers(Map("q_new" -> 5.0, "q_a" -> -1.0), base) === Seq.empty)
+    assert(BenchLogic.outliers(Map("q_a" -> 0.19), base) === Seq.empty)
+    assert(BenchLogic.outliers(Map("q_a" -> 0.21), base) === Seq("q_a"))
+  }
+}

@@ -28,14 +28,8 @@ import sys
 REGISTERED_REASONS = {
     "q_dedup_ngram": "exact inverted-index pair scan by declaration; "
         "production path = q_dedup_auto (sf1 exp 0.74), LSH past the pair budget",
-    "q_dedup_clusters": "label propagation over the exact pair scan's edges; "
-        "same pair-budget routing applies to candidate generation",
     "q_containment": "containment is an inverted-index pair scan (sum df^2 "
         "shape) by declaration; banded/LSH blocking is the over-budget path",
-    "q_split_safe": "leakage-safe split joins the exact near-dup pairs so "
-        "duplicates share a split; candidate generation routes like dedup",
-    "q_curate": "composite pipeline embedding the exact dedup member; "
-        "swapping in the auto-routed dedup bounds it",
 }
 
 
