@@ -1093,12 +1093,38 @@ object Dedup {
     * diverged — which would also break the binary search itself).
     * Cheap where it matters: at large lengths candidates are rare, at
     * small lengths the verified strings are short. */
-  def longestRepeatedSpan(docs: DataFrame, cap: Int = RepSpanCap): DataFrame = {
+  /** Token budget for [[longestRepeatedSpan]]'s SMALL-INPUT FAST PATH
+    * (the [[nearDupClusters]] driverEdgeBudget pattern): a corpus at or
+    * under this many tokens collects to the driver and the identical
+    * binary search runs locally over int-interned tokens — one collect
+    * instead of ~7 rounds x (explode + 2 grouped counts + 2 verify joins
+    * + 3 checkpoints) of distributed machinery whose data is tiny but
+    * whose per-round scheduling cost is fixed. This is exactly the shape
+    * the gated 500-doc diagnostic panel hits (VERDICT r9 Next #4: the
+    * flat ~11 s was ~9% of the whole suite); corpus-scale frames
+    * overflow the probe and take the distributed loop unchanged.
+    * 2^21 tokens ≈ tens of MB of interned ints — driver-trivial. */
+  val RepSpanDriverTokenBudget: Long = 1L << 21
+
+  def longestRepeatedSpan(docs: DataFrame, cap: Int = RepSpanCap,
+      driverTokenBudget: Long = RepSpanDriverTokenBudget): DataFrame = {
     val spark = docs.sparkSession
     val w = Tables.rebalance(docs, "doc_id")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .withColumn("len", size(col("words")))
       .localCheckpoint() // re-read every round
+    // ONE cheap probe on the materialized frame decides the regime
+    val probe = w.agg(coalesce(sum(col("len")), lit(0L)).as("t")).head().getLong(0)
+    if (probe <= driverTokenBudget) {
+      import spark.implicits._
+      val local = w.select(col("doc_id"), col("words"))
+        .collect().map { r =>
+          val ws = r.getSeq[String](1) // null text -> no words, lo stays 0
+          (r.getLong(0), if (ws == null) Array.empty[String] else ws.toArray)
+        }
+      return longestRepeatedSpanLocal(local, cap).toSeq
+        .toDF("doc_id", "max_rep_len")
+    }
     // UNIFORM hi for every doc (not min(cap, len)+1): the search tree
     // then has ≤ 2^round distinct midpoints per round — 63 corpus
     // passes total over the whole search — where per-doc intervals
@@ -1155,6 +1181,73 @@ object Dedup {
       open = state.filter(col("hi") - col("lo") > 1)
     }
     state.select(col("doc_id"), col("lo").cast("long").as("max_rep_len"))
+  }
+
+  /** A span of an interned-token array, usable as an exact hash key: the
+    * repeat verdict is decided on token EQUALITY, never on a hash alone
+    * (the same hash-group/verify-exact discipline as the distributed
+    * path — here the "verify" is the HashMap's own equals). */
+  private final class Span(val t: Array[Int], val off: Int, val len: Int) {
+    override val hashCode: Int = {
+      var h = 1; var i = off
+      while (i < off + len) { h = h * 31 + t(i); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case s: Span => s.len == len && {
+        var i = 0
+        while (i < len && t(off + i) == s.t(s.off + i)) i += 1
+        i == len
+      }
+      case _ => false
+    }
+  }
+
+  /** Driver-local mirror of the distributed synchronized binary search —
+    * result-IDENTICAL by construction (equality spec'd in DedupSpec):
+    * same monotone predicate ("doc has an n-token span occurring at >= 2
+    * positions corpus-wide, self-overlaps included"), same uniform [0,
+    * cap+1] bounds, decisions on exact token sequences. Tokens intern to
+    * ints once, so each probed length costs one O(corpus tokens x m)
+    * counting pass over int slices. */
+  private[graft] def longestRepeatedSpanLocal(
+      docs: Array[(Long, Array[String])], cap: Int): Array[(Long, Long)] = {
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    val toks: Array[Array[Int]] =
+      docs.map(_._2.map(w => dict.getOrElseUpdate(w, dict.size)))
+    val n = docs.length
+    val lo = Array.fill(n)(0)
+    val hi = Array.fill(n)(cap + 1)
+    var open = (0 until n).filter(i => hi(i) - lo(i) > 1)
+    while (open.nonEmpty) {
+      val mids = open.map(i => (lo(i) + hi(i)) / 2).distinct.sorted
+      mids.foreach { m =>
+        // corpus-wide exact span counts at length m (ALL docs, not just
+        // the ones probing m — occurrences are global)
+        val counts = new java.util.HashMap[Span, Int]()
+        toks.foreach { t =>
+          var p = 0
+          while (p + m <= t.length) {
+            counts.merge(new Span(t, p, m), 1, Integer.sum _)
+            p += 1
+          }
+        }
+        open.foreach { i =>
+          if ((lo(i) + hi(i)) / 2 == m) {
+            val t = toks(i)
+            var p = 0
+            var found = false
+            while (!found && p + m <= t.length) {
+              if (counts.get(new Span(t, p, m)) >= 2) found = true
+              p += 1
+            }
+            if (found) lo(i) = m else hi(i) = m
+          }
+        }
+      }
+      open = (0 until n).filter(i => hi(i) - lo(i) > 1)
+    }
+    docs.indices.map(i => (docs(i)._1, lo(i).toLong)).toArray
   }
 
   /** Oracle-checked: per-doc longest repeated span length over a FIXED

@@ -90,17 +90,36 @@ class DedupSpec extends SparkSpec {
       // identical 70-token twins: true max 70, reported at the cap
       (5L, seventy), (6L, seventy)
     ).toDF("doc_id", "text")
-    val out = Dedup.longestRepeatedSpan(corpus)
+    // BOTH regimes: the driver fast path (default budget) and the
+    // distributed loop (budget 0 forces it) must give identical answers
+    Seq(Dedup.RepSpanDriverTokenBudget, 0L).foreach { budget =>
+      val out = Dedup.longestRepeatedSpan(corpus, driverTokenBudget = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(1L) === 8L && out(2L) === 8L, s"shared prefix ($budget): $out")
+      assert(out(3L) === 5L, s"self-overlapping repeat ($budget): $out")
+      assert(out(4L) === 0L, s"unique tokens ($budget): $out")
+      assert(out(5L) === Dedup.RepSpanCap.toLong && out(6L) === Dedup.RepSpanCap.toLong,
+        s"cap must bound twin docs ($budget): $out")
+      // a tighter cap is honored
+      val capped = Dedup.longestRepeatedSpan(corpus, cap = 4, driverTokenBudget = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(capped(1L) === 4L && capped(3L) === 4L && capped(4L) === 0L)
+    }
+  }
+
+  test("longest repeated span: driver fast path == distributed loop on real docs") {
+    // row-for-row equality on a genuine corpus slice (the gated panel's
+    // shape), not just the hand fixture — the two implementations share
+    // only the predicate definition, so this is the drift tripwire
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    val fast = Dedup.longestRepeatedSpan(corpus)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out(1L) === 8L && out(2L) === 8L, s"shared prefix: $out")
-    assert(out(3L) === 5L, s"self-overlapping repeat: $out")
-    assert(out(4L) === 0L, s"unique tokens: $out")
-    assert(out(5L) === Dedup.RepSpanCap.toLong && out(6L) === Dedup.RepSpanCap.toLong,
-      s"cap must bound twin docs: $out")
-    // a tighter cap is honored
-    val capped = Dedup.longestRepeatedSpan(corpus, cap = 4)
+    val dist = Dedup.longestRepeatedSpan(corpus, driverTokenBudget = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(capped(1L) === 4L && capped(3L) === 4L && capped(4L) === 0L)
+    assert(fast === dist)
+    assert(fast.nonEmpty && fast.values.exists(_ > 0L),
+      s"panel should contain at least one repeated span: ${fast.take(5)}")
   }
 
   test("exact dedup keeps lowest key per text") {
