@@ -669,6 +669,14 @@ object ScaleProbe {
         // worst round = |open lengths| x corpus positions, cap-bounded
         graft.operators.Dedup.longestRepeatedSpan(docs).count()
       }
+      time("maxsim_routed", nEmb) {
+        // router candidates per query token (exact arm under the corpus
+        // threshold, index arms beyond) + exact rerank on candidate docs
+        val toks = emb.select(expr("vec_id div 4").as("doc_id"),
+          pmod(col("vec_id"), lit(4L)).cast("int").as("tok_id"), col("embedding"))
+        graft.operators.Similarity.maxSimTopKRouted(
+          toks, toks.filter(col("doc_id") < 3), 10).count()
+      }
       time("minhash_est", nDocs) {
         // the dedup_minhash shape + one K-wide compare per candidate
         graft.operators.Dedup.minhashEstimates(docs).count()

@@ -34,6 +34,7 @@ private[graft] object DedupSimEntries {
     "q_sem_dedup_hier" -> (Similarity.qSemDedupHier _), // production two-level path, tolerance-gated,
     "q_ann_recall" -> (Similarity.qAnnRecall _), // LSH+IVF recall@10 vs brute force, tolerance-gated,
     "q_ann_auto" -> (Similarity.qAnnAuto _), // ANN front door: router picks exact at gate scale; strategy column pinned,
+    "q_maxsim" -> (Similarity.qMaxSim _), // late-interaction multi-vector MaxSim retrieval, exact panel gate,
     "q_pq_search" -> (Similarity.qPqSearch _), // PQ ADC + rerank recall@10, tolerance-gated,
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once,
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC,
@@ -192,6 +193,23 @@ private[graft] object DedupSimEntries {
         "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, " +
         "n_id, score, 'exact' AS strategy " +
         "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    // MaxSim replay: every (query token x doc token) cosine with the
+    // q_topk-proven round(list_cosine_similarity, 6), per-query-token max
+    // (a comparison of rounded values — exact), the order-independent
+    // DECIMAL(18,6) sum converted to DOUBLE once, then the (score desc,
+    // doc_id) ranking. Multi-vector docs = 4 consecutive vec_ids.
+    "q_maxsim" ->
+      ("WITH t AS (SELECT vec_id // 4 AS doc_id, vec_id % 4 AS tok_id, " +
+        "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT * FROM t WHERE doc_id < 3), " +
+        "p AS (SELECT q.doc_id AS q_id, q.tok_id AS q_tok, d.doc_id, " +
+        "round(list_cosine_similarity(q.emb, d.emb), 6) AS cos " +
+        "FROM q, t d WHERE d.doc_id <> q.doc_id), " +
+        "m AS (SELECT q_id, doc_id, q_tok, max(cos) AS mc FROM p GROUP BY 1, 2, 3), " +
+        "s AS (SELECT q_id, doc_id, CAST(sum(CAST(mc AS DECIMAL(18,6))) AS DOUBLE) AS score " +
+        "FROM m GROUP BY 1, 2) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, score FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
     "q_hard_negatives" ->
       ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
         "CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10), " +

@@ -1414,4 +1414,106 @@ object Similarity {
       .crossJoin(hits(32, "half_hits"))
       .crossJoin(hits(16, "quarter_hits"))
   }
+
+  // --------------------------------------- late-interaction (MaxSim)
+
+  /** Token-id packing for the multi-vector family: a (doc_id, tok_id)
+    * pair packs into one vec_id by bit shift, so the ANN router can
+    * serve per-token candidates and the parent doc recovers by an exact
+    * integer unshift (never a double division). 2^20 tokens per doc. */
+  val MaxSimTokBits = 20
+
+  /** EXACT late-interaction (multi-vector) retrieval — ColBERT-style
+    * MaxSim (Khattab & Zaharia 2020, public): query and document are each
+    * a BAG of token vectors; score(q, d) = Σ over q's tokens of the MAX
+    * cosine against any of d's tokens. This is the retrieval shape
+    * single-vector ANN cannot express (a query token matches its best
+    * counterpart independently), and the missing member of the
+    * similarity family next to [[bruteForceTopK]].
+    *
+    * Exactness protocol: per-pair cosines use the q_topk-proven
+    * `round(cosine, 6)`; the per-query-token max is a comparison of
+    * rounded values (exact); the final sum runs over DECIMAL(18,6)
+    * (order-independent exact — the PageRank recipe) and converts to
+    * DOUBLE once at the end.
+    *
+    * Scale shape: the query panel BROADCASTS (panel-bounded by the
+    * caller, the q_topk design); the doc-token side computes cosines
+    * map-side off the broadcast, so only (q_id, doc_id, q_tok, cos)
+    * scalars enter the two aggregation exchanges — token embeddings
+    * never shuffle. Corpus-scale serving routes candidates through
+    * [[maxSimTopKRouted]] instead of scoring every document. */
+  def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int): DataFrame = {
+    val q = queryTokens.select(col("doc_id").as("q_id"),
+      col("tok_id").as("q_tok"), col("embedding").as("q_emb"))
+    val d = docTokens.select(col("doc_id"), col("embedding").as("d_emb"))
+    val pairs = d.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("d_emb")), 6))
+      .select("q_id", "doc_id", "q_tok", "cos")
+    maxSimRank(pairs, k)
+  }
+
+  /** Shared MaxSim tail: per-(pair, query-token) max, exact decimal sum,
+    * deterministic dense ranking. */
+  private def maxSimRank(pairs: DataFrame, k: Int): DataFrame = {
+    val s = pairs.groupBy("q_id", "doc_id", "q_tok")
+      .agg(max(col("cos")).as("mc"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("mc").cast("decimal(18,6)")).cast("double").as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    s.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
+
+  /** PRODUCTION MaxSim: candidate generation via the existing ANN router
+    * PER QUERY TOKEN, exact MaxSim rerank on the candidate documents
+    * only. Token ids pack into router vec_ids by bit shift; each query
+    * token pulls its kTok nearest corpus tokens through whatever arm the
+    * router picks (exact under [[AnnExactCorpusMax]], IVF/LSH/HNSW
+    * beyond), candidates collapse to distinct (query, parent-doc) pairs,
+    * and only those pairs pay the full token-by-token scoring — corpus
+    * cost is the router's serving cost, not |panel| x |corpus tokens|.
+    * Recall floor vs the exact ranking is spec'd in SimilaritySpec. */
+  def maxSimTopKRouted(docTokens: DataFrame, queryTokens: DataFrame, k: Int,
+      kTok: Int = 16, recallTarget: Double = 0.9): DataFrame = {
+    def packed(t: DataFrame): DataFrame = t.select(
+      (shiftleft(col("doc_id"), MaxSimTokBits) + col("tok_id")).as("vec_id"),
+      col("embedding"))
+    val (ann, _) = annTopKAutoTagged(packed(docTokens), packed(queryTokens),
+      kTok, recallTarget)
+    val cands = ann.select(
+      shiftright(col("q_id"), MaxSimTokBits).as("q_id"),
+      shiftright(col("n_id"), MaxSimTokBits).as("doc_id"))
+      .filter(col("q_id") =!= col("doc_id")).distinct()
+    val q = queryTokens.select(col("doc_id").as("q_id"),
+      col("tok_id").as("q_tok"), col("embedding").as("q_emb"))
+    val d = docTokens.select(col("doc_id"), col("embedding").as("d_emb"))
+    val pairs = cands
+      .join(d, Seq("doc_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("d_emb")), 6))
+      .select("q_id", "doc_id", "q_tok", "cos")
+    maxSimRank(pairs, k)
+  }
+
+  /** Oracle-checked: multi-vector docs derived from the embeddings table
+    * (4 consecutive vec_ids = one document's token bag), a 3-doc query
+    * panel, exact MaxSim top-10. The oracle replays every cosine, the
+    * per-token max, the decimal sum, and the (score desc, doc_id)
+    * ranking in closed form. */
+  def qMaxSim(s: SparkSession, d: String): DataFrame =
+    maxSimTopK(maxSimTokens(s, d),
+      maxSimTokens(s, d).filter(col("doc_id") < 3), 10)
+      .orderBy("q_id", "rank")
+
+  /** The (doc_id, tok_id, embedding) multi-vector view of the embeddings
+    * table shared by [[qMaxSim]] and its specs. */
+  def maxSimTokens(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      expr("vec_id div 4").as("doc_id"),
+      pmod(col("vec_id"), lit(4L)).cast("int").as("tok_id"),
+      col("embedding"))
 }

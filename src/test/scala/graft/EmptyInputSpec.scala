@@ -29,6 +29,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.crossNearDups(emptyDocs, emptyDocs, 0.5).count() === 0)
   }
 
+  test("maxsim on an empty token corpus") {
+    import spark.implicits._
+    val emptyTok = Seq.empty[(Long, Int, Array[Float])]
+      .toDF("doc_id", "tok_id", "embedding")
+    assert(Similarity.maxSimTopK(emptyTok, emptyTok, 10).count() === 0)
+    assert(Similarity.maxSimTopKRouted(emptyTok, emptyTok, 10).count() === 0)
+  }
+
   test("curation operators on an empty corpus") {
     assert(Curation.hashSample(emptyDocs, "text", 8).count() === 0)
     assert(Curation.packSequences(emptyDocs, "lang").count() === 0)

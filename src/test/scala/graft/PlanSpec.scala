@@ -202,7 +202,11 @@ class PlanSpec extends SparkSpec {
       // AnnExactCorpusMax — at gate scale it IS the q_topk baseline
       // (panel-bounded); above the threshold the router never goes
       // all-pairs (forced-route specs gate the index branches)
-      "q_ann_auto")
+      "q_ann_auto",
+      // exact MaxSim scores the 3-doc (12-token) broadcast panel against
+      // every doc token by definition — the late-interaction q_topk;
+      // production serving is maxSimTopKRouted (ANN-router candidates)
+      "q_maxsim")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
