@@ -835,6 +835,23 @@ object ScaleProbe {
           .sortBy(_._1)
         Hnsw.hnswTopK(embF, panel, 10).count()
       }
+      time("hnsw_insert", nEmb) {
+        // restore (one index scan) + |batch| real inserts, rebuild-free:
+        // the batch is FIXED (1k vectors) while the base index grows
+        // with mult — the cost should track the restore, not the base
+        // build (which writeHnswIndex pays once, outside this timer)
+        val embF = emb.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        val root = graft.operators.Dedup.processTempDir("scale_hnsw_insert")
+        graft.operators.Dedup.rmTree(new java.io.File(root))
+        val base = embF.filter(col("vec_id") >= 1000)
+        val batch = embF.filter(col("vec_id") < 1000)
+        Hnsw.writeHnswIndex(spark, base, root)
+        val t0 = System.nanoTime()
+        Hnsw.appendHnswIndex(spark, root, batch)
+        println(f"[scale]   (append-only phase: ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        nEmb
+      }
       time("bfs_frontier", 400L * mult) {
         // node universe grows with mult; seeds and hop budget fixed —
         // per-wave cost tracks the FRONTIER, not the graph

@@ -42,6 +42,7 @@ private[graft] object DedupSimEntries {
     "q_cdc_chunks" -> (Dedup.qCdcChunks _), // content-defined chunking + chunk-level dedup signal,
     "q_hnsw_recall" -> (graft.operators.Hnsw.qHnswRecall _), // sharded HNSW graph ANN vs brute-force ground truth,
     "q_hnsw_incremental" -> (graft.operators.Hnsw.qHnswIncremental _), // persisted-graph probe recall, build-once,
+    "q_hnsw_insert" -> (graft.operators.Hnsw.qHnswInsert _), // append into restored shard graphs, grow without rebuild,
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -238,6 +239,10 @@ private[graft] object DedupSimEntries {
     "q_hnsw_incremental" ->
       ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
         "TRUE AS hnsw_recall_ok " +
+        "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
+    "q_hnsw_insert" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS insert_recall_ok " +
         "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
     "q_centroids" ->
       ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
