@@ -51,6 +51,7 @@ private[graft] object DedupSimEntries {
     "q_pq_encode" -> (Similarity.qPqEncode _),
     // --- containment dedup + exact repeated-span scan + skew diagnostics
     "q_containment" -> (Dedup.qContainment _),
+    "q_containment_auto" -> (Dedup.qContainmentAuto _), // routed containment front door; strategy column pinned,
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
     "q_rep_span_max" -> (Dedup.qRepSpanMax _), // exact longest repeated span per doc via synchronized binary search,
     "q_span_dedup" -> (Dedup.qSpanDedup _),
@@ -401,22 +402,14 @@ private[graft] object DedupSimEntries {
         "round(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE), 6) AS qerr " +
         "FROM best WHERE r = 1 GROUP BY vec_id ORDER BY vec_id"),
     "q_containment" ->
-      ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 4000000 AS doc_id, " +
-        "array_to_string((string_split_regex(trim(text), '\\s+'))[1:len(string_split_regex(trim(text), '\\s+'))//2], ' ') AS text " +
-        "FROM documents WHERE doc_id % 17 = 0), " +
-        "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM all_docs), " +
-        "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
-        "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
-        "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
-        "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
-        "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
-        "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment " +
-        "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
-        "WHERE CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9 " +
-        "ORDER BY doc_a, doc_b"),
+      s"WITH $containmentOracleCtes $containmentOraclePairs ORDER BY doc_a, doc_b",
+    // at gate scale the planted corpus sits inside the pair budget, so
+    // the router provably picks the exact inverted strategy and the
+    // q_containment pair oracle applies verbatim; the pinned 'inverted'
+    // literal makes a silent branch flip a loud hash FAIL
+    "q_containment_auto" ->
+      (s"WITH $containmentOracleCtes SELECT doc_a, doc_b, containment, 'inverted' AS strategy " +
+        s"FROM ($containmentOraclePairs) ORDER BY doc_a, doc_b"),
     "q_repeated_spans" ->
       ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "g AS (SELECT doc_id, [" +

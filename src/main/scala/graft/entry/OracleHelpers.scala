@@ -417,6 +417,29 @@ private[graft] object OracleHelpers {
       "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
       "WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5"
 
+  /** Shared CTE chain of the exact containment pair oracle (the planted
+    * half-length-truncation corpus), reused verbatim by the routed
+    * q_containment_auto entry, which wraps the same pairs with a pinned
+    * strategy literal (the q_dedup_auto design). */
+  val containmentOracleCtes: String =
+    "all_docs AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 4000000 AS doc_id, " +
+      "array_to_string((string_split_regex(trim(text), '\\s+'))[1:len(string_split_regex(trim(text), '\\s+'))//2], ' ') AS text " +
+      "FROM documents WHERE doc_id % 17 = 0), " +
+      "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM all_docs), " +
+      "sh AS (SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +
+      "for i in generate_series(1, len(words) - 2)]) AS s FROM w WHERE len(words) >= 3), " +
+      "sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh), " +
+      "postings AS (SELECT doc_id, unnest(s) AS shingle FROM sh), " +
+      "cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common " +
+      "FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2)"
+
+  val containmentOraclePairs: String =
+    "SELECT doc_a, doc_b, round(CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment " +
+      "FROM cm JOIN sizes sa ON cm.doc_a = sa.doc_id JOIN sizes sb ON cm.doc_b = sb.doc_id " +
+      "WHERE CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9"
+
   /** Oracle for the streaming dedup gate: replay both waves' four
     * rejection stages (exact-in-batch, exact-vs-corpus, near-dup-vs-corpus,
     * near-dup-in-batch with recursive-CTE connected components) over the

@@ -944,8 +944,10 @@ object Dedup {
     * truncated re-crawls and excerpt pages are the common real case).
     * Same inverted-postings shape as [[ngramNearDups]]: sub-quadratic,
     * no per-pair array ops, and the same vocabulary-saturation caveats. */
-  def containmentDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleIndex(docs)
+  def containmentDups(docs: DataFrame, threshold: Double): DataFrame =
+    containmentDupsIdx(shingleIndex(docs), threshold)
+
+  private def containmentDupsIdx(sh: DataFrame, threshold: Double): DataFrame = {
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     postings.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -979,8 +981,10 @@ object Dedup {
     * 30x probe from 135 s (full postings join) to the measured SCALE.md
     * number. Same guidance as the Jaccard pair: plain inverted join while
     * posting lists are short, prefix filter at scale. */
-  def containmentDupsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleIndex(docs)
+  def containmentDupsPrefix(docs: DataFrame, threshold: Double): DataFrame =
+    containmentDupsPrefixIdx(shingleIndex(docs), threshold)
+
+  private def containmentDupsPrefixIdx(sh: DataFrame, threshold: Double): DataFrame = {
     val postings = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("shingle"))
     val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1010,6 +1014,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
   }
 
+  /** MinHash-LSH-blocked containment — the BOUNDED arm for corpora whose
+    * shingle vocabulary saturates broadly (where no exact containment
+    * strategy is sub-quadratic): band-bucket candidates from the standard
+    * [[MinhashK]]/[[Bands]] signatures, then EXACT containment
+    * verification on the full shingle sets of each candidate.
+    *
+    * Recall caveat, stated because containment is asymmetric while
+    * MinHash banding is not: band collision probability is governed by
+    * the pair's JACCARD, not its containment. For sizes |S| <= |L| and
+    * containment c, J = c·|S| / (|S| + |L| − c·|S|) — near-equal sizes
+    * give J ≈ c (recall ≈ the Jaccard arm's), but a small excerpt inside
+    * a much larger document has high containment and LOW Jaccard and can
+    * be missed. Corpora dominated by such asymmetric pairs should route
+    * to [[containmentDupsPrefix]] (exact; its prefix bound lives on the
+    * SMALL side precisely so asymmetry doesn't hurt) — the router below
+    * only reaches this arm when the pairs are spread too broadly for the
+    * prefix prune to bite. */
+  def containmentLsh(docs: DataFrame, threshold: Double): DataFrame =
+    containmentLshIdx(shingleIndex(docs), threshold)
+
+  private def containmentLshIdx(sh: DataFrame, threshold: Double): DataFrame =
+    minhashCandidatesIdx(sh)
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+
+  /** Containment with strategy AUTO-SELECTION — the containment front
+    * door, completing the router family (VERDICT r9 Next #7: "give the
+    * containment scan the banded/LSH blocking its registered reason
+    * names as the over-budget path, behind the same pair-budget
+    * router"). The SAME [[NgramStats]] drive the choice — the candidate
+    * cost of the inverted containment join is the identical
+    * Σ df·(df−1)/2 postings self-join the Jaccard pair scan pays, so
+    * [[chooseNgramStrategy]]'s measured crossovers transfer verbatim:
+    * inverted while exact fits the pair budget; prefix when the pairs
+    * concentrate in a hot head (still exact — and the right arm for
+    * asymmetric-heavy corpora, see [[containmentLsh]]'s recall caveat);
+    * LSH-verified beyond that. Index built once and shared between the
+    * stats pass and the chosen arm below the sampling threshold. */
+  def containmentDupsAuto(docs: DataFrame, threshold: Double,
+      pairBudgetPerDoc: Double = 512.0): DataFrame =
+    containmentDupsAutoTagged(docs, threshold, pairBudgetPerDoc)._1
+
+  /** [[containmentDupsAuto]] plus the chosen strategy, so a caller (and
+    * the oracle gate) can assert WHICH branch ran. */
+  def containmentDupsAutoTagged(docs: DataFrame, threshold: Double,
+      pairBudgetPerDoc: Double = 512.0): (DataFrame, NgramStrategy) = {
+    val nDocs = docs.count()
+    val f = sampleFraction(nDocs)
+    val sharedIdx = if (f >= 1.0) Some(shingleIndex(docs)) else None
+    val st = sharedIdx match {
+      case Some(idx) => ngramStatsIdx(idx, nDocs, 1.0)
+      case None => ngramStatsSampled(docs, nDocs, f)
+    }
+    val strategy = chooseNgramStrategy(st, pairBudgetPerDoc)
+    log.info(s"containment dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
+      f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
+      s"budget=$pairBudgetPerDoc")
+    val idx = sharedIdx.getOrElse(shingleIndex(docs))
+    val pairs = strategy match {
+      case NgramInverted => containmentDupsIdx(idx, threshold)
+      case NgramPrefix => containmentDupsPrefixIdx(idx, threshold)
+      case NgramLsh => containmentLshIdx(idx, threshold)
+    }
+    (pairs, strategy)
+  }
+
   /** Containment demo: plant the FIRST HALF of every 17th document at a
     * shifted id — a truncated copy whose symmetric Jaccard (~0.5) evades
     * the 0.5-threshold near-dup queries but whose containment is 1.0. */
@@ -1021,6 +1094,23 @@ object Dedup {
         concat_ws(" ", slice(w, lit(1), (size(w) / lit(2)).cast("int"))).as("text"))
     containmentDups(base.unionByName(truncated), 0.9)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The routed containment path as its own ORACLE-GATED entry (the
+    * q_dedup_auto design): at gate scale the planted corpus sits inside
+    * the pair budget, so the router provably picks the exact inverted
+    * strategy and the q_containment pair oracle applies verbatim — plus
+    * a `strategy` column the hash compare pins to 'inverted', so a
+    * silent route flip to the approximate LSH branch is a loud FAIL. */
+  def qContainmentAuto(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    val truncated = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), (size(w) / lit(2)).cast("int"))).as("text"))
+    val (pairs, strategy) =
+      containmentDupsAutoTagged(base.unionByName(truncated), 0.9)
+    pairs.withColumn("strategy", lit(strategy.name)).orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------- repeated-span scan

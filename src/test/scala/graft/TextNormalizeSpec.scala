@@ -171,6 +171,49 @@ class TextNormalizeSpec extends SparkSpec {
     }
   }
 
+  test("routed containment: exact under budget, LSH arm recalls near-equal dups") {
+    // same fixture shape as the prefix test: planted truncations + equal dups
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 60).map { i =>
+      (i.toLong, (0 until 14 + rnd.nextInt(18)).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    }
+    val truncated = base.collect { case (id, t) if id % 7 == 0 =>
+      (id + 1000L, t.split(" ").take(t.split(" ").length / 2 + 3).mkString(" "))
+    }
+    val docs = (base ++ truncated).toDF("doc_id", "text")
+    // under the pair budget the router picks the exact inverted arm and
+    // the routed result IS containmentDups' result
+    val (routed, strategy) = Dedup.containmentDupsAutoTagged(docs, 0.9)
+    assert(strategy.name === "inverted")
+    val routedSet = routed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactSet = Dedup.containmentDups(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(routedSet === exactSet)
+    assert(exactSet.nonEmpty)
+    // the LSH arm (the over-budget route): every NEAR-EQUAL-SIZE planted
+    // dup survives banding (J ~ containment there), and every reported
+    // pair carries the exact verified containment (subset of exact)
+    var x = 5L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    def word(i: Long): String = s"v${i}k${(i * 17) % 97}"
+    val wide = (0L until 200L).map { id => (id, Seq.fill(80)(word(nxt() % 4000)).mkString(" ")) }
+    val dups = (0L until 8L).map { i =>
+      val ws = wide(i.toInt)._2.split(" ")
+      ws(3) = word(nxt() % 4000) // one replaced word: J ~ 0.95, containment ~ 0.95
+      (3000L + i, ws.mkString(" "))
+    }
+    val corpus = (wide ++ dups).toDF("doc_id", "text")
+    val lsh = Dedup.containmentLsh(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 8L).map(i => (i, 3000L + i)).toSet
+    assert(planted.subsetOf(lsh), s"LSH containment missed planted dups: ${planted -- lsh}")
+    val lshFull = Dedup.containmentLsh(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactFull = Dedup.containmentDups(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lshFull.subsetOf(exactFull), "LSH arm must verify exactly — no false pairs")
+  }
+
   test("repeated spans: cross-doc and within-doc repeats are both witnessed") {
     val span = "alpha beta gamma delta epsilon zeta eta theta" // exactly SpanK tokens
     val docs = Seq(

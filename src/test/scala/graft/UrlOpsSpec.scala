@@ -106,11 +106,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(registrableDomain("www.teatr.krakow.pl") === "teatr.krakow.pl")
     // Norwegian category namespaces
     assert(registrableDomain("www.oslo.kommune.no") === "oslo.kommune.no")
-    // private-section hosting growth
-    assert(registrableDomain("myblog.wordpress.com") === "myblog.wordpress.com")
-    assert(registrableDomain("app.surge.sh") === "app.surge.sh")
+    // private-section hosting rules (real-list members: the curated
+    // subset's invented wordpress.com/surge.sh rows are gone — the full
+    // snapshot is the publisher's data, not our guesses)
+    assert(registrableDomain("myblog.blogspot.com") === "myblog.blogspot.com")
+    assert(registrableDomain("docs.github.io") === "docs.github.io")
     // unlisted second-levels still fall back to the implicit '*' rule
     assert(registrableDomain("www.example.de") === "example.de")
+  }
+
+  test("round-10 FULL PSL snapshot: families absent from every curated subset") {
+    import graft.operators.UrlOps.{registrableDomain, PslRules}
+    // the complete vendored list (round-9 verdict Next #3: the data drop)
+    assert(PslRules.size >= 9000, s"full snapshot missing: ${PslRules.size} rules")
+    assert(PslRules.distinct.size === PslRules.size, "duplicate PSL rules")
+    // entire-TLD wildcard only in the full list: *.bd (no exact 'bd' rule)
+    assert(registrableDomain("www.example.com.bd") === "example.com.bd")
+    // deep US K-12 namespace: pvt.k12.ma.us is a 4-label suffix
+    assert(registrableDomain("www.school.pvt.k12.ma.us") === "school.pvt.k12.ma.us")
+    // private-section wildcard: each EC2 public hostname is its own
+    // registrable domain under *.compute.amazonaws.com
+    assert(registrableDomain("ec2-1-2-3-4.us-east-1.compute.amazonaws.com") ===
+      "ec2-1-2-3-4.us-east-1.compute.amazonaws.com")
+    // private-section exact rules beyond the curated hosting set
+    assert(registrableDomain("raw.githubusercontent.com") === "raw.githubusercontent.com")
+    assert(registrableDomain("mysite.eu.org") === "mysite.eu.org")
+    // the Japanese geographic wildcard/exception family, full width:
+    // a city wildcard absent from the curated subset
+    assert(registrableDomain("www.example.shizuoka.jp") === "example.shizuoka.jp")
   }
 
   test("userinfo strips at the last '@'; IPv6 bracket hosts keep their colons") {
