@@ -81,6 +81,46 @@ class Snapshot(spark: SparkSession, root: String) {
     * publish; SURVEY §2.8 M1-M8 compose with this). */
   def mutate(f: DataFrame => DataFrame): String = publish(f(read()))
 
+  /** Published HISTORY: every version directory at or below CURRENT, in
+    * numeric order oldest-first. By the claim/swap protocol these are
+    * exactly the versions that were once CURRENT (a crashed publish never
+    * leaves a directory at or below the pointer; directories above it are
+    * orphans and not history). Versions pruned by [[vacuum]] no longer
+    * appear — retention bounds time travel, same as any table format. */
+  def versions(): Seq[String] = {
+    val current = currentVersion().map(_.stripPrefix("v_").toLong).getOrElse(-1L)
+    def versionOf(name: String): Option[Long] =
+      scala.util.Try(name.stripPrefix("v_").toLong).toOption
+    Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_") &&
+        versionOf(f.getName).exists(_ <= current))
+      .map(_.getName).toSeq.sortBy(n => versionOf(n).getOrElse(Long.MaxValue))
+  }
+
+  /** TIME-TRAVEL read: the table exactly as of a published version — the
+    * audit/debug/reproducibility primitive every versioned store owes its
+    * users (which training run read which corpus snapshot?). Pure
+    * directory read: no copy, no pointer movement, concurrent with any
+    * publisher. Fails loudly on a version that was never published or
+    * has been [[vacuum]]ed past. */
+  def readAsOf(version: String): DataFrame = {
+    val current = currentVersion().map(_.stripPrefix("v_").toLong).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val n = scala.util.Try(version.stripPrefix("v_").toLong).getOrElse(
+      throw new IllegalArgumentException(s"malformed version '$version'"))
+    require(n <= current, s"version $version was never published (current is v_$current)")
+    require(Files.isDirectory(Paths.get(root, version)),
+      s"version $version is outside the retention window (vacuumed) or never completed")
+    spark.read.parquet(s"$root/$version")
+  }
+
+  /** Roll back by RE-PUBLISHING an old version's content as the NEXT
+    * version — history stays immutable and linear (the Iceberg/Delta
+    * rollback shape): no version ever changes meaning under a reader,
+    * [[vacuum]] retention applies unchanged, and the rollback is itself
+    * one more published version, so it too can be undone. */
+  def rollback(version: String): String = publish(readAsOf(version))
+
   /** Recursive delete shared by [[vacuum]] and [[recoverOrphans]] —
     * failures are deliberately ignored (both callers tolerate leftovers;
     * the next run retries). */

@@ -53,6 +53,7 @@ private[graft] object CoreEntries {
     "q_truncate" -> (Mutations.qTruncate _),
     "q_dim_insert" -> (Mutations.qDimInsert _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
+    "q_time_travel" -> (Mutations.qTimeTravel _), // readAsOf over the versioned store + immutable-history rollback,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
@@ -135,6 +136,19 @@ private[graft] object CoreEntries {
       "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (1, 2, 5, 8) ORDER BY doc_id",
     "q_truncate" ->
       "SELECT doc_id, lang FROM documents WHERE 1 = 0",
+    // time travel: each published version's set algebra restated from the
+    // documents table in closed form — v_0 = base slice, v_1 = v_0 plus
+    // the insert batch (disjoint keys), v_2 = v_1 minus the delete sweep,
+    // v_3 = rollback re-publish of v_1 (and the only current version)
+    "q_time_travel" ->
+      ("WITH v0 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 100), " +
+        "v1 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 150), " +
+        "v2 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 150 AND doc_id % 10 <> 0) " +
+        "SELECT 'v_0' AS version, n AS n_docs, s AS sum_ids, false AS is_current FROM v0 " +
+        "UNION ALL SELECT 'v_1', n, s, false FROM v1 " +
+        "UNION ALL SELECT 'v_2', n, s, false FROM v2 " +
+        "UNION ALL SELECT 'v_3', n, s, true FROM v1 " +
+        "ORDER BY version"),
     "q_dim_insert" ->
       ("SELECT category_id, category_name FROM (" +
         "SELECT CAST(r_regionkey AS BIGINT) AS category_id, r_name AS category_name FROM region " +

@@ -185,4 +185,41 @@ object Mutations {
       .toDF("category_id", "category_name")
     dimInsert(dim, incoming, "category_name").orderBy("category_id")
   }
+
+  /** Oracle-gated TIME-TRAVEL demo over the real snapshot store: publish a
+    * base version, run two REAL mutations through [[graft.engine.Snapshot.mutate]]
+    * (M1 insert-with-dedup, then an M3/M4-shaped delete sweep), roll back
+    * to the pre-delete version, then read EVERY published version as-of
+    * and report its closed-form summary. The oracle restates each
+    * version's set algebra directly from the documents table — a
+    * read-your-history defect anywhere (a version that drifts after later
+    * mutations, a rollback that mutates instead of re-publishing, a
+    * readAsOf that resolves through CURRENT) hash-mismatches.
+    *
+    * The store root is wiped per call so version numbering is v_0..v_3 in
+    * closed form (the temp dir is already per-process, so no concurrent
+    * process can be mid-read). Scale: time travel is a pointer-and-
+    * directory mechanism — the data never copies on read, and the
+    * per-version aggregates here are one count/sum scan each. */
+  def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(timeTravelRoot, "store")
+    Dedup.rmTree(root)
+    val snap = new graft.engine.Snapshot(s, root.getPath)
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    snap.publish(docs.filter(col("doc_id") < 100))                       // v_0
+    val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    snap.mutate(cur => insertDedup(cur, batch, "doc_id"))                // v_1
+    snap.mutate(cur => deleteWhere(cur, col("doc_id") % 10 === 0))       // v_2
+    snap.rollback("v_1")                                                 // v_3
+    val cur = snap.currentVersion().getOrElse("")
+    val rows = snap.versions().map { v =>
+      val r = snap.readAsOf(v)
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+      (v, r.getLong(0), r.getLong(1), v == cur)
+    }
+    rows.toDF("version", "n_docs", "sum_ids", "is_current").orderBy("version")
+  }
+
+  private lazy val timeTravelRoot: String = Dedup.processTempDir("graft_time_travel")
 }

@@ -82,6 +82,37 @@ class EngineSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(root, "v_0.claim")))
   }
 
+  test("time travel: versions(), readAsOf, immutable-history rollback, retention bound") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tt").toString
+    val store = new Snapshot(spark, root)
+    assert(store.versions() === Seq.empty)
+    store.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v_0
+    store.mutate(_.filter(col("id") =!= 2L))                          // v_1
+    store.publish(Seq((3L, "c")).toDF("id", "v"))                     // v_2
+    assert(store.versions() === Seq("v_0", "v_1", "v_2"))
+    // as-of reads are the version's content, untouched by later mutations
+    assert(store.readAsOf("v_0").count() === 2)
+    assert(store.readAsOf("v_1").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // rollback RE-PUBLISHES: history stays linear, old versions unchanged
+    val rb = store.rollback("v_0")
+    assert(rb === "v_3" && store.currentVersion() === Some("v_3"))
+    assert(store.read().count() === 2)
+    assert(store.readAsOf("v_2").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(store.versions() === Seq("v_0", "v_1", "v_2", "v_3"))
+    // never-published / malformed versions fail loudly
+    intercept[IllegalArgumentException] { store.readAsOf("v_9") }
+    intercept[IllegalArgumentException] { store.readAsOf("junk") }
+    // an orphan directory above CURRENT is not history
+    Files.createDirectory(java.nio.file.Paths.get(root, "v_7"))
+    assert(store.versions() === Seq("v_0", "v_1", "v_2", "v_3"))
+    // retention bounds time travel: a vacuumed version refuses the read
+    store.vacuum(keep = 2)
+    assert(store.versions() === Seq("v_2", "v_3"))
+    intercept[IllegalArgumentException] { store.readAsOf("v_0") }
+    assert(store.readAsOf("v_3").count() === 2)
+  }
+
   test("bucketed tables make the fact join shuffle-free (co-located join)") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
