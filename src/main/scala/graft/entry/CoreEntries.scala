@@ -54,6 +54,7 @@ private[graft] object CoreEntries {
     "q_dim_insert" -> (Mutations.qDimInsert _),
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_time_travel" -> (Mutations.qTimeTravel _), // readAsOf over the versioned store + immutable-history rollback,
+    "q_cdc_feed" -> (Mutations.qCdcFeed _), // change-data-feed between published versions (the Delta CDF shape),
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
@@ -149,6 +150,16 @@ private[graft] object CoreEntries {
         "UNION ALL SELECT 'v_2', n, s, false FROM v2 " +
         "UNION ALL SELECT 'v_3', n, s, true FROM v1 " +
         "ORDER BY version"),
+    // change feed v_0 -> v_1 in closed form: deletes (doc_id % 17 = 0,
+    // no new content), edits (% 13 = 0 among survivors, new text has the
+    // EDITED suffix), inserts (shifted ids, new text = text)
+    "q_cdc_feed" ->
+      ("SELECT doc_id, 'deleted' AS change, CAST(NULL AS VARCHAR) AS new_text " +
+        "FROM documents WHERE doc_id < 120 AND doc_id % 17 = 0 " +
+        "UNION ALL SELECT doc_id, 'changed', text || ' EDITED' " +
+        "FROM documents WHERE doc_id < 120 AND doc_id % 17 <> 0 AND doc_id % 13 = 0 " +
+        "UNION ALL SELECT doc_id + 5000, 'added', text FROM documents WHERE doc_id < 10 " +
+        "ORDER BY doc_id"),
     "q_dim_insert" ->
       ("SELECT category_id, category_name FROM (" +
         "SELECT CAST(r_regionkey AS BIGINT) AS category_id, r_name AS category_name FROM region " +

@@ -34,6 +34,7 @@ private[graft] object TextEntries {
     "q_bloom_decontam" -> (TextSearch.qBloomDecontam _),
     "q_heavy_hitters" -> (TextSearch.qHeavyHitters _), // CMS gated via tolerance booleans vs exact top-k,
     "q_novelty" -> (TextAnalysis.qNovelty _),
+    "q_readability" -> (TextAnalysis.qReadability _), // Flesch-Kincaid grade, exact-int micro-division protocol,
     "q_pii_mask" -> (TextAnalysis.qPiiMask _),
     "q_blocklist" -> (TextAnalysis.qBlocklist _), // Aho-Corasick multi-pattern banned-phrase scan,
     "q_compress_ratio" -> (TextAnalysis.qCompressRatio _), // deflate quality screen, tolerance-gated
@@ -150,6 +151,22 @@ private[graft] object TextEntries {
         "CASE WHEN truth = pred THEN round(CAST(n AS DOUBLE) / n_pred, 6) END AS \"precision\", " +
         "CASE WHEN truth = pred THEN round(CAST(n AS DOUBLE) / n_truth, 6) END AS recall " +
         "FROM x ORDER BY truth, pred"),
+    // readability: the counting rules ARE the contract (words = whitespace
+    // runs; sentences = max(1, [.!?] runs); syllables = per-word max(1,
+    // [aeiouy] runs) = corpus group count + no-vowel word count, since
+    // vowel groups never span whitespace); FK as ONE rounded division of
+    // exact BIGINTs over the common denominator 100*S*W
+    "q_readability" ->
+      ("WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, " +
+        "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) + " +
+        "CAST(len(list_filter(words, x -> NOT regexp_matches(lower(x), '[aeiouy]'))) AS BIGINT) AS n_syllables " +
+        "FROM w) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "round(CAST(39 * n_words * n_words + 1180 * n_syllables * n_sentences " +
+        "- 1559 * n_sentences * n_words AS DOUBLE) / (100 * n_sentences * n_words), 6) AS fk_grade " +
+        "FROM c WHERE n_words > 0 ORDER BY doc_id"),
     "q_novelty" ->
       ("WITH w AS (SELECT source, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "c AS (SELECT source, list_transform([words[i] || ' ' || words[i+1] || ' ' || words[i+2] " +

@@ -222,4 +222,44 @@ object Mutations {
   }
 
   private lazy val timeTravelRoot: String = Dedup.processTempDir("graft_time_travel")
+
+  /** CHANGE-DATA-FEED between any two published versions of a snapshot
+    * store (the Delta CDF shape, composed from this engine's own parts:
+    * [[graft.engine.Snapshot.readAsOf]] on both ends + [[snapshotDiff]]'s
+    * fingerprint compare): every key added, deleted, or content-changed
+    * from `fromV` to `toV`, with the NEW content attached for added and
+    * changed rows (null for deleted — there is no new content). This is
+    * what an incremental downstream consumer (an index refresher, a
+    * re-embedding job) reads INSTEAD of re-scanning the corpus: cost is
+    * two version scans + one fingerprint join, independent of how many
+    * versions lie between. */
+  def changeFeed(snap: graft.engine.Snapshot, fromV: String, toV: String,
+      key: String, contentCol: String): DataFrame = {
+    val to = snap.readAsOf(toV)
+    snapshotDiff(snap.readAsOf(fromV), to, key, contentCol)
+      .filter(col("change") =!= "unchanged")
+      .join(to.select(col(key), col(contentCol).as(s"new_$contentCol")), Seq(key), "left")
+  }
+
+  /** Oracle-gated change-feed demo: publish a base slice, run one real
+    * mutation wave (deletes, edits, inserts) through mutate(), then read
+    * the v_0 -> v_1 feed. The oracle restates each change class in closed
+    * form from the documents table. */
+  def qCdcFeed(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(timeTravelRoot, "feed")
+    Dedup.rmTree(root)
+    val snap = new graft.engine.Snapshot(s, root.getPath)
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    snap.publish(docs.filter(col("doc_id") < 120))                        // v_0
+    val inserts = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    snap.mutate { cur =>                                                  // v_1
+      cur.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")))
+        .unionByName(inserts)
+    }
+    changeFeed(snap, "v_0", "v_1", "doc_id", "text").orderBy("doc_id")
+  }
 }

@@ -326,6 +326,47 @@ object TextAnalysis {
   def qNovelty(s: SparkSession, d: String): DataFrame =
     novelty(documents(s, d)).orderBy("source")
 
+  /** Flesch-Kincaid readability grade — the classic corpus-quality signal
+    * next to the length/stopword/perplexity screens (readability bands
+    * are a standard pretraining-mix lever: children's text, technical
+    * prose, and boilerplate separate cleanly on FK grade).
+    *
+    * Deterministic counting rules, stated here because they ARE the
+    * contract both engines replay: words = whitespace runs; sentences =
+    * max(1, maximal runs of [.!?]); syllables per word = max(1, maximal
+    * runs of [aeiouy] in the lowercased word) — the standard vowel-group
+    * approximation (true hyphenation needs a dictionary; the approximation
+    * is monotone with it and identical on both engines). Since vowel
+    * groups never span whitespace, the corpus-wide group count equals the
+    * per-word sum, so the scan is ONE regex pass over the text plus one
+    * per-word no-vowel check — no per-word regex extraction.
+    *
+    * FK = 0.39·W/S + 11.8·syl/W − 15.59, computed as ONE division of
+    * exact Long integers over the common denominator 100·S·W (the
+    * micro-division protocol: two pre-rounded doubles summed would drift
+    * between engines; one rounded division of exact ints cannot). All
+    * narrow per-row compute — no shuffle, linear at any scale. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val w = size(words).cast("long")
+    val groups = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    val noVowel = size(filter(words, x => not(lower(x).rlike("[aeiouy]")))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    Tables.rebalance(docs, "doc_id")
+      .select(col("doc_id"), w.as("n_words"), sents.as("n_sentences"),
+        (groups + noVowel).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("fk_grade", round(
+        (lit(39L) * col("n_words") * col("n_words")
+          + lit(1180L) * col("n_syllables") * col("n_sentences")
+          - lit(1559L) * col("n_sentences") * col("n_words")).cast("double")
+          / (lit(100L) * col("n_sentences") * col("n_words")), 6))
+  }
+
+  def qReadability(s: SparkSession, d: String): DataFrame =
+    readability(documents(s, d)).orderBy("doc_id")
+
   // ------------------------------------------------------------ queries
 
   def qTokenCount(s: SparkSession, d: String): DataFrame =

@@ -99,4 +99,25 @@ class MutationsSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.filter(col("category_name") === "Policies").count() === 1)
   }
+
+  test("changeFeed: adds/deletes/changes between versions, new content attached") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    val snap = new graft.engine.Snapshot(spark, root)
+    snap.publish(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body"))  // v_0
+    snap.mutate(_ => Seq((1L, "a"), (3L, "C2"), (4L, "d")).toDF("id", "body")) // v_1
+    snap.mutate(_ => Seq((9L, "z")).toDF("id", "body"))                    // v_2
+    val feed = changeFeed(snap, "v_0", "v_1", "id", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(feed === Set(
+      (2L, "deleted", None),          // gone from v_1: no new content
+      (3L, "changed", Some("C2")),    // fingerprint flip carries the new body
+      (4L, "added", Some("d"))))
+    // the feed addresses HISTORY, not CURRENT: v_2 never leaks into v_0->v_1
+    assert(!feed.exists(_._1 == 9L))
+    // non-adjacent feed spans intermediate versions in one compare
+    val wide = changeFeed(snap, "v_0", "v_2", "id", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(wide === Set((1L, "deleted"), (2L, "deleted"), (3L, "deleted"), (9L, "added")))
+  }
 }
