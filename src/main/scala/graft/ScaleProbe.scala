@@ -191,6 +191,7 @@ object ScaleProbe {
     // synthetic vocab (135 s at 30x, SCALE.md) — probe the prefix-filtered
     // exact variant, which is the declared scale path
     time("containment", nDocs) { Dedup.containmentDupsPrefix(docs, 0.9).count() }
+    time("containment_auto", nDocs) { Dedup.containmentDupsAuto(docs, 0.9).count() }
     time("repeated_spans", nDocs) { Dedup.repeatedSpans(docs).count() }
     // round-3 batch-4 operators: force through an aggregate over the
     // operator's computed column (same pruning caveat as above)

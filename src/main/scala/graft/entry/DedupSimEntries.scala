@@ -52,6 +52,8 @@ private[graft] object DedupSimEntries {
     // --- containment dedup + exact repeated-span scan + skew diagnostics
     "q_containment" -> (Dedup.qContainment _),
     "q_containment_auto" -> (Dedup.qContainmentAuto _), // routed containment front door; strategy column pinned,
+    "q_ann_filtered" -> (Similarity.qAnnFiltered _), // pre-filter + route: metadata-predicate vector search,
+    "q_hybrid_rrf" -> (Similarity.qHybridRrf _), // BM25 + dense cosine fused by reciprocal-rank fusion,
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
     "q_rep_span_max" -> (Dedup.qRepSpanMax _), // exact longest repeated span per doc via synchronized binary search,
     "q_span_dedup" -> (Dedup.qSpanDedup _),
@@ -195,6 +197,52 @@ private[graft] object DedupSimEntries {
         "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, " +
         "n_id, score, 'exact' AS strategy " +
         "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    // filtered search: the same exact ranking restricted to label = 1
+    // corpus rows (pre-filtering shrinks the effective corpus, so at
+    // gate scale the router provably picks exact; strategy pinned)
+    "q_ann_filtered" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, e.vec_id AS n_id, " +
+        "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.q_id AND e.label = 1) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank, " +
+        "n_id, score, 'exact' AS strategy " +
+        "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    // hybrid RRF: the q_bm25 scoring chain verbatim (top-20 lexical), the
+    // q_topk cosine chain verbatim for vec 0's embedding (top-20 dense),
+    // reciprocal ranks summed in fixed order, final (rrf desc, doc_id)
+    // rank. Only INTEGER ranks cross the fusion boundary.
+    "q_hybrid_rrf" ->
+      ("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, " +
+        "CAST(sum(len(words)) AS DOUBLE) / count(*) AS avgdl FROM w), " +
+        "toks AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS term FROM w), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks " +
+        "WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2, 3), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "parts AS (SELECT doc_id, term, " +
+        "ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * CAST(2.2 AS DOUBLE)) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part " +
+        "FROM tf JOIN dfq USING (term), stats), " +
+        "agg AS (SELECT doc_id, round(" +
+        "coalesce(max(CASE WHEN term = 'spark' THEN part END), 0) + " +
+        "coalesce(max(CASE WHEN term = 'merge' THEN part END), 0) + " +
+        "coalesce(max(CASE WHEN term = 'window' THEN part END), 0), 6) AS bm25 " +
+        "FROM parts GROUP BY 1), " +
+        "ta AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a " +
+        "FROM agg QUALIFY rank_a <= 20), " +
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0), " +
+        "vs AS (SELECT e.vec_id AS doc_id, " +
+        "round(list_cosine_similarity(qv.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, qv WHERE e.vec_id <> 0), " +
+        "tb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_b " +
+        "FROM vs QUALIFY rank_b <= 20), " +
+        "fused AS (SELECT doc_id, rank_a, rank_b, " +
+        "round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), 0) + " +
+        "coalesce(CAST(1 AS DOUBLE) / (60 + rank_b), 0), 6) AS rrf " +
+        "FROM ta FULL OUTER JOIN tb USING (doc_id)) " +
+        "SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, rrf, rank_a, rank_b FROM fused QUALIFY rank <= 10 ORDER BY rank"),
     // MaxSim replay: every (query token x doc token) cosine with the
     // q_topk-proven round(list_cosine_similarity, 6), per-query-token max
     // (a comparison of rounded values — exact), the order-independent

@@ -150,6 +150,118 @@ object Similarity {
     out.withColumn("strategy", lit(strategy.name)).orderBy("q_id", "rank")
   }
 
+  // ------------------------------------------------- filtered vector search
+
+  /** FILTERED vector search — top-k under a metadata predicate (lang,
+    * license, source, date window: every production retrieval carries
+    * one). The exact approach is PRE-FILTERING: restrict the corpus
+    * first, then route through [[annTopKAutoTagged]] — the filter makes
+    * the effective corpus SMALLER, so the router re-decides from the
+    * filtered count (a selective predicate legitimately flips an
+    * HNSW-sized corpus back to exact brute force; an index over the full
+    * corpus would scan mostly-rejected neighbors instead). Results are
+    * exact whenever the routed arm is exact. For serve-time filtering
+    * against an already-persisted graph index (no rebuild per predicate),
+    * see [[probeHnswIndexFiltered]]. */
+  def annTopKFilteredTagged(corpus: DataFrame, queries: DataFrame, k: Int,
+      pred: Column, recallTarget: Double = 0.9): (DataFrame, AnnStrategy) =
+    annTopKAutoTagged(corpus.filter(pred), queries, k, recallTarget)
+
+  /** Serve-time filtered probe of the PERSISTED HNSW index (the
+    * over-fetch pattern): the graph was built once over the full corpus
+    * and cannot be rebuilt per predicate, so probe for k·overfetch
+    * candidates, keep the allowed ones, rerank exactly, trim to k.
+    * Approximate twice over (graph recall x the chance that enough
+    * allowed neighbors sit in the over-fetched set) — recall floor vs
+    * the exact filtered ranking is spec'd in SimilaritySpec; selective
+    * predicates want [[annTopKFilteredTagged]] instead (stated, not
+    * hidden: over-fetch degrades as selectivity drops, since a filter
+    * keeping 1-in-F of the corpus needs overfetch ~ F to fill k). */
+  def probeHnswIndexFiltered(s: SparkSession, root: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, pred: Column, overfetch: Int = 4): DataFrame = {
+    val panel = queries
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // bounded query panel (the q_hnsw_recall pattern)
+    // the index stores the GRAPH; predicates live on the corpus table's
+    // metadata columns — the join below is the serve-time filter
+    val allowed = corpus.filter(pred)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qFrame = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    Hnsw.probeHnswIndex(s, root, panel, k * overfetch)
+      .join(allowed, Seq("n_id")) // the filter: disallowed candidates drop here
+      .join(broadcast(qFrame), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+  }
+
+  /** Oracle-checked filtered search: the vec_id<5 panel restricted to
+    * label=1 corpus rows. At gate scale the filtered corpus sits under
+    * [[AnnExactCorpusMax]], so the router provably picks exact and the
+    * oracle replays the filtered brute-force ranking verbatim; the
+    * pinned 'exact' literal makes a silent route flip a loud hash FAIL. */
+  def qAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val (out, strategy) = annTopKFilteredTagged(
+      emb, emb.filter(col("vec_id") < 5), 10, col("label") === 1)
+    out.withColumn("strategy", lit(strategy.name)).orderBy("q_id", "rank")
+  }
+
+  // ------------------------------------------------ hybrid retrieval (RRF)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * rankings over one id space: score = Σ_r 1/(60 + rank_r) over the
+    * rankings that contain the id. THE standard hybrid-retrieval merge
+    * (lexical BM25 + dense cosine) because it needs no score
+    * calibration — only ranks cross the boundary, so a BM25 of 14.2 and
+    * a cosine of 0.83 never meet on one scale. Determinism: ranks are
+    * ints, each reciprocal is one exact-int double division, and the
+    * two-term sum is written in fixed declaration order — bit-identical
+    * in both engines (the established micro-division protocol).
+    *
+    * Scale: the fusion input is TWO TOP-K LISTS (bounded by design), not
+    * the corpus — the full-outer join and the final ranking window run
+    * on ≤ 2k rows no matter the corpus size (PlanSpec-registered). */
+  val RrfK = 60L
+
+  def hybridRrf(rankA: DataFrame, rankB: DataFrame, key: String, k: Int): DataFrame = {
+    val a = rankA.select(col(key), col("rank").as("rank_a"))
+    val b = rankB.select(col(key), col("rank").as("rank_b"))
+    val w = Window.orderBy(col("rrf").desc, col(key)) // ≤ |A|+|B| rows by design
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_b")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(key), col("rrf"), col("rank_a"), col("rank_b"))
+  }
+
+  /** Oracle-checked hybrid retrieval: the BM25 top-20 (the q_bm25 query
+    * verbatim, ranked by its rounded score) fused with the dense top-20
+    * for vec_id 0's embedding (the q_topk cosine ranking verbatim) over
+    * the shared doc_id = vec_id id space; RRF top-10. The oracle replays
+    * both proven ranking CTEs and the fixed-order reciprocal sum. */
+  def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val r = docs.agg(count(lit(1)),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head()
+    val avgdl = r.getLong(1).toDouble / r.getLong(0)
+    val wb = Window.orderBy(col("bm25").desc, col("doc_id")) // 20-row input
+    val textRank = graft.operators.TextSearch.bm25(
+      docs, graft.operators.TextSearch.Bm25Query, r.getLong(0), avgdl)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(wb).cast("long"))
+    val emb = embeddings(s, d)
+    val vecRank = bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), 20)
+      .select(col("n_id").as("doc_id"), col("rank"))
+    hybridRrf(textRank.select("doc_id", "rank"), vecRank, "doc_id", 10)
+      .orderBy("rank")
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most similar corpus vectors with a DIFFERENT
     * label — the negatives that sit right at the decision boundary,

@@ -211,7 +211,14 @@ class PlanSpec extends SparkSpec {
       // exact MaxSim scores the 3-doc (12-token) broadcast panel against
       // every doc token by definition — the late-interaction q_topk;
       // production serving is maxSimTopKRouted (ANN-router candidates)
-      "q_maxsim")
+      "q_maxsim",
+      // pre-filter + route: at gate scale the FILTERED corpus routes to
+      // exact brute force (the q_ann_auto argument on the smaller input);
+      // the serve-time over-fetch probe is spec'd separately
+      "q_ann_filtered",
+      // the dense arm of the hybrid fusion is the panel-bounded q_topk
+      // brute-force ranking (one broadcast query) by definition
+      "q_hybrid_rrf")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
@@ -230,7 +237,8 @@ class PlanSpec extends SparkSpec {
       "q_calibration" -> "|buckets| rows: the cumulative precision/recall windows run on the 20-row bucket table, never the corpus",
       "q_vocab_coverage" -> "|vocabulary| rows: the cumulative-mass window orders the type table, never the corpus",
       "q_mixture" -> "|sources| rows: the rate table window runs on the per-domain aggregate, the corpus sees one narrow filter",
-      "q_resample" -> "|hours| rows: the rolling window runs on the generated time spine (span-bounded; partition by (series, day) at 100 TB per its docstring)")
+      "q_resample" -> "|hours| rows: the rolling window runs on the generated time spine (span-bounded; partition by (series, day) at 100 TB per its docstring)",
+      "q_hybrid_rrf" -> "<= 40 rows: the BM25 top-20 rank window and the RRF fusion window both run on top-k lists (bounded by design), never the corpus")
     // A BNLJ is a SCALAR ATTACH, not an accident, when its broadcast side is
     // a global (no grouping keys) aggregate: that side is exactly one row, so
     // the "nested loop" is |stream| x 1 — the optimal way to join a corpus

@@ -651,4 +651,53 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & routed).size.toDouble / exact.size
     assert(recall >= 0.9, s"routed MaxSim recall $recall")
   }
+
+  test("filtered search: pre-filter route is exact; over-fetch probe meets its floor") {
+    val qs = emb.filter(col("vec_id") < 5)
+    val pred = col("label") === 1
+    val (routed, strategy) = Similarity.annTopKFilteredTagged(emb, qs, 10, pred)
+    assert(strategy.name === "exact")
+    val exact = Similarity.bruteForceTopK(emb.filter(pred), qs, 10)
+    assert(routed.collect().map(_.toSeq).toSet === exact.collect().map(_.toSeq).toSet)
+    val allowed = emb.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactPairs = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exactPairs.forall { case (_, n) => allowed.contains(n) })
+    // serve-time filter against the PERSISTED graph (no rebuild per
+    // predicate): over-fetch then filter then exact rerank — recall vs
+    // the exact filtered ranking floored, all results obey the predicate
+    val root = java.nio.file.Files.createTempDirectory("hnsw_filtered").toString
+    try {
+      graft.operators.Hnsw.writeHnswIndex(spark, emb, root)
+      // the predicate keeps ~1-in-3 of the corpus, so size over-fetch by
+      // the documented rule (~4x the selectivity factor F=3): at the
+      // default 4 the probe measured 0.46 — exactly the degradation the
+      // operator's scaladoc warns selective predicates about
+      val probed = Similarity.probeHnswIndexFiltered(spark, root, emb, qs, 10, pred,
+          overfetch = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(probed.forall { case (_, n) => allowed.contains(n) },
+        "over-fetch probe leaked a disallowed neighbor")
+      val recall = (exactPairs & probed).size.toDouble / exactPairs.size
+      assert(recall >= 0.7, s"filtered over-fetch recall $recall under the 0.7 floor")
+    } finally Dedup.rmTree(new java.io.File(root))
+  }
+
+  test("hybrid RRF: reciprocal sum, full-outer coverage, deterministic ranking") {
+    import spark.implicits._
+    val rankA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val rankB = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = Similarity.hybridRrf(rankA, rankB, "doc_id", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    // doc 20 is in both lists: 1/(60+2) + 1/(60+1); singles keep one term
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, 20L), (2L, 10L), (3L, 40L), (4L, 30L)))
+    val by = out.map(t => t._2 -> t).toMap
+    assert(by(20L)._3 === math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
+    assert(by(10L)._3 === math.rint((1.0 / 61) * 1e6) / 1e6)
+    assert(by(10L)._5 === None, "doc only in list A must carry a null rank_b")
+    assert(by(40L)._4 === None, "doc only in list B must carry a null rank_a")
+  }
 }
