@@ -54,6 +54,7 @@ private[graft] object DedupSimEntries {
     "q_containment_auto" -> (Dedup.qContainmentAuto _), // routed containment front door; strategy column pinned,
     "q_ann_filtered" -> (Similarity.qAnnFiltered _), // pre-filter + route: metadata-predicate vector search,
     "q_hybrid_rrf" -> (Similarity.qHybridRrf _), // BM25 + dense cosine fused by reciprocal-rank fusion,
+    "q_rank_eval" -> (Similarity.qRankEval _), // nDCG@10 / RR / precision@10 vs label-match relevance,
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
     "q_rep_span_max" -> (Dedup.qRepSpanMax _), // exact longest repeated span per doc via synchronized binary search,
     "q_span_dedup" -> (Dedup.qSpanDedup _),
@@ -243,6 +244,34 @@ private[graft] object DedupSimEntries {
         "FROM ta FULL OUTER JOIN tb USING (doc_id)) " +
         "SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank, " +
         "doc_id, rrf, rank_a, rank_b FROM fused QUALIFY rank <= 10 ORDER BY rank"),
+    // ranking eval: the exact q_topk chain, label-match relevance, per-row
+    // 6dp gains summed as DECIMAL(18,6) (order-free), one double division
+    // per metric — the micro-division protocol end to end
+    "q_rank_eval" ->
+      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS q_emb " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, e.vec_id AS n_id, " +
+        "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.q_id), " +
+        "rk AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS BIGINT) AS rank " +
+        "FROM s QUALIFY rank <= 10), " +
+        "rel AS (SELECT q.q_id, e.vec_id AS n_id, 1 AS rel FROM embeddings e, q " +
+        "WHERE e.vec_id <> q.q_id AND e.label = q.q_label), " +
+        "tk AS (SELECT rk.q_id, rk.rank, coalesce(rel.rel, 0) AS rel FROM rk LEFT JOIN rel USING (q_id, n_id)), " +
+        "dcg AS (SELECT q_id, " +
+        "CAST(sum(CAST(round((pow(2.0, rel) - 1.0) / log2(rank + 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS dcg, " +
+        "coalesce(min(CASE WHEN rel > 0 THEN rank END), 0) AS first_rel, " +
+        "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel FROM tk GROUP BY q_id), " +
+        "ideal AS (SELECT q_id, rel, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS BIGINT) AS irank " +
+        "FROM rel QUALIFY irank <= 10), " +
+        "idcg AS (SELECT q_id, " +
+        "CAST(sum(CAST(round((pow(2.0, rel) - 1.0) / log2(irank + 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS idcg " +
+        "FROM ideal GROUP BY q_id) " +
+        "SELECT d.q_id, " +
+        "CASE WHEN coalesce(idcg, 0) = 0 THEN CAST(0 AS DOUBLE) ELSE round(dcg / idcg, 6) END AS ndcg, " +
+        "CASE WHEN first_rel = 0 THEN CAST(0 AS DOUBLE) ELSE round(CAST(1 AS DOUBLE) / first_rel, 6) END AS rr, " +
+        "round(CAST(n_rel AS DOUBLE) / 10, 6) AS precision_k " +
+        "FROM dcg d LEFT JOIN idcg USING (q_id) ORDER BY d.q_id"),
     // MaxSim replay: every (query token x doc token) cosine with the
     // q_topk-proven round(list_cosine_similarity, 6), per-query-token max
     // (a comparison of rounded values — exact), the order-independent

@@ -210,6 +210,72 @@ object Similarity {
     out.withColumn("strategy", lit(strategy.name)).orderBy("q_id", "rank")
   }
 
+  // ------------------------------------------------ ranking-quality metrics
+
+  /** Retrieval evaluation over a ranking: nDCG@k, reciprocal rank, and
+    * precision@k per query — the ranking-quality half of the eval family
+    * (confusion/calibration/kappa judge CLASSIFIERS; this judges the
+    * retrieval stack above: ANN routes, hybrid fusion, rerankers).
+    *
+    * Inputs: `ranked` = (q_id, rank, n_id) with rank 1-based (any top-k
+    * frame this file emits), `rel` = (q_id, n_id, rel) graded relevance
+    * (absent pairs are irrelevant). Determinism protocol: each DCG gain
+    * (2^rel − 1)/log2(rank+1) is rounded to 6dp PER ROW, summed as
+    * DECIMAL(18,6) (order-free), and the final nDCG is one double
+    * division of those exact sums — the established micro-division
+    * protocol, so both engines replay it bit-identically. The ideal DCG
+    * ranks each query's own relevance grades descending (ties by n_id),
+    * capped at k. Queries with no relevant documents score 0 (not null)
+    * on all three metrics.
+    *
+    * Scale: everything is keyed by q_id — two bounded top-k frames join
+    * and aggregate per query; the corpus never enters. */
+  def rankEval(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    val gain = (r: Column, rk: Column) =>
+      round((pow(lit(2.0), r) - 1.0) / log2(rk + 1.0), 6)
+    val topk = ranked.filter(col("rank") <= k)
+      .join(rel, Seq("q_id", "n_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcg = topk
+      .withColumn("g", gain(col("rel"), col("rank")).cast("decimal(18,6)"))
+      .groupBy("q_id").agg(
+        sum(col("g")).cast("double").as("dcg"),
+        coalesce(min(when(col("rel") > 0, col("rank"))), lit(0L)).as("first_rel"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_topk"))
+    val wIdeal = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("n_id"))
+    val idcg = rel.filter(col("rel") > 0)
+      .withColumn("irank", row_number().over(wIdeal))
+      .filter(col("irank") <= k)
+      .withColumn("g", gain(col("rel"), col("irank")).cast("decimal(18,6)"))
+      .groupBy("q_id").agg(sum(col("g")).cast("double").as("idcg"))
+    dcg.join(idcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        when(coalesce(col("idcg"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"),
+        when(col("first_rel") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_rel"), 6)).as("rr"),
+        round(col("n_rel_topk").cast("double") / lit(k), 6).as("precision_k"))
+  }
+
+  /** Oracle-checked ranking eval: the exact q_topk cosine ranking judged
+    * against label-match relevance (a neighbor is relevant iff it shares
+    * its query's label — the standard intrinsic-embedding eval when no
+    * human judgments exist). The oracle replays the ranking chain, the
+    * per-row rounded gains, the DECIMAL sums, and the ideal ranking. */
+  def qRankEval(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ranked = bruteForceTopK(emb, queries, 10)
+    val rel = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("label").as("q_label"))))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        when(col("n_label") === col("q_label"), lit(1)).otherwise(lit(0)).as("rel"))
+      .filter(col("rel") > 0) // absent pairs are irrelevant by contract
+    rankEval(ranked, rel, 10).orderBy("q_id")
+  }
+
   // ------------------------------------------------ hybrid retrieval (RRF)
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two

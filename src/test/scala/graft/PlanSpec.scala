@@ -218,7 +218,10 @@ class PlanSpec extends SparkSpec {
       "q_ann_filtered",
       // the dense arm of the hybrid fusion is the panel-bounded q_topk
       // brute-force ranking (one broadcast query) by definition
-      "q_hybrid_rrf")
+      "q_hybrid_rrf",
+      // the eval ranks the panel-bounded brute-force baseline and builds
+      // label-match relevance by crossing the 5-query broadcast panel
+      "q_rank_eval")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(

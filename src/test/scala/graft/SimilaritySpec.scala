@@ -682,6 +682,25 @@ class SimilaritySpec extends SparkSpec {
     } finally Dedup.rmTree(new java.io.File(root))
   }
 
+  test("rank eval: hand-computed nDCG/RR/precision on a tiny ranking") {
+    import spark.implicits._
+    import org.scalactic.TolerantNumerics._
+    implicit val eq = tolerantDoubleEquality(1e-6)
+    val ranked = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+      .toDF("q_id", "rank", "n_id")
+    // doc 20 retrieved at rank 2 is relevant; doc 40 is relevant but missed
+    val rel = Seq((1L, 20L, 1), (1L, 40L, 1)).toDF("q_id", "n_id", "rel")
+    val r = Similarity.rankEval(ranked, rel, 3).collect().head
+    val g2 = 1.0 / (math.log(3) / math.log(2)) // gain of a rel=1 hit at rank 2
+    val g2r = BigDecimal(g2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ndcg") === g2r / (1.0 + g2r)) // idcg = hit@1 + hit@2
+    assert(r.getAs[Double]("rr") === 0.5)                 // first relevant at rank 2
+    assert(r.getAs[Double]("precision_k") === 1.0 / 3)    // 1 relevant of k=3
+    // a query with no relevant documents scores 0 everywhere, never null
+    val none = Similarity.rankEval(ranked, rel.filter(lit(false)), 3).collect().head
+    assert(none.getAs[Double]("ndcg") === 0.0 && none.getAs[Double]("rr") === 0.0)
+  }
+
   test("hybrid RRF: reciprocal sum, full-outer coverage, deterministic ranking") {
     import spark.implicits._
     val rankA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
