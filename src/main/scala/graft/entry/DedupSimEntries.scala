@@ -55,6 +55,7 @@ private[graft] object DedupSimEntries {
     "q_ann_filtered" -> (Similarity.qAnnFiltered _), // pre-filter + route: metadata-predicate vector search,
     "q_hybrid_rrf" -> (Similarity.qHybridRrf _), // BM25 + dense cosine fused by reciprocal-rank fusion,
     "q_rank_eval" -> (Similarity.qRankEval _), // nDCG@10 / RR / precision@10 vs label-match relevance,
+    "q_mmr" -> (Similarity.qMmr _), // maximal-marginal-relevance diversity rerank of the exact top-10,
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
     "q_rep_span_max" -> (Dedup.qRepSpanMax _), // exact longest repeated span per doc via synchronized binary search,
     "q_span_dedup" -> (Dedup.qSpanDedup _),
@@ -272,6 +273,8 @@ private[graft] object DedupSimEntries {
         "CASE WHEN first_rel = 0 THEN CAST(0 AS DOUBLE) ELSE round(CAST(1 AS DOUBLE) / first_rel, 6) END AS rr, " +
         "round(CAST(n_rel AS DOUBLE) / 10, 6) AS precision_k " +
         "FROM dcg d LEFT JOIN idcg USING (q_id) ORDER BY d.q_id"),
+    // MMR: all five greedy steps unrolled per q_id (coresetOracle pattern)
+    "q_mmr" -> mmrOracle(5, 10),
     // MaxSim replay: every (query token x doc token) cosine with the
     // q_topk-proven round(list_cosine_similarity, 6), per-query-token max
     // (a comparison of rounded values — exact), the order-independent

@@ -583,6 +583,44 @@ private[graft] object OracleHelpers {
       s"UNION ALL $sel) ORDER BY sel_rank"
   }
 
+  /** MMR oracle: the greedy diversity rerank unrolled into CTEs per
+    * q_id (the coresetOracle pattern, partitioned): candidates are the
+    * exact top-`m` cosine ranking, each step's MMR replays the
+    * two-literal formula round(0.7·rel − 0.3·maxsim, 6) with the n_id
+    * tiebreak, and maxsim accumulates as greatest() of 6dp-rounded
+    * pairwise sims — the engine's exact arithmetic, independently
+    * restated. */
+  def mmrOracle(k: Int, m: Int): String = {
+    val mmr1 = "round(CAST(0.7 AS DOUBLE) * score, 6)"
+    def mmrI = "round(CAST(0.7 AS DOUBLE) * score - CAST(0.3 AS DOUBLE) * ms, 6)"
+    val head =
+      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS v, " +
+        "round(list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.q_id), " +
+        s"cand AS (SELECT q_id, n_id, v, score, " +
+        s"row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn FROM s QUALIFY rn <= $m), " +
+        s"c1 AS (SELECT q_id, n_id AS sel_id, v AS sel_v, $mmr1 AS mmr FROM cand " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY $mmr1 DESC, n_id) = 1), " +
+        "m1 AS (SELECT cand.q_id, cand.n_id, cand.v, cand.score, " +
+        "round(list_cosine_similarity(cand.v, c.sel_v), 6) AS ms " +
+        "FROM cand JOIN c1 c USING (q_id) WHERE cand.n_id <> c.sel_id)"
+    val mids = (2 to k).map { i =>
+      val cte =
+        s"c$i AS (SELECT q_id, n_id AS sel_id, v AS sel_v, $mmrI AS mmr FROM m${i - 1} " +
+          s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY $mmrI DESC, n_id) = 1)"
+      if (i == k) cte
+      else cte + ", " +
+        s"m$i AS (SELECT m.q_id, m.n_id, m.v, m.score, " +
+        "greatest(m.ms, round(list_cosine_similarity(m.v, c.sel_v), 6)) AS ms " +
+        s"FROM m${i - 1} m JOIN c$i c USING (q_id) WHERE m.n_id <> c.sel_id)"
+    }.mkString(", ")
+    val sel = (1 to k)
+      .map(i => s"SELECT q_id, CAST($i AS BIGINT) AS rank, sel_id AS n_id, mmr FROM c$i")
+      .mkString(" UNION ALL ")
+    s"$head, $mids SELECT q_id, rank, n_id, mmr FROM ($sel) ORDER BY q_id, rank"
+  }
+
   /** Power-iteration PCA oracle: quantize embeddings to HUGEINT micros,
     * exact integer mean/centering (sign-symmetric half-away division),
     * the exact 64x64 scatter, then every power step unrolled — u = S·v

@@ -36,6 +36,7 @@ private[graft] object SourceEntries {
     "q_robots" -> (CrawlPolicy.qRobots _), // RFC 9309 robots.txt verdicts per URL,
     "q_crawl_schedule" -> (CrawlPolicy.qCrawlSchedule _), // per-domain politeness fetch queue,
     "q_charset" -> (graft.sources.CharsetSniff.qCharset _), // BOM/UTF-8-validate/Latin-1 encoding detection,
+    "q_mojibake" -> (graft.sources.CharsetSniff.qMojibake _), // UTF-8-as-Latin-1 mojibake repair, closed-form oracle,
     "q_links" -> (graft.sources.HtmlIngest.qLinks _), // href extraction + RFC 3986 reference resolution,
     "q_sitemap" -> (graft.sources.SitemapIngest.qSitemap _), // sitemapindex -> gzipped urlset shards walk,
     // --- storage-layer schema evolution (merged-footer parquet read)
@@ -284,6 +285,14 @@ private[graft] object SourceEntries {
         "WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be' ELSE 'iso-8859-1' END AS charset, " +
         s"coalesce(text, '') || '${graft.sources.CharsetSniff.Marker}' AS text " +
         "FROM documents ORDER BY doc_id"),
+    // mojibake repair: the oracle is the CLOSED-FORM expected output —
+    // corrupted rows (doc_id % 3 = 0) repair back to text + marker,
+    // clean ASCII rows pass through unflagged; it never runs the
+    // corruptor or the repairer
+    "q_mojibake" ->
+      ("SELECT doc_id, doc_id % 3 = 0 AS repaired, " +
+        s"CASE WHEN doc_id % 3 = 0 THEN text || '${graft.sources.CharsetSniff.MojibakeMarker}' " +
+        "ELSE text END AS text_out FROM documents ORDER BY doc_id"),
     // link extraction: each staged page carries five hrefs (quoted,
     // single-quoted, unquoted, entity-encoded '&amp;', rooted, relative,
     // '../', query-bearing); the oracle states every resolved canonical

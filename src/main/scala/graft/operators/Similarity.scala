@@ -210,6 +210,94 @@ object Similarity {
     out.withColumn("strategy", lit(strategy.name)).orderBy("q_id", "rank")
   }
 
+  // ------------------------------------------------- MMR diversity rerank
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of a
+    * top-M retrieval list: greedily pick
+    * argmax λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s), k times — the
+    * standard diversity rerank that stops a result page being five
+    * near-copies of the best hit.
+    *
+    * The input is a TOP-M FRAME by definition (this operator reranks a
+    * retrieval result; it never sees the corpus), so the greedy loop —
+    * inherently sequential in the selected set — runs at the driver over
+    * the |panel|·M collected candidates (the bounded-panel pattern every
+    * ANN gate uses); candidate generation at scale is the ANN router.
+    *
+    * Determinism protocol: rel scores arrive 6dp-rounded from the
+    * ranking; every pairwise sim is the q_topk-proven cosine operation
+    * sequence rounded to 6dp; each MMR value is
+    * round(lam·rel − lamComp·maxsim, 6); ties break by n_id. `lam` and
+    * `lamComp` are SEPARATE literals written identically in the oracle —
+    * deriving lamComp as 1.0 − 0.7 would produce 0.30000000000000004 and
+    * a hash mismatch, which is exactly the kind of drift the two-literal
+    * contract exists to prevent. */
+  def mmrRerank(ranked: DataFrame, vectors: DataFrame, k: Int,
+      lam: Double, lamComp: Double): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    // EXACT-BINARY BigDecimal, not Scala's BigDecimal(x)/decimal(x)
+    // (those alias valueOf/shortest-repr): DuckDB's round() rounds the
+    // exact binary double, and the two disagree precisely at
+    // shortest-repr half-way points — measured on this corpus:
+    // 0.7·0.371485 = 0.26003949999... rounds to 0.260039 exact-binary
+    // (and in DuckDB) but to 0.260040 via valueOf. Driver-side rounding
+    // must match the ORACLE's semantics, not Spark Round's.
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // the cosineSim operation sequence verbatim (float->double, index
+      // order, dot/(sqrt(na)*sqrt(nb))) so driver sims equal the engine's
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = ranked
+      .join(vectors.select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<float>").as("n_emb")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("score"), col("n_emb"))
+      .as[(Long, Long, Double, Array[Float])]
+      .collect() // bounded: the |panel| x M rerank input, by definition
+    val out = cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, rows) =>
+      // (n_id, rel, vec, maxsim-to-selected); maxsim is None until the
+      // first selection — sims can be NEGATIVE, so a 0.0 initializer
+      // would silently floor the diversity term (measured: it did)
+      val rem = scala.collection.mutable.ArrayBuffer(
+        rows.map(r => (r._2, r._3, r._4, Option.empty[Double])): _*)
+      def mmrOf(rel: Double, ms: Option[Double]): Double =
+        ms.fold(r6(lam * rel))(m => r6(lam * rel - lamComp * m))
+      (1 to math.min(k, rem.length)).map { rank =>
+        val best = rem.minBy { case (nId, rel, _, ms) => (-mmrOf(rel, ms), nId) }
+        val mmr = mmrOf(best._2, best._4)
+        rem -= best
+        var i = 0
+        while (i < rem.length) {
+          val c = rem(i)
+          val s = r6(cos(c._3, best._3))
+          rem(i) = (c._1, c._2, c._3, Some(c._4.fold(s)(m => math.max(m, s))))
+          i += 1
+        }
+        (q, rank.toLong, best._1, mmr)
+      }
+    }
+    out.toDF("q_id", "rank", "n_id", "mmr")
+  }
+
+  /** Oracle-checked MMR: the exact top-10 cosine candidates per panel
+    * query, reranked to a diverse top-5 at λ = 0.7. The oracle unrolls
+    * all five greedy steps as CTEs (the coresetOracle pattern), replaying
+    * the rounded sims, the two-literal MMR formula, and the n_id
+    * tiebreak. */
+  def qMmr(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val ranked = bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    mmrRerank(ranked, emb, 5, 0.7, 0.3).orderBy("q_id", "rank")
+  }
+
   // ------------------------------------------------ ranking-quality metrics
 
   /** Retrieval evaluation over a ranking: nDCG@k, reciprocal rank, and

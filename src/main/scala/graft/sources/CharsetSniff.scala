@@ -91,4 +91,77 @@ object CharsetSniff {
       .toDF("doc_id", "charset", "text")
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------- mojibake repair
+
+  /** Repair UTF-8-read-as-Latin-1 MOJIBAKE (the ftfy core case): an
+    * upstream stage decoded UTF-8 bytes with Latin-1, turning every
+    * non-ASCII char into 2-4 high-Latin chars ("é" -> "Ã©") — endemic in
+    * crawl corpora that pass through legacy feeds. The repair is the
+    * EXACT inverse, applied only when it provably is one:
+    *  - the text must contain a char in [0x80, 0xFF] (pure ASCII cannot
+    *    be mojibake) and NO char above 0xFF (such a char cannot have come
+    *    from a Latin-1 decode of anything);
+    *  - its Latin-1 bytes must STRICTLY validate as UTF-8 (the same
+    *    REPORT-mode decoder [[sniff]] trusts). Genuine Latin-1 prose
+    *    fails strict validation with overwhelming probability, so false
+    *    repairs are structurally rare and the pass-through is total.
+    * One layer per call by declaration: feeds known to DOUBLE-corrupt
+    * loop to a fixed point, each pass carrying the same proof. */
+  def repairMojibake(text: String): (String, Boolean) = {
+    if (text == null) return ("", false)
+    var hasHigh = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c > 0xFF) return (text, false)
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return (text, false)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val repaired = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (repaired == text) (text, false) else (repaired, true)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => (text, false)
+    }
+  }
+
+  /** Non-ASCII marker appended before corruption in [[qMojibake]] — the
+    * corpus text is ASCII by construction (immune to this corruption), so
+    * the marker supplies the multi-byte chars the round trip must carry:
+    * two Latin-1-reachable accents and one char OUTSIDE Latin-1 (π),
+    * proving the repair reassembles multi-byte sequences, not just the
+    * two-byte accent case. */
+  val MojibakeMarker = " caf\u00e9 Z\u00fcrich \u03c0" // " café Zürich π", escaped so the source charset cannot matter
+
+  /** Oracle-checked repair: every 3rd document is corrupted with the real
+    * chain (UTF-8 bytes decoded as Latin-1) after the marker is appended;
+    * the rest pass through untouched. The oracle states the expected
+    * output in CLOSED FORM (original text + marker literal — it never
+    * runs the corruptor or the repairer), so a repair that drops a byte,
+    * fires on a clean ASCII row, or misses a planted row hash-mismatches. */
+  def qMojibake(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.rebalance(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val seen =
+            if (id % 3 == 0)
+              new String((text + MojibakeMarker)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            else text
+          val (out, repaired) = repairMojibake(seen)
+          (id, repaired, out)
+        }
+      }
+      .toDF("doc_id", "repaired", "text_out")
+      .orderBy("doc_id")
+  }
 }

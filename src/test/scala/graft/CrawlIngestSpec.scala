@@ -104,6 +104,31 @@ class CrawlIngestSpec extends SparkSpec {
       (("utf-8-bom", "")))
   }
 
+  test("mojibake repair: exact inverse of the UTF-8-as-Latin-1 corruption, guarded") {
+    import CharsetSniff.repairMojibake
+    def corrupt(s: String): String = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // round trip, incl. a char OUTSIDE Latin-1 (π: 2-byte UTF-8)
+    val original = "café Zürich π plain tail"
+    assert(repairMojibake(corrupt(original)) === ((original, true)))
+    // pure ASCII cannot be mojibake: untouched, unflagged
+    assert(repairMojibake("plain ascii") === (("plain ascii", false)))
+    // genuine Latin-1 prose fails strict UTF-8 validation: pass-through
+    // (a lone é is the malformed-sequence case the REPORT decoder rejects)
+    assert(repairMojibake("café au lait") === (("café au lait", false)))
+    // a char above 0xFF cannot be a Latin-1 decode of anything
+    assert(repairMojibake("has π already") === (("has π already", false)))
+    // DOUBLE corruption repairs one layer per call, to a fixed point
+    val twice = corrupt(corrupt(original))
+    val (once, f1) = repairMojibake(twice)
+    assert(f1 && once === corrupt(original))
+    assert(repairMojibake(once) === ((original, true)))
+    // degenerate
+    assert(repairMojibake(null) === (("", false)))
+    assert(repairMojibake("") === (("", false)))
+  }
+
   // ---------------------------------------------------------------- zip
 
   test("zip: entries round-trip; truncated archives keep the readable prefix") {

@@ -221,7 +221,10 @@ class PlanSpec extends SparkSpec {
       "q_hybrid_rrf",
       // the eval ranks the panel-bounded brute-force baseline and builds
       // label-match relevance by crossing the 5-query broadcast panel
-      "q_rank_eval")
+      "q_rank_eval",
+      // MMR reranks the panel-bounded brute-force top-10 by definition;
+      // the greedy loop itself runs on the collected |panel| x 10 rows
+      "q_mmr")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(

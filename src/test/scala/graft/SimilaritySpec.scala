@@ -682,6 +682,24 @@ class SimilaritySpec extends SparkSpec {
     } finally Dedup.rmTree(new java.io.File(root))
   }
 
+  test("MMR rerank: a near-duplicate of the top hit is demoted below a diverse hit") {
+    import spark.implicits._
+    val vecs = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),     // the query
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // best hit
+      (2L, Array(0.89f, 0.11f, 0f, 0f)), // near-duplicate of the best hit
+      (3L, Array(0.6f, 0f, 0.8f, 0f))    // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val ranked = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 100L), 3)
+    // plain relevance order is 1, 2, 3 — MMR at λ=0.5 must demote the
+    // near-duplicate below the diverse hit
+    val plain = ranked.orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(plain === Seq(1L, 2L, 3L))
+    val out = Similarity.mmrRerank(ranked, vecs, 3, 0.5, 0.5)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(out === Seq(1L, 3L, 2L), s"MMR order was $out")
+  }
+
   test("rank eval: hand-computed nDCG/RR/precision on a tiny ranking") {
     import spark.implicits._
     import org.scalactic.TolerantNumerics._
