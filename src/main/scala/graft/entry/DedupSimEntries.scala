@@ -56,6 +56,7 @@ private[graft] object DedupSimEntries {
     "q_hybrid_rrf" -> (Similarity.qHybridRrf _), // BM25 + dense cosine fused by reciprocal-rank fusion,
     "q_rank_eval" -> (Similarity.qRankEval _), // nDCG@10 / RR / precision@10 vs label-match relevance,
     "q_mmr" -> (Similarity.qMmr _), // maximal-marginal-relevance diversity rerank of the exact top-10,
+    "q_textrank" -> (Graph.qTextrank _), // keyword extraction: pageRank over the word co-occurrence graph,
     "q_repeated_spans" -> (Dedup.qRepeatedSpans _),
     "q_rep_span_max" -> (Dedup.qRepSpanMax _), // exact longest repeated span per doc via synchronized binary search,
     "q_span_dedup" -> (Dedup.qSpanDedup _),
@@ -275,6 +276,8 @@ private[graft] object DedupSimEntries {
         "FROM dcg d LEFT JOIN idcg USING (q_id) ORDER BY d.q_id"),
     // MMR: all five greedy steps unrolled per q_id (coresetOracle pattern)
     "q_mmr" -> mmrOracle(5, 10),
+    // TextRank: the pagerank iteration protocol on the word graph
+    "q_textrank" -> textrankOracle(4, 20),
     // MaxSim replay: every (query token x doc token) cosine with the
     // q_topk-proven round(list_cosine_similarity, 6), per-query-token max
     // (a comparison of rounded values — exact), the order-independent

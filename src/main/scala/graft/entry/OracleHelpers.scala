@@ -559,6 +559,33 @@ private[graft] object OracleHelpers {
     s"$head, $iters SELECT CAST(node AS BIGINT) AS node, pr FROM r$iterations ORDER BY node"
   }
 
+  /** TextRank oracle: the pagerankOracle iteration protocol verbatim
+    * (6dp-rounded contributions summed as DECIMAL(18,6), damped update
+    * rounded at 6dp), re-headed with the word co-occurrence edge build
+    * (window-1 adjacency, both directions, self-loops dropped) and a
+    * final (pr desc, word) top-k. */
+  def textrankOracle(iterations: Int, k: Int): String = {
+    val head =
+      "WITH wd AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "pos AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM wd WHERE len(words) >= 2), " +
+        "pp AS (SELECT words[i] AS a, words[i+1] AS b FROM pos WHERE words[i] <> words[i+1]), " +
+        "e0 AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM " +
+        "(SELECT a AS src, b AS dst FROM pp UNION ALL SELECT b, a FROM pp) GROUP BY 1, 2), " +
+        "e AS (SELECT e0.src, e0.dst, e0.w, ow.wout FROM e0 " +
+        "JOIN (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM e0 GROUP BY 1) ow ON e0.src = ow.src), " +
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "r0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"
+    val iters = (1 to iterations).map { j =>
+      s"c$j AS (SELECT e.dst, sum(CAST(round(r.pr * e.w / e.wout, 6) AS DECIMAL(18,6))) AS sc " +
+        s"FROM e JOIN r${j - 1} r ON e.src = r.node GROUP BY 1), " +
+        s"r$j AS (SELECT nodes.node, round((1 - 0.85) / nn.n + 0.85 * CAST(coalesce(c$j.sc, 0) AS DOUBLE), 6) AS pr " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN c$j ON nodes.node = c$j.dst)"
+    }.mkString(", ")
+    s"$head, $iters SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank, " +
+      s"node AS word, pr FROM r$iterations QUALIFY rank <= $k ORDER BY rank"
+  }
+
   /** Greedy k-center oracle: selection rounds unrolled into CTEs — each
     * round's running min-distance chain replays the engine's 6dp-rounded
     * cosine + exact IEEE least, and top-1 uses the same (d DESC, vec_id)

@@ -87,6 +87,42 @@ object Graph {
       .withColumn("node", col("node").cast("long"))
       .orderBy("node")
 
+  // --------------------------------------------- TextRank keyword extraction
+
+  /** Word co-occurrence graph for TextRank (Mihalcea & Tarau 2004):
+    * adjacent-word pairs (window 1) across the corpus, both directions
+    * (the undirected formulation as a symmetric directed graph),
+    * self-loops dropped, weight = corpus co-occurrence count. One narrow
+    * pass over the tokens collapsing to the sparse |vocab|-node edge
+    * frame; every PageRank iteration after touches only that frame. */
+  def wordCooccurrenceEdges(docs: DataFrame): DataFrame = {
+    val pairs = Tables.rebalance(docs, "doc_id")
+      .select(split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))")).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  /** Oracle-checked TextRank: the SAME [[pageRank]] the nation trade
+    * graph runs, pointed at the word co-occurrence graph — one iterative
+    * operator, two graphs (graph centrality and keyword extraction are
+    * the same computation at different node types). Top-20 keywords by
+    * (pr desc, word); the ranking window runs on the |vocab|-row rank
+    * frame, never the corpus (PlanSpec-registered). */
+  def qTextrank(s: SparkSession, d: String): DataFrame = {
+    val pr = pageRank(wordCooccurrenceEdges(documents(s, d)), 4, 0.85)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr").desc, col("node"))
+    pr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("node").as("word"), col("pr"))
+      .orderBy("rank")
+  }
+
   // ------------------------------------ hop-limited BFS frontier expansion
 
   /** Hop-limited breadth-first frontier expansion — the OTHER iterative

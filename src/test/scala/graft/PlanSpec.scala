@@ -244,7 +244,8 @@ class PlanSpec extends SparkSpec {
       "q_vocab_coverage" -> "|vocabulary| rows: the cumulative-mass window orders the type table, never the corpus",
       "q_mixture" -> "|sources| rows: the rate table window runs on the per-domain aggregate, the corpus sees one narrow filter",
       "q_resample" -> "|hours| rows: the rolling window runs on the generated time spine (span-bounded; partition by (series, day) at 100 TB per its docstring)",
-      "q_hybrid_rrf" -> "<= 40 rows: the BM25 top-20 rank window and the RRF fusion window both run on top-k lists (bounded by design), never the corpus")
+      "q_hybrid_rrf" -> "<= 40 rows: the BM25 top-20 rank window and the RRF fusion window both run on top-k lists (bounded by design), never the corpus",
+      "q_textrank" -> "|vocabulary| rows: the keyword ranking window orders the PageRank node frame, never the corpus (the q_vocab_coverage bound)")
     // A BNLJ is a SCALAR ATTACH, not an accident, when its broadcast side is
     // a global (no grouping keys) aggregate: that side is exactly one row, so
     // the "nested loop" is |stream| x 1 — the optimal way to join a corpus
