@@ -38,6 +38,7 @@ private[graft] object CurationEntries {
     "q_quota_sample" -> (Curation.qQuotaSample _),
     // --- preference-pair construction (DPO/RLHF prep over the scored pool)
     "q_dpo_pairs" -> (Curation.qDpoPairs _),
+    "q_dq_checks" -> (Curation.qDqChecks _), // Deequ-shape publish contract: one agg pass, driver verdicts,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,6 +271,29 @@ private[graft] object CurationEntries {
         "(a, c) -> (a * 31 + c) % 1000000007) % n) + mn AS raw, mn, n FROM g, b) " +
         "SELECT doc_id, j, CASE WHEN raw = doc_id THEN ((raw - mn + 1) % n) + mn ELSE raw END AS neg_id " +
         "FROM h ORDER BY doc_id, j"),
+    // data-quality contract: every observation restated as the same
+    // exact-int form (one rounded division of exact counts), every
+    // verdict restated as its closed-form comparison — an agg slip or a
+    // verdict boundary error on either side hash-mismatches
+    "q_dq_checks" ->
+      ("WITH a AS (SELECT " +
+        "round(CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS doc_id_complete, " +
+        "round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 6) AS doc_id_unique, " +
+        "CAST(min(doc_id) AS DOUBLE) AS doc_id_non_negative, " +
+        "round(CAST(sum(CASE WHEN lang IN ('en','de','zh','fr','es') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS lang_accepted, " +
+        "round(CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS n_chars_consistent, " +
+        "CAST(max(n_chars) AS DOUBLE) AS n_chars_bounded, " +
+        "round(CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS text_complete " +
+        "FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT 'doc_id_complete' AS \"constraint\", doc_id_complete AS observed, doc_id_complete = 1.0 AS passed FROM a " +
+        "UNION ALL SELECT 'doc_id_unique', doc_id_unique, doc_id_unique = 1.0 FROM a " +
+        "UNION ALL SELECT 'doc_id_non_negative', doc_id_non_negative, doc_id_non_negative >= 0.0 FROM a " +
+        "UNION ALL SELECT 'lang_accepted', lang_accepted, lang_accepted = 1.0 FROM a " +
+        "UNION ALL SELECT 'n_chars_consistent', n_chars_consistent, n_chars_consistent = 1.0 FROM a " +
+        "UNION ALL SELECT 'n_chars_bounded', n_chars_bounded, n_chars_bounded <= 10000.0 FROM a " +
+        "UNION ALL SELECT 'text_complete', text_complete, text_complete = 1.0 FROM a" +
+        ") ORDER BY \"constraint\""),
     // preference pairs: replay the q_quality score, both ranking windows
     // (ties on doc_id), the disjoint-ends rank-to-rank pairing (k=2 needs
     // n_cand >= 4) and the 0.05 margin floor in closed form

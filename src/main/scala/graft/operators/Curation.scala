@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -750,4 +750,59 @@ object Curation {
   def qDpoPairs(s: SparkSession, d: String): DataFrame =
     dpoPairs(documents(s, d))
       .orderBy("lang", "source", "bucket", "pair_idx")
+
+  // ------------------------------------------------- data-quality contracts
+
+  /** One declarative data-quality constraint (the Deequ /
+    * Great-Expectations shape): a NAME, an aggregate OBSERVATION over
+    * the table (must evaluate to a numeric), and a driver-side verdict
+    * on the observed value. Observations use exact-int forms (ratios as
+    * one rounded division of exact counts — the micro-division
+    * protocol) so the report is bit-stable across partitionings. */
+  final case class DqConstraint(name: String, observed: Column,
+      verdict: Double => Boolean)
+
+  /** Evaluate every constraint in ONE aggregation pass (all observations
+    * ride the same map-side-combined job — N constraints never mean N
+    * corpus scans), collect the single result row (bounded by
+    * construction: one row, |constraints| columns), and assemble the
+    * (constraint, observed, passed) report at the driver. This is the
+    * publish gate a pipeline runs before promoting a snapshot: a failed
+    * row blocks the publish instead of poisoning downstream consumers. */
+  def dqChecks(df: DataFrame, constraints: Seq[DqConstraint]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(constraints.nonEmpty, "dqChecks needs at least one constraint")
+    val row = df.agg(
+      constraints.head.observed.cast("double").as(constraints.head.name),
+      constraints.tail.map(c => c.observed.cast("double").as(c.name)): _*).head()
+    constraints.zipWithIndex.map { case (c, i) =>
+      val v = row.getDouble(i)
+      (c.name, v, c.verdict(v))
+    }.toDF("constraint", "observed", "passed")
+  }
+
+  /** The documents table's publish contract — completeness, key
+    * uniqueness, range and accepted-value checks, and the n_chars
+    * derived-column consistency rule. Ratios are exact-int divisions
+    * rounded at 6dp; the oracle restates every observation and verdict
+    * independently. */
+  def documentContract: Seq[DqConstraint] = {
+    def share(cond: Column): Column =
+      round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+    Seq(
+      DqConstraint("doc_id_complete", share(col("doc_id").isNotNull), _ == 1.0),
+      DqConstraint("doc_id_unique",
+        round(countDistinct(col("doc_id")).cast("double") / count(lit(1)), 6), _ == 1.0),
+      DqConstraint("doc_id_non_negative", min(col("doc_id")).cast("double"), _ >= 0.0),
+      DqConstraint("lang_accepted",
+        share(col("lang").isin("en", "de", "zh", "fr", "es")), _ == 1.0),
+      DqConstraint("n_chars_consistent",
+        share(col("n_chars") === length(col("text"))), _ == 1.0),
+      DqConstraint("n_chars_bounded", max(col("n_chars")).cast("double"), _ <= 10000.0),
+      DqConstraint("text_complete", share(col("text").isNotNull), _ == 1.0))
+  }
+
+  def qDqChecks(s: SparkSession, d: String): DataFrame =
+    dqChecks(documents(s, d), documentContract).orderBy("constraint")
 }

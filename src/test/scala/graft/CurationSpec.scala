@@ -202,4 +202,27 @@ class CurationSpec extends SparkSpec {
     assert(w.sortBy(_._1).map(_._2) === w.map(_._2).sorted,
       "higher KN log-perplexity must receive higher weight")
   }
+
+  test("dq checks: failing constraints report false; one row per constraint") {
+    import spark.implicits._
+    import graft.operators.Curation.DqConstraint
+    // duplicate key + one null text: uniqueness and completeness must FAIL
+    val df = Seq((1L, "a"), (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def share(cond: org.apache.spark.sql.Column) =
+      round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+    val out = Curation.dqChecks(df, Seq(
+      DqConstraint("doc_id_unique",
+        round(countDistinct(col("doc_id")).cast("double") / count(lit(1)), 6), _ == 1.0),
+      DqConstraint("text_complete", share(col("text").isNotNull), _ == 1.0),
+      DqConstraint("doc_id_non_negative", min(col("doc_id")).cast("double"), _ >= 0.0)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out("doc_id_unique") === ((0.5, false)))
+    assert(out("text_complete") === ((0.5, false)))
+    assert(out("doc_id_non_negative") === ((1.0, true)))
+    // the production contract passes on the real table
+    val contract = Curation.dqChecks(
+      graft.engine.Tables.documents(spark, sf0001), Curation.documentContract)
+    assert(contract.collect().forall(_.getBoolean(2)), "documents contract must pass")
+  }
 }
+
