@@ -29,7 +29,15 @@ REGISTERED_REASONS = {
     "q_dedup_ngram": "exact inverted-index pair scan by declaration; "
         "production path = q_dedup_auto (sf1 exp 0.74), LSH past the pair budget",
     "q_containment": "containment is an inverted-index pair scan (sum df^2 "
-        "shape) by declaration; banded/LSH blocking is the over-budget path",
+        "shape) by declaration; production path = q_containment_auto "
+        "(router front door, sf1 exp ~0.4-0.5), LSH-verified past the pair budget",
+    "q_dedup_minhash": "the FORCED-LSH baseline: banded verification cost "
+        "tracks CANDIDATE PAIRS, and the sf1 staging recipe inflates them by "
+        "design (cross-replica Jaccard ~0.45 sits under the 0.5 report "
+        "threshold but inside band-collision range, so every replica pair "
+        "is a verified-and-discarded candidate) - measured 0.92-1.08 across "
+        "runs; the production path is the router (q_dedup_auto, sf1 exp "
+        "~0.5), which bounds candidate generation by the pair budget",
 }
 
 
