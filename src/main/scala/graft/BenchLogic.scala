@@ -37,12 +37,20 @@ object BenchLogic {
     var esc = false
     val sb = new StringBuilder // current top-level "key":value slice
     def flush(): Unit = {
-      val s = sb.toString
-      val c = s.indexOf("\":")
-      if (c > 0 && s.startsWith("\"")) {
-        val key = s.substring(1, c)
-        val v = s.substring(c + 2).trim
-        try out(key) = v.toDouble catch { case _: NumberFormatException => }
+      // whitespace-tolerant: '"key" : 1.0' (a pretty-printer's spaces
+      // around ':' and after ',') parses the same as '"key":1.0' — the
+      // class exists to SURVIVE format drift, not merely detect it.
+      // Query names never contain escaped quotes, so the bare close-quote
+      // scan is exact here.
+      val s = sb.toString.trim
+      if (s.startsWith("\"")) {
+        val kEnd = s.indexOf('"', 1)
+        val colonAt = if (kEnd > 0) s.indexOf(':', kEnd + 1) else -1
+        if (colonAt > 0) {
+          val key = s.substring(1, kEnd)
+          val v = s.substring(colonAt + 1).trim
+          try out(key) = v.toDouble catch { case _: NumberFormatException => }
+        }
       }
       sb.clear()
     }

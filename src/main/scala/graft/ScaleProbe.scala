@@ -836,11 +836,13 @@ object ScaleProbe {
           .sortBy(_._1)
         Hnsw.hnswTopK(embF, panel, 10).count()
       }
-      time("hnsw_insert", nEmb) {
-        // restore (one index scan) + |batch| real inserts, rebuild-free:
-        // the batch is FIXED (1k vectors) while the base index grows
-        // with mult — the cost should track the restore, not the base
-        // build (which writeHnswIndex pays once, outside this timer)
+      if (only.isEmpty || only.contains("hnsw_insert")) {
+        // the base index build is SETUP, paid once outside the timer
+        // (a review caught the timer wrapping writeHnswIndex, which made
+        // the registered metric track the O(base) rebuild the probe
+        // exists to prove unnecessary — the append-only phase is the
+        // whole claim): restore (one index scan) + |batch| real inserts;
+        // the batch is FIXED (1k vectors) while the base grows with mult
         val embF = emb.select(col("vec_id"),
           col("embedding").cast("array<float>").as("embedding"))
         val root = graft.operators.Dedup.processTempDir("scale_hnsw_insert")
@@ -848,10 +850,10 @@ object ScaleProbe {
         val base = embF.filter(col("vec_id") >= 1000)
         val batch = embF.filter(col("vec_id") < 1000)
         Hnsw.writeHnswIndex(spark, base, root)
-        val t0 = System.nanoTime()
-        Hnsw.appendHnswIndex(spark, root, batch)
-        println(f"[scale]   (append-only phase: ${(System.nanoTime() - t0) / 1e9}%.1f s)")
-        nEmb
+        time("hnsw_insert", nEmb) {
+          Hnsw.appendHnswIndex(spark, root, batch)
+          nEmb
+        }
       }
       time("bfs_frontier", 400L * mult) {
         // node universe grows with mult; seeds and hop budget fixed —

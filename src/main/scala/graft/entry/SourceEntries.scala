@@ -291,8 +291,8 @@ private[graft] object SourceEntries {
     // corruptor or the repairer
     "q_mojibake" ->
       ("SELECT doc_id, doc_id % 3 = 0 AS repaired, " +
-        s"CASE WHEN doc_id % 3 = 0 THEN text || '${graft.sources.CharsetSniff.MojibakeMarker}' " +
-        "ELSE text END AS text_out FROM documents ORDER BY doc_id"),
+        s"CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') || '${graft.sources.CharsetSniff.MojibakeMarker}' " +
+        "ELSE coalesce(text, '') END AS text_out FROM documents ORDER BY doc_id"),
     // link extraction: each staged page carries five hrefs (quoted,
     // single-quoted, unquoted, entity-encoded '&amp;', rooted, relative,
     // '../', query-bearing); the oracle states every resolved canonical

@@ -777,10 +777,28 @@ object Curation {
       constraints.head.observed.cast("double").as(constraints.head.name),
       constraints.tail.map(c => c.observed.cast("double").as(c.name)): _*).head()
     constraints.zipWithIndex.map { case (c, i) =>
-      val v = row.getDouble(i)
-      (c.name, v, c.verdict(v))
+      // a NULL observation (empty table, all-NULL column) is a FAILED
+      // constraint, never a crash: the gate exists to block exactly
+      // these degenerate snapshots, so it must report them, not NPE
+      if (row.isNullAt(i)) (c.name, Double.NaN, false)
+      else {
+        val v = row.getDouble(i)
+        (c.name, v, c.verdict(v))
+      }
     }.toDF("constraint", "observed", "passed")
   }
+
+  /** Exact-int ratio observation that is NULL — hence a FAILED
+    * constraint, never a crash — on a zero denominator: ANSI mode (the
+    * Spark 4 default) throws on division by zero, and the gate must
+    * REPORT a degenerate (e.g. empty) snapshot, not die on it. */
+  def dqRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("double"))
+      .otherwise(round(num.cast("double") / den, 6))
+
+  /** Share of rows satisfying `cond` as a [[dqRatio]]. */
+  def dqShare(cond: Column): Column =
+    dqRatio(sum(when(cond, 1L).otherwise(0L)), count(lit(1)))
 
   /** The documents table's publish contract — completeness, key
     * uniqueness, range and accepted-value checks, and the n_chars
@@ -788,12 +806,11 @@ object Curation {
     * rounded at 6dp; the oracle restates every observation and verdict
     * independently. */
   def documentContract: Seq[DqConstraint] = {
-    def share(cond: Column): Column =
-      round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+    def share(cond: Column): Column = dqShare(cond)
     Seq(
       DqConstraint("doc_id_complete", share(col("doc_id").isNotNull), _ == 1.0),
       DqConstraint("doc_id_unique",
-        round(countDistinct(col("doc_id")).cast("double") / count(lit(1)), 6), _ == 1.0),
+        dqRatio(countDistinct(col("doc_id")), count(lit(1))), _ == 1.0),
       DqConstraint("doc_id_non_negative", min(col("doc_id")).cast("double"), _ >= 0.0),
       DqConstraint("lang_accepted",
         share(col("lang").isin("en", "de", "zh", "fr", "es")), _ == 1.0),

@@ -288,29 +288,39 @@ object Dedup {
   /** [[ngramNearDupsAuto]] plus the chosen strategy, so a caller (and the
     * oracle gate) can assert WHICH branch ran rather than trusting logs. */
   def ngramNearDupsAutoTagged(docs: DataFrame, threshold: Double,
-      pairBudgetPerDoc: Double = 512.0): (DataFrame, NgramStrategy) = {
+      pairBudgetPerDoc: Double = 512.0): (DataFrame, NgramStrategy) =
+    routeOverShingles(docs, threshold, pairBudgetPerDoc, "ngram",
+      ngramNearDupsIdx, ngramNearDupsPrefixIdx, minhashNearDupsIdx)
+
+  /** ONE router skeleton for every shingle-pair family (review: the
+    * Jaccard and containment routers were verbatim copies that had to
+    * evolve in lockstep — the pair-budget rule, the sampling threshold,
+    * the shared-index reuse and the log format now live here once).
+    * Under the sampling threshold the stats pass and the chosen arm read
+    * the SAME full index — built (and checkpointed) once; above it,
+    * stats run on the doc-hash sample and the chosen arm re-shingles
+    * only its own input (the sample index is useless to it). */
+  private def routeOverShingles(docs: DataFrame, threshold: Double,
+      pairBudgetPerDoc: Double, what: String,
+      invertedIdx: (DataFrame, Double) => DataFrame,
+      prefixIdx: (DataFrame, Double) => DataFrame,
+      lshIdx: (DataFrame, Double) => DataFrame): (DataFrame, NgramStrategy) = {
     val nDocs = docs.count()
     val f = sampleFraction(nDocs)
-    // under the sampling threshold the stats pass and the chosen strategy
-    // read the SAME full index — build (and checkpoint) it once; above it,
-    // stats run on the doc-hash sample and the strategy re-shingles only
-    // its own input (the sample index is useless to it)
     val sharedIdx = if (f >= 1.0) Some(shingleIndex(docs)) else None
     val st = sharedIdx match {
       case Some(idx) => ngramStatsIdx(idx, nDocs, 1.0)
       case None => ngramStatsSampled(docs, nDocs, f)
     }
     val strategy = chooseNgramStrategy(st, pairBudgetPerDoc)
-    log.info(s"ngram dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
+    log.info(s"$what dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
       f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
       s"budget=$pairBudgetPerDoc")
-    val pairs = (strategy, sharedIdx) match {
-      case (NgramInverted, Some(idx)) => ngramNearDupsIdx(idx, threshold)
-      case (NgramPrefix, Some(idx)) => ngramNearDupsPrefixIdx(idx, threshold)
-      case (NgramLsh, Some(idx)) => minhashNearDupsIdx(idx, threshold)
-      case (NgramInverted, None) => ngramNearDups(docs, threshold)
-      case (NgramPrefix, None) => ngramNearDupsPrefix(docs, threshold)
-      case (NgramLsh, None) => minhashNearDups(docs, threshold)
+    val idx = sharedIdx.getOrElse(shingleIndex(docs))
+    val pairs = strategy match {
+      case NgramInverted => invertedIdx(idx, threshold)
+      case NgramPrefix => prefixIdx(idx, threshold)
+      case NgramLsh => lshIdx(idx, threshold)
     }
     (pairs, strategy)
   }
@@ -1060,41 +1070,36 @@ object Dedup {
     containmentDupsAutoTagged(docs, threshold, pairBudgetPerDoc)._1
 
   /** [[containmentDupsAuto]] plus the chosen strategy, so a caller (and
-    * the oracle gate) can assert WHICH branch ran. */
+    * the oracle gate) can assert WHICH branch ran. Same
+    * [[routeOverShingles]] skeleton as the Jaccard router — the
+    * measured crossovers transfer because the inverted containment join
+    * pays the identical Σ df·(df−1)/2 candidate cost. */
   def containmentDupsAutoTagged(docs: DataFrame, threshold: Double,
-      pairBudgetPerDoc: Double = 512.0): (DataFrame, NgramStrategy) = {
-    val nDocs = docs.count()
-    val f = sampleFraction(nDocs)
-    val sharedIdx = if (f >= 1.0) Some(shingleIndex(docs)) else None
-    val st = sharedIdx match {
-      case Some(idx) => ngramStatsIdx(idx, nDocs, 1.0)
-      case None => ngramStatsSampled(docs, nDocs, f)
-    }
-    val strategy = chooseNgramStrategy(st, pairBudgetPerDoc)
-    log.info(s"containment dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
-      f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
-      s"budget=$pairBudgetPerDoc")
-    val idx = sharedIdx.getOrElse(shingleIndex(docs))
-    val pairs = strategy match {
-      case NgramInverted => containmentDupsIdx(idx, threshold)
-      case NgramPrefix => containmentDupsPrefixIdx(idx, threshold)
-      case NgramLsh => containmentLshIdx(idx, threshold)
-    }
-    (pairs, strategy)
-  }
+      pairBudgetPerDoc: Double = 512.0): (DataFrame, NgramStrategy) =
+    routeOverShingles(docs, threshold, pairBudgetPerDoc, "containment",
+      containmentDupsIdx, containmentDupsPrefixIdx, containmentLshIdx)
 
-  /** Containment demo: plant the FIRST HALF of every 17th document at a
-    * shifted id — a truncated copy whose symmetric Jaccard (~0.5) evades
-    * the 0.5-threshold near-dup queries but whose containment is 1.0. */
-  def qContainment(s: SparkSession, d: String): DataFrame = {
+  /** The planted-truncation corpus BOTH containment gates run on: the
+    * FIRST HALF of every 17th document re-planted at a shifted id — a
+    * truncated copy whose symmetric Jaccard (~0.5) evades the
+    * 0.5-threshold near-dup queries but whose containment is 1.0. ONE
+    * definition (review: q_containment and q_containment_auto carried
+    * verbatim copies — this recipe IS the oracle contract
+    * `containmentOracleCtes` restates, so a one-sided edit would have
+    * failed only one of the two gates and obscured the drift). */
+  private def plantedContainmentCorpus(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val w = split(trim(col("text")), "\\s+")
     val truncated = base.filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 4000000L).as("doc_id"),
         concat_ws(" ", slice(w, lit(1), (size(w) / lit(2)).cast("int"))).as("text"))
-    containmentDups(base.unionByName(truncated), 0.9)
-      .orderBy("doc_a", "doc_b")
+    base.unionByName(truncated)
   }
+
+  /** Containment demo over [[plantedContainmentCorpus]]. */
+  def qContainment(s: SparkSession, d: String): DataFrame =
+    containmentDups(plantedContainmentCorpus(s, d), 0.9)
+      .orderBy("doc_a", "doc_b")
 
   /** The routed containment path as its own ORACLE-GATED entry (the
     * q_dedup_auto design): at gate scale the planted corpus sits inside
@@ -1103,13 +1108,8 @@ object Dedup {
     * a `strategy` column the hash compare pins to 'inverted', so a
     * silent route flip to the approximate LSH branch is a loud FAIL. */
   def qContainmentAuto(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d).select(col("doc_id"), col("text"))
-    val w = split(trim(col("text")), "\\s+")
-    val truncated = base.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + 4000000L).as("doc_id"),
-        concat_ws(" ", slice(w, lit(1), (size(w) / lit(2)).cast("int"))).as("text"))
     val (pairs, strategy) =
-      containmentDupsAutoTagged(base.unionByName(truncated), 0.9)
+      containmentDupsAutoTagged(plantedContainmentCorpus(s, d), 0.9)
     pairs.withColumn("strategy", lit(strategy.name)).orderBy("doc_a", "doc_b")
   }
 

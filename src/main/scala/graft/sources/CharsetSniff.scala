@@ -151,12 +151,18 @@ object CharsetSniff {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
+          // NULL text normalizes to "" on BOTH sides (the q_charset
+          // coalesce convention): bare `text + MojibakeMarker` would
+          // fabricate the literal string "null ..." for a NULL row while
+          // the oracle's `text || marker` yields NULL — a latent hash
+          // FAIL on any corpus with NULL texts
+          val base = if (text == null) "" else text
           val seen =
             if (id % 3 == 0)
-              new String((text + MojibakeMarker)
+              new String((base + MojibakeMarker)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.charset.StandardCharsets.ISO_8859_1)
-            else text
+            else base
           val (out, repaired) = repairMojibake(seen)
           (id, repaired, out)
         }

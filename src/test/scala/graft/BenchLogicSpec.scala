@@ -23,6 +23,14 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(BenchLogic.parseQueries(txt) === Map("q_a" -> 2.0, "q_b" -> 0.3))
   }
 
+  test("parseQueries survives a pretty-printer's whitespace (review finding)") {
+    // spaces and newlines around ':' and ',' must parse identically —
+    // surviving format drift is the class's reason to exist, and the
+    // first cut silently dropped every whitespace-prefixed entry
+    val txt = "{\"queries\": {\n  \"q_a\" : 2.0 ,\n  \"q_b\"\t: 0.3\n}, \"value\": 9}"
+    assert(BenchLogic.parseQueries(txt) === Map("q_a" -> 2.0, "q_b" -> 0.3))
+  }
+
   test("parseQueries skips a nested value instead of truncating the map") {
     // the r9 hand-scan stopped at the FIRST '}', losing every key after a
     // nested object; the balanced parse keeps the scalars around it

@@ -208,12 +208,10 @@ class CurationSpec extends SparkSpec {
     import graft.operators.Curation.DqConstraint
     // duplicate key + one null text: uniqueness and completeness must FAIL
     val df = Seq((1L, "a"), (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    def share(cond: org.apache.spark.sql.Column) =
-      round(sum(when(cond, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
     val out = Curation.dqChecks(df, Seq(
       DqConstraint("doc_id_unique",
-        round(countDistinct(col("doc_id")).cast("double") / count(lit(1)), 6), _ == 1.0),
-      DqConstraint("text_complete", share(col("text").isNotNull), _ == 1.0),
+        Curation.dqRatio(countDistinct(col("doc_id")), count(lit(1))), _ == 1.0),
+      DqConstraint("text_complete", Curation.dqShare(col("text").isNotNull), _ == 1.0),
       DqConstraint("doc_id_non_negative", min(col("doc_id")).cast("double"), _ >= 0.0)))
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
     assert(out("doc_id_unique") === ((0.5, false)))
@@ -223,6 +221,20 @@ class CurationSpec extends SparkSpec {
     val contract = Curation.dqChecks(
       graft.engine.Tables.documents(spark, sf0001), Curation.documentContract)
     assert(contract.collect().forall(_.getBoolean(2)), "documents contract must pass")
+    // EMPTY table: every observation aggregates to NULL — the gate must
+    // report failures (observed NaN), never crash (review: the first cut
+    // NPE'd on exactly the degenerate snapshot it exists to block)
+    val empty = Curation.dqChecks(df.filter(lit(false)), Seq(
+      DqConstraint("doc_id_unique",
+        Curation.dqRatio(countDistinct(col("doc_id")), count(lit(1))), _ == 1.0),
+      DqConstraint("doc_id_non_negative", min(col("doc_id")).cast("double"), _ >= 0.0)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(!empty("doc_id_non_negative")._2, "NULL observation must FAIL")
+    assert(empty("doc_id_non_negative")._1.isNaN)
+    // ratio observations guard the zero denominator (ANSI /0 throws):
+    // NULL -> NaN, failed
+    assert(!empty("doc_id_unique")._2)
+    assert(empty("doc_id_unique")._1.isNaN)
   }
 }
 
