@@ -80,7 +80,18 @@ object Bench {
     if (prevTexts.nonEmpty && prev.isEmpty)
       System.err.println(s"[bench] $outPath/$histPath present but the queries " +
         "map parsed EMPTY — format drift? The outlier re-run is disabled this run.")
-    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Escalation intake (VERDICT r10 Next #1): queries the PREVIOUS run's
+    // rerun could not resolve (rerun agreed with an elevated reading) are
+    // measured FIRST this session — right after warmup, before 250 queries
+    // of allocation churn can re-contaminate the reading.
+    val priorUnresolved: Seq[String] =
+      readFile(outPath).toSeq.flatMap(BenchLogic.parseUnresolved)
+    if (priorUnresolved.nonEmpty)
+      System.err.println(s"[bench] measuring first (unresolved last run): " +
+        priorUnresolved.mkString(", "))
+    val order = BenchLogic.measureOrder(
+      SparkEntry.queries.keys.toSeq, priorUnresolved)
+    val benched = order.map(n => n -> SparkEntry.queries(n))
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val midpoint = benched.length / 2
     val results = benched.zipWithIndex
@@ -135,10 +146,22 @@ object Bench {
         case _ => v
       })
     }
+    // Escalation emit: a rerun that STILL reads > 2x the floor is recorded
+    // as unresolved (distinct from a clean rerun) so the next session
+    // re-measures it first — an in-session rerun inherits the session's
+    // pathology and can only confirm, never correct (r10's q_bm25).
+    val unresolvedNow: Seq[String] = BenchLogic.unresolved(reruns, prev)
+    if (unresolvedNow.nonEmpty)
+      System.err.println(s"[bench] UNRESOLVED (rerun agreed with >2x reading, " +
+        s"re-measure next session): " + unresolvedNow.mkString(", "))
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = reruns.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val unres = unresolvedNow.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val cohorts = BenchLogic.cohortTotals(finalResults, SparkEntry.cohorts)
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
@@ -148,7 +171,8 @@ object Bench {
     val total = finalResults.values.filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-        s""""reruns":$rr,"calibration":[$calStart,$calMiddle,$calEnd],"sf":"$sfDir"}"""
+        s""""reruns":$rr,"unresolved":$unres,"cohorts":$cohorts,""" +
+        s""""calibration":[$calStart,$calMiddle,$calEnd],"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full JSON: the driver's capture keeps only a 2000-char
     // tail of stdout (ADVICE r4 — 73 of 142 timings silently lost), so the

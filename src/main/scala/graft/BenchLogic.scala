@@ -96,4 +96,65 @@ object BenchLogic {
       case (name, v) if v > 0 && base.get(name).exists(p => v > factor * p) =>
         name
     }.toSeq.sorted
+
+  /** ESCALATION (VERDICT r10 Next #1): an in-session re-run inherits the
+    * session's pathology, so when the re-run AGREES with an elevated
+    * reading (rerun still > `factor` x the min-across-history floor) the
+    * deviation is UNRESOLVED — distinct from a clean rerun — and the next
+    * session's bench measures those queries FIRST, before suite churn can
+    * re-contaminate them (round 10's q_bm25: 3.99s median, 3.99s rerun,
+    * 0.77s floor — the mechanism could only confirm, never correct). */
+  def unresolved(reruns: Map[String, Double], base: Map[String, Double],
+      factor: Double = 2.0): Seq[String] =
+    reruns.collect {
+      case (name, v) if v > 0 && base.get(name).exists(p => v > factor * p) =>
+        name
+    }.toSeq.sorted
+
+  /** Extract the `"unresolved"` string array persisted by the previous
+    * run's artifact. Same drift posture as [[parseQueries]]: a missing or
+    * malformed array reads as empty, never as garbage. */
+  def parseUnresolved(txt: String): Seq[String] = {
+    val tag = "\"unresolved\":"
+    val at = txt.indexOf(tag)
+    if (at < 0) return Seq.empty
+    var i = at + tag.length
+    while (i < txt.length && txt(i).isWhitespace) i += 1
+    if (i >= txt.length || txt(i) != '[') return Seq.empty
+    i += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inStr = false
+    var esc = false
+    val sb = new StringBuilder
+    while (i < txt.length) {
+      val ch = txt(i)
+      if (inStr) {
+        if (esc) { sb.append(ch); esc = false }
+        else if (ch == '\\') esc = true
+        else if (ch == '"') { out += sb.toString; sb.clear(); inStr = false }
+        else sb.append(ch)
+      } else ch match {
+        case '"' => inStr = true
+        case ']' => return out.toSeq
+        case _ => // commas / whitespace between strings
+      }
+      i += 1
+    }
+    Seq.empty // unbalanced: refuse rather than return a truncated list
+  }
+
+  /** Suite order for the next session: prior-run unresolved queries first
+    * (measured before churn accumulates), the rest in name order after. */
+  def measureOrder(all: Seq[String], priority: Seq[String]): Seq[String] = {
+    val p = priority.filter(all.toSet).distinct
+    p ++ all.filterNot(p.toSet).sorted
+  }
+
+  /** Per-cohort subtotals over the final per-query map (errored queries'
+    * -1 sentinels excluded; unattributed queries land in "other"). */
+  def cohortTotals(results: Map[String, Double],
+      cohortOf: Map[String, String]): Map[String, Double] =
+    results.toSeq.filter(_._2 >= 0)
+      .groupBy { case (k, _) => cohortOf.getOrElse(k, "other") }
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
 }

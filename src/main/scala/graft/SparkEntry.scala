@@ -58,4 +58,21 @@ object SparkEntry {
     merged(queryModules, "queries")
 
   val oracleSql: Map[String, String] = merged(oracleModules, "oracleSql")
+
+  /** query -> cohort, derived from REGISTRY MEMBERSHIP (not a name-prefix
+    * heuristic that could drift from the registries): the bench artifact
+    * groups per-query timings into these subtotals so cost creep is
+    * attributable to a family at a glance (VERDICT r10 Next #7). */
+  val cohorts: Map[String, String] = {
+    val named: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] = Seq(
+      "core" -> CoreEntries.queries,
+      "text" -> TextEntries.queries,
+      "curation" -> CurationEntries.queries,
+      "dedupsim" -> DedupSimEntries.queries,
+      "media" -> MediaEntries.queries,
+      "sources" -> SourceEntries.queries,
+      "streamevents" -> StreamEventEntries.queries,
+    )
+    named.flatMap { case (cohort, m) => m.keys.map(_ -> cohort) }.toMap
+  }
 }

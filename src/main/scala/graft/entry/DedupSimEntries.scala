@@ -35,6 +35,7 @@ private[graft] object DedupSimEntries {
     "q_ann_recall" -> (Similarity.qAnnRecall _), // LSH+IVF recall@10 vs brute force, tolerance-gated,
     "q_ann_auto" -> (Similarity.qAnnAuto _), // ANN front door: router picks exact at gate scale; strategy column pinned,
     "q_maxsim" -> (Similarity.qMaxSim _), // late-interaction multi-vector MaxSim retrieval, exact panel gate,
+    "q_maxsim_routed" -> (Similarity.qMaxSimRouted _), // production MaxSim: per-token ANN candidates + exact rerank; strategy pinned,
     "q_pq_search" -> (Similarity.qPqSearch _), // PQ ADC + rerank recall@10, tolerance-gated,
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once,
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC,
@@ -295,6 +296,35 @@ private[graft] object DedupSimEntries {
         "FROM m GROUP BY 1, 2) " +
         "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank, " +
         "doc_id, score FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
+    // ROUTED MaxSim replay: (doc,tok) ids pack into one BIGINT by a 2^20
+    // shift; at gate scale the packed corpus is under AnnExactCorpusMax,
+    // so candidate generation is the exact arm verbatim — per packed
+    // query token, top-16 corpus tokens by (round(cos,6) DESC, packed id),
+    // self pair excluded at the PACKED level (same doc's other tokens
+    // stay) — then distinct (query doc, candidate doc) pairs with
+    // self-doc dropped pay the full q_maxsim scoring chain. 'exact' is
+    // pinned: a route flip is a hash FAIL.
+    "q_maxsim_routed" ->
+      ("WITH t AS (SELECT vec_id // 4 AS doc_id, vec_id % 4 AS tok_id, " +
+        "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "p AS (SELECT doc_id * 1048576 + tok_id AS pid, doc_id, emb FROM t), " +
+        "qp AS (SELECT * FROM p WHERE doc_id < 3), " +
+        "cr AS (SELECT qp.pid AS q_pid, qp.doc_id AS q_doc, c.pid AS n_pid, c.doc_id AS n_doc, " +
+        "round(list_cosine_similarity(qp.emb, c.emb), 6) AS score " +
+        "FROM p c, qp WHERE c.pid <> qp.pid), " +
+        "ck AS (SELECT q_doc, n_doc, " +
+        "row_number() OVER (PARTITION BY q_pid ORDER BY score DESC, n_pid) AS r " +
+        "FROM cr QUALIFY r <= 16), " +
+        "cands AS (SELECT DISTINCT q_doc AS q_id, n_doc AS doc_id FROM ck WHERE q_doc <> n_doc), " +
+        "pr AS (SELECT c.q_id, qt.tok_id AS q_tok, c.doc_id, " +
+        "round(list_cosine_similarity(qt.emb, dt.emb), 6) AS cos " +
+        "FROM cands c JOIN t qt ON qt.doc_id = c.q_id JOIN t dt ON dt.doc_id = c.doc_id), " +
+        "m AS (SELECT q_id, doc_id, q_tok, max(cos) AS mc FROM pr GROUP BY 1, 2, 3), " +
+        "s AS (SELECT q_id, doc_id, CAST(sum(CAST(mc AS DECIMAL(18,6))) AS DOUBLE) AS score " +
+        "FROM m GROUP BY 1, 2) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, score, 'exact' AS strategy " +
+        "FROM s QUALIFY rank <= 10 ORDER BY q_id, rank"),
     "q_hard_negatives" ->
       ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
         "CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10), " +

@@ -96,13 +96,21 @@ object Mutations {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
       contentCol: String): DataFrame = {
     val fp = graft.functions.GraftFunctions.poly_hash _
-    val o = oldDf.select(col(key), fp(col(contentCol)).as("fp_old"))
-    val n = newDf.select(col(key), fp(col(contentCol)).as("fp_new"))
+    // Presence is tracked by explicit markers, NOT by fingerprint nullness:
+    // poly_hash is null-safe, so a key whose content is NULL in both
+    // versions would otherwise classify as "added" and a non-NULL -> NULL
+    // edit as "deleted". The changed-vs-unchanged compare is null-safe
+    // (<=>) for the same reason: NULL-content rows on both sides are
+    // unchanged; NULL vs non-NULL is a content change.
+    val o = oldDf.select(col(key), fp(col(contentCol)).as("fp_old"),
+      lit(true).as("in_old"))
+    val n = newDf.select(col(key), fp(col(contentCol)).as("fp_new"),
+      lit(true).as("in_new"))
     o.join(n, Seq(key), "full_outer")
       .withColumn("change",
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "deleted")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "deleted")
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
           .otherwise("unchanged"))
       .select(col(key), col("change"))
   }

@@ -76,4 +76,53 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(BenchLogic.outliers(Map("q_a" -> 0.19), base) === Seq.empty)
     assert(BenchLogic.outliers(Map("q_a" -> 0.21), base) === Seq("q_a"))
   }
+
+  test("r10 blind spot replay: rerun agreeing with elevated reading escalates") {
+    // Round 10: q_bm25 floor 0.77s, median 3.99s, rerun ALSO 3.99s — the
+    // in-session rerun inherited the session pathology and the artifact
+    // carried the elevated number with no signal. The escalation rule
+    // records it unresolved; a rerun that corrected (0.8s) does not fire.
+    val base = Map("q_bm25" -> 0.77, "q_fixed" -> 0.40)
+    assert(BenchLogic.unresolved(
+      Map("q_bm25" -> 3.99, "q_fixed" -> 0.45), base) === Seq("q_bm25"))
+    assert(BenchLogic.unresolved(Map("q_bm25" -> 0.80), base) === Seq.empty)
+    // errored reruns (-1) and queries with no floor never escalate
+    assert(BenchLogic.unresolved(Map("q_bm25" -> -1.0, "q_new" -> 9.9), base)
+      === Seq.empty)
+  }
+
+  test("parseUnresolved round-trips the artifact's array; drift reads empty") {
+    val txt = """{"value":1,"reruns":{},"unresolved":["q_bm25","q_x"],"sf":"x"}"""
+    assert(BenchLogic.parseUnresolved(txt) === Seq("q_bm25", "q_x"))
+    assert(BenchLogic.parseUnresolved("""{"unresolved":[],"sf":"x"}""") === Seq.empty)
+    assert(BenchLogic.parseUnresolved("""{"unresolved": [ "q_a" , "q_b" ]}""")
+      === Seq("q_a", "q_b")) // pretty-printer whitespace
+    assert(BenchLogic.parseUnresolved("""{"sf":"x"}""") === Seq.empty)
+    assert(BenchLogic.parseUnresolved("""{"unresolved":["q_a"""") === Seq.empty)
+    assert(BenchLogic.parseUnresolved("""{"unresolved":{"q_a":1}}""") === Seq.empty)
+  }
+
+  test("measureOrder puts prior unresolved first, rest in name order") {
+    assert(BenchLogic.measureOrder(Seq("q_c", "q_a", "q_b"), Seq("q_b"))
+      === Seq("q_b", "q_a", "q_c"))
+    // stale priority names (query removed since) are dropped, dups collapse
+    assert(BenchLogic.measureOrder(Seq("q_a", "q_b"), Seq("q_gone", "q_b", "q_b"))
+      === Seq("q_b", "q_a"))
+    assert(BenchLogic.measureOrder(Seq("q_b", "q_a"), Seq.empty)
+      === Seq("q_a", "q_b"))
+  }
+
+  test("cohortTotals sums per cohort, drops error sentinels, pools unknowns") {
+    val cohorts = Map("q_a" -> "core", "q_b" -> "core", "q_s" -> "streamevents")
+    val totals = BenchLogic.cohortTotals(
+      Map("q_a" -> 1.0, "q_b" -> 2.5, "q_s" -> 4.0, "q_err" -> -1.0,
+        "q_unmapped" -> 0.5), cohorts)
+    assert(totals === Map("core" -> 3.5, "streamevents" -> 4.0, "other" -> 0.5))
+  }
+
+  test("every declared query carries a cohort (registry-derived, cannot drift)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.cohorts.keySet
+    assert(missing.isEmpty, s"queries without a cohort: $missing")
+    assert(SparkEntry.cohorts.keySet === SparkEntry.queries.keySet)
+  }
 }

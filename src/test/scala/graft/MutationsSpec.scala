@@ -120,4 +120,20 @@ class MutationsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(wide === Set((1L, "deleted"), (2L, "deleted"), (3L, "deleted"), (9L, "added")))
   }
+
+  test("snapshotDiff: NULL content classifies by key presence, not fingerprint (ADVICE r10)") {
+    import spark.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("d"))).toDF("id", "body")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Some("c")),
+      (5L, Option.empty[String])).toDF("id", "body")
+    val diff = snapshotDiff(old, neu, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(diff === Map(
+      1L -> "unchanged", // NULL in both versions: present both sides, same (null) fp
+      2L -> "changed",   // non-NULL -> NULL is a content change, NOT a delete
+      3L -> "changed",   // NULL -> non-NULL is a content change, NOT an add
+      4L -> "deleted",   // key absent from new
+      5L -> "added"))    // key absent from old, even with NULL content
+  }
 }

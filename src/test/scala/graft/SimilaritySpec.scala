@@ -679,7 +679,24 @@ class SimilaritySpec extends SparkSpec {
         "over-fetch probe leaked a disallowed neighbor")
       val recall = (exactPairs & probed).size.toDouble / exactPairs.size
       assert(recall >= 0.7, s"filtered over-fetch recall $recall under the 0.7 floor")
+      // ADVICE r10: a corpus-member query passing the predicate must NOT
+      // return itself (bruteForceTopK parity) — pre-fix it surfaced at
+      // rank 1 with score 1.0 and burned a result slot
+      assert(probed.forall { case (q, n) => q != n },
+        "filtered probe returned the query itself")
     } finally Dedup.rmTree(new java.io.File(root))
+  }
+
+  test("maxsim routed tagged: router picks exact at gate scale; tag matches") {
+    import graft.operators.{Similarity => S}
+    import org.apache.spark.sql.functions.col
+    val toks = S.maxSimTokens(spark, sf0001)
+    val (out, strategy) = S.maxSimTopKRoutedTagged(
+      toks, toks.filter(col("doc_id") < 3), 10, kTok = 16)
+    assert(strategy.name === "exact") // packed corpus under AnnExactCorpusMax
+    // tagged and untagged paths emit the identical frame
+    val plain = S.maxSimTopKRouted(toks, toks.filter(col("doc_id") < 3), 10)
+    assert(out.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
   }
 
   test("MMR rerank: a near-duplicate of the top hit is demoted below a diverse hit") {
