@@ -1,0 +1,156 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** The read surface shared by every versioned table this engine can time
+  * travel over: the homegrown [[Snapshot]] store and external tables in
+  * the ecosystem's dominant log-structured layout ([[DeltaLayoutTable]]).
+  * The CDF/time-travel operators ([[graft.operators.Mutations.changeFeed]])
+  * address THIS, so they work over either store unchanged (VERDICT r10
+  * Next #3). */
+trait VersionedTable {
+  /** Readable history, oldest first, as `v_<n>` names. */
+  def versions(): Seq[String]
+  /** The table exactly as of a published version. */
+  def readAsOf(version: String): DataFrame
+  /** The latest published version's content. */
+  def read(): DataFrame
+}
+
+/** Read-only adapter over a Delta-STYLE table directory — the open layout
+  * convention (data parquet files + a `_delta_log/` directory of
+  * per-commit JSON action files and optional parquet checkpoints; see the
+  * public Delta transaction-log protocol) — resolved through the same
+  * `versions()/readAsOf()` surface as [[Snapshot]], with NO new library
+  * dependencies: the JSON actions are read by Spark's own JSON source
+  * against an explicit schema, checkpoints by the parquet source.
+  *
+  * Semantics per commit `n` (file `<n zero-padded to 20>.json`): the
+  * active file set of version n = (active(n-1) minus `remove.path`
+  * actions) plus `add.path` actions. A checkpoint
+  * `<n>.checkpoint.parquet` materializes active(n) so logs before it can
+  * be vacuumed; `_last_checkpoint` names the newest one. A version is
+  * READABLE iff its file set is reconstructible — a contiguous JSON chain
+  * from commit 0, or from the newest checkpoint at-or-below it.
+  *
+  * Scale: log resolution touches only the tiny log directory (driver-side
+  * file listing + one small Spark job over the ≤ version-count action
+  * files); the data read is a plain parquet scan of the active files, so
+  * pushdown/pruning work exactly as on any parquet table. */
+class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable {
+  private val logDir = Paths.get(root, "_delta_log")
+
+  /** (commit -> json path) and (commit -> checkpoint path), from one
+    * directory listing. */
+  private def logFiles(): (Map[Long, String], Map[Long, String]) = {
+    val entries = Option(logDir.toFile.listFiles()).getOrElse(Array.empty)
+    def num(name: String, suffix: String): Option[Long] =
+      if (name.endsWith(suffix))
+        scala.util.Try(name.stripSuffix(suffix).toLong).toOption
+      else None
+    val jsons = entries.flatMap(f => num(f.getName, ".json").map(_ -> f.getPath)).toMap
+    val ckpts = entries.flatMap(f =>
+      num(f.getName, ".checkpoint.parquet").map(_ -> f.getPath)).toMap
+    (jsons, ckpts)
+  }
+
+  /** Commits whose active file set is reconstructible, oldest first. */
+  private def readableCommits(): Seq[Long] = {
+    val (jsons, ckpts) = logFiles()
+    val all = (jsons.keySet ++ ckpts.keySet).toSeq.sorted
+    all.filter { v =>
+      val base = ckpts.keySet.filter(_ <= v).maxOption
+      base match {
+        case Some(c) => ((c + 1) to v).forall(jsons.contains)
+        case None => (0L to v).forall(jsons.contains)
+      }
+    }
+  }
+
+  override def versions(): Seq[String] = readableCommits().map("v_" + _)
+
+  /** Explicit action schema: inference over a mixed-action log would
+    * depend on which actions happen to be present. Only the fields the
+    * reader consumes are declared; unknown fields are ignored by the
+    * JSON source. */
+  private val actionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(StructField("path", StringType)))),
+    StructField("remove", StructType(Seq(StructField("path", StringType))))))
+
+  /** Reconstruct the active data-file set as of commit `v`. */
+  private def activeFiles(v: Long): Seq[String] = {
+    val (jsons, ckpts) = logFiles()
+    val base = ckpts.keySet.filter(_ <= v).maxOption
+    val fromCkpt: Seq[String] = base match {
+      case Some(c) =>
+        spark.read.parquet(ckpts(c))
+          .select(col("add.path").as("p")).filter(col("p").isNotNull)
+          .collect().map(_.getString(0)).toSeq
+      case None => Seq.empty
+    }
+    val firstJson = base.map(_ + 1).getOrElse(0L)
+    val commits = (firstJson to v).map(n => jsons.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"commit $n of $root is missing from the log — v_$v is not reconstructible")))
+    // chronological fold: within a commit removes drop prior files, adds
+    // introduce new ones (a compaction commit does both)
+    commits.foldLeft(fromCkpt.toSet) { (active, path) =>
+      val acts = spark.read.schema(actionSchema).json(path)
+        .select(col("add.path").as("a"), col("remove.path").as("r"))
+        .collect()
+      val removes = acts.flatMap(r => Option(r.getString(1))).toSet
+      val adds = acts.flatMap(r => Option(r.getString(0)))
+      (active -- removes) ++ adds
+    }.toSeq.sorted
+  }
+
+  override def readAsOf(version: String): DataFrame = {
+    val v = scala.util.Try(version.stripPrefix("v_").toLong).getOrElse(
+      throw new IllegalArgumentException(s"malformed version '$version'"))
+    require(readableCommits().contains(v),
+      s"version $version of $root is not readable (never committed, or its log was vacuumed)")
+    val files = activeFiles(v)
+    if (files.isEmpty)
+      // a legitimately empty version still needs the table's schema: the
+      // newest readable version's schema stands in (Delta proper would
+      // read metaData; data fixtures here carry schema in the files)
+      readNewestNonEmptyOr(v)
+    else
+      spark.read.parquet(files.map(resolve): _*)
+  }
+
+  private def readNewestNonEmptyOr(v: Long): DataFrame = {
+    val withData = readableCommits().filter(c => activeFiles(c).nonEmpty)
+    require(withData.nonEmpty, s"no version of $root has any data files")
+    // closest data-bearing version: prefer history at-or-below v (schema
+    // as the reader knew it), else the earliest later one
+    val donor = withData.filter(_ <= v).maxOption.getOrElse(withData.min)
+    spark.read.parquet(activeFiles(donor).map(resolve): _*).limit(0)
+  }
+
+  /** add.path is table-root-relative by the layout convention; absolute
+    * URIs (external files) pass through untouched. */
+  private def resolve(p: String): String =
+    if (p.contains("://") || p.startsWith("/")) p else s"$root/$p"
+
+  override def read(): DataFrame = {
+    val vs = versions()
+    require(vs.nonEmpty, s"no readable commits under $root")
+    readAsOf(vs.last)
+  }
+
+  /** The `_last_checkpoint` pointer's version, if the file exists and
+    * parses — exposed for spec assertions on checkpoint-based reads. */
+  def lastCheckpointVersion(): Option[Long] = {
+    val p = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(p)) None
+    else {
+      val txt = Files.readString(p)
+      val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      m.map(_.group(1).toLong)
+    }
+  }
+}

@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * an atomic-rename filesystem or a transactional catalog; the pattern is
   * the same one table formats build on (versioned data + tiny pointer).
   */
-class Snapshot(spark: SparkSession, root: String) {
+class Snapshot(spark: SparkSession, root: String) extends VersionedTable {
   private val currentPtr = Paths.get(root, "CURRENT")
 
   /** Highest published version, or None before the first publish. */

@@ -55,6 +55,7 @@ private[graft] object CoreEntries {
     "q_cdc_diff" -> (Mutations.qCdcDiff _),
     "q_time_travel" -> (Mutations.qTimeTravel _), // readAsOf over the versioned store + immutable-history rollback,
     "q_cdc_feed" -> (Mutations.qCdcFeed _), // change-data-feed between published versions (the Delta CDF shape),
+    "q_delta_read" -> (Mutations.qDeltaRead _), // external Delta-layout table resolved through versions()/readAsOf(),
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
@@ -160,6 +161,18 @@ private[graft] object CoreEntries {
         "FROM documents WHERE doc_id < 120 AND doc_id % 17 <> 0 AND doc_id % 13 = 0 " +
         "UNION ALL SELECT doc_id + 5000, 'added', text FROM documents WHERE doc_id < 10 " +
         "ORDER BY doc_id"),
+    // external Delta-layout read: v_0 = first append, v_1 = + second
+    // append, v_2 = compaction commit (remove f0, re-add every-10th-
+    // dropped rewrite) — each version's set algebra in closed form
+    "q_delta_read" ->
+      ("WITH v0 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 100), " +
+        "v1 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 150), " +
+        "v2 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents " +
+        "WHERE doc_id >= 100 AND doc_id < 150 OR doc_id < 100 AND doc_id % 10 <> 0) " +
+        "SELECT 'v_0' AS version, n AS n_docs, s AS sum_ids FROM v0 " +
+        "UNION ALL SELECT 'v_1', n, s FROM v1 " +
+        "UNION ALL SELECT 'v_2', n, s FROM v2 " +
+        "ORDER BY version"),
     "q_dim_insert" ->
       ("SELECT category_id, category_name FROM (" +
         "SELECT CAST(r_regionkey AS BIGINT) AS category_id, r_name AS category_name FROM region " +

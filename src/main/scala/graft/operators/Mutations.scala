@@ -231,6 +231,50 @@ object Mutations {
 
   private lazy val timeTravelRoot: String = Dedup.processTempDir("graft_time_travel")
 
+  /** Oracle-gated read of an EXTERNAL Delta-layout table (VERDICT r10
+    * Next #3): stage a three-commit log-structured table from the
+    * documents slice — append, append, compaction-edit (remove + re-add)
+    * — then resolve every version through [[graft.engine.DeltaLayoutTable]]
+    * and report its closed-form summary, exactly the qTimeTravel contract
+    * but over the ecosystem layout instead of the homegrown store. The
+    * oracle restates each version's set algebra from the documents table:
+    * a reconstruction defect anywhere (remove not applied, checkpointless
+    * chain broken, add applied twice) hash-mismatches. */
+  def qDeltaRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(timeTravelRoot, "delta")
+    Dedup.rmTree(root)
+    val log = new java.io.File(root, "_delta_log")
+    log.mkdirs()
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    def writeData(name: String, df: DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dl").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, name).toPath)
+    }
+    writeData("f0.parquet", docs.filter(col("doc_id") < 100))
+    writeData("f1.parquet", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    writeData("f2.parquet", docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 0))
+    def commit(n: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(log, f"$n%020d.json").toPath,
+        lines.mkString("", "\n", "\n"))
+    commit(0, Seq("""{"add":{"path":"f0.parquet","dataChange":true}}"""))
+    commit(1, Seq("""{"add":{"path":"f1.parquet","dataChange":true}}"""))
+    commit(2, Seq("""{"remove":{"path":"f0.parquet","deletionTimestamp":1}}""",
+      """{"add":{"path":"f2.parquet","dataChange":true}}"""))
+    val t = new graft.engine.DeltaLayoutTable(s, root.getPath)
+    val rows = t.versions().map { v =>
+      val r = t.readAsOf(v)
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+      (v, r.getLong(0), r.getLong(1))
+    }
+    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+  }
+
   /** CHANGE-DATA-FEED between any two published versions of a snapshot
     * store (the Delta CDF shape, composed from this engine's own parts:
     * [[graft.engine.Snapshot.readAsOf]] on both ends + [[snapshotDiff]]'s
@@ -241,7 +285,7 @@ object Mutations {
     * re-embedding job) reads INSTEAD of re-scanning the corpus: cost is
     * two version scans + one fingerprint join, independent of how many
     * versions lie between. */
-  def changeFeed(snap: graft.engine.Snapshot, fromV: String, toV: String,
+  def changeFeed(snap: graft.engine.VersionedTable, fromV: String, toV: String,
       key: String, contentCol: String): DataFrame = {
     val to = snap.readAsOf(toV)
     snapshotDiff(snap.readAsOf(fromV), to, key, contentCol)

@@ -1,0 +1,103 @@
+package graft
+
+import graft.engine.DeltaLayoutTable
+import graft.operators.Mutations.changeFeed
+import java.nio.file.{Files, Paths}
+
+/** Pins the Delta-layout reader seam (VERDICT r10 Next #3) on a
+  * HAND-BUILT log fixture: data parquet files + a `_delta_log/` of JSON
+  * action files and a parquet checkpoint, assembled byte-by-byte by this
+  * spec — no table-format library anywhere. The adapter must resolve the
+  * same `versions()/readAsOf()` surface as the homegrown Snapshot store,
+  * and the CDF operator must run over it unchanged. */
+class DeltaLayoutSpec extends SparkSpec {
+
+  /** Build the fixture table:
+    *   commit 0: add f0 = (1,a),(2,b)
+    *   commit 1: add f1 = (3,c),(4,d)
+    *   commit 2: remove f0, add f2 = (1,A2),(2,b)   (compaction-style edit)
+    *   checkpoint @ 2 (active = f1, f2) + _last_checkpoint
+    *   commit 3: add f3 = (5,e)
+    */
+  private def buildFixture(): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_fixture").toString
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    def writeData(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("dl_part").toString
+      rows.toDF("id", "body").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(root, name))
+    }
+    writeData("f0.parquet", Seq((1L, "a"), (2L, "b")))
+    writeData("f1.parquet", Seq((3L, "c"), (4L, "d")))
+    writeData("f2.parquet", Seq((1L, "A2"), (2L, "b")))
+    writeData("f3.parquet", Seq((5L, "e")))
+    def commit(n: Long, lines: Seq[String]): Unit =
+      Files.writeString(log.resolve(f"$n%020d.json"), lines.mkString("", "\n", "\n"))
+    commit(0, Seq("""{"commitInfo":{"operation":"WRITE"}}""",
+      """{"add":{"path":"f0.parquet","dataChange":true}}"""))
+    commit(1, Seq("""{"add":{"path":"f1.parquet","dataChange":true}}"""))
+    commit(2, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":1}}""",
+      """{"add":{"path":"f2.parquet","dataChange":true}}"""))
+    // checkpoint @ 2: one row per active file, `add` struct column (a
+    // remove-tombstone row with add = null must be ignored by the reader)
+    val tmp = Files.createTempDirectory("dl_ckpt").toString
+    Seq(Some("f1.parquet"), Some("f2.parquet"), None).toDF("path")
+      .selectExpr("CASE WHEN path IS NOT NULL THEN struct(path) END AS add",
+        "CASE WHEN path IS NULL THEN struct('f0.parquet' AS path) END AS remove")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":2,"size":3}""")
+    commit(3, Seq("""{"add":{"path":"f3.parquet","dataChange":true}}"""))
+    root
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("versions/readAsOf reconstruct every commit from the JSON chain") {
+    val root = buildFixture()
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_0", "v_1", "v_2", "v_3"))
+    assert(t.lastCheckpointVersion() === Some(2L))
+    assert(rowsOf(t.readAsOf("v_0")) === Set((1L, "a"), (2L, "b")))
+    assert(rowsOf(t.readAsOf("v_1")) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // commit 2 removed f0 and added f2 in ONE commit: the edit applies
+    assert(rowsOf(t.readAsOf("v_2")) === Set((1L, "A2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rowsOf(t.readAsOf("v_3")) ===
+      Set((1L, "A2"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(rowsOf(t.read()) === rowsOf(t.readAsOf("v_3")))
+    intercept[IllegalArgumentException](t.readAsOf("v_9"))
+    intercept[IllegalArgumentException](t.readAsOf("junk"))
+  }
+
+  test("vacuumed log: checkpoint carries reads past missing JSON commits") {
+    val root = buildFixture()
+    // simulate log retention: JSON commits at/below the checkpoint pruned
+    (0L to 2L).foreach(n =>
+      Files.delete(Paths.get(root, "_delta_log", f"$n%020d.json")))
+    val t = new DeltaLayoutTable(spark, root)
+    // v_0/v_1 are gone (chain from 0 broken, no checkpoint below them);
+    // v_2 survives via the checkpoint, v_3 via checkpoint + commit 3
+    assert(t.versions() === Seq("v_2", "v_3"))
+    assert(rowsOf(t.readAsOf("v_2")) === Set((1L, "A2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rowsOf(t.readAsOf("v_3")) ===
+      Set((1L, "A2"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    intercept[IllegalArgumentException](t.readAsOf("v_0"))
+  }
+
+  test("changeFeed runs over the external layout unchanged (the seam's point)") {
+    val root = buildFixture()
+    val t = new DeltaLayoutTable(spark, root)
+    val feed = changeFeed(t, "v_1", "v_3", "id", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(feed === Set(
+      (1L, "changed", Some("A2")), // the commit-2 compaction edit
+      (5L, "added", Some("e"))))   // the commit-3 append
+  }
+}
