@@ -1,0 +1,111 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Append-only sharded parquet store with an atomically-swapped shard
+  * MANIFEST — the persistence shape the incremental MinHash dedup index
+  * needs at 100 TB (VERDICT r10 Next #4): appends land as NEW shard
+  * directories (an append never rewrites published data), readers resolve
+  * the live shard set through one tiny manifest read, and COMPACTION
+  * rewrites the live set into one balanced shard and swaps the manifest
+  * with the same claim/swap atomicity [[Snapshot.publish]] has. A crash
+  * anywhere leaves the previous manifest intact and the half-written
+  * shard unreferenced; a racing writer fails fast on the exclusive shard
+  * claim. Compacted-away shards remain on disk for in-flight readers (a
+  * probe that read the pre-compaction manifest keeps valid paths) until
+  * [[vacuum]] runs at single-writer startup, mirroring
+  * [[Snapshot.recoverOrphans]].
+  *
+  * Layout: `<root>/shard_<n>/` (parquet) + `<root>/shard_<n>.claim`
+  * (exclusive-create markers) + `<root>/MANIFEST` (live shard names,
+  * append order, swapped via tmp-file ATOMIC_MOVE). */
+class ShardStore(spark: SparkSession, root: String) {
+  private val manifestPtr = Paths.get(root, "MANIFEST")
+
+  /** Live shard names in append order (empty before the first write). */
+  def shards(): Seq[String] =
+    if (!Files.exists(manifestPtr)) Seq.empty
+    else Files.readString(manifestPtr).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def swapManifest(names: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "MANIFEST.tmp")
+    Files.writeString(tmp, names.mkString("", "\n", "\n"))
+    Files.move(tmp, manifestPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Claim and write one new shard directory; returns its name. Shard
+    * numbers are monotonic over every claim/directory ever seen, so a
+    * compacted store never re-issues an old name; the exclusive claim
+    * create makes two writers racing to the same number fail fast
+    * (Snapshot's protocol — the claim, not the data directory, is the
+    * lock, because Spark's overwrite write deletes/recreates the target
+    * directory mid-job). */
+  private def writeShard(df: DataFrame): String = {
+    Files.createDirectories(Paths.get(root))
+    // next number comes from the MANIFEST (Snapshot computes from
+    // CURRENT the same way): two writers racing from the same manifest
+    // state compute the same name, and the loser fails fast on the
+    // exclusive claim below instead of silently overwriting the winner.
+    // Stale claims from crashed writes block re-use until vacuum.
+    val existing = shards()
+      .flatMap(n => scala.util.Try(n.stripPrefix("shard_").toLong).toOption)
+    val next = "shard_" + (if (existing.isEmpty) 0L else existing.max + 1L)
+    Files.createFile(Paths.get(root, next + ".claim"))
+    df.write.mode("overwrite").parquet(s"$root/$next")
+    next
+  }
+
+  /** Initialize (or reset) the store to exactly `df`. */
+  def write(df: DataFrame): Unit = swapManifest(Seq(writeShard(df)))
+
+  /** Append a batch as a new shard — O(batch), never O(store). */
+  def append(df: DataFrame): Unit = swapManifest(shards() :+ writeShard(df))
+
+  /** One scan over every live shard. */
+  def read(): DataFrame = {
+    val live = shards()
+    require(live.nonEmpty, s"no shards published under $root")
+    spark.read.parquet(live.map(n => s"$root/$n"): _*)
+  }
+
+  /** Rewrite the live shard set into ONE balanced shard and swap the
+    * manifest. Pure LAYOUT operation — rows identical before and after
+    * (spec-pinned): appends accumulate one directory of small files per
+    * micro-batch, and without periodic compaction a 100 TB index's probe
+    * pays an open-file and task-scheduling cost proportional to its
+    * APPEND HISTORY instead of its size. Post-compaction a probe opens
+    * one directory of `targetPartitions` files no matter how many
+    * appends came before. */
+  def compact(targetPartitions: Int = 8): Unit =
+    swapManifest(Seq(writeShard(read().repartition(targetPartitions))))
+
+  /** Delete shard directories and claims no longer referenced by the
+    * manifest. Run at SINGLE-WRITER startup only (recoverOrphans'
+    * contract): mid-flight readers of an older manifest may still hold
+    * compacted-away shards open. Returns removed shard names. */
+  def vacuum(): Seq[String] = {
+    val live = shards().toSet
+    val entries = Option(Paths.get(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("shard_"))
+    val deadDirs = entries.filter(f => f.isDirectory && !live.contains(f.getName))
+    val deadClaims = entries.filter(f => f.isFile && f.getName.endsWith(".claim") &&
+      !live.contains(f.getName.stripSuffix(".claim")))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    deadDirs.foreach(rm)
+    deadClaims.foreach(_.delete())
+    deadDirs.map(_.getName).toSeq.sorted
+  }
+
+  /** Parquet part-file count across live shards — the quantity compaction
+    * exists to bound; exposed for specs and capacity monitoring. */
+  def liveFileCount(): Int =
+    shards().map(n => Option(new java.io.File(s"$root/$n").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+}

@@ -19,6 +19,7 @@ private[graft] object DedupSimEntries {
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_minhash_est" -> (Dedup.qMinhashEst _), // estimator-vs-truth observability over the candidate set,
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
+    "q_index_compact" -> (Dedup.qIndexCompact _), // sharded-index appends + claim/swap compaction, probe-identical,
     "q_cross_dedup" -> (Dedup.qCrossDedup _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
@@ -142,6 +143,12 @@ private[graft] object DedupSimEntries {
     // generated signature chain; the abs error is floor-form 6dp
     "q_minhash_est" -> minhashEstOracleSql,
     "q_dedup_incremental" -> minhashIncrementalOracleSql,
+    // the compacted sharded store must probe IDENTICALLY to the
+    // single-write split (compaction is a pure layout op); n_shards = 1
+    // pins the post-compaction manifest
+    "q_index_compact" ->
+      (s"SELECT doc_a, doc_b, jaccard, 1 AS n_shards FROM ($minhashIncrementalOracleSql) " +
+        "ORDER BY doc_a, doc_b"),
     "q_dedup_simhash" -> simhashOracleSql,
     "q_dedup_exact" ->
       ("WITH allc AS (SELECT doc_id, text FROM documents " +

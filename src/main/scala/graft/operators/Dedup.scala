@@ -643,6 +643,51 @@ object Dedup {
   private[graft] def appendIndexSigs(sigs: DataFrame, path: String): Unit =
     sigs.select("doc_id", "sh", "sig").write.mode("append").parquet(path)
 
+  // ------------------------------------ compactable sharded index store
+
+  /** The MinHash index over a [[graft.engine.ShardStore]] (VERDICT r10
+    * Next #4): micro-batch appends land as new shard directories, probes
+    * read the live shard set through one manifest, and periodic
+    * [[graft.engine.ShardStore.compact]] bounds the probe's file count by
+    * the TARGET partition count instead of the append history — with
+    * Snapshot's claim/swap atomicity, so a crashed compaction never
+    * corrupts the index. Probe results are spec-pinned identical before
+    * and after compaction (a pure layout operation). */
+  def writeIndexStore(docs: DataFrame, store: graft.engine.ShardStore): Unit =
+    store.write(sigsOf(shingleIndex(docs)))
+
+  def appendIndexStore(docs: DataFrame, store: graft.engine.ShardStore): Unit =
+    store.append(sigsOf(shingleIndex(docs)))
+
+  /** Band-bucket probe of the sharded index ([[probeIndex]] semantics). */
+  def probeIndexStore(store: graft.engine.ShardStore, incoming: DataFrame,
+      threshold: Double): DataFrame =
+    crossNearDupsSigs(sigsOf(shingleIndex(incoming)), store.read(), threshold)
+
+  private lazy val compactIdxRoot: String = processTempDir("graft_dedup_idx_c")
+
+  /** Oracle-gated compaction demo: the even-id half arrives as FIVE
+    * micro-batch appends (residues 0,2,4,6,8 mod 10) into the sharded
+    * store, the store compacts to one shard, then the odd-id half probes
+    * it — the result must equal the single-write [[qDedupIncremental]]
+    * split exactly (same oracle), with the post-compaction shard count
+    * pinned at 1 so a compaction that silently dropped or duplicated a
+    * shard is a loud hash FAIL. */
+  def qIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(compactIdxRoot, "store")
+    rmTree(root)
+    val store = new graft.engine.ShardStore(s, root.getPath)
+    val docs = documents(s, d)
+    Seq(0, 2, 4, 6, 8).foreach { r =>
+      appendIndexStore(docs.filter(col("doc_id") % 10 === r), store)
+    }
+    store.compact()
+    val nShards = store.shards().length
+    probeIndexStore(store, docs.filter(col("doc_id") % 2 =!= 0), 0.5)
+      .withColumn("n_shards", lit(nShards))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Oracle-gated incremental-ingestion demo: the even-id half of the
     * corpus is written out as the persisted MinHash index, then the odd-id
     * half arrives as an incoming batch and probes it — the end-to-end
