@@ -18,6 +18,7 @@ private[graft] object MediaEntries {
     "q_binary_ingest" -> (graft.sources.BinaryIngest.qBinaryIngest _),
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip,
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip,
+    "q_pdf_diffenc" -> (graft.sources.BinaryIngest.qPdfDiffenc _), // simple-font /Differences encoding round trip (AGL + uniXXXX),
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip,
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip,
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip,
@@ -83,6 +84,11 @@ private[graft] object MediaEntries {
     // with hex CID strings and a ToUnicode CMap, so any defect in the
     // CMap parse, range expansion or 2-byte decode hash-mismatches
     "q_pdf_cid" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // /Differences: the staged codes SKIP their own Latin-1 values, so
+    // only the glyph-name remap (AGL table + uniXXXX) reproduces the
+    // source text — a naive 1-byte decode garbles and hash-fails
+    "q_pdf_diffenc" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the encrypted round trip: staged RC4-128 standard-security PDFs
     // must decrypt (file key from /O,/P,/ID; per-object keys) and then

@@ -367,6 +367,40 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(null) === null)
   }
 
+  test("PDF /Differences: glyph-name remap round trip; naive decode garbles") {
+    import graft.sources.{BinaryIngest, GlyphList}
+    // both resolution rules: AGL-subset names and the uniXXXX algorithm
+    assert(GlyphList.toUnicode("eacute") === Some("é"))
+    assert(GlyphList.toUnicode("quotedblleft") === Some("“"))
+    assert(GlyphList.toUnicode("A") === Some("A"))
+    assert(GlyphList.toUnicode("uni0041") === Some("A"))
+    assert(GlyphList.toUnicode("uni00480049") === Some("HI")) // multi-unit
+    assert(GlyphList.toUnicode("u1F600").isDefined) // 5-digit u-form (non-BMP)
+    assert(GlyphList.toUnicode("gs42") === None)    // subset-font private name
+    // array parse: integer resets the code, each name advances it;
+    // unknown names DROP their code (mapped to ""), never Latin-1 garbage
+    val diffs = BinaryIngest.parseDifferences(
+      "<< /Differences [ 65 /alpha /beta 200 /eacute /gswhatever ] >>")
+    assert(diffs === Map(65 -> "α", 66 -> "β", 200 -> "é", 201 -> ""))
+    // full round trip through the extractor: codes skip their own
+    // Latin-1 values, so ONLY the /Differences remap reproduces the text
+    val text = "Hello… état Δ9 (ok)"
+    val pdf = BinaryIngest.buildPdfDiffEnc(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // the staged content stream must NOT decode naively: strip the
+    // /Differences array and the extraction must garble, proving the
+    // fixture cannot accidentally pass
+    val s = new String(pdf, "ISO-8859-1")
+    val naive = s.replaceAll("/Differences \\[[^\\]]*\\]", "")
+    assert(naive !== s, "strip must hit")
+    assert(BinaryIngest.pdfExtract(naive.getBytes("ISO-8859-1")) !== text)
+    // literal-string show ops remap too (a literal's chars are codes)
+    val lit = BinaryIngest.parseDifferences("/Differences [ 88 /omega ]")
+    assert(lit === Map(88 -> "ω"))
+    // empty text stages and extracts empty, no crash
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfDiffEnc("")) === "")
+  }
+
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
     import graft.sources.{BinaryIngest, PdfCrypto}
     // public RC4 known-answer vector: key "Key", plaintext "Plaintext"
