@@ -38,7 +38,10 @@ object CommandDispatch {
     StructField("document_name", StringType, nullable = true),
     StructField("category_id", IntegerType, nullable = true),
     StructField("category_name", StringType, nullable = true),
-    StructField("text", StringType, nullable = true)))
+    StructField("text", StringType, nullable = true),
+    // upload_one_doc's expiry_date (data_ingestion.py:77, ISO-8601 string
+    // or null) — command files written without the column read as null
+    StructField("document_expiryDate", StringType, nullable = true)))
 
   /** Pure dispatch: route one command batch into the mutation set.
     * Returns the next state and one message row per command (the
@@ -94,14 +97,28 @@ object CommandDispatch {
       .select(col("category_id"), col("category_name"))
     val cats1 = Mutations.dimInsert(state.categories, catAdds, "category_name")
 
-    // 1: uploads — dedup on name (M1/J3), dim lookup (J1), snippet gen (F3/F4)
+    // 1: uploads — dedup on name (M1/J3), dim lookup (J1), snippet gen (F3/F4).
+    // The state's docs table OPTIONALLY carries document_expiryDate
+    // (upload_one_doc's expiry_date, data_ingestion.py:77): when it does,
+    // uploads propagate the command's expiry (null when the command batch
+    // was written without the column) so the per-batch expiry sweep
+    // ([[expiryMaintenance]]) has something to sweep. A state without the
+    // column dispatches exactly as before — q_dispatch is unchanged.
+    val hasExpiry = state.docs.columns.contains("document_expiryDate")
+    val expiryCmd =
+      if (cmds.columns.contains("document_expiryDate"))
+        col("document_expiryDate").cast("string")
+      else lit(null).cast("string")
     val uploads = cmds.filter(col("action_code") === 1)
-      .select(col("document_id"), col("document_name"), col("category_id"), col("text"))
+      .select(Seq(col("document_id"), col("document_name"), col("category_id"),
+        col("text")) ++
+        (if (hasExpiry) Seq(expiryCmd.as("document_expiryDate")) else Nil): _*)
     val newDocs = uploads
       .join(broadcast(cats1.select(col("category_id"), col("category_name"))), Seq("category_id"), "left")
       .withColumn("document_status", lit("Active"))
-      .select("document_id", "document_name", "category_id", "category_name",
-        "text", "document_status")
+      .select(Seq("document_id", "document_name", "category_id", "category_name",
+        "text", "document_status") ++
+        (if (hasExpiry) Seq("document_expiryDate") else Nil) map col: _*)
     // the accepted set is computed ONCE and drives both the docs append and
     // snippet generation — so a within-batch duplicate name contributes
     // exactly one doc row and one snippet set (no orphan snippets)
@@ -251,9 +268,34 @@ object CommandDispatch {
     * batch id; the reference's rollback intent via atomic dirs, SURVEY
     * §7.4). If intermediate snapshots were pruned, the newest one below N
     * is used. `onBatch` receives the post-batch state for inspection. */
+  /** T4 as a STREAMING citizen (VERDICT r10 Next #6): per-batch
+    * maintenance run INSIDE the same foreachBatch transaction as the
+    * dispatch — the reference runs its expiry sweep once per run
+    * (data_ingestion.py:554); here the sweep's output IS what the batch
+    * snapshot persists, so a replayed batch (crash between the snapshot
+    * write and the streaming commit) re-runs dispatch+sweep on the same
+    * base snapshot and rewrites the same result — idempotent under the
+    * recovery contract, spec'd by a forced mid-sweep replay in
+    * StreamingSpec. Docs sweep by [[Mutations.expireSweep]]; the expired
+    * status cascades to the denormalized snippets (broadcast of the
+    * expired-id set — the swept delta, never the corpus). */
+  def expiryMaintenance(asOf: org.apache.spark.sql.Column,
+      expiryCol: String = "document_expiryDate"): EngineState => EngineState = { st =>
+    val sweptDocs = Mutations.expireSweep(st.docs, expiryCol, asOf)
+    val expired = sweptDocs.filter(col("document_status") === "Expired")
+      .select(col("document_id").as("__eid"))
+    val sweptSnips = st.snippets
+      .join(broadcast(expired), col("document_id") === col("__eid"), "left")
+      .withColumn("document_status",
+        when(col("__eid").isNotNull, lit("Expired")).otherwise(col("document_status")))
+      .drop("__eid")
+    EngineState(sweptDocs, sweptSnips, st.categories)
+  }
+
   def runStream(spark: SparkSession, commands: DataFrame, initial: EngineState,
       stateDir: String, onBatch: (Long, EngineState) => Unit,
       dispatcher: (EngineState, DataFrame) => (EngineState, DataFrame) = dispatch,
+      maintenance: EngineState => EngineState = identity,
       checkpoint: Option[String] = None): StreamingQuery = {
     def loadState(id: Long): Option[EngineState] = {
       val ok = new java.io.File(s"$stateDir/$id/categories/_SUCCESS").exists()
@@ -278,7 +320,10 @@ object CommandDispatch {
         // fully consumed and safe to unpersist
         withBatchCaches {
           val base = if (batchId == 0) initial else latestBelow(batchId).getOrElse(initial)
-          val (next, messages) = dispatcher(base, batch)
+          val (dispatched, messages) = dispatcher(base, batch)
+          // maintenance INSIDE the batch transaction: the swept state is
+          // what persists, so batch replay reproduces it (T4 streaming)
+          val next = maintenance(dispatched)
           // materialize snapshots so state does not re-read mutated streams
           val dir = s"$stateDir/$batchId"
           next.docs.write.mode("overwrite").parquet(s"$dir/docs")

@@ -321,6 +321,76 @@ class StreamingSpec extends SparkSpec {
       Set("doc_a", "doc_b", "doc_c"))
   }
 
+  test("streaming expiry sweep: per-batch maintenance, restart + mid-sweep replay idempotence") {
+    import spark.implicits._
+    val cmdDir = Files.createTempDirectory("graft_sweep_cmds")
+    val ckpt = Files.createTempDirectory("graft_sweep_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_sweep_state").toString
+    // seed: doc_a already past expiry (swept in batch 0), doc_z no expiry
+    val docs0 = Seq(
+      (1L, "doc_a", 1, "Cat1", "alpha beta", "Active", Some("2001-01-01")),
+      (2L, "doc_z", 1, "Cat1", "gamma delta", "Active", None: Option[String]))
+      .toDF("document_id", "document_name", "category_id", "category_name",
+        "text", "document_status", "document_expiryDate")
+    val cats0 = Seq((1, "Cat1")).toDF("category_id", "category_name")
+    val snippets0 = docs0.select(col("document_id"), col("document_name"),
+      col("category_id"), lit(1).as("snippet_id"), col("text").as("snippet_text"),
+      col("document_status"))
+    def commands() = spark.readStream.schema(CommandDispatch.commandSchema)
+      .option("maxFilesPerTrigger", "1").parquet(cmdDir.toString + "/*/")
+    val sweep = CommandDispatch.expiryMaintenance(lit("2026-01-01"))
+    def statuses(st: CommandDispatch.EngineState): Map[String, String] =
+      st.docs.select("document_name", "document_status")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // batch 0: upload doc_b whose expiry is ALREADY past — the same-batch
+    // sweep must expire it along with the seed's doc_a
+    Seq((1, Some(3L), Some("doc_b"), Some(1), None: Option[String],
+      Some("one two three"), Some("2002-02-02")))
+      .toDF("action_code", "document_id", "document_name", "category_id",
+        "category_name", "text", "document_expiryDate")
+      .coalesce(1).write.parquet(cmdDir.resolve("f0").toString)
+    val st0 = CommandDispatch.EngineState(docs0, snippets0, cats0)
+    var last: Option[CommandDispatch.EngineState] = None
+    val q1 = CommandDispatch.runStream(spark, commands(), st0, stateDir,
+      (_, st) => last = Some(st), maintenance = sweep, checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    assert(statuses(last.get) ===
+      Map("doc_a" -> "Expired", "doc_b" -> "Expired", "doc_z" -> "Active"))
+    // the cascade: every snippet of an expired doc carries Expired
+    assert(last.get.snippets.filter(col("document_id") === 1L)
+      .select("document_status").as[String].collect().forall(_ == "Expired"))
+
+    // batch 1 (restart): upload doc_c with a FUTURE expiry — stays Active;
+    // already-swept docs stay Expired (the sweep is idempotent on them)
+    Seq((1, Some(4L), Some("doc_c"), Some(1), None: Option[String],
+      Some("four five six"), Some("2099-01-01")))
+      .toDF("action_code", "document_id", "document_name", "category_id",
+        "category_name", "text", "document_expiryDate")
+      .coalesce(1).write.parquet(cmdDir.resolve("f1").toString)
+    val q2 = CommandDispatch.runStream(spark, commands(), st0, stateDir,
+      (_, st) => last = Some(st), maintenance = sweep, checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    val afterB1 = statuses(last.get)
+    assert(afterB1 === Map("doc_a" -> "Expired", "doc_b" -> "Expired",
+      "doc_z" -> "Active", "doc_c" -> "Active"))
+
+    // MID-SWEEP REPLAY: delete batch 1's streaming COMMIT (offsets stay) —
+    // the crash window between the snapshot write and the commit. The
+    // restarted query re-executes batch 1, rebases on snapshot 0, and must
+    // rewrite the identical swept state (idempotence under replay).
+    assert(Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", "1")))
+    // the local-FS checkpoint manager shadows every metadata file with a
+    // CRC; leaving it behind makes the replay's rename collide
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    last = None
+    val q3 = CommandDispatch.runStream(spark, commands(), st0, stateDir,
+      (_, st) => last = Some(st), maintenance = sweep, checkpoint = Some(ckpt))
+    try q3.processAllAvailable() finally { q3.stop(); q3.awaitTermination() }
+    assert(last.isDefined, "batch 1 must replay after its commit was removed")
+    assert(statuses(last.get) === afterB1, "replayed sweep diverged")
+  }
+
   test("FIFO dispatch: upload -> remove -> re-upload of one name in one batch") {
     import spark.implicits._
     val docs0 = Seq((1L, "doc_a", 1, "Cat1", "alpha", "Active"))
