@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** The read surface shared by every versioned table this engine can time
   * travel over: the homegrown [[Snapshot]] store and external tables in
@@ -20,7 +20,7 @@ trait VersionedTable {
   def read(): DataFrame
 }
 
-/** Read-only adapter over a Delta-STYLE table directory — the open layout
+/** Adapter over a Delta-STYLE table directory — the open layout
   * convention (data parquet files + a `_delta_log/` directory of
   * per-commit JSON action files and optional parquet checkpoints; see the
   * public Delta transaction-log protocol) — resolved through the same
@@ -152,5 +152,95 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
       val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       m.map(_.group(1).toLong)
     }
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Stage `df` as data files under the table root with commit-unique
+    * names (write to scratch, move the part files in — the two-phase
+    * stage Delta writers use: data lands invisible, only the log commit
+    * publishes it). */
+  private def stageDataFiles(df: DataFrame, commit: Long): Seq[String] = {
+    val tmp = Files.createTempDirectory("graft_dlw").toString
+    df.write.mode("overwrite").parquet(tmp)
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.map { case (f, i) =>
+        val name = f"data-$commit%020d-$i%05d.parquet"
+        Files.move(f.toPath, Paths.get(root, name))
+        name
+      }.toSeq
+  }
+
+  /** Publish one commit with the given actions. The commit FILE is the
+    * lock (the Delta protocol's put-if-absent): CREATE_NEW fails fast
+    * when a racing writer committed the same version first — the staged
+    * data files stay unreferenced and harmless, exactly Snapshot's
+    * crash/race posture. */
+  private def writeCommit(n: Long, lines: Seq[String]): Unit = {
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"$n%020d.json"),
+      lines.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  private def nextCommit(): Long = {
+    val (jsons, ckpts) = logFiles()
+    (jsons.keySet ++ ckpts.keySet).maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  /** APPEND commit: stage `df`, add its files. Returns the version name. */
+  def commitAppend(df: DataFrame): String = {
+    val n = nextCommit()
+    val files = stageDataFiles(df, n)
+    writeCommit(n, files.map(f => s"""{"add":{"path":"$f","dataChange":true}}"""))
+    "v_" + n
+  }
+
+  /** REPLACE commit (overwrite/compaction shape): one commit that removes
+    * every currently-active file and adds `df`'s — readers of version
+    * n-1 are untouched; version n is the new content atomically. */
+  def commitReplace(df: DataFrame): String = {
+    val n = nextCommit()
+    val current = if (n == 0) Seq.empty else activeFiles(n - 1)
+    val files = stageDataFiles(df, n)
+    writeCommit(n,
+      current.map(f => s"""{"remove":{"path":"$f","deletionTimestamp":0}}""") ++
+        files.map(f => s"""{"add":{"path":"$f","dataChange":true}}"""))
+    "v_" + n
+  }
+
+  /** Write a checkpoint at the newest commit: the active file set
+    * materialized as `<n>.checkpoint.parquet` plus `_last_checkpoint`,
+    * so JSON commits at or below it can be pruned (log retention) while
+    * every version from the checkpoint forward stays readable. */
+  def checkpoint(): Long = {
+    val n = readableCommits().lastOption.getOrElse(
+      throw new IllegalStateException(s"no commits under $root to checkpoint"))
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_dlck").toString
+    activeFiles(n).toDF("path").selectExpr("struct(path) AS add")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, logDir.resolve(f"$n%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val lcTmp = logDir.resolve("_last_checkpoint.tmp")
+    Files.writeString(lcTmp, s"""{"version":$n,"size":${activeFiles(n).size}}""")
+    Files.move(lcTmp, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    n
+  }
+
+  /** Log retention: delete JSON commits strictly below the newest
+    * checkpoint (they are redundant — the checkpoint materializes their
+    * cumulative state). Versions below the checkpoint become unreadable,
+    * same contract as Snapshot.vacuum. Returns pruned commit numbers. */
+  def pruneLog(): Seq[Long] = {
+    val ck = lastCheckpointVersion().getOrElse(return Seq.empty)
+    val (jsons, _) = logFiles()
+    val dead = jsons.keys.filter(_ < ck).toSeq.sorted
+    dead.foreach(n => Files.deleteIfExists(Paths.get(jsons(n))))
+    dead
   }
 }

@@ -56,6 +56,7 @@ private[graft] object CoreEntries {
     "q_time_travel" -> (Mutations.qTimeTravel _), // readAsOf over the versioned store + immutable-history rollback,
     "q_cdc_feed" -> (Mutations.qCdcFeed _), // change-data-feed between published versions (the Delta CDF shape),
     "q_delta_read" -> (Mutations.qDeltaRead _), // external Delta-layout table resolved through versions()/readAsOf(),
+    "q_delta_write" -> (Mutations.qDeltaWrite _), // Delta-layout writer: append/replace commits, checkpoint, log prune,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
@@ -172,6 +173,17 @@ private[graft] object CoreEntries {
         "SELECT 'v_0' AS version, n AS n_docs, s AS sum_ids FROM v0 " +
         "UNION ALL SELECT 'v_1', n, s FROM v1 " +
         "UNION ALL SELECT 'v_2', n, s FROM v2 " +
+        "ORDER BY version"),
+    // Delta-layout writer round trip: after the checkpoint + log prune
+    // only v_2 (replace commit, read via the checkpoint) and v_3 (append
+    // on top) are in retention — exactly two rows, in closed form
+    "q_delta_write" ->
+      ("WITH v2 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents " +
+        "WHERE doc_id < 160 AND doc_id % 7 <> 0), " +
+        "v3 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents " +
+        "WHERE doc_id < 160 AND doc_id % 7 <> 0 OR doc_id >= 160 AND doc_id < 200) " +
+        "SELECT 'v_2' AS version, n AS n_docs, s AS sum_ids FROM v2 " +
+        "UNION ALL SELECT 'v_3', n, s FROM v3 " +
         "ORDER BY version"),
     "q_dim_insert" ->
       ("SELECT category_id, category_name FROM (" +

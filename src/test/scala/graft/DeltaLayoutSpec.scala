@@ -91,6 +91,39 @@ class DeltaLayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readAsOf("v_0"))
   }
 
+  test("writer round trip: append/replace commits, checkpoint, prune, race") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_writer").toString
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "body")) === "v_0")
+    assert(t.commitAppend(Seq((3L, "c")).toDF("id", "body")) === "v_1")
+    assert(rowsOf(t.readAsOf("v_1")) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // replace: one commit removes every active file and adds the new set
+    assert(t.commitReplace(Seq((1L, "A2"), (3L, "c")).toDF("id", "body")) === "v_2")
+    assert(rowsOf(t.readAsOf("v_1")) === Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "replace must not disturb history")
+    assert(rowsOf(t.readAsOf("v_2")) === Set((1L, "A2"), (3L, "c")))
+    // checkpoint at v_2, prune the redundant log prefix: v_0/v_1 leave
+    // retention, v_2 survives via the checkpoint, appends continue on top
+    assert(t.checkpoint() === 2L)
+    assert(t.pruneLog() === Seq(0L, 1L))
+    assert(t.versions() === Seq("v_2"))
+    intercept[IllegalArgumentException](t.readAsOf("v_0"))
+    assert(t.commitAppend(Seq((9L, "z")).toDF("id", "body")) === "v_3")
+    assert(rowsOf(t.readAsOf("v_3")) === Set((1L, "A2"), (3L, "c"), (9L, "z")))
+    // the put-if-absent primitive: the commit write is CREATE_NEW, so a
+    // racing writer that computed the same version number fails fast on
+    // the existing file instead of overwriting the winner's commit (the
+    // window is between the log listing and the write, so the collision
+    // is asserted at the primitive — an external test cannot interleave
+    // inside commitAppend)
+    val c3 = java.nio.file.Paths.get(root, "_delta_log", f"${3L}%020d.json")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.writeString(c3, "loser", java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+    assert(rowsOf(t.read()) === Set((1L, "A2"), (3L, "c"), (9L, "z")))
+  }
+
   test("changeFeed runs over the external layout unchanged (the seam's point)") {
     val root = buildFixture()
     val t = new DeltaLayoutTable(spark, root)
