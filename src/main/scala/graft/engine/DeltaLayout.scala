@@ -95,14 +95,28 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
     val commits = (firstJson to v).map(n => jsons.getOrElse(n,
       throw new IllegalArgumentException(
         s"commit $n of $root is missing from the log — v_$v is not reconstructible")))
+    if (commits.isEmpty) return fromCkpt.sorted
+    // ONE Spark job over every needed commit file (not one per commit —
+    // a long post-checkpoint tail would otherwise pay per-commit job
+    // latency); actions group by source file on the driver and fold in
+    // commit order. The collect is bounded by the post-checkpoint log
+    // tail, which retention (checkpoint + pruneLog) keeps small.
+    val byName: Map[String, Array[(String, String)]] =
+      spark.read.schema(actionSchema).json(commits: _*)
+        .select(col("add.path").as("a"), col("remove.path").as("r"),
+          org.apache.spark.sql.functions.input_file_name().as("f"))
+        .collect()
+        .map(r => (r.getString(2), (r.getString(0), r.getString(1))))
+        .groupBy { case (uri, _) => uri.substring(uri.lastIndexOf('/') + 1) }
+        .view.mapValues(_.map(_._2)).toMap // input_file_name is URI-form; key by file name
+    def actsOf(path: String): Array[(String, String)] =
+      byName.getOrElse(Paths.get(path).getFileName.toString, Array.empty)
     // chronological fold: within a commit removes drop prior files, adds
     // introduce new ones (a compaction commit does both)
     commits.foldLeft(fromCkpt.toSet) { (active, path) =>
-      val acts = spark.read.schema(actionSchema).json(path)
-        .select(col("add.path").as("a"), col("remove.path").as("r"))
-        .collect()
-      val removes = acts.flatMap(r => Option(r.getString(1))).toSet
-      val adds = acts.flatMap(r => Option(r.getString(0)))
+      val acts = actsOf(path)
+      val removes = acts.flatMap(x => Option(x._2)).toSet
+      val adds = acts.flatMap(x => Option(x._1))
       (active -- removes) ++ adds
     }.toSeq.sorted
   }

@@ -282,10 +282,17 @@ object CommandDispatch {
   def expiryMaintenance(asOf: org.apache.spark.sql.Column,
       expiryCol: String = "document_expiryDate"): EngineState => EngineState = { st =>
     val sweptDocs = Mutations.expireSweep(st.docs, expiryCol, asOf)
-    val expired = sweptDocs.filter(col("document_status") === "Expired")
+    // cascade only the NEWLY-expired ids (was Active, crosses the expiry
+    // predicate this batch): docs expired in earlier batches already
+    // cascaded then, so the broadcast carries the per-batch delta — never
+    // the full accumulated Expired set, which at corpus scale grows
+    // without bound while the delta stays micro-batch-sized
+    val newlyExpired = st.docs
+      .filter(col("document_status") === "Active" &&
+        col(expiryCol).isNotNull && col(expiryCol) < asOf)
       .select(col("document_id").as("__eid"))
     val sweptSnips = st.snippets
-      .join(broadcast(expired), col("document_id") === col("__eid"), "left")
+      .join(broadcast(newlyExpired), col("document_id") === col("__eid"), "left")
       .withColumn("document_status",
         when(col("__eid").isNotNull, lit("Expired")).otherwise(col("document_status")))
       .drop("__eid")

@@ -224,7 +224,13 @@ class PlanSpec extends SparkSpec {
       "q_rank_eval",
       // MMR reranks the panel-bounded brute-force top-10 by definition;
       // the greedy loop itself runs on the collected |panel| x 10 rows
-      "q_mmr")
+      "q_mmr",
+      // routed MaxSim's candidate generation goes through the ANN front
+      // door on packed (doc, tok) ids — at gate scale the packed corpus
+      // is under AnnExactCorpusMax, so the router provably picks the
+      // exact arm and its panel-bounded broadcast cross (the q_ann_auto
+      // argument); above the threshold the router takes an index arm
+      "q_maxsim_routed")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
