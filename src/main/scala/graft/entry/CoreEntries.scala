@@ -58,6 +58,7 @@ private[graft] object CoreEntries {
     "q_delta_read" -> (Mutations.qDeltaRead _), // external Delta-layout table resolved through versions()/readAsOf(),
     "q_delta_write" -> (Mutations.qDeltaWrite _), // Delta-layout writer: append/replace commits, checkpoint, log prune,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
+    "q_dispatch_sweep" -> (graft.streaming.CommandDispatch.qDispatchSweep _), // T4 expiry sweep through the dispatch maintenance hook,
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
     "q_nested_project" -> (Ingest.qNestedProject _),
   )
@@ -215,6 +216,19 @@ private[graft] object CoreEntries {
         "SELECT doc_id AS document_id, CAST(doc_id % 5 AS INTEGER) AS category_id FROM documents " +
         "WHERE doc_id <> 3 AND doc_id % 5 <> 4 " +
         "UNION ALL SELECT CAST(9001 AS BIGINT), CAST(2 AS INTEGER)) ORDER BY document_id"),
+    // T4 sweep through the dispatch maintenance hook: every status in
+    // closed form — seed rows expire iff doc_id % 3 = 0 (past expiry),
+    // the same-batch upload with a past expiry expires too, future/NULL
+    // expiries stay Active
+    "q_dispatch_sweep" ->
+      ("SELECT document_id, document_status, document_expiryDate FROM (" +
+        "SELECT doc_id AS document_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'Expired' ELSE 'Active' END AS document_status, " +
+        "CASE WHEN doc_id % 3 = 0 THEN '2001-01-01' " +
+        "WHEN doc_id % 3 = 1 THEN '2099-01-01' END AS document_expiryDate FROM documents " +
+        "UNION ALL SELECT CAST(9001 AS BIGINT), 'Expired', '2002-02-02' " +
+        "UNION ALL SELECT CAST(9002 AS BIGINT), 'Active', '2099-01-01') " +
+        "ORDER BY document_id"),
     "q_ingest_flatten" ->
       ("WITH w AS (SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
         "j AS (SELECT w.*, r_name AS category_name FROM w LEFT JOIN region ON doc_id % 5 = r_regionkey), " +

@@ -222,6 +222,46 @@ object CommandDispatch {
     next.docs.select("document_id", "category_id").orderBy("document_id")
   }
 
+  /** Oracle-checked T4-under-dispatch demo: seed the dispatch state WITH
+    * expiry dates (doc_id % 3 == 0 already past, % 3 == 1 far future,
+    * else none), apply one upload batch carrying its own expiries (one
+    * past, one future — upload_one_doc's expiry_date, DI:77), then run
+    * [[expiryMaintenance]] exactly as the streaming loop does per batch.
+    * The oracle restates every status in closed form: a sweep that
+    * misses the seed rows, the same-batch upload, or flips a NULL/future
+    * expiry hash-mismatches. */
+  def qDispatchSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs0 = graft.engine.Tables.documents(s, d).select(
+      col("doc_id").as("document_id"),
+      concat(lit("doc_"), col("doc_id")).as("document_name"),
+      (col("doc_id") % 5).cast("int").as("category_id"),
+      lit(null).cast("string").as("category_name"),
+      col("text"),
+      lit("Active").as("document_status"),
+      when(col("doc_id") % 3 === 0, lit("2001-01-01"))
+        .when(col("doc_id") % 3 === 1, lit("2099-01-01"))
+        .otherwise(lit(null).cast("string")).as("document_expiryDate"))
+    val cats0 = graft.engine.Tables.region(s, d).select(
+      col("r_regionkey").cast("int").as("category_id"), col("r_name").as("category_name"))
+    val snippets0 = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("document_id", LongType), StructField("document_name", StringType),
+        StructField("category_id", IntegerType), StructField("snippet_id", IntegerType),
+        StructField("snippet_text", StringType), StructField("document_status", StringType))))
+    val commands = Seq(
+      (1, Some(9001L), Some("doc_new1"), Some(2), None: Option[String],
+        Some("alpha beta gamma delta epsilon"), Some("2002-02-02")),
+      (1, Some(9002L), Some("doc_new2"), Some(1), None,
+        Some("zeta eta theta iota kappa"), Some("2099-01-01")))
+      .toDF("action_code", "document_id", "document_name", "category_id",
+        "category_name", "text", "document_expiryDate")
+    val (next, _) = dispatch(EngineState(docs0, snippets0, cats0), commands)
+    val swept = expiryMaintenance(lit("2026-01-01"))(next)
+    swept.docs.select("document_id", "document_status", "document_expiryDate")
+      .orderBy("document_id")
+  }
+
   /** Strict cross-type FIFO dispatch (the reference's single-queue drain
     * order, data_ingestion.py:46-72): commands are applied in `seqCol`
     * arrival order. Implementation: split the batch into RUNS of
