@@ -37,6 +37,7 @@ private[graft] object DedupSimEntries {
     "q_ann_auto" -> (Similarity.qAnnAuto _), // ANN front door: router picks exact at gate scale; strategy column pinned,
     "q_maxsim" -> (Similarity.qMaxSim _), // late-interaction multi-vector MaxSim retrieval, exact panel gate,
     "q_maxsim_routed" -> (Similarity.qMaxSimRouted _), // production MaxSim: per-token ANN candidates + exact rerank; strategy pinned,
+    "q_maxsim_index" -> (Similarity.qMaxSimIndex _), // persisted-index MaxSim serving: probe-only candidates, recall floor gated,
     "q_pq_search" -> (Similarity.qPqSearch _), // PQ ADC + rerank recall@10, tolerance-gated,
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once,
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC,
@@ -365,6 +366,13 @@ private[graft] object DedupSimEntries {
       ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
         "TRUE AS insert_recall_ok " +
         "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
+    // persisted-index MaxSim serving: n_exact = k(10) x the 3-doc panel
+    // in closed form (every panel doc has a full exact top-10 at gate
+    // corpus sizes); the boolean pins the probe-only candidate path's
+    // recall floor vs the exact MaxSim ranking (measured ~1.0)
+    "q_maxsim_index" ->
+      ("SELECT CAST(10 * count(DISTINCT vec_id // 4) AS BIGINT) AS n_exact, " +
+        "TRUE AS maxsim_recall_ok FROM embeddings WHERE vec_id // 4 < 3"),
     "q_centroids" ->
       ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
         "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +

@@ -1791,6 +1791,71 @@ object Similarity {
       maxSimTokens(s, d).filter(col("doc_id") < 3), 10)
       .orderBy("q_id", "rank")
 
+  /** Serve MaxSim against a PERSISTED packed-token HNSW index — the
+    * production serving shape that removes the per-call graph build from
+    * [[maxSimTopKRouted]]'s hot path (build once over the corpus's token
+    * bags with [[writeMaxSimIndex]], probe per query batch forever):
+    * per-token candidates come off the stored shard graphs, collapse to
+    * distinct (query doc, candidate doc) pairs, and only those pairs pay
+    * the exact token-by-token rerank — the maxSimTopKRouted tail verbatim,
+    * with candidate generation swapped from build-and-probe to
+    * probe-only. Approximate exactly as the HNSW arm is (recall floor
+    * gated by q_maxsim_index the way q_hnsw_recall gates the
+    * single-vector family). */
+  def writeMaxSimIndex(s: SparkSession, docTokens: DataFrame, root: String): Unit = {
+    val packed = docTokens.select(
+      (shiftleft(col("doc_id"), MaxSimTokBits) + col("tok_id")).as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    Hnsw.writeHnswIndex(s, packed, root)
+    ()
+  }
+
+  def maxSimProbeIndex(s: SparkSession, root: String, docTokens: DataFrame,
+      queryTokens: DataFrame, k: Int, kTok: Int = 16): DataFrame = {
+    val panel = queryTokens.select(
+      (shiftleft(col("doc_id"), MaxSimTokBits) + col("tok_id")).as("vec_id"),
+      col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // bounded query panel (the q_hnsw_recall pattern)
+    val cands = Hnsw.probeHnswIndex(s, root, panel, kTok)
+      .select(shiftright(col("q_id"), MaxSimTokBits).as("q_id"),
+        shiftright(col("n_id"), MaxSimTokBits).as("doc_id"))
+      .filter(col("q_id") =!= col("doc_id")).distinct()
+    val q = queryTokens.select(col("doc_id").as("q_id"),
+      col("tok_id").as("q_tok"), col("embedding").as("q_emb"))
+    val dd = docTokens.select(col("doc_id"), col("embedding").as("d_emb"))
+    val pairs = cands
+      .join(dd, Seq("doc_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("d_emb")), 6))
+      .select("q_id", "doc_id", "q_tok", "cos")
+    maxSimRank(pairs, k)
+  }
+
+  private lazy val maxSimIdxRoot: String = Dedup.processTempDir("graft_maxsim_idx")
+
+  /** Recall gate for persisted-index MaxSim serving (the q_hnsw_recall
+    * coupling): build the packed-token index once, probe the 3-doc
+    * panel, and pin n_exact (= k x |panel| in closed form) plus a 0.7
+    * recall floor vs the exact [[maxSimTopK]] ranking — measured ~1.0 at
+    * gate sizes. */
+  def qMaxSimIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = maxSimTokens(s, d)
+    val queryToks = toks.filter(col("doc_id") < 3)
+    val root = new java.io.File(maxSimIdxRoot, "idx")
+    Dedup.rmTree(root)
+    writeMaxSimIndex(s, toks, root.getPath)
+    val probed = maxSimProbeIndex(s, root.getPath, toks, queryToks, 10)
+      .select("q_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = maxSimTopK(toks, queryToks, 10)
+      .select("q_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact & probed).size.toDouble / exact.size
+    Seq((exact.size.toLong, recall >= 0.7)).toDF("n_exact", "maxsim_recall_ok")
+  }
+
   /** Oracle-checked ROUTED MaxSim (VERDICT r10 Next #2): the same panel
     * through the production path — per-token candidates via the ANN
     * front door on bit-packed (doc, tok) ids, exact MaxSim rerank on the

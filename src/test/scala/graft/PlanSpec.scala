@@ -230,7 +230,11 @@ class PlanSpec extends SparkSpec {
       // is under AnnExactCorpusMax, so the router provably picks the
       // exact arm and its panel-bounded broadcast cross (the q_ann_auto
       // argument); above the threshold the router takes an index arm
-      "q_maxsim_routed")
+      "q_maxsim_routed",
+      // the persisted-index MaxSim gate embeds the exact MaxSim baseline
+      // (panel-bounded broadcast cross) to measure the probe's recall —
+      // the q_hnsw_recall coupling
+      "q_maxsim_index")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
