@@ -176,11 +176,17 @@ object Bench {
     println(json)
     // ALSO persist the full JSON: the driver's capture keeps only a 2000-char
     // tail of stdout (ADVICE r4 — 73 of 142 timings silently lost), so the
-    // complete per-query map must survive somewhere durable
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
-    }
+    // complete per-query map must survive somewhere durable. FULL-suite
+    // runs only (round-11 review finding): a targeted `Bench q1,q2` run
+    // would otherwise overwrite the previous full artifact — destroying
+    // its baselines AND its "unresolved" escalation list, silently
+    // defeating the measure-first mechanism.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+      }
+    else System.err.println(s"[bench] targeted run: $outPath left untouched")
     // roll the run into the bounded baseline history (FULL-suite runs
     // only: a targeted `Bench q1,q2` run measures a cold-cache subset
     // whose medians would poison the floor for full-suite runs)

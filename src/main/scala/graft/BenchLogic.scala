@@ -106,10 +106,7 @@ object BenchLogic {
     * 0.77s floor — the mechanism could only confirm, never correct). */
   def unresolved(reruns: Map[String, Double], base: Map[String, Double],
       factor: Double = 2.0): Seq[String] =
-    reruns.collect {
-      case (name, v) if v > 0 && base.get(name).exists(p => v > factor * p) =>
-        name
-    }.toSeq.sorted
+    outliers(reruns, base, factor) // same predicate, applied to the RERUN map
 
   /** Extract the `"unresolved"` string array persisted by the previous
     * run's artifact. Same drift posture as [[parseQueries]]: a missing or

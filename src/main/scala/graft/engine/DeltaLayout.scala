@@ -137,12 +137,15 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
   }
 
   private def readNewestNonEmptyOr(v: Long): DataFrame = {
-    val withData = readableCommits().filter(c => activeFiles(c).nonEmpty)
+    // each commit's file set resolved ONCE (a log replay is a Spark job;
+    // filter-then-recompute would double every version's cost)
+    val byCommit = readableCommits().map(c => c -> activeFiles(c))
+    val withData = byCommit.filter(_._2.nonEmpty)
     require(withData.nonEmpty, s"no version of $root has any data files")
     // closest data-bearing version: prefer history at-or-below v (schema
     // as the reader knew it), else the earliest later one
-    val donor = withData.filter(_ <= v).maxOption.getOrElse(withData.min)
-    spark.read.parquet(activeFiles(donor).map(resolve): _*).limit(0)
+    val donor = withData.filter(_._1 <= v).lastOption.getOrElse(withData.head)
+    spark.read.parquet(donor._2.map(resolve): _*).limit(0)
   }
 
   /** add.path is table-root-relative by the layout convention; absolute
@@ -174,16 +177,24 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
     * names (write to scratch, move the part files in — the two-phase
     * stage Delta writers use: data lands invisible, only the log commit
     * publishes it). */
+  private def rmDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmDir)
+    f.delete(); ()
+  }
+
   private def stageDataFiles(df: DataFrame, commit: Long): Seq[String] = {
+    Files.createDirectories(Paths.get(root)) // first commit to a fresh path
     val tmp = Files.createTempDirectory("graft_dlw").toString
     df.write.mode("overwrite").parquet(tmp)
-    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+    val names = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName).zipWithIndex.map { case (f, i) =>
         val name = f"data-$commit%020d-$i%05d.parquet"
         Files.move(f.toPath, Paths.get(root, name))
         name
       }.toSeq
+    rmDir(new java.io.File(tmp)) // scratch (_SUCCESS/.crc) never accumulates
+    names
   }
 
   /** Publish one commit with the given actions. The commit FILE is the
@@ -232,15 +243,17 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
     val n = readableCommits().lastOption.getOrElse(
       throw new IllegalStateException(s"no commits under $root to checkpoint"))
     import spark.implicits._
+    val files = activeFiles(n) // resolved once: the log replay is a Spark job
     val tmp = Files.createTempDirectory("graft_dlck").toString
-    activeFiles(n).toDF("path").selectExpr("struct(path) AS add")
+    files.toDF("path").selectExpr("struct(path) AS add")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     Files.move(part.toPath, logDir.resolve(f"$n%020d.checkpoint.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    rmDir(new java.io.File(tmp))
     val lcTmp = logDir.resolve("_last_checkpoint.tmp")
-    Files.writeString(lcTmp, s"""{"version":$n,"size":${activeFiles(n).size}}""")
+    Files.writeString(lcTmp, s"""{"version":$n,"size":${files.size}}""")
     Files.move(lcTmp, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     n

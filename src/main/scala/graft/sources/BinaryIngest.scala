@@ -117,10 +117,12 @@ object BinaryIngest {
     *    files with freed stale generations cannot leak dead text.
     *    Driver-gated by q_pdf_objstm.
     *
-    * Out of scope (documented): per-font CMap scoping (one merged map
-    * per document — exact whenever fonts don't reuse the same code for
-    * different glyphs, which generated single-font PDFs never do),
-    * /Differences remaps, encrypted xref-stream files (each layer is
+    * /Differences remaps are in scope since round 11 (q_pdf_diffenc;
+    * [[GlyphList]] + [[parseDifferences]], live-object-scoped on the
+    * xref path). Out of scope (documented): per-font CMap/Differences
+    * scoping (one merged map per document — exact whenever fonts don't
+    * reuse the same code for different glyphs, which generated
+    * single-font PDFs never do), encrypted xref-stream files (each layer is
     * gated separately; their combination routes to the legacy path) — a
     * glyph-accurate binding (fitz-class) remains the production swap-in,
     * through the SAME seam.
@@ -137,20 +139,25 @@ object BinaryIngest {
     // rewritten file carries STALE generations of edited pages as dead
     // bytes marked free in the xref; the scanning fallback below would
     // resurrect them. None => not that layout => scan as before.
-    // Simple-font /Differences remaps (VERDICT r10 Next #5): font
-    // /Encoding dicts live as plain objects in the file body, so the
-    // code->glyph-name->Unicode map parses off the raw text once and
-    // applies to every 1-byte show string below. Same merged-per-document
-    // scoping as the ToUnicode map (exact whenever fonts don't reuse a
-    // code for different glyphs).
-    val diffs = parseDifferences(raw)
-    PdfXref.contentStreams(bytes, raw) match {
-      case Some(streams) =>
+    // Simple-font /Differences remaps (VERDICT r10 Next #5), with
+    // PATH-MATCHED scoping (round-11 review finding): the xref-stream
+    // walk parses /Differences only from the LIVE font/encoding dicts it
+    // resolves semantically — a raw-text scan would resurrect remaps
+    // from freed stale objects, the exact failure class the walk exists
+    // to prevent. The legacy scanner below parses the raw text, which is
+    // consistent with its own scan-every-stream semantics. Both paths
+    // merge per document, the ToUnicode scoping (exact whenever fonts
+    // don't reuse a code for different glyphs).
+    PdfXref.contentStreamsWithFonts(bytes, raw) match {
+      case Some((streams, fontDicts)) =>
+        val liveDiffs = fontDicts.map(parseDifferences)
+          .foldLeft(Map.empty[Int, String])(_ ++ _)
         val (cmapS, textS) = streams.partition(_.contains("begincmap"))
         val cm = cmapS.map(parseToUnicode).foldLeft(Map.empty[Int, String])(_ ++ _)
-        return textS.flatMap(c => showTextRuns(c, cm, diffs)).mkString(" ")
+        return textS.flatMap(c => showTextRuns(c, cm, liveDiffs)).mkString(" ")
       case None => ()
     }
+    val diffs = parseDifferences(raw)
     // Standard-security-handler decryption (round 6): when /Encrypt is
     // present, derive the file key from /O, /P and /ID (empty user
     // password — the encryption-for-permissions case; a passworded file
@@ -301,13 +308,20 @@ object BinaryIngest {
     * 0..255 are ignored (simple fonts are single-byte). */
   private[graft] def parseDifferences(raw: String): Map[Int, String] = {
     val out = scala.collection.mutable.Map.empty[Int, String]
-    val tok = """(\d+)|/([A-Za-z0-9._]+)""".r
+    // integer token bounded to 3 digits: codes above 255 are meaningless
+    // for a simple font, and an unbounded toInt on adversarial input
+    // (`/Differences [ 99999999999 /a ]`) would throw inside the
+    // extractor UDF — the crash-never posture bounds it in the regex
+    // (longer digit runs set code = -1, skipping names until a valid
+    // code appears, rather than aborting the document)
+    val tok = """(?<![\d])(\d{1,3})(?![\d])|(\d{4,})|/([A-Za-z0-9._]+)""".r
     """/Differences\s*\[([^\]]*)\]""".r.findAllMatchIn(raw).foreach { m =>
       var code = -1
       tok.findAllMatchIn(m.group(1)).foreach { t =>
         if (t.group(1) != null) code = t.group(1).toInt
+        else if (t.group(2) != null) code = -1 // out-of-range integer token
         else if (code >= 0 && code <= 255) {
-          out(code) = GlyphList.toUnicode(t.group(2)).getOrElse("")
+          out(code) = GlyphList.toUnicode(t.group(3)).getOrElse("")
           code += 1
         }
       }

@@ -23,10 +23,13 @@ object GlyphList {
     val fromTable = table.get(name)
     if (fromTable.isDefined) fromTable.map(_.toString)
     else if (name.startsWith("uni") && name.length >= 7 &&
-      name.drop(3).forall(isHex))
-      // uniXXXXYYYY...: one or more concatenated 4-digit UTF-16 units
+      (name.length - 3) % 4 == 0 && name.drop(3).forall(isHex))
+      // uniXXXXYYYY...: one or more concatenated WHOLE 4-digit UTF-16
+      // units — a dangling partial group (uni004112) is malformed per
+      // the convention and must DROP, not silently truncate to 'A'
+      // (round-11 review finding)
       scala.util.Try(new String(
-        name.drop(3).grouped(4).filter(_.length == 4)
+        name.drop(3).grouped(4)
           .map(h => Integer.parseInt(h, 16).toChar).toArray)).toOption
         .filter(_.nonEmpty)
     else if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&

@@ -300,6 +300,15 @@ object PdfXref {
     * copy per file (review finding, round 7). */
   private[sources] def contentStreams(bytes: Array[Byte],
       raw: String): Option[Seq[String]] =
+    contentStreamsWithFonts(bytes, raw).map(_._1)
+
+  /** [[contentStreams]] plus the LIVE font dictionaries (and their
+    * resolved indirect /Encoding dicts) as text — the semantic-walk
+    * source for simple-font /Differences parsing: a raw-text scan would
+    * resurrect remaps from freed stale objects, the exact failure class
+    * the xref walk exists to prevent (round-11 review finding). */
+  private[sources] def contentStreamsWithFonts(bytes: Array[Byte],
+      raw: String): Option[(Seq[String], Seq[String])] =
     try {
       if (bytes == null) return None
       val sx = raw.lastIndexOf("startxref")
@@ -348,9 +357,15 @@ object PdfXref {
         // /ToUnicode CMaps via the page fonts (composite-font pages)
         val fontRefs = pageDicts.flatMap(pd =>
           """/F\w*\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(pd).map(_.group(1).toInt))
-        val cmapRefs = fontRefs.flatMap(body).flatMap(fd => keyRef(fd, "ToUnicode"))
-        (contentRefs ++ cmapRefs).distinct
+        val fontDicts = fontRefs.flatMap(body)
+        val cmapRefs = fontDicts.flatMap(fd => keyRef(fd, "ToUnicode"))
+        // the live /Encoding surface: the font dicts themselves (inline
+        // `/Encoding << /Differences ... >>`) plus resolved indirect
+        // /Encoding objects — never the raw byte scan
+        val encodingDicts = fontDicts.flatMap(fd => keyRef(fd, "Encoding")).flatMap(body)
+        val streams = (contentRefs ++ cmapRefs).distinct
           .flatMap(n => streamContent(raw, bytes, table, n, cache))
+        (streams, fontDicts ++ encodingDicts)
       }
     } catch { case _: Exception => None }
 }

@@ -93,7 +93,9 @@ class DeltaLayoutSpec extends SparkSpec {
 
   test("writer round trip: append/replace commits, checkpoint, prune, race") {
     import spark.implicits._
-    val root = Files.createTempDirectory("delta_writer").toString
+    // a FRESH, not-yet-existing table path: the first commit must create
+    // it (round-11 review finding — every earlier caller pre-created it)
+    val root = Files.createTempDirectory("delta_writer").toString + "/nested/table"
     val t = new DeltaLayoutTable(spark, root)
     assert(t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "body")) === "v_0")
     assert(t.commitAppend(Seq((3L, "c")).toDF("id", "body")) === "v_1")

@@ -399,6 +399,27 @@ class EngineSpec extends SparkSpec {
     assert(lit === Map(88 -> "ω"))
     // empty text stages and extracts empty, no crash
     assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfDiffEnc("")) === "")
+    // round-11 review fixes, pinned:
+    // (a) out-of-range integer tokens never crash the extractor UDF and
+    //     never bind codes — names after them are skipped until a valid
+    //     code token appears
+    val bounded = BinaryIngest.parseDifferences(
+      "/Differences [ 99999999999 /alpha 66 /beta ]")
+    assert(bounded === Map(66 -> "β"))
+    // (b) a dangling uniXXXX partial group is malformed -> DROP, never a
+    //     silent truncation to the leading group
+    assert(GlyphList.toUnicode("uni004112") === None)
+    assert(GlyphList.toUnicode("uni0041") === Some("A"))
+    // (c) xref-stream path scopes /Differences to LIVE objects: a freed
+    //     object carrying a remap (dead bytes a raw scan would resurrect)
+    //     must not garble the live text — the q_pdf_objstm invariant
+    val objstm = BinaryIngest.buildPdfObjStm("PLAIN ascii Body 42")
+    val withDead = new java.io.ByteArrayOutputStream()
+    withDead.write(objstm)
+    withDead.write(("\n999 0 obj << /Type /Encoding /Differences [ 65 /alpha ] >> endobj\n")
+      .getBytes("ISO-8859-1"))
+    assert(BinaryIngest.pdfExtract(withDead.toByteArray) === "PLAIN ascii Body 42",
+      "stale-object /Differences leaked into live text")
   }
 
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
