@@ -57,6 +57,7 @@ private[graft] object CoreEntries {
     "q_cdc_feed" -> (Mutations.qCdcFeed _), // change-data-feed between published versions (the Delta CDF shape),
     "q_delta_read" -> (Mutations.qDeltaRead _), // external Delta-layout table resolved through versions()/readAsOf(),
     "q_delta_write" -> (Mutations.qDeltaWrite _), // Delta-layout writer: append/replace commits, checkpoint, log prune,
+    "q_delta_cdf" -> (Mutations.qDeltaCdf _), // change-data-feed over the EXTERNAL layout through the same operator,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_dispatch_sweep" -> (graft.streaming.CommandDispatch.qDispatchSweep _), // T4 expiry sweep through the dispatch maintenance hook,
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
@@ -186,6 +187,17 @@ private[graft] object CoreEntries {
         "SELECT 'v_2' AS version, n AS n_docs, s AS sum_ids FROM v2 " +
         "UNION ALL SELECT 'v_3', n, s FROM v3 " +
         "ORDER BY version"),
+    // CDF over the external layout: identical mutation recipe to
+    // q_cdc_feed (deletes % 17, edits % 13 among survivors, +5000
+    // inserts), so the same closed-form oracle applies — one feed
+    // operator, two stores, both hash-gated
+    "q_delta_cdf" ->
+      ("SELECT doc_id, 'deleted' AS change, CAST(NULL AS VARCHAR) AS new_text " +
+        "FROM documents WHERE doc_id < 120 AND doc_id % 17 = 0 " +
+        "UNION ALL SELECT doc_id, 'changed', text || ' EDITED' " +
+        "FROM documents WHERE doc_id < 120 AND doc_id % 17 <> 0 AND doc_id % 13 = 0 " +
+        "UNION ALL SELECT doc_id + 5000, 'added', text FROM documents WHERE doc_id < 10 " +
+        "ORDER BY doc_id"),
     "q_dim_insert" ->
       ("SELECT category_id, category_name FROM (" +
         "SELECT CAST(r_regionkey AS BIGINT) AS category_id, r_name AS category_name FROM region " +

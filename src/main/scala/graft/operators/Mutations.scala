@@ -307,6 +307,30 @@ object Mutations {
     rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
   }
 
+  /** Oracle-gated CDF-over-external-layout interop: the same change-feed
+    * operator that serves the homegrown store ([[qCdcFeed]]) pointed at a
+    * Delta-layout table staged through the WRITER — an append commit then
+    * a replace commit carrying deletes + edits + inserts. One operator,
+    * two stores, both oracle-checked: the VersionedTable seam is proven
+    * where it matters (the feed an index refresher consumes), not just at
+    * the read surface. */
+  def qDeltaCdf(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(timeTravelRoot, "delta_cdf")
+    Dedup.rmTree(root)
+    val t = new graft.engine.DeltaLayoutTable(s, root.getPath)
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    t.commitAppend(docs.filter(col("doc_id") < 120))                     // v_0
+    val inserts = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    t.commitReplace(                                                      // v_1
+      docs.filter(col("doc_id") < 120 && col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")))
+        .unionByName(inserts))
+    changeFeed(t, "v_0", "v_1", "doc_id", "text").orderBy("doc_id")
+  }
+
   /** CHANGE-DATA-FEED between any two published versions of a snapshot
     * store (the Delta CDF shape, composed from this engine's own parts:
     * [[graft.engine.Snapshot.readAsOf]] on both ends + [[snapshotDiff]]'s
