@@ -23,6 +23,7 @@ private[graft] object DedupSimEntries {
     "q_cross_dedup" -> (Dedup.qCrossDedup _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
+    "q_dedup_clusters_lss" -> (Dedup.qDedupClustersLss _), // large/small-star CC kernel, same fixpoint, same oracle,
     "q_pagerank" -> (Graph.qPagerank _), // domain-centrality power iteration,
     "q_frontier" -> (Graph.qFrontier _), // hop-limited BFS crawl-frontier expansion,
 
@@ -189,6 +190,18 @@ private[graft] object DedupSimEntries {
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src) " +
         "SELECT src AS doc_id, min(lbl) AS cluster_id, min(lbl) = src AS survivor, " +
         "'inverted' AS strategy " +
+        "FROM reach GROUP BY src ORDER BY doc_id"),
+    // same cluster oracle, large/small-star kernel: both CC kernels share
+    // the union-by-min fixpoint, so only the pinned algo literal differs
+    "q_dedup_clusters_lss" ->
+      (s"WITH RECURSIVE $ngramOracleCtes, " +
+        s"pairs AS ($ngramOraclePairs), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src) " +
+        "SELECT src AS doc_id, min(lbl) AS cluster_id, min(lbl) = src AS survivor, " +
+        "'inverted' AS strategy, 'large_small_star' AS cc_algo " +
         "FROM reach GROUP BY src ORDER BY doc_id"),
     "q_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 5), " +

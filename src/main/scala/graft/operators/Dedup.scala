@@ -866,6 +866,66 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — public) — the swap-in [[nearDupClusters]]' scaladoc
+    * promises for EXTREME component sizes: the label-propagation loop
+    * converges in O(component diameter) rounds, which is fine for the
+    * shallow dup-group components near-dup graphs actually produce but
+    * degrades on adversarial chains; large/small-star converges in
+    * O(log² n) rounds on ANY topology because each round rewires whole
+    * neighborhoods at their minimum rather than moving labels one hop.
+    *
+    * Per round, on edges kept canonical (u > v):
+    *  - LARGE-STAR: per node n over its full neighborhood, every
+    *    LARGER neighbor rewires to m = min(n, min(N(n)));
+    *  - SMALL-STAR: per node u over its smaller-or-equal neighbors,
+    *    everything (u included) rewires to the minimum.
+    * Fixpoint = disjoint stars whose centers are the component minima —
+    * the SAME fixpoint as [[nearDupClusters]] (union-by-min), proven
+    * equal in DedupSpec on chains, stars, cliques and random graphs.
+    * Every round is two grouped joins over the EDGE list (no label
+    * table), and the edge count never grows above 2x the input. */
+  def nearDupClustersLss(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    val s = pairs.sparkSession
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIters) {
+      // large-star: bidirect, m(n) = min(n, min(neighbors)), larger
+      // neighbors attach to m
+      val bi = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u").as("n"), least(col("u"), col("mv")).as("m"))
+      val large = bi.join(mins, bi("u") === mins("n"))
+        .filter(col("v") > col("u")) // larger neighbors of n rewire
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on the large-star output (edges already canonical
+      // u > v): per u, everything attaches to min(neighbors)
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(sMins, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .unionByName(sMins.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+        .localCheckpoint()
+      // converged when the canonical edge set is stable
+      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      edges = small
+      it += 1
+    }
+    // at the fixpoint every non-root points directly at its component
+    // minimum; roots appear only on the v side
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+  }
+
   /** Near-dup cluster assignment over the ROUTED candidate path (the
     * production shape — VERDICT r9 Next #1): candidate pairs come from
     * [[ngramNearDupsAutoTagged]], so at corpus scale the pair scan
@@ -884,6 +944,21 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("survivor"))
       .withColumn("strategy", lit(strategy.name))
+      .orderBy("doc_id")
+  }
+
+  /** [[qDedupClusters]] with the clustering swapped to the
+    * large/small-star kernel — the extreme-component production path
+    * under the SAME oracle (both kernels share the union-by-min
+    * fixpoint, so the recursive-CTE cluster oracle applies verbatim);
+    * the pinned `cc_algo` literal records which kernel ran. */
+  def qDedupClustersLss(s: SparkSession, d: String): DataFrame = {
+    val (pairs, strategy) = ngramNearDupsAutoTagged(documents(s, d), 0.5)
+    nearDupClustersLss(pairs.select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("survivor"))
+      .withColumn("strategy", lit(strategy.name))
+      .withColumn("cc_algo", lit("large_small_star"))
       .orderBy("doc_id")
   }
 

@@ -205,6 +205,34 @@ class DedupSpec extends SparkSpec {
     assert(fastC.nonEmpty)
   }
 
+  test("large/small-star CC equals the union-find fixpoint on hostile topologies") {
+    import spark.implicits._
+    def lss(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.nearDupClustersLss(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def uf(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.nearDupClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the label-propagation worst case: a LONG chain (diameter 59 —
+    // where large/small-star's O(log^2 n) rounds earn their keep),
+    // max-first edge order, a star, a clique, and an isolated pair
+    val chain = (1L to 60L).sliding(2).map(w => (w(1), w(0))).toSeq
+    val star = Seq((100L, 60L), (101L, 100L), (102L, 100L))
+    val clique = for (a <- 200L to 204L; b <- (a + 1) to 204L) yield (b, a)
+    val pairs = (chain ++ star ++ clique ++ Seq((900L, 901L))).toDF("doc_a", "doc_b")
+    val got = lss(pairs)
+    assert(got === uf(pairs))
+    assert((1L to 60L).forall(got(_) == 1L), "chain labels to its min")
+    assert(got(204L) === 200L && got(901L) === 900L)
+    // self-pairs and duplicate edges are harmless; empty input is empty
+    val messy = Seq((5L, 5L), (7L, 6L), (6L, 7L), (7L, 6L)).toDF("doc_a", "doc_b")
+    assert(lss(messy) === Map(6L -> 6L, 7L -> 6L))
+    assert(Dedup.nearDupClustersLss(pairs.limit(0)).count() === 0L)
+    // the real corpus pair graph through both kernels
+    val corpusPairs = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b")
+    assert(lss(corpusPairs) === uf(corpusPairs))
+  }
+
   test("ngram auto-selection picks the right strategy from corpus stats") {
     import spark.implicits._
     // real corpus: comfortably inside the pair budget -> inverted index
