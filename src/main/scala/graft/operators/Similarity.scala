@@ -958,6 +958,78 @@ object Similarity {
   def qEmbedOutliers(s: SparkSession, d: String): DataFrame =
     embedOutliers(embeddings(s, d), 2.0).orderBy("vec_id")
 
+  // ------------------------------------------------ embedding drift (PSI)
+
+  /** Fixed-width histogram buckets for the PSI drift monitor: values in
+    * [-1, 1) split into 8 quarter-width buckets, everything outside
+    * clipped into the edge buckets — FIXED edges (not reference
+    * quantiles) so the bucketing is a pure function both engines replay
+    * bit-for-bit and the monitor is comparable across runs. */
+  val DriftBuckets = 8
+
+  /** POPULATION STABILITY INDEX per embedding dimension — the standard
+    * model-monitoring drift statistic (PSI = Σ_b (p_b − q_b)·ln(p_b/q_b),
+    * Laplace-smoothed so empty buckets never produce ln(0)) between a
+    * reference corpus snapshot and a current one: the check a pipeline
+    * runs before trusting that yesterday's ANN index / classifier
+    * thresholds still apply to today's embeddings (an encoder rollout, a
+    * source-mix shift, or a normalization bug all light this up).
+    *
+    * Determinism protocol: bucket counts are exact ints; p and q are one
+    * double division each over literal totals; each bucket term
+    * (p−q)·ln(p/q) is NON-NEGATIVE (both factors share sign), rounded
+    * 6dp, summed as DECIMAL(18,6) (order-free), cast to double once.
+    *
+    * Scale shape: ONE narrow posexplode per side into (dim, bucket)
+    * scalars — vectors never shuffle — then a map-side-combinable count
+    * per (dim, bucket) and arithmetic on the d×B = a-few-hundred-row
+    * frame. Cost is one scan per side regardless of d. */
+  def embeddingDriftPsi(ref: DataFrame, cur: DataFrame,
+      threshold: Double = 0.25): DataFrame = {
+    val s = ref.sparkSession
+    val nRef = ref.count()
+    val nCur = cur.count()
+    val dimCount = ref.select(size(col("e"))).head().getInt(0)
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .select(posexplode(col("e")).as(Seq("dim", "x")))
+      .select(col("dim"), least(lit(DriftBuckets - 1), greatest(lit(0),
+        floor((col("x") + lit(1.0)) / lit(0.25)).cast("int"))).as("bucket"))
+      .groupBy("dim", "bucket").agg(count(lit(1)).as(name))
+    // the complete dim x bucket grid WITHOUT a join (absent buckets must
+    // still contribute their smoothed term): a range + sequence explode
+    val grid = s.range(dimCount).select(col("id").cast("int").as("dim"),
+      explode(sequence(lit(0), lit(DriftBuckets - 1))).as("bucket"))
+    val p = (coalesce(col("c_ref"), lit(0L)) + 1).cast("double") /
+      lit((nRef + DriftBuckets).toDouble)
+    val q = (coalesce(col("c_cur"), lit(0L)) + 1).cast("double") /
+      lit((nCur + DriftBuckets).toDouble)
+    grid
+      .join(counts(ref, "c_ref"), Seq("dim", "bucket"), "left")
+      .join(counts(cur, "c_cur"), Seq("dim", "bucket"), "left")
+      .withColumn("term", round((p - q) * log(p / q), 6))
+      .groupBy("dim")
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
+      .withColumn("drifted", col("psi") >= threshold)
+  }
+
+  /** Oracle-checked drift monitor: reference = even vec_ids, current =
+    * odd vec_ids with a +0.3 shift PLANTED on dimension 0 — dim 0 must
+    * flag (the shift moves more than a whole bucket width), every other
+    * dimension must stay under the 0.25 bar (even/odd halves of the same
+    * distribution differ only by sampling noise, which Laplace smoothing
+    * keeps well under the industry-standard threshold). The oracle
+    * replays buckets, smoothing, terms and the decimal sum in closed
+    * form. */
+  def qEmbedDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val ref = emb.filter(col("vec_id") % 2 === 0).select("e")
+    val cur = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(transform(col("e"),
+        (x, i) => when(i === 0, x + lit(0.3)).otherwise(x)).as("e"))
+    embeddingDriftPsi(ref, cur).orderBy("dim")
+  }
+
   /** Greedy k-center (farthest-point) coreset selection: pick k vectors
     * that COVER the embedding space — the diverse eval-set / annotation-
     * budget selection step (Sener & Savarese 2018's coreset rule). Each

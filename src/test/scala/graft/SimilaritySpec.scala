@@ -687,6 +687,27 @@ class SimilaritySpec extends SparkSpec {
     } finally Dedup.rmTree(new java.io.File(root))
   }
 
+  test("PSI drift: identical snapshots read ~zero; a planted shift flags only its dim") {
+    import spark.implicits._
+    import graft.operators.{Similarity => S}
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // identical ref and cur: smoothing noise only — nothing may flag and
+    // every PSI must sit essentially at zero
+    val same = S.embeddingDriftPsi(emb.select("e"), emb.select("e"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2)))
+    assert(same.length === 64)
+    assert(same.forall(!_._3), "identical snapshots flagged drift")
+    assert(same.forall(_._2 < 1e-9), s"nonzero PSI on identical snapshots")
+    // planted +0.3 on dim 5 only: exactly dim 5 flags
+    val shifted = emb.select(transform(col("e"),
+      (x, i) => when(i === 5, x + lit(0.3)).otherwise(x)).as("e"))
+    val drift = S.embeddingDriftPsi(emb.select("e"), shifted)
+      .collect().map(r => (r.getInt(0), r.getBoolean(2))).toMap
+    assert(drift(5), "planted shift not flagged")
+    assert(drift.filter(_._2).keySet === Set(5), s"spurious flags: $drift")
+  }
+
   test("maxsim routed tagged: router picks exact at gate scale; tag matches") {
     import graft.operators.{Similarity => S}
     import org.apache.spark.sql.functions.col
