@@ -105,8 +105,15 @@ object BenchLogic {
     * re-contaminate them (round 10's q_bm25: 3.99s median, 3.99s rerun,
     * 0.77s floor — the mechanism could only confirm, never correct). */
   def unresolved(reruns: Map[String, Double], base: Map[String, Double],
-      factor: Double = 2.0): Seq[String] =
-    outliers(reruns, base, factor) // same predicate, applied to the RERUN map
+      factor: Double = 2.0, minDelta: Double = 0.5): Seq[String] =
+    // the relative rule alone spams escalation on sub-second queries
+    // (a 0.08s floor flags a 0.17s scheduling wobble — measured on this
+    // suite); cross-session attention needs a meaningful ABSOLUTE delta
+    // too. The q_bm25 class (0.77 -> 3.99, delta 3.2s) still escalates.
+    reruns.collect {
+      case (name, v) if v > 0 && base.get(name).exists(p =>
+        v > factor * p && v - p > minDelta) => name
+    }.toSeq.sorted
 
   /** Extract the `"unresolved"` string array persisted by the previous
     * run's artifact. Same drift posture as [[parseQueries]]: a missing or

@@ -989,6 +989,10 @@ object Similarity {
     val s = ref.sparkSession
     val nRef = ref.count()
     val nCur = cur.count()
+    // loud, not empty: a missing snapshot is a pipeline defect — a
+    // silent no-drift verdict on it would be the monitor lying
+    require(nRef > 0 && nCur > 0,
+      s"PSI drift needs two non-empty snapshots (ref=$nRef, cur=$nCur)")
     val dimCount = ref.select(size(col("e"))).head().getInt(0)
     def counts(df: DataFrame, name: String): DataFrame = df
       .select(posexplode(col("e")).as(Seq("dim", "x")))
