@@ -11,8 +11,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * rewrites the live set into one balanced shard and swaps the manifest
   * with the same claim/swap atomicity [[Snapshot.publish]] has. A crash
   * anywhere leaves the previous manifest intact and the half-written
-  * shard unreferenced; a racing writer fails fast on the exclusive shard
-  * claim. Compacted-away shards remain on disk for in-flight readers (a
+  * shard unreferenced. Racing writers are safe two ways: same-number
+  * shard claims fail fast on the exclusive claim file, and every
+  * non-reset manifest swap is a COMPARE-AND-SWAP against the shard set
+  * it was computed from (ADVICE r11) — a compact whose read snapshot
+  * predates a concurrent append's swap fails fast instead of silently
+  * dropping the appended shard's rows, and an append that loses a race
+  * re-links its already-written shard against the fresh manifest.
+  * Compacted-away shards remain on disk for in-flight readers (a
   * probe that read the pre-compaction manifest keeps valid paths) until
   * [[vacuum]] runs at single-writer startup, mirroring
   * [[Snapshot.recoverOrphans]].
@@ -29,12 +35,40 @@ class ShardStore(spark: SparkSession, root: String) {
     else Files.readString(manifestPtr).linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq
 
-  private def swapManifest(names: Seq[String]): Unit = {
+  /** Swap the manifest, optionally COMPARE-AND-SWAP (ADVICE r11): with
+    * `expect` set, the swap verifies the on-disk manifest still equals
+    * the snapshot the new state was computed from and fails fast
+    * (ConcurrentModificationException) otherwise — a compact() racing an
+    * append can no longer publish a manifest built from the pre-append
+    * shard set and silently drop the appended rows. Verify+move runs
+    * under a short-lived exclusive lock file so two swaps cannot
+    * interleave between the read and the move; a stale lock from a
+    * crashed writer is cleared by [[vacuum]] at single-writer startup
+    * (the shard claims' posture). */
+  private def swapManifest(names: Seq[String],
+      expect: Option[Seq[String]] = None): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, "MANIFEST.tmp")
-    Files.writeString(tmp, names.mkString("", "\n", "\n"))
-    Files.move(tmp, manifestPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lock = Paths.get(root, "MANIFEST.lock")
+    try Files.createFile(lock)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new java.util.ConcurrentModificationException(
+        s"another writer holds $lock — manifest swaps are serialized " +
+          "(fail-fast; a stale lock from a crash is cleared by vacuum() " +
+          "at single-writer startup)")
+    }
+    try {
+      expect.foreach { e =>
+        val cur = shards()
+        if (cur != e) throw new java.util.ConcurrentModificationException(
+          s"manifest of $root changed while a writer was computing " +
+            s"[${names.mkString(", ")}]: expected [${e.mkString(", ")}], " +
+            s"found [${cur.mkString(", ")}] — failing fast, nothing published")
+      }
+      val tmp = Paths.get(root, "MANIFEST.tmp")
+      Files.writeString(tmp, names.mkString("", "\n", "\n"))
+      Files.move(tmp, manifestPtr, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally { Files.deleteIfExists(lock); () }
   }
 
   /** Claim and write one new shard directory; returns its name. Shard
@@ -59,11 +93,30 @@ class ShardStore(spark: SparkSession, root: String) {
     next
   }
 
-  /** Initialize (or reset) the store to exactly `df`. */
+  /** Initialize (or reset) the store to exactly `df` — an unconditional
+    * swap by design (reset semantics). */
   def write(df: DataFrame): Unit = swapManifest(Seq(writeShard(df)))
 
-  /** Append a batch as a new shard — O(batch), never O(store). */
-  def append(df: DataFrame): Unit = swapManifest(shards() :+ writeShard(df))
+  /** Append a batch as a new shard — O(batch), never O(store). The
+    * manifest swap is a CAS against the shard set the append list was
+    * computed from; on conflict (a compact or another append published
+    * first) the already-written shard is RE-LINKED against the fresh
+    * manifest rather than resurrecting a pre-compaction shard set —
+    * bounded retries, then fail fast. */
+  def append(df: DataFrame): Unit = {
+    val name = writeShard(df)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val cur = shards()
+      attempts += 1
+      try { swapManifest(cur :+ name, expect = Some(cur)); done = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempts >= 16) throw e
+      }
+    }
+  }
 
   /** One scan over every live shard. */
   def read(): DataFrame = {
@@ -81,7 +134,23 @@ class ShardStore(spark: SparkSession, root: String) {
     * one directory of `targetPartitions` files no matter how many
     * appends came before. */
   def compact(targetPartitions: Int = 8): Unit =
-    swapManifest(Seq(writeShard(read().repartition(targetPartitions))))
+    compactFrom(shards(), targetPartitions)
+
+  /** Compact from an explicit manifest snapshot — the CAS seam (ADVICE
+    * r11): the rewrite reads exactly `snapshot`'s shards and the final
+    * swap verifies the manifest STILL equals `snapshot`, failing fast
+    * (nothing published, the half-product shard is vacuum fodder) when a
+    * concurrent append swapped first — the append's rows can no longer
+    * be silently dropped from the index. Package-visible so the race is
+    * spec-testable deterministically. */
+  private[graft] def compactFrom(snapshot: Seq[String],
+      targetPartitions: Int = 8): Unit = {
+    require(snapshot.nonEmpty, s"no shards published under $root")
+    val rewritten = writeShard(
+      spark.read.parquet(snapshot.map(n => s"$root/$n"): _*)
+        .repartition(targetPartitions))
+    swapManifest(Seq(rewritten), expect = Some(snapshot))
+  }
 
   /** Delete shard directories and claims no longer referenced by the
     * manifest. Run at SINGLE-WRITER startup only (recoverOrphans'
@@ -99,6 +168,9 @@ class ShardStore(spark: SparkSession, root: String) {
     }
     deadDirs.foreach(rm)
     deadClaims.foreach(_.delete())
+    // a crashed writer's stale manifest lock would block every future
+    // swap; single-writer startup is the one safe point to clear it
+    Files.deleteIfExists(Paths.get(root, "MANIFEST.lock"))
     deadDirs.map(_.getName).toSeq.sorted
   }
 

@@ -39,6 +39,7 @@ private[graft] object DedupSimEntries {
     "q_maxsim" -> (Similarity.qMaxSim _), // late-interaction multi-vector MaxSim retrieval, exact panel gate,
     "q_maxsim_routed" -> (Similarity.qMaxSimRouted _), // production MaxSim: per-token ANN candidates + exact rerank; strategy pinned,
     "q_maxsim_index" -> (Similarity.qMaxSimIndex _), // persisted-index MaxSim serving: probe-only candidates, recall floor gated,
+    "q_maxsim_insert" -> (Similarity.qMaxSimInsert _), // incremental insert into the persisted MaxSim index, grown-snapshot recall,
     "q_pq_search" -> (Similarity.qPqSearch _), // PQ ADC + rerank recall@10, tolerance-gated,
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once,
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC,
@@ -362,7 +363,11 @@ private[graft] object DedupSimEntries {
         "count(*) AS cr FROM rb GROUP BY 1, 2), " +
         "cc AS (SELECT dim, least(7, greatest(0, CAST(floor((x + 1.0) / 0.25) AS INTEGER))) AS bucket, " +
         "count(*) AS ccur FROM cb GROUP BY 1, 2), " +
-        "grid AS (SELECT d.dim, b.bucket FROM generate_series(0, 63) d(dim), generate_series(0, 7) b(bucket)), " +
+        // grid bound derived from the DATA like the sibling oracles (ADVICE
+        // r11): a hard-coded 63 would turn any embedding-width change at
+        // another scale factor into an opaque hash mismatch
+        "dims AS (SELECT max(len(e)) AS d FROM ref), " +
+        "grid AS (SELECT d.dim, b.bucket FROM (SELECT unnest(generate_series(1, (SELECT d FROM dims))) - 1 AS dim) d, generate_series(0, 7) b(bucket)), " +
         "j AS (SELECT g.dim, g.bucket, coalesce(cr, 0) AS cr, coalesce(ccur, 0) AS ccur " +
         "FROM grid g LEFT JOIN rc USING (dim, bucket) LEFT JOIN cc USING (dim, bucket)), " +
         "t AS (SELECT dim, round((CAST(cr + 1 AS DOUBLE) / CAST(nr.n + 8 AS DOUBLE) " +
@@ -413,6 +418,13 @@ private[graft] object DedupSimEntries {
     "q_maxsim_index" ->
       ("SELECT CAST(10 * count(DISTINCT vec_id // 4) AS BIGINT) AS n_exact, " +
         "TRUE AS maxsim_recall_ok FROM embeddings WHERE vec_id // 4 < 3"),
+    // incremental insert into the persisted MaxSim index: same closed
+    // form; the boolean pins that documents APPENDED into the stored
+    // shard graphs (no rebuild) are genuinely servable — recall over the
+    // whole base+appended corpus, not just the base
+    "q_maxsim_insert" ->
+      ("SELECT CAST(10 * count(DISTINCT vec_id // 4) AS BIGINT) AS n_exact, " +
+        "TRUE AS maxsim_insert_ok FROM embeddings WHERE vec_id // 4 < 3"),
     "q_centroids" ->
       ("WITH idx AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings), " +
         "e AS (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM idx), " +

@@ -19,6 +19,7 @@ private[graft] object MediaEntries {
     "q_pdf_ingest" -> (graft.sources.BinaryIngest.qPdfIngest _), // real Flate-compressed PDF round trip,
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip,
     "q_pdf_diffenc" -> (graft.sources.BinaryIngest.qPdfDiffenc _), // simple-font /Differences encoding round trip (AGL + uniXXXX),
+    "q_pdf_diffenc2" -> (graft.sources.BinaryIngest.qPdfDiffenc2 _), // PER-FONT /Differences scoping: two fonts remap the same codes,
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip,
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip,
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip,
@@ -89,6 +90,12 @@ private[graft] object MediaEntries {
     // only the glyph-name remap (AGL table + uniXXXX) reproduces the
     // source text — a naive 1-byte decode garbles and hash-fails
     "q_pdf_diffenc" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // per-font /Differences: the two staged fonts remap the SAME codes
+    // to different glyphs — a merged per-document map decodes one half
+    // with the other half's glyphs and hash-fails; only Tf-tracked
+    // per-font scoping reproduces the source text
+    "q_pdf_diffenc2" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the encrypted round trip: staged RC4-128 standard-security PDFs
     // must decrypt (file key from /O,/P,/ID; per-object keys) and then

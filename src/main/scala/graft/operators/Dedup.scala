@@ -914,8 +914,16 @@ object Dedup {
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v")).distinct()
         .localCheckpoint()
-      // converged when the canonical edge set is stable
-      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      // converged when the canonical edge set is stable — ONE
+      // symmetric-difference job (VERDICT r11 Next #6), not two
+      // exceptAll scans: both sides are DISTINCT canonical sets, so
+      // equality ⟺ every (u,v) appears with net tag 0 under a +1/-1
+      // union-aggregate. Halves the per-round convergence job count.
+      converged = small.withColumn("t", lit(1))
+        .unionByName(edges.withColumn("t", lit(-1)))
+        .groupBy("u", "v").agg(sum(col("t")).as("s"))
+        .filter(col("s") =!= 0)
+        .isEmpty
       edges = small
       it += 1
     }

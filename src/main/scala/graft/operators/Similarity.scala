@@ -1886,6 +1886,23 @@ object Similarity {
     ()
   }
 
+  /** Grow the persisted MaxSim index with NEW documents' token bags
+    * WITHOUT a rebuild (VERDICT r11 Next #4) — the packed (doc, tok)
+    * vec_ids append into the stored shard graphs through
+    * [[Hnsw.appendHnswIndex]] (restore + insert + atomic republish),
+    * exactly as [[Hnsw.qHnswInsert]] grows the single-vector family. A
+    * serving index that can only rebuild is not production-shaped: at
+    * corpus scale the rebuild is O(corpus) while the append is
+    * O(batch). Recall of the grown index (appended docs genuinely
+    * servable, not merely stored) is gated by q_maxsim_insert. */
+  def appendMaxSimIndex(s: SparkSession, root: String, docTokens: DataFrame): Unit = {
+    val packed = docTokens.select(
+      (shiftleft(col("doc_id"), MaxSimTokBits) + col("tok_id")).as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    Hnsw.appendHnswIndex(s, root, packed)
+    ()
+  }
+
   def maxSimProbeIndex(s: SparkSession, root: String, docTokens: DataFrame,
       queryTokens: DataFrame, k: Int, kTok: Int = 16): DataFrame = {
     val panel = queryTokens.select(
@@ -1930,6 +1947,37 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = if (exact.isEmpty) 1.0 else (exact & probed).size.toDouble / exact.size
     Seq((exact.size.toLong, recall >= 0.7)).toDF("n_exact", "maxsim_recall_ok")
+  }
+
+  private lazy val maxSimInsRoot: String = Dedup.processTempDir("graft_maxsim_ins")
+
+  /** Recall gate for INCREMENTAL-INSERT MaxSim serving — [[qMaxSimIndex]]'s
+    * companion for [[appendMaxSimIndex]], the q_hnsw_insert mold: the
+    * corpus splits into a base build (doc_id >= 25) and an append batch
+    * (doc_id < 25); the base publishes once, the batch's token bags grow
+    * the restored shard graphs without a rebuild, and the panel probes
+    * the GROWN snapshot. Recall@10 is gated against the exact MaxSim
+    * ranking over the WHOLE corpus (base + appended — the new documents
+    * must be servable, not merely stored); n_exact = 10 x |panel| in
+    * closed form, 0.7 bar (measured ~1.0 at gate sizes). */
+  def qMaxSimInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = maxSimTokens(s, d)
+    val queryToks = toks.filter(col("doc_id") < 3)
+    val base = toks.filter(col("doc_id") >= 25)
+    val batch = toks.filter(col("doc_id") < 25)
+    val root = new java.io.File(maxSimInsRoot, "idx")
+    Dedup.rmTree(root)
+    writeMaxSimIndex(s, base, root.getPath)
+    appendMaxSimIndex(s, root.getPath, batch)
+    val probed = maxSimProbeIndex(s, root.getPath, toks, queryToks, 10)
+      .select("q_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = maxSimTopK(toks, queryToks, 10)
+      .select("q_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact & probed).size.toDouble / exact.size
+    Seq((exact.size.toLong, recall >= 0.7)).toDF("n_exact", "maxsim_insert_ok")
   }
 
   /** Oracle-checked ROUTED MaxSim (VERDICT r10 Next #2): the same panel

@@ -119,13 +119,17 @@ object BinaryIngest {
     *
     * /Differences remaps are in scope since round 11 (q_pdf_diffenc;
     * [[GlyphList]] + [[parseDifferences]], live-object-scoped on the
-    * xref path). Out of scope (documented): per-font CMap/Differences
-    * scoping (one merged map per document — exact whenever fonts don't
-    * reuse the same code for different glyphs, which generated
-    * single-font PDFs never do), encrypted xref-stream files (each layer is
-    * gated separately; their combination routes to the legacy path) — a
-    * glyph-accurate binding (fitz-class) remains the production swap-in,
-    * through the SAME seam.
+    * xref path) and PER-FONT SCOPED since round 12 (q_pdf_diffenc2;
+    * [[parseFontDifferences]] keys each font's map by its resource name
+    * and [[showTextRuns]] tracks the current font through `Tf` — two
+    * fonts remapping the same code to different glyphs decode
+    * correctly). Out of scope (documented): per-font ToUnicode CMap
+    * scoping (composite-font CMaps still merge per document), per-PAGE
+    * resource-name scoping (two pages binding one name to conflicting
+    * fonts merge — names are document-consistent in practice), encrypted
+    * xref-stream files (each layer is gated separately; their
+    * combination routes to the legacy path) — a glyph-accurate binding
+    * (fitz-class) remains the production swap-in, through the SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -146,15 +150,24 @@ object BinaryIngest {
     // from freed stale objects, the exact failure class the walk exists
     // to prevent. The legacy scanner below parses the raw text, which is
     // consistent with its own scan-every-stream semantics. Both paths
-    // merge per document, the ToUnicode scoping (exact whenever fonts
-    // don't reuse a code for different glyphs).
+    // scope Differences PER FONT by resource name (round 12), with the
+    // per-document merged map as the fallback for unnamed fonts;
+    // ToUnicode CMaps still merge per document.
     PdfXref.contentStreamsWithFonts(bytes, raw) match {
-      case Some((streams, fontDicts)) =>
+      case Some((streams, fontDicts, namedFonts)) =>
         val liveDiffs = fontDicts.map(parseDifferences)
           .foldLeft(Map.empty[Int, String])(_ ++ _)
+        // per-font scoping over the same LIVE surface: resource name ->
+        // that font's own Differences map; merged map stays the fallback
+        // for fonts without one (round 12 — VERDICT r11 Next #1)
+        val liveFontDiffs = namedFonts
+          .map { case (n, t) => decodePdfName(n) -> parseDifferences(t) }
+          .filter(_._2.nonEmpty)
+          .groupMapReduce(_._1)(_._2)(_ ++ _)
         val (cmapS, textS) = streams.partition(_.contains("begincmap"))
         val cm = cmapS.map(parseToUnicode).foldLeft(Map.empty[Int, String])(_ ++ _)
-        return textS.flatMap(c => showTextRuns(c, cm, liveDiffs)).mkString(" ")
+        return textS.flatMap(c => showTextRuns(c, cm, liveDiffs, liveFontDiffs))
+          .mkString(" ")
       case None => ()
     }
     val diffs = parseDifferences(raw)
@@ -294,7 +307,8 @@ object BinaryIngest {
     val (cmapStreams, textStreams) = contents.partition(_.contains("begincmap"))
     val cmap = cmapStreams.map(parseToUnicode)
       .foldLeft(Map.empty[Int, String])(_ ++ _)
-    textStreams.flatMap(c => showTextRuns(c, cmap, diffs)).mkString(" ")
+    val fontDiffs = parseFontDifferences(raw)
+    textStreams.flatMap(c => showTextRuns(c, cmap, diffs, fontDiffs)).mkString(" ")
   }
 
   /** Parse every simple-font `/Differences` array in the file into one
@@ -313,18 +327,69 @@ object BinaryIngest {
     // (`/Differences [ 99999999999 /a ]`) would throw inside the
     // extractor UDF — the crash-never posture bounds it in the regex
     // (longer digit runs set code = -1, skipping names until a valid
-    // code appears, rather than aborting the document)
-    val tok = """(?<![\d])(\d{1,3})(?![\d])|(\d{4,})|/([A-Za-z0-9._]+)""".r
+    // code appears, rather than aborting the document).
+    // The name branch accepts ANY legal PDF name token (every regular
+    // character — including hyphens and #XX escapes), not just
+    // [A-Za-z0-9._]: a skipped-but-present name must still ADVANCE the
+    // code counter or every later name in the array binds one code too
+    // low, mis-mapping glyphs instead of dropping one (ADVICE r11);
+    // resolvable-vs-drop is GlyphList.toUnicode's decision alone.
+    val tok = """(?<![\d])(\d{1,3})(?![\d])|(\d{4,})|/([^\s\[\]<>/()]++)""".r
     """/Differences\s*\[([^\]]*)\]""".r.findAllMatchIn(raw).foreach { m =>
       var code = -1
       tok.findAllMatchIn(m.group(1)).foreach { t =>
         if (t.group(1) != null) code = t.group(1).toInt
         else if (t.group(2) != null) code = -1 // out-of-range integer token
         else if (code >= 0 && code <= 255) {
-          out(code) = GlyphList.toUnicode(t.group(3)).getOrElse("")
+          out(code) = GlyphList.toUnicode(decodePdfName(t.group(3))).getOrElse("")
           code += 1
         }
       }
+    }
+    out.toMap
+  }
+
+  /** Decode a PDF name token's `#XX` escapes (ISO 32000-1 §7.3.5): a
+    * writer may escape ANY character, so `/u#6Ei0041` is the same name
+    * as `/uni0041`. A malformed escape (bare `#`, one hex digit) passes
+    * through literally — the spec says such names are invalid, and a
+    * literal `#` simply fails the glyph-list lookup downstream. */
+  private[graft] def decodePdfName(n: String): String =
+    if (!n.contains('#')) n
+    else """#([0-9A-Fa-f]{2})""".r.replaceAllIn(n, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
+  /** Per-font `/Differences` maps, keyed by the RESOURCE NAME the
+    * content stream selects with `Tf` (VERDICT r11 Next #1): the merged
+    * per-document map garbles any PDF whose two fonts remap the SAME
+    * code to different glyphs — common with subsetted fonts. Walks every
+    * flat `/Font << /Name N G R ... >>` resource dict, resolves each
+    * referenced font object (and its indirect `/Encoding`, when present)
+    * from the raw `N G obj … endobj` text, and parses that object's own
+    * Differences array. Scoping is per resource NAME per document: two
+    * pages binding the same name to conflicting fonts still merge (the
+    * remaining documented approximation — exact whenever names are
+    * consistent, which generators and subsetters keep them). Fonts whose
+    * resource entry is an INLINE dict (rare) aren't captured here and
+    * fall back to the merged map, same as before. */
+  private[graft] def parseFontDifferences(raw: String): Map[String, Map[Int, String]] = {
+    val objBody: Map[Int, String] =
+      """(?s)(\d{1,9})\s+\d+\s+obj\b(.*?)endobj""".r.findAllMatchIn(raw)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+    val out = scala.collection.mutable.Map.empty[String, Map[Int, String]]
+    """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(raw).foreach { fm =>
+      """/([^\s\[\]<>/()]++)\s+(\d{1,9})\s+\d+\s+R""".r
+        .findAllMatchIn(fm.group(1)).foreach { m =>
+          val name = decodePdfName(m.group(1))
+          objBody.get(m.group(2).toInt).foreach { fd =>
+            val encText = """/Encoding\s+(\d{1,9})\s+\d+\s+R""".r
+              .findFirstMatchIn(fd)
+              .flatMap(e => objBody.get(e.group(1).toInt)).getOrElse("")
+            val d = parseDifferences(fd + " " + encText)
+            if (d.nonEmpty) out(name) = out.getOrElse(name, Map.empty) ++ d
+          }
+        }
     }
     out.toMap
   }
@@ -439,26 +504,53 @@ object BinaryIngest {
   // TJ fragment: literal string (group 1) OR hex string (group 2)
   private val FragRe = (PdfString + "|" + HexString).r
 
+  // font-select operator: `/Name size Tf` — the name keys the per-font
+  // /Differences map for every show-text op until the next Tf
+  private val TfRe = """/([^\s\[\]<>/()]++)\s+[\d.+-]+\s+Tf""".r
+
   /** Show-text runs of one content stream, in stream order: each Tj is
     * one run; each TJ array is one run (fragments concatenated). Literal
     * strings unescape (then remap through /Differences — a literal's
     * chars ARE single-byte codes); hex strings decode through
-    * [[decodeHex]] with the document's ToUnicode map. */
-  private def showTextRuns(content: String, cmap: Map[Int, String],
-      diffs: Map[Int, String] = Map.empty): Seq[String] = {
-    def lit(s: String): String = {
+    * [[decodeHex]] with the document's ToUnicode map.
+    *
+    * When `fontDiffs` is non-empty, the CURRENT FONT is tracked through
+    * `Tf` operators (binary search over their stream positions) and each
+    * show-text op decodes through ITS font's Differences map — the
+    * per-font scoping that keeps two fonts remapping the same code from
+    * garbling each other (VERDICT r11 Next #1). A font with no entry
+    * (no Differences of its own, or an inline resource dict) falls back
+    * to the merged `diffs`, preserving the round-11 behavior. */
+  private[graft] def showTextRuns(content: String, cmap: Map[Int, String],
+      diffs: Map[Int, String] = Map.empty,
+      fontDiffs: Map[String, Map[Int, String]] = Map.empty): Seq[String] = {
+    val tfPos: Array[Int] =
+      if (fontDiffs.isEmpty) Array.emptyIntArray
+      else TfRe.findAllMatchIn(content).map(_.start).toArray
+    val tfName: Array[String] =
+      if (fontDiffs.isEmpty) Array.empty
+      else TfRe.findAllMatchIn(content).map(m => decodePdfName(m.group(1))).toArray
+    def diffsAt(pos: Int): Map[Int, String] = {
+      if (tfPos.isEmpty) return diffs
+      var i = java.util.Arrays.binarySearch(tfPos, pos)
+      if (i < 0) i = -i - 2 // insertion point - 1 = last Tf strictly before pos
+      if (i < 0) diffs else fontDiffs.getOrElse(tfName(i), diffs)
+    }
+    def lit(s: String, d: Map[Int, String]): String = {
       val u = pdfUnescape(s)
-      if (diffs.isEmpty) u
-      else u.flatMap(ch => diffs.getOrElse(ch.toInt, ch.toString))
+      if (d.isEmpty) u
+      else u.flatMap(ch => d.getOrElse(ch.toInt, ch.toString))
     }
     val ops = scala.collection.mutable.TreeMap.empty[Int, String]
-    TjRe.findAllMatchIn(content).foreach(m => ops(m.start) = lit(m.group(1)))
+    TjRe.findAllMatchIn(content).foreach(m =>
+      ops(m.start) = lit(m.group(1), diffsAt(m.start)))
     HexTjRe.findAllMatchIn(content).foreach(m =>
-      ops(m.start) = decodeHex(m.group(1), cmap, diffs))
+      ops(m.start) = decodeHex(m.group(1), cmap, diffsAt(m.start)))
     TJRe.findAllMatchIn(content).foreach { m =>
+      val d = diffsAt(m.start)
       ops(m.start) = FragRe.findAllMatchIn(m.group(1))
-        .map(f => if (f.group(1) != null) lit(f.group(1))
-                  else decodeHex(f.group(2), cmap, diffs))
+        .map(f => if (f.group(1) != null) lit(f.group(1), d)
+                  else decodeHex(f.group(2), cmap, d))
         .mkString
     }
     ops.values.filter(_.nonEmpty).toSeq
@@ -738,6 +830,76 @@ object BinaryIngest {
       "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
       "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
       s"/Differences [ $diffs ] >> >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Build one TWO-FONT PDF whose halves are shown under DIFFERENT
+    * fonts whose `/Differences` arrays remap the SAME code space to
+    * different glyphs (VERDICT r11 Next #1 staging design): each half's
+    * distinct characters are assigned codes independently FROM 1, so
+    * code 1 (2, 3, …) means one glyph under /FA and another under /FB —
+    * a merged per-document map (last-wins) decodes the first half with
+    * the second half's glyphs and provably hash-fails, exactly like
+    * q_pdf_diffenc's strip-the-map design fails naive Latin-1. Codes
+    * still skip their own Latin-1 value, so the no-remap fallback
+    * garbles too. /FB's Encoding is an INDIRECT object to cover both
+    * resolution forms in one fixture. */
+  def buildPdfDiffEnc2(text: String): Array[Byte] = {
+    val t = Option(text).getOrElse("")
+    // split at a mid-ish SPACE (consumed — the extractor joins show-text
+    // runs with one space, so a+" "+b reproduces the source exactly); a
+    // text with no interior space stages single-font (no code conflict
+    // for that document, still /Differences-gated like q_pdf_diffenc)
+    val cut = {
+      val fwd = t.indexOf(' ', t.length / 2)
+      val c = if (fwd >= 0) fwd else t.lastIndexOf(' ', t.length / 2)
+      if (c >= 1 && c <= t.length - 2) c else -1
+    }
+    val (a, b) = if (cut < 0) (t, "") else (t.substring(0, cut), t.substring(cut + 1))
+    def codesOf(half: String): Map[Char, Int] = {
+      var nextCode = 1
+      half.distinct.map { c =>
+        if (nextCode == c.toInt) nextCode += 1 // never the identity code
+        val k = nextCode; nextCode += 1; c -> k
+      }.toMap
+    }
+    val (codeA, codeB) = (codesOf(a), codesOf(b))
+    require(codeA.size < 255 && codeB.size < 255,
+      s"fixture half has too many distinct chars: ${codeA.size}/${codeB.size}")
+    def hexOf(s: String, code: Map[Char, Int]): String =
+      s.map(c => f"${code(c)}%02X").mkString
+    def diffsOf(half: String, code: Map[Char, Int]): String =
+      half.distinct.map { c =>
+        val name = GlyphList.nameOf.getOrElse(c, f"uni${c.toInt}%04X")
+        s"${code(c)} /$name"
+      }.mkString(" ")
+    val content =
+      if (t.isEmpty) "BT ET"
+      else "BT /FA 12 Tf 72 712 Td " +
+        (if (a.nonEmpty) s"<${hexOf(a, codeA)}> Tj " else "") +
+        "/FB 12 Tf " +
+        (if (b.nonEmpty) s"<${hexOf(b, codeB)}> Tj " else "") +
+        "ET"
+    val cdata = deflateBytes(content)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /FA 5 0 R /FB 6 0 R >> >> " +
+      "/Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${cdata.length} /Filter /FlateDecode >> stream\n")
+    bos.write(cdata)
+    w("\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(a, codeA)} ] >> >> endobj\n" +
+      "6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding 7 0 R >> endobj\n" +
+      "7 0 obj << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(b, codeB)} ] >> endobj\n" +
       "trailer << /Root 1 0 R >>\n%%EOF\n")
     bos.toByteArray
   }
@@ -1040,6 +1202,22 @@ object BinaryIngest {
     * extractor slot; exact text equality against the source table. */
   def qPdfDiffenc(s: SparkSession, d: String): DataFrame = {
     val fix = stagePdfFixture(s, d, kind = "pdfdiff_fixture", build = buildPdfDiffEnc)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked PER-FONT /Differences round trip (VERDICT r11 Next
+    * #1): documents staged as TWO-FONT PDFs ([[buildPdfDiffEnc2]])
+    * whose fonts remap the SAME codes to different glyphs — only an
+    * extractor that tracks the current font through `Tf` and scopes
+    * each show op to ITS font's map reproduces the text; the merged
+    * per-document map decodes half the document with the other half's
+    * glyphs and hash-fails. */
+  def qPdfDiffenc2(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfdiff2_fixture", build = buildPdfDiffEnc2)
     readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
       .withColumn("doc_id",
         regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))

@@ -306,9 +306,11 @@ object PdfXref {
     * resolved indirect /Encoding dicts) as text — the semantic-walk
     * source for simple-font /Differences parsing: a raw-text scan would
     * resurrect remaps from freed stale objects, the exact failure class
-    * the xref walk exists to prevent (round-11 review finding). */
-  private[sources] def contentStreamsWithFonts(bytes: Array[Byte],
-      raw: String): Option[(Seq[String], Seq[String])] =
+    * the xref walk exists to prevent (round-11 review finding). The
+    * third element keys each live font's text by its RESOURCE NAME for
+    * per-font Differences scoping (round 12). */
+  private[graft] def contentStreamsWithFonts(bytes: Array[Byte],
+      raw: String): Option[(Seq[String], Seq[String], Seq[(String, String)])] =
     try {
       if (bytes == null) return None
       val sx = raw.lastIndexOf("startxref")
@@ -363,9 +365,26 @@ object PdfXref {
         // `/Encoding << /Differences ... >>`) plus resolved indirect
         // /Encoding objects — never the raw byte scan
         val encodingDicts = fontDicts.flatMap(fd => keyRef(fd, "Encoding")).flatMap(body)
+        // per-font scoping (VERDICT r11 Next #1): the LIVE `/Font <<
+        // /Name N G R >>` resource sub-dicts give resource name -> font
+        // object; each named entry carries its own font dict + resolved
+        // indirect /Encoding text so the caller can parse a per-name
+        // Differences map. Names merge across pages (documented: exact
+        // whenever pages keep names consistent, which generators do).
+        val namedFonts: Seq[(String, String)] = pageDicts.flatMap { pd =>
+          """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(pd).toSeq.flatMap { fm =>
+            """/([^\s\[\]<>/()]++)\s+(\d+)\s+\d+\s+R""".r
+              .findAllMatchIn(fm.group(1)).toSeq.flatMap { m =>
+                body(m.group(2).toInt).map { fd =>
+                  val enc = keyRef(fd, "Encoding").flatMap(body).getOrElse("")
+                  (m.group(1), fd + " " + enc)
+                }
+              }
+          }
+        }
         val streams = (contentRefs ++ cmapRefs).distinct
           .flatMap(n => streamContent(raw, bytes, table, n, cache))
-        (streams, fontDicts ++ encodingDicts)
+        (streams, fontDicts ++ encodingDicts, namedFonts)
       }
     } catch { case _: Exception => None }
 }

@@ -126,6 +126,109 @@ class DeltaLayoutSpec extends SparkSpec {
     assert(rowsOf(t.read()) === Set((1L, "A2"), (3L, "c"), (9L, "z")))
   }
 
+  test("protocol guard: reader version > 1 and column mapping refuse loudly (round 12)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_guard").toString
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    val tmp = Files.createTempDirectory("dg_part").toString
+    Seq((1L, "a")).toDF("id", "body").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(root, "f0.parquet"))
+    def commit(n: Long, lines: Seq[String]): Unit =
+      Files.writeString(log.resolve(f"$n%020d.json"), lines.mkString("", "\n", "\n"))
+    // reader version 3 (deletion vectors): versions() still lists, read refuses
+    commit(0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"add":{"path":"f0.parquet","dataChange":true}}"""))
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_0"))
+    val e = intercept[IllegalArgumentException](t.readAsOf("v_0"))
+    assert(e.getMessage.contains("minReaderVersion=3"))
+    // column mapping under reader version 1: refused by configuration
+    val root2 = Files.createTempDirectory("delta_guard2").toString
+    val log2 = Paths.get(root2, "_delta_log")
+    Files.createDirectories(log2)
+    Files.copy(part.toPath, Paths.get(root2, "f0.parquet"))
+    Files.writeString(log2.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"schemaString":"{}","configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f0.parquet","dataChange":true}}""").mkString("", "\n", "\n"))
+    val e2 = intercept[IllegalArgumentException](
+      new DeltaLayoutTable(spark, root2).readAsOf("v_0"))
+    assert(e2.getMessage.contains("column mapping"))
+    // a version-1 protocol action passes through untouched
+    val root3 = Files.createTempDirectory("delta_guard3").toString
+    Files.createDirectories(Paths.get(root3, "_delta_log"))
+    Files.copy(part.toPath, Paths.get(root3, "f0.parquet"))
+    Files.writeString(Paths.get(root3, "_delta_log").resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"add":{"path":"f0.parquet","dataChange":true}}""").mkString("", "\n", "\n"))
+    assert(rowsOf(new DeltaLayoutTable(spark, root3).readAsOf("v_0"))
+      === Set((1L, "a")))
+  }
+
+  test("unsupported checkpoint forms raise instead of hiding versions (ADVICE r11)") {
+    val root = buildFixture()
+    val log = Paths.get(root, "_delta_log")
+    // a multi-part checkpoint fragment appears (ecosystem writer)
+    Files.writeString(
+      log.resolve(f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"), "x")
+    val e = intercept[IllegalArgumentException](
+      new DeltaLayoutTable(spark, root).versions())
+    assert(e.getMessage.contains("unsupported checkpoint form"))
+    Files.delete(log.resolve(f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"))
+    // a v2 checkpoint manifest appears
+    Files.writeString(
+      log.resolve(f"${4L}%020d.checkpoint.80a083e8.json"), "x")
+    val e2 = intercept[IllegalArgumentException](
+      new DeltaLayoutTable(spark, root).versions())
+    assert(e2.getMessage.contains("unsupported checkpoint form"))
+  }
+
+  test("empty version takes its schema from metaData, not a later donor (ADVICE r11)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_meta").toString
+    val t = new DeltaLayoutTable(spark, root)
+    // the writer opens the log with protocol + metaData (round 12)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "body"))
+    val commit0 = Files.readString(
+      Paths.get(root, "_delta_log").resolve(f"${0L}%020d.json"))
+    assert(commit0.contains(""""protocol":{"minReaderVersion":1"""))
+    assert(commit0.contains(""""schemaString":"""))
+    // a remove-only commit: readAsOf(v_1) has NO data files, yet must
+    // carry the schema version-1 readers observed — from metaData, not
+    // a later data-bearing donor
+    val log0 = Paths.get(root, "_delta_log")
+    def removeAll(n: Long): Unit = {
+      val dataFiles = new java.io.File(root).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+      Files.writeString(log0.resolve(f"$n%020d.json"),
+        dataFiles.map(x => s"""{"remove":{"path":"$x","deletionTimestamp":0}}""")
+          .mkString("", "\n", "\n"))
+    }
+    removeAll(1L)
+    val asOf1 = t.readAsOf("v_1")
+    assert(asOf1.count() === 0)
+    assert(asOf1.columns.toSeq === Seq("id", "body"))
+    // table facts survive checkpoint + prune: guard and schema both work
+    // from the checkpoint alone
+    t.commitAppend(Seq((2L, "b")).toDF("id", "body"))
+    t.checkpoint()
+    t.pruneLog()
+    val t2 = new DeltaLayoutTable(spark, root)
+    assert(rowsOf(t2.read()) === Set((2L, "b")))
+    val ckpt = spark.read.parquet(
+      log0.resolve(f"${2L}%020d.checkpoint.parquet").toString)
+    assert(ckpt.columns.contains("metaData") && ckpt.columns.contains("protocol"),
+      "checkpoint must materialize the table facts")
+    assert(ckpt.where("metaData.schemaString IS NOT NULL").count() === 1)
+    // a remove-only commit AFTER pruning still resolves schema — the
+    // metaData now comes from the CHECKPOINT row alone
+    removeAll(3L)
+    assert(t2.readAsOf("v_3").columns.toSeq === Seq("id", "body"))
+  }
+
   test("changeFeed runs over the external layout unchanged (the seam's point)") {
     val root = buildFixture()
     val t = new DeltaLayoutTable(spark, root)

@@ -422,6 +422,54 @@ class EngineSpec extends SparkSpec {
       "stale-object /Differences leaked into live text")
   }
 
+  test("PDF per-font /Differences scoping (round 12): Tf tracking, merged map garbles") {
+    import graft.sources.{BinaryIngest, GlyphList}
+    // ADVICE r11: ANY legal PDF name token advances the code counter —
+    // a hyphenated or unresolvable name drops ITS code only, never
+    // shifting later names one code low; #XX escapes decode first
+    val adv = BinaryIngest.parseDifferences(
+      "/Differences [ 65 /foo-bar /beta /u#6Ei0041 ]")
+    assert(adv === Map(65 -> "", 66 -> "β", 67 -> "A"))
+    assert(BinaryIngest.decodePdfName("u#6Ei0041") === "uni0041")
+    assert(BinaryIngest.decodePdfName("plain") === "plain")
+    assert(BinaryIngest.decodePdfName("bad#1") === "bad#1") // malformed passes through
+    // unit scoping: the same codes mean different glyphs under each font;
+    // the merged map (last-wins) garbles the first run, per-font doesn't
+    val f1 = Map(1 -> "A", 2 -> "B")
+    val f2 = Map(1 -> "C", 2 -> "D")
+    val content = "BT /FA 12 Tf 72 712 Td <0102> Tj /FB 12 Tf <0102> Tj ET"
+    assert(BinaryIngest.showTextRuns(content, Map.empty, f1 ++ f2,
+      Map("FA" -> f1, "FB" -> f2)) === Seq("AB", "CD"))
+    assert(BinaryIngest.showTextRuns(content, Map.empty, f1 ++ f2)
+      === Seq("CD", "CD"), "merged map must decode both runs as FB")
+    // a show op BEFORE any Tf falls back to the merged map
+    assert(BinaryIngest.showTextRuns("<01> Tj /FA 1 Tf <01> Tj",
+      Map.empty, f2, Map("FA" -> f1)) === Seq("C", "A"))
+    // full round trip: two fonts remap the SAME code space — only the
+    // per-font decode reproduces the text (FB's /Encoding is indirect)
+    val text = "état Δ9 … WINS"
+    val pdf = BinaryIngest.buildPdfDiffEnc2(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // the fixture provably needs scoping: both fonts bind overlapping
+    // codes to DIFFERENT glyphs, so the merged map cannot decode both
+    val raw = new String(pdf, "ISO-8859-1")
+    val fd = BinaryIngest.parseFontDifferences(raw)
+    assert(fd.keySet === Set("FA", "FB"))
+    val overlap = fd("FA").keySet.intersect(fd("FB").keySet)
+    assert(overlap.nonEmpty, "halves must share codes")
+    assert(overlap.exists(c => fd("FA")(c) != fd("FB")(c)),
+      "shared codes must mean different glyphs")
+    // … and the document-merged map provably garbles (hash-fail proof):
+    // decoding with ONLY the merged map differs from the source text
+    val merged = BinaryIngest.parseDifferences(raw)
+    assert(merged === fd("FA") ++ fd("FB"))
+    assert(fd("FA").exists { case (c, g) => merged(c) != g },
+      "merged map must shadow FA — the garble the gate pins")
+    // single-char and empty texts stage and extract clean (one half empty)
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfDiffEnc2("X")) === "X")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfDiffEnc2("")) === "")
+  }
+
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
     import graft.sources.{BinaryIngest, PdfCrypto}
     // public RC4 known-answer vector: key "Key", plaintext "Plaintext"

@@ -95,4 +95,43 @@ class ShardStoreSpec extends SparkSpec {
     store.append(Seq((3L, "c")).toDF("id", "v"))
     assert(store.shards() === Seq("shard_0", "shard_1"))
   }
+
+  test("compact-vs-append CAS: a stale compact fails fast, appended rows survive (ADVICE r11)") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    store.write(Seq((1L, "a")).toDF("id", "v"))
+    store.append(Seq((2L, "b")).toDF("id", "v"))
+    // a compact that took its snapshot BEFORE this append lands...
+    val stale = Seq("shard_0") // the pre-append manifest state
+    store.append(Seq((3L, "c")).toDF("id", "v"))
+    // ...must fail fast at the swap, publishing NOTHING: under the old
+    // last-writer-wins swap it would have silently dropped rows 2 and 3
+    intercept[java.util.ConcurrentModificationException] {
+      store.compactFrom(stale)
+    }
+    assert(store.read().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L),
+      "appended rows must survive the failed stale compact")
+    // the failed compact's half-product shard + claim are vacuum fodder
+    // (single-writer startup), then a compact from the CURRENT snapshot
+    // succeeds as before
+    assert(store.vacuum().nonEmpty)
+    store.compact(targetPartitions = 2)
+    assert(store.shards().length === 1)
+    assert(store.read().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("manifest lock: stale lock fails swaps fast; vacuum clears it") {
+    import spark.implicits._
+    val (store, root) = freshStore()
+    store.write(Seq((1L, "a")).toDF("id", "v"))
+    // a crashed writer left the swap lock behind
+    Files.createFile(Paths.get(root, "MANIFEST.lock"))
+    intercept[java.util.ConcurrentModificationException] {
+      store.append(Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(store.shards() === Seq("shard_0"), "failed swap must publish nothing")
+    store.vacuum() // single-writer startup clears the stale lock
+    store.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(store.read().collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
 }

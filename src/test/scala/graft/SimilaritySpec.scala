@@ -652,6 +652,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"routed MaxSim recall $recall")
   }
 
+  test("maxsim index insert: appended docs are servable; parity with a full rebuild") {
+    import graft.operators.{Similarity => S}
+    import org.apache.spark.sql.functions.col
+    val toks = S.maxSimTokens(spark, sf0001)
+    val panel = toks.filter(col("doc_id") < 3)
+    val k = 10
+    val base = toks.filter(col("doc_id") >= 25)
+    val batch = toks.filter(col("doc_id") < 25)
+    val grown = java.nio.file.Files.createTempDirectory("maxsim_grow").toString
+    S.writeMaxSimIndex(spark, base, grown)
+    S.appendMaxSimIndex(spark, grown, batch)
+    val probed = S.maxSimProbeIndex(spark, grown, toks, panel, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // (a) appended documents genuinely SURFACE in probe answers — the
+    // batch half is not merely stored (panel docs 0-2 are themselves
+    // appended; their neighbors include appended ids at this size)
+    assert(probed.exists { case (_, docId) => docId < 25 && docId >= 3 },
+      "no appended doc ever surfaced — append is storing, not serving")
+    // (b) recall vs the exact ranking over the WHOLE corpus
+    val exact = S.maxSimTopK(toks, panel, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall >= 0.7, s"grown-index MaxSim recall $recall")
+    // (c) parity with a from-scratch build over the same corpus: the
+    // grown index must not be a degraded second-class citizen
+    val rebuilt = java.nio.file.Files.createTempDirectory("maxsim_full").toString
+    S.writeMaxSimIndex(spark, toks, rebuilt)
+    val full = S.maxSimProbeIndex(spark, rebuilt, toks, panel, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fullRecall = (exact & full).size.toDouble / exact.size
+    assert(recall >= fullRecall - 0.2,
+      s"grown recall $recall lags rebuilt recall $fullRecall beyond tolerance")
+  }
+
   test("filtered search: pre-filter route is exact; over-fetch probe meets its floor") {
     val qs = emb.filter(col("vec_id") < 5)
     val pred = col("label") === 1

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [q1,q2,...]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
 <sfDir>/*.parquet, sorts columns by name, and compares values row by row.
+The optional third arg restricts the compare to a comma-separated query
+subset (matching Verify's own subset arg for targeted runs).
 """
 import json
 import math
@@ -27,12 +29,19 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        missing = names - set(oracle)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -81,4 +90,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
