@@ -397,4 +397,31 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
     dead.foreach(n => Files.deleteIfExists(Paths.get(jsons(n))))
     dead
   }
+
+  /** Data retention (round 12 — the missing third of the maintenance
+    * lifecycle next to [[checkpoint]] and [[pruneLog]]): delete data
+    * files referenced by NO readable version. After a replace + log
+    * retention, the pre-checkpoint versions' exclusive files are dead
+    * weight that grows without bound at corpus scale. While every
+    * version is still readable this removes nothing (their files are
+    * all referenced); it also clears staged-but-never-committed files
+    * from crashed or race-losing writers. Run at SINGLE-WRITER startup
+    * only ([[graft.engine.Snapshot.recoverOrphans]]' contract): an
+    * in-flight reader of a pruned version may still hold its files
+    * open, and a concurrent writer's staged files are indistinguishable
+    * from orphans. Returns deleted file names. */
+  def vacuumData(): Seq[String] = {
+    // liveness by RESOLVED absolute path: a log that references a file
+    // under the root by absolute URI must protect it the same as the
+    // conventional root-relative name
+    val live: Set[java.nio.file.Path] = readableCommits().flatMap(activeFiles)
+      .flatMap(p => if (p.contains("://")) None // remote URI — never a local child
+        else Some(Paths.get(resolve(p)).toAbsolutePath.normalize)).toSet
+    val dead = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !live.contains(f.toPath.toAbsolutePath.normalize))
+      .map(_.getName).sorted.toSeq
+    dead.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
+    dead
+  }
 }

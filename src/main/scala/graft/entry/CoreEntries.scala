@@ -58,6 +58,7 @@ private[graft] object CoreEntries {
     "q_delta_read" -> (Mutations.qDeltaRead _), // external Delta-layout table resolved through versions()/readAsOf(),
     "q_delta_write" -> (Mutations.qDeltaWrite _), // Delta-layout writer: append/replace commits, checkpoint, log prune,
     "q_delta_cdf" -> (Mutations.qDeltaCdf _), // change-data-feed over the EXTERNAL layout through the same operator,
+    "q_delta_vacuum" -> (Mutations.qDeltaVacuum _), // data retention: unreadable versions' files reclaimed, live content intact,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_dispatch_sweep" -> (graft.streaming.CommandDispatch.qDispatchSweep _), // T4 expiry sweep through the dispatch maintenance hook,
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
@@ -198,6 +199,12 @@ private[graft] object CoreEntries {
         "FROM documents WHERE doc_id < 120 AND doc_id % 17 <> 0 AND doc_id % 13 = 0 " +
         "UNION ALL SELECT doc_id + 5000, 'added', text FROM documents WHERE doc_id < 10 " +
         "ORDER BY doc_id"),
+    // data retention: after replace + checkpoint + log prune, vacuum
+    // reclaims the replaced version's files (vacuum_removed TRUE) and
+    // the surviving version reads back exactly the source rows
+    "q_delta_vacuum" ->
+      ("SELECT doc_id, text, TRUE AS vacuum_removed FROM documents " +
+        "WHERE doc_id < 100 ORDER BY doc_id"),
     "q_dim_insert" ->
       ("SELECT category_id, category_name FROM (" +
         "SELECT CAST(r_regionkey AS BIGINT) AS category_id, r_name AS category_name FROM region " +

@@ -20,6 +20,7 @@ private[graft] object MediaEntries {
     "q_pdf_cid" -> (graft.sources.BinaryIngest.qPdfCid _), // composite-font (CID/ToUnicode) round trip,
     "q_pdf_diffenc" -> (graft.sources.BinaryIngest.qPdfDiffenc _), // simple-font /Differences encoding round trip (AGL + uniXXXX),
     "q_pdf_diffenc2" -> (graft.sources.BinaryIngest.qPdfDiffenc2 _), // PER-FONT /Differences scoping: two fonts remap the same codes,
+    "q_pdf_cid2" -> (graft.sources.BinaryIngest.qPdfCid2 _), // PER-FONT ToUnicode scoping: two composite fonts remap the same CIDs,
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip,
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip,
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip,
@@ -96,6 +97,12 @@ private[graft] object MediaEntries {
     // with the other half's glyphs and hash-fails; only Tf-tracked
     // per-font scoping reproduces the source text
     "q_pdf_diffenc2" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // per-font ToUnicode: the two staged composite fonts map the SAME
+    // CIDs to different characters — a merged document CMap decodes one
+    // half with the other half's characters and hash-fails; only
+    // Tf-tracked per-font CMap scoping reproduces the source text
+    "q_pdf_cid2" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the encrypted round trip: staged RC4-128 standard-security PDFs
     // must decrypt (file key from /O,/P,/ID; per-object keys) and then

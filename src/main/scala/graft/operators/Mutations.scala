@@ -307,6 +307,34 @@ object Mutations {
     rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
   }
 
+  /** Oracle-gated Delta-layout DATA RETENTION round trip (round 12): the
+    * full maintenance lifecycle — append, replace, checkpoint, log prune,
+    * then [[graft.engine.DeltaLayoutTable.vacuumData]] — must reclaim the
+    * replaced version's now-unreadable files (vacuum_removed pins that
+    * something was actually deleted) while the surviving version's
+    * CONTENT stays exactly the source rows. A vacuum that deletes a live
+    * file breaks the row compare; one that deletes nothing fails the
+    * boolean; one that deletes the checkpoint or log breaks read(). */
+  def qDeltaVacuum(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(timeTravelRoot, "delta_vac")
+    Dedup.rmTree(root)
+    root.mkdirs()
+    val t = new graft.engine.DeltaLayoutTable(s, root.getPath)
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    t.commitAppend(docs.filter(col("doc_id") < 50))  // v_0 — to be reclaimed
+    t.commitReplace(docs)                            // v_1 = the full set
+    // while v_0 is still readable its files are LIVE: vacuum removes none
+    val early = t.vacuumData()
+    require(early.isEmpty, s"vacuum deleted files of a readable version: $early")
+    t.checkpoint()                                   // @1
+    t.pruneLog()                                     // v_0 out of retention
+    val removed = t.vacuumData()                     // v_0's files reclaimed
+    t.read().select(col("doc_id"), col("text"))
+      .withColumn("vacuum_removed", lit(removed.nonEmpty))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-gated CDF-over-external-layout interop: the same change-feed
     * operator that serves the homegrown store ([[qCdcFeed]]) pointed at a
     * Delta-layout table staged through the WRITER — an append commit then

@@ -158,15 +158,21 @@ object BinaryIngest {
         val liveDiffs = fontDicts.map(parseDifferences)
           .foldLeft(Map.empty[Int, String])(_ ++ _)
         // per-font scoping over the same LIVE surface: resource name ->
-        // that font's own Differences map; merged map stays the fallback
-        // for fonts without one (round 12 — VERDICT r11 Next #1)
+        // that font's own Differences map and ToUnicode CMap; merged
+        // maps stay the fallback for fonts without their own (round 12)
         val liveFontDiffs = namedFonts
-          .map { case (n, t) => decodePdfName(n) -> parseDifferences(t) }
+          .map { case (n, t, _) => decodePdfName(n) -> parseDifferences(t) }
+          .filter(_._2.nonEmpty)
+          .groupMapReduce(_._1)(_._2)(_ ++ _)
+        val liveFontCmaps = namedFonts
+          .flatMap { case (n, _, cm) =>
+            cm.map(c => decodePdfName(n) -> parseToUnicode(c)) }
           .filter(_._2.nonEmpty)
           .groupMapReduce(_._1)(_._2)(_ ++ _)
         val (cmapS, textS) = streams.partition(_.contains("begincmap"))
         val cm = cmapS.map(parseToUnicode).foldLeft(Map.empty[Int, String])(_ ++ _)
-        return textS.flatMap(c => showTextRuns(c, cm, liveDiffs, liveFontDiffs))
+        return textS.flatMap(c =>
+            showTextRuns(c, cm, liveDiffs, liveFontDiffs, liveFontCmaps))
           .mkString(" ")
       case None => ()
     }
@@ -220,15 +226,18 @@ object BinaryIngest {
     // per-object key + AES-128-CBC with a prepended IV); anything else
     // under /Encrypt is the V=2 RC4 path
     val encAes = encKey.isDefined && raw.contains("/AESV2")
+    // always computed (round 12): per-object keys need it under /Encrypt,
+    // and the per-font ToUnicode resolution needs stream contents keyed
+    // by object number on every path — one linear regex pass either way
     val objHeaders: IndexedSeq[(Int, Int, Int)] =
-      if (encKey.isEmpty) IndexedSeq.empty
-      else """(\d+)\s+(\d+)\s+obj\b""".r.findAllMatchIn(raw)
+      """(\d+)\s+(\d+)\s+obj\b""".r.findAllMatchIn(raw)
         .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toIndexedSeq
-    // pass 1 collects decoded stream CONTENTS in file order; text runs
-    // are extracted afterwards, once the document's ToUnicode map (built
-    // from any CMap streams) is known — hex CID strings in stream 1 may
-    // need a CMap that appears in stream 6
-    val contents = scala.collection.mutable.ArrayBuffer.empty[String]
+    // pass 1 collects decoded stream CONTENTS in file order (tagged with
+    // the owning object number); text runs are extracted afterwards,
+    // once the document's ToUnicode map (built from any CMap streams) is
+    // known — hex CID strings in stream 1 may need a CMap that appears
+    // in stream 6
+    val contents = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     var idx = raw.indexOf("stream")
     while (idx >= 0) {
       val isEndKeyword = idx >= 3 && raw.regionMatches(idx - 3, "end", 0, 3)
@@ -266,6 +275,9 @@ object BinaryIngest {
               e
           }
           if (!dict.contains("/Image") && !dict.contains("/FontFile")) {
+            val anchor0 = if (dictStart >= 0) dictStart else idx
+            val hdr0 = objHeaders.lastIndexWhere(_._1 < anchor0)
+            val streamObjNum = if (hdr0 < 0) -1 else objHeaders(hdr0)._2
             val content: Option[String] = if (v5Key.isDefined) {
               // V5: decrypt under the file key itself, then inflate
               val ct = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
@@ -276,11 +288,9 @@ object BinaryIngest {
               }
             } else encKey match {
               case Some(fk) =>
-                val anchor = if (dictStart >= 0) dictStart else idx
-                val hdr = objHeaders.lastIndexWhere(_._1 < anchor)
-                if (hdr < 0) None
+                if (hdr0 < 0) None
                 else {
-                  val (_, objNum, gen) = objHeaders(hdr)
+                  val (_, objNum, gen) = objHeaders(hdr0)
                   val ct = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
                   val dec: Option[Array[Byte]] =
                     if (encAes)
@@ -297,18 +307,22 @@ object BinaryIngest {
                 if (dict.contains("/FlateDecode")) inflateRange(bytes, dataStart, dataEnd)
                 else Some(raw.substring(dataStart, dataEnd))
             }
-            content.foreach(contents += _)
+            content.foreach(c => contents += ((streamObjNum, c)))
           }
           next = endIdx + 9
         }
       }
       idx = raw.indexOf("stream", next)
     }
-    val (cmapStreams, textStreams) = contents.partition(_.contains("begincmap"))
-    val cmap = cmapStreams.map(parseToUnicode)
+    val (cmapStreams, textStreams) = contents.partition(_._2.contains("begincmap"))
+    val cmap = cmapStreams.map(c => parseToUnicode(c._2))
       .foldLeft(Map.empty[Int, String])(_ ++ _)
-    val fontDiffs = parseFontDifferences(raw)
-    textStreams.flatMap(c => showTextRuns(c, cmap, diffs, fontDiffs)).mkString(" ")
+    // per-font scoping (VERDICT r11 Next #1 + round-12 ToUnicode): each
+    // named font's own Differences/CMap; merged maps stay the fallback
+    val (fontDiffs, fontCmaps) =
+      parseFontMaps(raw, cmapStreams.map(c => c._1 -> c._2).toMap)
+    textStreams.flatMap(c => showTextRuns(c._2, cmap, diffs, fontDiffs, fontCmaps))
+      .mkString(" ")
   }
 
   /** Parse every simple-font `/Differences` array in the file into one
@@ -373,11 +387,23 @@ object BinaryIngest {
     * consistent, which generators and subsetters keep them). Fonts whose
     * resource entry is an INLINE dict (rare) aren't captured here and
     * fall back to the merged map, same as before. */
-  private[graft] def parseFontDifferences(raw: String): Map[String, Map[Int, String]] = {
+  private[graft] def parseFontDifferences(raw: String): Map[String, Map[Int, String]] =
+    parseFontMaps(raw, Map.empty)._1
+
+  /** One walk over the `/Font` resource dicts yielding BOTH per-font
+    * maps: (resource name -> Differences map, resource name -> ToUnicode
+    * CMap). The CMap side (round 12) needs the DECODED stream contents
+    * keyed by object number (`streamByObj`) because /ToUnicode points at
+    * a compressed stream, not dict text — two composite fonts whose
+    * CMaps map the same CID to different characters decode correctly
+    * only when each show op resolves through ITS font's CMap. */
+  private[graft] def parseFontMaps(raw: String, streamByObj: Map[Int, String])
+      : (Map[String, Map[Int, String]], Map[String, Map[Int, String]]) = {
     val objBody: Map[Int, String] =
       """(?s)(\d{1,9})\s+\d+\s+obj\b(.*?)endobj""".r.findAllMatchIn(raw)
         .map(m => m.group(1).toInt -> m.group(2)).toMap
-    val out = scala.collection.mutable.Map.empty[String, Map[Int, String]]
+    val diffsOut = scala.collection.mutable.Map.empty[String, Map[Int, String]]
+    val cmapOut = scala.collection.mutable.Map.empty[String, Map[Int, String]]
     """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(raw).foreach { fm =>
       """/([^\s\[\]<>/()]++)\s+(\d{1,9})\s+\d+\s+R""".r
         .findAllMatchIn(fm.group(1)).foreach { m =>
@@ -387,11 +413,16 @@ object BinaryIngest {
               .findFirstMatchIn(fd)
               .flatMap(e => objBody.get(e.group(1).toInt)).getOrElse("")
             val d = parseDifferences(fd + " " + encText)
-            if (d.nonEmpty) out(name) = out.getOrElse(name, Map.empty) ++ d
+            if (d.nonEmpty) diffsOut(name) = diffsOut.getOrElse(name, Map.empty) ++ d
+            val cm = """/ToUnicode\s+(\d{1,9})\s+\d+\s+R""".r
+              .findFirstMatchIn(fd)
+              .flatMap(t => streamByObj.get(t.group(1).toInt))
+              .map(parseToUnicode).getOrElse(Map.empty)
+            if (cm.nonEmpty) cmapOut(name) = cmapOut.getOrElse(name, Map.empty) ++ cm
           }
         }
     }
-    out.toMap
+    (diffsOut.toMap, cmapOut.toMap)
   }
 
   /** Parse one ToUnicode CMap stream: `bfchar` pairs plus `bfrange` in
@@ -514,27 +545,42 @@ object BinaryIngest {
     * chars ARE single-byte codes); hex strings decode through
     * [[decodeHex]] with the document's ToUnicode map.
     *
-    * When `fontDiffs` is non-empty, the CURRENT FONT is tracked through
-    * `Tf` operators (binary search over their stream positions) and each
-    * show-text op decodes through ITS font's Differences map — the
-    * per-font scoping that keeps two fonts remapping the same code from
-    * garbling each other (VERDICT r11 Next #1). A font with no entry
-    * (no Differences of its own, or an inline resource dict) falls back
-    * to the merged `diffs`, preserving the round-11 behavior. */
+    * When `fontDiffs` or `fontCmaps` is non-empty, the CURRENT FONT is
+    * tracked through `Tf` operators (binary search over their stream
+    * positions) and each show-text op decodes through ITS font's maps —
+    * the per-font scoping that keeps two fonts remapping the same code
+    * (Differences, VERDICT r11 Next #1) or the same CID (ToUnicode,
+    * round 12) from garbling each other. A font is KNOWN when at least
+    * one of its own maps resolved; a known font uses exactly its maps —
+    * so a Differences-remapped simple font sharing a document with a
+    * composite font no longer false-decodes its hex strings as 2-byte
+    * CIDs. An op under an UNKNOWN font (inline resource dict, missed
+    * Tf, map-less font) falls back to the merged document maps, the
+    * round-11 behavior. */
   private[graft] def showTextRuns(content: String, cmap: Map[Int, String],
       diffs: Map[Int, String] = Map.empty,
-      fontDiffs: Map[String, Map[Int, String]] = Map.empty): Seq[String] = {
+      fontDiffs: Map[String, Map[Int, String]] = Map.empty,
+      fontCmaps: Map[String, Map[Int, String]] = Map.empty): Seq[String] = {
+    val track = fontDiffs.nonEmpty || fontCmaps.nonEmpty
     val tfPos: Array[Int] =
-      if (fontDiffs.isEmpty) Array.emptyIntArray
+      if (!track) Array.emptyIntArray
       else TfRe.findAllMatchIn(content).map(_.start).toArray
     val tfName: Array[String] =
-      if (fontDiffs.isEmpty) Array.empty
+      if (!track) Array.empty
       else TfRe.findAllMatchIn(content).map(m => decodePdfName(m.group(1))).toArray
-    def diffsAt(pos: Int): Map[Int, String] = {
-      if (tfPos.isEmpty) return diffs
+    val known: Set[String] = fontDiffs.keySet ++ fontCmaps.keySet
+    // (cmap, diffs) governing the op at `pos`
+    def mapsAt(pos: Int): (Map[Int, String], Map[Int, String]) = {
+      if (tfPos.isEmpty) return (cmap, diffs)
       var i = java.util.Arrays.binarySearch(tfPos, pos)
       if (i < 0) i = -i - 2 // insertion point - 1 = last Tf strictly before pos
-      if (i < 0) diffs else fontDiffs.getOrElse(tfName(i), diffs)
+      if (i < 0) (cmap, diffs)
+      else {
+        val f = tfName(i)
+        if (known(f))
+          (fontCmaps.getOrElse(f, Map.empty), fontDiffs.getOrElse(f, Map.empty))
+        else (cmap, diffs)
+      }
     }
     def lit(s: String, d: Map[Int, String]): String = {
       val u = pdfUnescape(s)
@@ -542,15 +588,18 @@ object BinaryIngest {
       else u.flatMap(ch => d.getOrElse(ch.toInt, ch.toString))
     }
     val ops = scala.collection.mutable.TreeMap.empty[Int, String]
-    TjRe.findAllMatchIn(content).foreach(m =>
-      ops(m.start) = lit(m.group(1), diffsAt(m.start)))
-    HexTjRe.findAllMatchIn(content).foreach(m =>
-      ops(m.start) = decodeHex(m.group(1), cmap, diffsAt(m.start)))
+    TjRe.findAllMatchIn(content).foreach { m =>
+      ops(m.start) = lit(m.group(1), mapsAt(m.start)._2)
+    }
+    HexTjRe.findAllMatchIn(content).foreach { m =>
+      val (cm, d) = mapsAt(m.start)
+      ops(m.start) = decodeHex(m.group(1), cm, d)
+    }
     TJRe.findAllMatchIn(content).foreach { m =>
-      val d = diffsAt(m.start)
+      val (cm, d) = mapsAt(m.start)
       ops(m.start) = FragRe.findAllMatchIn(m.group(1))
         .map(f => if (f.group(1) != null) lit(f.group(1), d)
-                  else decodeHex(f.group(2), cmap, d))
+                  else decodeHex(f.group(2), cm, d))
         .mkString
     }
     ops.values.filter(_.nonEmpty).toSeq
@@ -778,6 +827,74 @@ object BinaryIngest {
       "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
       s"6 0 obj << /Length ${mdata.length} /Filter /FlateDecode >> stream\n")
     bos.write(mdata)
+    w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Build one TWO-COMPOSITE-FONT PDF whose halves are shown under
+    * different Type0 fonts whose ToUnicode CMaps map the SAME CID range
+    * to different characters (the round-12 CMap sibling of
+    * [[buildPdfDiffEnc2]]): each half's distinct characters take CIDs
+    * from 0x100 independently, so <0100> means one character under /FA
+    * and another under /FB — the merged per-document CMap (last-wins)
+    * decodes the first half with the second half's characters and
+    * provably hash-fails; only Tf-tracked per-font CMap scoping
+    * reproduces the source. Split at a mid-ish space (consumed, the
+    * run-join convention); space-free texts stage single-font. */
+  def buildPdfCid2(text: String): Array[Byte] = {
+    val t = Option(text).getOrElse("")
+    val cut = {
+      val fwd = t.indexOf(' ', t.length / 2)
+      val c = if (fwd >= 0) fwd else t.lastIndexOf(' ', t.length / 2)
+      if (c >= 1 && c <= t.length - 2) c else -1
+    }
+    val (a, b) = if (cut < 0) (t, "") else (t.substring(0, cut), t.substring(cut + 1))
+    def codesOf(half: String): Map[Char, Int] =
+      half.distinct.zipWithIndex.map { case (c, i) => c -> (0x100 + i) }.toMap
+    val (codeA, codeB) = (codesOf(a), codesOf(b))
+    def hexOf(s: String, code: Map[Char, Int]): String =
+      s.map(c => f"${code(c)}%04X").mkString
+    def cmapOf(half: String, code: Map[Char, Int]): String = {
+      val chars = half.distinct
+      val bfchar = if (chars.isEmpty) "" else
+        s"${chars.length} beginbfchar\n" +
+          chars.map(c => f"<${code(c)}%04X> <${c.toInt}%04X>").mkString("\n") +
+          "\nendbfchar\n"
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+        bfchar +
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    }
+    val content =
+      if (t.isEmpty) "BT ET"
+      else "BT /FA 12 Tf 72 712 Td " +
+        (if (a.nonEmpty) s"<${hexOf(a, codeA)}> Tj " else "") +
+        "/FB 12 Tf " +
+        (if (b.nonEmpty) s"<${hexOf(b, codeB)}> Tj " else "") +
+        "ET"
+    val cdata = deflateBytes(content)
+    val maData = deflateBytes(cmapOf(a, codeA))
+    val mbData = deflateBytes(cmapOf(b, codeB))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /FA 5 0 R /FB 6 0 R >> >> /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${cdata.length} /Filter /FlateDecode >> stream\n")
+    bos.write(cdata)
+    w("\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCIDA " +
+      "/Encoding /Identity-H /ToUnicode 7 0 R >> endobj\n" +
+      "6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCIDB " +
+      "/Encoding /Identity-H /ToUnicode 8 0 R >> endobj\n" +
+      s"7 0 obj << /Length ${maData.length} /Filter /FlateDecode >> stream\n")
+    bos.write(maData)
+    w("\nendstream endobj\n" +
+      s"8 0 obj << /Length ${mbData.length} /Filter /FlateDecode >> stream\n")
+    bos.write(mbData)
     w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
     bos.toByteArray
   }
@@ -1202,6 +1319,21 @@ object BinaryIngest {
     * extractor slot; exact text equality against the source table. */
   def qPdfDiffenc(s: SparkSession, d: String): DataFrame = {
     val fix = stagePdfFixture(s, d, kind = "pdfdiff_fixture", build = buildPdfDiffEnc)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checked PER-FONT ToUnicode round trip (round 12, the CMap
+    * sibling of [[qPdfDiffenc2]]): documents staged as TWO-COMPOSITE-FONT
+    * PDFs ([[buildPdfCid2]]) whose CMaps map the SAME CIDs to different
+    * characters — only Tf-tracked per-font CMap scoping reproduces the
+    * text; the merged document CMap decodes one half with the other
+    * half's characters and hash-fails. */
+  def qPdfCid2(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfcid2_fixture", build = buildPdfCid2)
     readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
       .withColumn("doc_id",
         regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))

@@ -229,6 +229,29 @@ class DeltaLayoutSpec extends SparkSpec {
     assert(t2.readAsOf("v_3").columns.toSeq === Seq("id", "body"))
   }
 
+  test("vacuumData: only unreadable versions' files reclaimed; orphans cleared (round 12)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_vac").toString
+    val t = new DeltaLayoutTable(spark, root)
+    t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "body")) // v_0
+    t.commitReplace(Seq((3L, "c")).toDF("id", "body"))           // v_1
+    // every version readable -> every file live -> vacuum removes nothing
+    assert(t.vacuumData().isEmpty)
+    assert(rowsOf(t.readAsOf("v_0")) === Set((1L, "a"), (2L, "b")))
+    // a staged-but-never-committed orphan (crashed writer) IS reclaimed
+    Files.writeString(Paths.get(root, "data-orphan.parquet"), "x")
+    assert(t.vacuumData() === Seq("data-orphan.parquet"))
+    // after checkpoint + log prune, v_0 is unreadable: its files go
+    t.checkpoint()
+    t.pruneLog()
+    val removed = t.vacuumData()
+    assert(removed.nonEmpty, "replaced version's files must be reclaimed")
+    assert(removed.forall(_.startsWith("data-00000000000000000000")),
+      "only commit-0 files are reclaimable here")
+    assert(rowsOf(t.read()) === Set((3L, "c")), "live version intact")
+    intercept[Exception](t.readAsOf("v_0")) // unreadable, loudly
+  }
+
   test("changeFeed runs over the external layout unchanged (the seam's point)") {
     val root = buildFixture()
     val t = new DeltaLayoutTable(spark, root)

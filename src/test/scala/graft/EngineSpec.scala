@@ -470,6 +470,37 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfDiffEnc2("")) === "")
   }
 
+  test("PDF per-font ToUnicode scoping (round 12): conflicting CMaps decode correctly") {
+    import graft.sources.BinaryIngest
+    // unit scoping: the same CID means different characters under each
+    // font's CMap; merged (last-wins) garbles the first run
+    val cmA = Map(0x100 -> "A", 0x101 -> "B")
+    val cmB = Map(0x100 -> "C", 0x101 -> "D")
+    val content = "BT /FA 12 Tf <01000101> Tj /FB 12 Tf <01000101> Tj ET"
+    assert(BinaryIngest.showTextRuns(content, cmA ++ cmB, Map.empty,
+      Map.empty, Map("FA" -> cmA, "FB" -> cmB)) === Seq("AB", "CD"))
+    assert(BinaryIngest.showTextRuns(content, cmA ++ cmB) === Seq("CD", "CD"))
+    // a KNOWN simple font with its own Differences no longer
+    // false-decodes its hex as 2-byte CIDs when a composite font's CMap
+    // is also present in the document
+    val diffs = Map(0x41 -> "x")
+    assert(BinaryIngest.showTextRuns("BT /FS 1 Tf <41> Tj ET", cmA,
+      diffs, Map("FS" -> diffs), Map.empty) === Seq("x"))
+    // full round trip through the extractor: two composite fonts whose
+    // CMaps remap the SAME CID range — per-font scoping is load-bearing
+    val text = "état Δ9 … WINS"
+    val pdf = BinaryIngest.buildPdfCid2(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // merged-CMap garble proof: both halves' CMaps bind overlapping CIDs
+    // to different characters, so the document-merged map cannot decode
+    // both (the q_pdf_cid2 gate's hash-fail design)
+    val raw = new String(pdf, "ISO-8859-1")
+    assert("""beginbfchar""".r.findAllMatchIn(raw).isEmpty,
+      "fixture CMaps must be compressed — raw-scan shortcuts can't pass")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid2("X")) === "X")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid2("")) === "")
+  }
+
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
     import graft.sources.{BinaryIngest, PdfCrypto}
     // public RC4 known-answer vector: key "Key", plaintext "Plaintext"

@@ -231,10 +231,10 @@ class PlanSpec extends SparkSpec {
       // exact arm and its panel-bounded broadcast cross (the q_ann_auto
       // argument); above the threshold the router takes an index arm
       "q_maxsim_routed",
-      // the persisted-index MaxSim gate embeds the exact MaxSim baseline
-      // (panel-bounded broadcast cross) to measure the probe's recall —
-      // the q_hnsw_recall coupling
-      "q_maxsim_index")
+      // the persisted-index MaxSim gates (build-and-probe, grow-and-probe)
+      // embed the exact MaxSim baseline (panel-bounded broadcast cross)
+      // to measure the probe's recall — the q_hnsw_recall coupling
+      "q_maxsim_index", "q_maxsim_insert")
     // BNLJ whose build side is small by DESIGN (bounded cardinality the
     // planner cannot know statically), registered with its reason
     val boundedBnljByDesign: Map[String, String] = Map(
