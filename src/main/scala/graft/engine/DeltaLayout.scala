@@ -43,30 +43,50 @@ trait VersionedTable {
 class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable {
   private val logDir = Paths.get(root, "_delta_log")
 
-  /** (commit -> json path) and (commit -> checkpoint path), from one
-    * directory listing. Unsupported checkpoint FORMS (multi-part
-    * `n.checkpoint.m.p.parquet`, v2 `n.checkpoint.<uuid>.{json,parquet}`
-    * and their sidecars) raise loudly instead of being invisible: on a
-    * log-vacuumed external table an ignored checkpoint would make whole
-    * versions silently disappear from `versions()` (ADVICE r11). */
-  private def logFiles(): (Map[Long, String], Map[Long, String]) = {
+  /** (commit -> json path) and (commit -> checkpoint part paths), from
+    * one directory listing. Both protocol checkpoint forms are read:
+    * single-file `<n>.checkpoint.parquet` and multi-part
+    * `<n>.checkpoint.<m>.<p>.parquet` (all `p` parts of a complete set —
+    * an INCOMPLETE part set is ignored as the protocol prescribes, a
+    * crashed checkpoint writer must not poison reads; completeness =
+    * every 1..p present with consistent p). Still-unsupported forms (v2
+    * `<n>.checkpoint.<uuid>.{json,parquet}` manifests and sidecars)
+    * raise loudly instead of being invisible: on a log-vacuumed external
+    * table an ignored checkpoint would make whole versions silently
+    * disappear from `versions()` (ADVICE r11). */
+  private def logFiles(): (Map[Long, String], Map[Long, Seq[String]]) = {
     val entries = Option(logDir.toFile.listFiles()).getOrElse(Array.empty)
     def num(name: String, suffix: String): Option[Long] =
       if (name.endsWith(suffix))
         scala.util.Try(name.stripSuffix(suffix).toLong).toOption
       else None
     val jsons = entries.flatMap(f => num(f.getName, ".json").map(_ -> f.getPath)).toMap
-    val ckpts = entries.flatMap(f =>
-      num(f.getName, ".checkpoint.parquet").map(_ -> f.getPath)).toMap
+    val single = entries.flatMap(f =>
+      num(f.getName, ".checkpoint.parquet").map(_ -> Seq(f.getPath))).toMap
+    val MultiPart = """(\d+)\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+    val multi: Map[Long, Seq[String]] = entries.flatMap(f => f.getName match {
+      case MultiPart(n, m, p) =>
+        scala.util.Try((n.toLong, m.toInt, p.toInt, f.getPath)).toOption
+      case _ => None
+    }).groupBy(_._1).flatMap { case (n, parts) =>
+      val total = parts.head._3
+      val complete = parts.length == total && parts.forall(_._3 == total) &&
+        parts.map(_._2).sorted.toSeq == (1 to total)
+      if (complete) Some(n -> parts.sortBy(_._2).map(_._4).toSeq) else None
+    }
+    val recognized = entries.map(_.getName).filter(n =>
+      n.endsWith(".checkpoint.parquet") && num(n, ".checkpoint.parquet").isDefined ||
+        MultiPart.pattern.matcher(n).matches())
     val unsupported = entries.map(_.getName).filter(n =>
-      n.contains(".checkpoint") && !n.endsWith(".checkpoint.parquet") ||
-        n.endsWith(".checkpoint.parquet") && num(n, ".checkpoint.parquet").isEmpty)
+      n.contains(".checkpoint") && !recognized.contains(n))
     require(unsupported.isEmpty,
       s"unsupported checkpoint form under $logDir: ${unsupported.mkString(", ")} — " +
-        "this adapter reads single-file <n>.checkpoint.parquet checkpoints only; " +
-        "multi-part and v2 checkpoints are refused loudly rather than silently " +
+        "this adapter reads single-file and multi-part parquet checkpoints; " +
+        "v2 checkpoint manifests are refused loudly rather than silently " +
         "hiding the versions they materialize")
-    (jsons, ckpts)
+    // a complete single-file checkpoint wins over a multi-part set at the
+    // same version (either is sufficient; single is this writer's form)
+    (jsons, multi ++ single)
   }
 
   /** Commits whose active file set is reconstructible, oldest first. */
@@ -143,7 +163,7 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
     val base = ckpts.keySet.filter(_ <= v).maxOption
     val fromCkpt: LogState = base match {
       case Some(c) =>
-        val acts = spark.read.schema(actionSchema).parquet(ckpts(c))
+        val acts = spark.read.schema(actionSchema).parquet(ckpts(c): _*)
           .select(actCols: _*).collect().map(actOf)
         foldActs(LogState(Seq.empty, None, None, Map.empty), acts)
       case None => LogState(Seq.empty, None, None, Map.empty)

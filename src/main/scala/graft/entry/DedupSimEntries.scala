@@ -44,6 +44,7 @@ private[graft] object DedupSimEntries {
     "q_ann_incremental" -> (Similarity.qAnnIncremental _), // persisted-IVF probe recall, train-once,
     "q_embed_outliers" -> (Similarity.qEmbedOutliers _), // centroid-distance embedding QC,
     "q_embed_drift" -> (Similarity.qEmbedDrift _), // per-dimension PSI drift monitor between corpus snapshots,
+    "q_embed_drift_ref" -> (Similarity.qEmbedDriftRef _), // the same monitor served from a PERSISTED reference histogram,
     "q_coreset" -> (Similarity.qCoreset _), // greedy k-center eval-set selection,
     "q_cdc_chunks" -> (Dedup.qCdcChunks _), // content-defined chunking + chunk-level dedup signal,
     "q_hnsw_recall" -> (graft.operators.Hnsw.qHnswRecall _), // sharded HNSW graph ANN vs brute-force ground truth,
@@ -353,6 +354,34 @@ private[graft] object DedupSimEntries {
     // and decimal-summed, all replayed in closed form; the +0.3 planted
     // shift on dim 0 must flag, sampling noise on the other 63 must not
     "q_embed_drift" ->
+      ("WITH ref AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0), " +
+        "cur AS (SELECT list_prepend(e0[1] + 0.3, e0[2:]) AS e FROM " +
+        "(SELECT CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings WHERE vec_id % 2 <> 0)), " +
+        "nr AS (SELECT count(*) AS n FROM ref), nc AS (SELECT count(*) AS n FROM cur), " +
+        "rb AS (SELECT unnest(generate_series(1, len(e))) - 1 AS dim, unnest(e) AS x FROM ref), " +
+        "cb AS (SELECT unnest(generate_series(1, len(e))) - 1 AS dim, unnest(e) AS x FROM cur), " +
+        "rc AS (SELECT dim, least(7, greatest(0, CAST(floor((x + 1.0) / 0.25) AS INTEGER))) AS bucket, " +
+        "count(*) AS cr FROM rb GROUP BY 1, 2), " +
+        "cc AS (SELECT dim, least(7, greatest(0, CAST(floor((x + 1.0) / 0.25) AS INTEGER))) AS bucket, " +
+        "count(*) AS ccur FROM cb GROUP BY 1, 2), " +
+        // grid bound derived from the DATA like the sibling oracles (ADVICE
+        // r11): a hard-coded 63 would turn any embedding-width change at
+        // another scale factor into an opaque hash mismatch
+        "dims AS (SELECT max(len(e)) AS d FROM ref), " +
+        "grid AS (SELECT d.dim, b.bucket FROM (SELECT unnest(generate_series(1, (SELECT d FROM dims))) - 1 AS dim) d, generate_series(0, 7) b(bucket)), " +
+        "j AS (SELECT g.dim, g.bucket, coalesce(cr, 0) AS cr, coalesce(ccur, 0) AS ccur " +
+        "FROM grid g LEFT JOIN rc USING (dim, bucket) LEFT JOIN cc USING (dim, bucket)), " +
+        "t AS (SELECT dim, round((CAST(cr + 1 AS DOUBLE) / CAST(nr.n + 8 AS DOUBLE) " +
+        "- CAST(ccur + 1 AS DOUBLE) / CAST(nc.n + 8 AS DOUBLE)) " +
+        "* ln((CAST(cr + 1 AS DOUBLE) / CAST(nr.n + 8 AS DOUBLE)) " +
+        "/ (CAST(ccur + 1 AS DOUBLE) / CAST(nc.n + 8 AS DOUBLE))), 6) AS term " +
+        "FROM j, nr, nc), " +
+        "p AS (SELECT CAST(dim AS INTEGER) AS dim, " +
+        "CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi FROM t GROUP BY 1) " +
+        "SELECT dim, psi, psi >= 0.25 AS drifted FROM p ORDER BY dim"),
+    // the persisted-reference serving path must reproduce the
+    // two-snapshot form EXACTLY — same closed-form oracle
+    "q_embed_drift_ref" ->
       ("WITH ref AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0), " +
         "cur AS (SELECT list_prepend(e0[1] + 0.3, e0[2:]) AS e FROM " +
         "(SELECT CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings WHERE vec_id % 2 <> 0)), " +

@@ -994,11 +994,24 @@ object Similarity {
     require(nRef > 0 && nCur > 0,
       s"PSI drift needs two non-empty snapshots (ref=$nRef, cur=$nCur)")
     val dimCount = ref.select(size(col("e"))).head().getInt(0)
-    def counts(df: DataFrame, name: String): DataFrame = df
-      .select(posexplode(col("e")).as(Seq("dim", "x")))
-      .select(col("dim"), least(lit(DriftBuckets - 1), greatest(lit(0),
-        floor((col("x") + lit(1.0)) / lit(0.25)).cast("int"))).as("bucket"))
-      .groupBy("dim", "bucket").agg(count(lit(1)).as(name))
+    psiFromRefCounts(s, driftCounts(ref, "c_ref"), nRef, dimCount,
+      cur, nCur, threshold)
+  }
+
+  /** One snapshot's (dim, bucket) histogram — the ONLY pass that touches
+    * vectors; everything after runs on the d x B scalar frame. */
+  private def driftCounts(df: DataFrame, name: String): DataFrame = df
+    .select(posexplode(col("e")).as(Seq("dim", "x")))
+    .select(col("dim"), least(lit(DriftBuckets - 1), greatest(lit(0),
+      floor((col("x") + lit(1.0)) / lit(0.25)).cast("int"))).as("bucket"))
+    .groupBy("dim", "bucket").agg(count(lit(1)).as(name))
+
+  /** The PSI tail shared by the two-snapshot form and the persisted-
+    * reference probe: Laplace-smoothed per-bucket terms over the
+    * complete grid, decimal-summed per dimension. */
+  private def psiFromRefCounts(s: SparkSession, refCounts: DataFrame,
+      nRef: Long, dimCount: Int, cur: DataFrame, nCur: Long,
+      threshold: Double): DataFrame = {
     // the complete dim x bucket grid WITHOUT a join (absent buckets must
     // still contribute their smoothed term): a range + sequence explode
     val grid = s.range(dimCount).select(col("id").cast("int").as("dim"),
@@ -1008,12 +1021,46 @@ object Similarity {
     val q = (coalesce(col("c_cur"), lit(0L)) + 1).cast("double") /
       lit((nCur + DriftBuckets).toDouble)
     grid
-      .join(counts(ref, "c_ref"), Seq("dim", "bucket"), "left")
-      .join(counts(cur, "c_cur"), Seq("dim", "bucket"), "left")
+      .join(refCounts, Seq("dim", "bucket"), "left")
+      .join(driftCounts(cur, "c_cur"), Seq("dim", "bucket"), "left")
       .withColumn("term", round((p - q) * log(p / q), 6))
       .groupBy("dim")
       .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
       .withColumn("drifted", col("psi") >= threshold)
+  }
+
+  /** Persist the PSI REFERENCE histogram once (round 12 — the serving
+    * shape): the reference corpus's vectors are scanned exactly one
+    * time ever; each monitoring batch afterwards pays one histogram
+    * pass over ITSELF plus a join of two d x B scalar frames. The
+    * stored frame carries (dim, bucket, c_ref) with the snapshot size
+    * and dimensionality on every row (a d x B frame — the duplication
+    * is bytes, the single-file simplicity is the win). */
+  def writeDriftRef(ref: DataFrame, root: String): Unit = {
+    val nRef = ref.count()
+    require(nRef > 0, s"PSI drift reference snapshot is empty")
+    val dimCount = ref.select(size(col("e"))).head().getInt(0)
+    driftCounts(ref, "c_ref")
+      .withColumn("n_ref", lit(nRef))
+      .withColumn("dim_count", lit(dimCount))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(root)
+  }
+
+  /** PSI drift of `cur` against a reference persisted by
+    * [[writeDriftRef]] — output identical to [[embeddingDriftPsi]] on
+    * the same snapshots (q_embed_drift_ref shares q_embed_drift's
+    * closed-form oracle), without ever rescanning the reference
+    * vectors. */
+  def driftProbeRef(s: SparkSession, root: String, cur: DataFrame,
+      threshold: Double = 0.25): DataFrame = {
+    val stored = s.read.parquet(root)
+    val meta = stored.select(max(col("n_ref")), max(col("dim_count"))).head()
+    val (nRef, dimCount) = (meta.getLong(0), meta.getInt(1))
+    val nCur = cur.count()
+    require(nCur > 0, s"PSI drift needs a non-empty current snapshot")
+    psiFromRefCounts(s, stored.select("dim", "bucket", "c_ref"),
+      nRef, dimCount, cur, nCur, threshold)
   }
 
   /** Oracle-checked drift monitor: reference = even vec_ids, current =
@@ -1032,6 +1079,26 @@ object Similarity {
       .select(transform(col("e"),
         (x, i) => when(i === 0, x + lit(0.3)).otherwise(x)).as("e"))
     embeddingDriftPsi(ref, cur).orderBy("dim")
+  }
+
+  private lazy val driftRefRoot: String = Dedup.processTempDir("graft_drift_ref")
+
+  /** [[qEmbedDrift]] through the PERSISTED-REFERENCE serving path: the
+    * reference histogram writes once, the probe monitors the shifted
+    * snapshot against the stored frame — same recipe, same closed-form
+    * oracle, so a probe that disagrees with the two-snapshot form in
+    * ANY smoothed term is a loud hash FAIL. */
+  def qEmbedDriftRef(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val ref = emb.filter(col("vec_id") % 2 === 0).select("e")
+    val cur = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(transform(col("e"),
+        (x, i) => when(i === 0, x + lit(0.3)).otherwise(x)).as("e"))
+    val root = new java.io.File(driftRefRoot, "ref")
+    Dedup.rmTree(root)
+    writeDriftRef(ref, root.getPath)
+    driftProbeRef(s, root.getPath, cur).orderBy("dim")
   }
 
   /** Greedy k-center (farthest-point) coreset selection: pick k vectors

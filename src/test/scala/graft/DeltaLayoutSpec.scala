@@ -168,22 +168,46 @@ class DeltaLayoutSpec extends SparkSpec {
       === Set((1L, "a")))
   }
 
-  test("unsupported checkpoint forms raise instead of hiding versions (ADVICE r11)") {
+  test("checkpoint forms: multi-part read, incomplete ignored, v2 raises (ADVICE r11 + round 12)") {
+    import spark.implicits._
     val root = buildFixture()
     val log = Paths.get(root, "_delta_log")
-    // a multi-part checkpoint fragment appears (ecosystem writer)
+    // an INCOMPLETE multi-part set (part 1 of 2 only — crashed writer)
+    // is ignored per the protocol: reads proceed as if it weren't there
     Files.writeString(
       log.resolve(f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"), "x")
-    val e = intercept[IllegalArgumentException](
-      new DeltaLayoutTable(spark, root).versions())
-    assert(e.getMessage.contains("unsupported checkpoint form"))
+    assert(new DeltaLayoutTable(spark, root).versions()
+      === Seq("v_0", "v_1", "v_2", "v_3"))
     Files.delete(log.resolve(f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"))
-    // a v2 checkpoint manifest appears
+    // a v2 checkpoint manifest is REFUSED loudly (column mapping /
+    // sidecars could hide behind it — never silently misread)
     Files.writeString(
       log.resolve(f"${4L}%020d.checkpoint.80a083e8.json"), "x")
     val e2 = intercept[IllegalArgumentException](
       new DeltaLayoutTable(spark, root).versions())
     assert(e2.getMessage.contains("unsupported checkpoint form"))
+    Files.delete(log.resolve(f"${4L}%020d.checkpoint.80a083e8.json"))
+    // a COMPLETE multi-part checkpoint (the form large ecosystem tables
+    // write) is read: stage one @3 materializing {f1,f2,f3}, prune every
+    // JSON commit — v_3 must survive on the parts alone
+    def writePart(m: Int, p: Int, files: Seq[String]): Unit = {
+      val tmp = Files.createTempDirectory("dl_mp").toString
+      files.toDF("path").selectExpr("struct(path) AS add")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        log.resolve(f"${3L}%020d.checkpoint.$m%010d.$p%010d.parquet"))
+    }
+    writePart(1, 2, Seq("f1.parquet"))
+    writePart(2, 2, Seq("f2.parquet", "f3.parquet"))
+    Seq(0L, 1L, 2L, 3L).foreach(n =>
+      Files.deleteIfExists(log.resolve(f"$n%020d.json")))
+    Files.deleteIfExists(log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_3"))
+    assert(rowsOf(t.readAsOf("v_3"))
+      === Set((3L, "c"), (4L, "d"), (1L, "A2"), (2L, "b"), (5L, "e")))
   }
 
   test("empty version takes its schema from metaData, not a later donor (ADVICE r11)") {
