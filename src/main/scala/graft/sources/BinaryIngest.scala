@@ -119,17 +119,19 @@ object BinaryIngest {
     *
     * /Differences remaps are in scope since round 11 (q_pdf_diffenc;
     * [[GlyphList]] + [[parseDifferences]], live-object-scoped on the
-    * xref path) and PER-FONT SCOPED since round 12 (q_pdf_diffenc2;
-    * [[parseFontDifferences]] keys each font's map by its resource name
-    * and [[showTextRuns]] tracks the current font through `Tf` — two
-    * fonts remapping the same code to different glyphs decode
-    * correctly). Out of scope (documented): per-font ToUnicode CMap
-    * scoping (composite-font CMaps still merge per document), per-PAGE
-    * resource-name scoping (two pages binding one name to conflicting
-    * fonts merge — names are document-consistent in practice), encrypted
-    * xref-stream files (each layer is gated separately; their
-    * combination routes to the legacy path) — a glyph-accurate binding
-    * (fitz-class) remains the production swap-in, through the SAME seam.
+    * xref path) and PER-FONT SCOPED since round 12 in BOTH map
+    * families: Differences (q_pdf_diffenc2) and ToUnicode CMaps
+    * (q_pdf_cid2) key by resource name, with [[showTextRuns]] tracking
+    * the current font through `Tf` — two fonts remapping the same
+    * code/CID decode correctly. On the xref path the scoping is also
+    * PER PAGE (q_pdf_page_scope): two pages binding one name to
+    * conflicting fonts resolve through their own page's resources.
+    * Out of scope (documented): per-page scoping on the legacy-scan
+    * path (its scan-every-stream semantics have no page structure;
+    * names merge per document there), encrypted xref-stream files
+    * (each layer is gated separately; their combination routes to the
+    * legacy path) — a glyph-accurate binding (fitz-class) remains the
+    * production swap-in, through the SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -154,26 +156,29 @@ object BinaryIngest {
     // per-document merged map as the fallback for unnamed fonts;
     // ToUnicode CMaps still merge per document.
     PdfXref.contentStreamsWithFonts(bytes, raw) match {
-      case Some((streams, fontDicts, namedFonts)) =>
+      case Some((pages, fontDicts, cmapStreams)) =>
         val liveDiffs = fontDicts.map(parseDifferences)
           .foldLeft(Map.empty[Int, String])(_ ++ _)
-        // per-font scoping over the same LIVE surface: resource name ->
-        // that font's own Differences map and ToUnicode CMap; merged
-        // maps stay the fallback for fonts without their own (round 12)
-        val liveFontDiffs = namedFonts
-          .map { case (n, t, _) => decodePdfName(n) -> parseDifferences(t) }
-          .filter(_._2.nonEmpty)
-          .groupMapReduce(_._1)(_._2)(_ ++ _)
-        val liveFontCmaps = namedFonts
-          .flatMap { case (n, _, cm) =>
-            cm.map(c => decodePdfName(n) -> parseToUnicode(c)) }
-          .filter(_._2.nonEmpty)
-          .groupMapReduce(_._1)(_._2)(_ ++ _)
-        val (cmapS, textS) = streams.partition(_.contains("begincmap"))
-        val cm = cmapS.map(parseToUnicode).foldLeft(Map.empty[Int, String])(_ ++ _)
-        return textS.flatMap(c =>
-            showTextRuns(c, cm, liveDiffs, liveFontDiffs, liveFontCmaps))
-          .mkString(" ")
+        val cm = cmapStreams.map(parseToUnicode)
+          .foldLeft(Map.empty[Int, String])(_ ++ _)
+        // per-font, PER-PAGE scoping over the same LIVE surface (round
+        // 12): each page's show ops resolve through THAT page's resource
+        // name -> Differences/ToUnicode maps, so two pages binding one
+        // name to different fonts decode correctly; the document-merged
+        // maps stay the fallback for fonts without their own
+        return pages.flatMap { case (streams, namedFonts) =>
+          val fontDiffs = namedFonts
+            .map { case (n, t, _) => decodePdfName(n) -> parseDifferences(t) }
+            .filter(_._2.nonEmpty)
+            .groupMapReduce(_._1)(_._2)(_ ++ _)
+          val fontCmaps = namedFonts
+            .flatMap { case (n, _, c) =>
+              c.map(x => decodePdfName(n) -> parseToUnicode(x)) }
+            .filter(_._2.nonEmpty)
+            .groupMapReduce(_._1)(_._2)(_ ++ _)
+          streams.filterNot(_.contains("begincmap"))
+            .flatMap(c => showTextRuns(c, cm, liveDiffs, fontDiffs, fontCmaps))
+        }.mkString(" ")
       case None => ()
     }
     val diffs = parseDifferences(raw)
@@ -1255,6 +1260,116 @@ object BinaryIngest {
     w("\nendstream endobj\n")
     w(s"startxref\n$off10\n%%EOF\n")
     bos.toByteArray
+  }
+
+  /** Build one TWO-PAGE xref-stream PDF whose pages bind the SAME
+    * resource name `/F1` to DIFFERENT fonts with conflicting
+    * `/Differences` maps (round 12 — the per-PAGE scoping fixture): each
+    * page's half assigns codes independently from 1 (identity-skipped),
+    * so code 1 under page 1's /F1 is one glyph and another under page
+    * 2's /F1. A document-level per-NAME merge (the previous behavior)
+    * decodes page 1 with page 2's map and provably hash-fails; only the
+    * page-scoped resolution reproduces the text. Layout is the
+    * startxref -> xref STREAM walk (type-1 entries), so the fixture
+    * exercises the semantic path, where page grouping lives. */
+  def buildPdfTwoPageDiff(text: String): Array[Byte] = {
+    val t = Option(text).getOrElse("")
+    val cut = {
+      val fwd = t.indexOf(' ', t.length / 2)
+      val c = if (fwd >= 0) fwd else t.lastIndexOf(' ', t.length / 2)
+      if (c >= 1 && c <= t.length - 2) c else -1
+    }
+    val (a, b) = if (cut < 0) (t, "") else (t.substring(0, cut), t.substring(cut + 1))
+    def codesOf(half: String): Map[Char, Int] = {
+      var nextCode = 1
+      half.distinct.map { c =>
+        if (nextCode == c.toInt) nextCode += 1
+        val k = nextCode; nextCode += 1; c -> k
+      }.toMap
+    }
+    val (codeA, codeB) = (codesOf(a), codesOf(b))
+    def hexOf(s: String, code: Map[Char, Int]): String =
+      s.map(c => f"${code(c)}%02X").mkString
+    def diffsOf(half: String, code: Map[Char, Int]): String =
+      half.distinct.map { c =>
+        val name = GlyphList.nameOf.getOrElse(c, f"uni${c.toInt}%04X")
+        s"${code(c)} /$name"
+      }.mkString(" ")
+    def contentOf(half: String, code: Map[Char, Int]): Array[Byte] =
+      deflateBytes(
+        if (half.isEmpty) "BT ET"
+        else s"BT /F1 12 Tf 72 712 Td <${hexOf(half, code)}> Tj ET")
+    val (c1, c2) = (contentOf(a, codeA), contentOf(b, codeB))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offs = scala.collection.mutable.Map.empty[Int, Long]
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = bos.size.toLong; w(s"$n 0 obj $body endobj\n")
+    }
+    def streamObj(n: Int, dict: String, data: Array[Byte]): Unit = {
+      offs(n) = bos.size.toLong
+      w(s"$n 0 obj << $dict /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      bos.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 7 0 R >> >> /Contents 5 0 R >>")
+    obj(4, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 8 0 R >> >> /Contents 6 0 R >>")
+    streamObj(5, "", c1)
+    streamObj(6, "", c2)
+    obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(a, codeA)} ] >> >>")
+    obj(8, "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(b, codeB)} ] >> >>")
+    val off9 = bos.size
+    val entries: Seq[(Int, Long, Int)] =
+      (0, 0L, 0xFFFF) +: (1 to 8).map(n => (1, offs(n), 0)) :+ (1, off9.toLong, 0)
+    val cols = 7
+    val rows = entries.map { case (tp, x, g) => Array(
+      tp.toByte,
+      ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+      ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte,
+      ((g >> 8) & 0xFF).toByte, (g & 0xFF).toByte)
+    }
+    val predicted = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { r =>
+      predicted.write(2) // Up filter
+      var i = 0
+      while (i < cols) { predicted.write((r(i) - prev(i)) & 0xFF); i += 1 }
+      prev = r
+    }
+    val xdata = deflateRaw(predicted.toByteArray)
+    w(s"9 0 obj << /Type /XRef /Size 10 /W [1 4 2] /Index [0 10] " +
+      "/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xdata.length} >> stream\n")
+    bos.write(xdata)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$off9\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Oracle-checked PER-PAGE font-scope round trip (round 12): documents
+    * staged as TWO-PAGE xref-stream PDFs ([[buildPdfTwoPageDiff]]) whose
+    * pages bind the SAME resource name to fonts with conflicting
+    * Differences maps — only page-scoped resolution reproduces the
+    * text; a document-level per-name merge decodes page 1 with page 2's
+    * glyphs and hash-fails. */
+  def qPdfPageScope(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfpage_fixture", build = buildPdfTwoPageDiff)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
   }
 
   /** Stage real COMPRESSED-PDF uploads: one .pdf file per document,

@@ -300,17 +300,24 @@ object PdfXref {
     * copy per file (review finding, round 7). */
   private[sources] def contentStreams(bytes: Array[Byte],
       raw: String): Option[Seq[String]] =
-    contentStreamsWithFonts(bytes, raw).map(_._1)
+    contentStreamsWithFonts(bytes, raw)
+      .map { case (pages, _, cmaps) => pages.flatMap(_._1) ++ cmaps }
 
-  /** [[contentStreams]] plus the LIVE font dictionaries (and their
-    * resolved indirect /Encoding dicts) as text — the semantic-walk
-    * source for simple-font /Differences parsing: a raw-text scan would
-    * resurrect remaps from freed stale objects, the exact failure class
-    * the xref walk exists to prevent (round-11 review finding). The
-    * third element keys each live font's text by its RESOURCE NAME for
-    * per-font Differences scoping (round 12). */
+  /** The semantic walk's full result, grouped PER PAGE (round 12): for
+    * each page in tree order, its content streams and its named fonts
+    * (resource name, font dict + resolved indirect /Encoding text,
+    * resolved /ToUnicode CMap stream) — so two pages binding the SAME
+    * resource name to different fonts scope correctly; plus the
+    * document-level merged surfaces (live font/encoding dict texts for
+    * the fallback Differences map, and the CMap streams for the merged
+    * ToUnicode fallback). Only LIVE objects are visited — a raw-text
+    * scan would resurrect remaps from freed stale objects, the exact
+    * failure class the xref walk exists to prevent (round-11 review
+    * finding). */
   private[graft] def contentStreamsWithFonts(bytes: Array[Byte],
-      raw: String): Option[(Seq[String], Seq[String], Seq[(String, String, Option[String])])] =
+      raw: String): Option[(
+        Seq[(Seq[String], Seq[(String, String, Option[String])])],
+        Seq[String], Seq[String])] =
     try {
       if (bytes == null) return None
       val sx = raw.lastIndexOf("startxref")
@@ -351,12 +358,8 @@ object PdfXref {
           .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq))
       } yield {
         val pageDicts = kids.flatMap(body)
-        val contentRefs = pageDicts.flatMap { pd =>
-          keyRef(pd, "Contents").toSeq ++
-            ("""/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pd).toSeq
-              .flatMap(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt)))
-        }
-        // /ToUnicode CMaps via the page fonts (composite-font pages)
+        // /ToUnicode CMaps via the page fonts (composite-font pages) —
+        // the document-level merged fallback surface
         val fontRefs = pageDicts.flatMap(pd =>
           """/F\w*\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(pd).map(_.group(1).toInt))
         val fontDicts = fontRefs.flatMap(body)
@@ -365,30 +368,36 @@ object PdfXref {
         // `/Encoding << /Differences ... >>`) plus resolved indirect
         // /Encoding objects — never the raw byte scan
         val encodingDicts = fontDicts.flatMap(fd => keyRef(fd, "Encoding")).flatMap(body)
-        // per-font scoping (VERDICT r11 Next #1 + round-12 ToUnicode):
-        // the LIVE `/Font << /Name N G R >>` resource sub-dicts give
-        // resource name -> font object; each named entry carries its own
-        // font dict + resolved indirect /Encoding text (for a per-name
+        // PER PAGE (round 12): content streams + named fonts — the LIVE
+        // `/Font << /Name N G R >>` resource sub-dicts give resource
+        // name -> font object; each named entry carries its own font
+        // dict + resolved indirect /Encoding text (for a per-name
         // Differences map) plus its resolved /ToUnicode CMap stream (for
-        // a per-name CID map). Names merge across pages (documented:
-        // exact whenever pages keep names consistent, which generators
-        // do).
-        val namedFonts: Seq[(String, String, Option[String])] = pageDicts.flatMap { pd =>
-          """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(pd).toSeq.flatMap { fm =>
-            """/([^\s\[\]<>/()]++)\s+(\d+)\s+\d+\s+R""".r
-              .findAllMatchIn(fm.group(1)).toSeq.flatMap { m =>
-                body(m.group(2).toInt).map { fd =>
-                  val enc = keyRef(fd, "Encoding").flatMap(body).getOrElse("")
-                  val cm = keyRef(fd, "ToUnicode")
-                    .flatMap(n => streamContent(raw, bytes, table, n, cache))
-                  (m.group(1), fd + " " + enc, cm)
-                }
+        // a per-name CID map). Page grouping means two pages binding one
+        // name to DIFFERENT fonts scope correctly.
+        val pages: Seq[(Seq[String], Seq[(String, String, Option[String])])] =
+          pageDicts.map { pd =>
+            val contentRefs = keyRef(pd, "Contents").toSeq ++
+              ("""/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pd).toSeq
+                .flatMap(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt)))
+            val named = """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(pd).toSeq
+              .flatMap { fm =>
+                """/([^\s\[\]<>/()]++)\s+(\d+)\s+\d+\s+R""".r
+                  .findAllMatchIn(fm.group(1)).toSeq.flatMap { m =>
+                    body(m.group(2).toInt).map { fd =>
+                      val enc = keyRef(fd, "Encoding").flatMap(body).getOrElse("")
+                      val cm = keyRef(fd, "ToUnicode")
+                        .flatMap(n => streamContent(raw, bytes, table, n, cache))
+                      (m.group(1), fd + " " + enc, cm)
+                    }
+                  }
               }
+            (contentRefs.distinct.flatMap(n =>
+              streamContent(raw, bytes, table, n, cache)), named)
           }
-        }
-        val streams = (contentRefs ++ cmapRefs).distinct
+        val cmapStreams = cmapRefs.distinct
           .flatMap(n => streamContent(raw, bytes, table, n, cache))
-        (streams, fontDicts ++ encodingDicts, namedFonts)
+        (pages, fontDicts ++ encodingDicts, cmapStreams)
       }
     } catch { case _: Exception => None }
 }

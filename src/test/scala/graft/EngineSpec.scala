@@ -501,6 +501,41 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfCid2("")) === "")
   }
 
+  test("PDF per-page font scoping (round 12): same name, conflicting fonts across pages") {
+    import graft.sources.{BinaryIngest, PdfXref}
+    // two pages bind /F1 to DIFFERENT fonts whose Differences maps
+    // conflict — only page-scoped resolution reproduces the text
+    val text = "état Δ9 … WINS"
+    val pdf = BinaryIngest.buildPdfTwoPageDiff(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // the fixture walks the xref-STREAM path (where page grouping lives)
+    val raw = new String(pdf, "ISO-8859-1")
+    val walked = PdfXref.contentStreamsWithFonts(pdf, raw)
+    assert(walked.isDefined, "fixture must resolve through the xref walk")
+    val (pages, _, _) = walked.get
+    assert(pages.length === 2)
+    // both pages name F1, with maps that bind overlapping codes to
+    // DIFFERENT glyphs — a per-name document merge provably garbles
+    val perPage = pages.map(_._2).map { named =>
+      named.map { case (n, t, _) => n -> BinaryIngest.parseDifferences(t) }.toMap
+    }
+    assert(perPage.forall(_.keySet === Set("F1")))
+    val (m1, m2) = (perPage(0)("F1"), perPage(1)("F1"))
+    val overlap = m1.keySet.intersect(m2.keySet)
+    assert(overlap.exists(c => m1(c) != m2(c)),
+      "pages must disagree on a shared code — the garble the gate pins")
+    // simulate the pre-round-12 per-name merge: decoding page 1's run
+    // with the merged map must NOT reproduce page 1's half
+    val a = text.substring(0, text.indexOf(' ', text.length / 2))
+    val mergedDecode = BinaryIngest.showTextRuns(
+      s"BT /F1 12 Tf <${a.map(c => f"${m1.find(_._2 == c.toString).get._1}%02X").mkString}> Tj ET",
+      Map.empty, m1 ++ m2, Map("F1" -> (m1 ++ m2)))
+    assert(mergedDecode !== Seq(a), "document-merged map must garble page 1")
+    // degenerate shapes stage and extract clean
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfTwoPageDiff("X")) === "X")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfTwoPageDiff("")) === "")
+  }
+
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
     import graft.sources.{BinaryIngest, PdfCrypto}
     // public RC4 known-answer vector: key "Key", plaintext "Plaintext"
