@@ -114,6 +114,10 @@ class ShardStore(spark: SparkSession, root: String) {
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempts >= 16) throw e
+          // linear backoff: a contending swap holds the lock for ~ms —
+          // spinning through all 16 attempts inside that window would
+          // fail fast spuriously where one beat of patience succeeds
+          Thread.sleep(attempts.toLong * 2)
       }
     }
   }
