@@ -430,6 +430,24 @@ class DeltaLayoutTable(spark: SparkSession, root: String) extends VersionedTable
     * in-flight reader of a pruned version may still hold its files
     * open, and a concurrent writer's staged files are indistinguishable
     * from orphans. Returns deleted file names. */
+  /** Import another versioned table's FULL history into THIS table
+    * (round 12 — the store-switch completion of the [[VersionedTable]]
+    * seam): one replace commit per source version, oldest first, so
+    * destination version k reads exactly what source version k did and
+    * time travel / the change feed keep working across the migration.
+    * Works for ANY VersionedTable source — the homegrown [[Snapshot]]
+    * store (the move-to-the-open-layout path a production deploy takes)
+    * or another Delta-layout table (a copy). Each version moves as one
+    * Spark job (read as-of -> stage -> commit); the destination's
+    * put-if-absent commits keep a racing writer fail-fast, and a crash
+    * mid-migration leaves a valid shorter history, resumable by
+    * re-running (the next commitReplace lands as the following version
+    * with identical content — idempotent in CONTENT, append-only in
+    * version numbers, same as replaying any commit stream). Returns the
+    * destination version names, aligned with the source's. */
+  def importHistory(src: VersionedTable): Seq[String] =
+    src.versions().map(v => commitReplace(src.readAsOf(v)))
+
   def vacuumData(): Seq[String] = {
     // liveness by RESOLVED absolute path: a log that references a file
     // under the root by absolute URI must protect it the same as the

@@ -59,6 +59,7 @@ private[graft] object CoreEntries {
     "q_delta_write" -> (Mutations.qDeltaWrite _), // Delta-layout writer: append/replace commits, checkpoint, log prune,
     "q_delta_cdf" -> (Mutations.qDeltaCdf _), // change-data-feed over the EXTERNAL layout through the same operator,
     "q_delta_vacuum" -> (Mutations.qDeltaVacuum _), // data retention: unreadable versions' files reclaimed, live content intact,
+    "q_delta_migrate" -> (Mutations.qDeltaMigrate _), // Snapshot-store history imported into the Delta layout, version-aligned,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
     "q_dispatch_sweep" -> (graft.streaming.CommandDispatch.qDispatchSweep _), // T4 expiry sweep through the dispatch maintenance hook,
     "q_ingest_flatten" -> (Ingest.qIngestFlatten _),
@@ -199,6 +200,19 @@ private[graft] object CoreEntries {
         "FROM documents WHERE doc_id < 120 AND doc_id % 17 <> 0 AND doc_id % 13 = 0 " +
         "UNION ALL SELECT doc_id + 5000, 'added', text FROM documents WHERE doc_id < 10 " +
         "ORDER BY doc_id"),
+    // store migration: each Snapshot version imports as one replace
+    // commit, so destination version k = source version k exactly —
+    // three closed-form rows; a dropped/reordered version or lost rows
+    // anywhere hash-mismatches
+    "q_delta_migrate" ->
+      ("WITH v0 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 50), " +
+        "v1 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 100), " +
+        "v2 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents " +
+        "WHERE doc_id < 100 AND doc_id % 7 <> 0) " +
+        "SELECT 'v_0' AS version, n AS n_docs, s AS sum_ids FROM v0 " +
+        "UNION ALL SELECT 'v_1', n, s FROM v1 " +
+        "UNION ALL SELECT 'v_2', n, s FROM v2 " +
+        "ORDER BY version"),
     // data retention: after replace + checkpoint + log prune, vacuum
     // reclaims the replaced version's files (vacuum_removed TRUE) and
     // the surviving version reads back exactly the source rows

@@ -335,6 +335,36 @@ object Mutations {
       .orderBy("doc_id")
   }
 
+  /** Oracle-gated STORE-MIGRATION round trip (round 12): a [[graft.engine.Snapshot]]
+    * store's full three-version history imports into a Delta-layout
+    * table via [[graft.engine.DeltaLayoutTable.importHistory]] — one
+    * replace commit per source version through the VersionedTable seam —
+    * and every DESTINATION version must read back exactly what the
+    * source version held (per-version count + id-sum in closed form, the
+    * q_delta_write design). A migration that drops a version, reorders
+    * history, or loses rows anywhere hash-mismatches. */
+  def qDeltaMigrate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val snapRoot = new java.io.File(timeTravelRoot, "mig_src")
+    val deltaRoot = new java.io.File(timeTravelRoot, "mig_dst")
+    Dedup.rmTree(snapRoot); Dedup.rmTree(deltaRoot)
+    deltaRoot.mkdirs()
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val snap = new graft.engine.Snapshot(s, snapRoot.getPath)
+    snap.publish(docs.filter(col("doc_id") < 50))                     // v_0
+    snap.publish(docs.filter(col("doc_id") < 100))                    // v_1
+    snap.publish(docs.filter(col("doc_id") < 100 && col("doc_id") % 7 =!= 0)) // v_2
+    val dst = new graft.engine.DeltaLayoutTable(s, deltaRoot.getPath)
+    val moved = dst.importHistory(snap)
+    require(moved == snap.versions(), s"version alignment lost: $moved")
+    val rows = dst.versions().map { v =>
+      val r = dst.readAsOf(v)
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+      (v, r.getLong(0), r.getLong(1))
+    }
+    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+  }
+
   /** Oracle-gated CDF-over-external-layout interop: the same change-feed
     * operator that serves the homegrown store ([[qCdcFeed]]) pointed at a
     * Delta-layout table staged through the WRITER — an append commit then

@@ -276,6 +276,31 @@ class DeltaLayoutSpec extends SparkSpec {
     intercept[Exception](t.readAsOf("v_0")) // unreadable, loudly
   }
 
+  test("importHistory: a Snapshot store's versions migrate aligned (round 12)") {
+    import spark.implicits._
+    val snapRoot = Files.createTempDirectory("mig_snap").toString
+    val deltaRoot = Files.createTempDirectory("mig_delta").toString
+    val snap = new graft.engine.Snapshot(spark, snapRoot)
+    snap.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "body"))
+    snap.publish(Seq((1L, "a2"), (3L, "c")).toDF("id", "body"))
+    val dst = new DeltaLayoutTable(spark, deltaRoot)
+    val moved = dst.importHistory(snap)
+    assert(moved === snap.versions())
+    // every destination version reads exactly what the source did
+    snap.versions().foreach { v =>
+      assert(rowsOf(dst.readAsOf(v)) === rowsOf(snap.readAsOf(v)), s"version $v")
+    }
+    // the migrated table is a full citizen: facts written, CDF-ready
+    val commit0 = Files.readString(
+      Paths.get(deltaRoot, "_delta_log").resolve(f"${0L}%020d.json"))
+    assert(commit0.contains(""""protocol""""))
+    // crash-resume shape: re-importing appends content-identical
+    // versions after the existing ones, never corrupts them
+    val again = dst.importHistory(snap)
+    assert(again.size === 2 && rowsOf(dst.readAsOf(again.last))
+      === rowsOf(snap.readAsOf(snap.versions().last)))
+  }
+
   test("changeFeed runs over the external layout unchanged (the seam's point)") {
     val root = buildFixture()
     val t = new DeltaLayoutTable(spark, root)
