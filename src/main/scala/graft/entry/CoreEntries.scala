@@ -58,6 +58,7 @@ private[graft] object CoreEntries {
     "q_delta_read" -> (Mutations.qDeltaRead _), // external Delta-layout table resolved through versions()/readAsOf(),
     "q_delta_write" -> (Mutations.qDeltaWrite _), // Delta-layout writer: append/replace commits, checkpoint, log prune,
     "q_delta_cdf" -> (Mutations.qDeltaCdf _), // change-data-feed over the EXTERNAL layout through the same operator,
+    "q_delta_v2" -> (Mutations.qDeltaV2 _), // v2-manifest checkpoint (sidecars + readerFeatures gate) reconstructs pruned versions,
     "q_delta_vacuum" -> (Mutations.qDeltaVacuum _), // data retention: unreadable versions' files reclaimed, live content intact,
     "q_delta_migrate" -> (Mutations.qDeltaMigrate _), // Snapshot-store history imported into the Delta layout, version-aligned,
     "q_dispatch" -> (graft.streaming.CommandDispatch.qDispatch _),
@@ -211,6 +212,16 @@ private[graft] object CoreEntries {
         "WHERE doc_id < 100 AND doc_id % 7 <> 0) " +
         "SELECT 'v_0' AS version, n AS n_docs, s AS sum_ids FROM v0 " +
         "UNION ALL SELECT 'v_1', n, s FROM v1 " +
+        "UNION ALL SELECT 'v_2', n, s FROM v2 " +
+        "ORDER BY version"),
+    // v2-checkpoint read: v_1 = both appends, reconstructed from the v2
+    // manifest + sidecars alone (JSON commits pruned); v_2 = the
+    // compaction commit on top — same set algebra as q_delta_read's tail
+    "q_delta_v2" ->
+      ("WITH v1 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents WHERE doc_id < 150), " +
+        "v2 AS (SELECT count(*) AS n, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS s FROM documents " +
+        "WHERE doc_id >= 100 AND doc_id < 150 OR doc_id < 100 AND doc_id % 10 <> 0) " +
+        "SELECT 'v_1' AS version, n AS n_docs, s AS sum_ids FROM v1 " +
         "UNION ALL SELECT 'v_2', n, s FROM v2 " +
         "ORDER BY version"),
     // data retention: after replace + checkpoint + log prune, vacuum

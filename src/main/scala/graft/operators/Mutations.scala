@@ -275,6 +275,72 @@ object Mutations {
     rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
   }
 
+  /** Oracle-gated V2-CHECKPOINT read (round 13 — VERDICT r12 Next #2,
+    * the last interop rung): the fixture stages the checkpoint form
+    * large ecosystem writers default to — a `<n>.checkpoint.<uuid>.json`
+    * MANIFEST carrying the protocol row (minReaderVersion 3 +
+    * readerFeatures v2Checkpoint) and `sidecar` references, with the add
+    * actions living only in `_delta_log/_sidecars/` parquet files — then
+    * prunes every JSON commit at/below it, so v_1 is reconstructible
+    * from the v2 manifest ALONE, and v_2 from manifest + one tail
+    * commit. The oracle restates both versions' set algebra from the
+    * documents table: a sidecar not read, a manifest add double-applied,
+    * or the protocol gate refusing the implemented feature all
+    * hash-mismatch (or raise). */
+  def qDeltaV2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(timeTravelRoot, "delta_v2")
+    Dedup.rmTree(root)
+    val log = new java.io.File(root, "_delta_log")
+    val sidecars = new java.io.File(log, "_sidecars")
+    sidecars.mkdirs()
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    def writeData(name: String, df: DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dlv2").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, new java.io.File(root, name).toPath)
+    }
+    writeData("f0.parquet", docs.filter(col("doc_id") < 100))
+    writeData("f1.parquet", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    writeData("f2.parquet", docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 0))
+    // sidecar action files: add-only parquet under _delta_log/_sidecars
+    def writeSidecar(name: String, dataFile: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dlv2sc").toString
+      Seq(dataFile).toDF("path").selectExpr("struct(path) AS add")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, new java.io.File(sidecars, name).toPath)
+    }
+    writeSidecar("sc0.parquet", "f0.parquet")
+    writeSidecar("sc1.parquet", "f1.parquet")
+    java.nio.file.Files.writeString(
+      new java.io.File(log,
+        f"${1L}%020d.checkpoint.80a083e8-4d2a-4c1f-9a0e-000000000001.json").toPath,
+      Seq(
+        """{"checkpointMetadata":{"version":1}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        """{"sidecar":{"path":"sc0.parquet","sizeInBytes":1,"modificationTime":0}}""",
+        """{"sidecar":{"path":"sc1.parquet","sizeInBytes":1,"modificationTime":0}}""")
+        .mkString("", "\n", "\n"))
+    // the commits at/below the checkpoint are PRUNED — v_1 must stand on
+    // the v2 manifest alone (no JSON chain from 0 exists)
+    java.nio.file.Files.writeString(
+      new java.io.File(log, f"${2L}%020d.json").toPath,
+      Seq("""{"remove":{"path":"f0.parquet","deletionTimestamp":1}}""",
+        """{"add":{"path":"f2.parquet","dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    val t = new graft.engine.DeltaLayoutTable(s, root.getPath)
+    val rows = t.versions().map { v =>
+      val r = t.readAsOf(v)
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+      (v, r.getLong(0), r.getLong(1))
+    }
+    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+  }
+
   /** Oracle-gated Delta-layout WRITE path — the reader's round trip
     * (VERDICT r10 Next #3 completed in both directions): commit two
     * appends and one replace through [[graft.engine.DeltaLayoutTable]]'s

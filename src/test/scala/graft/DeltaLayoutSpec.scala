@@ -168,7 +168,7 @@ class DeltaLayoutSpec extends SparkSpec {
       === Set((1L, "a")))
   }
 
-  test("checkpoint forms: multi-part read, incomplete ignored, v2 raises (ADVICE r11 + round 12)") {
+  test("checkpoint forms: multi-part read, incomplete ignored, unknown raises, scratch skipped") {
     import spark.implicits._
     val root = buildFixture()
     val log = Paths.get(root, "_delta_log")
@@ -179,14 +179,33 @@ class DeltaLayoutSpec extends SparkSpec {
     assert(new DeltaLayoutTable(spark, root).versions()
       === Seq("v_0", "v_1", "v_2", "v_3"))
     Files.delete(log.resolve(f"${4L}%020d.checkpoint.0000000001.0000000002.parquet"))
-    // a v2 checkpoint manifest is REFUSED loudly (column mapping /
-    // sidecars could hide behind it — never silently misread)
+    // writer scratch next to a checkpoint — hidden checksum sidecars and
+    // temp files real ecosystem writers leave — must NOT classify as an
+    // unsupported checkpoint form (ADVICE r12 medium): reads proceed
     Files.writeString(
-      log.resolve(f"${4L}%020d.checkpoint.80a083e8.json"), "x")
+      log.resolve(f".${2L}%020d.checkpoint.parquet.crc"), "x")
+    Files.writeString(
+      log.resolve(f"${2L}%020d.checkpoint.parquet.crc"), "x")
+    Files.writeString(
+      log.resolve(f"${4L}%020d.checkpoint.parquet.tmp"), "x")
+    assert(new DeltaLayoutTable(spark, root).versions()
+      === Seq("v_0", "v_1", "v_2", "v_3"))
+    // a GENUINE checkpoint claim in no protocol form still raises — an
+    // ignored checkpoint would silently hide the versions it holds
+    Files.writeString(
+      log.resolve(f"${4L}%020d.checkpoint.weird.form.avro"), "x")
     val e2 = intercept[IllegalArgumentException](
       new DeltaLayoutTable(spark, root).versions())
     assert(e2.getMessage.contains("unsupported checkpoint form"))
-    Files.delete(log.resolve(f"${4L}%020d.checkpoint.80a083e8.json"))
+    Files.delete(log.resolve(f"${4L}%020d.checkpoint.weird.form.avro"))
+    // an all-digit middle component is NOT a v2 uuid (more likely a
+    // stray multi-part fragment): refused loudly, not misread
+    Files.writeString(
+      log.resolve(f"${4L}%020d.checkpoint.0000000007.parquet"), "x")
+    val e3 = intercept[IllegalArgumentException](
+      new DeltaLayoutTable(spark, root).versions())
+    assert(e3.getMessage.contains("unsupported checkpoint form"))
+    Files.delete(log.resolve(f"${4L}%020d.checkpoint.0000000007.parquet"))
     // a COMPLETE multi-part checkpoint (the form large ecosystem tables
     // write) is read: stage one @3 materializing {f1,f2,f3}, prune every
     // JSON commit — v_3 must survive on the parts alone
@@ -299,6 +318,291 @@ class DeltaLayoutSpec extends SparkSpec {
     val again = dst.importHistory(snap)
     assert(again.size === 2 && rowsOf(dst.readAsOf(again.last))
       === rowsOf(snap.readAsOf(snap.versions().last)))
+  }
+
+  /** Stage a v2 checkpoint at `version`: a manifest (JSON or parquet
+    * form) whose add actions live inline or in `_sidecars/` files,
+    * carrying the protocol row (minReaderVersion 3 + readerFeatures
+    * v2Checkpoint) as real v2 writers do. */
+  private def actionLinesToParquet(lines: Seq[String], dst: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.StructField("remove",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.StructField("protocol",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("minReaderVersion",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("readerFeatures",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))))),
+      org.apache.spark.sql.types.StructField("sidecar",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType))))))
+    val tmp = Files.createTempDirectory("dl_v2").toString
+    spark.read.schema(schema).json(lines.toDS())
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, dst)
+  }
+
+  test("v2 checkpoint: JSON manifest + sidecars reconstruct pruned versions (round 13)") {
+    val root = buildFixture()
+    val log = Paths.get(root, "_delta_log")
+    val sidecars = log.resolve("_sidecars")
+    Files.createDirectories(sidecars)
+    // v2 checkpoint @3: manifest JSON with protocol + two sidecar refs;
+    // the add actions live ONLY in the sidecar parquet files
+    actionLinesToParquet(
+      Seq("""{"add":{"path":"f1.parquet"}}""", """{"add":{"path":"f2.parquet"}}"""),
+      sidecars.resolve("sc1.parquet"))
+    actionLinesToParquet(
+      Seq("""{"add":{"path":"f3.parquet"}}"""),
+      sidecars.resolve("sc2.parquet"))
+    Files.writeString(
+      log.resolve(f"${3L}%020d.checkpoint.80a083e8-4d2a-4c1f-9a0e-000000000001.json"),
+      Seq(
+        """{"checkpointMetadata":{"version":3}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        """{"sidecar":{"path":"sc1.parquet","sizeInBytes":1,"modificationTime":0}}""",
+        """{"sidecar":{"path":"sc2.parquet","sizeInBytes":1,"modificationTime":0}}""")
+        .mkString("", "\n", "\n"))
+    // prune EVERYTHING below: v_3 must survive on the v2 manifest alone
+    Seq(0L, 1L, 2L, 3L).foreach(n =>
+      Files.deleteIfExists(log.resolve(f"$n%020d.json")))
+    Files.deleteIfExists(log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_3"))
+    // the protocol gate PASSES: minReaderVersion 3 with only the
+    // v2Checkpoint feature is exactly what this adapter now implements
+    assert(rowsOf(t.readAsOf("v_3"))
+      === Set((3L, "c"), (4L, "d"), (1L, "A2"), (2L, "b"), (5L, "e")))
+  }
+
+  test("v2 checkpoint: parquet manifest with inline adds; commits continue on top (round 13)") {
+    val root = buildFixture()
+    val log = Paths.get(root, "_delta_log")
+    // parquet-form manifest @3 carrying the adds INLINE (a small-table
+    // v2 writer skips sidecars) plus the protocol row
+    actionLinesToParquet(
+      Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+        """{"add":{"path":"f1.parquet"}}""",
+        """{"add":{"path":"f2.parquet"}}""",
+        """{"add":{"path":"f3.parquet"}}"""),
+      log.resolve(f"${3L}%020d.checkpoint.9b7c21aa-0000-4000-8000-1234567890ab.parquet"))
+    Seq(0L, 1L, 2L, 3L).foreach(n =>
+      Files.deleteIfExists(log.resolve(f"$n%020d.json")))
+    Files.deleteIfExists(log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    // a JSON commit on top of the v2 base: remove f1, so v_4 = base edit
+    Files.writeString(log.resolve(f"${4L}%020d.json"),
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_3", "v_4"))
+    assert(rowsOf(t.readAsOf("v_3"))
+      === Set((3L, "c"), (4L, "d"), (1L, "A2"), (2L, "b"), (5L, "e")))
+    assert(rowsOf(t.readAsOf("v_4")) === Set((1L, "A2"), (2L, "b"), (5L, "e")))
+  }
+
+  test("multi-part completeness is per (version,numParts) instance (ADVICE r12)") {
+    import spark.implicits._
+    val root = buildFixture()
+    val log = Paths.get(root, "_delta_log")
+    def writePart(m: Int, p: Int, files: Seq[String]): Unit = {
+      val tmp = Files.createTempDirectory("dl_mp").toString
+      files.toDF("path").selectExpr("struct(path) AS add")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        log.resolve(f"${3L}%020d.checkpoint.$m%010d.$p%010d.parquet"))
+    }
+    // complete 2-part instance @3 (the good set)
+    writePart(1, 2, Seq("f1.parquet"))
+    writePart(2, 2, Seq("f2.parquet", "f3.parquet"))
+    // a crashed writer's DIFFERENT-SIZE partial attempt at the same
+    // version (part 1 of 3 only): junk content proves it is never read
+    Files.writeString(
+      log.resolve(f"${3L}%020d.checkpoint.0000000001.0000000003.parquet"), "x")
+    // and a junk COMPLETE 1-part instance: the LARGEST complete
+    // instance (2 parts) must be preferred, so this junk is never read
+    Files.writeString(
+      log.resolve(f"${3L}%020d.checkpoint.0000000001.0000000001.parquet"), "x")
+    Seq(0L, 1L, 2L, 3L).foreach(n =>
+      Files.deleteIfExists(log.resolve(f"$n%020d.json")))
+    Files.deleteIfExists(log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_3"))
+    assert(rowsOf(t.readAsOf("v_3"))
+      === Set((3L, "c"), (4L, "d"), (1L, "A2"), (2L, "b"), (5L, "e")))
+  }
+
+  test("multi-part checkpoint WRITE round trip: parts out, prune, read back (round 13)") {
+    import spark.implicits._
+    spark.conf.set("graft.delta.checkpointPartRows", "2")
+    try {
+      val root = Files.createTempDirectory("delta_mpw").toString
+      val t = new DeltaLayoutTable(spark, root)
+      // two appends of 2 partitions each -> 4 data files active; at 2
+      // rows per part the checkpoint must write 2 parts
+      t.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("id", "body").repartition(2))
+      t.commitReplace(Seq((1L, "A"), (2L, "b"), (3L, "c"), (5L, "e"))
+        .toDF("id", "body").repartition(4))
+      assert(t.checkpoint() === 1L)
+      val log = Paths.get(root, "_delta_log")
+      val partNames = new java.io.File(log.toString).listFiles()
+        .map(_.getName).filter(_.matches("""\d+\.checkpoint\.\d+\.\d+\.parquet"""))
+      assert(partNames.length === 2, s"expected 2 checkpoint parts, got ${partNames.toSeq}")
+      assert(Files.readString(log.resolve("_last_checkpoint")).contains(""""parts":2"""))
+      // prune every JSON commit under it: v_1 must survive on the parts
+      assert(t.pruneLog() === Seq(0L))
+      Files.delete(log.resolve(f"${1L}%020d.json"))
+      val t2 = new DeltaLayoutTable(spark, root)
+      assert(t2.versions() === Seq("v_1"))
+      assert(rowsOf(t2.readAsOf("v_1")) === Set((1L, "A"), (2L, "b"), (3L, "c"), (5L, "e")))
+      // appends continue on top of the multi-part base
+      assert(t2.commitAppend(Seq((9L, "z")).toDF("id", "body")) === "v_2")
+      assert(rowsOf(t2.read()) === Set((1L, "A"), (2L, "b"), (3L, "c"), (5L, "e"), (9L, "z")))
+    } finally spark.conf.unset("graft.delta.checkpointPartRows")
+  }
+
+  test("distributed replay: thousand-action log reconciles; file bound refuses (round 13)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_big").toString
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    def writeData(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("dl_big").toString
+      rows.toDF("id", "body").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(root, name))
+    }
+    writeData("r0.parquet", Seq((1L, "a")))
+    writeData("r1.parquet", Seq((2L, "b")))
+    writeData("r2.parquet", Seq((3L, "c")))
+    // commit 0: 2000 phantom adds + the 3 real files — the many-
+    // thousand-file log shape whose replay must stay off the driver
+    val phantoms = (0 until 2000).map(i => f"ph-$i%05d.parquet")
+    Files.writeString(log.resolve(f"${0L}%020d.json"),
+      (phantoms ++ Seq("r0.parquet", "r1.parquet", "r2.parquet"))
+        .map(p => s"""{"add":{"path":"$p","dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    // commit 1: every phantom removed — the reconcile must drop all
+    // 2000 without materializing per-action driver state
+    Files.writeString(log.resolve(f"${1L}%020d.json"),
+      phantoms.map(p => s"""{"remove":{"path":"$p","deletionTimestamp":0}}""")
+        .mkString("", "\n", "\n"))
+    val t = new DeltaLayoutTable(spark, root)
+    assert(t.versions() === Seq("v_0", "v_1"))
+    assert(rowsOf(t.readAsOf("v_1")) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the documented adapter bound: above graft.delta.maxResolvedFiles
+    // the resolved path list refuses instead of growing without bound
+    spark.conf.set("graft.delta.maxResolvedFiles", "100")
+    try {
+      val e = intercept[IllegalArgumentException](t.readAsOf("v_0"))
+      assert(e.getMessage.contains("maxResolvedFiles"))
+      // v_1 resolves to 3 files — comfortably under the bound
+      assert(rowsOf(t.readAsOf("v_1")) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally spark.conf.unset("graft.delta.maxResolvedFiles")
+  }
+
+  test("add actions carry the protocol-required fields (ADVICE r12)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("delta_conform").toString
+    val t = new DeltaLayoutTable(spark, root)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "body"))
+    t.commitReplace(Seq((2L, "b")).toDF("id", "body"))
+    val log = Paths.get(root, "_delta_log")
+    val c0 = Files.readString(log.resolve(f"${0L}%020d.json"))
+    assert(c0.contains(""""partitionValues":{}"""), "add must carry partitionValues")
+    assert(c0.matches("(?s).*\"size\":\\d+.*"), "add must carry size")
+    assert(c0.matches("(?s).*\"modificationTime\":\\d+.*"), "add must carry modificationTime")
+    val c1 = Files.readString(log.resolve(f"${1L}%020d.json"))
+    assert(c1.contains(""""remove""""))
+    assert(c1.contains(""""dataChange":true"""), "remove must carry dataChange")
+    // the checkpoint rows carry them too (strict readers parse both)
+    t.checkpoint()
+    val ckpt = spark.read.parquet(
+      log.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+    val addRows = ckpt.where("add IS NOT NULL")
+      .selectExpr("add.path", "add.partitionValues", "add.size", "add.modificationTime")
+      .collect()
+    assert(addRows.nonEmpty)
+    addRows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+        s"checkpoint add row incomplete: $r")
+      assert(r.getLong(2) > 0L, "size must be the real staged byte count")
+    }
+  }
+
+  test("protocol gate: mr=3 passes only with implemented features (round 13)") {
+    import spark.implicits._
+    def stage(lines: Seq[String]): String = {
+      val root = Files.createTempDirectory("delta_feat").toString
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+      val tmp = Files.createTempDirectory("df_part").toString
+      Seq((1L, "a")).toDF("id", "body").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(root, "f0.parquet"))
+      Files.writeString(log.resolve(f"${0L}%020d.json"),
+        (lines :+ """{"add":{"path":"f0.parquet","dataChange":true}}""")
+          .mkString("", "\n", "\n"))
+      root
+    }
+    // v2Checkpoint alone: implemented, read proceeds
+    val ok = stage(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
+    assert(rowsOf(new DeltaLayoutTable(spark, ok).readAsOf("v_0")) === Set((1L, "a")))
+    // an UNIMPLEMENTED feature alongside it: refused loudly
+    val bad = stage(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint","deletionVectors"]}}"""))
+    val e = intercept[IllegalArgumentException](
+      new DeltaLayoutTable(spark, bad).readAsOf("v_0"))
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("importHistory fails fast when the source advances mid-migration (round 13)") {
+    import spark.implicits._
+    val snapRoot = Files.createTempDirectory("mig_race_snap").toString
+    val deltaRoot = Files.createTempDirectory("mig_race_delta").toString
+    val snap = new graft.engine.Snapshot(spark, snapRoot)
+    snap.publish(Seq((1L, "a")).toDF("id", "body"))
+    snap.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "body"))
+    // a source whose history GROWS between the import loop and the
+    // post-import re-check — the deterministic stand-in for a writer
+    // publishing concurrently (the ShardStoreSpec race mold)
+    val racing = new graft.engine.VersionedTable {
+      private var calls = 0
+      override def versions(): Seq[String] = {
+        calls += 1
+        if (calls > 1) {
+          // the "concurrent publish" lands exactly once, after the
+          // import loop has read the original history
+          if (snap.versions().size < 3)
+            snap.publish(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body"))
+        }
+        snap.versions()
+      }
+      override def readAsOf(v: String) = snap.readAsOf(v)
+      override def read() = snap.read()
+    }
+    val dst = new DeltaLayoutTable(spark, deltaRoot)
+    val e = intercept[IllegalArgumentException](dst.importHistory(racing))
+    assert(e.getMessage.contains("quiesce"))
+    // the destination holds a VALID PREFIX: both originally-seen
+    // versions migrated intact; re-running after quiescing catches up
+    assert(dst.versions() === Seq("v_0", "v_1"))
+    assert(rowsOf(dst.readAsOf("v_1")) === Set((1L, "a"), (2L, "b")))
   }
 
   test("changeFeed runs over the external layout unchanged (the seam's point)") {
