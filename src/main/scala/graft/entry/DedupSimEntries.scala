@@ -50,6 +50,7 @@ private[graft] object DedupSimEntries {
     "q_hnsw_recall" -> (graft.operators.Hnsw.qHnswRecall _), // sharded HNSW graph ANN vs brute-force ground truth,
     "q_hnsw_incremental" -> (graft.operators.Hnsw.qHnswIncremental _), // persisted-graph probe recall, build-once,
     "q_hnsw_insert" -> (graft.operators.Hnsw.qHnswInsert _), // append into restored shard graphs, grow without rebuild,
+    "q_hnsw_reshard" -> (graft.operators.Hnsw.qHnswReshard _), // over-budget shards split 2->8 and republish; probe the grown layout,
     // --- winnowing fingerprints + canonical-selection dedup
     "q_winnow" -> (Dedup.qWinnow _),
     "q_dedup_keepbest" -> (Dedup.qDedupKeepBest _),
@@ -439,6 +440,15 @@ private[graft] object DedupSimEntries {
     "q_hnsw_insert" ->
       ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
         "TRUE AS insert_recall_ok " +
+        "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
+    // reshard gate: same n_exact/recall coupling as q_hnsw_insert, plus
+    // the PINNED shard count — even ids in [0,400) pack 200 into one
+    // mod-2 shard and 100 into each mod-4 shard, so a 60-node budget
+    // must land exactly on 8 shards at every SF; a silent no-op or a
+    // wrong doubling path hash-mismatches
+    "q_hnsw_reshard" ->
+      ("SELECT CAST(10 * count(*) AS BIGINT) AS n_exact, " +
+        "TRUE AS reshard_recall_ok, CAST(8 AS INT) AS shards_after " +
         "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 40"),
     // persisted-index MaxSim serving: n_exact = k(10) x the 3-doc panel
     // in closed form (every panel doc has a full exact top-10 at gate

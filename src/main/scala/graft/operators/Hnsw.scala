@@ -224,7 +224,59 @@ object Hnsw {
 
   /** The shard a vector belongs to — floorMod so a negative id still
     * lands in [0, Shards), matching the pmod() the exchanges use. */
-  def shardOf(id: Long): Int = java.lang.Math.floorMod(id, Shards.toLong).toInt
+  def shardOf(id: Long): Int = shardOf(id, Shards)
+
+  /** Shard under an explicit shard count (the persisted index carries
+    * its own count once [[reshardHnswIndex]] has grown it — round 13). */
+  def shardOf(id: Long, numShards: Int): Int =
+    java.lang.Math.floorMod(id, numShards.toLong).toInt
+
+  /** The persisted index's shard count, from the version's `meta.json`
+    * (written by every publish since round 13); absent = the historic
+    * fixed [[Shards]], so pre-meta indexes stay readable. */
+  private def numShardsAt(versionPath: String): Int = {
+    val p = java.nio.file.Paths.get(versionPath, "meta.json")
+    if (!java.nio.file.Files.exists(p)) Shards
+    else {
+      val txt = java.nio.file.Files.readString(p)
+      """"numShards"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(Shards)
+    }
+  }
+
+  private def writeMeta(versionPath: String, numShards: Int): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(versionPath, "meta.json"),
+      s"""{"numShards":$numShards}""")
+
+  /** Build the per-shard graphs for `corpus` at an explicit shard count
+    * and dump them as rows — the shared kernel of [[writeHnswIndex]] and
+    * [[reshardHnswIndex]]. Rows group by the TRUE shard inside the task
+    * (ADVICE r9): hash partitioning may co-locate pmod groups, and the
+    * stored `shard` column must equal shardOf(vec_id, n) so exactly one
+    * directory per shard exists. Insertion order is ascending vec_id, so
+    * a shard's graph depends ONLY on its member set — the reshard
+    * identity (resharded == fresh-built) holds by construction. */
+  private def buildGraphRows(corpus: DataFrame, numShards: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val n = numShards
+    corpus
+      .select(col("vec_id"), col("embedding"))
+      .repartition(n, pmod(col("vec_id"), lit(n)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(r => shardOf(r._1, n)).iterator.flatMap { case (shard, rs) =>
+          val rows = rs.sortBy(_._1)
+          val g = new Graph(rows.head._2.length)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          g.dump().iterator.map { case (ord, id, lvl, vec, ns) =>
+            (shard, ord, id, lvl, vec, ns)
+          }
+        }
+      }
+      .toDF("shard", "ord", "vec_id", "level", "embedding", "nbrs")
+  }
 
   /** Sharded HNSW top-k: per-SHARD graphs over a FIXED shard count,
     * broadcast query panel, global (sim desc, id) merge — the fan-out
@@ -271,30 +323,13 @@ object Hnsw {
     * vector-store model builds once and serves many). Published via
     * [[graft.engine.Snapshot]], so readers never see a half-written
     * graph. Returns the version name. */
-  def writeHnswIndex(s: SparkSession, corpus: DataFrame, root: String): String = {
-    import s.implicits._
-    val dumped = corpus
-      .select(col("vec_id"), col("embedding"))
-      .repartition(Shards, pmod(col("vec_id"), lit(Shards)))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        // group by the TRUE shard inside the task (ADVICE r9, lockstep
-        // with hnswTopK): hash partitioning may co-locate pmod groups,
-        // and the stored `shard` column must equal shardOf(vec_id) so
-        // exactly one directory per shard exists
-        it.toArray.groupBy(r => shardOf(r._1)).iterator.flatMap { case (shard, rs) =>
-          val rows = rs.sortBy(_._1)
-          val g = new Graph(rows.head._2.length)
-          rows.foreach { case (id, v) => g.insert(id, v) }
-          g.dump().iterator.map { case (ord, id, lvl, vec, ns) =>
-            (shard, ord, id, lvl, vec, ns)
-          }
-        }
-      }
-      .toDF("shard", "ord", "vec_id", "level", "embedding", "nbrs")
+  def writeHnswIndex(s: SparkSession, corpus: DataFrame, root: String,
+      numShards: Int = Shards): String = {
+    val dumped = buildGraphRows(corpus, numShards)
     new graft.engine.Snapshot(s, root).publishVia { v =>
       dumped.repartition(col("shard")).sortWithinPartitions("shard", "ord")
         .write.mode("overwrite").partitionBy("shard").parquet(s"$v/graphs")
+      writeMeta(v, numShards)
     }
   }
 
@@ -310,12 +345,13 @@ object Hnsw {
       queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
     import s.implicits._
     val path = new graft.engine.Snapshot(s, root).currentPath()
+    val numShards = numShardsAt(path)
     val qB = s.sparkContext.broadcast(queries)
     val perShard = s.read.parquet(s"$path/graphs")
       .select(col("shard").cast("int").as("shard"), col("ord").cast("int").as("ord"),
         col("vec_id"), col("level").cast("int").as("level"),
         col("embedding"), col("nbrs"))
-      .repartition(Shards, col("shard"))
+      .repartition(numShards, col("shard"))
       .as[(Int, Int, Long, Int, Array[Float], Array[Array[Int]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rs) =>
@@ -354,6 +390,7 @@ object Hnsw {
     import s.implicits._
     val snap = new graft.engine.Snapshot(s, root)
     val path = snap.currentPath()
+    val numShards = numShardsAt(path)
     val old = s.read.parquet(s"$path/graphs")
       .select(col("shard").cast("int").as("shard"), col("ord").cast("int").as("ord"),
         col("vec_id"), col("level").cast("int").as("level"),
@@ -361,12 +398,12 @@ object Hnsw {
     // fresh rows carry ord = -1 (the restore/insert discriminator) and
     // no adjacency; their level is derived from the id at insert
     val fresh = newVecs
-      .select(pmod(col("vec_id"), lit(Shards)).cast("int").as("shard"),
+      .select(pmod(col("vec_id"), lit(numShards)).cast("int").as("shard"),
         lit(-1).as("ord"), col("vec_id"), lit(-1).as("level"),
         col("embedding").cast("array<float>").as("embedding"),
         lit(null).cast("array<array<int>>").as("nbrs"))
     val dumped = old.unionByName(fresh)
-      .repartition(Shards, col("shard"))
+      .repartition(numShards, col("shard"))
       .as[(Int, Int, Long, Int, Array[Float], Array[Array[Int]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rs) =>
@@ -386,7 +423,53 @@ object Hnsw {
     snap.publishVia { v =>
       dumped.repartition(col("shard")).sortWithinPartitions("shard", "ord")
         .write.mode("overwrite").partitionBy("shard").parquet(s"$v/graphs")
+      writeMeta(v, numShards)
     }
+  }
+
+  /** SHARD GROWTH MANAGEMENT (round 13 — VERDICT r12 Next #4, the
+    * [[graft.operators.Dedup]] `q_index_compact` analog for the graph
+    * store): [[appendHnswIndex]] routes inserts into a FIXED shard
+    * count, and each shard's graph rebuilds in executor memory — after
+    * enough appends, per-shard memory and insert latency grow without
+    * bound. When any shard exceeds `nodeBudget`, DOUBLE the shard count
+    * (id mod 2S splits each mod-S shard into exactly two) until every
+    * shard fits, rebuild the split graphs (deterministic ascending-id
+    * insertion, so the resharded index is BYTE-IDENTICAL to a fresh
+    * build at the new count — the probe-identity spec), and republish
+    * atomically with the new count in `meta.json`; readers on the old
+    * version are never torn. Under budget this is a NO-OP returning the
+    * current version — the cheap steady-state check an ingest loop runs
+    * after each append. Cost when it fires: one full graph rebuild,
+    * amortized O(log growth) times over the index's life, each task
+    * bounded by `nodeBudget` nodes. Returns (version name, shard count). */
+  def reshardHnswIndex(s: SparkSession, root: String, nodeBudget: Long): (String, Int) = {
+    val snap = new graft.engine.Snapshot(s, root)
+    val path = snap.currentPath()
+    val numShards = numShardsAt(path)
+    val nodes = s.read.parquet(s"$path/graphs")
+      .select(col("vec_id"), col("embedding"))
+    val maxNow = nodes.groupBy(pmod(col("vec_id"), lit(numShards)))
+      .count().agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (maxNow <= nodeBudget)
+      return (snap.versions().last, numShards)
+    // double until the PROJECTED max shard fits — one tiny agg per
+    // candidate (log-many), over ids only
+    var target = numShards
+    var maxAt = maxNow
+    while (maxAt > nodeBudget) {
+      target *= 2
+      maxAt = nodes.groupBy(pmod(col("vec_id"), lit(target)))
+        .count().agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    }
+    val dumped = buildGraphRows(nodes, target)
+    val fixed = target
+    val v = snap.publishVia { dir =>
+      dumped.repartition(col("shard")).sortWithinPartitions("shard", "ord")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/graphs")
+      writeMeta(dir, fixed)
+    }
+    (v, fixed)
   }
 
   private lazy val hnswDir: String = graft.operators.Dedup.processTempDir("graft_ann_hnsw")
@@ -454,6 +537,46 @@ object Hnsw {
       .select(col("n_exact"),
         (col("insert_hits").cast("double") >=
           col("n_exact").cast("double") * 0.7).as("insert_recall_ok"))
+  }
+
+  private lazy val hnswReshardDir: String =
+    graft.operators.Dedup.processTempDir("graft_ann_hnsw_reshard")
+
+  /** Driver-gated RESHARD round trip (round 13 — VERDICT r12 Next #4):
+    * a DELIBERATELY tight layout (2 shards; even ids all land in shard
+    * 0) builds from the id-bounded slice [100,400), grows by the <100
+    * batch through [[appendHnswIndex]], then [[reshardHnswIndex]] with a
+    * 60-node budget must double 2 -> 4 -> 8 (even ids mod 4 still pack
+    * 100 per shard; mod 8 gives 50) and republish. The odd panel probes
+    * the RESHARDED snapshot; recall@10 against brute force over the
+    * whole corpus is the q_hnsw_insert gate (0.7 bar, ~1.0 measured),
+    * and the pinned `shards_after` literal makes a silent no-op or
+    * wrong-target reshard a loud hash FAIL. The id bound (< 400, present
+    * at every SF) keeps shard sizes — and so the doubling path — scale-
+    * invariant. Probe identity (resharded == fresh-built at the new
+    * count, byte-for-byte) is pinned by the spec. */
+  def qHnswReshard(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+    val base = corpus.filter(col("vec_id") >= 100)
+    val batch = corpus.filter(col("vec_id") < 100)
+    val queries = emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 40)
+    val k = 10
+    graft.operators.Dedup.rmTree(new java.io.File(hnswReshardDir))
+    writeHnswIndex(s, base, hnswReshardDir, numShards = 2)
+    appendHnswIndex(s, hnswReshardDir, batch)
+    val (_, shards) = reshardHnswIndex(s, hnswReshardDir, nodeBudget = 60L)
+    val panel = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val probed = probeHnswIndex(s, hnswReshardDir, panel, k)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k).select("q_id", "n_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(probed, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("reshard_hits")))
+      .select(col("n_exact"),
+        (col("reshard_hits").cast("double") >=
+          col("n_exact").cast("double") * 0.7).as("reshard_recall_ok"),
+        lit(shards).as("shards_after"))
   }
 
   /** Recall gate, the q_ann_recall pattern: fixed 20-query panel,

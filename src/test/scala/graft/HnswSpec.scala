@@ -180,4 +180,66 @@ class HnswSpec extends SparkSpec {
         "second-generation append is not servable")
     } finally graft.operators.Dedup.rmTree(new java.io.File(root))
   }
+
+  test("reshard: no-op under budget; over budget splits to the fresh-build identity (round 13)") {
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+    val base = corpus.filter(col("vec_id") >= 100)
+    val batch = corpus.filter(col("vec_id") < 100)
+    val panel = loadEmb().filter(t => t._1 % 2 == 1 && t._1 < 40)
+    val k = 10
+    val root = java.nio.file.Files.createTempDirectory("hnsw_reshard").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("hnsw_reshard_fresh").toString
+    try {
+      Hnsw.writeHnswIndex(spark, base, root, numShards = 2)
+      val snap = new graft.engine.Snapshot(spark, root)
+      // comfortably under budget: a NO-OP — same version, same count,
+      // nothing republished (the cheap steady-state check)
+      val before = snap.versions()
+      assert(Hnsw.reshardHnswIndex(spark, root, nodeBudget = 10000L)
+        === ((before.last, 2)))
+      assert(snap.versions() === before, "no-op reshard must not publish")
+      // grow past the budget, then reshard: even ids in [0,400) pack
+      // 200 into the single mod-2 shard and 100 per mod-4 shard, so a
+      // 60-node budget must double twice, landing on 8
+      Hnsw.appendHnswIndex(spark, root, batch)
+      val (v, shards) = Hnsw.reshardHnswIndex(spark, root, nodeBudget = 60L)
+      assert(shards === 8)
+      assert(snap.versions().last === v)
+      // IDENTITY: per-shard insertion is ascending vec_id, so the
+      // resharded graphs equal a fresh build of the same corpus at the
+      // same count — byte-for-byte (dump rows), hence probe-for-probe
+      Hnsw.writeHnswIndex(spark, corpus, freshRoot, numShards = 8)
+      def dumpRows(r: String): Set[String] = {
+        val p = new graft.engine.Snapshot(spark, r).currentPath()
+        spark.read.parquet(s"$p/graphs")
+          .selectExpr("concat_ws('|', shard, ord, vec_id, level, " +
+            "hash(embedding), hash(nbrs))")
+          .collect().map(_.getString(0)).toSet
+      }
+      assert(dumpRows(root) === dumpRows(freshRoot),
+        "resharded index diverged from the fresh build at the same layout")
+      val probed = Hnsw.probeHnswIndex(spark, root, panel, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fresh = Hnsw.probeHnswIndex(spark, freshRoot, panel, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probed === fresh, "probe identity lost across the reshard")
+      // the appended (< 100) ids remain served through the new layout
+      assert(probed.exists(_._2 < 100), "appended ids lost by the reshard")
+      // and a follow-up append routes by the NEW count (meta.json)
+      import spark.implicits._
+      val extra = panel.take(1).map { case (_, vec) => (10008L, vec) }.toSeq
+        .toDF("vec_id", "embedding")
+      Hnsw.appendHnswIndex(spark, root, extra)
+      val path = new graft.engine.Snapshot(spark, root).currentPath()
+      val storedShard = spark.read.parquet(s"$path/graphs")
+        .where(col("vec_id") === 10008L).select(col("shard").cast("int"))
+        .head().getInt(0)
+      assert(storedShard === Hnsw.shardOf(10008L, 8),
+        "post-reshard append must route by the grown shard count")
+    } finally {
+      graft.operators.Dedup.rmTree(new java.io.File(root))
+      graft.operators.Dedup.rmTree(new java.io.File(freshRoot))
+    }
+  }
 }
