@@ -171,7 +171,12 @@ class PlanSpec extends SparkSpec {
         "append path's own: restored rows AND the new batch co-locate by " +
         "shard so each shard's graph grows in place — once per node per " +
         "append, the build-exchange bound; per-query exchanges after it " +
-        "carry only scalars"))
+        "carry only scalars"),
+      "q_hnsw_reshard" -> ("the q_hnsw_insert exchanges plus the reshard's " +
+        "OWN rebuild repartition: splitting shards re-co-locates every " +
+        "node with its new shard's graph exactly once per reshard (the " +
+        "build-exchange bound, amortized O(log growth) times over the " +
+        "index's life); per-query exchanges after it carry only scalars"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -198,7 +203,7 @@ class PlanSpec extends SparkSpec {
       // the ADC serving path against it (panel-bounded: 20 queries)
       "q_ann_recall", "q_ann_incremental", "q_pq_search",
       // the HNSW gates embed the same panel-bounded brute-force baseline
-      "q_hnsw_recall", "q_hnsw_incremental", "q_hnsw_insert",
+      "q_hnsw_recall", "q_hnsw_incremental", "q_hnsw_insert", "q_hnsw_reshard",
       // the matryoshka gate IS three panel-bounded brute-force rankings
       // (full/half/quarter width) — all-pairs against the 20-query
       // broadcast panel by definition
