@@ -22,6 +22,7 @@ private[graft] object MediaEntries {
     "q_pdf_diffenc2" -> (graft.sources.BinaryIngest.qPdfDiffenc2 _), // PER-FONT /Differences scoping: two fonts remap the same codes,
     "q_pdf_cid2" -> (graft.sources.BinaryIngest.qPdfCid2 _), // PER-FONT ToUnicode scoping: two composite fonts remap the same CIDs,
     "q_pdf_page_scope" -> (graft.sources.BinaryIngest.qPdfPageScope _), // PER-PAGE scoping: two pages bind the same name to conflicting fonts,
+    "q_pdf_tree" -> (graft.sources.BinaryIngest.qPdfTree _), // nested page tree + inherited/indirect resources resolve per §7.7.3.4,
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip,
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip,
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip,
@@ -109,6 +110,12 @@ private[graft] object MediaEntries {
     // to fonts whose Differences maps conflict — a document-level
     // per-name merge decodes page 1 with page 2's glyphs and hash-fails
     "q_pdf_page_scope" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // nested page tree: page A sits a /Pages level down with only
+    // INHERITED indirect resources, page B resolves /Resources and
+    // /Font through two indirections, fonts conflict on /F1 — exact
+    // equality requires recursion + inheritance + indirection at once
+    "q_pdf_tree" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the encrypted round trip: staged RC4-128 standard-security PDFs
     // must decrypt (file key from /O,/P,/ID; per-object keys) and then

@@ -126,12 +126,20 @@ object BinaryIngest {
     * code/CID decode correctly. On the xref path the scoping is also
     * PER PAGE (q_pdf_page_scope): two pages binding one name to
     * conflicting fonts resolve through their own page's resources.
+    * Since round 13 the xref walk also RECURSES the page tree (nested
+    * /Pages nodes — the balanced-tree shape real producers emit),
+    * INHERITS /Resources down the tree per ISO 32000-1 §7.7.3.4, and
+    * resolves indirect /Resources and indirect /Font values
+    * (q_pdf_tree pins all three at once on conflicting fonts).
     * Out of scope (documented): per-page scoping on the legacy-scan
     * path (its scan-every-stream semantics have no page structure;
-    * names merge per document there), encrypted xref-stream files
-    * (each layer is gated separately; their combination routes to the
-    * legacy path) — a glyph-accurate binding (fitz-class) remains the
-    * production swap-in, through the SAME seam.
+    * names merge per document there), fonts declared as DIRECT inline
+    * dicts inside /Font (rare — fonts are shared, so producers emit
+    * refs; such pages fall back to the merged maps), encrypted
+    * xref-stream files (each layer is gated separately; their
+    * combination routes to the legacy path) — a glyph-accurate binding
+    * (fitz-class) remains the production swap-in, through the SAME
+    * seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -1355,6 +1363,128 @@ object BinaryIngest {
     w("\nendstream endobj\n")
     w(s"startxref\n$off9\n%%EOF\n")
     bos.toByteArray
+  }
+
+  /** [[buildPdfTwoPageDiff]]'s structural sibling for the round-13
+    * page-tree seams: a NESTED page tree (the root /Pages node holds an
+    * intermediate /Pages node holding page A, next to direct-child page
+    * B — the balanced-tree shape real producers emit past ~25 pages),
+    * where page A carries NO /Resources and must INHERIT the root
+    * node's INDIRECT `/Resources 10 0 R` (ISO 32000-1 §7.7.3.4), while
+    * page B's own resources are indirect AND its /Font value is a
+    * further indirect ref. The two fonts bind the same name /F1 to
+    * CONFLICTING Differences maps, so any fallback to the merged map —
+    * inheritance not walked, indirection not resolved, nested page
+    * dropped — garbles one half and hash-fails. */
+  private[graft] def buildPdfTreeInherit(text: String): Array[Byte] = {
+    val t = Option(text).getOrElse("")
+    val cut = {
+      val c = t.length / 2
+      val sp = t.indexOf(' ', c)
+      val cand = if (sp >= 0) sp else t.lastIndexOf(' ')
+      if (cand >= 1 && cand <= t.length - 2) cand else -1
+    }
+    val (a, b) = if (cut < 0) (t, "") else (t.substring(0, cut), t.substring(cut + 1))
+    def codesOf(half: String): Map[Char, Int] = {
+      var nextCode = 1
+      half.distinct.map { c =>
+        if (nextCode == c.toInt) nextCode += 1
+        val k = nextCode; nextCode += 1; c -> k
+      }.toMap
+    }
+    val (codeA, codeB) = (codesOf(a), codesOf(b))
+    def hexOf(s: String, code: Map[Char, Int]): String =
+      s.map(c => f"${code(c)}%02X").mkString
+    def diffsOf(half: String, code: Map[Char, Int]): String =
+      half.distinct.map { c =>
+        val name = GlyphList.nameOf.getOrElse(c, f"uni${c.toInt}%04X")
+        s"${code(c)} /$name"
+      }.mkString(" ")
+    def contentOf(half: String, code: Map[Char, Int]): Array[Byte] =
+      deflateBytes(
+        if (half.isEmpty) "BT ET"
+        else s"BT /F1 12 Tf 72 712 Td <${hexOf(half, code)}> Tj ET")
+    val (c1, c2) = (contentOf(a, codeA), contentOf(b, codeB))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offs = scala.collection.mutable.Map.empty[Int, Long]
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = bos.size.toLong; w(s"$n 0 obj $body endobj\n")
+    }
+    def streamObj(n: Int, dict: String, data: Array[Byte]): Unit = {
+      offs(n) = bos.size.toLong
+      w(s"$n 0 obj << $dict /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      bos.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    // root: INDIRECT /Resources that page A (obj 5) must inherit
+    obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 /Resources 10 0 R >>")
+    // intermediate /Pages node — the nesting the walk must recurse into
+    obj(3, "<< /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 >>")
+    // page B: INDIRECT resources whose /Font value is ANOTHER indirect ref
+    obj(4, "<< /Type /Page /Parent 2 0 R /Resources 11 0 R /Contents 7 0 R >>")
+    // page A: no /Resources of its own — inherits 10 0 R through obj 2
+    obj(5, "<< /Type /Page /Parent 3 0 R /Contents 6 0 R >>")
+    streamObj(6, "", c1)
+    streamObj(7, "", c2)
+    obj(8, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(a, codeA)} ] >> >>")
+    obj(9, "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(b, codeB)} ] >> >>")
+    obj(10, "<< /Font << /F1 8 0 R >> >>")
+    obj(11, "<< /Font 12 0 R >>")
+    obj(12, "<< /F1 9 0 R >>")
+    val off13 = bos.size
+    val entries: Seq[(Int, Long, Int)] =
+      (0, 0L, 0xFFFF) +: (1 to 12).map(n => (1, offs(n), 0)) :+ (1, off13.toLong, 0)
+    val cols = 7
+    val rows = entries.map { case (tp, x, g) => Array(
+      tp.toByte,
+      ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+      ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte,
+      ((g >> 8) & 0xFF).toByte, (g & 0xFF).toByte)
+    }
+    val predicted = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { r =>
+      predicted.write(2) // Up filter
+      var i = 0
+      while (i < cols) { predicted.write((r(i) - prev(i)) & 0xFF); i += 1 }
+      prev = r
+    }
+    val xdata = deflateRaw(predicted.toByteArray)
+    w(s"13 0 obj << /Type /XRef /Size 14 /W [1 4 2] /Index [0 14] " +
+      "/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xdata.length} >> stream\n")
+    bos.write(xdata)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$off13\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Oracle-checked PAGE-TREE round trip (round 13 — VERDICT r12
+    * "What's missing" #3's remaining xref-path seams): documents staged
+    * as NESTED-tree PDFs ([[buildPdfTreeInherit]]) whose page A sits
+    * one /Pages level down with only INHERITED (and indirect) resources
+    * and whose page B resolves /Resources and /Font through two
+    * indirections — with the two fonts binding /F1 to conflicting maps.
+    * Exact text equality requires tree recursion + §7.7.3.4 inheritance
+    * + indirection resolution all at once: a single-level /Kids read
+    * loses half the text, and any resource-resolution miss decodes one
+    * page with the other's glyphs. */
+  def qPdfTree(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdftree_fixture", build = buildPdfTreeInherit)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
   }
 
   /** Oracle-checked PER-PAGE font-scope round trip (round 12): documents

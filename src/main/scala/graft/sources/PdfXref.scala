@@ -353,37 +353,73 @@ object PdfXref {
         rootRef <- keyRef(trailer, "Root")
         catalog <- body(rootRef)
         pagesRef <- keyRef(catalog, "Pages")
-        pages <- body(pagesRef)
-        kids <- ("""/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(pages)
-          .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq))
+        rootPages <- body(pagesRef)
+        _ <- """/Kids\s*\[""".r.findFirstIn(rootPages) // malformed root -> legacy scan
       } yield {
-        val pageDicts = kids.flatMap(body)
+        // A dict-VALUED key resolved to its text: inline `<< ... >>`
+        // (balanced scan) or an indirect `N G R` ref's live body — both
+        // forms are legal for /Resources and for /Font inside it
+        // (round 13; the previous inline-only read lost indirect ones).
+        def dictValue(owner: String, key: String): Option[String] = {
+          val m = (java.util.regex.Pattern.quote("/" + key) + """(?![\w])""").r
+            .findFirstMatchIn(owner).getOrElse(return None)
+          var i = m.end
+          while (i < owner.length && owner.charAt(i).isWhitespace) i += 1
+          if (owner.regionMatches(i, "<<", 0, 2)) dictAt(owner, i).map(_._1)
+          else """\A(\d+)\s+\d+\s+R""".r.findFirstMatchIn(owner.substring(i))
+            .flatMap(r => body(r.group(1).toInt))
+        }
+        // PAGE-TREE RECURSION (round 13): real producers BALANCE page
+        // trees (/Pages nodes nesting /Pages nodes) — the previous
+        // single-level /Kids read silently dropped every page below
+        // level 1. /Resources INHERITS down the tree (ISO 32000-1
+        // §7.7.3.4: a Page without its own uses the nearest ancestor's).
+        // Depth/visit caps keep a cyclic or hostile tree from looping.
+        val pageNodes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val seen = scala.collection.mutable.Set.empty[Int]
+        def walk(num: Int, inheritedRes: String, depth: Int): Unit = {
+          if (depth > 32 || pageNodes.length > 100000 || !seen.add(num)) return
+          body(num).foreach { d =>
+            val res = dictValue(d, "Resources").getOrElse(inheritedRes)
+            """/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(d) match {
+              case Some(m) =>
+                RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq
+                  .foreach(k => walk(k, res, depth + 1))
+              case None => pageNodes += ((d, res))
+            }
+          }
+        }
+        walk(pagesRef, "", 0)
+        val pageDicts = pageNodes.map(_._1).toSeq
         // /ToUnicode CMaps via the page fonts (composite-font pages) —
-        // the document-level merged fallback surface
-        val fontRefs = pageDicts.flatMap(pd =>
+        // the document-level merged fallback surface; the scan covers
+        // the pages AND their resolved resources (an indirect
+        // /Resources would otherwise hide its fonts from the fallback)
+        val fontRefs = (pageDicts ++ pageNodes.map(_._2)).flatMap(pd =>
           """/F\w*\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(pd).map(_.group(1).toInt))
-        val fontDicts = fontRefs.flatMap(body)
+        val fontDicts = fontRefs.distinct.flatMap(body)
         val cmapRefs = fontDicts.flatMap(fd => keyRef(fd, "ToUnicode"))
         // the live /Encoding surface: the font dicts themselves (inline
         // `/Encoding << /Differences ... >>`) plus resolved indirect
         // /Encoding objects — never the raw byte scan
         val encodingDicts = fontDicts.flatMap(fd => keyRef(fd, "Encoding")).flatMap(body)
         // PER PAGE (round 12): content streams + named fonts — the LIVE
-        // `/Font << /Name N G R >>` resource sub-dicts give resource
-        // name -> font object; each named entry carries its own font
-        // dict + resolved indirect /Encoding text (for a per-name
-        // Differences map) plus its resolved /ToUnicode CMap stream (for
-        // a per-name CID map). Page grouping means two pages binding one
-        // name to DIFFERENT fonts scope correctly.
+        // `/Font` resource sub-dict (inline or indirect, own or
+        // inherited) gives resource name -> font object; each named
+        // entry carries its own font dict + resolved indirect /Encoding
+        // text (for a per-name Differences map) plus its resolved
+        // /ToUnicode CMap stream (for a per-name CID map). Page grouping
+        // means two pages binding one name to DIFFERENT fonts scope
+        // correctly.
         val pages: Seq[(Seq[String], Seq[(String, String, Option[String])])] =
-          pageDicts.map { pd =>
+          pageNodes.toSeq.map { case (pd, res) =>
             val contentRefs = keyRef(pd, "Contents").toSeq ++
               ("""/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pd).toSeq
                 .flatMap(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt)))
-            val named = """/Font\s*<<([^<>]*)>>""".r.findAllMatchIn(pd).toSeq
-              .flatMap { fm =>
+            val named = dictValue(res, "Font").toSeq
+              .flatMap { fontDict =>
                 """/([^\s\[\]<>/()]++)\s+(\d+)\s+\d+\s+R""".r
-                  .findAllMatchIn(fm.group(1)).toSeq.flatMap { m =>
+                  .findAllMatchIn(fontDict).toSeq.flatMap { m =>
                     body(m.group(2).toInt).map { fd =>
                       val enc = keyRef(fd, "Encoding").flatMap(body).getOrElse("")
                       val cm = keyRef(fd, "ToUnicode")

@@ -536,6 +536,37 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfTwoPageDiff("")) === "")
   }
 
+  test("PDF nested page tree: recursion, §7.7.3.4 inheritance, indirect resources (round 13)") {
+    import graft.sources.{BinaryIngest, PdfXref}
+    // page A sits one /Pages level down with only INHERITED indirect
+    // resources; page B resolves /Resources and then /Font through two
+    // indirections; the fonts bind /F1 to conflicting maps
+    val text = "état Δ9 … WINS"
+    val pdf = BinaryIngest.buildPdfTreeInherit(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    val raw = new String(pdf, "ISO-8859-1")
+    val walked = PdfXref.contentStreamsWithFonts(pdf, raw)
+    assert(walked.isDefined, "fixture must resolve through the xref walk")
+    val (pages, _, _) = walked.get
+    // the NESTED page is reached, in tree order (a single-level /Kids
+    // read would return one page and lose half the text)
+    assert(pages.length === 2)
+    // both pages' named fonts resolved — page A's ONLY via inheritance,
+    // page B's only via double indirection; any miss leaves no /F1
+    val perPage = pages.map(_._2).map { named =>
+      named.map { case (n, t, _) => n -> BinaryIngest.parseDifferences(t) }.toMap
+    }
+    assert(perPage.forall(_.keySet === Set("F1")),
+      s"named fonts must resolve on both pages: ${perPage.map(_.keySet)}")
+    val (m1, m2) = (perPage(0)("F1"), perPage(1)("F1"))
+    val overlap = m1.keySet.intersect(m2.keySet)
+    assert(overlap.exists(c => m1(c) != m2(c)),
+      "fonts must disagree on a shared code — a resolution miss garbles")
+    // degenerate shapes stage and extract clean
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfTreeInherit("X")) === "X")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfTreeInherit("")) === "")
+  }
+
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
     import graft.sources.{BinaryIngest, PdfCrypto}
     // public RC4 known-answer vector: key "Key", plaintext "Plaintext"
