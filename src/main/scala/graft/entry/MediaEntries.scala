@@ -23,6 +23,7 @@ private[graft] object MediaEntries {
     "q_pdf_cid2" -> (graft.sources.BinaryIngest.qPdfCid2 _), // PER-FONT ToUnicode scoping: two composite fonts remap the same CIDs,
     "q_pdf_page_scope" -> (graft.sources.BinaryIngest.qPdfPageScope _), // PER-PAGE scoping: two pages bind the same name to conflicting fonts,
     "q_pdf_tree" -> (graft.sources.BinaryIngest.qPdfTree _), // nested page tree + inherited/indirect resources resolve per §7.7.3.4,
+    "q_pdf_enc_xref" -> (graft.sources.BinaryIngest.qPdfEncXref _), // encrypted xref-stream files decrypt INSIDE the semantic walk,
     "q_pdf_encrypted" -> (graft.sources.BinaryIngest.qPdfEncrypted _), // RC4-128 standard-security decryption round trip,
     "q_pdf_aes" -> (graft.sources.BinaryIngest.qPdfAes _), // AESV2 (V4) decryption round trip,
     "q_pdf_aes256" -> (graft.sources.BinaryIngest.qPdfAes256 _), // AES-256 (V5/R6) decryption round trip,
@@ -116,6 +117,12 @@ private[graft] object MediaEntries {
     // /Font through two indirections, fonts conflict on /F1 — exact
     // equality requires recursion + inheritance + indirection at once
     "q_pdf_tree" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    // encrypted xref-stream: the walk must decrypt per object IN PLACE —
+    // the legacy fallback decrypts too but merges the conflicting
+    // per-page maps and garbles one page, so exact equality pins the
+    // combination, not just each layer
+    "q_pdf_enc_xref" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     // the encrypted round trip: staged RC4-128 standard-security PDFs
     // must decrypt (file key from /O,/P,/ID; per-object keys) and then

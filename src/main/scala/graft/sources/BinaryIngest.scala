@@ -131,15 +131,19 @@ object BinaryIngest {
     * INHERITS /Resources down the tree per ISO 32000-1 §7.7.3.4, and
     * resolves indirect /Resources and indirect /Font values
     * (q_pdf_tree pins all three at once on conflicting fonts).
+    * ENCRYPTED xref-stream files also stay on the semantic walk since
+    * round 13 (q_pdf_enc_xref): [[PdfXref]] derives the same
+    * standard-security decryptors this scanner implements and decrypts
+    * per object inside the walk, so the combination keeps the
+    * stale-object and page-scoping guarantees; only an underivable key
+    * (passworded) falls back here, extracting empty.
     * Out of scope (documented): per-page scoping on the legacy-scan
     * path (its scan-every-stream semantics have no page structure;
     * names merge per document there), fonts declared as DIRECT inline
     * dicts inside /Font (rare — fonts are shared, so producers emit
-    * refs; such pages fall back to the merged maps), encrypted
-    * xref-stream files (each layer is gated separately; their
-    * combination routes to the legacy path) — a glyph-accurate binding
-    * (fitz-class) remains the production swap-in, through the SAME
-    * seam.
+    * refs; such pages fall back to the merged maps) — a glyph-accurate
+    * binding (fitz-class) remains the production swap-in, through the
+    * SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -1363,6 +1367,130 @@ object BinaryIngest {
     w("\nendstream endobj\n")
     w(s"startxref\n$off9\n%%EOF\n")
     bos.toByteArray
+  }
+
+  /** [[buildPdfTwoPageDiff]] under RC4-128 standard security (round 13
+    * — the ENCRYPTED xref-stream combination, previously routed to the
+    * legacy scanner): same two-page xref-STREAM layout with /F1 bound
+    * to conflicting per-page Differences maps, but both content streams
+    * RC4-encrypted under their per-object keys, with the /Encrypt
+    * dictionary (unencrypted, as the spec mandates) referenced from the
+    * xref stream's own trailer dict alongside /ID. Only the semantic
+    * walk DECRYPTING IN PLACE reproduces the text: falling back to the
+    * legacy scanner decrypts fine but merges the conflicting maps per
+    * document and garbles one page — so the gate pins decrypt-inside-
+    * the-walk, not merely decrypt. */
+  private[graft] def buildPdfEncXref(text: String): Array[Byte] = {
+    val t = Option(text).getOrElse("")
+    val cut = {
+      val fwd = t.indexOf(' ', t.length / 2)
+      val c = if (fwd >= 0) fwd else t.lastIndexOf(' ', t.length / 2)
+      if (c >= 1 && c <= t.length - 2) c else -1
+    }
+    val (a, b) = if (cut < 0) (t, "") else (t.substring(0, cut), t.substring(cut + 1))
+    def codesOf(half: String): Map[Char, Int] = {
+      var nextCode = 1
+      half.distinct.map { c =>
+        if (nextCode == c.toInt) nextCode += 1
+        val k = nextCode; nextCode += 1; c -> k
+      }.toMap
+    }
+    val (codeA, codeB) = (codesOf(a), codesOf(b))
+    def hexOf(s: String, code: Map[Char, Int]): String =
+      s.map(c => f"${code(c)}%02X").mkString
+    def diffsOf(half: String, code: Map[Char, Int]): String =
+      half.distinct.map { c =>
+        val name = GlyphList.nameOf.getOrElse(c, f"uni${c.toInt}%04X")
+        s"${code(c)} /$name"
+      }.mkString(" ")
+    val id0 = PdfCrypto.md5(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val o = PdfCrypto.computeO()
+    val p = -4
+    val key = PdfCrypto.fileKey(o, p, id0)
+    val u = PdfCrypto.computeU(key, id0)
+    def contentOf(num: Int, half: String, code: Map[Char, Int]): Array[Byte] =
+      PdfCrypto.rc4(PdfCrypto.objKey(key, num, 0), deflateBytes(
+        if (half.isEmpty) "BT ET"
+        else s"BT /F1 12 Tf 72 712 Td <${hexOf(half, code)}> Tj ET"))
+    val (c1, c2) = (contentOf(5, a, codeA), contentOf(6, b, codeB))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offs = scala.collection.mutable.Map.empty[Int, Long]
+    def obj(n: Int, body: String): Unit = {
+      offs(n) = bos.size.toLong; w(s"$n 0 obj $body endobj\n")
+    }
+    def streamObj(n: Int, dict: String, data: Array[Byte]): Unit = {
+      offs(n) = bos.size.toLong
+      w(s"$n 0 obj << $dict /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      bos.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.5\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 7 0 R >> >> /Contents 5 0 R >>")
+    obj(4, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 8 0 R >> >> /Contents 6 0 R >>")
+    streamObj(5, "", c1)
+    streamObj(6, "", c2)
+    obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(a, codeA)} ] >> >>")
+    obj(8, "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(b, codeB)} ] >> >>")
+    // the /Encrypt dictionary is NEVER encrypted (§7.6.1) and lives as
+    // a plain type-1 object the table resolves before any key exists
+    obj(10, "<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P $p /O <${PdfCrypto.toHex(o)}> /U <${PdfCrypto.toHex(u)}> >>")
+    val off9 = bos.size
+    val entries: Seq[(Int, Long, Int)] =
+      (0, 0L, 0xFFFF) +: (1 to 8).map(n => (1, offs(n), 0)) :+
+        ((1, off9.toLong, 0)) :+ ((1, offs(10), 0))
+    val cols = 7
+    val rows = entries.map { case (tp, x, g) => Array(
+      tp.toByte,
+      ((x >> 24) & 0xFF).toByte, ((x >> 16) & 0xFF).toByte,
+      ((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte,
+      ((g >> 8) & 0xFF).toByte, (g & 0xFF).toByte)
+    }
+    val predicted = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { r =>
+      predicted.write(2) // Up filter
+      var i = 0
+      while (i < cols) { predicted.write((r(i) - prev(i)) & 0xFF); i += 1 }
+      prev = r
+    }
+    val xdata = deflateRaw(predicted.toByteArray)
+    w(s"9 0 obj << /Type /XRef /Size 11 /W [1 4 2] /Index [0 11] " +
+      "/Root 1 0 R /Encrypt 10 0 R " +
+      s"/ID [<${PdfCrypto.toHex(id0)}> <${PdfCrypto.toHex(id0)}>] " +
+      "/Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xdata.length} >> stream\n")
+    bos.write(xdata)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$off9\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** Oracle-checked ENCRYPTED-XREF round trip (round 13): documents
+    * staged as RC4-encrypted xref-STREAM PDFs ([[buildPdfEncXref]])
+    * whose pages bind /F1 to conflicting Differences maps — exact text
+    * equality requires the semantic walk to decrypt IN PLACE (per-object
+    * keys from the /Encrypt dict the xref trailer references): the old
+    * route-to-legacy fallback decrypts but loses page scoping and
+    * provably garbles one page. */
+  def qPdfEncXref(s: SparkSession, d: String): DataFrame = {
+    val fix = stagePdfFixture(s, d, kind = "pdfencx_fixture", build = buildPdfEncXref)
+    readBinaryDocs(s, fix, pdfTextExtractorFull, glob = "*.pdf")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
   }
 
   /** [[buildPdfTwoPageDiff]]'s structural sibling for the round-13

@@ -23,11 +23,15 @@ package graft.sources
   * correct posture for a crawl: never crash, degrade to the laxer
   * parser.
   *
-  * Out of scope (documented): encrypted xref-stream files (the /Encrypt
-  * check below routes them to the legacy path, which handles the
-  * non-xref-stream encrypted generations), /Prev incremental chains
-  * beyond 8 hops, and non-Flate xref filters (LZW is not emitted by
-  * modern producers). */
+  * ENCRYPTED xref-stream files stay on this walk since round 13: the
+  * /Encrypt dictionary (itself never encrypted, §7.6.1) derives the
+  * same standard-security decryptors the legacy scanner implements
+  * (RC4 V=2, /AESV2, /AESV3 R=6) and every ObjStm/content/CMap stream
+  * decrypts under its per-object key before inflating; a key this
+  * build cannot derive routes to the legacy path, which then extracts
+  * empty. Out of scope (documented): /Prev incremental chains beyond 8
+  * hops, and non-Flate xref filters (LZW is not emitted by modern
+  * producers). */
 object PdfXref {
 
   /** One object-table row: tpe 0 free / 1 at byte offset / 2 packed in
@@ -201,12 +205,35 @@ object PdfXref {
       }
     }
 
+  /** Per-object stream decryptor: (objNum, generation, ciphertext) ->
+    * plaintext, derived from the /Encrypt dictionary (round 13 — the
+    * encrypted xref-stream combination previously routed to the legacy
+    * scanner, losing the semantic walk's stale-object and page-scoping
+    * guarantees). The xref stream itself and the /Encrypt dictionary
+    * are NEVER encrypted (ISO 32000-1 §7.5.8.2, §7.6.1), so table
+    * resolution needs no key; ObjStm, content and CMap STREAMS are. */
+  private type Dec = (Int, Int, Array[Byte]) => Option[Array[Byte]]
+
+  /** Decrypt-then-maybe-inflate a stream's data slice. */
+  private def streamData(bytes: Array[Byte], ds: Int, len: Int, dict: String,
+      num: Int, gen: Int, dec: Option[Dec]): Option[Array[Byte]] = {
+    if (ds + len > bytes.length) return None
+    val slice = java.util.Arrays.copyOfRange(bytes, ds, ds + len)
+    val plain = dec match {
+      case Some(d) => d(num, gen, slice)
+      case None => Some(slice)
+    }
+    plain.flatMap(p =>
+      if (dict.contains("/FlateDecode")) inflate(p, 0, p.length) else Some(p))
+  }
+
   /** Load the body text of object `num` via the table: type-1 objects
     * parse at their byte offset, type-2 objects come out of their
     * ObjStm's pair table. Non-stream objects only (dicts / numbers). */
   private def objectBody(raw: String, bytes: Array[Byte],
       table: Map[Int, Entry], num: Int,
-      objstmCache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]]): Option[String] =
+      objstmCache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]],
+      dec: Option[Dec]): Option[String] =
     table.get(num).flatMap {
       case Entry(1, off, _) =>
         """(\d+)\s+(\d+)\s+obj""".r.findPrefixMatchOf(
@@ -219,14 +246,13 @@ object PdfXref {
       case Entry(2, stmNum, idx) =>
         val loaded = objstmCache.getOrElseUpdate(stmNum.toInt, {
           for {
-            Entry(1, off, _) <- table.get(stmNum.toInt)
+            Entry(1, off, gen) <- table.get(stmNum.toInt)
             (_, dict, ds, lenOpt) <- streamObjAt(raw, off.toInt)
             if dict.contains("/ObjStm")
             len <- lenOpt
             n <- keyInt(dict, "N")
             first <- keyInt(dict, "First")
-            data <- if (dict.contains("/FlateDecode")) inflate(bytes, ds, ds + len)
-                    else Some(java.util.Arrays.copyOfRange(bytes, ds, ds + len))
+            data <- streamData(bytes, ds, len, dict, stmNum.toInt, gen, dec)
           } yield {
             val text = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
             val nums = text.substring(0, math.min(first, text.length))
@@ -255,12 +281,13 @@ object PdfXref {
     * ObjStm — the layout detail that defeats offset-free scanners). */
   private def resolveLength(dict: String, raw: String, bytes: Array[Byte],
       table: Map[Int, Entry],
-      cache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]]): Option[Int] =
+      cache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]],
+      dec: Option[Dec]): Option[Int] =
     """/Length\s+(\d++)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
       .map(m => m.group(1).toInt)
       .orElse {
         """/Length\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict).flatMap { m =>
-          objectBody(raw, bytes, table, m.group(1).toInt, cache)
+          objectBody(raw, bytes, table, m.group(1).toInt, cache, dec)
             .flatMap(b => """\d+""".r.findFirstIn(b).map(_.toInt))
         }
       }
@@ -269,18 +296,57 @@ object PdfXref {
     * cannot live inside an ObjStm) to its inflated content string. */
   private def streamContent(raw: String, bytes: Array[Byte],
       table: Map[Int, Entry], num: Int,
-      cache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]]): Option[String] =
-    table.get(num).collect { case Entry(1, off, _) => off }.flatMap { off =>
-      streamObjAt(raw, off.toInt).flatMap { case (_, dict, ds, _) =>
-        resolveLength(dict, raw, bytes, table, cache).flatMap { len =>
-          if (ds + len > bytes.length) None
-          else if (dict.contains("/FlateDecode"))
-            inflate(bytes, ds, ds + len).map(d =>
+      cache: scala.collection.mutable.Map[Int, Option[(String, Seq[(Int, Int)], Int)]],
+      dec: Option[Dec]): Option[String] =
+    table.get(num).collect { case Entry(1, off, gen) => (off, gen) }
+      .flatMap { case (off, gen) =>
+        streamObjAt(raw, off.toInt).flatMap { case (_, dict, ds, _) =>
+          resolveLength(dict, raw, bytes, table, cache, dec).flatMap { len =>
+            streamData(bytes, ds, len, dict, num, gen, dec).map(d =>
               new String(d, java.nio.charset.StandardCharsets.ISO_8859_1))
-          else Some(raw.substring(ds, ds + len))
+          }
         }
       }
+
+  /** Derive the per-object decryptor from the /Encrypt dictionary —
+    * the SAME standard-security generations the legacy scanner decrypts
+    * (RC4 V=2, /AESV2 V=4, /AESV3 V=5 R=6; empty user password, /U
+    * verified). None = key underivable (passworded, or a form this
+    * build does not implement) — the caller falls back to the legacy
+    * path, whose own derivation then fails the same way and extracts
+    * EMPTY rather than garbage. */
+  private def buildDecryptor(trailer: String, encDict: String): Option[Dec] = try {
+    def hex(owner: String, key: String): Option[Array[Byte]] =
+      (java.util.regex.Pattern.quote("/" + key) + """\s*<([0-9A-Fa-f\s]+)>""").r
+        .findFirstMatchIn(owner)
+        .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+    if (encDict.contains("/AESV3")) {
+      for {
+        u <- hex(encDict, "U")
+        ue <- hex(encDict, "UE")
+        k <- PdfCrypto.fileKeyR6(u, ue)
+      } yield (_: Int, _: Int, data: Array[Byte]) => PdfCrypto.aesDecrypt(k, data)
+    } else {
+      for {
+        o <- hex(encDict, "O")
+        p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(encDict)
+          .map(_.group(1).toLong.toInt)
+        id0 <- """/ID\s*\[\s*<([0-9A-Fa-f\s]+)>""".r.findFirstMatchIn(trailer)
+          .map(m => PdfCrypto.fromHex(m.group(1).replaceAll("\\s", "")))
+        key = PdfCrypto.fileKey(o, p, id0)
+        uOk = hex(encDict, "U").forall(u => java.util.Arrays.equals(u.take(16),
+          PdfCrypto.computeU(key, id0).take(16)))
+        k <- if (uOk) Some(key) else None
+      } yield {
+        if (encDict.contains("/AESV2"))
+          (num: Int, gen: Int, data: Array[Byte]) =>
+            PdfCrypto.aesDecrypt(PdfCrypto.objKey(k, num, gen, aes = true), data)
+        else
+          (num: Int, gen: Int, data: Array[Byte]) =>
+            Some(PdfCrypto.rc4(PdfCrypto.objKey(k, num, gen), data))
+      }
     }
+  } catch { case _: Exception => None }
 
   /** The xref-stream entry point: when the file's `startxref` points at
     * a cross-reference STREAM, walk /Root -> /Pages -> /Kids ->
@@ -344,11 +410,29 @@ object PdfXref {
         }
         hops += 1
       }
-      if (trailer.contains("/Encrypt")) return None // legacy path decrypts
       val cache = scala.collection.mutable.Map
         .empty[Int, Option[(String, Seq[(Int, Int)], Int)]]
+      // Encrypted xref-stream files stay ON the semantic walk (round 13
+      // — they previously routed to the legacy scanner, losing its
+      // stale-object and page-scoping guarantees): the /Encrypt dict is
+      // itself unencrypted and type-1 by spec, so it resolves without a
+      // key; a key this build cannot derive (passworded, exotic filter)
+      // falls back to the legacy path, which then extracts empty.
+      val dec: Option[Dec] =
+        if (!trailer.contains("/Encrypt")) None
+        else {
+          val built = for {
+            encRef <- keyRef(trailer, "Encrypt")
+            encDict <- objectBody(raw, bytes, table, encRef, cache, None)
+            d <- buildDecryptor(trailer, encDict)
+          } yield d
+          built match {
+            case Some(d) => Some(d)
+            case None => return None // legacy path: derivation fails there too -> empty
+          }
+        }
       def body(num: Int): Option[String] =
-        objectBody(raw, bytes, table, num, cache)
+        objectBody(raw, bytes, table, num, cache, dec)
       for {
         rootRef <- keyRef(trailer, "Root")
         catalog <- body(rootRef)
@@ -423,16 +507,16 @@ object PdfXref {
                     body(m.group(2).toInt).map { fd =>
                       val enc = keyRef(fd, "Encoding").flatMap(body).getOrElse("")
                       val cm = keyRef(fd, "ToUnicode")
-                        .flatMap(n => streamContent(raw, bytes, table, n, cache))
+                        .flatMap(n => streamContent(raw, bytes, table, n, cache, dec))
                       (m.group(1), fd + " " + enc, cm)
                     }
                   }
               }
             (contentRefs.distinct.flatMap(n =>
-              streamContent(raw, bytes, table, n, cache)), named)
+              streamContent(raw, bytes, table, n, cache, dec)), named)
           }
         val cmapStreams = cmapRefs.distinct
-          .flatMap(n => streamContent(raw, bytes, table, n, cache))
+          .flatMap(n => streamContent(raw, bytes, table, n, cache, dec))
         (pages, fontDicts ++ encodingDicts, cmapStreams)
       }
     } catch { case _: Exception => None }

@@ -567,6 +567,34 @@ class EngineSpec extends SparkSpec {
     assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfTreeInherit("")) === "")
   }
 
+  test("PDF encrypted xref-stream: the semantic walk decrypts in place (round 13)") {
+    import graft.sources.{BinaryIngest, PdfXref}
+    val text = "état Δ9 … WINS"
+    val pdf = BinaryIngest.buildPdfEncXref(text)
+    assert(BinaryIngest.pdfExtract(pdf) === text)
+    // the combination stays ON the walk — no legacy fallback (the old
+    // behavior returned None here and lost page scoping)
+    val raw = new String(pdf, "ISO-8859-1")
+    val walked = PdfXref.contentStreamsWithFonts(pdf, raw)
+    assert(walked.isDefined, "encrypted xref file must resolve through the walk")
+    val (pages, _, _) = walked.get
+    assert(pages.length === 2)
+    assert(pages.forall(_._2.map(_._1) == Seq("F1")),
+      "per-page named fonts must survive decryption")
+    // an UNDERIVABLE key (corrupted /U -> the passworded shape) falls
+    // back to the legacy path, which extracts EMPTY — never garbage
+    val uIdx = raw.indexOf("/U <")
+    val broken = pdf.clone()
+    broken(uIdx + 4) = (if (raw.charAt(uIdx + 4) == '0') 'F' else '0').toByte
+    assert(PdfXref.contentStreamsWithFonts(
+      broken, new String(broken, "ISO-8859-1")).isEmpty,
+      "wrong password must route to the legacy fallback")
+    assert(BinaryIngest.pdfExtract(broken) === "")
+    // degenerate shapes stage and extract clean
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfEncXref("X")) === "X")
+    assert(BinaryIngest.pdfExtract(BinaryIngest.buildPdfEncXref("")) === "")
+  }
+
   test("PDF standard-security decryption: RC4 KAT, round trip, wrong password") {
     import graft.sources.{BinaryIngest, PdfCrypto}
     // public RC4 known-answer vector: key "Key", plaintext "Plaintext"
