@@ -137,13 +137,14 @@ object BinaryIngest {
     * per object inside the walk, so the combination keeps the
     * stale-object and page-scoping guarantees; only an underivable key
     * (passworded) falls back here, extracting empty.
+    * DIRECT inline font dicts inside /Font resolve too (round 13 —
+    * q_pdf_tree's page B font is one, behind an indirect /Resources
+    * and an indirect /Font).
     * Out of scope (documented): per-page scoping on the legacy-scan
     * path (its scan-every-stream semantics have no page structure;
-    * names merge per document there), fonts declared as DIRECT inline
-    * dicts inside /Font (rare — fonts are shared, so producers emit
-    * refs; such pages fall back to the merged maps) — a glyph-accurate
-    * binding (fitz-class) remains the production swap-in, through the
-    * SAME seam.
+    * names merge per document there — structurally incompatible with
+    * page scoping) — a glyph-accurate binding (fitz-class) remains the
+    * production swap-in, through the SAME seam.
     *
     * Byte-offset discipline: the ISO-8859-1 decode is 1:1 bytes→chars,
     * so string indexes ARE byte offsets and the Inflater reads the raw
@@ -692,7 +693,7 @@ object BinaryIngest {
     * it whenever [[buildPdf]], the doc selection, or the escaping changes
     * so a stale cache from a previous build can never be verified against
     * (the old paths simply stop being looked at). */
-  private val FixtureVersion = 3 // v3: buildHtml gained empty-anchor outlinks (q_links)
+  private val FixtureVersion = 4 // v4: buildPdfTreeInherit's /F1 became a direct inline dict (q_pdf_tree)
 
   /** Versioned fixture root for sf dir `d`: deterministic per (builder
     * version, sf dir), so a builder change = a fresh path. */
@@ -1499,8 +1500,10 @@ object BinaryIngest {
     * B — the balanced-tree shape real producers emit past ~25 pages),
     * where page A carries NO /Resources and must INHERIT the root
     * node's INDIRECT `/Resources 10 0 R` (ISO 32000-1 §7.7.3.4), while
-    * page B's own resources are indirect AND its /Font value is a
-    * further indirect ref. The two fonts bind the same name /F1 to
+    * page B's own resources are indirect, its /Font value is a further
+    * indirect ref, and the font itself is a DIRECT inline dict under
+    * /F1 (round 13 — refs-only parsing finds no named font there).
+    * The two fonts bind the same name /F1 to
     * CONFLICTING Differences maps, so any fallback to the merged map —
     * inheritance not walked, indirection not resolved, nested page
     * dropped — garbles one half and hash-fails. */
@@ -1552,7 +1555,9 @@ object BinaryIngest {
     obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 /Resources 10 0 R >>")
     // intermediate /Pages node — the nesting the walk must recurse into
     obj(3, "<< /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 >>")
-    // page B: INDIRECT resources whose /Font value is ANOTHER indirect ref
+    // page B: INDIRECT resources whose /Font value is ANOTHER indirect
+    // ref, resolving to a DIRECT inline font dict (round 13 — three
+    // resolution layers deep)
     obj(4, "<< /Type /Page /Parent 2 0 R /Resources 11 0 R /Contents 7 0 R >>")
     // page A: no /Resources of its own — inherits 10 0 R through obj 2
     obj(5, "<< /Type /Page /Parent 3 0 R /Contents 6 0 R >>")
@@ -1566,7 +1571,12 @@ object BinaryIngest {
       s"/Differences [ ${diffsOf(b, codeB)} ] >> >>")
     obj(10, "<< /Font << /F1 8 0 R >> >>")
     obj(11, "<< /Font 12 0 R >>")
-    obj(12, "<< /F1 9 0 R >>")
+    // /F1 as a DIRECT inline font dict (same conflicting map as the
+    // unreferenced obj 9 form): a refs-only /Font parse finds no named
+    // font here and falls back to the merged maps — which conflict
+    obj(12, "<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [ ${diffsOf(b, codeB)} ] >> >> >>")
     val off13 = bos.size
     val entries: Seq[(Int, Long, Int)] =
       (0, 0L, 0xFFFF) +: (1 to 12).map(n => (1, offs(n), 0)) :+ (1, off13.toLong, 0)

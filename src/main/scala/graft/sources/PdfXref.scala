@@ -53,6 +53,25 @@ object PdfXref {
       .findFirstMatchIn(dict)
       .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).toSeq.map(_.toLong))
 
+  /** Position-PRESERVING blank-out of nested dict bodies: characters at
+    * `<< >>` depth > 1 become spaces, so a regex over the result sees
+    * only the outer dict's own keys, at their original offsets. */
+  private def blankNested(d: String): String = {
+    val sb = new StringBuilder(d.length)
+    var depth = 0
+    var i = 0
+    while (i < d.length) {
+      if (d.regionMatches(i, "<<", 0, 2)) {
+        depth += 1; sb.append(if (depth > 1) "  " else "<<"); i += 2
+      } else if (d.regionMatches(i, ">>", 0, 2)) {
+        sb.append(if (depth > 1) "  " else ">>"); depth -= 1; i += 2
+      } else {
+        sb.append(if (depth > 1) ' ' else d.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Balanced `<< ... >>` scan from the first `<<` at/after `from`. */
   private def dictAt(raw: String, from: Int): Option[(String, Int)] = {
     val start = raw.indexOf("<<", from)
@@ -500,15 +519,31 @@ object PdfXref {
             val contentRefs = keyRef(pd, "Contents").toSeq ++
               ("""/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pd).toSeq
                 .flatMap(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt)))
+            // each top-level name in the /Font dict maps to its font:
+            // an indirect `N G R` ref, or a DIRECT inline dict (round
+            // 13 — legal per the spec though rare, since shared fonts
+            // push producers toward refs). Nested dict bodies are
+            // blanked (position-preserving) before the name scan so a
+            // direct dict's OWN keys (/Encoding, /ToUnicode refs) are
+            // never misread as resource names.
             val named = dictValue(res, "Font").toSeq
               .flatMap { fontDict =>
-                """/([^\s\[\]<>/()]++)\s+(\d+)\s+\d+\s+R""".r
-                  .findAllMatchIn(fontDict).toSeq.flatMap { m =>
-                    body(m.group(2).toInt).map { fd =>
-                      val enc = keyRef(fd, "Encoding").flatMap(body).getOrElse("")
-                      val cm = keyRef(fd, "ToUnicode")
+                val top = blankNested(fontDict)
+                """/([^\s\[\]<>/()]++)""".r.findAllMatchIn(top).toSeq
+                  .flatMap { m =>
+                    var i = m.end
+                    while (i < fontDict.length && fontDict.charAt(i).isWhitespace) i += 1
+                    val fd: Option[String] =
+                      if (fontDict.regionMatches(i, "<<", 0, 2))
+                        dictAt(fontDict, i).map(_._1)
+                      else """\A(\d+)\s+\d+\s+R""".r
+                        .findFirstMatchIn(fontDict.substring(i))
+                        .flatMap(r => body(r.group(1).toInt))
+                    fd.map { f =>
+                      val enc = keyRef(f, "Encoding").flatMap(body).getOrElse("")
+                      val cm = keyRef(f, "ToUnicode")
                         .flatMap(n => streamContent(raw, bytes, table, n, cache, dec))
-                      (m.group(1), fd + " " + enc, cm)
+                      (m.group(1), f + " " + enc, cm)
                     }
                   }
               }
