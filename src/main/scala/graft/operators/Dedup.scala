@@ -119,16 +119,19 @@ object Dedup {
     ngramNearDupsIdx(shingleIndex(docs), threshold)
 
   private def ngramNearDupsIdx(sh: DataFrame, threshold: Double): DataFrame = {
-    val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    val common = postings.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    // set sizes RIDE THE POSTINGS (8 bytes a row) instead of joining back
+    // after the pair count — the [[gateFusedExactPairs]] shape: the two
+    // size-joins this replaces were each a full extra exchange over the
+    // pair list; first() is exact because sa/sb are constant per doc
+    val postings = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("shingle"))
+    postings.select(col("doc_id").as("doc_a"), col("n_sh").as("sa"), col("shingle"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("sb"),
+        col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sa")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sa") + col("sb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -308,14 +311,17 @@ object Dedup {
     val nDocs = docs.count()
     val f = sampleFraction(nDocs)
     val sharedIdx = if (f >= 1.0) Some(shingleIndex(docs)) else None
-    val st = sharedIdx match {
-      case Some(idx) => ngramStatsIdx(idx, nDocs, 1.0)
-      case None => ngramStatsSampled(docs, nDocs, f)
+    // sampled path: correct by the REALIZED fraction (cut/modulus),
+    // exactly as [[ngramStatsSampled]] documents
+    val (statsIdx, fReal) = sharedIdx match {
+      case Some(idx) => (idx, 1.0)
+      case None =>
+        val cut = math.max(1L, (f * SampleModulus).toLong)
+        (shingleIndex(docs.filter(
+          pmod(xxhash64(col("doc_id")), lit(SampleModulus)) < lit(cut))),
+          cut.toDouble / SampleModulus)
     }
-    val strategy = chooseNgramStrategy(st, pairBudgetPerDoc)
-    log.info(s"$what dedup strategy=${strategy.name} nDocs=${st.nDocs} " +
-      f"pairsPerDoc=${st.pairsPerDoc}%.1f headPairsShare=${st.headPairsShare}%.3f " +
-      s"budget=$pairBudgetPerDoc")
+    val strategy = routeStrategy(statsIdx, nDocs, fReal, pairBudgetPerDoc, what)
     val idx = sharedIdx.getOrElse(shingleIndex(docs))
     val pairs = strategy match {
       case NgramInverted => invertedIdx(idx, threshold)
@@ -323,6 +329,41 @@ object Dedup {
       case NgramLsh => lshIdx(idx, threshold)
     }
     (pairs, strategy)
+  }
+
+  /** The router's strategy decision with LAZY stats: one cheap aggregate
+    * (shingle count, postings, exact est-pairs — no percentile sketch, no
+    * checkpoint) settles the common case where the pair budget already
+    * decides; only an over-budget corpus pays the p999 + head-share pair
+    * of jobs that split prefix from LSH. Decision-identical to
+    * [[chooseNgramStrategy]] over [[ngramStatsIdx]] (same expressions,
+    * same sampling correction), asserted in DedupSpec — the full
+    * [[ngramStats]] remains the observability entry point. */
+  private def routeStrategy(sh: DataFrame, nDocs: Long, f: Double,
+      pairBudgetPerDoc: Double, what: String): NgramStrategy = {
+    val dfreq = sh.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val r = dfreq.agg(
+      sum(col("df").cast("double") * (col("df") - 1) / 2).as("est_pairs")).head()
+    val estPairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0) / (f * f)
+    val pairsPerDoc = if (nDocs == 0) 0.0 else estPairs / nDocs
+    if (pairsPerDoc <= pairBudgetPerDoc) {
+      log.info(s"$what dedup strategy=inverted nDocs=$nDocs " +
+        f"pairsPerDoc=$pairsPerDoc%.1f budget=$pairBudgetPerDoc")
+      NgramInverted
+    } else {
+      val ck = dfreq.localCheckpoint()
+      val p999 = ck.agg(expr("approx_percentile(df, 0.999)")).head().getLong(0)
+      val headPairs = ck.filter(col("df") >= p999)
+        .agg(coalesce(sum(col("df").cast("double") * (col("df") - 1) / 2), lit(0.0)))
+        .head().getDouble(0) / (f * f)
+      val headShare = if (estPairs == 0) 0.0 else headPairs / estPairs
+      val strategy = if (headShare >= 0.5) NgramPrefix else NgramLsh
+      log.info(s"$what dedup strategy=${strategy.name} nDocs=$nDocs " +
+        f"pairsPerDoc=$pairsPerDoc%.1f headPairsShare=$headShare%.3f " +
+        s"budget=$pairBudgetPerDoc")
+      strategy
+    }
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
@@ -487,15 +528,15 @@ object Dedup {
 
   private[graft] def crossNearDupsExactIdx(la: DataFrame, ra: DataFrame,
       threshold: Double): DataFrame = {
-    val lp = la.select(col("doc_id").as("doc_a"), explode(col("sh")).as("shingle"))
-    val rp = ra.select(col("doc_id").as("doc_b"), explode(col("sh")).as("shingle"))
-    val common = lp.join(rp, Seq("shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(la.select(col("doc_id").as("doc_a"),
-        size(col("sh")).cast("long").as("sa")), Seq("doc_a"))
-      .join(ra.select(col("doc_id").as("doc_b"),
-        size(col("sh")).cast("long").as("sb")), Seq("doc_b"))
+    // set sizes ride the postings — same two-exchange removal as
+    // [[ngramNearDupsIdx]] / [[gateFusedExactPairs]]
+    val lp = la.select(col("doc_id").as("doc_a"),
+      size(col("sh")).cast("long").as("sa"), explode(col("sh")).as("shingle"))
+    val rp = ra.select(col("doc_id").as("doc_b"),
+      size(col("sh")).cast("long").as("sb"), explode(col("sh")).as("shingle"))
+    lp.join(rp, Seq("shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sa") + col("sb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -1086,15 +1127,17 @@ object Dedup {
     containmentDupsIdx(shingleIndex(docs), threshold)
 
   private def containmentDupsIdx(sh: DataFrame, threshold: Double): DataFrame = {
-    val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    postings.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    // set sizes ride the postings — same two-exchange removal as
+    // [[ngramNearDupsIdx]] / [[gateFusedExactPairs]]
+    val postings = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("shingle"))
+    postings.select(col("doc_id").as("doc_a"), col("n_sh").as("sa"), col("shingle"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("sb"),
+        col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sa")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("containment",
         col("common").cast("double") / least(col("sa"), col("sb")))
       .filter(col("containment") >= threshold)

@@ -314,6 +314,16 @@ class DedupSpec extends SparkSpec {
     val auto = Dedup.ngramNearDupsAuto(docs, 0.5).collect().map(_.toSeq).toSet
     val exact = Dedup.ngramNearDups(docs, 0.5).collect().map(_.toSeq).toSet
     assert(auto === exact)
+    // the router's LAZY strategy decision (skips percentile/head jobs when
+    // the pair budget already decides) must match the full-stats rule on
+    // every branch: inverted (under budget), lsh (saturated, broad
+    // pairs), prefix (hot head) — same corpora as the stats assertions
+    Seq((docs, 512.0), (saturated, 512.0), (heavy, 100.0)).foreach {
+      case (corpus, budget) =>
+        val expected = Dedup.chooseNgramStrategy(Dedup.ngramStats(corpus), budget)
+        val (_, got) = Dedup.ngramNearDupsAutoTagged(corpus, 0.5, budget)
+        assert(got === expected, s"lazy route diverged from full-stats rule")
+    }
   }
 
   test("simhash banding on a realistic vocabulary: planted dups found, buckets bounded") {
