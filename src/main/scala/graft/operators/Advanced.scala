@@ -249,8 +249,14 @@ object Advanced {
     * sketch pass is the whole point (no global sort, map-side mergeable
     * summaries). */
   def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
-    approxPercentileCheck(
-      lineitem(s, d).select(col("l_extendedprice").cast("double").as("x")))
+    // rebalance: the sf-scale lineitem file arrives as ONE scan split, so
+    // both aggregate passes (GK sketch, exact-percentile sort) would run
+    // single-threaded; a no-op on well-split cluster inputs
+    // (Tables.rebalance contract). Results unchanged: the exact
+    // percentiles are partition-independent and the rank-tolerance
+    // booleans hold under ANY sketch merge order (the GK bound).
+    approxPercentileCheck(Tables.rebalance(
+      lineitem(s, d).select(col("l_extendedprice").cast("double").as("x")), "x"))
 
   /** The sketch-vs-exact check over any single-column frame `x`; empty
     * input yields zero rows (the sketch aggregate returns NULL). */
@@ -266,20 +272,24 @@ object Advanced {
       return Seq.empty[(Double, Double, Boolean)]
         .toDF("p", "exact_pct", "rank_within_eps")
     val approx = approxRow.getSeq[Double](0)
-    // one second pass measuring each sketch value's true rank SPAN plus
-    // the exact percentiles (same aggregate — no third scan): a value
+    // second pass measuring each sketch value's true rank SPAN: a value
     // occupies ranks (count(x < a), count(x <= a)] — the bound holds if
     // that span intersects [p - eps, p + eps] (strict/non-strict counts
     // both needed: a heavily duplicated value has a wide span)
     val rankAgg = li.agg(
       count(lit(1)).as("cnt"),
-      (approx.zipWithIndex.flatMap { case (a, i) =>
+      approx.zipWithIndex.flatMap { case (a, i) =>
         Seq(sum(when(col("x") <= a, 1L).otherwise(0L)).as(s"le_$i"),
           sum(when(col("x") < a, 1L).otherwise(0L)).as(s"lt_$i"))
-      } :+ expr(s"percentile(x, array(${ps.mkString(",")}))").as("exact")): _*)
+      }: _*)
       .head()
     val n = rankAgg.getLong(0)
-    val exact = rankAgg.getSeq[Double](1 + 2 * ps.length)
+    // exact percentiles by DISTRIBUTED SELECTION, not the `percentile`
+    // aggregate: that aggregate accumulates a per-partition value map of
+    // the WHOLE column and merges the maps single-threaded (measured
+    // 2.3 s of a 2.6 s query at sf0.1; at 100 TB the maps are the column
+    // — an executor OOM, guide §5). Values bit-identical (spec'd).
+    val exact = exactPercentilesBySelection(li, ps)
     ps.zipWithIndex.map { case (p, i) =>
       val le = rankAgg.getLong(1 + 2 * i).toDouble / n
       val lt = rankAgg.getLong(2 + 2 * i).toDouble / n
@@ -287,6 +297,59 @@ object Advanced {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (p, exact6, lt <= p + eps && le >= p - eps)
     }.toDF("p", "exact_pct", "rank_within_eps")
+  }
+
+  /** EXACT interpolating percentiles of column `x` by distributed
+    * selection: range-partition + sort once, per-partition counts to the
+    * driver (|partitions| longs), then ONE fetch pass pulls the order
+    * statistics each quantile's interpolation needs. Interpolation
+    * replicates `Percentile.getPercentile` bit-for-bit (position =
+    * p·(n−1); (higher−pos)·lower + (pos−lower)·higher), asserted equal
+    * to the aggregate in AdvancedSpec. Scale shape: one range exchange
+    * of the column plus two bounded passes — no whole-column in-memory
+    * map anywhere. Caller guarantees ≥ 1 non-null row. */
+  private[graft] def exactPercentilesBySelection(li: DataFrame,
+      ps: Seq[Double]): Seq[Double] = {
+    val s = li.sparkSession
+    import s.implicits._
+    val sorted = li.filter(col("x").isNotNull)
+      .repartitionByRange(col("x")).sortWithinPartitions("x")
+      .select(col("x").cast("double"))
+      .localCheckpoint()
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
+    // offsets(i) = rows in partitions before i; offsets(nParts) = total
+    val offsets = (0 to nParts).map(i => (0 until i).map(counts.getOrElse(_, 0L)).sum)
+    val total = offsets(nParts)
+    require(total > 0, "exactPercentilesBySelection on an empty column")
+    val positions = ps.map(_ * (total - 1))
+    val wanted = positions.flatMap(pos => Seq(pos.toLong, math.ceil(pos).toLong)).distinct
+    def locate(k: Long): Int =
+      (0 until nParts).find(p => k >= offsets(p) && k < offsets(p + 1)).get
+    val localWanted: Map[Int, Seq[Long]] = wanted.groupBy(locate)
+      .map { case (pid, ks) => pid -> ks.map(_ - offsets(pid)) }
+    val bc = s.sparkContext.broadcast(localWanted)
+    val found: Map[(Int, Long), Double] = sorted.as[Double].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        bc.value.get(pid) match {
+          case None => Iterator.empty
+          case Some(ks) =>
+            val want = ks.toSet
+            val mx = ks.max
+            it.zipWithIndex.takeWhile(_._2 <= mx).collect {
+              case (v, i) if want.contains(i.toLong) => ((pid, i.toLong), v)
+            }
+        }
+      }.collect().toMap
+    def at(k: Long): Double = { val pid = locate(k); found((pid, k - offsets(pid))) }
+    positions.map { pos =>
+      val lower = pos.toLong
+      val higher = math.ceil(pos).toLong
+      if (higher == lower) at(lower)
+      else (higher - pos) * at(lower) + (pos - lower) * at(higher)
+    }
   }
 
   /** Regex extraction over the events props payload. */

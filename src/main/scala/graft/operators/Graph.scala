@@ -29,19 +29,85 @@ import org.apache.spark.sql.functions._
 object Graph {
   import Tables._
 
+  /** Spark's `round(x, 6)` on DOUBLE input, replicated bit-exactly for
+    * the driver fast paths: shortest-decimal repr (BigDecimal.valueOf),
+    * HALF_UP at scale 6 — the same function GraphSpec's bruteRank
+    * asserts the distributed loops compute. */
+  private def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** A 6dp-rounded double as the exact DECIMAL(·,6) Spark's cast yields
+    * (valueOf = shortest repr, then HALF_UP re-scale — a no-op on an
+    * already-6dp value). */
+  private def dec6(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+
+  /** One-column local result frame preserving the node column's type
+    * (PageRank node ids are nation keys on one call site and vocabulary
+    * STRINGS on another — the fast paths cannot assume Long). */
+  private def localFrame(s: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** SMALL-GRAPH FAST PATH budget for the weighted power iterations
+    * ([[pageRank]], [[hits]]): under this many edges the |nodes|-bounded
+    * iteration runs on the driver with the SAME exact arithmetic
+    * (6dp-rounded doubles, decimal sums — replicated bit-identically,
+    * spec'd in GraphSpec against the forced-distributed path) instead of
+    * `iterations` join+aggregate job waves; above it, the distributed
+    * loop — the [[graft.operators.Dedup.nearDupClusters]] discipline.
+    * 2^17 edges ≈ 5 MB collected: the probe's work is bounded by the
+    * budget and discarded on overflow. */
+  val DriverGraphEdgeBudget: Long = 1L << 17
+
   /** Power-iteration PageRank over a weighted edge list `(src, dst, w)`.
     * Simplified (no dangling-mass redistribution): a sink node keeps
     * receiving (1-d)/N but forwards nothing — the semantics both engines
     * replay exactly. Returns (node, pr) with pr rounded to 6dp. */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double,
+      driverEdgeBudget: Long = DriverGraphEdgeBudget): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // node universe + out-weights materialized once; every iteration
-    // joins against these small frames, never the corpus
+    // joins against these small frames, never the corpus (the expensive
+    // edge DERIVATION always stays distributed — only the node-bounded
+    // iteration migrates to the driver under the budget)
     val e = edges
       .join(edges.groupBy("src").agg(sum("w").cast("double").as("wout")), "src")
       .select(col("src"), col("dst"), col("w").cast("double").as("w"), col("wout"))
       .localCheckpoint()
+    if (driverEdgeBudget < Int.MaxValue - 1) {
+      val taken = e.take(driverEdgeBudget.toInt + 1)
+      if (taken.length.toLong <= driverEdgeBudget) {
+        if (taken.isEmpty) return Seq.empty[(Long, Double)].toDF("node", "pr")
+        // insertion-ordered distinct: deterministic over the checkpointed
+        // edge order (output order is irrelevant — callers ORDER BY)
+        val nodes = taken.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+          .foldLeft(scala.collection.mutable.LinkedHashSet.empty[Any])(_ += _)
+          .toSeq
+        val n = nodes.size
+        // lit(1.0 / n) is NOT rounded in the distributed loop; the first
+        // iteration reads it raw, so keep the raw value here too
+        var pr: Map[Any, Double] = nodes.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to iterations) {
+          val sums = scala.collection.mutable.HashMap.empty[Any, java.math.BigDecimal]
+          taken.foreach { r =>
+            val c = dec6(r6(pr(r.get(0)) * r.getDouble(2) / r.getDouble(3)))
+            sums.update(r.get(1), sums.getOrElse(r.get(1), java.math.BigDecimal.ZERO).add(c))
+          }
+          val base = (1 - damping) / n
+          pr = nodes.map(nd =>
+            nd -> r6(base + damping * sums.get(nd).map(_.doubleValue).getOrElse(0.0))).toMap
+        }
+        return localFrame(s, nodes.map(nd => org.apache.spark.sql.Row(nd, pr(nd))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
+            org.apache.spark.sql.types.StructField("pr",
+              org.apache.spark.sql.types.DoubleType))))
+      }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint()
     val n = nodes.count()
@@ -139,7 +205,44 @@ object Graph {
     * first-reach depth IS min-hop, which is what the oracle's recursive
     * CTE computes — so the iterative join chain is hash-gated against a
     * declarative replay. */
-  def bfsFrontier(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsFrontier(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      driverEdgeBudget: Long = 1L << 20): DataFrame = {
+    // SMALL-GRAPH FAST PATH (the nearDupClusters discipline): a queue BFS
+    // over collected edges replaces maxHops join+anti-join+checkpoint
+    // waves when graph AND seed set fit the budget — integer set algebra,
+    // trivially identical to the wave loop (spec'd in GraphSpec with the
+    // forced-distributed path). Crawl-scale graphs take the loop below.
+    if (driverEdgeBudget < Int.MaxValue - 1) {
+      val takenE = edges.select("src", "dst").take(driverEdgeBudget.toInt + 1)
+      if (takenE.length.toLong <= driverEdgeBudget) {
+        val takenS = seeds.select("node").take(driverEdgeBudget.toInt + 1)
+        if (takenS.length.toLong <= driverEdgeBudget) {
+          val adj = takenE.groupBy(_.get(0)).map { case (s, rs) =>
+            s -> rs.map(_.get(1)).toSeq }
+          // seeds keep their multiplicity at hop 0 (the wave loop never
+          // dedups the seed rows); reachability works on the distinct set
+          val visited = scala.collection.mutable.HashSet[Any](takenS.map(_.get(0)): _*)
+          val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
+            takenS.map(r => org.apache.spark.sql.Row(r.get(0), 0L)): _*)
+          var frontier: Seq[Any] = takenS.map(_.get(0)).distinct.toSeq
+          var hop = 1
+          while (hop <= maxHops && frontier.nonEmpty) {
+            val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+              .foldLeft(scala.collection.mutable.LinkedHashSet.empty[Any])(_ += _)
+              .toSeq.filterNot(visited.contains)
+            next.foreach { n => visited += n; out += org.apache.spark.sql.Row(n, hop.toLong) }
+            frontier = next
+            hop += 1
+          }
+          return localFrame(seeds.sparkSession, out.toSeq,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node",
+                seeds.schema("node").dataType),
+              org.apache.spark.sql.types.StructField("hop",
+                org.apache.spark.sql.types.LongType))))
+        }
+      }
+    }
     var visited = seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
     var frontier = visited.select("node")
     for (h <- 1 to maxHops) {
@@ -201,11 +304,57 @@ object Graph {
     * frames (|nodes| rows) and two map-side-combined aggregations on
     * scalar columns; the edge list is the only corpus-sized input and it
     * is materialized once. */
-  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int,
+      driverEdgeBudget: Long = DriverGraphEdgeBudget): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH (the [[pageRank]] / nearDupClusters
+    // discipline): under the edge budget the |nodes|-bounded half-steps
+    // run on the driver with identical arithmetic (6dp rounds, decimal
+    // sums, double divisions — spec'd equal to the forced-distributed
+    // path in GraphSpec) instead of 2·iterations join+agg+checkpoint job
+    // waves. The probe is bounded by the budget and discarded on
+    // overflow; corpus-scale graphs take the distributed loop below.
+    if (driverEdgeBudget < Int.MaxValue - 1) {
+      val taken = e.take(driverEdgeBudget.toInt + 1)
+      if (taken.length.toLong <= driverEdgeBudget) {
+        if (taken.isEmpty)
+          return Seq.empty[(Long, Double, Double)].toDF("node", "authority", "hub")
+        val nodes = taken.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+          .foldLeft(scala.collection.mutable.LinkedHashSet.empty[Any])(_ += _)
+          .toSeq
+        var a: Map[Any, Double] = nodes.map(_ -> 1.0).toMap
+        var h: Map[Any, Double] = nodes.map(_ -> 1.0).toMap
+        for (_ <- 1 to iterations) {
+          val sa = scala.collection.mutable.HashMap.empty[Any, java.math.BigDecimal]
+          taken.foreach { r =>
+            val c = dec6(r6(h(r.get(0)) * r.getDouble(2)))
+            sa.update(r.get(1), sa.getOrElse(r.get(1), java.math.BigDecimal.ZERO).add(c))
+          }
+          val ta = sa.values.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+          a = nodes.map(nd =>
+            nd -> r6(sa.get(nd).map(_.doubleValue).getOrElse(0.0) / ta)).toMap
+          val sh = scala.collection.mutable.HashMap.empty[Any, java.math.BigDecimal]
+          taken.foreach { r =>
+            val c = dec6(r6(a(r.get(1)) * r.getDouble(2)))
+            sh.update(r.get(0), sh.getOrElse(r.get(0), java.math.BigDecimal.ZERO).add(c))
+          }
+          val th = sh.values.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+          h = nodes.map(nd =>
+            nd -> r6(sh.get(nd).map(_.doubleValue).getOrElse(0.0) / th)).toMap
+        }
+        return localFrame(s,
+          nodes.map(nd => org.apache.spark.sql.Row(nd, a(nd), h(nd))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
+            org.apache.spark.sql.types.StructField("authority",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("hub",
+              org.apache.spark.sql.types.DoubleType))))
+      }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint()
     if (nodes.isEmpty)

@@ -715,7 +715,46 @@ object TextAnalysis {
     * only), DECIMAL(28,12) gradient sums, 6dp half-up weight updates.
     * `feat` should be localCheckpoint'ed by the caller — each iteration
     * scans it. */
-  def logisticTrainN(feat: DataFrame, b: Int, iters: Int, lr: Double): Array[Double] = {
+  def logisticTrainN(feat: DataFrame, b: Int, iters: Int, lr: Double,
+      driverRowBudget: Long = 1L << 17): Array[Double] = {
+    // SMALL-CORPUS FAST PATH (the nearDupClusters discipline): under the
+    // row budget the GD loop runs on the collected feature rows with the
+    // SAME arithmetic — IEEE surrogate sigmoid, exact DECIMAL(·,12)
+    // gradient sums (valueOf + HALF_UP, what Spark's double->decimal cast
+    // does), 6dp floor-form weight updates — replacing `iters` aggregate
+    // job waves with one take(). Bit-identical to the distributed loop
+    // (spec'd in TextSearchSpec with the forced-distributed path);
+    // a corpus-scale feature frame takes the loop below unchanged.
+    if (driverRowBudget < Int.MaxValue - 1) {
+      val cols = col("y").cast("double") +: (0 until b).map(j => col(s"x$j"))
+      val taken = feat.select(cols: _*).take(driverRowBudget.toInt + 1)
+      if (taken.length.toLong <= driverRowBudget) {
+        var w = Array.fill(b + 1)(0.0)
+        if (taken.isEmpty) return w // empty corpus: zero model
+        val n = taken.length.toDouble
+        val hu = java.math.RoundingMode.HALF_UP
+        def dec12(x: Double) = java.math.BigDecimal.valueOf(x).setScale(12, hu)
+        var it = 0
+        while (it < iters) {
+          val g = Array.fill(b + 1)(java.math.BigDecimal.ZERO)
+          taken.foreach { r =>
+            // zExprN's left-associated reduce, then + bias, then 6dp
+            var acc = r.getDouble(1) * w(0)
+            var j = 1
+            while (j < b) { acc = acc + r.getDouble(j + 1) * w(j); j += 1 }
+            val z = round6(acc + w(b))
+            val p = round6(0.5 + z / (2.0 * (1.0 + math.abs(z))))
+            val err = p - r.getDouble(0)
+            j = 0
+            while (j < b) { g(j) = g(j).add(dec12(err * r.getDouble(j + 1))); j += 1 }
+            g(b) = g(b).add(dec12(err))
+          }
+          w = Array.tabulate(b + 1)(j => round6(w(j) - lr * g(j).doubleValue / n))
+          it += 1
+        }
+        return w
+      }
+    }
     val n = feat.count().toDouble
     var w = Array.fill(b + 1)(0.0)
     if (n == 0) return w // empty corpus: zero model, not a 0/0 NPE

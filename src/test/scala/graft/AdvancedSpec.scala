@@ -29,4 +29,28 @@ class AdvancedSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.1,
       s"approx=$approx exact=$exact")
   }
+
+  test("selection-based exact percentiles equal the percentile aggregate bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Advanced
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    def aggP(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(expr(s"percentile(x, array(${ps.mkString(",")}))"))
+        .head().getSeq[Double](0).toSeq
+    // real data with fractional interpolation positions
+    val real = graft.engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_extendedprice").cast("double").as("x"))
+    assert(Advanced.exactPercentilesBySelection(real, ps) === aggP(real))
+    // adversarial tiny frames: n = 1..7, heavy ties, negatives, nulls
+    Seq(
+      Seq[java.lang.Double](5.0),
+      Seq[java.lang.Double](1.0, 2.0),
+      Seq[java.lang.Double](3.0, 1.0, 2.0, 2.0, 2.0),
+      Seq[java.lang.Double](-1.5, 7.25, 0.0, null, 3.3, 3.3, 9.9)
+    ).foreach { vs =>
+      val df = vs.toDF("x")
+      assert(Advanced.exactPercentilesBySelection(df, ps) === aggP(df), vs.toString)
+    }
+  }
 }

@@ -119,6 +119,32 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4)
   }
 
+  test("graph driver fast paths equal the forced-distributed loops bit-for-bit") {
+    // weighted multi-component graph exercising sinks, weights and the
+    // 6dp rounding grid; driverEdgeBudget = 0 forces the distributed loop
+    val e = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23, i % 5 + 1))
+      .toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(_.toSeq).toSeq
+    assert(rows(Graph.pageRank(e, 5, 0.85)) ===
+      rows(Graph.pageRank(e, 5, 0.85, driverEdgeBudget = 0L)))
+    assert(rows(Graph.hits(e, 4)) ===
+      rows(Graph.hits(e, 4, driverEdgeBudget = 0L)))
+    // the real nation trade graph (non-Long-typed node keys ride through)
+    val nte = Graph.nationTradeEdges(spark, sf0001).localCheckpoint()
+    assert(rows(Graph.pageRank(nte, 5, 0.85)) ===
+      rows(Graph.pageRank(nte, 5, 0.85, driverEdgeBudget = 0L)))
+    assert(rows(Graph.hits(nte, 4)) ===
+      rows(Graph.hits(nte, 4, driverEdgeBudget = 0L)))
+    // BFS: chain + cycle + unreachable component, duplicate seed rows
+    val be = Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(0L, 0L, 1L).toDF("node")
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node", "hop").collect().map(_.toSeq).toSeq
+    assert(brows(Graph.bfsFrontier(be, seeds, 4)) ===
+      brows(Graph.bfsFrontier(be, seeds, 4, driverEdgeBudget = 0L)))
+  }
+
   test("HITS is a pure function of the edge rows, not the partitioning") {
     val e = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12, i % 3 + 1))
       .toDF("src", "dst", "w")

@@ -187,6 +187,11 @@ class TextSearchSpec extends SparkSpec {
     val w2 = TextAnalysis.logisticTrain(
       TextAnalysis.logitStandardize(raw.repartition(7)).localCheckpoint())
     assert(w.toSeq === w2.toSeq)
+    // the driver fast path (row budget) is bit-identical to the
+    // forced-distributed aggregate loop
+    val wDist = TextAnalysis.logisticTrainN(feat, TextAnalysis.LogitBuckets,
+      TextAnalysis.LogitIters, TextAnalysis.LogitLr, driverRowBudget = 0L)
+    assert(w.toSeq === wDist.toSeq)
   }
 
   test("compression signal: repetitive text compresses far better than varied text") {
