@@ -137,8 +137,23 @@ class ShardStore(spark: SparkSession, root: String) {
     * APPEND HISTORY instead of its size. Post-compaction a probe opens
     * one directory of `targetPartitions` files no matter how many
     * appends came before. */
-  def compact(targetPartitions: Int = 8): Unit =
+  def compact(targetPartitions: Int = 0): Unit =
     compactFrom(shards(), targetPartitions)
+
+  /** Size-adaptive compaction width: one output file per
+    * [[ShardStore.TargetFileBytes]] of live data (floor 1), derived from
+    * the snapshot's on-disk footprint — a constant width is wrong at
+    * both ends (tiny stores sprayed 8 near-empty files; a 100 TB index
+    * squeezed into 8 giant ones). Guide-§6 output sizing; purely a
+    * layout choice, rows identical either way. */
+  private def sizedPartitions(snapshot: Seq[String]): Int = {
+    def dirBytes(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+    val bytes = snapshot.map(n => dirBytes(new java.io.File(root, n))).sum
+    math.max(1L, (bytes + ShardStore.TargetFileBytes - 1) / ShardStore.TargetFileBytes)
+      .min(1 << 20).toInt
+  }
 
   /** Compact from an explicit manifest snapshot — the CAS seam (ADVICE
     * r11): the rewrite reads exactly `snapshot`'s shards and the final
@@ -148,11 +163,13 @@ class ShardStore(spark: SparkSession, root: String) {
     * be silently dropped from the index. Package-visible so the race is
     * spec-testable deterministically. */
   private[graft] def compactFrom(snapshot: Seq[String],
-      targetPartitions: Int = 8): Unit = {
+      targetPartitions: Int = 0): Unit = {
     require(snapshot.nonEmpty, s"no shards published under $root")
+    val target =
+      if (targetPartitions > 0) targetPartitions else sizedPartitions(snapshot)
     val rewritten = writeShard(
       spark.read.parquet(snapshot.map(n => s"$root/$n"): _*)
-        .repartition(targetPartitions))
+        .repartition(target))
     swapManifest(Seq(rewritten), expect = Some(snapshot))
   }
 
@@ -184,4 +201,11 @@ class ShardStore(spark: SparkSession, root: String) {
     shards().map(n => Option(new java.io.File(s"$root/$n").listFiles())
       .getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+}
+
+object ShardStore {
+  /** Compaction output sizing goal (guide §6: 128 MB - 1 GB output
+    * files); [[ShardStore.compact]] derives its partition count from the
+    * live bytes so the rewritten shard lands near this per file. */
+  val TargetFileBytes: Long = 128L << 20
 }

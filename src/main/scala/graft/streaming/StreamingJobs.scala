@@ -153,6 +153,37 @@ object StreamingJobs {
     Dedup.rmTree(stage.toFile)
   }
 
+  /** Stage ALL waves of one replay in a single write job: the waves are
+    * tagged, unioned and written `partitionBy` the wave number (hash
+    * repartition puts each wave in exactly one task, so each wave
+    * directory holds exactly one file), then each file is moved to its
+    * `names(i)` with its pinned mod-time — same files, same replay
+    * order as N [[stageWave]] calls, at one job wave instead of N.
+    * An EMPTY wave (a watermark-advance batch — load-bearing, see
+    * [[qStreamWindow]] wave 2) writes no partition directory, so those
+    * fall back to the per-wave path, which emits a 0-row file. */
+  private def stageWaves(waves: Seq[DataFrame], srcDir: String,
+      names: Seq[String], modMs: Seq[Long]): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_waves")
+    waves.zipWithIndex.map { case (w, i) => w.withColumn("__wave", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(waves.length, col("__wave"))
+      .write.partitionBy("__wave").mode("overwrite").parquet(stage.toString)
+    waves.indices.foreach { i =>
+      val dir = new java.io.File(stage.toString, s"__wave=$i")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")) match {
+        case Some(part) =>
+          val dst = new java.io.File(srcDir, names(i))
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(modMs(i))
+        case None => stageWave(waves(i), srcDir, names(i), modMs(i))
+      }
+    }
+    Dedup.rmTree(stage.toFile)
+  }
+
   /** Event-time watermark + late-data handling, driver-gated (SURVEY §2.9
     * "absent" row — an engine extension; the reference has no event-time
     * processing at all). Four deterministic waves of the events table
@@ -305,12 +336,12 @@ object StreamingJobs {
     Dedup.rmTree(new java.io.File(root))
     val (srcV, srcC, out, ck) = (s"$root/views", s"$root/clicks", s"$root/out", s"$root/ck")
     val t0 = System.currentTimeMillis() - 60000
-    viewWaves.zipWithIndex.foreach { case (w, i) =>
-      stageWave(w, srcV, f"v$i%02d.parquet", t0 + i * 10000L)
-    }
-    clickWaves.zipWithIndex.foreach { case (w, i) =>
-      stageWave(w, srcC, f"c$i%02d.parquet", t0 + i * 10000L)
-    }
+    stageWaves(viewWaves, srcV,
+      viewWaves.indices.map(i => f"v$i%02d.parquet"),
+      viewWaves.indices.map(i => t0 + i * 10000L))
+    stageWaves(clickWaves, srcC,
+      clickWaves.indices.map(i => f"c$i%02d.parquet"),
+      clickWaves.indices.map(i => t0 + i * 10000L))
     val vSchema = StructType(Seq(StructField("view_id", LongType),
       StructField("v_user", LongType), StructField("view_ts", TimestampType)))
     val cSchema = StructType(Seq(StructField("click_id", LongType),
@@ -393,9 +424,9 @@ object StreamingJobs {
     Dedup.rmTree(new java.io.File(root))
     val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
     val t0 = System.currentTimeMillis() - 60000
-    waves.zipWithIndex.foreach { case (w, i) =>
-      stageWave(w, src, f"w$i%02d.parquet", t0 + i * 10000L)
-    }
+    stageWaves(waves, src,
+      waves.indices.map(i => f"w$i%02d.parquet"),
+      waves.indices.map(i => t0 + i * 10000L))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ts", TimestampType)))
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -423,9 +454,9 @@ object StreamingJobs {
     Dedup.rmTree(new java.io.File(root))
     val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
     val t0 = System.currentTimeMillis() - 60000
-    waves.zipWithIndex.foreach { case (w, i) =>
-      stageWave(w, src, f"w$i%02d.parquet", t0 + i * 10000L)
-    }
+    stageWaves(waves, src,
+      waves.indices.map(i => f"w$i%02d.parquet"),
+      waves.indices.map(i => t0 + i * 10000L))
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -467,9 +498,9 @@ object StreamingJobs {
     Dedup.rmTree(new java.io.File(root))
     val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
     val t0 = System.currentTimeMillis() - 60000
-    waves.zipWithIndex.foreach { case (w, i) =>
-      stageWave(w, src, f"w$i%02d.parquet", t0 + i * 10000L)
-    }
+    stageWaves(waves, src,
+      waves.indices.map(i => f"w$i%02d.parquet"),
+      waves.indices.map(i => t0 + i * 10000L))
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("event_type", StringType)))
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -571,15 +602,16 @@ object StreamingJobs {
     // expensive probes run once per batch.
     def pin(df: DataFrame): DataFrame = { df.cache(); cached += df; df }
     try {
-      // 1. exact within batch: min doc_id per text hash survives
-      val wx = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("xxh")).orderBy(col("doc_id"))
-      val ranked = in.withColumn("__rn", row_number().over(wx))
-      val exactBatchRej = ranked.filter(col("__rn") > 1)
-        .join(ranked.filter(col("__rn") === 1).select(col("xxh"),
-          col("doc_id").as("witness")), Seq("xxh"))
-        .select(col("doc_id"), lit("exact_batch").as("reason"), col("witness"))
-      var live = ranked.filter(col("__rn") === 1).drop("__rn")
+      // 1. exact within batch: min doc_id per text hash survives. ONE
+      // min-over-window pass — the witness IS the per-hash minimum, so
+      // the old rank-then-self-join (an extra exchange + join over the
+      // cached batch) collapses into a single window column
+      val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("xxh"))
+      val ranked = in.withColumn("__witness", min(col("doc_id")).over(wx))
+      val exactBatchRej = ranked.filter(col("doc_id") =!= col("__witness"))
+        .select(col("doc_id"), lit("exact_batch").as("reason"),
+          col("__witness").as("witness"))
+      var live = ranked.filter(col("doc_id") === col("__witness")).drop("__witness")
 
       // 2. exact vs corpus: anti-join on the accepted fingerprint column
       //    (pruned scan — only `xxh` and the witness id leave the parquet)
