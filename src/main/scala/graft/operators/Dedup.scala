@@ -665,6 +665,17 @@ object Dedup {
   private[graft] def signedIndexOf(docs: DataFrame): DataFrame =
     sigsOf(shingleIndexLazy(docs))
 
+  /** The checkpointed (doc_id, sh) frame WITHOUT signatures — for the
+    * gate's exact-pairs mode, where no stage reads `sig` and the
+    * 32-permutation MinHash signing would be pure waste. */
+  private[graft] def shingledIndexOf(docs: DataFrame): DataFrame =
+    shingleIndex(docs)
+
+  /** Append pre-computed (doc_id, sh) postings to an exact-mode index
+    * directory (the `withSigs = false` layout) without re-shingling. */
+  private[graft] def appendIndexPostings(sh: DataFrame, path: String): Unit =
+    sh.select("doc_id", "sh").write.mode("append").parquet(path)
+
   private[graft] def ngramNearDupsOnIdx(sh: DataFrame, threshold: Double): DataFrame =
     ngramNearDupsIdx(sh, threshold)
 

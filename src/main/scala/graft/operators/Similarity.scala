@@ -624,8 +624,10 @@ object Similarity {
     val k = 10
     val km = kmeansAssign(emb, 10, 2)
     val kmh = kmeansAssignHier(emb, 10, 2)
+    // checkpointed: the ground-truth list feeds FOUR aggregate branches
+    // of the final plan, which would each re-run the brute-force cross
     val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k)
-      .select("q_id", "n_id")
+      .select("q_id", "n_id").localCheckpoint()
     val lsh = lshTopK(emb, emb.filter(col("vec_id") < 20), k).select("q_id", "n_id")
     val ivf = ivfTopK(km, km.filter(col("vec_id") < 20), "list_id", k, 4)
       .select("q_id", "n_id")
@@ -815,7 +817,8 @@ object Similarity {
     Dedup.rmTree(new java.io.File(annIvfDir))
     writeIvfIndex(s, corpus, annIvfDir, 10, 2)
     val probed = ivfProbeIndex(s, annIvfDir, queries, k, 4).select("q_id", "n_id")
-    val exact = bruteForceTopK(corpus, queries, k)
+    // checkpointed: read by both aggregate branches below
+    val exact = bruteForceTopK(corpus, queries, k).localCheckpoint()
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(exact.join(probed, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("ivf_hits")))
@@ -1766,7 +1769,9 @@ object Similarity {
     val k = 10
     val books = pqTrainCodebooks(emb, 2)
     val panel = emb.filter(col("vec_id") < 20)
+    // checkpointed: the ground truth feeds three aggregate branches
     val exact = bruteForceTopK(emb, panel, k).select("q_id", "n_id")
+      .localCheckpoint()
     // ONE ADC pass at refine*k: its rank<=k prefix IS pqTopK(k) (same
     // ordering), and the full list is pqTopKRefined's shortlist — running
     // pqTopK twice (once inside Refined) doubled the encode+rank cost
@@ -1818,8 +1823,9 @@ object Similarity {
   def qMrlRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val k = 10
+    // checkpointed: the ground truth feeds three aggregate branches
     val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k)
-      .select("q_id", "n_id")
+      .select("q_id", "n_id").localCheckpoint()
     def hits(dims: Int, name: String) = {
       val t = truncateEmbeddings(emb, dims)
       exact.join(

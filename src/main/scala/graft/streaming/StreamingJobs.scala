@@ -631,11 +631,14 @@ object StreamingJobs {
         })
       live = live.join(exactCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
 
-      // One shingle + signature pass for the whole batch: the index probe
-      // (step 3), the within-batch pair join (step 4) and the index append
-      // all consume this frame — through the public entry points each would
-      // re-shingle (and re-sign) the batch from text.
-      val sigs = Dedup.signedIndexOf(live)
+      // One shingle (+ signature, MINHASH MODE ONLY) pass for the whole
+      // batch: the index probe (step 3), the within-batch pair join
+      // (step 4) and the index append all consume this frame — through
+      // the public entry points each would re-shingle (and re-sign) the
+      // batch from text. Exact mode never reads `sig`, so it skips the
+      // 32-permutation signing outright.
+      val sigs = if (exactPairs) Dedup.shingledIndexOf(live)
+        else Dedup.signedIndexOf(live)
 
       // 3 + 4. near-dup vs corpus, then within batch. Exact mode FUSES the
       // two into one postings join ([[Dedup.gateFusedExactPairs]]): the
@@ -693,8 +696,13 @@ object StreamingJobs {
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(rejectedDir)
       live.write.mode("append").parquet(acceptedDir)
-      // exact mode never reads signatures back — append postings only
-      Dedup.appendIndex(live, indexDir, withSigs = !exactPairs)
+      // index append reuses the checkpointed shingle (+sig) frame,
+      // semi-joined to the FINAL survivor set (sigs was built before
+      // stages 3/4 rejected) — the public appendIndex would re-shingle
+      // (and in minhash mode re-sign) the batch from text
+      val finalIdx = sigs.join(live.select("doc_id"), Seq("doc_id"), "left_semi")
+      if (exactPairs) Dedup.appendIndexPostings(finalIdx, indexDir)
+      else Dedup.appendIndexSigs(finalIdx, indexDir)
     } finally {
       cached.foreach(_.unpersist(blocking = false)); in.unpersist(); ()
     }
