@@ -338,8 +338,14 @@ object Advanced {
           case Some(ks) =>
             val want = ks.toSet
             val mx = ks.max
-            it.zipWithIndex.takeWhile(_._2 <= mx).collect {
-              case (v, i) if want.contains(i.toLong) => ((pid, i.toLong), v)
+            // explicit Long row counter: Iterator.zipWithIndex is Int and
+            // would wrap negative past 2^31 rows in one partition (range
+            // partitioning puts ALL tied values in one partition, so that
+            // is reachable at the scale this path targets), silently
+            // defeating the takeWhile and losing wanted order statistics
+            var idx = -1L
+            it.map { v => idx += 1; (v, idx) }.takeWhile(_._2 <= mx).collect {
+              case (v, i) if want.contains(i) => ((pid, i), v)
             }
         }
       }.collect().toMap

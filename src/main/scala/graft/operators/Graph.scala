@@ -78,7 +78,13 @@ object Graph {
       .join(edges.groupBy("src").agg(sum("w").cast("double").as("wout")), "src")
       .select(col("src"), col("dst"), col("w").cast("double").as("w"), col("wout"))
       .localCheckpoint()
-    if (driverEdgeBudget < Int.MaxValue - 1) {
+    // fast path only when src/dst agree on type: the local result frame
+    // types `node` as src's dataType while the node set mixes src and dst
+    // values; the distributed loop below UNIONS the columns and lets Spark
+    // coerce, so heterogeneous edge frames must take it for both paths to
+    // stay behaviorally identical (ADVICE r13)
+    if (driverEdgeBudget < Int.MaxValue - 1 &&
+        e.schema("src").dataType == e.schema("dst").dataType) {
       val taken = e.take(driverEdgeBudget.toInt + 1)
       if (taken.length.toLong <= driverEdgeBudget) {
         if (taken.isEmpty) return Seq.empty[(Long, Double)].toDF("node", "pr")
@@ -317,7 +323,11 @@ object Graph {
     // path in GraphSpec) instead of 2·iterations join+agg+checkpoint job
     // waves. The probe is bounded by the budget and discarded on
     // overflow; corpus-scale graphs take the distributed loop below.
-    if (driverEdgeBudget < Int.MaxValue - 1) {
+    // Heterogeneous src/dst types also take the distributed loop: the
+    // local frame types `node` as src's dataType while the distributed
+    // union lets Spark coerce (ADVICE r13).
+    if (driverEdgeBudget < Int.MaxValue - 1 &&
+        e.schema("src").dataType == e.schema("dst").dataType) {
       val taken = e.take(driverEdgeBudget.toInt + 1)
       if (taken.length.toLong <= driverEdgeBudget) {
         if (taken.isEmpty)

@@ -165,9 +165,17 @@ object StreamingJobs {
   private def stageWaves(waves: Seq[DataFrame], srcDir: String,
       names: Seq[String], modMs: Seq[Long]): Unit = {
     val stage = java.nio.file.Files.createTempDirectory("graft_waves")
-    waves.zipWithIndex.map { case (w, i) => w.withColumn("__wave", lit(i)) }
+    val tagged = waves.zipWithIndex.map { case (w, i) => w.withColumn("__wave", lit(i)) }
       .reduce(_ unionByName _)
       .repartition(waves.length, col("__wave"))
+    // deterministic row order WITHIN each staged wave file (ADVICE r13):
+    // the hash repartition alone would leave within-wave order run-to-run
+    // nondeterministic; current streaming consumers are order-insensitive
+    // inside a micro-batch, but a future first-wins stateful op must not
+    // become flaky because of the staging layout. Wave schemas are flat
+    // scalar columns, so sorting by all of them is total and cheap.
+    tagged
+      .sortWithinPartitions(tagged.columns.map(col).toIndexedSeq: _*)
       .write.partitionBy("__wave").mode("overwrite").parquet(stage.toString)
     waves.indices.foreach { i =>
       val dir = new java.io.File(stage.toString, s"__wave=$i")

@@ -34,17 +34,20 @@ object QueryProfile {
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"$name warmup FAILED: ${e.getMessage}") }
       spark.sharedState.cacheManager.clearCache()
-      val secs = (1 to reps).map { _ =>
+      // per-rep (secs, jobs, stages, tasks) snapshots so the printed row's
+      // timing and scheduling counters describe the SAME run (ADVICE r13:
+      // last-rep counters next to min-across-reps seconds mixed runs)
+      val snaps = (1 to reps).map { _ =>
         jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        dt
+        Thread.sleep(200) // let the async listener bus drain before snapshotting
+        (dt, jobs.get, stages.get, tasks.get)
       }
-      // listener counters are from the LAST rep (clearCache between reps)
-      Thread.sleep(200) // let the async listener bus drain
-      println(f"$name%-28s ${secs.min}%8.3f ${jobs.get}%6d ${stages.get}%7d ${tasks.get}%7d")
+      val best = snaps.minBy(_._1)
+      println(f"$name%-28s ${best._1}%8.3f ${best._2}%6d ${best._3}%7d ${best._4}%7d")
     }
     spark.stop()
   }
