@@ -534,7 +534,12 @@ object Dedup {
       size(col("sh")).cast("long").as("sa"), explode(col("sh")).as("shingle"))
     val rp = ra.select(col("doc_id").as("doc_b"),
       size(col("sh")).cast("long").as("sb"), explode(col("sh")).as("shingle"))
-    lp.join(rp, Seq("shingle"))
+    // SHUFFLE_HASH building on the PROBE postings (guide §3.1): every
+    // caller keeps the left side bounded (an incoming micro-batch / the
+    // pinned q_cross_dedup probe prefix), so its per-partition hash table
+    // is bounded while the corpus side only streams past it — sort-merge
+    // would re-sort the corpus-sized posting list on every probe call
+    lp.hint("shuffle_hash").join(rp, Seq("shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"),
         first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("jaccard",
@@ -573,7 +578,13 @@ object Dedup {
       size(col("sh")).cast("long").as("sa"), explode(col("sh")).as("shingle"))
     val rp = right.select(col("doc_id").as("doc_b"), col("is_corpus"),
       size(col("sh")).cast("long").as("sb"), explode(col("sh")).as("shingle"))
-    lp.join(rp, Seq("shingle"))
+    // SHUFFLE_HASH with the BATCH postings as the build side (guide §3.1):
+    // the batch is micro-batch-bounded at any corpus scale, so its hash
+    // table per partition stays bounded while the probe side (batch UNION
+    // stored corpus index) grows with the corpus — sort-merge would sort
+    // BOTH exploded posting lists per batch, paying the corpus-side sort
+    // every micro-batch forever
+    lp.hint("shuffle_hash").join(rp, Seq("shingle"))
       .filter(col("is_corpus") || col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "is_corpus")
       .agg(count(lit(1)).as("common"),

@@ -210,7 +210,6 @@ object Mutations {
     * directory mechanism — the data never copies on read, and the
     * per-version aggregates here are one count/sum scan each. */
   def qTimeTravel(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val root = new java.io.File(timeTravelRoot, "store")
     Dedup.rmTree(root)
     val snap = new graft.engine.Snapshot(s, root.getPath)
@@ -221,13 +220,57 @@ object Mutations {
     snap.mutate(cur => deleteWhere(cur, col("doc_id") % 10 === 0))       // v_2
     snap.rollback("v_1")                                                 // v_3
     val cur = snap.currentVersion().getOrElse("")
-    val rows = snap.versions().map { v =>
-      val r = snap.readAsOf(v)
-        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
-      (v, r.getLong(0), r.getLong(1), v == cur)
-    }
-    rows.toDF("version", "n_docs", "sum_ids", "is_current").orderBy("version")
+    versionSummaries(snap.versions(), snap.readAsOf, Some(cur)).orderBy("version")
   }
+
+  /** Stage same-schema fixture data files in ONE write job instead of one
+    * `coalesce(1)` job per file (the [[graft.streaming.StreamingJobs]]
+    * wave-staging shape): tag, union, hash-repartition by the tag (one
+    * file per tag), write `partitionBy` the tag, then move each part to
+    * its destination name. Row content per file is identical to the
+    * per-file writes; an EMPTY slice (no partition directory written)
+    * falls back to its own coalesce(1) job. */
+  private def stageDataFiles(root: java.io.File,
+      named: Seq[(String, DataFrame)]): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dstage")
+    named.zipWithIndex.map { case ((_, df), i) => df.withColumn("__f", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(named.length, col("__f"))
+      .sortWithinPartitions("__f", "doc_id")
+      .write.partitionBy("__f").mode("overwrite").parquet(stage.toString)
+    named.zipWithIndex.foreach { case ((name, df), i) =>
+      val dir = new java.io.File(stage.toString, s"__f=$i")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")) match {
+        case Some(part) =>
+          java.nio.file.Files.copy(part.toPath, new java.io.File(root, name).toPath)
+        case None =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_dl").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val p = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(p.toPath, new java.io.File(root, name).toPath)
+          Dedup.rmTree(new java.io.File(tmp))
+      }
+    }
+    Dedup.rmTree(stage.toFile)
+  }
+
+  /** Per-version (count, id-sum) summary of a versioned table as ONE
+    * union-of-aggregates plan instead of one sequential `.head()` job per
+    * version (guide §1.2 #1 / §2.6: the version scans are independent —
+    * one action lets the scheduler overlap them, and N-1 driver round
+    * trips disappear). Values and column names/types are identical to the
+    * former per-version collect loop; every caller stays oracle-gated. */
+  private def versionSummaries(vs: Seq[String], read: String => DataFrame,
+      cur: Option[String] = None): DataFrame =
+    vs.map { v =>
+      val base = read(v)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_ids"))
+      cur.fold(base)(c => base.withColumn("is_current", lit(v == c)))
+    }.reduce(_ unionByName _)
 
   private lazy val timeTravelRoot: String = Dedup.processTempDir("graft_time_travel")
 
@@ -247,17 +290,10 @@ object Mutations {
     val log = new java.io.File(root, "_delta_log")
     log.mkdirs()
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    def writeData(name: String, df: DataFrame): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dl").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(root, name).toPath)
-    }
-    writeData("f0.parquet", docs.filter(col("doc_id") < 100))
-    writeData("f1.parquet", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
-    writeData("f2.parquet", docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 0))
+    stageDataFiles(root, Seq(
+      "f0.parquet" -> docs.filter(col("doc_id") < 100),
+      "f1.parquet" -> docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      "f2.parquet" -> docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 0)))
     def commit(n: Long, lines: Seq[String]): Unit =
       java.nio.file.Files.writeString(
         new java.io.File(log, f"$n%020d.json").toPath,
@@ -267,12 +303,7 @@ object Mutations {
     commit(2, Seq("""{"remove":{"path":"f0.parquet","deletionTimestamp":1}}""",
       """{"add":{"path":"f2.parquet","dataChange":true}}"""))
     val t = new graft.engine.DeltaLayoutTable(s, root.getPath)
-    val rows = t.versions().map { v =>
-      val r = t.readAsOf(v)
-        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
-      (v, r.getLong(0), r.getLong(1))
-    }
-    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+    versionSummaries(t.versions(), t.readAsOf).orderBy("version")
   }
 
   /** Oracle-gated V2-CHECKPOINT read (round 13 — VERDICT r12 Next #2,
@@ -295,16 +326,10 @@ object Mutations {
     val sidecars = new java.io.File(log, "_sidecars")
     sidecars.mkdirs()
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    def writeData(name: String, df: DataFrame): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dlv2").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath, new java.io.File(root, name).toPath)
-    }
-    writeData("f0.parquet", docs.filter(col("doc_id") < 100))
-    writeData("f1.parquet", docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
-    writeData("f2.parquet", docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 0))
+    stageDataFiles(root, Seq(
+      "f0.parquet" -> docs.filter(col("doc_id") < 100),
+      "f1.parquet" -> docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      "f2.parquet" -> docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 0)))
     // sidecar action files: add-only parquet under _delta_log/_sidecars
     def writeSidecar(name: String, dataFile: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_dlv2sc").toString
@@ -333,12 +358,7 @@ object Mutations {
         """{"add":{"path":"f2.parquet","dataChange":true}}""")
         .mkString("", "\n", "\n"))
     val t = new graft.engine.DeltaLayoutTable(s, root.getPath)
-    val rows = t.versions().map { v =>
-      val r = t.readAsOf(v)
-        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
-      (v, r.getLong(0), r.getLong(1))
-    }
-    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+    versionSummaries(t.versions(), t.readAsOf).orderBy("version")
   }
 
   /** Oracle-gated Delta-layout WRITE path — the reader's round trip
@@ -365,12 +385,7 @@ object Mutations {
     t.checkpoint()                                                        // @2
     t.pruneLog()                                                          // v_0/v_1 out of retention
     t.commitAppend(docs.filter(col("doc_id") >= 160 && col("doc_id") < 200)) // v_3
-    val rows = t.versions().map { v =>
-      val r = t.readAsOf(v)
-        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
-      (v, r.getLong(0), r.getLong(1))
-    }
-    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+    versionSummaries(t.versions(), t.readAsOf).orderBy("version")
   }
 
   /** Oracle-gated Delta-layout DATA RETENTION round trip (round 12): the
@@ -423,12 +438,7 @@ object Mutations {
     val dst = new graft.engine.DeltaLayoutTable(s, deltaRoot.getPath)
     val moved = dst.importHistory(snap)
     require(moved == snap.versions(), s"version alignment lost: $moved")
-    val rows = dst.versions().map { v =>
-      val r = dst.readAsOf(v)
-        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
-      (v, r.getLong(0), r.getLong(1))
-    }
-    rows.toDF("version", "n_docs", "sum_ids").orderBy("version")
+    versionSummaries(dst.versions(), dst.readAsOf).orderBy("version")
   }
 
   /** Oracle-gated CDF-over-external-layout interop: the same change-feed

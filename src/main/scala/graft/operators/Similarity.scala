@@ -622,8 +622,13 @@ object Similarity {
     // sf dir (all have >> 11 vectors). Changing k or the panel predicate
     // here requires changing the oracle literal in the same commit.
     val k = 10
-    val km = kmeansAssign(emb, 10, 2)
-    val kmh = kmeansAssignHier(emb, 10, 2)
+    // both trainers start from the SAME pmod-seeded partition, so their
+    // iteration-0 centroid aggregation is one computation, not two
+    val seed0 = collectCentroids(emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("list_id", pmod(col("vec_id"), lit(10L))))
+    val km = kmeansAssign(emb, 10, 2, Some(seed0))
+    val kmh = kmeansAssignHier(emb, 10, 2, seed0 = Some(seed0))
     // checkpointed: the ground-truth list feeds FOUR aggregate branches
     // of the final plan, which would each re-run the brute-force cross
     val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k)
@@ -681,22 +686,35 @@ object Similarity {
     * formulation shuffled N*k rows per Lloyd iteration. Lineage resets
     * every iteration because `assigned` is rebuilt from the scan plus
     * literals, so no checkpoint is needed. */
-  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int,
+      seed0: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val ids = corpus.select(col("vec_id"), col("embedding"))
     var assigned = ids.withColumn("list_id",
       pmod(col("vec_id"), lit(k.toLong))) // deterministic seed partition
     var i = 0
     while (i < iters) {
-      val cents = ivfCentroids(
-        assigned.withColumnRenamed("list_id", "seed_list"), "seed_list")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+      // iteration 0's centroids are a pure function of (corpus, k) — the
+      // caller may pass them precomputed so two trainers over the same
+      // corpus (q_ann_recall runs this AND [[kmeansAssignHier]]) pay the
+      // seed aggregation once instead of twice (guide §1.2: don't compute
+      // the same thing twice). Values are identical by construction
+      // (same deterministic aggregate, same sortBy).
+      val cents = if (i == 0 && seed0.isDefined) seed0.get else
+        collectCentroids(assigned)
       assigned = ids.withColumn("list_id", nearestCentroid(col("embedding"), cents))
       i += 1
     }
     assigned
   }
+
+  /** Collected (list_id, centroid) pairs of an assignment — the per-
+    * iteration Lloyd sync point (k tiny rows), sorted for determinism. */
+  private[graft] def collectCentroids(assigned: DataFrame): Seq[(Long, Array[Double])] =
+    ivfCentroids(
+      assigned.withColumnRenamed("list_id", "seed_list"), "seed_list")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toIndexedSeq
 
   /** Narrow argmax over literal centroids: `max struct(score, -id)` picks
     * the highest cosine, ties to the SMALLEST list_id — the exact
@@ -743,13 +761,22 @@ object Similarity {
   def writeIvfIndex(s: SparkSession, corpus: DataFrame, root: String,
       k: Int, iters: Int): String = {
     val assigned = kmeansAssignHier(corpus, k, iters)
-    val cents = ivfCentroids(assigned, "list_id")
     new graft.engine.Snapshot(s, root).publishVia { v =>
       assigned
         .repartition(col("list_id"))
         .sortWithinPartitions("list_id", "vec_id")
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$v/lists")
-      cents.coalesce(1).write.mode("overwrite").parquet(s"$v/centroids")
+      // centroids from the JUST-WRITTEN lists (guide §3.3: materialize the
+      // intermediate and reuse it): computing them from `assigned` would
+      // re-run the whole routed-assignment subtree a second time — at
+      // corpus scale a full extra training pass per publish. The rows are
+      // the same assignment the lists hold; this index family is
+      // tolerance-gated (recall floors), per the ivfCentroids ulp note.
+      val persisted = s.read.parquet(s"$v/lists")
+        .select(col("list_id").cast("long").as("list_id"),
+          col("vec_id"), col("embedding"))
+      ivfCentroids(persisted, "list_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$v/centroids")
     }
   }
 
@@ -1369,17 +1396,17 @@ object Similarity {
     * assign + identical-vector co-routing, the [[semDedupHier]]
     * pattern. */
   def kmeansAssignHier(corpus: DataFrame, k: Int, iters: Int,
-      lloydIters: Int = 5): DataFrame = {
+      lloydIters: Int = 5,
+      seed0: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val ids = corpus.select(col("vec_id"), col("embedding"))
     var assigned = ids.withColumn("list_id",
       pmod(col("vec_id"), lit(k.toLong))) // deterministic seed partition
     var i = 0
     while (i < iters) {
-      val cents = ivfCentroids(
-        assigned.withColumnRenamed("list_id", "seed_list"), "seed_list")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
+      // seed0: see [[kmeansAssign]] — iteration 0's centroids may arrive
+      // precomputed from a sibling trainer over the same corpus
+      val cents = if (i == 0 && seed0.isDefined) seed0.get else
+        collectCentroids(assigned)
       assigned =
         if (cents.isEmpty) ids.limit(0).withColumn("list_id", lit(0L))
         else twoLevelNearest(ids, cents, lloydIters)

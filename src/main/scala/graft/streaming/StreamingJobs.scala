@@ -595,13 +595,6 @@ object StreamingJobs {
   def dedupGateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       acceptedDir: String, indexDir: String, rejectedDir: String,
       threshold: Double, exactPairs: Boolean = false): Unit = {
-    // cache, not localCheckpoint: unpersist() in the finally below frees
-    // cached data DETERMINISTICALLY per batch, while a localCheckpoint's
-    // RDD blocks have no public release API and would pile up across a
-    // long-running stream's micro-batches until a GC + ContextCleaner
-    // pass (review finding, round 7 — a checkpoint was briefly tried for
-    // its flatter analyzer trees and measured no faster)
-    val in = batch.withColumn("xxh", xxhash64(col("text"))).cache()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // The corpus-facing rejection frames are tiny (doc_id, reason, witness)
     // key lists, but each sits on top of an EXPENSIVE subtree (pruned corpus
@@ -609,13 +602,33 @@ object StreamingJobs {
     // on every one of the three publish actions below — cache them so the
     // expensive probes run once per batch.
     def pin(df: DataFrame): DataFrame = { df.cache(); cached += df; df }
+    // label each materialization phase in the UI/listeners (guide §1.5);
+    // thread-local, so AQE's captured-thread exchange jobs inherit it
+    def phase[A](label: String)(f: => A): A = {
+      spark.sparkContext.setJobDescription(s"gate[$batchId] $label")
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
     try {
       // 1. exact within batch: min doc_id per text hash survives. ONE
       // min-over-window pass — the witness IS the per-hash minimum, so
       // the old rank-then-self-join (an extra exchange + join over the
-      // cached batch) collapses into a single window column
+      // cached batch) collapses into a single window column.
+      // The windowed frame is localCheckpoint'ed (round 14): FOUR
+      // downstream evaluations read it (the corpus-probe broadcast build,
+      // the shingle checkpoint, the survivor checkpoint, the rejected
+      // write), and each used to re-shuffle and re-evaluate the window
+      // over a merely-cached input — ~4 extra exchange+window passes per
+      // micro-batch for nothing (guide §2.4: remove repeated shuffles of
+      // the same data). The checkpoint pins batch+witness ONCE; the cost
+      // is one batch-sized materialization, per-batch state a gate holds
+      // anyway. (A cache was tried here in round 7 for deterministic
+      // release; the checkpoint's RDD blocks are instead freed by the
+      // ContextCleaner, bounded by the 60s periodicGC floor.)
       val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("xxh"))
-      val ranked = in.withColumn("__witness", min(col("doc_id")).over(wx))
+      val ranked = phase("stage1 window")(
+        batch.withColumn("xxh", xxhash64(col("text")))
+          .withColumn("__witness", min(col("doc_id")).over(wx))
+          .localCheckpoint())
       val exactBatchRej = ranked.filter(col("doc_id") =!= col("__witness"))
         .select(col("doc_id"), lit("exact_batch").as("reason"),
           col("__witness").as("witness"))
@@ -645,8 +658,9 @@ object StreamingJobs {
       // the public entry points each would re-shingle (and re-sign) the
       // batch from text. Exact mode never reads `sig`, so it skips the
       // 32-permutation signing outright.
-      val sigs = if (exactPairs) Dedup.shingledIndexOf(live)
-        else Dedup.signedIndexOf(live)
+      val sigs = phase("shingle")(
+        if (exactPairs) Dedup.shingledIndexOf(live)
+        else Dedup.signedIndexOf(live))
 
       // 3 + 4. near-dup vs corpus, then within batch. Exact mode FUSES the
       // two into one postings join ([[Dedup.gateFusedExactPairs]]): the
@@ -659,12 +673,18 @@ object StreamingJobs {
       val (nearCorpusRej, pairs) =
         if (exactPairs) {
           val idx = if (exists(spark, indexDir)) Some(indexDir) else None
-          val fused = Dedup.gateFusedExactPairs(spark, idx, sigs, threshold)
-            .localCheckpoint()
-          val ncr = fused.filter(col("is_corpus"))
+          val fused = phase("fused pairs")(
+            Dedup.gateFusedExactPairs(spark, idx, sigs, threshold)
+              .localCheckpoint())
+          // pinned (round 14): this tiny key list is read by FOUR consumers
+          // (live's anti-join, both pair-list anti-joins, the rejected
+          // write) and each evaluation re-ran the groupBy shuffle over the
+          // checkpointed pair list — the minhash branch below already pins
+          // its ncr for the same reason
+          val ncr = pin(fused.filter(col("is_corpus"))
             .groupBy(col("doc_a").as("doc_id"))
             .agg(min(col("doc_b")).as("witness"))
-            .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness"))
+            .select(col("doc_id"), lit("near_dup_corpus").as("reason"), col("witness")))
           val p = fused.filter(!col("is_corpus"))
             .join(ncr.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
             .join(ncr.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
@@ -683,36 +703,39 @@ object StreamingJobs {
       live = live.join(nearCorpusRej.select("doc_id"), Seq("doc_id"), "left_anti")
 
       // cluster the within-batch pair graph, keep minima
-      val nearBatchRej = pin(Dedup.nearDupClusters(pairs)
+      val nearBatchRej = pin(phase("cluster")(Dedup.nearDupClusters(pairs))
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"), lit("near_dup_batch").as("reason"),
           col("label").as("witness")))
-      live = live.join(nearBatchRej.select("doc_id"), Seq("doc_id"), "left_anti")
-        // EAGER materialization before any publish action. This is load-
-        // bearing for correctness, not just speed: the accepted write below
-        // appends to acceptedDir, and Spark's recache-by-path would hand any
-        // LATER re-evaluation of `live` a refreshed file listing in which the
-        // batch's own rows are already "in the corpus" — the exact_corpus
-        // anti-join would then erase the batch from the index append. With
-        // the survivors pinned here, the three writes replay nothing.
-        .localCheckpoint()
+      live = phase("survivors")(
+        live.join(nearBatchRej.select("doc_id"), Seq("doc_id"), "left_anti")
+          // EAGER materialization before any publish action. This is load-
+          // bearing for correctness, not just speed: the accepted write below
+          // appends to acceptedDir, and Spark's recache-by-path would hand any
+          // LATER re-evaluation of `live` a refreshed file listing in which the
+          // batch's own rows are already "in the corpus" — the exact_corpus
+          // anti-join would then erase the batch from the index append. With
+          // the survivors pinned here, the three writes replay nothing.
+          .localCheckpoint())
 
       // publish: rejections audit, accepted rows, index signatures — each
       // write stays atomic-per-directory and none replays the probes.
-      exactBatchRej.unionByName(exactCorpusRej).unionByName(nearCorpusRej)
-        .unionByName(nearBatchRej)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(rejectedDir)
-      live.write.mode("append").parquet(acceptedDir)
+      phase("publish rejected")(
+        exactBatchRej.unionByName(exactCorpusRej).unionByName(nearCorpusRej)
+          .unionByName(nearBatchRej)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(rejectedDir))
+      phase("publish accepted")(live.write.mode("append").parquet(acceptedDir))
       // index append reuses the checkpointed shingle (+sig) frame,
       // semi-joined to the FINAL survivor set (sigs was built before
       // stages 3/4 rejected) — the public appendIndex would re-shingle
       // (and in minhash mode re-sign) the batch from text
       val finalIdx = sigs.join(live.select("doc_id"), Seq("doc_id"), "left_semi")
-      if (exactPairs) Dedup.appendIndexPostings(finalIdx, indexDir)
-      else Dedup.appendIndexSigs(finalIdx, indexDir)
+      phase("publish index")(
+        if (exactPairs) Dedup.appendIndexPostings(finalIdx, indexDir)
+        else Dedup.appendIndexSigs(finalIdx, indexDir))
     } finally {
-      cached.foreach(_.unpersist(blocking = false)); in.unpersist(); ()
+      cached.foreach(_.unpersist(blocking = false)); ()
     }
   }
 

@@ -127,3 +127,32 @@ object GateProbe7 {
     spark.stop()
   }
 }
+object GateProbe9 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.engine.GraftSession.local(32, "gate-probe9")
+    spark.read.parquet(s"$d/region.parquet").count()
+    graft.streaming.StreamingJobs.qDedupGate(spark, d).count() // warm
+    val jobs = scala.collection.mutable.ArrayBuffer[(Int, Long, String, Int)]()
+    val starts = scala.collection.mutable.Map[Int, (Long, String, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(js.properties.getProperty("spark.job.description"))
+          .getOrElse(js.stageInfos.lastOption.map(_.name).getOrElse("?"))
+        val nTasks = js.stageInfos.map(_.numTasks).sum
+        starts(js.jobId) = (System.nanoTime(), site.take(90), nTasks)
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        starts.get(je.jobId).foreach { case (t0, site, nt) =>
+          jobs += ((je.jobId, System.nanoTime() - t0, site, nt)) }
+    })
+    val t0 = System.nanoTime()
+    graft.streaming.StreamingJobs.qDedupGate(spark, d).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"[gp9] wall: $wall%.2f s, jobs: ${jobs.length}, job-time sum: ${jobs.map(_._2).sum / 1e9}%.2f s")
+    jobs.sortBy(_._1).foreach { case (id, ns, site, nt) =>
+      println(f"[gp9] job $id%3d ${ns / 1e9}%6.2f s ${nt}%4d t  $site") }
+    spark.stop()
+  }
+}
