@@ -418,10 +418,17 @@ object Dedup {
     * sides of the band bucketing and the Jaccard verification re-read it
     * (signature gen is the CPU cost). Codegen'd MinHashSig: one compiled
     * loop instead of K x |sh| interpreted lambda evaluations. */
-  private def sigsOf(sh: DataFrame): DataFrame =
+  /** (doc_id, sh, sig) WITHOUT the eager materialization — for sites whose
+    * result has exactly ONE consumer (an index write): checkpointing there
+    * materialized the bulky shingle+signature rows once into executor
+    * blocks and then again into the output parquet, for nothing
+    * (round 14; guide §5 — cache only what is reused). */
+  private def sigsOfLazy(sh: DataFrame): DataFrame =
     sh.withColumn("sig", graft.functions.GraftFunctions.minhash_sig(
       col("sh"), hashParams.map(_._1), hashParams.map(_._2)))
-      .localCheckpoint()
+
+  private def sigsOf(sh: DataFrame): DataFrame =
+    sigsOfLazy(sh).localCheckpoint()
 
   /** Band keys only — the shingle arrays do NOT travel through the
     * candidate shuffle; they are joined back for verification afterwards. */
@@ -470,7 +477,7 @@ object Dedup {
 
   /** [[qMinhashEst]]'s estimator frame over any (doc_id, text) corpus. */
   def minhashEstimates(docs0: DataFrame): DataFrame = {
-    val sigs = sigsOf(shingleIndex(docs0))
+    val sigs = sigsOf(shingleIndexLazy(docs0))
     minhashCandidatesSigs(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -491,7 +498,7 @@ object Dedup {
     * exact-Jaccard verification. Same output shape as [[qDedupNgram]] so
     * the two paths are directly comparable. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
-    minhashNearDupsIdx(shingleIndex(docs), threshold)
+    minhashNearDupsIdx(shingleIndexLazy(docs), threshold)
 
   private def minhashNearDupsIdx(sh: DataFrame, threshold: Double): DataFrame =
     verifyPairs(minhashCandidatesIdx(sh), threshold)
@@ -515,7 +522,7 @@ object Dedup {
     * (sigs, bands) persisted as the corpus dedup index instead of
     * recomputing per call. */
   def crossNearDups(left: DataFrame, right: DataFrame, threshold: Double): DataFrame =
-    crossNearDupsSigs(sigsOf(shingleIndex(left)), sigsOf(shingleIndex(right)), threshold)
+    crossNearDupsSigs(sigsOf(shingleIndexLazy(left)), sigsOf(shingleIndexLazy(right)), threshold)
 
   /** EXACT cross-frame near-dups via the inverted-postings join — the
     * exact analog of [[crossNearDups]] (complete for any threshold > 0:
@@ -524,7 +531,7 @@ object Dedup {
     * check: bounded as long as ONE side is small (the probe batch). */
   def crossNearDupsExact(left: DataFrame, right: DataFrame,
       threshold: Double): DataFrame =
-    crossNearDupsExactIdx(shingleIndex(left), shingleIndex(right), threshold)
+    crossNearDupsExactIdx(shingleIndexLazy(left), shingleIndexLazy(right), threshold)
 
   private[graft] def crossNearDupsExactIdx(la: DataFrame, ra: DataFrame,
       threshold: Double): DataFrame = {
@@ -534,12 +541,14 @@ object Dedup {
       size(col("sh")).cast("long").as("sa"), explode(col("sh")).as("shingle"))
     val rp = ra.select(col("doc_id").as("doc_b"),
       size(col("sh")).cast("long").as("sb"), explode(col("sh")).as("shingle"))
-    // SHUFFLE_HASH building on the PROBE postings (guide §3.1): every
-    // caller keeps the left side bounded (an incoming micro-batch / the
-    // pinned q_cross_dedup probe prefix), so its per-partition hash table
-    // is bounded while the corpus side only streams past it — sort-merge
-    // would re-sort the corpus-sized posting list on every probe call
-    lp.hint("shuffle_hash").join(rp, Seq("shingle"))
+    // NO join hint here (round 14, measured): the probe side is bounded
+    // by contract (a micro-batch / the pinned q_cross_dedup prefix) and
+    // the planner already auto-BROADCASTS it — plans/r14/
+    // q_cross_dedup_before.txt shows BroadcastHashJoin, the best strategy
+    // (guide §3.1: no shuffle of either side). A shuffle_hash hint was
+    // tried and REVERTED: hints override the auto-broadcast and would
+    // force two exchanges where none are needed.
+    lp.join(rp, Seq("shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"),
         first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("jaccard",
@@ -636,7 +645,7 @@ object Dedup {
     * the index row count. At cluster scale write this bucketed by doc_id
     * (or partitioned by band at read-mostly sites). */
   def writeIndex(docs: DataFrame, path: String): Unit =
-    sigsOf(shingleIndex(docs)).write.mode("overwrite").parquet(path)
+    sigsOfLazy(shingleIndexLazy(docs)).write.mode("overwrite").parquet(path)
 
   /** Append newly-accepted docs to the persisted index. `withSigs=false`
     * writes the (doc_id, sh) postings only — for an EXACT-pairs-mode
@@ -645,15 +654,15 @@ object Dedup {
     * per doc to build. An index directory is mode-consistent by
     * construction: the gate pins one mode per dir. */
   def appendIndex(docs: DataFrame, path: String, withSigs: Boolean = true): Unit =
-    if (withSigs) sigsOf(shingleIndex(docs)).write.mode("append").parquet(path)
-    else shingleIndex(docs).select("doc_id", "sh").write.mode("append").parquet(path)
+    if (withSigs) sigsOfLazy(shingleIndexLazy(docs)).write.mode("append").parquet(path)
+    else shingleIndexLazy(docs).select("doc_id", "sh").write.mode("append").parquet(path)
 
   /** Probe the persisted index: (incoming doc -> indexed doc) near-dup
     * pairs with Jaccard >= threshold. The incoming micro-batch is signed
     * fresh; the corpus side comes straight off the stored parquet. */
   def probeIndex(spark: SparkSession, path: String, incoming: DataFrame,
       threshold: Double): DataFrame =
-    crossNearDupsSigs(sigsOf(shingleIndex(incoming)), spark.read.parquet(path), threshold)
+    crossNearDupsSigs(sigsOf(shingleIndexLazy(incoming)), spark.read.parquet(path), threshold)
 
   /** Exact-pair probe of the persisted index (the stored (doc_id, sh)
     * columns feed the inverted-postings join; `sig` is pruned away).
@@ -661,7 +670,7 @@ object Dedup {
     * declared-exact result matters and the probe side is small. */
   def probeIndexExact(spark: SparkSession, path: String, incoming: DataFrame,
       threshold: Double): DataFrame =
-    crossNearDupsExactIdx(shingleIndex(incoming),
+    crossNearDupsExactIdx(shingleIndexLazy(incoming),
       spark.read.parquet(path).select("doc_id", "sh"), threshold)
 
   // ---- shingle-frame entry points (one shingle pass shared across stages)
@@ -717,15 +726,15 @@ object Dedup {
     * corrupts the index. Probe results are spec-pinned identical before
     * and after compaction (a pure layout operation). */
   def writeIndexStore(docs: DataFrame, store: graft.engine.ShardStore): Unit =
-    store.write(sigsOf(shingleIndex(docs)))
+    store.write(sigsOfLazy(shingleIndexLazy(docs)))
 
   def appendIndexStore(docs: DataFrame, store: graft.engine.ShardStore): Unit =
-    store.append(sigsOf(shingleIndex(docs)))
+    store.append(sigsOfLazy(shingleIndexLazy(docs)))
 
   /** Band-bucket probe of the sharded index ([[probeIndex]] semantics). */
   def probeIndexStore(store: graft.engine.ShardStore, incoming: DataFrame,
       threshold: Double): DataFrame =
-    crossNearDupsSigs(sigsOf(shingleIndex(incoming)), store.read(), threshold)
+    crossNearDupsSigs(sigsOf(shingleIndexLazy(incoming)), store.read(), threshold)
 
   private lazy val compactIdxRoot: String = processTempDir("graft_dedup_idx_c")
 
