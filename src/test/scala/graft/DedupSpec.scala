@@ -453,4 +453,21 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("gate fused-pairs join builds a hash table on the bounded batch side") {
+    // round-14 plan pin: the fused postings join must run as a
+    // SHUFFLED HASH join with the micro-batch postings as the build side
+    // (guide §3.1 — the corpus side grows with the index and must only
+    // stream past; a silent regression to sort-merge re-sorts the stored
+    // corpus postings every micro-batch). The hint is load-bearing, so a
+    // plan flip must fail loudly here, not show up as a bench regression.
+    val sigs = docs.limit(50)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val fused = Dedup.gateFusedExactPairs(spark, None, sigs, 0.5)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fused gate join lost its shuffled-hash build:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fused gate join regressed to sort-merge:\n$plan")
+  }
 }

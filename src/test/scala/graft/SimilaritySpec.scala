@@ -61,6 +61,22 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.kmeansAssign(emb, k, 2)
     assert(assigned.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
       again.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+    // round-14 seed-sharing equality: a caller-precomputed iteration-0
+    // centroid set (q_ann_recall pays the seed aggregation once for both
+    // trainers) must be assignment-identical to the default path, for
+    // BOTH the flat and the hierarchical trainer
+    val seed0 = Similarity.collectCentroids(
+      emb.select(col("vec_id"), col("embedding"))
+        .withColumn("list_id", pmod(col("vec_id"), lit(k.toLong))))
+    val seeded = Similarity.kmeansAssign(emb, k, 2, Some(seed0))
+    assert(assigned.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
+      seeded.orderBy("vec_id").collect().map(_.toSeq).toSeq,
+      "seed0-shared flat assignment diverged from the default path")
+    val hierDefault = Similarity.kmeansAssignHier(emb, k, 2)
+    val hierSeeded = Similarity.kmeansAssignHier(emb, k, 2, seed0 = Some(seed0))
+    assert(hierDefault.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
+      hierSeeded.orderBy("vec_id").collect().map(_.toSeq).toSeq,
+      "seed0-shared hier assignment diverged from the default path")
     val nLists = assigned.select("list_id").distinct().count()
     assert(nLists >= 2 && nLists <= k)
 
