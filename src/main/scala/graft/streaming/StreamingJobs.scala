@@ -361,6 +361,15 @@ object StreamingJobs {
     // for the same 40k rows); a production deployment sizes this to its
     // actual key cardinality
     s.conf.set("spark.sql.shuffle.partitions", "2")
+    // No-data micro-batches exist to advance watermarks PROMPTLY on a
+    // continuous stream; an INNER stream-stream join emits each match on
+    // arrival, so in this bounded AvailableNow replay the trailing
+    // no-data batch contributes zero output rows at any scale and costs a
+    // full trigger (StreamProbe: ~0.5 s of state-store commits). Scoped
+    // and restored like the partition count. (q_stream_session keeps the
+    // default: its single-flush design EMITS in the post-flush batch.)
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val v = s.readStream.schema(vSchema).option("maxFilesPerTrigger", "1")
         .parquet(srcV).withWatermark("view_ts", "1 hour")
@@ -376,7 +385,10 @@ object StreamingJobs {
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     s.read.parquet(out)
   }
 
@@ -439,6 +451,12 @@ object StreamingJobs {
       StructField("doc_id", LongType), StructField("ts", TimestampType)))
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // dropDuplicatesWithinWatermark emits survivors ON ARRIVAL — the
+    // trailing no-data batch contributes nothing to a bounded replay's
+    // output at any scale (the replayStreamJoin rationale; eviction
+    // timing is already proven by the explicit advance waves)
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
         .withWatermark("ts", delay)
@@ -448,7 +466,10 @@ object StreamingJobs {
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     s.read.parquet(out)
   }
 
