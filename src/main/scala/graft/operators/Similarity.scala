@@ -1161,10 +1161,76 @@ object Similarity {
     * distance to the already-selected set (the coverage-radius sequence,
     * non-increasing); the seed reports 2.0, the cosine-distance
     * diameter. */
-  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+  /** SMALL-CORPUS DRIVER FAST PATH budget for [[kCenterSelect]] (the
+    * nearDupClusters discipline): under this many rows the k selection
+    * rounds run on collected rows with bit-identical arithmetic instead
+    * of k (checkpoint + TakeOrdered) job waves — 2^16 × d floats is a
+    * few-MB probe, discarded on overflow; corpus-scale embedding tables
+    * take the distributed running-min loop unchanged. */
+  val DriverCoresetRowBudget: Long = 1L << 16
+
+  def kCenterSelect(emb: DataFrame, k: Int,
+      driverRowBudget: Long = DriverCoresetRowBudget): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     require(k >= 1, "k-center needs k >= 1")
+    if (driverRowBudget < Int.MaxValue - 1) {
+      val taken = emb.select(col("vec_id"), col("embedding"))
+        .take(driverRowBudget.toInt + 1)
+      if (taken.length.toLong <= driverRowBudget) {
+        if (taken.isEmpty)
+          return Seq.empty[(Long, Long, Double)].toDF("sel_rank", "vec_id", "d_min")
+        // bit-identical replication of the distributed loop (spec'd in
+        // SimilaritySpec against the forced-distributed path): the same
+        // index-order double cosine (TextHashes.cosineSim), Spark's
+        // round(x,6) as valueOf+HALF_UP, `least` and the (dmin desc,
+        // vec_id) TakeOrdered both replayed through Double.compare —
+        // Spark's double ordering (NaN greatest, -0.0 < 0.0), not the
+        // IEEE `<` (which would diverge on NaN/-0.0 corners)
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        def cosA(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        def embOf(r: org.apache.spark.sql.Row): Array[Double] =
+          if (r.isNullAt(1)) null
+          else r.getSeq[Any](1).iterator.map {
+            case f: java.lang.Float => f.toDouble // float→double widening,
+            case n: java.lang.Number => n.doubleValue // as cosineSim does
+          }.toArray
+        val rows = taken.map(r => (r.getLong(0), embOf(r)))
+        val seedRow = rows.minBy(_._1)
+        var selected = Vector((seedRow._1, 2.0, seedRow._2))
+        val dmin = Array.fill(rows.length)(2.0)
+        while (selected.size < k) {
+          val cv = selected.last._3
+          var i = 0
+          while (i < rows.length) {
+            val e = rows(i)._2
+            if (e != null && cv != null) {
+              val d = 1.0 - r6(cosA(e, cv))
+              if (java.lang.Double.compare(d, dmin(i)) < 0) dmin(i) = d
+            }
+            i += 1
+          }
+          var bi = 0
+          i = 1
+          while (i < rows.length) {
+            val c = java.lang.Double.compare(dmin(i), dmin(bi))
+            if (c > 0 || (c == 0 && rows(i)._1 < rows(bi)._1)) bi = i
+            i += 1
+          }
+          selected :+= ((rows(bi)._1, dmin(bi), rows(bi)._2))
+        }
+        return selected.zipWithIndex
+          .map { case ((id, d, _), i) => (i.toLong, id, d) }
+          .toDF("sel_rank", "vec_id", "d_min")
+      }
+    }
     val seed = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .collect()

@@ -402,6 +402,14 @@ class SimilaritySpec extends SparkSpec {
     }
     val got = Similarity.kCenterSelect(vecs.toDF("vec_id", "embedding"), 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // round-14 fast-path equality: the driver fast path (default budget)
+    // must be BIT-IDENTICAL to the forced-distributed running-min loop
+    // (budget = 0) — the nearDupClusters discipline
+    val forced = Similarity.kCenterSelect(
+      vecs.toDF("vec_id", "embedding"), 6, driverRowBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === forced.toSeq,
+      "kCenterSelect driver fast path diverged from the distributed loop")
     // driver replay of the exact greedy rule
     val byId = vecs.toMap
     var sel = Vector(vecs.map(_._1).min)
